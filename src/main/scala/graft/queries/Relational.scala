@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator surface over the driver tables: scan, filter
+  * (pushdown), aggregate, joins (broadcast / shuffle / semi / anti),
+  * window, distinct, top-k, set ops, rollup.
+  *
+  * These queries double as the scale contract: every join keeps the
+  * small side broadcastable, every aggregate is partial-aggregable
+  * (map-side combine), and predicates/projections are plain Columns so
+  * Catalyst pushes them into the parquet scan.
+  *
+  * Numeric discipline for the DuckDB oracle hash-compare: double
+  * aggregates go through DECIMAL(18,2) (exact, associative — immune to
+  * float summation order across engines) and are cast back to double at
+  * the end. Raw double columns are hash-safe (no arithmetic).
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/S3/S5: full scan + partial aggregation (TPC-H Q1 shape).
+    "q01_pricing_summary" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+          sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount"))).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+    // F1/F2-analogue: range predicates pushed to the parquet scan.
+    "q02_filter_pushdown" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1994-01-01").cast("timestamp") &&
+                $"l_shipdate" <  lit("1995-01-01").cast("timestamp") &&
+                $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+    },
+    // S2-analogue: equi-join with an explicitly broadcast small side.
+    "q03_join_broadcast" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(sum(dec($"o_totalprice")).cast("double").as("revenue"),
+             count(lit(1)).as("n_orders"))
+    },
+    // Large-side shuffle join + aggregate.
+    "q04_join_shuffle" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount"))).cast("double").as("revenue"),
+             count(lit(1)).as("n_items"))
+    },
+    // Multi-way join (TPC-H Q5 shape): dims broadcast, facts shuffle.
+    "q05_multi_join" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.supplier(s, d)),
+              $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount"))).cast("double").as("revenue"))
+    },
+    // F5: existence anti-join (customers with no orders).
+    "q06_anti_join" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_nationkey")
+    },
+    // Semi-join (EXISTS).
+    "q07_semi_join" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter($"o_totalprice" > 100000.0),
+              $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_acctbal")
+    },
+    // Window functions: rank + running sum per supplier.
+    "q08_window" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_qty",
+          sum(dec($"l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+        .filter($"rn" <= 3)
+        .select($"l_suppkey", $"rn", $"l_orderkey", $"l_linenumber", $"running_qty")
+    },
+    // Distinct (shuffle dedup on low-cardinality keys).
+    "q09_distinct" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d).select($"l_returnflag", $"l_linestatus").distinct()
+    },
+    // Top-k with total (tie-broken) order.
+    "q10_topk" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .select($"o_orderkey", $"o_totalprice")
+        .limit(100)
+    },
+    // Set ops: UNION / INTERSECT / EXCEPT on nation keys.
+    "q11_set_ops" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d).select($"c_nationkey".cast("int").as("nk"))
+      val p = Tables.supplier(s, d).select($"s_nationkey".cast("int").as("nk"))
+      val u = c.union(p).distinct().withColumn("src", lit("union"))
+      val i = c.intersect(p).withColumn("src", lit("intersect"))
+      val e = c.except(p).withColumn("src", lit("except"))
+      u.union(i).union(e)
+    },
+    // Event-time bucketed aggregation (batch analogue of the streaming
+    // windowed agg; event_time semantics like F2).
+    "q12_events_hourly" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(date_format($"ts", "yyyy-MM-dd HH").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(dec($"value")).cast("double").as("total_value"),
+             countDistinct($"user_id").as("n_users"))
+    },
+    // Rollup (grouping sets).
+    "q13_rollup" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(dec($"l_quantity")).cast("double").as("qty"))
+    }
+  )
+
+  /** DuckDB-dialect oracle SQL, column-name and value aligned. */
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q03_join_broadcast" ->
+      """SELECT c_mktsegment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q04_join_shuffle" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
+    "q05_multi_join" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name""",
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""",
+    "q08_window" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, running_qty FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+           FROM lineitem) WHERE rn <= 3""",
+    "q09_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q10_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q11_set_ops" ->
+      """SELECT nk, 'union' AS src FROM (SELECT CAST(c_nationkey AS INT) AS nk FROM customer UNION SELECT CAST(s_nationkey AS INT) FROM supplier)
+         UNION ALL
+         SELECT nk, 'intersect' AS src FROM (SELECT CAST(c_nationkey AS INT) AS nk FROM customer INTERSECT SELECT CAST(s_nationkey AS INT) FROM supplier)
+         UNION ALL
+         SELECT nk, 'except' AS src FROM (SELECT CAST(c_nationkey AS INT) AS nk FROM customer EXCEPT SELECT CAST(s_nationkey AS INT) FROM supplier)""",
+    "q12_events_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2""",
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+  )
+}
