@@ -13,15 +13,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // (elapsed sec, error message or null) per query: a crashing query
+    // must be distinguishable from a fast one in the bench JSON.
+    val results: Map[String, (Double, String)] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); null }
+        catch { case e: Throwable => Option(e.getMessage).getOrElse(e.getClass.getName).take(120) }
+      name -> (((System.nanoTime() - t0) / 1e9, err))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString } + "\""
+    val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, (_, e)) if e != null => jstr(k) + ":" + jstr(e) }.mkString("{", ",", "}")
+    val nFailed = results.count(_._2._2 != null)
+    val total = results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (nFailed > 0) sys.exit(3)
   }
 }

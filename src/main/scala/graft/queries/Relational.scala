@@ -40,16 +40,19 @@ object Relational {
     "q02_filter_pushdown" -> { (s, d) =>
       import s.implicits._
       Tables.lineitem(s, d)
-        .filter($"l_shipdate" >= lit("1994-01-01").cast("timestamp") &&
-                $"l_shipdate" <  lit("1995-01-01").cast("timestamp") &&
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+                $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
                 $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
         .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
     },
-    // S2-analogue: equi-join with an explicitly broadcast small side.
+    // S2-analogue: equi-join where AQE/autoBroadcastJoinThreshold picks
+    // the strategy. No forced broadcast hint: customer grows with SF, so
+    // a pinned hint would OOM at 100 TB; genuinely bounded dims
+    // (nation/region) keep explicit hints elsewhere.
     "q03_join_broadcast" -> { (s, d) =>
       import s.implicits._
       Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
         .agg(sum(dec($"o_totalprice")).cast("double").as("revenue"),
              count(lit(1)).as("n_orders"))
@@ -68,19 +71,21 @@ object Relational {
       import s.implicits._
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(Tables.supplier(s, d),
               $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
         .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
         .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount"))).cast("double").as("revenue"))
     },
-    // F5: existence anti-join (customers with no orders).
+    // F5: existence anti-join (customers with no big-ticket orders —
+    // filtered right side so rows actually survive at every SF).
     "q06_anti_join" -> { (s, d) =>
       import s.implicits._
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .join(Tables.orders(s, d).filter($"o_totalprice" > 300000.0),
+              $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name", $"c_nationkey")
     },
     // Semi-join (EXISTS).
@@ -158,7 +163,7 @@ object Relational {
     "q02_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
          FROM lineitem
-         WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
     "q03_join_broadcast" ->
       """SELECT c_mktsegment,
@@ -184,7 +189,7 @@ object Relational {
          GROUP BY n_name""",
     "q06_anti_join" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""",
     "q07_semi_join" ->
       """SELECT c_custkey, c_acctbal FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""",
