@@ -1,0 +1,37 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors HbaseWriterTest.kt:460-519 (date parsing / UTC offsets) and
+  * MessageUtilsTest.kt:101-135 (timestamp parsing both formats). */
+class DateFmtSpec extends AnyFunSuite {
+
+  test("Z-suffix input is treated as UTC and reformatted to +0000") {
+    assert(DateFmt.kafkaFormat("2018-12-01T15:01:02.000Z") == "2018-12-01T15:01:02.000+0000")
+  }
+
+  test("explicit offsets are normalized to UTC") {
+    assert(DateFmt.kafkaFormat("2018-12-01T15:01:02.000+0100") == "2018-12-01T14:01:02.000+0000")
+    assert(DateFmt.kafkaFormat("2018-12-01T15:01:02.000-0100") == "2018-12-01T16:01:02.000+0000")
+  }
+
+  test("output format is idempotent") {
+    assert(DateFmt.kafkaFormat("2018-12-01T15:01:02.000+0000") == "2018-12-01T15:01:02.000+0000")
+  }
+
+  test("timestampAsLong parses both accepted formats to the same epoch") {
+    assert(DateFmt.timestampAsLong("2018-12-01T15:01:02.000Z") == 1543676462000L)
+    assert(DateFmt.timestampAsLong("2018-12-01T15:01:02.000+0000") == 1543676462000L)
+    assert(DateFmt.timestampAsLong("2018-12-01T15:01:02.183Z") == 1543676462183L)
+  }
+
+  test("epoch constant matches 1980-01-01T00:00:00.000+0000") {
+    assert(DateFmt.timestampAsLong(DateFmt.Epoch) == DateFmt.EpochMillis)
+  }
+
+  test("unparseable date throws") {
+    assertThrows[java.text.ParseException](DateFmt.parseValid("2018-12-01"))
+    assertThrows[java.text.ParseException](DateFmt.parseValid("not a date"))
+    assertThrows[java.text.ParseException](DateFmt.parseValid(""))
+  }
+}
