@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.operators.{AnnLsh, MinHashDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard / embedding cosine), similarity search (brute-force
+  * and LSH-bucketed ANN), and text analysis (language heuristic,
+  * quality scoring, token stats, fingerprinting).
+  *
+  * Oracle discipline: every hash-checked query emits only integers,
+  * strings, md5 hexes, or doubles produced by the *identical* float
+  * expression on both engines (explicit dot/norm formula, cast to
+  * DOUBLE on both sides) — no engine-specific aggregation order.
+  * Heuristic thresholds use pure integer arithmetic (e.g.
+  * `n_markers * 10 >= n_tokens`) so there is no rounding boundary to
+  * disagree on.
+  */
+object TrainingData {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: content-hash groups, keeper = min id. One shuffle on
+    // an md5 key (uniform, skew-free at any scale).
+    "q14_dedup_exact" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // MinHash+LSH near-dup candidates (Spark-only: rows-only driver
+    // check; MinHashDedupSpec verifies against exact Jaccard).
+    "q15_dedup_minhash" -> { (s, d) =>
+      MinHashDedup.candidatePairs(Tables.documents(s, d), "doc_id", "text", minMatches = 16)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // 60-bit SimHash per document from distinct-token hashes. explode →
+    // two partial-aggregable shuffles; all integer arithmetic.
+    "q16_dedup_simhash" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("hv", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      toks.select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(59))).as("i"))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(sum(when(expr("shiftright(hv, i) & 1") === 1, 1).otherwise(-1)).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L)).as("simhash"))
+    },
+
+    // Word-3-gram (shingle) Jaccard, top-5 most similar overlapping
+    // pairs per source block, via a shingle INVERTED INDEX: explode →
+    // self-join on (source, shingle) → count shared → |A|+|B|-shared.
+    // This touches only pairs that actually overlap — O(Σ postings²)
+    // instead of O(n²) array intersections — which is what survives a
+    // 100× scale-up (the all-pairs formulation was 30s at sf0.1; this
+    // shape is ~3s and grows with overlap, not with pairs).
+    "q17_ngram_jaccard" -> { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("source"), array_distinct(expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"))
+          .as("sh"))
+      val counts = sh.select(col("doc_id"), col("source"), size(col("sh")).as("n"))
+      val inv = sh.select(col("source"), col("doc_id"), explode(col("sh")).as("shingle"))
+      val shared = inv.select(col("source"), col("shingle"), col("doc_id").as("doc_a"))
+        .join(inv.select(col("source"), col("shingle"), col("doc_id").as("doc_b")), Seq("source", "shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("source"), col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      val pairs = shared
+        .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("source"), col("doc_a"), col("doc_b"), col("shared"),
+          (col("na") + col("nb") - col("shared")).as("total"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy((col("shared").cast("double") / col("total")).desc, col("doc_a").asc, col("doc_b").asc)
+      pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("doc_a"), col("doc_b"), col("shared"), col("total"))
+    },
+
+    // Brute-force cosine top-10 for the first five query vectors — the
+    // exact ANN baseline (and the oracle-checked ground truth for q19).
+    "q18_ann_bruteforce" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      AnnLsh.cosineTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+    },
+
+    // LSH-bucketed ANN — the scale path (Spark-only: rows-only check;
+    // AnnSpec verifies sims agree with brute force on shared pairs).
+    "q19_ann_lsh" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      AnnLsh.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 5, dims = 64)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Token statistics per source block (counts only).
+    "q20_token_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_distinct_tokens"))
+    },
+
+    // Language-marker heuristic with an integer decision rule.
+    "q21_lang_id" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        expr("size(filter(split(text, ' '), t -> t = 'the' OR t = 'a'))").as("n_markers"))
+        .withColumn("predicted",
+          when(col("n_markers") * 10 >= col("n_tokens"), lit("en-like")).otherwise(lit("other")))
+    },
+
+    // Quality scoring: all-integer length/punctuation/token features
+    // plus an integer-threshold quality band.
+    "q22_quality_score" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("len"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct"),
+        size(split(col("text"), " ")).as("n_tokens"))
+        .withColumn("mean_tok_len_x100",
+          expr("((len - (n_tokens - 1)) * 100) div n_tokens"))
+        .withColumn("quality_band",
+          when(col("n_tokens") >= 10 && col("mean_tok_len_x100").between(200, 800), lit("ok"))
+            .otherwise(lit("low")))
+    },
+
+    // Rolling-hash document fingerprint: min md5 over all 8-char
+    // windows (winnowing-style), fully portable.
+    "q23_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        expr("array_min(transform(sequence(1, CAST(greatest(n_chars - 6, 2) - 1 AS INT)), " +
+          "i -> md5(substring(text, i, 8))))").as("fp"))
+    },
+
+    // Embedding-cosine near-dup pairs within label blocks (ids only —
+    // the float threshold applies to an identically-computed double).
+    "q24_dedup_embedding" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("embedding").cast("array<double>").as("ea"))
+      val b = emb.select(col("label"), col("vec_id").as("vec_b"), col("embedding").cast("array<double>").as("eb"))
+      a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+        .withColumn("sim", AnnLsh.cosine(col("ea"), col("eb")))
+        .filter(col("sim") >= 0.30)
+        .select(col("label"), col("vec_a"), col("vec_b"))
+    }
+  )
+
+  private val dot = "list_dot_product(%s::DOUBLE[], %s::DOUBLE[])"
+  private def cosineSql(a: String, b: String): String =
+    s"${dot.format(a, b)} / (sqrt(${dot.format(a, a)}) * sqrt(${dot.format(b, b)}))"
+
+  val oracle: Map[String, String] = Map(
+    "q14_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "q16_dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) tok FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT hv FROM toks),
+         bits AS (SELECT doc_id, i, sum(CASE WHEN (hv >> i::INT) & 1 = 1 THEN 1 ELSE -1 END) s
+                  FROM h, range(60) r(i) GROUP BY 1, 2)
+         SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << i::INT ELSE 0 END)::BIGINT AS simhash
+         FROM bits GROUP BY doc_id""",
+    "q17_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, source,
+                  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) s
+           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         pairs AS (
+           SELECT a.source, a.doc_id doc_a, b.doc_id doc_b,
+                  len(list_intersect(a.s, b.s)) shared,
+                  len(list_distinct(list_concat(a.s, b.s))) total
+           FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s)) >= 1)
+         SELECT source, rank, doc_a, doc_b, shared, total FROM (
+           SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY shared::DOUBLE / total DESC, doc_a, doc_b) rank
+           FROM pairs) WHERE rank <= 5""",
+    "q18_ann_bruteforce" ->
+      s"""SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r6 FROM (
+            SELECT q.vec_id query_id, b.vec_id neighbor_id,
+                   ${cosineSql("q.embedding", "b.embedding")} sim,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${cosineSql("q.embedding", "b.embedding")} DESC, b.vec_id) rank
+            FROM embeddings q JOIN embeddings b ON q.vec_id < 5 AND b.vec_id != q.vec_id)
+          WHERE rank <= 10""",
+    "q20_token_stats" ->
+      """SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+                count(DISTINCT tok) AS n_distinct_tokens
+         FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) tok FROM documents)
+         GROUP BY source""",
+    "q21_lang_id" ->
+      """SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+                len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS n_markers,
+                CASE WHEN len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) * 10
+                          >= len(string_split(text, ' '))
+                     THEN 'en-like' ELSE 'other' END AS predicted
+         FROM documents""",
+    "q22_quality_score" ->
+      """SELECT doc_id, len, n_punct, n_tokens,
+                ((len - (n_tokens - 1)) * 100) // n_tokens AS mean_tok_len_x100,
+                CASE WHEN n_tokens >= 10
+                          AND ((len - (n_tokens - 1)) * 100) // n_tokens BETWEEN 200 AND 800
+                     THEN 'ok' ELSE 'low' END AS quality_band
+         FROM (SELECT doc_id, length(text) len,
+                      length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) n_punct,
+                      len(string_split(text, ' ')) n_tokens
+               FROM documents)""",
+    "q23_fingerprint" ->
+      """SELECT doc_id, list_min(list_transform(range(1, greatest(n_chars - 6, 2)::BIGINT),
+                i -> md5(substr(text, i::INT, 8)))) AS fp
+         FROM documents""",
+    "q24_dedup_embedding" ->
+      s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.30"""
+  )
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Verifies the Spark-only (non-SQL-oracle) similarity operators
+  * against exact computations on the driver test tables. */
+class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("dedup-ann-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs: DataFrame = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embs: DataFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** exact word-3-gram Jaccard for given pairs */
+  private def exactJaccard(pairs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), MinHashDedup.shingles(col("text")).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+  }
+
+  test("minhash estimate tracks exact jaccard on every candidate pair") {
+    val cands = MinHashDedup.candidatePairs(docs, "doc_id", "text", minMatches = 16)
+    val checked = exactJaccard(cands)
+      .withColumn("est", col("est_matches").cast("double") / MinHashDedup.NumHashes)
+      .select(col("doc_a"), col("doc_b"), col("est"), col("jaccard"))
+      .collect()
+    assert(checked.nonEmpty, "expected candidate near-dup pairs in the test data")
+    checked.foreach { r =>
+      val (est, exact) = (r.getDouble(2), r.getDouble(3))
+      assert(math.abs(est - exact) <= 0.3, s"pair ${r.get(0)}-${r.get(1)}: est $est vs exact $exact")
+      assert(exact >= 0.3, s"candidate ${r.get(0)}-${r.get(1)} is not actually similar (exact $exact)")
+    }
+  }
+
+  test("minhash finds every pair with exact jaccard >= 0.9 (high-sim recall)") {
+    val sh = docs.select(col("doc_id"), MinHashDedup.shingles(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val truth = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b")
+    val cands = MinHashDedup.candidatePairs(docs, "doc_id", "text", minMatches = 16)
+      .select("doc_a", "doc_b")
+    val missed = truth.except(cands).count()
+    assert(truth.count() > 0, "expected high-sim pairs in the test data")
+    assert(missed == 0, s"minhash missed $missed high-similarity pairs")
+  }
+
+  test("lsh ann sims agree with brute force on shared (query, neighbor) pairs") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val brute = AnnLsh.cosineTopK(queries, embs, k = 50)
+      .select(col("query_id"), col("neighbor_id"), col("sim_r6").as("sim_brute"))
+    val lsh = AnnLsh.lshTopK(queries, embs, k = 5, dims = 64)
+    assert(lsh.count() > 0, "lsh returned no candidates — buckets too sparse")
+    val joined = lsh.join(brute, Seq("query_id", "neighbor_id"), "inner")
+      .withColumn("diff", abs(col("sim_r6") - col("sim_brute")))
+    val bad = joined.filter(col("diff") > 1e-9).count()
+    assert(bad == 0, s"$bad lsh sims disagree with brute force")
+  }
+
+  test("lsh ann ranks are dense and ordered by sim within each query") {
+    val lsh = AnnLsh.lshTopK(embs.filter(col("vec_id") < 10), embs, k = 5, dims = 64).collect()
+    lsh.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to byRank.length))
+      val sims = byRank.map(_.getAs[Double]("sim_r6"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+}
