@@ -14,7 +14,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracle),
-      (_root_.graft.queries.TrainingData.queries, _root_.graft.queries.TrainingData.oracle)
+      (_root_.graft.queries.TrainingData.queries, _root_.graft.queries.TrainingData.oracle),
+      (_root_.graft.queries.Advanced.queries, _root_.graft.queries.Advanced.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

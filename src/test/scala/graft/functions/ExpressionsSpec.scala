@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.core.{DateFmt, Json, Rowkey}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Native expression parity: SQL-registered codegen expressions agree
+  * byte-for-byte with the pure core functions, survive whole-stage
+  * codegen, and register through SparkSessionExtensions. */
+class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .appName("expr-spec")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("kafka_date_format matches core.DateFmt over both input formats") {
+    val sp = spark; import sp.implicits._
+    val inputs = Seq(
+      "2018-12-01T15:01:02.000Z", "2018-12-01T15:01:02.183Z",
+      "2018-12-01T15:01:02.000+0100", "1980-01-01T00:00:00.000+0000")
+    val out = inputs.toDF("s").selectExpr("kafka_date_format(s) AS k").as[String].collect()
+    assert(out.toSeq == inputs.map(DateFmt.kafkaFormat))
+  }
+
+  test("hdi_rowkey matches core.Rowkey bytes (CRC prefix + sorted json)") {
+    val sp = spark; import sp.implicits._
+    val ids = Seq("""{"someId": "G", "declarationId": "d1"}""", """{"id": "x"}""")
+    val out = ids.toDF("j").selectExpr("hdi_rowkey(j) AS k").as[Array[Byte]].collect()
+    out.zip(ids).foreach { case (bytes, id) =>
+      assert(bytes.sameElements(Rowkey.generateKey(Json.parseObject(id))))
+    }
+  }
+
+  test("expressions run inside whole-stage codegen (no fallback fence)") {
+    val df = spark.range(100).selectExpr(
+      "kafka_date_format('2018-12-01T15:01:02.000Z') AS k",
+      """hdi_rowkey('{"id": "a"}') AS r""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), s"no codegen span in:\n$plan")
+    assert(df.count() == 100)
+  }
+
+  test("null input yields null, unparseable input throws (reference F4 semantics)") {
+    val sp = spark; import sp.implicits._
+    val out = Seq[String](null).toDF("s").selectExpr("kafka_date_format(s) AS k").collect()
+    assert(out.head.isNullAt(0))
+    val err = intercept[Exception] {
+      Seq("nope").toDF("s").selectExpr("kafka_date_format(s)").collect()
+    }
+    assert(err.toString.toLowerCase.contains("unparseable") || err.getCause != null)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.streaming.Sessions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Verifies the streaming operators: flatMapGroupsWithState
+  * sessionization emits exactly the batch sessions, and the
+  * watermarked windowed aggregation matches the batch grouping. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("streaming-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def eventsDf = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("streaming sessionization emits exactly the batch sessions") {
+    val sp = spark; import sp.implicits._
+    val typed = typedEvents(eventsDf).collect().toSeq
+    // sentinel far-future event per user closes every real session;
+    // the sentinel's own (still-open) session is never emitted
+    val maxTs = typed.map(_.ts_ms).max
+    val sentinels = typed.map(_.user_id).distinct.map(u => Event(u, maxTs + 100 * GapMs, "flush", 0.0))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = sessionizeStream(input.toDS())
+      .writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    // two triggers: first half, then the rest + sentinels — exercises
+    // cross-trigger state continuation
+    val (first, second) = typed.sortBy(_.ts_ms).splitAt(typed.size / 2)
+    input.addData(first)
+    query.processAllAvailable()
+    input.addData(second ++ sentinels)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("sessions_out").as[SessionOut].collect()
+      .map(s => (s.user_id, s.session_start_ms, s.session_end_ms, s.n_events, s.total_value_x100)).toSet
+    val batch = sessionizeBatch(eventsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("watermarked hourly aggregation matches the batch grouping") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsDf.select(col("ts"), col("event_type"), col("value").cast("double"))
+      .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val streamDf = input.toDF().toDF("ts", "event_type", "value")
+    val query = hourlyCountsStream(streamDf)
+      .writeStream.format("memory").queryName("hourly_out").outputMode("append").start()
+    input.addData(rows)
+    query.processAllAvailable()
+    // advance the watermark far enough to flush all windows
+    input.addData(Seq((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), "flush", 0.0)))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("hourly_out")
+      .filter(col("event_type") =!= "flush")
+      .select(col("hour_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    val batch = eventsDf
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+}
