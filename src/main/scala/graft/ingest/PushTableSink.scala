@@ -1,0 +1,63 @@
+package graft.ingest
+
+import graft.ingest.IngestPipeline.{IngestedRow, Status, groupedByBytes}
+import org.apache.spark.sql.Dataset
+
+/** W1/W2/W3/F5 — the push-style sink contract for a versioned-cell
+  * store (HBase-shaped: `Table.put(List<Put>)` + `existsAll`), driven
+  * from `foreachPartition` with byte-capped batches and bounded put
+  * retry. The parquet sink in IngestPipeline is the snapshot-style
+  * test stand-in; THIS is the shape a live cluster store needs:
+  * per-batch existence filtering is read-your-writes-correct under
+  * task retries, where a snapshot anti-join is not (SURVEY.md §4).
+  */
+object PushTableSink {
+
+  final case class CellPut(tableName: String, rowkey: Array[Byte], version: Long, body: Array[Byte])
+
+  /** One connection per executor task; implementations wrap an HBase
+    * connection, a JDBC pool, etc. */
+  trait Store extends Serializable {
+    /** W3 — idempotently create the table (namespace, versioning). */
+    def ensureTable(tableName: String): Unit
+    /** F5 — which of these (key, version) cells already exist. */
+    def exists(tableName: String, cells: Seq[CellPut]): Seq[Boolean]
+    /** W2 — atomic-ish batch put; may throw transiently. */
+    def putBatch(tableName: String, cells: Seq[CellPut]): Unit
+  }
+
+  final case class Config(maxBatchBytes: Long = 100000000L, // HBaseWriter.kt:69-70
+                          skipExisting: Boolean = true,
+                          putPolicy: Retry.Policy = Retry.Policy.put)
+
+  /** Write every ok+unfiltered row. Returns nothing — counters live on
+    * the caller's accumulators; failures propagate and fail the task
+    * (Spark retries it; F5 makes the replay idempotent). */
+  def write(rows: Dataset[IngestedRow], storeFactory: () => Store, config: Config = Config()): Unit = {
+    val spark = rows.sparkSession
+    // driver-side DDL over the distinct table names (W3): do it once,
+    // not per task, exactly like the reference's primed cache
+    import spark.implicits._
+    val tables = rows.filter(r => r.status == Status.Ok && r.filterStatus == "DoNotFilter")
+      .map(_.tableName).distinct().collect()
+    val driverStore = storeFactory()
+    tables.foreach(driverStore.ensureTable)
+
+    rows.filter(r => r.status == Status.Ok && r.filterStatus == "DoNotFilter")
+      .foreachPartition { (it: Iterator[IngestedRow]) =>
+        val store = storeFactory()
+        val cells = it.map(r => CellPut(r.tableName, r.rowkey, r.version, r.envelope.getBytes("UTF-8")))
+        groupedByBytes(cells, config.maxBatchBytes)(_.body.length.toLong).foreach { batch =>
+          batch.groupBy(_.tableName).foreach { case (table, tableCells) =>
+            Retry.withRetry(config.putPolicy, s"putBatch $table") {
+              val fresh =
+                if (config.skipExisting)
+                  tableCells.zip(store.exists(table, tableCells)).collect { case (c, false) => c }
+                else tableCells
+              if (fresh.nonEmpty) store.putBatch(table, fresh)
+            }
+          }
+        }
+      }
+  }
+}

