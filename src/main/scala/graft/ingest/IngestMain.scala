@@ -1,0 +1,80 @@
+package graft.ingest
+
+import graft.core.{DateFmt, Envelope}
+import graft.core.RecordProcessor.TimeFilter
+import org.apache.spark.sql.SparkSession
+
+/** The whole-job entry point — the `spark-submit` face of the engine,
+  * accepting the reference's configuration surface as `key=value` args
+  * (reference property names, JobConfiguration.kt /
+  * application.properties):
+  *
+  *   input.prefixes        comma-separated input dirs/URIs   (s3.prefix.folder + suffixes)
+  *   table.sink.dir        versioned-cell parquet sink       (HBase stand-in)
+  *   manifest.dir          manifest output                   (s3.manifest.prefix.folder)
+  *   run-mode              import | manifest | import_and_manifest (default)
+  *   skip.existing.records true|false (default true)         (F5)
+  *   skip.earlier.than     ISO date-time, optional           (F2 lower bound)
+  *   skip.later.than       ISO date-time, optional           (F2 upper bound)
+  *   object.maximum.size   bytes, default 2200000000         (F1)
+  *   dks.url               key-service URL; absent → fixture-mode
+  *                         (plaintext keys from *.encryption.json)
+  *   correlation.id        traceId for the envelope
+  *   hdi.version           envelope version string
+  *
+  * Example:
+  *   spark-submit --class graft.ingest.IngestMain <jar> \
+  *     input.prefixes=s3a://bucket/dumps table.sink.dir=s3a://bucket/cells \
+  *     manifest.dir=s3a://bucket/manifests skip.earlier.than=2010-01-01T00:00:00.000Z
+  */
+object IngestMain {
+
+  def main(args: Array[String]): Unit = {
+    val conf: Map[String, String] =
+      args.filter(_.contains("=")).map { a =>
+        val i = a.indexOf('=')
+        a.take(i) -> a.drop(i + 1)
+      }.toMap
+
+    def required(k: String): String =
+      conf.getOrElse(k, throw new IllegalArgumentException(s"missing required arg $k=<value>"))
+
+    val spark = SparkSession.builder()
+      .appName("graft-ingest")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      val runMode = conf.getOrElse("run-mode", "import_and_manifest") match {
+        case "import" => IngestPipeline.RunMode.Import
+        case "manifest" => IngestPipeline.RunMode.Manifest
+        case _ => IngestPipeline.RunMode.ImportAndManifest
+      }
+      val timeFilter = TimeFilter(
+        earlierThan = conf.get("skip.earlier.than").map(DateFmt.timestampAsLong).getOrElse(Long.MinValue),
+        laterThan = conf.get("skip.later.than").map(DateFmt.timestampAsLong).getOrElse(Long.MaxValue))
+      val keys: KeyService = conf.get("dks.url") match {
+        case Some(url) => HttpKeyService(url)
+        case None => StubKeyService()
+      }
+      val identity = Envelope.RunIdentity.live(
+        traceId = conf.getOrElse("correlation.id", "NOT_SET"),
+        hdiVersion = conf.getOrElse("hdi.version", "graft"))
+
+      val result = IngestPipeline.run(spark,
+        inputPrefixes = required("input.prefixes").split(',').toSeq,
+        tableSinkDir = required("table.sink.dir"),
+        manifestDir = required("manifest.dir"),
+        keys = keys,
+        identity = identity,
+        timeFilter = timeFilter,
+        runMode = runMode,
+        skipExisting = conf.getOrElse("skip.existing.records", "true").toBoolean)
+
+      // the reference's end-of-run counter log (HBaseWriter.kt:309-318)
+      println(s"""{"files": ${result.filesProcessed}, "records": ${result.recordsProcessed}, """ +
+        s""""put": ${result.put}, "skipped_missing_id": ${result.skippedMissingId}, """ +
+        s""""skipped_malformed": ${result.skippedMalformed}, "too_early": ${result.tooEarly}, """ +
+        s""""too_late": ${result.tooLate}}""")
+    } finally spark.stop()
+  }
+}

@@ -34,4 +34,18 @@ class DateFmtSpec extends AnyFunSuite {
     assertThrows[java.text.ParseException](DateFmt.parseValid("not a date"))
     assertThrows[java.text.ParseException](DateFmt.parseValid(""))
   }
+
+  test("property: format∘parse round-trips over random epochs (seeded)") {
+    val rnd = new scala.util.Random(99)
+    (1 to 500).foreach { _ =>
+      val epoch = math.abs(rnd.nextLong()) % 4102444800000L // within year 2100
+      val formatted = {
+        val df = new java.text.SimpleDateFormat(DateFmt.OutgoingFormat)
+        df.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+        df.format(new java.util.Date(epoch))
+      }
+      assert(DateFmt.timestampAsLong(formatted) == epoch, formatted)
+      assert(DateFmt.kafkaFormat(formatted) == formatted) // idempotent on canonical form
+    }
+  }
 }
