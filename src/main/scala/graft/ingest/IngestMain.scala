@@ -39,6 +39,14 @@ object IngestMain {
     def required(k: String): String =
       conf.getOrElse(k, throw new IllegalArgumentException(s"missing required arg $k=<value>"))
 
+    // validate before building a session so bad invocations fail fast
+    val inputPrefixes = required("input.prefixes").split(',').toSeq
+    val tableSinkDir = required("table.sink.dir")
+    val manifestDir = required("manifest.dir")
+
+    // under spark-submit we own the session; under tests we reuse (and
+    // must not stop) the caller's
+    val preExisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = SparkSession.builder()
       .appName("graft-ingest")
       .config("spark.sql.session.timeZone", "UTC")
@@ -61,9 +69,9 @@ object IngestMain {
         hdiVersion = conf.getOrElse("hdi.version", "graft"))
 
       val result = IngestPipeline.run(spark,
-        inputPrefixes = required("input.prefixes").split(',').toSeq,
-        tableSinkDir = required("table.sink.dir"),
-        manifestDir = required("manifest.dir"),
+        inputPrefixes = inputPrefixes,
+        tableSinkDir = tableSinkDir,
+        manifestDir = manifestDir,
         keys = keys,
         identity = identity,
         timeFilter = timeFilter,
@@ -75,6 +83,6 @@ object IngestMain {
         s""""put": ${result.put}, "skipped_missing_id": ${result.skippedMissingId}, """ +
         s""""skipped_malformed": ${result.skippedMalformed}, "too_early": ${result.tooEarly}, """ +
         s""""too_late": ${result.tooLate}}""")
-    } finally spark.stop()
+    } finally if (preExisting.isEmpty) spark.stop()
   }
 }

@@ -22,7 +22,7 @@ class IngestPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var spark: SparkSession = _
   private var tmp: JPath = _
 
-  private val fileKeyB64 = Base64.getEncoder.encodeToString(Array.tabulate[Byte](16)(i => (i + 1).toByte))
+  private val fileKeyB64 = Fixtures.fileKeyB64
   private val identity = Envelope.RunIdentity("uow", "trace", "test", () => new java.util.Date(0L))
 
   override def beforeAll(): Unit = {
@@ -35,56 +35,16 @@ class IngestPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     tmp = Files.createTempDirectory("graft-ingest")
-    writeDumpFile("database-1", "collection-1", 1)
-    writeDumpFile("database-1", "collection-thirtyone", 1)
-    writeDumpFile("agent_core", "agentToDoArchive", 1)
+    Fixtures.writeDumpFile(tmp, "database-1", "collection-1", 1)
+    Fixtures.writeDumpFile(tmp, "database-1", "collection-thirtyone", 1)
+    Fixtures.writeDumpFile(tmp, "agent_core", "agentToDoArchive", 1)
   }
 
   override def afterAll(): Unit = {
     if (spark != null) spark.stop()
   }
 
-  // ---------------------------------------------------------- fixtures
-
-  private def baseRecord(declarationId: String, ms: Int): String =
-    s"""{"_id": {"someId": "RANDOM_GUID", "declarationId": "$declarationId"}, "type": "addressDeclaration", """ +
-    s""""postcode": "SM5 2LE", "createdDateTime": {"$$date": "2015-03-20T12:23:25.183Z"}, """ +
-    s""""_version": 2, "_lastModifiedDateTime": {"$$date": "2018-12-01T15:01:02.${"%03d".format(ms)}Z"}}"""
-
-  /** The same 10 base + 10 edge-case lines the reference integration
-    * stack generates (sample_data.py -gjfvbarcedimotk). */
-  private def dumpLines(db: String, coll: String, n: Int): Seq[String] = {
-    val decl = s"$db.$coll.${"%04d".format(n)}-1"
-    val base = (0 until 10).map(j => baseRecord(decl, j))
-    val full = baseRecord(decl, 9)
-    val malformed = full.take(full.length / 2)
-    val mongoId = full.replace(s"""{"someId": "RANDOM_GUID", "declarationId": "$decl"}""", s"""{"$$oid": "$decl"}""")
-    val noId = full.replace(s""""_id": {"someId": "RANDOM_GUID", "declarationId": "$decl"}, """, "")
-    val innerDateId = full.replace(
-      s"""{"someId": "RANDOM_GUID", "declarationId": "$decl"}""",
-      s"""{"someId": "RANDOM_GUID", "declarationId": "$decl", "createdDateTime": {"$$date": "2010-01-01T00:00:00.000Z"}}""")
-    val removed = s"""{"_removed": ${full.dropRight(1) + s""", "_removedDateTime": {"$$date": "2012-03-04T21:43:56.000Z"}}"""}}"""
-    val archived = s"""{"_archived": ${full.dropRight(1) + s""", "_archivedDateTime": {"$$date": "2014-03-02T12:34:56.000Z"}}"""}}"""
-    val noTimestamp = full.replaceAll(""", "_lastModifiedDateTime".*\}\}$""", "}")
-    val early = full.replace("2018-12-01T15:01:02.009Z", "2000-01-01T12:34:56.000Z")
-    val late = full.replace("2018-12-01T15:01:02.009Z", "2020-06-29T12:34:56.000Z")
-    val noTimestamps = noTimestamp.replace(""""createdDateTime": {"$date": "2015-03-20T12:23:25.183Z"}, """, "")
-    base ++ Seq(malformed, mongoId, noId, innerDateId, removed, archived, noTimestamp, early, late, noTimestamps)
-  }
-
-  private def writeDumpFile(db: String, coll: String, n: Int): Unit = {
-    val content = dumpLines(db, coll, n).mkString("", "\n", "\n")
-    val gz = new ByteArrayOutputStream()
-    val go = new GZIPOutputStream(gz)
-    go.write(content.getBytes("UTF-8")); go.close()
-    val enc = Crypto.encrypt(fileKeyB64, gz.toByteArray, () => Array.tabulate[Byte](16)(i => (i * 7).toByte))
-    val stem = s"$db.$coll.${"%04d".format(n)}.json"
-    Files.write(tmp.resolve(s"$stem.gz.enc"), Base64.getDecoder.decode(enc.encrypted))
-    val meta =
-      s"""{"keyEncryptionKeyId": "stub:1,2", "plaintextDatakey": "$fileKeyB64",
-          "encryptedEncryptionKey": "unused", "initialisationVector": "${enc.initialisationVector}"}"""
-    Files.write(tmp.resolve(s"$stem.encryption.json"), meta.getBytes("UTF-8"))
-  }
+  // fixtures shared with IngestMainSpec — see Fixtures.scala
 
   private def runJob(skipExisting: Boolean = true): RunResult =
     IngestPipeline.run(spark,
