@@ -1,0 +1,75 @@
+package graft.ingest
+
+import graft.core.{Crypto, Envelope}
+import java.io.ByteArrayOutputStream
+import java.nio.file.Files
+import java.util.Base64
+import java.util.zip.GZIPOutputStream
+import org.apache.spark.sql.SparkSession
+
+/** Ingestion throughput probe: generates N encrypted+gzipped dump files
+  * of M records each, runs the full pipeline (decode → transform → both
+  * sinks), prints one JSON line with records/sec. The reference
+  * processes files on 10 threads; this measures the same work
+  * partition-per-file across local[cpus].
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ingest.IngestBench 40 2000"
+  */
+object IngestBench {
+
+  def main(args: Array[String]): Unit = {
+    val nFiles = args.headOption.map(_.toInt).getOrElse(40)
+    val recordsPerFile = args.lift(1).map(_.toInt).getOrElse(2000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+
+    val tmp = Files.createTempDirectory("graft-ingest-bench")
+    val key = Base64.getEncoder.encodeToString(Array.tabulate[Byte](16)(i => (i + 1).toByte))
+    (1 to nFiles).foreach { n =>
+      val sb = new StringBuilder
+      (0 until recordsPerFile).foreach { j =>
+        sb.append(
+          s"""{"_id": {"someId": "id-$n-$j", "declarationId": "db-1.coll-1.$n-$j"}, "type": "addressDeclaration", """ +
+          s""""contractId": "c-$j", "postcode": "SM5 2LE", "createdDateTime": {"$$date": "2015-03-20T12:23:25.183Z"}, """ +
+          s""""_version": 2, "_lastModifiedDateTime": {"$$date": "2018-12-01T15:01:02.${"%03d".format(j % 1000)}Z"}}""").append('\n')
+      }
+      val gz = new ByteArrayOutputStream()
+      val go = new GZIPOutputStream(gz)
+      go.write(sb.toString.getBytes("UTF-8")); go.close()
+      val enc = Crypto.encrypt(key, gz.toByteArray, Crypto.secureRandomIvSource())
+      val stem = f"db-1.coll-1.$n%04d.json"
+      Files.write(tmp.resolve(s"$stem.gz.enc"), Base64.getDecoder.decode(enc.encrypted))
+      Files.write(tmp.resolve(s"$stem.encryption.json"),
+        (s"""{"keyEncryptionKeyId": "stub:1,2", "plaintextDatakey": "$key", """ +
+         s""""encryptedEncryptionKey": "u", "initialisationVector": "${enc.initialisationVector}"}""").getBytes("UTF-8"))
+    }
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // phase 1: decode + transform only (cache materialization)
+    val keys = StubKeyService()
+    val identity = Envelope.RunIdentity.live("bench", "bench")
+    val t0 = System.nanoTime()
+    val tasks = IngestPipeline.planTasks(spark, Seq(tmp.toString), keys)
+    val rows = IngestPipeline.ingest(spark, tasks, keys, identity).cache()
+    val decoded = rows.count()
+    val t1 = System.nanoTime()
+    // phase 2: sinks off the cached rows
+    val put = IngestPipeline.writeTableSink(rows, tmp.resolve("cells").toString)
+    val t2 = System.nanoTime()
+    IngestPipeline.writeManifests(rows, tmp.resolve("manifests").toString)
+    val t3 = System.nanoTime()
+    rows.unpersist()
+    val total = nFiles.toLong * recordsPerFile
+    val decodeSec = (t1 - t0) / 1e9
+    val allSec = (t3 - t0) / 1e9
+    println(s"""{"metric":"ingest_records_per_sec","value":${(total / allSec).round},"unit":"rec/sec",""" +
+      s""""records":$total,"files":$nFiles,"decoded":$decoded,"put":$put,""" +
+      s""""decode_sec":$decodeSec,"table_sink_sec":${(t2 - t1) / 1e9},"manifest_sec":${(t3 - t2) / 1e9},"total_sec":$allSec}""")
+    spark.stop()
+  }
+}

@@ -65,9 +65,13 @@ object IngestPipeline {
   }
   object IvStrategy {
     case object Random extends IvStrategy {
-      @transient private lazy val rng = new java.security.SecureRandom()
+      // SecureRandom.nextBytes is synchronized — one shared instance
+      // would serialize every executor thread on the JVM (measured: the
+      // whole ingest pipeline bottlenecked on it). One per thread.
+      @transient private lazy val rng: ThreadLocal[java.security.SecureRandom] =
+        ThreadLocal.withInitial(() => new java.security.SecureRandom())
       def ivFor(dataPath: String, lineNo: Long): Array[Byte] = {
-        val iv = new Array[Byte](16); rng.nextBytes(iv); iv
+        val iv = new Array[Byte](16); rng.get().nextBytes(iv); iv
       }
     }
     final case class Deterministic(salt: String) extends IvStrategy {

@@ -55,4 +55,21 @@ class CatalogSpec extends AnyFunSuite {
       assert(listPairs(spark, Seq(tmp.resolve("missing").toString)).isEmpty)
     } finally spark.stop()
   }
+
+  test("catalog-scale probe: 510 zero-byte pairs list, pair, and drop (the reference pagination test)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-paging")
+    (1 to 510).foreach { i =>
+      val stem = f"pagedb.pagecoll.$i%04d.json"
+      java.nio.file.Files.write(tmp.resolve(s"$stem.gz.enc"), Array.emptyByteArray)
+      java.nio.file.Files.write(tmp.resolve(s"$stem.encryption.json"), Array.emptyByteArray)
+    }
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("catalog-paging")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val pairs = listPairs(spark, Seq(tmp.toString))
+      assert(pairs.size == 510)
+      assert(nonEmpty(pairs).isEmpty) // all-zero-byte pairs drop, records_processed 0
+    } finally spark.stop()
+  }
 }
