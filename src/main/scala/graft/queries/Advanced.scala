@@ -3,6 +3,7 @@ package graft.queries
 import graft.functions.GraftFunctions
 import graft.streaming.Sessions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Advanced surface: gap-based sessionization (the batch face of the
@@ -29,6 +30,45 @@ object Advanced {
         """SELECT DISTINCT kafka_date_format(
              date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")) AS kafka_ts
            FROM events_v""")
+    },
+
+    // Latest-cell-per-key read — the query face of the versioned sink
+    // (maxVersions history, reads want the newest): one shuffle, then
+    // rank-1 within key. Total tie-break order keeps it deterministic.
+    "q27_latest_events" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms").desc, col("event_type").desc, col("value").desc)
+      Sessions.typedEvents(Tables.events(s, d)).toDF()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts_ms").as("latest_ts_ms"), col("event_type"), col("value"))
+    },
+
+    // Two-phase salted aggregation: pre-aggregate under a synthetic
+    // salt, then merge — the standard defense when a grouping key is
+    // skew-heavy (a handful of event types across 100 TB). Results are
+    // identical to the direct GROUP BY, which is exactly what the
+    // oracle checks.
+    "q28_salted_agg" -> { (s, d) =>
+      Sessions.typedEvents(Tables.events(s, d)).toDF()
+        .withColumn("salt", pmod(hash(col("user_id")), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(round(col("value") * 100).cast("long")).as("pv"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n_events"), sum(col("pv")).as("total_value_x100"))
+    },
+
+    // Sketch operators: HLL distinct + quantile estimates (rows-only
+    // driver check — estimates can't hash-match an exact oracle;
+    // SketchSpec bounds their error against exact computations).
+    "q29_sketches" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(5000)).as("approx_median_value"),
+          percentile_approx(col("value"), lit(0.99), lit(5000)).as("approx_p99_value"))
     }
   )
 
@@ -50,6 +90,16 @@ object Advanced {
                 FROM flagged)
           GROUP BY user_id, session_no""",
     "q26_kafka_format" ->
-      """SELECT DISTINCT strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || '+0000' AS kafka_ts FROM events"""
+      """SELECT DISTINCT strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || '+0000' AS kafka_ts FROM events""",
+    "q27_latest_events" ->
+      """SELECT user_id, latest_ts_ms, event_type, "value" FROM (
+           SELECT user_id::BIGINT user_id, epoch_ms(ts)::BIGINT latest_ts_ms, event_type, events.value::DOUBLE AS "value",
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_ms(ts) DESC, event_type DESC, events.value DESC) rn
+           FROM events) WHERE rn = 1""",
+    "q28_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+                sum(round(value * 100)::BIGINT)::BIGINT AS total_value_x100
+         FROM events GROUP BY event_type"""
   )
 }
