@@ -151,6 +151,12 @@ object TrainingData {
 
     // Embedding-cosine near-dup pairs within label blocks (ids only —
     // the float threshold applies to an identically-computed double).
+    // Scale note: the label join key is low-cardinality (10 values), so
+    // at cluster scale this relies on AQE skew-join splitting; past
+    // that, the exact decomposition is bucketing each label block into
+    // B hash-buckets and joining bucket pairs (B²/2-way parallelism),
+    // or switching to the LSH prefilter (q19) when approximate recall
+    // is acceptable.
     "q24_dedup_embedding" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("embedding").cast("array<double>").as("ea"))
