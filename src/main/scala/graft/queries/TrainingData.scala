@@ -106,6 +106,15 @@ object TrainingData {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // IVF ANN — k-means coarse quantizer + nprobe-cell exact search
+    // (Spark-only: KMeans estimates differ across engines; DedupAnnSpec
+    // checks sims against brute force on shared pairs).
+    "q19b_ann_ivf" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.operators.AnnIvf.ivfTopK(emb.filter(col("vec_id") < 50), emb, k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Token statistics per source block (counts only).
     "q20_token_stats" -> { (s, d) =>
       Tables.documents(s, d)

@@ -96,6 +96,16 @@ object Sessions {
       }
   }
 
+  /** Streaming exact dedup: drop events already seen at the same
+    * (user_id, ts) within the watermark horizon — the streaming face of
+    * the sink's F5 existence filter. State is bounded by the watermark
+    * (Spark evicts seen-keys older than the horizon), which is what
+    * makes exact dedup feasible on an unbounded stream. */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "ts")
+
   /** Watermarked streaming hourly aggregation (q12's streaming face). */
   def hourlyCountsStream(events: DataFrame): DataFrame =
     events

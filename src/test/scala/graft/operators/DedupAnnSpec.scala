@@ -80,6 +80,17 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0, s"$bad lsh sims disagree with brute force")
   }
 
+  test("ivf ann sims agree with brute force on shared pairs, recall beats empty") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val brute = AnnLsh.cosineTopK(queries, embs, k = 50)
+      .select(col("query_id"), col("neighbor_id"), col("sim_r6").as("sim_brute"))
+    val ivf = AnnIvf.ivfTopK(queries, embs, k = 5, nlist = 16, nprobe = 4)
+    assert(ivf.count() > 0)
+    val joined = ivf.join(brute, Seq("query_id", "neighbor_id"), "inner")
+      .withColumn("diff", abs(col("sim_r6") - col("sim_brute")))
+    assert(joined.filter(col("diff") > 1e-9).count() == 0)
+  }
+
   test("lsh ann ranks are dense and ordered by sim within each query") {
     val lsh = AnnLsh.lshTopK(embs.filter(col("vec_id") < 10), embs, k = 5, dims = 64).collect()
     lsh.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>

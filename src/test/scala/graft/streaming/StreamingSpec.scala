@@ -58,6 +58,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops re-delivered events, matching batch distinct") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsDf.select(col("ts"), col("user_id"), col("event_type"))
+      .as[(java.sql.Timestamp, Long, String)].collect().toSeq.take(500)
+    val withDupes = rows ++ rows.take(100) // re-deliver 100 events
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val streamDf = input.toDF().toDF("ts", "user_id", "event_type")
+    val query = dedupStream(streamDf)
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    input.addData(withDupes.take(300))
+    query.processAllAvailable()
+    input.addData(withDupes.drop(300)) // includes the re-deliveries
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("dedup_out").select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+    val batchDistinct = rows.map(r => (r._2, r._1.getTime)).toSet
+    assert(spark.table("dedup_out").count() == batchDistinct.size) // no dupes emitted
+    assert(streamed == batchDistinct)
+  }
+
   test("watermarked hourly aggregation matches the batch grouping") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
