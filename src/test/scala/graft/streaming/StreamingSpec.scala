@@ -58,6 +58,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("sessionizeBatch agrees with Spark's built-in session_window") {
+    val sessions = sessionizeBatch(eventsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // session_window closes a session after `gap` of silence; its
+    // window spans [first, last + gap) — compare on (user, start, n)
+    val builtIn = eventsDf
+      .groupBy(col("user_id").cast("long").as("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), max(unix_millis(col("ts"))).as("end_ms"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"), col("end_ms"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(builtIn == sessions)
+  }
+
   test("streaming dedup drops re-delivered events, matching batch distinct") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
