@@ -94,6 +94,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batchDistinct)
   }
 
+  test("file-arrival streaming ingest decodes landing dumps exactly once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ingest")
+    val identity = graft.core.Envelope.RunIdentity("uow", "trace", "test", () => new java.util.Date(0L))
+    graft.ingest.Fixtures.writeDumpFile(tmp, "sdb", "scoll-1", 1)
+    val stream = StreamingIngest.records(spark, tmp.toString, graft.ingest.StubKeyService(), identity)
+    val query = stream.writeStream.format("memory").queryName("ingest_out").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("ingest_out").count() == 20) // 18 ok + 2 skips
+      // a second file lands mid-stream: picked up by the next trigger
+      graft.ingest.Fixtures.writeDumpFile(tmp, "sdb", "scoll-2", 1)
+      query.processAllAvailable()
+      val out = spark.table("ingest_out")
+      assert(out.count() == 40)
+      assert(out.filter(out("status") === "ok").count() == 36)
+      // same record set as the batch pipeline would produce
+      val tables = out.filter(out("status") === "ok")
+        .select("tableName").distinct().collect().map(_.getString(0)).toSet
+      assert(tables == Set("sdb:scoll_1", "sdb:scoll_2"))
+      // no file processed twice across triggers (exactly-once listing)
+      assert(out.select("dataPath", "lineNo").distinct().count() == 40)
+    } finally query.stop()
+  }
+
   test("watermarked hourly aggregation matches the batch grouping") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
