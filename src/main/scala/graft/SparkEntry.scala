@@ -15,7 +15,8 @@ object SparkEntry {
     Seq(
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracle),
       (_root_.graft.queries.TrainingData.queries, _root_.graft.queries.TrainingData.oracle),
-      (_root_.graft.queries.Advanced.queries, _root_.graft.queries.Advanced.oracle)
+      (_root_.graft.queries.Advanced.queries, _root_.graft.queries.Advanced.oracle),
+      (_root_.graft.queries.IngestVerify.queries, _root_.graft.queries.IngestVerify.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -41,11 +41,15 @@ object Catalog {
 
   private val DataSuffix = ".json.gz.enc"
   private val MetadataSuffix = ".json.encryption.json"
-  /** stem regex from S3Reader.kt:30-37 (`[\w-]+\.[\w-]+\.[0-9]+\.json`) */
-  private val StemPattern = "[\\w-]+\\.[\\w-]+\\.[0-9]+\\.json".r
+  /** stem regex from S3Reader.kt:30-37 (`[\w-]+\.[\w-]+\.[0-9]+\.json`),
+    * case-insensitive to agree with RecordProcessor.FilenamePattern's
+    * `(?i)` — an uppercase-extension dump must pair here exactly when
+    * parseFilename would accept it, not silently drop. */
+  private val StemPattern = "(?i)[\\w-]+\\.[\\w-]+\\.[0-9]+\\.json".r
 
+  /** lowercased so case-variant stems group (and sort) together */
   private def stemOf(name: String): Option[String] =
-    StemPattern.findFirstIn(name)
+    StemPattern.findFirstIn(name).map(_.toLowerCase)
 
   /** S1+S2 — list every object under the prefixes and pair data with
     * metadata by stem. Throws when a data file lacks metadata (the
@@ -73,8 +77,8 @@ object Catalog {
     }.groupBy(_._1)
 
     byStem.toSeq.sortBy(_._1).flatMap { case (stem, files) =>
-      val data = files.find(_._2.endsWith(DataSuffix))
-      val meta = files.find(_._2.endsWith(MetadataSuffix))
+      val data = files.find(_._2.toLowerCase.endsWith(DataSuffix))
+      val meta = files.find(_._2.toLowerCase.endsWith(MetadataSuffix))
       (data, meta) match {
         case (Some(d), Some(m)) => Some(FilePair(stem, d._3, m._3, d._4, m._4))
         case (Some(d), None) =>
@@ -93,13 +97,19 @@ object Catalog {
   def withinSizeCap(pairs: Seq[FilePair], maxBytes: Long = 2200000000L): Seq[FilePair] =
     pairs.filter(_.dataSize <= maxBytes)
 
-  /** E1 — read + validate the metadata object. */
-  def readMetadata(spark: SparkSession, path: String): EncryptionMetadata = {
+  /** E1 — read + validate the metadata object. The Configuration
+    * overload is executor-safe: pass the broadcast
+    * SerializableConfiguration's value so s3a credentials/endpoints
+    * resolve identically to the driver. */
+  def readMetadata(path: String, conf: org.apache.hadoop.conf.Configuration): EncryptionMetadata = {
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     val text = new String(fs.open(p).readAllBytes(), "UTF-8")
     parseMetadata(text, path)
   }
+
+  def readMetadata(spark: SparkSession, path: String): EncryptionMetadata =
+    readMetadata(path, spark.sparkContext.hadoopConfiguration)
 
   def parseMetadata(text: String, context: String): EncryptionMetadata = {
     import graft.core.{JObj, JStr, Json}

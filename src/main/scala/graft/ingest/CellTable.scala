@@ -1,7 +1,6 @@
 package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Read face of the versioned-cell sink. The sink keeps FULL version
@@ -14,8 +13,11 @@ import org.apache.spark.sql.functions._
   *    (time travel: what did the table look like at T?)
   *
   * Scale shape: the sink is parquet partitioned by tableName, so every
-  * read prunes to one directory; latest/asOf are one shuffle on rowkey
-  * (a window rank, partial-aggregable to top-1 per key by AQE).
+  * read prunes to one directory; latest/asOf are a max_by aggregation
+  * on (tableName, rowkey) — a true partial aggregate (map-side combine
+  * reduces each scan partition to one candidate per key before the
+  * single shuffle), where a window rank would sort whole keys in
+  * single tasks.
   */
 object CellTable {
 
@@ -28,10 +30,11 @@ object CellTable {
   def asOf(spark: SparkSession, sinkDir: String, tableName: String, asOfVersion: Long): DataFrame =
     newestPerKey(scan(spark, sinkDir, tableName).filter(col("version") <= asOfVersion))
 
-  private def newestPerKey(cells: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("rowkey")).orderBy(col("version").desc)
-    cells.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
-  }
+  // F5 guarantees (tableName, rowkey, version) uniqueness, so max_by on
+  // version is deterministic.
+  private def newestPerKey(cells: DataFrame): DataFrame =
+    cells.groupBy(col("tableName"), col("rowkey"))
+      .agg(max_by(struct(col("version"), col("body")), col("version")).as("m"))
+      .select(col("tableName"), col("rowkey"),
+        col("m.version").as("version"), col("m.body").as("body"))
 }

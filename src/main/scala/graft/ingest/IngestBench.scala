@@ -54,7 +54,7 @@ object IngestBench {
     val keys = StubKeyService()
     val identity = Envelope.RunIdentity.live("bench", "bench")
     val t0 = System.nanoTime()
-    val tasks = IngestPipeline.planTasks(spark, Seq(tmp.toString), keys)
+    val tasks = IngestPipeline.planTasks(spark, Seq(tmp.toString))
     val rows = IngestPipeline.ingest(spark, tasks, keys, identity).cache()
     val decoded = rows.count()
     val t1 = System.nanoTime()

@@ -76,13 +76,14 @@ object IngestMain {
         identity = identity,
         timeFilter = timeFilter,
         runMode = runMode,
-        skipExisting = conf.getOrElse("skip.existing.records", "true").toBoolean)
+        skipExisting = conf.getOrElse("skip.existing.records", "true").toBoolean,
+        maxObjectBytes = conf.get("object.maximum.size").map(_.toLong).getOrElse(2200000000L))
 
       // the reference's end-of-run counter log (HBaseWriter.kt:309-318)
       println(s"""{"files": ${result.filesProcessed}, "records": ${result.recordsProcessed}, """ +
         s""""put": ${result.put}, "skipped_missing_id": ${result.skippedMissingId}, """ +
         s""""skipped_malformed": ${result.skippedMalformed}, "too_early": ${result.tooEarly}, """ +
-        s""""too_late": ${result.tooLate}}""")
+        s""""too_late": ${result.tooLate}, "unreadable_files": ${result.unreadableFiles}}""")
     } finally if (preExisting.isEmpty) spark.stop()
   }
 }

@@ -5,17 +5,23 @@ import graft.core.RecordProcessor._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.LongAccumulator
 
 /** The ingestion DAG (reference §3.1-§3.3), Spark-shaped:
   *
-  *   driver: catalog (S1-S4,F1) + ensureTables (W3 analogue)
-  *   executors: one task per file — open, decrypt (E4), gunzip (E5),
-  *     read lines (S5), full record chain (T1-T8, E6, K1-K5) — a single
-  *     narrow mapPartitions, no shuffle
+  *   driver: catalog (S1-S4,F1) + ensureTables (W3 analogue) — a pure
+  *     file LISTING; no per-file metadata reads or key-service calls
+  *     happen on the driver (at ~100k files that serial I/O would be
+  *     hours of driver time before the first task)
+  *   executors: one task per file — read metadata sidecar (E1), resolve
+  *     the file key (E2, per-JVM DKS cache), open, decrypt (E4), gunzip
+  *     (E5), read lines (S5), full record chain (T1-T8, E6, K1-K5) — a
+  *     single narrow mapPartitions, no shuffle; an undecodable file
+  *     emits one skipped-file marker row instead of failing the job
+  *     (the reference logs-and-continues past failing files)
   *   sinks: versioned-cell table sink with existence anti-join (F5,
   *     W1-W2) and per-file manifest CSVs (W4-W5), forked off one cached
-  *     Dataset (run-mode gate W6); counters via accumulators (W7)
+  *     Dataset (run-mode gate W6); counters derived from that same
+  *     cached Dataset (W7), so re-computation can never skew them
   *
   * Scale shape: encrypted+gzipped inputs are not splittable, so
   * partition-per-file is the parallelism unit exactly like the
@@ -26,16 +32,17 @@ import org.apache.spark.util.LongAccumulator
   */
 object IngestPipeline {
 
-  /** Work item shipped to executors: everything a task needs to decode
-    * one file without further driver round-trips. */
+  /** Work item shipped to executors. Listing-derived only — metadata
+    * and keys resolve inside the task (the per-JVM HttpKeyService cache
+    * makes repeat key decrypts free on an executor). */
   final case class FileTask(dataPath: String,
+                            metadataPath: String,
                             database: String,
                             collection: String,
-                            fileNumber: Int,
-                            fileIv: String,
-                            fileKeyPlain: String)
+                            fileNumber: Int)
 
-  /** One processed (or skipped) line. */
+  /** One processed (or skipped) line; `error` is non-empty only on
+    * skipped-file marker rows. */
   final case class IngestedRow(dataPath: String,
                                lineNo: Long,
                                database: String,
@@ -48,12 +55,16 @@ object IngestPipeline {
                                envelope: String,
                                innerType: String,
                                manifestLine: String,
-                               filterStatus: String)
+                               filterStatus: String,
+                               error: String)
 
   object Status {
     val Ok = "ok"
     val MissingId = "skipped_missing_id"
     val Malformed = "skipped_malformed"
+    /** whole-file skip: unreadable metadata, undecryptable/truncated
+      * stream, etc. — one marker row per failed file */
+    val UnreadableFile = "skipped_unreadable_file"
   }
 
   /** IV strategy for the per-record re-encrypt (E6). Production =
@@ -81,82 +92,125 @@ object IngestPipeline {
     }
   }
 
-  final case class Counters(filesProcessed: LongAccumulator,
-                            recordsProcessed: LongAccumulator,
-                            skippedMissingId: LongAccumulator,
-                            skippedMalformed: LongAccumulator)
-  object Counters {
-    def apply(spark: SparkSession): Counters = Counters(
-      spark.sparkContext.longAccumulator("filesProcessed"),
-      spark.sparkContext.longAccumulator("recordsProcessed"),
-      spark.sparkContext.longAccumulator("skippedMissingId"),
-      spark.sparkContext.longAccumulator("skippedMalformed"))
-  }
-
-  /** Driver step: pair files, apply S4/F1 filters, resolve per-file keys
-    * via the key service (E2 decrypt cache applies), parse filenames. */
-  def planTasks(spark: SparkSession, prefixes: Seq[String], keys: KeyService,
+  /** Driver step: pair files, apply S4/F1 filters, parse filenames — a
+    * listing-sized pure computation. Metadata reads and key-service
+    * round-trips are deliberately NOT here: at ~100k files one serial
+    * FS open + HTTP call per file would stall the driver for hours;
+    * they happen inside the executor tasks instead. */
+  def planTasks(spark: SparkSession, prefixes: Seq[String],
                 maxObjectBytes: Long = 2200000000L): Seq[FileTask] = {
     val pairs = Catalog.withinSizeCap(Catalog.nonEmpty(Catalog.listPairs(spark, prefixes)), maxObjectBytes)
     pairs.flatMap { pair =>
       RecordProcessor.parseFilename(pair.dataPath).map { case (db, coll, n) =>
-        val meta = Catalog.readMetadata(spark, pair.metadataPath)
-        val plain =
-          if (meta.plaintextDatakey.nonEmpty) meta.plaintextDatakey // fixture-style metadata
-          else keys.decryptKey(meta.keyEncryptionKeyId, meta.encryptedEncryptionKey)
-        FileTask(pair.dataPath, db, coll, n, meta.initialisationVector, plain)
+        FileTask(pair.dataPath, pair.metadataPath, db, coll, n)
       }
     }
   }
 
-  /** Executor stage: decode + transform every file, one task per file. */
+  /** Executor stage: decode + transform every file, one task per file.
+    * A file whose metadata/decrypt/gunzip fails yields ONE
+    * [[Status.UnreadableFile]] marker row (log-and-continue, like the
+    * reference's per-file retry-then-skip) instead of failing the job. */
   def ingest(spark: SparkSession,
              tasks: Seq[FileTask],
              keys: KeyService,
              identity: Envelope.RunIdentity,
              timeFilter: TimeFilter = TimeFilter(),
-             ivStrategy: IvStrategy = IvStrategy.Random,
-             counters: Option[Counters] = None): Dataset[IngestedRow] = {
+             ivStrategy: IvStrategy = IvStrategy.Random): Dataset[IngestedRow] = {
     import spark.implicits._
-    val cs = counters.getOrElse(Counters(spark))
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     // one partition per file: the unit of parallelism for non-splittable inputs
     val taskDs = spark.createDataset(tasks).repartition(math.max(tasks.size, 1))
     taskDs.mapPartitions { it =>
-      it.flatMap { task =>
-        cs.filesProcessed.add(1)
+      it.flatMap(task => fileRows(task, keys, identity, timeFilter, ivStrategy, hadoopConf))
+    }
+  }
+
+  /** All rows of one file, as a lazy iterator that survives mid-stream
+    * decode failures (truncated gzip, wrong key, unreadable sidecar):
+    * the failure point becomes a marker row and iteration ends. */
+  private def fileRows(task: FileTask,
+                       keys: KeyService,
+                       identity: Envelope.RunIdentity,
+                       timeFilter: TimeFilter,
+                       ivStrategy: IvStrategy,
+                       hadoopConf: org.apache.spark.util.SerializableConfiguration): Iterator[IngestedRow] = {
+    val manifestName = CsvEscape.manifestFileName(task.database, task.collection, task.fileNumber)
+
+    def marker(lineNo: Long, e: Throwable): IngestedRow =
+      IngestedRow(task.dataPath, lineNo, task.database, task.collection, "", manifestName,
+        Status.UnreadableFile, Array.emptyByteArray, 0L, "", "", "", "",
+        s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300))
+
+    // metadata + key + open + gzip header — any failure here marks the
+    // whole file unreadable. (GZIPInputStream's constructor reads the
+    // header, so a zero-byte data file with live metadata lands here.)
+    val opened: Either[Throwable, java.io.BufferedReader] =
+      try {
+        val meta = Catalog.readMetadata(task.metadataPath, hadoopConf.value)
+        val plain =
+          if (meta.plaintextDatakey.nonEmpty) meta.plaintextDatakey // fixture-style metadata
+          else keys.decryptKey(meta.keyEncryptionKeyId, meta.encryptedEncryptionKey)
+        val p = new Path(task.dataPath)
+        val raw = p.getFileSystem(hadoopConf.value).open(p)
+        try Right(new java.io.BufferedReader(new java.io.InputStreamReader(
+          Crypto.decompressingDecryptingStream(raw, plain, meta.initialisationVector), "UTF-8")))
+        catch { case scala.util.control.NonFatal(e) => raw.close(); throw e }
+      } catch {
+        case e: Retry.FatalException => throw e // DKS 400: systemic, fail the job
+        case scala.util.control.NonFatal(e) => Left(e)
+      }
+
+    opened match {
+      case Left(e) => Iterator.single(marker(0L, e))
+      case Right(reader) =>
+        // batch-key fetch is outside the per-file catch: a key-service
+        // outage is systemic and must fail the task, not silently mark
+        // every file of the run unreadable
         val fileKey = keys.batchDataKey()
         val ctx = FileContext(task.database, task.collection, task.fileNumber, fileKey)
-        val manifestName = CsvEscape.manifestFileName(task.database, task.collection, task.fileNumber)
-        val p = new Path(task.dataPath)
-        val fs = p.getFileSystem(hadoopConf.value)
-        val raw = fs.open(p)
-        val lines = new java.io.BufferedReader(new java.io.InputStreamReader(
-          Crypto.decompressingDecryptingStream(raw, task.fileKeyPlain, task.fileIv), "UTF-8"))
-        // lazily read to EOF then close — the whole file streams through
-        // decrypt∘gunzip∘transform without ever materializing
-        Iterator.continually(lines.readLine()).takeWhile { l =>
-          if (l == null) { lines.close(); false } else true
-        }.zipWithIndex.map { case (line, i) =>
-          val lineNo = i.toLong + 1
-          val ivSource: () => Array[Byte] = () => ivStrategy.ivFor(task.dataPath, lineNo)
-          RecordProcessor.processLine(line, ctx, identity, ivSource) match {
-            case Right(pr) =>
-              cs.recordsProcessed.add(1)
-              IngestedRow(task.dataPath, lineNo, pr.database, pr.collection, pr.tableName, manifestName,
-                Status.Ok, pr.rowkey, pr.version, pr.envelope, pr.innerType, pr.manifestLine,
-                timeFilter.status(pr.version).toString)
-            case Left(SkipReason.MissingId(_)) =>
-              cs.skippedMissingId.add(1)
-              IngestedRow(task.dataPath, lineNo, task.database, task.collection, "", manifestName,
-                Status.MissingId, Array.emptyByteArray, 0L, "", "", "", "")
-            case Left(SkipReason.Malformed(_)) =>
-              cs.skippedMalformed.add(1)
-              IngestedRow(task.dataPath, lineNo, task.database, task.collection, "", manifestName,
-                Status.Malformed, Array.emptyByteArray, 0L, "", "", "", "")
+        new Iterator[IngestedRow] {
+          private var lineNo = 0L
+          private var pendingLine: String = null
+          private var pendingMarker: IngestedRow = null
+          private var done = false
+          private def fetch(): Unit = {
+            if (done || pendingLine != null || pendingMarker != null) return
+            try {
+              pendingLine = reader.readLine()
+              if (pendingLine == null) { done = true; reader.close() }
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                done = true
+                try reader.close() catch { case _: Throwable => () }
+                pendingMarker = marker(lineNo + 1, e)
+            }
+          }
+          def hasNext: Boolean = { fetch(); pendingLine != null || pendingMarker != null }
+          def next(): IngestedRow = {
+            fetch()
+            if (pendingMarker != null) { val m = pendingMarker; pendingMarker = null; m }
+            else if (pendingLine != null) {
+              val line = pendingLine; pendingLine = null; lineNo += 1
+              processOne(line, lineNo)
+            } else throw new NoSuchElementException("drained")
+          }
+          private def processOne(line: String, n: Long): IngestedRow = {
+            val ivSource: () => Array[Byte] = () => ivStrategy.ivFor(task.dataPath, n)
+            RecordProcessor.processLine(line, ctx, identity, ivSource) match {
+              case Right(pr) =>
+                IngestedRow(task.dataPath, n, pr.database, pr.collection, pr.tableName, manifestName,
+                  Status.Ok, pr.rowkey, pr.version, pr.envelope, pr.innerType, pr.manifestLine,
+                  timeFilter.status(pr.version).toString, "")
+              case Left(SkipReason.MissingId(_)) =>
+                IngestedRow(task.dataPath, n, task.database, task.collection, "", manifestName,
+                  Status.MissingId, Array.emptyByteArray, 0L, "", "", "", "", "")
+              case Left(SkipReason.Malformed(_)) =>
+                IngestedRow(task.dataPath, n, task.database, task.collection, "", manifestName,
+                  Status.Malformed, Array.emptyByteArray, 0L, "", "", "", "", "")
+            }
           }
         }
-      }
     }
   }
 
@@ -190,7 +244,13 @@ object IngestPipeline {
   /** W4/W5 — one pipe-delimited CSV per input file, named
     * `db.<db>.<uncoalescedCollection>-%06d.csv`, in input line order.
     * Early/late records appear here even though F2 gates them off the
-    * table path (golden behavior, UCHistoricDataImporterSpec.kt:129+). */
+    * table path (golden behavior, UCHistoricDataImporterSpec.kt:129+).
+    *
+    * Lines STREAM through the FS output: the group is sorted by Spark's
+    * spill-capable group sort (flatMapSortedGroups) and written line by
+    * line, so a 2.2 GB input file never materializes its manifest as
+    * one JVM string (the reference streams the same way,
+    * StreamingManifestWriter.kt:58-63). */
   def writeManifests(rows: Dataset[IngestedRow], manifestDir: String): Unit = {
     val spark = rows.sparkSession
     import spark.implicits._
@@ -198,17 +258,20 @@ object IngestPipeline {
     rows.filter(_.status == Status.Ok)
       .map(r => (r.manifestFileName, r.lineNo, r.manifestLine))
       .groupByKey(_._1)
-      .mapGroups { (file, it) =>
-        (file, it.toSeq.sortBy(_._2).map(_._3).mkString)
+      .flatMapSortedGroups(col("_2")) { (file: String, it: Iterator[(String, Long, String)]) =>
+        val out = new Path(manifestDir, file)
+        val fs = out.getFileSystem(hadoopConf.value)
+        val os = fs.create(out, true)
+        var bytes = 0L
+        try it.foreach { t =>
+          val b = t._3.getBytes("UTF-8"); os.write(b); bytes += b.length
+        } finally os.close()
+        if (bytes == 0L) fs.delete(out, false) // zero-byte manifests are skipped (W5)
+        Iterator.single(file)
       }
-      .foreach { case (file, content) =>
-        if (content.nonEmpty) {
-          val out = new Path(manifestDir, file)
-          val fs = out.getFileSystem(hadoopConf.value)
-          val os = fs.create(out, true)
-          try os.write(content.getBytes("UTF-8")) finally os.close()
-        }
-      }
+      // consume every element — an ignored iterator would never pull the
+      // lazily-evaluated group writers above
+      .foreach((_: String) => ())
   }
 
   /** W1 — byte-capped batching helper for push-style sinks (an HBase
@@ -247,11 +310,14 @@ object IngestPipeline {
 
   final case class RunResult(put: Long, filesProcessed: Long, recordsProcessed: Long,
                              skippedMissingId: Long, skippedMalformed: Long,
-                             tooEarly: Long, tooLate: Long)
+                             tooEarly: Long, tooLate: Long,
+                             unreadableFiles: Long = 0L)
 
   /** Whole job: catalog → decode/transform → both sinks off one cached
     * Dataset (the reference computes the chain once and forks, we do the
-    * same via cache). */
+    * same via cache). Counters (W7) are aggregated from that SAME cached
+    * Dataset — not from accumulators inside a transformation, which
+    * would double-count on eviction-driven recomputes. */
   def run(spark: SparkSession,
           inputPrefixes: Seq[String],
           tableSinkDir: String,
@@ -261,21 +327,28 @@ object IngestPipeline {
           timeFilter: TimeFilter = TimeFilter(),
           ivStrategy: IvStrategy = IvStrategy.Random,
           runMode: RunMode = RunMode.ImportAndManifest,
-          skipExisting: Boolean = true): RunResult = {
+          skipExisting: Boolean = true,
+          maxObjectBytes: Long = 2200000000L): RunResult = {
     import spark.implicits._
-    val counters = Counters(spark)
-    val tasks = planTasks(spark, inputPrefixes, keys)
-    val rows = ingest(spark, tasks, keys, identity, timeFilter, ivStrategy, Some(counters)).cache()
+    val tasks = planTasks(spark, inputPrefixes, maxObjectBytes)
+    val rows = ingest(spark, tasks, keys, identity, timeFilter, ivStrategy).cache()
     try {
       val put =
         if (runMode != RunMode.Manifest) writeTableSink(rows, tableSinkDir, skipExisting)
         else 0L
       if (runMode != RunMode.Import) writeManifests(rows, manifestDir)
-      val byFilter = rows.filter(_.status == Status.Ok).groupByKey(_.filterStatus).count().collect().toMap
+      val byStatus: Map[(String, String), Long] =
+        rows.groupByKey(r => (r.status, r.filterStatus)).count().collect().toMap
+      def total(status: String): Long =
+        byStatus.collect { case ((s, _), n) if s == status => n }.sum
       RunResult(put,
-        counters.filesProcessed.value, counters.recordsProcessed.value,
-        counters.skippedMissingId.value, counters.skippedMalformed.value,
-        byFilter.getOrElse("FilterTooEarly", 0L), byFilter.getOrElse("FilterTooLate", 0L))
+        filesProcessed = tasks.size.toLong,
+        recordsProcessed = total(Status.Ok),
+        skippedMissingId = total(Status.MissingId),
+        skippedMalformed = total(Status.Malformed),
+        tooEarly = byStatus.getOrElse((Status.Ok, "FilterTooEarly"), 0L),
+        tooLate = byStatus.getOrElse((Status.Ok, "FilterTooLate"), 0L),
+        unreadableFiles = total(Status.UnreadableFile))
     } finally rows.unpersist()
   }
 }

@@ -15,11 +15,27 @@ object PushTableSink {
 
   final case class CellPut(tableName: String, rowkey: Array[Byte], version: Long, body: Array[Byte])
 
+  /** W3 DDL surface — the table shape the reference creates
+    * (HbaseClient.kt:83-92 + Config.kt defaults): one column family
+    * holding a `record` qualifier with FULL version history, GZ
+    * compression for both store files and compactions, and replicated
+    * regions. The contract CARRIES these so a live implementation can't
+    * silently drop them; the parquet stand-in ignores what parquet has
+    * no analogue for. */
+  final case class TableSpec(dataFamily: String = "cf",
+                             dataQualifier: String = "record",
+                             maxVersions: Int = Int.MaxValue,
+                             minVersions: Int = 1,
+                             compression: String = "GZ",
+                             compactionCompression: String = "GZ",
+                             regionReplication: Int = 3)
+
   /** One connection per executor task; implementations wrap an HBase
     * connection, a JDBC pool, etc. */
   trait Store extends Serializable {
-    /** W3 — idempotently create the table (namespace, versioning). */
-    def ensureTable(tableName: String): Unit
+    /** W3 — idempotently create the table (namespace, versioning, DDL
+      * per [[TableSpec]]). */
+    def ensureTable(tableName: String, spec: TableSpec): Unit
     /** F5 — which of these (key, version) cells already exist. */
     def exists(tableName: String, cells: Seq[CellPut]): Seq[Boolean]
     /** W2 — atomic-ish batch put; may throw transiently. */
@@ -28,7 +44,8 @@ object PushTableSink {
 
   final case class Config(maxBatchBytes: Long = 100000000L, // HBaseWriter.kt:69-70
                           skipExisting: Boolean = true,
-                          putPolicy: Retry.Policy = Retry.Policy.put)
+                          putPolicy: Retry.Policy = Retry.Policy.put,
+                          tableSpec: TableSpec = TableSpec())
 
   /** Write every ok+unfiltered row. Returns nothing — counters live on
     * the caller's accumulators; failures propagate and fail the task
@@ -41,7 +58,7 @@ object PushTableSink {
     val tables = rows.filter(r => r.status == Status.Ok && r.filterStatus == "DoNotFilter")
       .map(_.tableName).distinct().collect()
     val driverStore = storeFactory()
-    tables.foreach(driverStore.ensureTable)
+    tables.foreach(driverStore.ensureTable(_, config.tableSpec))
 
     rows.filter(r => r.status == Status.Ok && r.filterStatus == "DoNotFilter")
       .foreachPartition { (it: Iterator[IngestedRow]) =>

@@ -3,7 +3,6 @@ package graft.queries
 import graft.functions.GraftFunctions
 import graft.streaming.Sessions
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Advanced surface: gap-based sessionization (the batch face of the
@@ -33,15 +32,19 @@ object Advanced {
     },
 
     // Latest-cell-per-key read — the query face of the versioned sink
-    // (maxVersions history, reads want the newest): one shuffle, then
-    // rank-1 within key. Total tie-break order keeps it deterministic.
+    // (maxVersions history, reads want the newest). Top-1-per-key as a
+    // lexicographic max(struct(...)): a TRUE partial aggregate (map-side
+    // combine shrinks each partition to one row per key before the
+    // shuffle), unlike a row_number window which must sort every row of
+    // a key in one task. The struct carries the full (ts, type, value)
+    // tuple so the tie-break total order is identical to the oracle's
+    // row_number ordering.
     "q27_latest_events" -> { (s, d) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_ms").desc, col("event_type").desc, col("value").desc)
       Sessions.typedEvents(Tables.events(s, d)).toDF()
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("ts_ms").as("latest_ts_ms"), col("event_type"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts_ms"), col("event_type"), col("value"))).as("m"))
+        .select(col("user_id"), col("m.ts_ms").as("latest_ts_ms"),
+          col("m.event_type").as("event_type"), col("m.value").as("value"))
     },
 
     // Two-phase salted aggregation: pre-aggregate under a synthetic

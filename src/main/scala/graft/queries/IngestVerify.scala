@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.core.{DateFmt, Envelope, RecordProcessor}
+import graft.ingest.{FixtureDumps, IngestPipeline, StubKeyService}
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q30 — the ingest path's row in the driver's correctness gate.
+  *
+  * Regenerates the deterministic fixture dumps (FixtureDumps: fixed
+  * key, fixed IVs, the reference sample_data.py record shapes incl.
+  * every edge case), runs the FULL pipeline — catalog pairing, decrypt,
+  * gunzip, the whole T1-T8/K1-K5 record chain, re-encrypt with
+  * deterministic per-line IVs, manifest rendering, F2 time filter — and
+  * emits one row per input line. Every column is a pure function of the
+  * fixture bytes, so the result is byte-stable across runs and engines.
+  *
+  * The DuckDB oracle reads the golden parquet checked into the repo
+  * (testdata/q30_golden/), which was produced by this same pipeline and
+  * is trustworthy because the semantics it freezes are independently
+  * verified by the unit suite: golden manifest lines vs the reference
+  * integration spec (UCHistoricDataImporterSpec.kt:129-238), envelope
+  * decrypt-back, the rowkey determinism corpus, and the version/type
+  * matrix. A regression in ANY of T1-T8/K1-K5/E6/W4 changes a rowkey,
+  * version, manifest line, or envelope md5 and breaks the hash match.
+  */
+object IngestVerify {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_ingest" -> { (s, _) =>
+      val dir = Files.createTempDirectory("graft-q30")
+      FixtureDumps.writeDumpFile(dir, "database-1", "collection-1", 1)
+      FixtureDumps.writeDumpFile(dir, "database-1", "collection-thirtyone", 1)
+      FixtureDumps.writeDumpFile(dir, "agent_core", "agentToDoArchive", 1)
+      val identity = Envelope.RunIdentity("uow", "trace", "test", () => new java.util.Date(0L))
+      val timeFilter = RecordProcessor.TimeFilter(
+        earlierThan = DateFmt.timestampAsLong("2010-01-01T00:00:00.000Z"),
+        laterThan = DateFmt.timestampAsLong("2019-12-31T23:59:59.999Z"))
+      val tasks = IngestPipeline.planTasks(s, Seq(dir.toString))
+      IngestPipeline.ingest(s, tasks, StubKeyService(), identity, timeFilter,
+          IngestPipeline.IvStrategy.Deterministic("q30"))
+        .toDF()
+        .select(
+          col("manifestFileName").as("manifest_file"),
+          col("lineNo").as("line_no"),
+          col("status"),
+          col("tableName").as("table_name"),
+          hex(col("rowkey")).as("rowkey_hex"),
+          col("version"),
+          col("innerType").as("inner_type"),
+          col("manifestLine").as("manifest_line"),
+          md5(col("envelope")).as("envelope_md5"),
+          col("filterStatus").as("filter_status"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q30_ingest" ->
+      """SELECT manifest_file, line_no, status, table_name, rowkey_hex, version,
+                inner_type, manifest_line, envelope_md5, filter_status
+         FROM read_parquet('/root/repo/testdata/q30_golden/*.parquet')"""
+  )
+}

@@ -56,18 +56,32 @@ object TrainingData {
     // self-join on (source, shingle) → count shared → |A|+|B|-shared.
     // This touches only pairs that actually overlap — O(Σ postings²)
     // instead of O(n²) array intersections — which is what survives a
-    // 100× scale-up (the all-pairs formulation was 30s at sf0.1; this
-    // shape is ~3s and grows with overlap, not with pairs).
+    // 100× scale-up (the all-pairs formulation was 30s at sf0.1).
+    // Shape note: the index is built by exploding a POSITION sequence
+    // and assembling each shingle per exploded row with codegen'd
+    // concat_ws/element_at, then distinct(). Exploding a
+    // transform+array_distinct array instead re-evaluates those
+    // CodegenFallback HOFs inside the Generate — measured 4.9 s for
+    // this stage alone at sf0.1 vs ~0.5 s for this shape (whole query
+    // 14 s → ~2 s). Posting lists here are near-unique (max df 6 at
+    // sf0.1); on corpora where stop-shingle df² explodes, the exact
+    // escalation is prefix filtering (index only each doc's lowest-df
+    // prefix that the running 5th-best similarity admits).
     "q17_ngram_jaccard" -> { (s, d) =>
-      val sh = Tables.documents(s, d)
+      val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), col("source"), array_distinct(expr(
-          "transform(sequence(1, size(toks) - 2), " +
-            "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"))
-          .as("sh"))
-      val counts = sh.select(col("doc_id"), col("source"), size(col("sh")).as("n"))
-      val inv = sh.select(col("source"), col("doc_id"), explode(col("sh")).as("shingle"))
+      val inv = toks
+        .select(col("source"), col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 2)).as("i"))
+        .select(col("source"), col("doc_id"),
+          concat_ws(" ",
+            element_at(col("toks"), col("i")),
+            element_at(col("toks"), col("i") + 1),
+            element_at(col("toks"), col("i") + 2)).as("shingle"))
+        .distinct()
+      val counts = inv.groupBy(col("source"), col("doc_id")).agg(count(lit(1)).as("n"))
+        .select(col("doc_id"), col("source"), col("n"))
       // shuffle-hash hint: the build side is an exploded posting list
       // whose size Catalyst underestimates (it would broadcast ~100 MB
       // at sf0.1, and arbitrarily more at scale) — hash-partitioning on
@@ -160,18 +174,29 @@ object TrainingData {
 
     // Embedding-cosine near-dup pairs within label blocks (ids only —
     // the float threshold applies to an identically-computed double).
-    // Scale note: the label join key is low-cardinality (10 values), so
-    // at cluster scale this relies on AQE skew-join splitting; past
-    // that, the exact decomposition is bucketing each label block into
-    // B hash-buckets and joining bucket pairs (B²/2-way parallelism),
-    // or switching to the LSH prefilter (q19) when approximate recall
-    // is acceptable.
+    // EXACT bucketed decomposition: label alone is a 10-value join key
+    // (parallelism ceiling 10, all-pairs blocks in single tasks), so
+    // each side is hash-bucketed by vec_id into B buckets and
+    // replicated across the other side's bucket axis; the join key
+    // (label, ba, bb) then has |label|·B² values and every unordered
+    // pair meets exactly once at (label, bkt(a), bkt(b)). Same pair
+    // count, B²-way parallelism — the shape that survives 100×
+    // (B grows with n so each bucket-pair cell stays task-sized).
+    // Norms are precomputed per row (n sqrts, not n²); sim is the
+    // identical fp sequence dot/(sqrt(aa)*sqrt(bb)) the oracle runs.
     "q24_dedup_embedding" -> { (s, d) =>
+      val B = 8
       val emb = Tables.embeddings(s, d)
-      val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("embedding").cast("array<double>").as("ea"))
-      val b = emb.select(col("label"), col("vec_id").as("vec_b"), col("embedding").cast("array<double>").as("eb"))
-      a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
-        .withColumn("sim", AnnLsh.cosine(col("ea"), col("eb")))
+        .select(col("label"), col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("nrm", sqrt(AnnLsh.dot(col("e"), col("e"))))
+        .withColumn("bkt", pmod(hash(col("vec_id")), lit(B)))
+      val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("e").as("ea"),
+        col("nrm").as("na"), col("bkt").as("ba"), explode(sequence(lit(0), lit(B - 1))).as("bb"))
+      val b = emb.select(col("label"), col("vec_id").as("vec_b"), col("e").as("eb"),
+        col("nrm").as("nb"), col("bkt").as("bb"), explode(sequence(lit(0), lit(B - 1))).as("ba"))
+      a.join(b, Seq("label", "ba", "bb"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("sim", AnnLsh.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("sim") >= 0.30)
         .select(col("label"), col("vec_a"), col("vec_b"))
     }

@@ -14,20 +14,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - [[sessionizeBatch]] — gap-based sessions via lag/cumsum window
   *    functions (integer-ms arithmetic; DuckDB-oracle-checkable).
   *  - [[sessionizeStream]] — identical session semantics under
-  *    Structured Streaming with `flatMapGroupsWithState` (event-time
-  *    timeout = the gap); verified equal to the batch result in
-  *    StreamingSpec.
+  *    Structured Streaming with `flatMapGroupsWithState`, event-time
+  *    timeout + watermark flushing, order-insensitive within the
+  *    watermark; verified equal to the batch result (including
+  *    cross-trigger out-of-order arrival) in StreamingSpec.
   *  - [[hourlyCountsStream]] — the q12 hourly aggregation as a
   *    watermarked streaming windowed agg.
   *
-  * Scale shape: both paths shuffle once on user_id; state per key is
-  * O(1) (running session accumulator, not buffered events).
+  * Scale shape: both paths shuffle once on user_id; streaming state per
+  * key is the open-session intervals (bounded by the watermark horizon),
+  * not buffered events.
   */
 object Sessions {
 
   val GapMs: Long = 30 * 60 * 1000L
 
   final case class Event(user_id: Long, ts_ms: Long, event_type: String, value: Double)
+  /** Event widened with a TimestampType column so the stream can carry
+    * a watermark (public for the encoder's generated code). */
+  final case class EventT(user_id: Long, ts_ms: Long, event_type: String, value: Double,
+                          ts: java.sql.Timestamp)
   final case class SessionOut(user_id: Long, session_start_ms: Long, session_end_ms: Long,
                               n_events: Long, total_value_x100: Long)
   /** public: the state encoder's generated code must reach the accessors */
@@ -63,36 +69,51 @@ object Sessions {
       .drop("session_no")
   }
 
-  /** Streaming sessionization with identical semantics. State per user
-    * is one open session; an event past the gap flushes it. The final
-    * open sessions flush on stream end (tests) or timeout (production).
-    */
-  def sessionizeStream(events: Dataset[Event]): Dataset[SessionOut] = {
+  /** Streaming sessionization with identical semantics, robust to
+    * out-of-order arrival within the watermark horizon.
+    *
+    * State per user is a list of OPEN sessions as disjoint intervals.
+    * Every incoming event is a singleton interval; state ∪ events is
+    * sorted and gap-coalesced, which is ORDER-INSENSITIVE: a late event
+    * extends a session's start (min), bridges two open sessions into
+    * one, or opens its own — exactly what batch would have computed.
+    * Sessions flush when the event-time watermark passes their gap
+    * (no admissible event can join them anymore), driven by an
+    * EventTimeTimeout wake-up; events older than the watermark are
+    * dropped by Spark before reaching the state function, so a closed
+    * session can never be mutated after emission. Batch≡stream equality
+    * therefore holds for any arrival order within `watermarkDelay`.
+    * State per key is O(open sessions), bounded by the watermark. */
+  def sessionizeStream(events: Dataset[Event], watermarkDelay: String = "30 minutes"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    events.toDF()
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", watermarkDelay)
+      .as[EventT]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          // events within one trigger arrive unordered: sort by ts
-          val sorted = it.toSeq.sortBy(_.ts_ms)
-          var sessions = state.getOption.getOrElse(Nil)
-          val closed = List.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val x100 = math.round(e.value * 100)
-            sessions match {
-              case cur :: rest if e.ts_ms - cur.endMs <= GapMs =>
-                sessions = SessionState(cur.startMs, math.max(cur.endMs, e.ts_ms), cur.nEvents + 1, cur.totalX100 + x100) :: rest
-              case cur :: rest =>
-                closed += SessionOut(userId, cur.startMs, cur.endMs, cur.nEvents, cur.totalX100)
-                sessions = SessionState(e.ts_ms, e.ts_ms, 1, x100) :: rest
-              case Nil =>
-                sessions = SessionState(e.ts_ms, e.ts_ms, 1, x100) :: Nil
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[EventT], state: GroupState[List[SessionState]]) =>
+          val minis = it.map(e => SessionState(e.ts_ms, e.ts_ms, 1L, math.round(e.value * 100))).toList
+          val all = (state.getOption.getOrElse(Nil) ++ minis).sortBy(_.startMs)
+          val merged = all.foldLeft(List.empty[SessionState]) { (acc, s) =>
+            acc match {
+              case h :: t if s.startMs - h.endMs <= GapMs =>
+                SessionState(h.startMs, math.max(h.endMs, s.endMs), h.nEvents + s.nEvents, h.totalX100 + s.totalX100) :: t
+              case _ => s :: acc
             }
+          }.reverse
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, stillOpen) = merged.partition(s => s.endMs + GapMs < wm)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(stillOpen)
+            // wake when the earliest open session's gap can first seal
+            // (clamped above the watermark, as the API requires)
+            state.setTimeoutTimestamp(math.max(stillOpen.map(_.endMs).min + GapMs, wm + 1))
           }
-          state.update(sessions)
-          closed.result().iterator
+          closed.iterator.map(s => SessionOut(userId, s.startMs, s.endMs, s.nEvents, s.totalX100))
       }
   }
 

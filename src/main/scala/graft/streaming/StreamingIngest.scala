@@ -33,6 +33,11 @@ object StreamingIngest {
               identity: Envelope.RunIdentity,
               maxFilesPerTrigger: Int = 16): Dataset[IngestPipeline.IngestedRow] = {
     import spark.implicits._
+    // ship the session's Hadoop configuration to the decode tasks so the
+    // sidecar read resolves the same filesystems (s3a credentials,
+    // endpoints, custom schemes) as every other executor-side read
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val files = spark.readStream
       .format("binaryFile")
       // the binaryFile source's fixed schema — streaming sources require
@@ -47,7 +52,7 @@ object StreamingIngest {
       it.flatMap { case (path, content) =>
         RecordProcessor.parseFilename(path).iterator.flatMap { case (db, coll, n) =>
           val metaPath = path.replaceFirst("\\.gz\\.enc$", ".encryption.json")
-          val meta = readMetadata(metaPath)
+          val meta = Catalog.readMetadata(metaPath, hadoopConf.value)
           val plain =
             if (meta.plaintextDatakey.nonEmpty) meta.plaintextDatakey
             else keys.decryptKey(meta.keyEncryptionKeyId, meta.encryptedEncryptionKey)
@@ -66,13 +71,13 @@ object StreamingIngest {
               case Right(pr) =>
                 IngestPipeline.IngestedRow(path, lineNo, pr.database, pr.collection, pr.tableName,
                   manifestName, IngestPipeline.Status.Ok, pr.rowkey, pr.version, pr.envelope,
-                  pr.innerType, pr.manifestLine, "DoNotFilter")
+                  pr.innerType, pr.manifestLine, "DoNotFilter", "")
               case Left(RecordProcessor.SkipReason.MissingId(_)) =>
                 IngestPipeline.IngestedRow(path, lineNo, db, coll, "", manifestName,
-                  IngestPipeline.Status.MissingId, Array.emptyByteArray, 0L, "", "", "", "")
+                  IngestPipeline.Status.MissingId, Array.emptyByteArray, 0L, "", "", "", "", "")
               case Left(RecordProcessor.SkipReason.Malformed(_)) =>
                 IngestPipeline.IngestedRow(path, lineNo, db, coll, "", manifestName,
-                  IngestPipeline.Status.Malformed, Array.emptyByteArray, 0L, "", "", "", "")
+                  IngestPipeline.Status.Malformed, Array.emptyByteArray, 0L, "", "", "", "", "")
             }
           }
         }
@@ -80,11 +85,4 @@ object StreamingIngest {
     }
   }
 
-  /** executor-side metadata sidecar read (local or any Hadoop FS) */
-  private def readMetadata(path: String): Catalog.EncryptionMetadata = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val text = new String(fs.open(p).readAllBytes(), "UTF-8")
-    Catalog.parseMetadata(text, path)
-  }
 }

@@ -15,7 +15,7 @@ class CellTableSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def row(table: String, key: String, version: Long): IngestedRow =
     IngestedRow("f", 1, "db", "c", table, "m.csv", "ok",
-      key.getBytes("UTF-8"), version, s"body-$key-v$version", "MONGO_IMPORT", "line\n", "DoNotFilter")
+      key.getBytes("UTF-8"), version, s"body-$key-v$version", "MONGO_IMPORT", "line\n", "DoNotFilter", "")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder().master("local[2]")

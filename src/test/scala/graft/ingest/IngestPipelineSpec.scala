@@ -131,6 +131,29 @@ class IngestPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(versions.contains(DateFmt.EpochMillis)) // no timestamps at all
   }
 
+  test("undecodable files skip with marker rows instead of failing the run (per-file continue)") {
+    val dir = Files.createTempDirectory("graft-ingest-bad")
+    Fixtures.writeDumpFile(dir, "database-1", "collection-1", 1)
+    def meta: String =
+      s"""{"keyEncryptionKeyId": "k", "plaintextDatakey": "$fileKeyB64", """ +
+        s""""encryptedEncryptionKey": "e", "initialisationVector": "${Base64.getEncoder.encodeToString(new Array[Byte](16))}"}"""
+    // garbage bytes: AES-CTR "decrypts" them, gzip rejects the magic
+    Files.write(dir.resolve("bad-db.garbage-coll.0001.json.gz.enc"), Array.tabulate[Byte](64)(_.toByte))
+    Files.write(dir.resolve("bad-db.garbage-coll.0001.json.encryption.json"), meta.getBytes("UTF-8"))
+    // zero-byte data with live metadata passes S4 (only both-empty pairs
+    // drop) and dies in the GZIP header read — the classic poison file
+    Files.write(dir.resolve("bad-db.empty-coll.0001.json.gz.enc"), Array.emptyByteArray)
+    Files.write(dir.resolve("bad-db.empty-coll.0001.json.encryption.json"), meta.getBytes("UTF-8"))
+
+    val r = IngestPipeline.run(spark, Seq(dir.toString),
+      dir.resolve("sink").toString, dir.resolve("manifests").toString,
+      StubKeyService(), identity, ivStrategy = IvStrategy.Deterministic("bad"))
+    assert(r.filesProcessed == 3)
+    assert(r.unreadableFiles == 2)
+    assert(r.recordsProcessed == 18) // the good file decodes fully
+    assert(r.put == 18)
+  }
+
   test("groupedByBytes batches under the cap with at least one element each (W1)") {
     val items = Seq.fill(10)("x" * 30)
     val batches = IngestPipeline.groupedByBytes(items.iterator, 100L)(_.length.toLong).toSeq

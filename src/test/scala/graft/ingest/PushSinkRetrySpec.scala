@@ -68,7 +68,7 @@ class PushSinkRetrySpec extends AnyFunSuite with BeforeAndAfterAll {
     * successful cells. Static maps — foreachPartition runs in-JVM under
     * local mode. */
   private def ingested(table: String, key: String, version: Long): IngestedRow =
-    IngestedRow("f", 1, "db", "c", table, "m.csv", "ok", key.getBytes, version, s"body-$key", "MONGO_IMPORT", "line\n", "DoNotFilter")
+    IngestedRow("f", 1, "db", "c", table, "m.csv", "ok", key.getBytes, version, s"body-$key", "MONGO_IMPORT", "line\n", "DoNotFilter", "")
 
   test("push sink batches by bytes, retries failed puts, and skips existing cells") {
     val sp = spark; import sp.implicits._
@@ -79,6 +79,12 @@ class PushSinkRetrySpec extends AnyFunSuite with BeforeAndAfterAll {
     PushTableSink.write(rows, () => new FlakyStore,
       Config(maxBatchBytes = 1000L, skipExisting = true, putPolicy = Retry.Policy.immediate))
     assert(FlakyStore.ensured.contains("t1") && FlakyStore.ensured.contains("t2"))
+    // W3 DDL contract: the reference's table shape reaches the store
+    // verbatim (HbaseClient.kt:83-92, Config.kt defaults)
+    assert(FlakyStore.specs.get("t1") == PushTableSink.TableSpec(
+      dataFamily = "cf", dataQualifier = "record",
+      maxVersions = Int.MaxValue, minVersions = 1,
+      compression = "GZ", compactionCompression = "GZ", regionReplication = 3))
     val written = {
       val it = FlakyStore.written.keySet().iterator()
       val b = Set.newBuilder[String]
@@ -143,8 +149,10 @@ object FlakyStore {
   val putSuccesses = new java.util.concurrent.atomic.AtomicInteger(0)
   val failedOnce: java.util.Set[String] = ConcurrentHashMap.newKeySet[String]()
   val ensured: java.util.Set[String] = ConcurrentHashMap.newKeySet[String]()
+  val specs: ConcurrentHashMap[String, PushTableSink.TableSpec] =
+    new ConcurrentHashMap[String, PushTableSink.TableSpec]()
   def reset(): Unit = {
-    written.clear(); preExisting.clear(); failedOnce.clear(); ensured.clear()
+    written.clear(); preExisting.clear(); failedOnce.clear(); ensured.clear(); specs.clear()
     putAttempts.set(0); putSuccesses.set(0)
   }
 }
@@ -152,7 +160,10 @@ object FlakyStore {
 final class FlakyStore extends PushTableSink.Store {
   import PushTableSink.CellPut
   private def cellId(c: CellPut) = s"${c.tableName}/${new String(c.rowkey)}/${c.version}"
-  override def ensureTable(tableName: String): Unit = FlakyStore.ensured.add(tableName)
+  override def ensureTable(tableName: String, spec: PushTableSink.TableSpec): Unit = {
+    FlakyStore.ensured.add(tableName)
+    FlakyStore.specs.put(tableName, spec)
+  }
   override def exists(tableName: String, cells: Seq[CellPut]): Seq[Boolean] =
     cells.map(c => FlakyStore.preExisting.contains(cellId(c)) || FlakyStore.written.containsKey(cellId(c)))
   override def putBatch(tableName: String, cells: Seq[CellPut]): Unit = {

@@ -58,6 +58,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("streaming sessionization survives cross-trigger out-of-order events") {
+    val sp = spark; import sp.implicits._
+    val typed = typedEvents(eventsDf).collect().toSeq.sortBy(_.ts_ms)
+    val maxTs = typed.map(_.ts_ms).max
+    val sentinels = typed.map(_.user_id).distinct.map(u => Event(u, maxTs + 100 * GapMs, "flush", 0.0))
+
+    // trigger 1 = the first half MINUS a held-back tail inside the
+    // lateness horizon; trigger 2 delivers that tail late, shuffled in
+    // with the second half — exercising start-extension / bridging of
+    // already-open sessions across triggers
+    val (first, second) = typed.splitAt(typed.size / 2)
+    val horizon = first.last.ts_ms - GapMs
+    val (early, held) = first.partition(_.ts_ms < horizon)
+    assert(held.nonEmpty)
+    val rnd = new scala.util.Random(42)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = sessionizeStream(input.toDS(), watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("sessions_ooo").outputMode("append").start()
+    input.addData(rnd.shuffle(early))
+    query.processAllAvailable()
+    input.addData(rnd.shuffle(held ++ second))
+    query.processAllAvailable()
+    input.addData(sentinels)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("sessions_ooo").as[SessionOut].collect()
+      .map(s => (s.user_id, s.session_start_ms, s.session_end_ms, s.n_events, s.total_value_x100)).toSet
+    val batch = sessionizeBatch(eventsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("sessionizeBatch agrees with Spark's built-in session_window") {
     val sessions = sessionizeBatch(eventsDf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
