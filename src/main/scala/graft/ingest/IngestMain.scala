@@ -67,6 +67,10 @@ object IngestMain {
       val identity = Envelope.RunIdentity.live(
         traceId = conf.getOrElse("correlation.id", "NOT_SET"),
         hdiVersion = conf.getOrElse("hdi.version", "graft"))
+      // X3: every structured log line of this run carries the id
+      graft.core.JsonLog.correlationId = conf.getOrElse("correlation.id", graft.core.JsonLog.UnsetText)
+      graft.core.JsonLog.info("IngestMain", "Starting import",
+        "input_prefixes" -> inputPrefixes.mkString(","), "run_mode" -> conf.getOrElse("run-mode", "import_and_manifest"))
 
       val result = IngestPipeline.run(spark,
         inputPrefixes = inputPrefixes,
@@ -84,6 +88,9 @@ object IngestMain {
         s""""put": ${result.put}, "skipped_missing_id": ${result.skippedMissingId}, """ +
         s""""skipped_malformed": ${result.skippedMalformed}, "too_early": ${result.tooEarly}, """ +
         s""""too_late": ${result.tooLate}, "unreadable_files": ${result.unreadableFiles}}""")
+      graft.core.JsonLog.info("IngestMain", "Import complete",
+        "files" -> result.filesProcessed.toString, "records" -> result.recordsProcessed.toString,
+        "put" -> result.put.toString, "unreadable_files" -> result.unreadableFiles.toString)
     } finally if (preExisting.isEmpty) spark.stop()
   }
 }

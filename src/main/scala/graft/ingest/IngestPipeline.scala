@@ -86,9 +86,14 @@ object IngestPipeline {
       }
     }
     final case class Deterministic(salt: String) extends IvStrategy {
-      def ivFor(dataPath: String, lineNo: Long): Array[Byte] =
+      def ivFor(dataPath: String, lineNo: Long): Array[Byte] = {
+        // keyed on the file NAME, not the full path: replay-determinism
+        // must survive the same dumps being staged under a different
+        // directory (e.g. the q30 gate's fresh temp dir per run)
+        val name = dataPath.substring(dataPath.lastIndexOf('/') + 1)
         java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$salt/$dataPath/$lineNo".getBytes("UTF-8"))
+          .digest(s"$salt/$name/$lineNo".getBytes("UTF-8"))
+      }
     }
   }
 
@@ -246,11 +251,14 @@ object IngestPipeline {
     * Early/late records appear here even though F2 gates them off the
     * table path (golden behavior, UCHistoricDataImporterSpec.kt:129+).
     *
-    * Lines STREAM through the FS output: the group is sorted by Spark's
-    * spill-capable group sort (flatMapSortedGroups) and written line by
-    * line, so a 2.2 GB input file never materializes its manifest as
-    * one JVM string (the reference streams the same way,
-    * StreamingManifestWriter.kt:58-63). */
+    * Exactly the reference's two-phase shape
+    * (StreamingManifestWriter.kt:14-56): lines STREAM through a local
+    * spool file (the group arrives sorted by Spark's spill-capable
+    * flatMapSortedGroups — no whole-manifest string is ever built),
+    * then the spool uploads to the manifest FS under a bounded retry
+    * (10 immediate attempts); zero-byte manifests are skipped; a
+    * manifest that still fails after max attempts is logged-and-dropped
+    * (best effort, like the reference), never failing the import. */
   def writeManifests(rows: Dataset[IngestedRow], manifestDir: String): Unit = {
     val spark = rows.sparkSession
     import spark.implicits._
@@ -259,14 +267,28 @@ object IngestPipeline {
       .map(r => (r.manifestFileName, r.lineNo, r.manifestLine))
       .groupByKey(_._1)
       .flatMapSortedGroups(col("_2")) { (file: String, it: Iterator[(String, Long, String)]) =>
-        val out = new Path(manifestDir, file)
-        val fs = out.getFileSystem(hadoopConf.value)
-        val os = fs.create(out, true)
+        val spool = java.io.File.createTempFile("graft-manifest-", ".csv")
+        val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(spool))
         var bytes = 0L
         try it.foreach { t =>
           val b = t._3.getBytes("UTF-8"); os.write(b); bytes += b.length
         } finally os.close()
-        if (bytes == 0L) fs.delete(out, false) // zero-byte manifests are skipped (W5)
+        try {
+          if (bytes > 0L) { // zero-byte manifests are skipped (W5)
+            try Retry.withRetry(Retry.Policy.manifest, s"manifest $file") {
+              val out = new Path(manifestDir, file)
+              val fs = out.getFileSystem(hadoopConf.value)
+              val o = fs.create(out, true)
+              try java.nio.file.Files.copy(spool.toPath, o) finally o.close()
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                graft.core.JsonLog.error("StreamingManifestWriter",
+                  "Failed to write manifest after max attempts - giving up",
+                  e, "manifest_file" -> file,
+                  "max_attempts" -> Retry.Policy.manifest.maxAttempts.toString)
+            }
+          }
+        } finally spool.delete()
         Iterator.single(file)
       }
       // consume every element — an ignored iterator would never pull the

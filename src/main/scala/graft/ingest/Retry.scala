@@ -18,6 +18,10 @@ object Retry {
     val dks: Policy = Policy(5, 1000L, 2.0)
     /** HBase put policy (HBaseWriter.kt:57-64) */
     val put: Policy = Policy(5, 10000L, 2.0)
+    /** manifest upload: 10 immediate attempts
+      * (s3.manifest.retry.max.attempts default, HBaseWriter.kt:54-55;
+      * StreamingManifestWriter.kt loops without backoff) */
+    val manifest: Policy = Policy(10, 1L, 1.0)
     val immediate: Policy = Policy(5, 1L, 1.0)
   }
 

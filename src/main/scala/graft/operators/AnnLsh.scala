@@ -77,14 +77,19 @@ object AnnLsh {
     bits.reduce(_ + _)
   }
 
-  /** (vec, tableIdx, bucket) rows — one per table. */
+  /** (vec, tableIdx, bucket) rows — one per table, computed in a
+    * SINGLE scan: all NumTables buckets project as columns (the plane
+    * dots are native codegen), then a stack/posexplode fans them out.
+    * The previous 4-way unionAll read and re-projected the input four
+    * times. */
   private def bucketed(vecs: DataFrame, idAlias: String, embAlias: String, dims: Int): DataFrame = {
-    val perTable = (0 until NumTables).map { t =>
-      vecs.select(col("vec_id").as(idAlias), asDouble(col("embedding")).as(embAlias),
-        lit(t).as("table_idx"))
-        .withColumn("bucket", bucket(col(embAlias), planes(dims, t)))
+    val base = vecs.select(col("vec_id").as(idAlias), asDouble(col("embedding")).as(embAlias))
+    val withBuckets = (0 until NumTables).foldLeft(base) { (df, t) =>
+      df.withColumn(s"b$t", bucket(col(embAlias), planes(dims, t)))
     }
-    perTable.reduce(_ unionAll _)
+    withBuckets
+      .select(col(idAlias), col(embAlias),
+        posexplode(array((0 until NumTables).map(t => col(s"b$t")): _*)).as(Seq("table_idx", "bucket")))
   }
 
   /** Approximate top-k: candidates share a bucket in any table. */

@@ -44,11 +44,24 @@ object MinHashDedup {
   def shingles(text: Column): Column = shinglesFromTokens(split(text, " "))
 
   /** (docs: [idCol: long, textCol: string]) → signature per doc:
-    * sig[j] = min over shingles of murmur3(shingle, salt_j). */
+    * sig[j] = min over shingles of murmur3(shingle, salt_j).
+    *
+    * Shingles are built by exploding a POSITION sequence and assembling
+    * each one with codegen'd concat_ws/element_at — exploding a
+    * transform+array_distinct array instead re-evaluates those
+    * CodegenFallback HOFs inside the Generate (the q17 lesson; measured
+    * ~5 s of pure overhead at sf0.1). Duplicate shingles need no
+    * dedup here: `min` is duplicate-insensitive. */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
-      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"))).as("tok"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), greatest(size(col("toks")) - 2, lit(1)))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          element_at(col("toks"), col("i")),
+          element_at(col("toks"), col("i") + 1),
+          element_at(col("toks"), col("i") + 2)).as("tok"))
     // one aggregation computing all k mins — single shuffle by doc_id
     val minCols: Seq[Column] = (0 until NumHashes).map { j =>
       min(hash(col("tok"), lit(j))).as(s"h$j")
@@ -63,9 +76,11 @@ object MinHashDedup {
     * signature positions (estimated Jaccard = est_matches / k). */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String, minMatches: Int): DataFrame = {
     val sigs = signatures(docs, idCol, textCol)
-    val bands = sigs.select(col("doc_id"), col("sig"),
-      posexplode(expr(s"transform(sequence(0, ${Bands - 1}), b -> hash(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))")))
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+    // explode the band INDEX, hash the slice per exploded row (same
+    // Generate-stays-codegen rationale as signatures)
+    val bands = sigs
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(Bands - 1))).as("band_idx"))
+      .withColumn("band_hash", hash(slice(col("sig"), col("band_idx") * RowsPerBand + 1, lit(RowsPerBand))))
     val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band_idx"), col("band_hash"))
     val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band_idx"), col("band_hash"))
     a.join(b, Seq("band_idx", "band_hash"))

@@ -72,4 +72,40 @@ class CatalogSpec extends AnyFunSuite {
       assert(nonEmpty(pairs).isEmpty) // all-zero-byte pairs drop, records_processed 0
     } finally spark.stop()
   }
+
+  test("planTasks over 510 files is pure listing: sidecars are never opened on the driver") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan")
+    (1 to 510).foreach { i =>
+      val stem = f"plandb.plancoll.$i%04d.json"
+      java.nio.file.Files.write(tmp.resolve(s"$stem.gz.enc"), "x".getBytes)
+      // deliberately UNPARSEABLE metadata: if planTasks read sidecars
+      // (or called a key service) per file, planning would throw —
+      // metadata/key resolution belongs to the executor decode stage
+      java.nio.file.Files.write(tmp.resolve(s"$stem.encryption.json"), "not json".getBytes)
+    }
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("catalog-plan")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val tasks = IngestPipeline.planTasks(spark, Seq(tmp.toString))
+      assert(tasks.size == 510)
+      assert(tasks.forall(t => t.database == "plandb" && t.collection == "plancoll"))
+      assert(tasks.map(_.fileNumber).toSet == (1 to 510).toSet)
+    } finally spark.stop()
+  }
+
+  test("uppercase-extension dumps pair case-insensitively, agreeing with parseFilename") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-case")
+    java.nio.file.Files.write(tmp.resolve("DB-9.COLL-9.0001.JSON.GZ.ENC"), "x".getBytes)
+    java.nio.file.Files.write(tmp.resolve("db-9.coll-9.0001.json.encryption.json"), "m".getBytes)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("catalog-case")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val pairs = listPairs(spark, Seq(tmp.toString))
+      assert(pairs.size == 1)
+      assert(pairs.head.stem == "db-9.coll-9.0001.json")
+      assert(pairs.head.dataPath.endsWith("DB-9.COLL-9.0001.JSON.GZ.ENC"))
+    } finally spark.stop()
+  }
 }
