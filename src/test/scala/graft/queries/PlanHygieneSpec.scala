@@ -78,6 +78,31 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read.contains("event_type"), read)
   }
 
+  test("q24: no join keyed solely on the low-cardinality label — bucket axes are join keys") {
+    val df = SparkEntry.queries("q24_dedup_embedding")(spark, sf)
+    df.collect() // finalize AQE (join nodes sit inside the adaptive plan)
+    val s = df.queryExecution.executedPlan.toString
+    val joinLines = s.linesIterator.filter(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin")).toSeq
+    assert(joinLines.nonEmpty, s"expected an equi-join in q24:\n$s")
+    val bucketKey = ".*\\bb[ab]#\\d+.*".r
+    joinLines.filter(_.contains("label#")).foreach { l =>
+      assert(bucketKey.matches(l),
+        s"q24 join keyed without the bucket axes (parallelism ceiling = |label|): $l")
+    }
+  }
+
+  test("q17: the shingle index explodes a position sequence, not a HOF-built array") {
+    val s = formatted("q17_ngram_jaccard")
+    // the Generate's generator must be the codegen-friendly sequence —
+    // exploding transform()/array_distinct() re-evaluates those
+    // CodegenFallback HOFs per OUTPUT row (measured ~5 s at sf0.1)
+    val gen = s.linesIterator.filter(l => l.contains("Generate") || l.contains("explode")).mkString("\n")
+    assert(gen.contains("sequence"), s"q17 Generate is not over a position sequence:\n$gen")
+    assert(!gen.contains("array_distinct") && !gen.contains("transform("),
+      s"q17 explodes a HOF-built array (CodegenFallback inside Generate):\n$gen")
+  }
+
   test("entry smoke plan has no Python/UDF eval nodes (everything codegen-able)") {
     Seq("q01_pricing_summary", "q04_join_shuffle", "q14_dedup_exact", "q21_lang_id").foreach { q =>
       val s = plan(q).toString
