@@ -30,7 +30,12 @@ object AnnIvf {
   def assignCells(vecs: DataFrame, nlist: Int, seed: Long = 11L): (DataFrame, Array[Vector]) = {
     val withVec = vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("features", array_to_vector(col("emb")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(withVec)
+    // random init instead of kmeans||: the parallel init runs several
+    // extra distributed passes whose scheduling overhead dominates the
+    // fit at these corpus sizes; cell quality is guarded by the
+    // planted-near-dup recall floor and sims-agree specs
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setInitMode("random").fit(withVec)
     (model.transform(withVec).select(col("vec_id"), col("emb"), col("prediction").as("cell")),
       model.clusterCenters)
   }

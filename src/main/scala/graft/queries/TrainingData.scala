@@ -199,6 +199,23 @@ object TrainingData {
         .withColumn("sim", AnnLsh.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("sim") >= 0.30)
         .select(col("label"), col("vec_a"), col("vec_b"))
+    },
+
+    // BPE-ish subword counting: the tokenizer-shaped complement to
+    // q20's whitespace tokens — letter runs, digit runs, and single
+    // non-alphanumeric marks, via a regex both engines (Java regex /
+    // RE2) interpret identically. All-integer outputs. The pattern is
+    // passed through the Column API (lit), so no SQL-string escaping
+    // dialect can skew it.
+    "q31_token_bpe" -> { (s, d) =>
+      def nMatches(pat: String) =
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nMatches("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]").as("n_subwords"),
+        nMatches("[A-Za-z]+").as("n_letter_runs"),
+        nMatches("[0-9]+").as("n_digit_runs"))
+        .withColumn("n_marks", col("n_subwords") - col("n_letter_runs") - col("n_digit_runs"))
     }
   )
 
@@ -270,6 +287,15 @@ object TrainingData {
     "q24_dedup_embedding" ->
       s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
           FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-          WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.30"""
+          WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.30""",
+    "q31_token_bpe" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
+                len(regexp_extract_all(text, '[A-Za-z]+')) AS n_letter_runs,
+                len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                  - len(regexp_extract_all(text, '[A-Za-z]+'))
+                  - len(regexp_extract_all(text, '[0-9]+')) AS n_marks
+         FROM documents"""
   )
 }
