@@ -51,34 +51,54 @@ object StreamingIngest {
     files.as[(String, Array[Byte])].mapPartitions { it =>
       it.flatMap { case (path, content) =>
         RecordProcessor.parseFilename(path).iterator.flatMap { case (db, coll, n) =>
-          val metaPath = path.replaceFirst("\\.gz\\.enc$", ".encryption.json")
-          val meta = Catalog.readMetadata(metaPath, hadoopConf.value)
-          val plain =
-            if (meta.plaintextDatakey.nonEmpty) meta.plaintextDatakey
-            else keys.decryptKey(meta.keyEncryptionKeyId, meta.encryptedEncryptionKey)
-          val fileKey = keys.batchDataKey()
-          val ctx = RecordProcessor.FileContext(db, coll, n, fileKey)
           val manifestName = graft.core.CsvEscape.manifestFileName(db, coll, n)
-          val in = Crypto.decompressingDecryptingStream(
-            new java.io.ByteArrayInputStream(content), plain, meta.initialisationVector)
-          val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
-          Iterator.continually(reader.readLine()).takeWhile { l =>
-            if (l == null) { reader.close(); false } else true
-          }.zipWithIndex.map { case (line, i) =>
-            val lineNo = i.toLong + 1
-            RecordProcessor.processLine(line, ctx, identity,
-              () => IngestPipeline.IvStrategy.Random.ivFor(path, lineNo)) match {
-              case Right(pr) =>
-                IngestPipeline.IngestedRow(path, lineNo, pr.database, pr.collection, pr.tableName,
-                  manifestName, IngestPipeline.Status.Ok, pr.rowkey, pr.version, pr.envelope,
-                  pr.innerType, pr.manifestLine, "DoNotFilter", "")
-              case Left(RecordProcessor.SkipReason.MissingId(_)) =>
-                IngestPipeline.IngestedRow(path, lineNo, db, coll, "", manifestName,
-                  IngestPipeline.Status.MissingId, Array.emptyByteArray, 0L, "", "", "", "", "")
-              case Left(RecordProcessor.SkipReason.Malformed(_)) =>
-                IngestPipeline.IngestedRow(path, lineNo, db, coll, "", manifestName,
-                  IngestPipeline.Status.Malformed, Array.emptyByteArray, 0L, "", "", "", "", "")
+          // key-service outage is systemic: fail the trigger (it retries),
+          // don't mark files unreadable
+          val fileKey = keys.batchDataKey()
+          // per-file catch-and-continue, like the batch path: a garbage
+          // or truncated landing file must not kill the streaming query.
+          // The content is already fully in memory (binaryFile source),
+          // so decoding eagerly keeps mid-stream failures inside this
+          // catch without changing the memory class.
+          try {
+            val metaPath = path.replaceFirst("\\.gz\\.enc$", ".encryption.json")
+            val meta = Catalog.readMetadata(metaPath, hadoopConf.value)
+            val plain =
+              if (meta.plaintextDatakey.nonEmpty) meta.plaintextDatakey
+              else keys.decryptKey(meta.keyEncryptionKeyId, meta.encryptedEncryptionKey)
+            val ctx = RecordProcessor.FileContext(db, coll, n, fileKey)
+            val in = Crypto.decompressingDecryptingStream(
+              new java.io.ByteArrayInputStream(content), plain, meta.initialisationVector)
+            val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+            val out = List.newBuilder[IngestPipeline.IngestedRow]
+            var lineNo = 0L
+            var line = reader.readLine()
+            while (line != null) {
+              lineNo += 1
+              val ln = lineNo
+              out += (RecordProcessor.processLine(line, ctx, identity,
+                () => IngestPipeline.IvStrategy.Random.ivFor(path, ln)) match {
+                case Right(pr) =>
+                  IngestPipeline.IngestedRow(path, ln, pr.database, pr.collection, pr.tableName,
+                    manifestName, IngestPipeline.Status.Ok, pr.rowkey, pr.version, pr.envelope,
+                    pr.innerType, pr.manifestLine, "DoNotFilter", "")
+                case Left(RecordProcessor.SkipReason.MissingId(_)) =>
+                  IngestPipeline.IngestedRow(path, ln, db, coll, "", manifestName,
+                    IngestPipeline.Status.MissingId, Array.emptyByteArray, 0L, "", "", "", "", "")
+                case Left(RecordProcessor.SkipReason.Malformed(_)) =>
+                  IngestPipeline.IngestedRow(path, ln, db, coll, "", manifestName,
+                    IngestPipeline.Status.Malformed, Array.emptyByteArray, 0L, "", "", "", "", "")
+              })
+              line = reader.readLine()
             }
+            reader.close()
+            out.result().iterator
+          } catch {
+            case e: graft.ingest.Retry.FatalException => throw e
+            case scala.util.control.NonFatal(e) =>
+              Iterator.single(IngestPipeline.IngestedRow(path, 0L, db, coll, "", manifestName,
+                IngestPipeline.Status.UnreadableFile, Array.emptyByteArray, 0L, "", "", "", "",
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300)))
           }
         }
       }

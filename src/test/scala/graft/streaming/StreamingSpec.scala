@@ -151,6 +151,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(tables == Set("sdb:scoll_1", "sdb:scoll_2"))
       // no file processed twice across triggers (exactly-once listing)
       assert(out.select("dataPath", "lineNo").distinct().count() == 40)
+
+      // a POISON file lands (garbage bytes, live metadata): one marker
+      // row, the query survives, and later files still process
+      java.nio.file.Files.write(tmp.resolve("sdb.badcoll.0001.json.gz.enc"),
+        Array.tabulate[Byte](64)(_.toByte))
+      java.nio.file.Files.write(tmp.resolve("sdb.badcoll.0001.json.encryption.json"),
+        (s"""{"keyEncryptionKeyId": "k", "plaintextDatakey": "${graft.ingest.Fixtures.fileKeyB64}", """ +
+          s""""encryptedEncryptionKey": "e", "initialisationVector": "${java.util.Base64.getEncoder.encodeToString(new Array[Byte](16))}"}""").getBytes("UTF-8"))
+      graft.ingest.Fixtures.writeDumpFile(tmp, "sdb", "scoll-3", 1)
+      query.processAllAvailable()
+      val out2 = spark.table("ingest_out")
+      assert(out2.filter(out2("status") === "skipped_unreadable_file").count() == 1)
+      assert(out2.filter(out2("status") === "ok").count() == 54) // scoll-3 decoded fully
     } finally query.stop()
   }
 
