@@ -72,6 +72,25 @@ object Advanced {
           approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(5000)).as("approx_median_value"),
           percentile_approx(col("value"), lit(0.99), lit(5000)).as("approx_p99_value"))
+    },
+
+    // As-of (backward) join: for every click, the user's most recent
+    // purchase at-or-before it — the point-in-time attribution lookup.
+    // graft.operators.AsOfJoin: single shuffle + per-key sort, no join
+    // node, no range explosion; hash-verified against DuckDB's native
+    // ASOF LEFT JOIN.
+    "q32_asof_join" -> { (s, d) =>
+      val e = graft.streaming.Sessions.typedEvents(Tables.events(s, d)).toDF()
+        .withColumn("value_x100", round(col("value") * 100).cast("long"))
+      val probes = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ms"), col("value_x100").as("click_value_x100"))
+      val state = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_ms"))
+        .agg(max(col("value_x100")).as("purchase_value_x100"))
+        .withColumnRenamed("ts_ms", "p_ts_ms")
+      graft.operators.AsOfJoin.asOf(
+        probes, state, key = "user_id", leftTs = "ts_ms", rightTs = "p_ts_ms",
+        payload = Seq("p_ts_ms", "purchase_value_x100"))
     }
   )
 
@@ -103,6 +122,20 @@ object Advanced {
     "q28_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
                 sum(round(value * 100)::BIGINT)::BIGINT AS total_value_x100
-         FROM events GROUP BY event_type"""
+         FROM events GROUP BY event_type""",
+    "q32_asof_join" ->
+      """WITH e AS (
+            SELECT user_id::BIGINT user_id, epoch_ms(ts)::BIGINT ts_ms, event_type,
+                   round(value * 100)::BIGINT value_x100
+            FROM events),
+          probes AS (
+            SELECT user_id, ts_ms, value_x100 AS click_value_x100
+            FROM e WHERE event_type = 'click'),
+          state AS (
+            SELECT user_id, ts_ms AS p_ts_ms, max(value_x100) AS purchase_value_x100
+            FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_ms)
+          SELECT p.user_id, p.ts_ms, p.click_value_x100, s.p_ts_ms, s.purchase_value_x100
+          FROM probes p ASOF LEFT JOIN state s
+            ON p.user_id = s.user_id AND p.ts_ms >= s.p_ts_ms"""
   )
 }

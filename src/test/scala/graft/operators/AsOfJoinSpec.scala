@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import scala.util.Random
+
+/** AsOfJoin semantics vs a per-row reference computation, the `<=`
+  * tie rule, the outer-null path, and the no-join-node plan shape. */
+class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("asof-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("matches a per-row reference on seeded random data, incl. <= ties and no-match nulls") {
+    val sp = spark; import sp.implicits._
+    val rnd = new Random(42)
+    // left: 400 probes over 20 keys; right: 150 unique (key, ts) states.
+    val left = Seq.tabulate(400)(i => (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val rightRaw = Seq.tabulate(150)(i => (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val right = rightRaw.groupBy(r => (r._1, r._2)).map { case ((k, ts), rows) =>
+      (k, ts, rows.map(_._3).max)
+    }.toSeq
+
+    val ldf = left.toDF("k", "lts", "lid")
+    val rdf = right.toDF("k", "rts", "rid")
+
+    val got = AsOfJoin.asOf(ldf, rdf, key = "k", leftTs = "lts", rightTs = "rts",
+      payload = Seq("rts", "rid"))
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+
+    val byKey = right.groupBy(_._1)
+    val want = left.map { case (k, lts, lid) =>
+      val best = byKey.getOrElse(k, Seq.empty).filter(_._2 <= lts) // <= : equal ts matches
+        .sortBy(_._2).lastOption
+      (k, lts, lid, best.map(_._2), best.map(_._3))
+    }.toSet
+
+    assert(got == want)
+    // the data actually exercises both paths
+    assert(want.exists(_._4.isEmpty), "no no-match rows generated")
+    assert(want.exists(_._4.nonEmpty), "no matched rows generated")
+    // and the <= tie case occurs
+    assert(left.exists { case (k, lts, _) =>
+      byKey.getOrElse(k, Seq.empty).exists(_._2 == lts)
+    }, "no equal-timestamp tie generated")
+  }
+
+  test("plan has one shuffle + window, no join node") {
+    val sp = spark; import sp.implicits._
+    val ldf = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "lts", "lv")
+    val rdf = Seq((1L, 5L, "x"), (2L, 25L, "y")).toDF("k", "rts", "rv")
+    val df = AsOfJoin.asOf(ldf, rdf, "k", "lts", "rts", Seq("rv"))
+    df.collect() // AQE: final plan only after execution
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Join"), s)
+    assert(s.contains("Window"), s)
+  }
+}
