@@ -91,6 +91,94 @@ object Advanced {
       graft.operators.AsOfJoin.asOf(
         probes, state, key = "user_id", leftTs = "ts_ms", rightTs = "p_ts_ms",
         payload = Seq("p_ts_ms", "purchase_value_x100"))
+    },
+
+    // Pure interval join (NO equi-key): clicks by ANY user within ±1h
+    // of each purchase. graft.operators.RangeJoin buckets time so the
+    // pairing is an equi-join on bucket id (exactly-once pair meeting),
+    // never a BroadcastNestedLoopJoin. Zero-match purchases re-attached
+    // with a left join so the outer semantics match the oracle.
+    "q33_range_join" -> { (s, d) =>
+      val e = Tables.events(s, d).select(
+        col("event_id").cast("long").as("event_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          (col("ts_ms") - lit(3600000L)).as("lo"),
+          (col("ts_ms") + lit(3600000L)).as("hi"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("ts_ms").as("click_ts"))
+      val counts = graft.operators.RangeJoin
+        .rangeJoin(purchases, clicks, "lo", "hi", "click_ts", bucketWidth = 3600000L)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n"))
+      purchases.select(col("purchase_id"))
+        .join(counts, Seq("purchase_id"), "left")
+        .select(col("purchase_id"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_nearby_clicks"))
+    },
+
+    // Top-5 distinguishing terms per document. Classic TF-IDF shape
+    // (term-frequency × inverse document-frequency) with the score kept
+    // in INTEGER arithmetic — (tf · 10⁶) div df — so the cross-engine
+    // ranking is bit-deterministic (ln() need not match across C and
+    // Java runtimes; an integer monotone-in-tf / anti-monotone-in-df
+    // score hash-matches exactly). Shape: tokenize→explode→two partial-
+    // aggregable counts→shuffle join on term→per-doc top-k window over
+    // a high-cardinality partition key.
+    "q34_tfidf_topk" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(dfreq, Seq("term"))
+        .withColumn("score", expr("tf * 1000000 div df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+    },
+
+    // EXACT percentiles per group — the exact face of q29's sketches
+    // (quantile_approx is the 100 TB path; this is the bounded-group
+    // exact variant). Interpolation runs over integer hundredths, so
+    // every (1−g)·a + g·b lands on an exactly-representable double and
+    // hash-matches percentile_cont bit-for-bit.
+    "q35_percentiles" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("vx"))
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(vx, 0.25)").as("p25_x100"),
+          expr("percentile(vx, 0.5)").as("p50_x100"),
+          expr("percentile(vx, 0.75)").as("p75_x100"))
+    },
+
+    // CUBE grouping sets over (event_type, day): all four grouping
+    // combinations in ONE pass — partial-aggregable, one shuffle.
+    "q36_cube" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          round(col("value") * 100).cast("long").as("vx"))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("vx")).as("total_x100"))
+    },
+
+    // Pivot: per-day event-type counts as columns. Spark's pivot plans
+    // a single-pass conditional aggregation (no per-column scans) —
+    // identical to the oracle's FILTER clauses.
+    "q37_pivot" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
     }
   )
 
@@ -136,6 +224,47 @@ object Advanced {
             FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_ms)
           SELECT p.user_id, p.ts_ms, p.click_value_x100, s.p_ts_ms, s.purchase_value_x100
           FROM probes p ASOF LEFT JOIN state s
-            ON p.user_id = s.user_id AND p.ts_ms >= s.p_ts_ms"""
+            ON p.user_id = s.user_id AND p.ts_ms >= s.p_ts_ms""",
+    "q33_range_join" ->
+      """WITH e AS (
+            SELECT event_id::BIGINT event_id, epoch_ms(ts)::BIGINT ts_ms, event_type
+            FROM events),
+          p AS (SELECT event_id AS purchase_id, ts_ms FROM e WHERE event_type = 'purchase'),
+          c AS (SELECT ts_ms AS click_ts FROM e WHERE event_type = 'click')
+          SELECT p.purchase_id, count(c.click_ts)::BIGINT AS n_nearby_clicks
+          FROM p LEFT JOIN c
+            ON c.click_ts BETWEEN p.ts_ms - 3600000 AND p.ts_ms + 3600000
+          GROUP BY p.purchase_id""",
+    "q34_tfidf_topk" ->
+      """WITH toks AS (
+            SELECT doc_id::BIGINT doc_id, t.term
+            FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+            WHERE t.term <> ''),
+          tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM toks GROUP BY 1, 2),
+          df AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+          scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df, (tf.tf * 1000000) // df.df AS score
+            FROM tf JOIN df USING (term))
+          SELECT doc_id, term, tf, df, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) rk
+            FROM scored) WHERE rk <= 5""",
+    "q35_percentiles" ->
+      """SELECT event_type,
+                percentile_cont(0.25) WITHIN GROUP (ORDER BY round(value * 100)::BIGINT)::DOUBLE AS p25_x100,
+                percentile_cont(0.5)  WITHIN GROUP (ORDER BY round(value * 100)::BIGINT)::DOUBLE AS p50_x100,
+                percentile_cont(0.75) WITHIN GROUP (ORDER BY round(value * 100)::BIGINT)::DOUBLE AS p75_x100
+         FROM events GROUP BY event_type""",
+    "q36_cube" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+                sum(round(value * 100)::BIGINT)::BIGINT AS total_x100
+         FROM events GROUP BY CUBE (event_type, day)""",
+    "q37_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+                count(*) FILTER (event_type = 'click')::BIGINT AS click,
+                count(*) FILTER (event_type = 'view')::BIGINT AS view,
+                count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+                count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+                count(*) FILTER (event_type = 'error')::BIGINT AS error
+         FROM events GROUP BY 1"""
   )
 }

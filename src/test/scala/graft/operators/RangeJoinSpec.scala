@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import scala.util.Random
+
+/** RangeJoin vs a per-row reference: exactly-once pair meeting across
+  * bucket boundaries, inclusive bounds, and the no-nested-loop plan. */
+class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("rangejoin-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("matches a per-row reference, each qualifying pair exactly once") {
+    val sp = spark; import sp.implicits._
+    val rnd = new Random(7)
+    // intervals of varying span (0–3 buckets wide at width 100)
+    val left = Seq.tabulate(120) { i =>
+      val lo = rnd.nextInt(2000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(300).toLong)
+    }
+    val right = Seq.tabulate(400)(j => (j.toLong, rnd.nextInt(2300).toLong))
+
+    val got = RangeJoin.rangeJoin(
+        left.toDF("lid", "lo", "hi"), right.toDF("rid", "pt"),
+        "lo", "hi", "pt", bucketWidth = 100L)
+      .select("lid", "rid").as[(Long, Long)].collect()
+
+    val want = for {
+      (lid, lo, hi) <- left
+      (rid, pt) <- right
+      if pt >= lo && pt <= hi
+    } yield (lid, rid)
+
+    // multiset equality: duplicates would reveal double bucket-meeting
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(want.nonEmpty)
+  }
+
+  test("inclusive bounds: points exactly at lo/hi and at bucket edges match once") {
+    val sp = spark; import sp.implicits._
+    val left = Seq((1L, 100L, 200L)).toDF("lid", "lo", "hi")
+    // pt=100 (lo, bucket edge), 199, 200 (hi, next bucket edge), 99 and 201 (out)
+    val right = Seq((1L, 100L), (2L, 199L), (3L, 200L), (4L, 99L), (5L, 201L))
+      .toDF("rid", "pt")
+    val got = RangeJoin.rangeJoin(left, right, "lo", "hi", "pt", 100L)
+      .select("rid").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("plan is an equi-join on the bucket id, not a nested loop") {
+    val sp = spark; import sp.implicits._
+    val left = Seq.tabulate(50)(i => (i.toLong, i * 10L, i * 10L + 25L)).toDF("lid", "lo", "hi")
+    val right = Seq.tabulate(50)(j => (j.toLong, j * 11L)).toDF("rid", "pt")
+    val df = RangeJoin.rangeJoin(left, right, "lo", "hi", "pt", 100L)
+    df.collect() // AQE final plan
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+}

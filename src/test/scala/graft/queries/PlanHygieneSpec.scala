@@ -103,6 +103,38 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q17 explodes a HOF-built array (CodegenFallback inside Generate):\n$gen")
   }
 
+  test("q32: as-of join plans as window-over-union — no join node, one exchange tree") {
+    val df = SparkEntry.queries("q32_asof_join")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Join"), s"q32 should have no join node (range explosion risk):\n$s")
+    assert(s.contains("Window"), s)
+  }
+
+  test("q33: the interval join is an equi-join on bucket id, never a nested loop") {
+    val df = SparkEntry.queries("q33_range_join")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"q33 fell back to a nested loop (O(|L|·|R|) at scale):\n$s")
+  }
+
+  test("q35/q36: aggregates are partial (map-side combine) before the shuffle") {
+    Seq("q35_percentiles", "q36_cube").foreach { q =>
+      val s = plan(q).toString
+      assert(s.contains("partial"), s"$q has no partial aggregate:\n$s")
+    }
+  }
+
+  test("q34: per-doc top-k window partitions on the high-cardinality doc_id") {
+    val df = SparkEntry.queries("q34_tfidf_topk")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val windowLines = s.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(windowLines.contains("doc_id"),
+      s"q34 window not partitioned by doc_id:\n$windowLines")
+  }
+
   test("entry smoke plan has no Python/UDF eval nodes (everything codegen-able)") {
     Seq("q01_pricing_summary", "q04_join_shuffle", "q14_dedup_exact", "q21_lang_id").foreach { q =>
       val s = plan(q).toString
