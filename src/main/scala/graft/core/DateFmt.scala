@@ -26,23 +26,34 @@ object DateFmt {
   val EpochMillis: Long = 315532800000L
 
   private val utc = TimeZone.getTimeZone("UTC")
-  private def fmt(pattern: String): SimpleDateFormat = {
-    val df = new SimpleDateFormat(pattern)
-    df.setTimeZone(utc)
-    df
-  }
+
+  // SimpleDateFormat is mutable (shared Calendar) so a single instance
+  // cannot be called concurrently — but it IS reusable within a thread.
+  // This sits on the hottest paths in the engine (q26's codegen loop and
+  // the per-record ingest chain: up to 4 date fields + version parse per
+  // record), where a per-call `new SimpleDateFormat` costs pattern
+  // compilation + Calendar construction ~10×/record at scale. Cache one
+  // formatter pair per executor thread instead.
+  private def threadLocalFmt(pattern: String): ThreadLocal[SimpleDateFormat] =
+    ThreadLocal.withInitial { () =>
+      val df = new SimpleDateFormat(pattern)
+      df.setTimeZone(utc)
+      df
+    }
+  private val incomingFmt = threadLocalFmt(IncomingFormat)
+  private val outgoingFmt = threadLocalFmt(OutgoingFormat)
 
   /** Parse with the two accepted formats; throws on no match. */
   def parseValid(s: String): Date = {
-    try return fmt(IncomingFormat).parse(s)
+    try return incomingFmt.get().parse(s)
     catch { case _: Exception => () }
-    try return fmt(OutgoingFormat).parse(s)
+    try return outgoingFmt.get().parse(s)
     catch { case _: Exception => () }
     throw new ParseException(s"Unparseable date: '$s'", 0)
   }
 
   /** Normalize any accepted input to `...SSS+0000` UTC. */
-  def kafkaFormat(input: String): String = fmt(OutgoingFormat).format(parseValid(input))
+  def kafkaFormat(input: String): String = outgoingFmt.get().format(parseValid(input))
 
   /** Epoch millis of an accepted timestamp string. */
   def timestampAsLong(s: String): Long = parseValid(s).getTime

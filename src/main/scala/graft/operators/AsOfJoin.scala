@@ -24,8 +24,17 @@ import org.apache.spark.sql.functions._
   * streams each key group, so memory is O(1) per key beyond the sort
   * spill, which Spark's UnsafeExternalSorter handles out-of-core. At
   * 100 TB the plan is: shuffle once on a (usually high-cardinality) key,
-  * sort within partitions, single pass — AQE handles skewed keys by
-  * splitting oversized partitions for the sort stage.
+  * sort within partitions, single pass.
+  *
+  * Skew: AQE's skew handling splits oversized partitions for JOINS, not
+  * for Window stages — a single hot key here lands in one task, whole
+  * (the sort spills out-of-core, so it completes, but serially). The
+  * join-based alternatives have the same hot-key serialization AND
+  * replicate data, so this shape is still the right one; for known-hot
+  * keys the real mitigations are (a) pre-aggregate the right side to one
+  * row per (key, coarse-time) before joining, or (b) a two-level as-of:
+  * first within (key, time-bucket), then a small per-key fix-up join for
+  * left rows whose bucket had no earlier right row.
   *
   * The right side must be unique per (key, rightTs) — pre-aggregate
   * duplicates first, otherwise which of the tied rows wins is
@@ -33,6 +42,11 @@ import org.apache.spark.sql.functions._
   * operator's results are hash-verified against in q32).
   */
 object AsOfJoin {
+
+  /** Backtick-quoted column ref: treats the whole name as one literal
+    * identifier, so names containing dots (or backticks) resolve. */
+  private def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
 
   /** Left-outer as-of join.
     *
@@ -48,16 +62,21 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val payloadType = right.select(struct(payload.map(col): _*)).schema.head.dataType
-    val rowType = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
+    // The operator reserves the "__"-prefixed scratch names below; an
+    // input column with that prefix would be silently shadowed.
+    val reserved = (leftCols ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"asOf reserves column names starting with '__'; rename: ${reserved.mkString(", ")}")
+    val payloadType = right.select(struct(payload.map(qcol): _*)).schema.head.dataType
+    val rowType = left.select(struct(leftCols.map(qcol): _*)).schema.head.dataType
 
     val probe = left.select(
-      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
+      qcol(key).as("__k"), qcol(leftTs).as("__ts"), lit(1).as("__side"),
       lit(null).cast(payloadType).as("__p"),
-      struct(leftCols.map(col): _*).as("__row"))
+      struct(leftCols.map(qcol): _*).as("__row"))
     val build = right.select(
-      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
-      struct(payload.map(col): _*).as("__p"),
+      qcol(key).as("__k"), qcol(rightTs).as("__ts"), lit(0).as("__side"),
+      struct(payload.map(qcol): _*).as("__p"),
       lit(null).cast(rowType).as("__row"))
 
     val w = Window.partitionBy(col("__k"))
@@ -68,9 +87,11 @@ object AsOfJoin {
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
+    // getField treats the name as a literal field, so left/payload column
+    // names containing dots resolve correctly (a string path would not).
     val out: Seq[Column] =
-      leftCols.map(c => col(s"__row.$c").as(c)) ++
-        payload.map(p => col(s"__m.$p").as(p))
+      leftCols.map(c => col("__row").getField(c).as(c)) ++
+        payload.map(p => col("__m").getField(p).as(p))
     matched.select(out: _*)
   }
 }

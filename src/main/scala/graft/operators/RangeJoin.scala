@@ -29,25 +29,47 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Backtick-quote an identifier for safe splicing into SQL text:
+    * names with dots, spaces, or reserved keywords parse as one literal
+    * identifier. */
+  private def q(name: String): String = "`" + name.replace("`", "``") + "`"
+
   /** Inner range join.
     *
-    * @param left        interval side; all columns preserved
-    * @param right       point side; all columns preserved (names must
-    *                    not collide with left's)
-    * @param leftLo      left column: interval lower bound (inclusive)
-    * @param leftHi      left column: interval upper bound (inclusive)
-    * @param rightPoint  right column: the point tested for containment
-    * @param bucketWidth bucket quantum, same unit as the bound columns
+    * @param left           interval side; all columns preserved
+    * @param right          point side; all columns preserved (names must
+    *                       not collide with left's)
+    * @param leftLo         left column: interval lower bound (inclusive)
+    * @param leftHi         left column: interval upper bound (inclusive)
+    * @param rightPoint     right column: the point tested for containment
+    * @param bucketWidth    bucket quantum, same unit as the bound columns
+    * @param maxReplication fail fast if any single interval would fan out
+    *                       across more than this many buckets — one
+    *                       pathological row (corrupt bound, or a
+    *                       bucketWidth orders of magnitude under the
+    *                       typical span) would otherwise materialize a
+    *                       huge per-row array and OOM an executor; a loud
+    *                       error at the first bad row beats that.
     */
   def rangeJoin(left: DataFrame, right: DataFrame,
                 leftLo: String, leftHi: String, rightPoint: String,
-                bucketWidth: Long): DataFrame = {
+                bucketWidth: Long, maxReplication: Long = 10000L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    val l = left.withColumn("__bucket",
-      explode(sequence(expr(s"$leftLo div $bucketWidth"), expr(s"$leftHi div $bucketWidth"))))
-    val r = right.withColumn("__bucket", expr(s"$rightPoint div $bucketWidth"))
+    require(maxReplication > 0, s"maxReplication must be positive: $maxReplication")
+    val loBucket = expr(s"${q(leftLo)} div $bucketWidth")
+    val hiBucket = expr(s"${q(leftHi)} div $bucketWidth")
+    // when/otherwise keeps the guard inside the sequence's upper-bound
+    // expression, so column pruning can never drop it.
+    val guardedHi = when(hiBucket - loBucket < maxReplication, hiBucket)
+      .otherwise(raise_error(concat(
+        lit(s"rangeJoin: interval [${q(leftLo)}, ${q(leftHi)}] spans more than " +
+          s"$maxReplication buckets of width $bucketWidth (lo="),
+        col(q(leftLo)), lit(", hi="), col(q(leftHi)),
+        lit("); widen bucketWidth or fix the data"))))
+    val l = left.withColumn("__bucket", explode(sequence(loBucket, guardedHi)))
+    val r = right.withColumn("__bucket", expr(s"${q(rightPoint)} div $bucketWidth"))
     l.join(r, Seq("__bucket"))
-      .where(col(rightPoint).between(col(leftLo), col(leftHi)))
+      .where(col(q(rightPoint)).between(col(q(leftLo)), col(q(leftHi))))
       .drop("__bucket")
   }
 }

@@ -35,16 +35,18 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ldf = left.toDF("k", "lts", "lid")
     val rdf = right.toDF("k", "rts", "rid")
 
+    // multiset equality (sorted seqs, not sets): a bug that duplicated or
+    // collapsed value-identical left rows must not go undetected.
     val got = AsOfJoin.asOf(ldf, rdf, key = "k", leftTs = "lts", rightTs = "rts",
       payload = Seq("rts", "rid"))
-      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq.sorted
 
     val byKey = right.groupBy(_._1)
     val want = left.map { case (k, lts, lid) =>
       val best = byKey.getOrElse(k, Seq.empty).filter(_._2 <= lts) // <= : equal ts matches
         .sortBy(_._2).lastOption
       (k, lts, lid, best.map(_._2), best.map(_._3))
-    }.toSet
+    }.sorted
 
     assert(got == want)
     // the data actually exercises both paths
@@ -54,6 +56,23 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(left.exists { case (k, lts, _) =>
       byKey.getOrElse(k, Seq.empty).exists(_._2 == lts)
     }, "no equal-timestamp tie generated")
+  }
+
+  test("rejects inputs with reserved __-prefixed columns; handles dot-named columns") {
+    val sp = spark; import sp.implicits._
+    val bad = Seq((1L, 10L, "a")).toDF("k", "lts", "__side")
+    val rdf = Seq((1L, 5L, "x")).toDF("k", "rts", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(bad, rdf, "k", "lts", "rts", Seq("rv"))
+    }
+    assert(e.getMessage.contains("__side"))
+
+    // dots in column names must resolve as literal names, not struct paths
+    val ldot = Seq((1L, 10L, "a"), (1L, 3L, "b")).toDF("k", "l.ts", "l.v")
+    val rdot = Seq((1L, 5L, "x")).toDF("k", "r.ts", "r.v")
+    val out = AsOfJoin.asOf(ldot, rdot, "k", "l.ts", "r.ts", Seq("r.v"))
+      .as[(Long, Long, String, Option[String])].collect().toSeq.sorted
+    assert(out == Seq((1L, 3L, "b", None), (1L, 10L, "a", Some("x"))))
   }
 
   test("plan has one shuffle + window, no join node") {

@@ -59,6 +59,27 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("maxReplication guard fails loudly on a pathological interval") {
+    val sp = spark; import sp.implicits._
+    val left = Seq((1L, 0L, 10_000_000L)).toDF("lid", "lo", "hi") // 1M buckets at width 10
+    val right = Seq((1L, 50L)).toDF("rid", "pt")
+    val e = intercept[Exception] {
+      RangeJoin.rangeJoin(left, right, "lo", "hi", "pt", 10L, maxReplication = 1000L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("rangeJoin")), e.toString)
+  }
+
+  test("dot/space column names resolve as literal identifiers") {
+    val sp = spark; import sp.implicits._
+    val left = Seq((1L, 100L, 200L)).toDF("l id", "lo.x", "hi.x")
+    val right = Seq((9L, 150L), (8L, 999L)).toDF("rid", "p t")
+    val got = RangeJoin.rangeJoin(left, right, "lo.x", "hi.x", "p t", 100L)
+      .select("rid").as[Long].collect().toSeq
+    assert(got == Seq(9L))
+  }
+
   test("plan is an equi-join on the bucket id, not a nested loop") {
     val sp = spark; import sp.implicits._
     val left = Seq.tabulate(50)(i => (i.toLong, i * 10L, i * 10L + 25L)).toDF("lid", "lo", "hi")
