@@ -27,38 +27,73 @@ import org.apache.spark.sql.functions._
   */
 object IngestVerify {
 
+  /** The shared q30/q39 fixture set: three deterministic dump files
+    * covering every record-shape edge case. */
+  private def writeFixtures(): java.nio.file.Path = {
+    val dir = Files.createTempDirectory("graft-ingest-fixture")
+    FixtureDumps.writeDumpFile(dir, "database-1", "collection-1", 1)
+    FixtureDumps.writeDumpFile(dir, "database-1", "collection-thirtyone", 1)
+    FixtureDumps.writeDumpFile(dir, "agent_core", "agentToDoArchive", 1)
+    dir
+  }
+
+  private val identity = Envelope.RunIdentity("uow", "trace", "test", () => new java.util.Date(0L))
+  private def timeFilter = RecordProcessor.TimeFilter(
+    earlierThan = DateFmt.timestampAsLong("2010-01-01T00:00:00.000Z"),
+    laterThan = DateFmt.timestampAsLong("2019-12-31T23:59:59.999Z"))
+
+  /** The pure-function-of-the-fixture-bytes projection both gates hash. */
+  private def goldenProjection(rows: DataFrame): DataFrame =
+    rows.select(
+      col("manifestFileName").as("manifest_file"),
+      col("lineNo").as("line_no"),
+      col("status"),
+      col("tableName").as("table_name"),
+      hex(col("rowkey")).as("rowkey_hex"),
+      col("version"),
+      col("innerType").as("inner_type"),
+      col("manifestLine").as("manifest_line"),
+      md5(col("envelope")).as("envelope_md5"),
+      col("filterStatus").as("filter_status"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_ingest" -> { (s, _) =>
-      val dir = Files.createTempDirectory("graft-q30")
-      FixtureDumps.writeDumpFile(dir, "database-1", "collection-1", 1)
-      FixtureDumps.writeDumpFile(dir, "database-1", "collection-thirtyone", 1)
-      FixtureDumps.writeDumpFile(dir, "agent_core", "agentToDoArchive", 1)
-      val identity = Envelope.RunIdentity("uow", "trace", "test", () => new java.util.Date(0L))
-      val timeFilter = RecordProcessor.TimeFilter(
-        earlierThan = DateFmt.timestampAsLong("2010-01-01T00:00:00.000Z"),
-        laterThan = DateFmt.timestampAsLong("2019-12-31T23:59:59.999Z"))
+      val dir = writeFixtures()
       val tasks = IngestPipeline.planTasks(s, Seq(dir.toString))
-      IngestPipeline.ingest(s, tasks, StubKeyService(), identity, timeFilter,
-          IngestPipeline.IvStrategy.Deterministic("q30"))
-        .toDF()
-        .select(
-          col("manifestFileName").as("manifest_file"),
-          col("lineNo").as("line_no"),
-          col("status"),
-          col("tableName").as("table_name"),
-          hex(col("rowkey")).as("rowkey_hex"),
-          col("version"),
-          col("innerType").as("inner_type"),
-          col("manifestLine").as("manifest_line"),
-          md5(col("envelope")).as("envelope_md5"),
-          col("filterStatus").as("filter_status"))
+      goldenProjection(IngestPipeline.ingest(s, tasks, StubKeyService(), identity, timeFilter,
+        IngestPipeline.IvStrategy.Deterministic("q30")).toDF())
+    },
+    // q39 — stream ≡ batch, proven in the driver's gate: the SAME fixture
+    // dumps flow through Structured Streaming's binaryFile source
+    // (multi-micro-batch: maxFilesPerTrigger=2 over 3 files, AvailableNow
+    // trigger) with the same deterministic IV salt and time filter, and
+    // must land byte-identical rows against the SAME q30 golden parquet.
+    "q39_stream_ingest" -> { (s, _) =>
+      val dir = writeFixtures()
+      val ck = Files.createTempDirectory("graft-q39-ck")
+      val sinkName = "q39_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val rows = graft.streaming.StreamingIngest.records(
+        s, dir.toString, StubKeyService(), identity,
+        maxFilesPerTrigger = 2,
+        ivStrategy = IngestPipeline.IvStrategy.Deterministic("q30"),
+        timeFilter = timeFilter)
+      val q = rows.toDF().writeStream
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      goldenProjection(s.table(sinkName))
     }
   )
 
+  private val goldenSql =
+    """SELECT manifest_file, line_no, status, table_name, rowkey_hex, version,
+              inner_type, manifest_line, envelope_md5, filter_status
+       FROM read_parquet('/root/repo/testdata/q30_golden/*.parquet')"""
+
   val oracle: Map[String, String] = Map(
-    "q30_ingest" ->
-      """SELECT manifest_file, line_no, status, table_name, rowkey_hex, version,
-                inner_type, manifest_line, envelope_md5, filter_status
-         FROM read_parquet('/root/repo/testdata/q30_golden/*.parquet')"""
+    "q30_ingest" -> goldenSql,
+    "q39_stream_ingest" -> goldenSql
   )
 }

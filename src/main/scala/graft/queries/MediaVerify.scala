@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.multimodal.Media
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q38 — the multimodal path's row in the driver's correctness gate.
+  *
+  * Treats each `documents` row as a media object: payload = the UTF-8
+  * bytes of `text`, media type assigned round-robin by id (image /
+  * audio / video), metadata hints fixed. The FULL binary-column
+  * pipeline then runs for real — typed `Dataset[MediaRow]`, repartition
+  * by id, per-partition decode through the [[Media.Decoder]] boundary —
+  * and emits one integer-exact feature row per document.
+  *
+  * Oracle split (DuckDB has no crc32): `n_bytes`, `media_type`,
+  * `width/height`, and `n_frames_sampled` are recomputed ANALYTICALLY
+  * by DuckDB from the same `documents` parquet (strlen over UTF-8 bytes,
+  * the round-robin type rule, the every-4KB frame rule) — fully
+  * independent. `checksum` (CRC32 of the payload) and `feature_fp` (an
+  * integer fold of the 8-band rolling-hash feature vector) join in from
+  * a golden parquet frozen in-repo (testdata/q38_golden/), whose
+  * semantics are pinned independently by MediaSpec's hand-computed
+  * CRC32/rolling-hash expectations. Any drift in the byte path —
+  * encoding, truncation, partition-dependent decode order, float
+  * quantization — breaks the hash match.
+  */
+object MediaVerify {
+
+  /** Deterministic round-robin media type; doc ids are non-negative. */
+  private def mediaTypeOf(id: Long): String =
+    Seq("image", "audio", "video")((id % 3).toInt)
+
+  /** The shared Spark side: documents → MediaRow → StubDecoder features.
+    * Also used by GoldenGen to freeze checksum/feature_fp. */
+  def features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+    val media = docs.map { case (id, text) =>
+      Media.MediaRow(id, Media.MediaMeta(mediaTypeOf(id), 640, 480, 16000),
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    Media.extractFeatures(media, new Media.StubDecoder(8), partitions = 32)
+      .toDF()
+      .select(
+        col("media_id"),
+        col("mediaType").as("media_type"),
+        col("n_bytes"),
+        col("checksum"),
+        col("width"),
+        col("height"),
+        col("n_frames_sampled"),
+        // feature floats are exact thousandths by construction
+        // (StubDecoder: (h % 1000) / 1000f), so ×1000+round recovers the
+        // integers exactly; an order-sensitive polynomial fold mod a
+        // 1e9-scale prime fingerprints the vector without overflowing
+        // Long under ANSI arithmetic (acc stays < 2^30, ×1009 < 2^40).
+        expr("aggregate(feature, 0L, (acc, x) -> pmod(acc * 1009 + cast(round(cast(x as double) * 1000) as bigint), 1000000007L))")
+          .as("feature_fp"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_multimodal" -> ((s, dir) => features(s, dir))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q38_multimodal" ->
+      """WITH src AS (
+           SELECT doc_id AS media_id,
+                  CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                  END AS media_type,
+                  strlen(text) AS n_bytes
+           FROM documents
+         )
+         SELECT s.media_id, s.media_type, s.n_bytes, g.checksum,
+                CAST(640 AS INTEGER) AS width, CAST(480 AS INTEGER) AS height,
+                CAST(CASE WHEN s.media_type = 'video'
+                          THEN GREATEST(1, s.n_bytes // 4096) ELSE 1 END AS INTEGER)
+                  AS n_frames_sampled,
+                g.feature_fp
+         FROM src s
+         JOIN read_parquet('/root/repo/testdata/q38_golden/*.parquet') g USING (media_id)"""
+  )
+}

@@ -31,7 +31,9 @@ object StreamingIngest {
               inputDir: String,
               keys: KeyService,
               identity: Envelope.RunIdentity,
-              maxFilesPerTrigger: Int = 16): Dataset[IngestPipeline.IngestedRow] = {
+              maxFilesPerTrigger: Int = 16,
+              ivStrategy: IngestPipeline.IvStrategy = IngestPipeline.IvStrategy.Random,
+              timeFilter: RecordProcessor.TimeFilter = RecordProcessor.TimeFilter()): Dataset[IngestPipeline.IngestedRow] = {
     import spark.implicits._
     // ship the session's Hadoop configuration to the decode tasks so the
     // sidecar read resolves the same filesystems (s3a credentials,
@@ -77,11 +79,11 @@ object StreamingIngest {
               lineNo += 1
               val ln = lineNo
               out += (RecordProcessor.processLine(line, ctx, identity,
-                () => IngestPipeline.IvStrategy.Random.ivFor(path, ln)) match {
+                () => ivStrategy.ivFor(path, ln)) match {
                 case Right(pr) =>
                   IngestPipeline.IngestedRow(path, ln, pr.database, pr.collection, pr.tableName,
                     manifestName, IngestPipeline.Status.Ok, pr.rowkey, pr.version, pr.envelope,
-                    pr.innerType, pr.manifestLine, "DoNotFilter", "")
+                    pr.innerType, pr.manifestLine, timeFilter.status(pr.version).toString, "")
                 case Left(RecordProcessor.SkipReason.MissingId(_)) =>
                   IngestPipeline.IngestedRow(path, ln, db, coll, "", manifestName,
                     IngestPipeline.Status.MissingId, Array.emptyByteArray, 0L, "", "", "", "", "")

@@ -47,6 +47,39 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cols.contains("payload"))
   }
 
+  test("StubDecoder checksum/feature match an independent hand computation") {
+    // Straight-line re-derivation of the decode contract, written
+    // independently of StubDecoder's loop structure: CRC32 over the
+    // payload, and per-band strided rolling hash h = 31h + byte starting
+    // at h0 = 1125899906842597 + band, quantized to thousandths. This is
+    // what anchors the q38 golden parquet: the golden is produced by the
+    // pipeline, but the pipeline's semantics are pinned here.
+    val payload = "The quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val row = MediaRow(7L, MediaMeta("image", 640, 480, 16000), payload)
+    val got = new StubDecoder(8).decode(row)
+
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    assert(got.checksum == crc.getValue)
+    assert(got.n_bytes == payload.length.toLong)
+    val wantFeature = (0 until 8).map { band =>
+      val h = Iterator.range(band, payload.length, 8)
+        .foldLeft(1125899906842597L + band)((acc, j) => 31 * acc + payload(j))
+      (h % 1000).toFloat / 1000f
+    }
+    assert(got.feature.toSeq == wantFeature)
+
+    // and the q38 fingerprint fold recovers those thousandths exactly
+    val wantFp = wantFeature.foldLeft(0L) { (acc, x) =>
+      val v = math.round(x.toDouble * 1000)
+      java.lang.Math.floorMod(acc * 1009 + v, 1000000007L)
+    }
+    val sp = spark; import sp.implicits._
+    val fp = Seq(got).toDS().toDF()
+      .selectExpr("aggregate(feature, 0L, (acc, x) -> pmod(acc * 1009 + cast(round(cast(x as double) * 1000) as bigint), 1000000007L)) as fp")
+      .as[Long].head()
+    assert(fp == wantFp)
+  }
+
   test("frame sampling emits every k-th block for video rows only") {
     val media = syntheticMedia(spark, 30)
     val frames = sampleFrames(media, everyK = 2).collect()
