@@ -1,0 +1,137 @@
+package graft.ingest
+
+import graft.ingest.PushTableSink.{CellPut, Store, TableSpec}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Durable file-backed [[PushTableSink.Store]] — the push-path stand-in
+  * for a live HBase cluster in an offline sandbox. One cell = one file:
+  *
+  *   <root>/<table>/<shard>/<sha256(rowkey)>.<version>
+  *
+  * named by the rowkey's SHA-256 (rowkeys embed the full record id and
+  * are unbounded — far past the 255-byte filename limit — so the true
+  * key is stored INSIDE the cell file, length-prefixed before the
+  * body). `shard` is the first two digest hex chars, keeping directory
+  * fan-out bounded and uniform — the same property HBase region splits
+  * rely on. `ensureTable` records the full DDL at `<table>/_spec.json`
+  * idempotently (W3); `exists` is file existence, giving per-batch
+  * read-your-writes under task retry (F5); `putBatch` stages each cell
+  * to a temp file and atomically renames, so a killed task never leaves
+  * a torn cell and a replay converges to the same state (W2). The
+  * `maxVersions` DDL is honored by pruning the OLDEST versions of a key
+  * past the cap, matching HBase's per-family version GC.
+  *
+  * Local-FS by design: on a real cluster this class is replaced by an
+  * HBase/Bigtable client behind the same [[Store]] trait — the spec
+  * suite pins the contract, not the storage.
+  */
+final case class FileStore(rootDir: String) extends Store {
+
+  private def tableDir(tableName: String): Path =
+    // ':' (HBase namespace separator) is path-hostile on some filesystems
+    Paths.get(rootDir, tableName.replace(':', '~'))
+
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"$b%02x").mkString
+
+  private def keyDigest(rowkey: Array[Byte]): String =
+    hex(java.security.MessageDigest.getInstance("SHA-256").digest(rowkey))
+
+  private def cellPath(c: CellPut): Path = {
+    val d = keyDigest(c.rowkey)
+    tableDir(c.tableName).resolve(d.take(2)).resolve(s"$d.${c.version}")
+  }
+
+  override def ensureTable(tableName: String, spec: TableSpec): Unit = {
+    val dir = tableDir(tableName)
+    Files.createDirectories(dir)
+    val specPath = dir.resolve("_spec.json")
+    if (!Files.exists(specPath)) {
+      val json =
+        s"""{"dataFamily":"${spec.dataFamily}","dataQualifier":"${spec.dataQualifier}",""" +
+          s""""maxVersions":${spec.maxVersions},"minVersions":${spec.minVersions},""" +
+          s""""compression":"${spec.compression}","compactionCompression":"${spec.compactionCompression}",""" +
+          s""""regionReplication":${spec.regionReplication}}"""
+      val tmp = Files.createTempFile(dir, "_spec", ".tmp")
+      Files.write(tmp, json.getBytes("UTF-8"))
+      try Files.move(tmp, specPath, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+    }
+  }
+
+  /** The recorded DDL, or None if the table was never ensured. */
+  def readSpecJson(tableName: String): Option[String] = {
+    val p = tableDir(tableName).resolve("_spec.json")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8")) else None
+  }
+
+  override def exists(tableName: String, cells: Seq[CellPut]): Seq[Boolean] =
+    cells.map(c => Files.exists(cellPath(c)))
+
+  override def putBatch(tableName: String, cells: Seq[CellPut]): Unit = {
+    val spec = maxVersionsOf(tableName)
+    cells.foreach { c =>
+      val target = cellPath(c)
+      Files.createDirectories(target.getParent)
+      val tmp = Files.createTempFile(target.getParent, "put", ".tmp")
+      // cell file = [4-byte BE rowkey length][rowkey][body]: the filename
+      // carries only a digest, so the true key must live in the cell
+      val buf = java.nio.ByteBuffer.allocate(4 + c.rowkey.length + c.body.length)
+      buf.putInt(c.rowkey.length).put(c.rowkey).put(c.body)
+      Files.write(tmp, buf.array())
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      pruneVersions(target.getParent, keyDigest(c.rowkey), spec)
+    }
+  }
+
+  private def maxVersionsOf(tableName: String): Int =
+    readSpecJson(tableName).flatMap { json =>
+      """"maxVersions":(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+    }.getOrElse(Int.MaxValue)
+
+  private def pruneVersions(shardDir: Path, keyHex: String, maxVersions: Int): Unit = {
+    if (maxVersions == Int.MaxValue) return
+    val prefix = keyHex + "."
+    val versions = {
+      val s = Files.list(shardDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith(prefix) && !n.endsWith(".tmp") =>
+          n.drop(prefix.length).toLong }
+        .toSeq
+      finally s.close()
+    }
+    versions.sorted.dropRight(maxVersions).foreach { v =>
+      Files.deleteIfExists(shardDir.resolve(prefix + v))
+    }
+  }
+
+  /** All stored cells of a table as (rowkeyHex, version, body) — test /
+    * inspection surface, driver-sized use only. */
+  def scanTable(tableName: String): Seq[(String, Long, Array[Byte])] = {
+    val dir = tableDir(tableName)
+    if (!Files.exists(dir)) return Seq.empty
+    val out = Seq.newBuilder[(String, Long, Array[Byte])]
+    val shards = Files.list(dir)
+    try {
+      shards.iterator().forEachRemaining { shard =>
+        if (Files.isDirectory(shard)) {
+          val cells = Files.list(shard)
+          try cells.iterator().forEachRemaining { p =>
+            val n = p.getFileName.toString
+            val dot = n.lastIndexOf('.')
+            if (dot > 0 && !n.endsWith(".tmp")) {
+              val bytes = Files.readAllBytes(p)
+              val buf = java.nio.ByteBuffer.wrap(bytes)
+              val keyLen = buf.getInt()
+              val rowkey = new Array[Byte](keyLen); buf.get(rowkey)
+              val body = new Array[Byte](buf.remaining()); buf.get(body)
+              out += ((hex(rowkey), n.drop(dot + 1).toLong, body))
+            }
+          } finally cells.close()
+        }
+      }
+    } finally shards.close()
+    out.result()
+  }
+}

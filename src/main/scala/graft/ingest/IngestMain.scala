@@ -10,7 +10,11 @@ import org.apache.spark.sql.SparkSession
   * application.properties):
   *
   *   input.prefixes        comma-separated input dirs/URIs   (s3.prefix.folder + suffixes)
-  *   table.sink.dir        versioned-cell parquet sink       (HBase stand-in)
+  *   table.sink.dir        versioned-cell sink location      (HBase stand-in)
+  *   table.sink.impl       parquet (default) | filestore — filestore runs
+  *                         the real push path (PushTableSink: driver DDL,
+  *                         byte-capped batches, bounded retry, per-batch
+  *                         existence skip) against a durable FileStore
   *   manifest.dir          manifest output                   (s3.manifest.prefix.folder)
   *   run-mode              import | manifest | import_and_manifest (default)
   *   skip.existing.records true|false (default true)         (F5)
@@ -81,7 +85,11 @@ object IngestMain {
         timeFilter = timeFilter,
         runMode = runMode,
         skipExisting = conf.getOrElse("skip.existing.records", "true").toBoolean,
-        maxObjectBytes = conf.get("object.maximum.size").map(_.toLong).getOrElse(2200000000L))
+        maxObjectBytes = conf.get("object.maximum.size").map(_.toLong).getOrElse(2200000000L),
+        pushStore = conf.getOrElse("table.sink.impl", "parquet") match {
+          case "filestore" => Some(() => FileStore(tableSinkDir))
+          case _ => None
+        })
 
       // the reference's end-of-run counter log (HBaseWriter.kt:309-318)
       println(s"""{"files": ${result.filesProcessed}, "records": ${result.recordsProcessed}, """ +

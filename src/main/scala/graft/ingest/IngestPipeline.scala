@@ -350,14 +350,24 @@ object IngestPipeline {
           ivStrategy: IvStrategy = IvStrategy.Random,
           runMode: RunMode = RunMode.ImportAndManifest,
           skipExisting: Boolean = true,
-          maxObjectBytes: Long = 2200000000L): RunResult = {
+          maxObjectBytes: Long = 2200000000L,
+          pushStore: Option[() => PushTableSink.Store] = None): RunResult = {
     import spark.implicits._
     val tasks = planTasks(spark, inputPrefixes, maxObjectBytes)
     val rows = ingest(spark, tasks, keys, identity, timeFilter, ivStrategy).cache()
     try {
+      // Import face: either the parquet snapshot sink (test/CI stand-in)
+      // or, when a push store is configured, the W1/W2/W3/F5 push path —
+      // byte-capped batches, bounded retry, driver DDL, per-batch
+      // existence skip.
       val put =
-        if (runMode != RunMode.Manifest) writeTableSink(rows, tableSinkDir, skipExisting)
-        else 0L
+        if (runMode == RunMode.Manifest) 0L
+        else pushStore match {
+          case Some(factory) =>
+            PushTableSink.write(rows, factory,
+              PushTableSink.Config(skipExisting = skipExisting))
+          case None => writeTableSink(rows, tableSinkDir, skipExisting)
+        }
       if (runMode != RunMode.Import) writeManifests(rows, manifestDir)
       val byStatus: Map[(String, String), Long] =
         rows.groupByKey(r => (r.status, r.filterStatus)).count().collect().toMap

@@ -47,10 +47,13 @@ object PushTableSink {
                           putPolicy: Retry.Policy = Retry.Policy.put,
                           tableSpec: TableSpec = TableSpec())
 
-  /** Write every ok+unfiltered row. Returns nothing — counters live on
-    * the caller's accumulators; failures propagate and fail the task
-    * (Spark retries it; F5 makes the replay idempotent). */
-  def write(rows: Dataset[IngestedRow], storeFactory: () => Store, config: Config = Config()): Unit = {
+  /** Write every ok+unfiltered row. Returns the number of cells actually
+    * put (post existence-skip), counted on an accumulator; note a
+    * retried task re-counts its successful puts — the STORE state is
+    * exactly-once via F5, the counter is Spark's usual at-least-once
+    * accumulator semantics. Failures propagate and fail the task (Spark
+    * retries it; F5 makes the replay idempotent). */
+  def write(rows: Dataset[IngestedRow], storeFactory: () => Store, config: Config = Config()): Long = {
     val spark = rows.sparkSession
     // driver-side DDL over the distinct table names (W3): do it once,
     // not per task, exactly like the reference's primed cache
@@ -60,21 +63,25 @@ object PushTableSink {
     val driverStore = storeFactory()
     tables.foreach(driverStore.ensureTable(_, config.tableSpec))
 
+    val putCount = spark.sparkContext.longAccumulator("push_sink_puts")
     rows.filter(r => r.status == Status.Ok && r.filterStatus == "DoNotFilter")
       .foreachPartition { (it: Iterator[IngestedRow]) =>
         val store = storeFactory()
         val cells = it.map(r => CellPut(r.tableName, r.rowkey, r.version, r.envelope.getBytes("UTF-8")))
         groupedByBytes(cells, config.maxBatchBytes)(_.body.length.toLong).foreach { batch =>
           batch.groupBy(_.tableName).foreach { case (table, tableCells) =>
-            Retry.withRetry(config.putPolicy, s"putBatch $table") {
+            val put = Retry.withRetry(config.putPolicy, s"putBatch $table") {
               val fresh =
                 if (config.skipExisting)
                   tableCells.zip(store.exists(table, tableCells)).collect { case (c, false) => c }
                 else tableCells
               if (fresh.nonEmpty) store.putBatch(table, fresh)
+              fresh.size
             }
+            putCount.add(put.toLong)
           }
         }
       }
+    putCount.value
   }
 }
