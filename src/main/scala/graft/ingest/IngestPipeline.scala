@@ -260,9 +260,17 @@ object IngestPipeline {
     * manifest that still fails after max attempts is logged-and-dropped
     * (best effort, like the reference), never failing the import. */
   def writeManifests(rows: Dataset[IngestedRow], manifestDir: String): Unit = {
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      rows.sparkSession.sparkContext.hadoopConfiguration)
+    writeManifests(rows, ManifestStore.HadoopFs(manifestDir, hadoopConf))
+  }
+
+  /** W5 against any [[ManifestStore]] — spool-streamed render, zero-byte
+    * skip, 10-attempt upload retry with a structured give-up log, and
+    * the reference's S3 object metadata passed to every upload. */
+  def writeManifests(rows: Dataset[IngestedRow], store: ManifestStore): Unit = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     rows.filter(_.status == Status.Ok)
       .map(r => (r.manifestFileName, r.lineNo, r.manifestLine))
       .groupByKey(_._1)
@@ -276,10 +284,7 @@ object IngestPipeline {
         try {
           if (bytes > 0L) { // zero-byte manifests are skipped (W5)
             try Retry.withRetry(Retry.Policy.manifest, s"manifest $file") {
-              val out = new Path(manifestDir, file)
-              val fs = out.getFileSystem(hadoopConf.value)
-              val o = fs.create(out, true)
-              try java.nio.file.Files.copy(spool.toPath, o) finally o.close()
+              store.upload(file, spool, ManifestStore.metadataFor(file))
             } catch {
               case scala.util.control.NonFatal(e) =>
                 graft.core.JsonLog.error("StreamingManifestWriter",
