@@ -35,6 +35,44 @@ class DateFmtSpec extends AnyFunSuite {
     assertThrows[java.text.ParseException](DateFmt.parseValid(""))
   }
 
+  test("fast path ≡ SimpleDateFormat on random canonical inputs, both suffixes (seeded)") {
+    // independent slow-path reference, built fresh (not DateFmt's own)
+    def slow(s: String): (String, Long) = {
+      val in = new java.text.SimpleDateFormat(DateFmt.IncomingFormat)
+      val out = new java.text.SimpleDateFormat(DateFmt.OutgoingFormat)
+      in.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      out.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      val d = try in.parse(s) catch { case _: Exception => out.parse(s) }
+      (out.format(d), d.getTime)
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 1000).foreach { _ =>
+      val epoch = math.abs(rnd.nextLong()) % 4102444800000L
+      val z = {
+        val df = new java.text.SimpleDateFormat(DateFmt.IncomingFormat)
+        df.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+        df.format(new java.util.Date(epoch))
+      }
+      val plus = z.dropRight(1) + "+0000"
+      Seq(z, plus).foreach { s =>
+        val (wantFmt, wantMs) = slow(s)
+        assert(DateFmt.kafkaFormat(s) == wantFmt, s)
+        assert(DateFmt.timestampAsLong(s) == wantMs, s)
+      }
+    }
+  }
+
+  test("non-canonical inputs fall back to the lenient parser (rollover preserved)") {
+    // lenient SimpleDateFormat rolls month 13 into the next year — the
+    // fast path must NOT intercept these
+    assert(DateFmt.kafkaFormat("2018-13-01T00:00:00.000Z") == "2019-01-01T00:00:00.000+0000")
+    assert(DateFmt.kafkaFormat("2018-02-30T00:00:00.000Z") == "2018-03-02T00:00:00.000+0000")
+    assert(DateFmt.kafkaFormat("2018-12-01T24:00:00.000Z") == "2018-12-02T00:00:00.000+0000")
+    // non-UTC offsets go through real date math
+    assert(DateFmt.timestampAsLong("2018-12-01T15:01:02.000+0100") ==
+      DateFmt.timestampAsLong("2018-12-01T14:01:02.000Z"))
+  }
+
   test("property: format∘parse round-trips over random epochs (seeded)") {
     val rnd = new scala.util.Random(99)
     (1 to 500).foreach { _ =>
