@@ -101,11 +101,24 @@ object Relational {
       import s.implicits._
       val w = Window.partitionBy($"l_suppkey")
         .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      // rank filter FIRST, in its own Window: with row_number alone,
+      // InferWindowGroupLimit plants a map-side top-3-per-key
+      // (WindowGroupLimit Partial) BEFORE the shuffle, so the exchange
+      // moves ~3·|keys| rows instead of the whole table — the shape that
+      // matters at 100 TB. The running sum then runs over the survivors
+      // in a second Window (same partitioning+order → no extra
+      // exchange): a frame of unboundedPreceding..currentRow at rows
+      // 1..3 only ever reads rows 1..3, so values are identical to the
+      // fused formulation (which defeats the group-limit rewrite).
+      // (l_orderkey, l_linenumber) is a unique key, so the order — and
+      // therefore the prefix sums — is total and deterministic.
       Tables.lineitem(s, d)
+        .select($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber",
+          dec($"l_quantity").as("__qty"))
         .withColumn("rn", row_number().over(w))
-        .withColumn("running_qty",
-          sum(dec($"l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
         .filter($"rn" <= 3)
+        .withColumn("running_qty",
+          sum($"__qty").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
         .select($"l_suppkey", $"rn", $"l_orderkey", $"l_linenumber", $"running_qty")
     },
     // Distinct (shuffle dedup on low-cardinality keys).

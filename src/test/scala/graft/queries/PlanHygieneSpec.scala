@@ -64,6 +64,16 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aggs.size >= 2, s"expected partial+final HashAggregate pair:\n$aggs")
   }
 
+  test("q08: rank filter plants a map-side WindowGroupLimit before the shuffle") {
+    val df = SparkEntry.queries("q08_window")(spark, sf)
+    df.collect() // AQE: final plan only after execution
+    val s = df.queryExecution.executedPlan.toString
+    // Partial = per input partition BEFORE the exchange: the shuffle
+    // carries ~3·|keys| rows, not the table. Both modes must be present.
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"), s)
+    assert(s.contains("Final"), s)
+  }
+
   test("q14: md5 grouping runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q14_dedup_exact")(spark, sf)
     df.collect() // finalize the AQE plan — codegen spans appear post-execution
