@@ -26,16 +26,29 @@ import org.apache.spark.sql.functions._
 object AnnIvf {
 
   /** Assign each vector to its k-means cell.
-    * Input: (vec_id, embedding ARRAY<FLOAT>); output adds `cell`. */
-  def assignCells(vecs: DataFrame, nlist: Int, seed: Long = 11L): (DataFrame, Array[Vector]) = {
+    * Input: (vec_id, embedding ARRAY<FLOAT>); output adds `cell`.
+    *
+    * The quantizer FITS ON A SAMPLE (~`samplePerCell` points per
+    * centroid, the standard IVF training budget) and then assigns the
+    * full corpus in one narrow pass — at 100 TB the fit cost is
+    * constant in corpus size while assignment stays a single scan. The
+    * sample is seeded and the recall floor in DedupAnnSpec re-verifies
+    * cell quality, so sampling is not a silent accuracy leak. */
+  def assignCells(vecs: DataFrame, nlist: Int, seed: Long = 11L,
+                  samplePerCell: Int = 256): (DataFrame, Array[Vector]) = {
     val withVec = vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("features", array_to_vector(col("emb")))
+    val target = nlist.toLong * samplePerCell
+    val n = withVec.count()
+    val trainSet =
+      if (n <= target) withVec
+      else withVec.sample(withReplacement = false, target.toDouble / n, seed)
     // random init instead of kmeans||: the parallel init runs several
     // extra distributed passes whose scheduling overhead dominates the
     // fit at these corpus sizes; cell quality is guarded by the
     // planted-near-dup recall floor and sims-agree specs
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setInitMode("random").fit(withVec)
+      .setInitMode("random").fit(trainSet)
     (model.transform(withVec).select(col("vec_id"), col("emb"), col("prediction").as("cell")),
       model.clusterCenters)
   }
