@@ -95,7 +95,8 @@ object IngestMain {
       println(s"""{"files": ${result.filesProcessed}, "records": ${result.recordsProcessed}, """ +
         s""""put": ${result.put}, "skipped_missing_id": ${result.skippedMissingId}, """ +
         s""""skipped_malformed": ${result.skippedMalformed}, "too_early": ${result.tooEarly}, """ +
-        s""""too_late": ${result.tooLate}, "unreadable_files": ${result.unreadableFiles}}""")
+        s""""too_late": ${result.tooLate}, "unreadable_files": ${result.unreadableFiles}, """ +
+        s""""filtered_existing": ${result.filteredExisting}}""")
       graft.core.JsonLog.info("IngestMain", "Import complete",
         "files" -> result.filesProcessed.toString, "records" -> result.recordsProcessed.toString,
         "put" -> result.put.toString, "unreadable_files" -> result.unreadableFiles.toString)

@@ -338,7 +338,8 @@ object IngestPipeline {
   final case class RunResult(put: Long, filesProcessed: Long, recordsProcessed: Long,
                              skippedMissingId: Long, skippedMalformed: Long,
                              tooEarly: Long, tooLate: Long,
-                             unreadableFiles: Long = 0L)
+                             unreadableFiles: Long = 0L,
+                             filteredExisting: Long = 0L)
 
   /** Whole job: catalog → decode/transform → both sinks off one cached
     * Dataset (the reference computes the chain once and forks, we do the
@@ -378,6 +379,7 @@ object IngestPipeline {
         rows.groupByKey(r => (r.status, r.filterStatus)).count().collect().toMap
       def total(status: String): Long =
         byStatus.collect { case ((s, _), n) if s == status => n }.sum
+      val okUnfiltered = byStatus.getOrElse((Status.Ok, "DoNotFilter"), 0L)
       RunResult(put,
         filesProcessed = tasks.size.toLong,
         recordsProcessed = total(Status.Ok),
@@ -385,7 +387,15 @@ object IngestPipeline {
         skippedMalformed = total(Status.Malformed),
         tooEarly = byStatus.getOrElse((Status.Ok, "FilterTooEarly"), 0L),
         tooLate = byStatus.getOrElse((Status.Ok, "FilterTooLate"), 0L),
-        unreadableFiles = total(Status.UnreadableFile))
+        unreadableFiles = total(Status.UnreadableFile),
+        // F5 visibility: writable records minus records actually put =
+        // cells the existence skip filtered (the reference declares this
+        // counter but its filter never returns FilterExists — here the
+        // skip path is real, so the counter is too). Import-off and
+        // skipExisting=false runs report 0 by construction.
+        filteredExisting =
+          if (runMode == RunMode.Manifest || !skipExisting) 0L
+          else okUnfiltered - put)
     } finally rows.unpersist()
   }
 }

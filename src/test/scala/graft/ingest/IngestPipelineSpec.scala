@@ -102,6 +102,8 @@ class IngestPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // re-run: existence anti-join drops every cell (F5 idempotence)
     val r2 = runJob()
     assert(r2.put == 0)
+    assert(r2.filteredExisting == 3 * 16) // every writable cell already present
+    assert(r1.filteredExisting == 0)
     assert(spark.read.parquet(tmp.resolve("table-sink").toString).count() == 48)
   }
 
