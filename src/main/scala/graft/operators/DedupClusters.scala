@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair list — the step a
+  * training-data pipeline runs AFTER pair generation (MinHash bands,
+  * embedding near-dup, n-gram Jaccard): pairs only say "a ~ b"; keeping
+  * one canonical document per GROUP needs the transitive closure, else
+  * a~b, b~c dedups to two survivors instead of one.
+  *
+  * Algorithm: iterated min-label propagation (hash-to-min). Every node
+  * starts labeled with its own id; each round every node adopts the
+  * minimum label among itself and its neighbors; at fixpoint the label
+  * is the component's minimum node id — a deterministic, join-free-of-
+  * driver-state cluster id.
+  *
+  * Scale shape: each round is two equi-joins on node id (one-hop
+  * neighbor flow + a pointer jump through the label table, which
+  * doubles propagation distance per round, Kiveris-style) and one
+  * groupBy-min — all shuffles on high-cardinality uniform keys, the min
+  * partial-aggregable (combines map-side). Round count is O(log
+  * diameter); near-dup graphs are shallow by construction (pair
+  * generators emit near-cliques), so 2–4 rounds in practice. Labels are
+  * `localCheckpoint`ed each round so lineage stays flat, and the
+  * adjacency is checkpointed once so the (typically expensive) pair
+  * generator never re-executes. Non-convergence inside `maxIter` throws
+  * rather than returning a silently-partial clustering.
+  */
+object DedupClusters {
+
+  /** Cluster ids for every node that appears in `edges`.
+    *
+    * @param edges pair list; one row per undirected pair
+    * @param src   left node column (numeric or string id)
+    * @param dst   right node column, same type
+    * @return (node, cluster_id) — cluster_id = min node id reachable
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+                          maxIter: Int = 25): DataFrame = {
+    // symmetric adjacency: one row per directed edge. Materialized ONCE
+    // (localCheckpoint) — it is joined every round, and the upstream
+    // pair generator is typically an expensive similarity join that must
+    // not re-execute per iteration.
+    val adj = edges.select(col(src).as("n"), col(dst).as("m"))
+      .union(edges.select(col(dst).as("n"), col(src).as("m")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = adj.groupBy(col("n")).agg(min(col("m")).as("l"))
+      .select(col("n"), least(col("n"), col("l")).as("l"))
+      .localCheckpoint()
+
+    // Convergence test: labels are monotonically non-increasing per
+    // node, so fixpoint ⟺ the (exact, decimal — no long overflow at
+    // any id scale) label sum is unchanged. One narrow scan over the
+    // checkpointed round result — no compare-join.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0)
+
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIter) {
+      // neighbor labels flow one hop; keep own label in the running min
+      val viaNeighbor = adj.join(labels.withColumnRenamed("n", "m"), "m")
+        .select(col("n"), col("l"))
+      // pointer jump: adopt the label OF the current label, doubling the
+      // effective propagation distance per round — combined with the
+      // one-hop flow this converges in O(log diameter) rounds, so even
+      // long-chain graphs (not just near-clique dedup groups) stay cheap
+      val jumped = labels.toDF("n0", "l0")
+        .join(labels.withColumnRenamed("n", "l0").withColumnRenamed("l", "ll"), "l0")
+        .select(col("n0").as("n"), col("ll").as("l"))
+      // lazy checkpoint: the labelSum scan below is the materializing
+      // action, so each round runs ONE job, not checkpoint + sum
+      val next = labels.union(viaNeighbor).union(jumped)
+        .groupBy(col("n")).agg(min(col("l")).as("l"))
+        .localCheckpoint(false)
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    if (changed)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "graph diameter exceeds the near-dup assumption; use a larger maxIter " +
+          "or a large-star/small-star formulation")
+    labels.select(col("n").as("node"), col("l").as("cluster_id"))
+  }
+}

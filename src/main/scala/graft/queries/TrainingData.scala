@@ -216,6 +216,18 @@ object TrainingData {
         nMatches("[A-Za-z]+").as("n_letter_runs"),
         nMatches("[0-9]+").as("n_digit_runs"))
         .withColumn("n_marks", col("n_subwords") - col("n_letter_runs") - col("n_digit_runs"))
+    },
+
+    // Dedup clusters: transitive closure over the q24 near-dup pairs —
+    // pairs alone dedup a~b, b~c to TWO survivors; components give the
+    // one-canonical-per-group semantics a real pipeline needs. Spark
+    // side: iterated min-label propagation (operators/DedupClusters);
+    // oracle: DuckDB recursive CTE computing reachability min — two
+    // structurally unrelated component algorithms, hash-compared.
+    "q40_dedup_clusters" -> { (s, d) =>
+      val pairs = queries("q24_dedup_embedding")(s, d).select(col("vec_a"), col("vec_b"))
+      graft.operators.DedupClusters.connectedComponents(pairs, "vec_a", "vec_b")
+        .select(col("node").as("vec_id"), col("cluster_id"))
     }
   )
 
@@ -296,6 +308,19 @@ object TrainingData {
                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
                   - len(regexp_extract_all(text, '[A-Za-z]+'))
                   - len(regexp_extract_all(text, '[0-9]+')) AS n_marks
-         FROM documents"""
+         FROM documents""",
+    "q40_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.30
+          ),
+          edges AS (SELECT va AS n, vb AS m FROM pairs UNION SELECT vb, va FROM pairs),
+          reach(n, l) AS (
+            SELECT n, n FROM (SELECT DISTINCT n FROM edges)
+            UNION
+            SELECT e.n, r.l FROM edges e JOIN reach r ON r.n = e.m
+          )
+          SELECT n AS vec_id, min(l) AS cluster_id FROM reach GROUP BY n"""
   )
 }
