@@ -218,6 +218,57 @@ object TrainingData {
         .withColumn("n_marks", col("n_subwords") - col("n_letter_runs") - col("n_digit_runs"))
     },
 
+    // Deterministic train/val/test split: a pure-arithmetic hash both
+    // engines evaluate identically (two mod steps keep every
+    // intermediate < 2^52 — safe under ANSI arithmetic at ANY id scale,
+    // unlike a single 32-bit-knuth multiply which overflows long for
+    // large ids). Reproducible splits are table stakes for a training
+    // pipeline: re-running the job — or re-sharding the cluster — must
+    // not move a document across splits, so the split is a function of
+    // the id alone, never of partitioning, ordering, or RNG state.
+    "q41_split" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("bucket",
+          expr("((doc_id % 1000003) * 2654435761) % 1000000007 % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")))
+    },
+
+    // C4-style filter-chain composition — the end-to-end "clean corpus"
+    // query a pretraining pipeline actually runs: keep docs that pass
+    // the q21 language rule AND the q22 quality band AND survive q14
+    // exact dedup (group keeper = min doc_id per md5), then report
+    // per-split corpus stats over the q41 assignment. Every predicate is
+    // integer/string-exact, so the full chain hash-matches the oracle.
+    "q42_clean_corpus" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val lang = docs.select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        expr("size(filter(split(text, ' '), t -> t = 'the' OR t = 'a'))").as("n_markers"),
+        length(col("text")).as("len"))
+        .withColumn("mean_tok_len_x100", expr("((len - (n_tokens - 1)) * 100) div n_tokens"))
+      val keepers = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val clean = lang
+        .filter(col("n_markers") * 10 >= col("n_tokens"))
+        .filter(col("n_tokens") >= 10 && col("mean_tok_len_x100").between(200, 800))
+        .join(keepers, "doc_id") // semi-shaped: keeper ids are unique
+        .withColumn("bucket",
+          expr("((doc_id % 1000003) * 2654435761) % 1000000007 % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")))
+      clean.groupBy(col("split")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("len")).as("total_chars"))
+    },
+
     // Dedup clusters: transitive closure over the q24 near-dup pairs —
     // pairs alone dedup a~b, b~c to TWO survivors; components give the
     // one-canonical-per-group semantics a real pipeline needs. Spark
@@ -309,6 +360,37 @@ object TrainingData {
                   - len(regexp_extract_all(text, '[A-Za-z]+'))
                   - len(regexp_extract_all(text, '[0-9]+')) AS n_marks
          FROM documents""",
+    "q41_split" ->
+      """SELECT doc_id,
+                ((doc_id % 1000003) * 2654435761) % 1000000007 % 100 AS bucket,
+                CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+                     WHEN ((doc_id % 1000003) * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents""",
+    "q42_clean_corpus" ->
+      """WITH feat AS (
+           SELECT doc_id,
+                  len(string_split(text, ' ')) AS n_tokens,
+                  len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS n_markers,
+                  strlen(text) AS len
+           FROM documents
+         ),
+         feat2 AS (
+           SELECT *, ((len - (n_tokens - 1)) * 100) // n_tokens AS mean_tok_len_x100 FROM feat
+         ),
+         keepers AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         ),
+         clean AS (
+           SELECT f.doc_id, f.n_tokens, f.len,
+                  ((f.doc_id % 1000003) * 2654435761) % 1000000007 % 100 AS bucket
+           FROM feat2 f JOIN keepers k USING (doc_id)
+           WHERE f.n_markers * 10 >= f.n_tokens
+             AND f.n_tokens >= 10 AND f.mean_tok_len_x100 BETWEEN 200 AND 800
+         )
+         SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+                count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens, sum(len)::BIGINT AS total_chars
+         FROM clean GROUP BY 1""",
     "q40_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (
             SELECT a.vec_id AS va, b.vec_id AS vb
