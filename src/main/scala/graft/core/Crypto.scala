@@ -20,6 +20,22 @@ object Crypto {
   def aesKey(base64Key: String): Key =
     new SecretKeySpec(Base64.getDecoder.decode(base64Key), "AES")
 
+  // E6 runs once per RECORD: Cipher.getInstance walks the synchronized
+  // JCE provider list and the key decode allocates, both pure overhead
+  // when repeated millions of times per task. A Cipher is re-init-able
+  // (new key/IV per init) but not thread-safe → one per thread; the key
+  // is constant per file → memoize the last decode per thread.
+  private val encryptCipher: ThreadLocal[Cipher] =
+    ThreadLocal.withInitial(() => Cipher.getInstance(Algorithm))
+  private val lastKey: ThreadLocal[(String, Key)] =
+    ThreadLocal.withInitial(() => ("", null))
+
+  private def cachedKey(base64Key: String): Key = {
+    val (b64, k) = lastKey.get()
+    if (k != null && b64 == base64Key) k
+    else { val fresh = aesKey(base64Key); lastKey.set((base64Key, fresh)); fresh }
+  }
+
   /** E4 — lazy decrypting wrapper over a raw input stream. */
   def decryptingStream(in: InputStream, key: Key, ivBase64: String): InputStream = {
     val cipher = Cipher.getInstance(Algorithm)
@@ -41,8 +57,8 @@ object Crypto {
   def encrypt(keyBase64: String, plaintext: Array[Byte], ivSource: () => Array[Byte]): Envelope.EncryptionResult = {
     val iv = ivSource()
     require(iv.length == 16, s"AES-CTR IV must be 16 bytes, got ${iv.length}")
-    val cipher = Cipher.getInstance(Algorithm)
-    cipher.init(Cipher.ENCRYPT_MODE, aesKey(keyBase64), new IvParameterSpec(iv))
+    val cipher = encryptCipher.get()
+    cipher.init(Cipher.ENCRYPT_MODE, cachedKey(keyBase64), new IvParameterSpec(iv))
     val ct = cipher.doFinal(plaintext)
     Envelope.EncryptionResult(
       Base64.getEncoder.encodeToString(iv),

@@ -44,6 +44,16 @@ object Envelope {
     case Some(other) => throw JsonParseException(s"@type is not a primitive: $other", 0)
   }
 
+  /** The envelope string plus the parts downstream consumers would
+    * otherwise re-parse OUT of it: `innerType` is exactly what
+    * `Versions.getType` reads back (the template renders `@type` as a
+    * quoted string, so the reparse always yields the same value), and
+    * `messageIdJson` is the rendered `_id` literal (`"..."` for string
+    * ids, the compact object/number rendering otherwise) — the ≤100-byte
+    * input `Rowkey.getId` pattern-matches, without re-parsing the
+    * multi-KB envelope per record. */
+  final case class ProducedMessage(envelope: String, innerType: String, messageIdJson: String)
+
   def produceMessage(record: JObj,
                      id: String,
                      idIsString: Boolean,
@@ -59,12 +69,33 @@ object Envelope {
                      dataKeyResult: DataKeyResult,
                      database: String,
                      collection: String,
-                     identity: RunIdentity): String = {
+                     identity: RunIdentity): String =
+    produceMessageParts(record, id, idIsString, idWasModified, lastModifiedDateTime,
+      lastModifiedDateTimeSourceKey, createdDateTimeWasModified, removedDateTimeWasModified,
+      archivedDateTimeWasModified, isRemovedRecord, isArchivedRecord, encryptionResult,
+      dataKeyResult, database, collection, identity).envelope
+
+  def produceMessageParts(record: JObj,
+                          id: String,
+                          idIsString: Boolean,
+                          idWasModified: Boolean,
+                          lastModifiedDateTime: String,
+                          lastModifiedDateTimeSourceKey: String,
+                          createdDateTimeWasModified: Boolean,
+                          removedDateTimeWasModified: Boolean,
+                          archivedDateTimeWasModified: Boolean,
+                          isRemovedRecord: Boolean,
+                          isArchivedRecord: Boolean,
+                          encryptionResult: EncryptionResult,
+                          dataKeyResult: DataKeyResult,
+                          database: String,
+                          collection: String,
+                          identity: RunIdentity): ProducedMessage = {
     val tpe = recordType(record)
     val timestamp = wallClockFormat(identity.clock())
     val messageId = if (idIsString) "\"" + id + "\"" else id
     val lastModifiedDateTimeWasModified = lastModifiedDateTimeSourceKey != Transforms.LastModifiedField
-    s"""{
+    val envelope = s"""{
    "unitOfWorkId": "${identity.unitOfWorkId}",
    "timestamp": "$timestamp",
    "traceId": "${identity.traceId}",
@@ -92,5 +123,6 @@ object Envelope {
        }
    }
 }"""
+    ProducedMessage(envelope, tpe, messageId)
   }
 }

@@ -111,7 +111,7 @@ object RecordProcessor {
       val idWasModified = idMod == IdModification.FlattenedMongoId || idMod == IdModification.FlattenedInnerDate
       val idIsString = idMod == IdModification.UnmodifiedStringId || idMod == IdModification.FlattenedMongoId
 
-      val envelope = Envelope.produceMessage(
+      val produced = Envelope.produceMessageParts(
         record, id, idIsString, idWasModified,
         lastModified, lastModifiedSource,
         createdDateTime.trim.nonEmpty && createdModified,
@@ -119,24 +119,27 @@ object RecordProcessor {
         archivedDateTime.trim.nonEmpty && archivedModified,
         isRemoved, isArchived,
         encryptionResult, ctx.dataKey, ctx.database, ctx.collection, identity)
+      val envelope = produced.envelope
 
-      val envelopeJson = Json.parse(envelope)
-      val innerType = Versions.getType(envelopeJson)
+      // The reference re-parses the envelope it just rendered to pull
+      // @type / message.@type / message._id back out
+      // (MessageUtils.kt:43-77). Every one of those is a value the
+      // producer ALREADY holds: outer @type is the literal "HDI" the
+      // template writes, innerType is the quoted `tpe` the reparse would
+      // read back verbatim, and the id only needs its own ≤100-byte
+      // rendered literal parsed — not the multi-KB envelope. Same
+      // values, minus the dominant per-record parse (EnvelopeSpec pins
+      // the equivalence against the reparse path).
+      val innerType = produced.innerType
       val versionString = Versions.getVersion(innerType, lastModified, removedDateTime, archivedDateTime)
       val version = Versions.getTimestampAsLong(versionString)
-      val rowkey = Rowkey.generateKeyFromEnvelope(envelopeJson)
+      val rowkey = Rowkey.idToKeyObject(Json.parse(produced.messageIdJson))
+        .map(Rowkey.generateKey).getOrElse(Array.emptyByteArray)
 
       // W4 — manifest line (HBaseWriter.kt:250-258)
       val idForManifest = if (idIsString) id else Json.sortByKeyCompact(Json.parseObject(id))
       val incoming = if (idWasModified) Transforms.incomingId(originalId) else idForManifest
-      val outerType = envelopeJson match {
-        case o: JObj => o.get("@type") match {
-          case Some(JStr(s)) => s
-          case Some(other) => Json.renderCompact(other)
-          case None => "TYPE_NOT_SET"
-        }
-        case _ => "TYPE_NOT_SET"
-      }
+      val outerType = "HDI" // the envelope template's literal @type
       val manifestLine = CsvEscape.csv(CsvEscape.ManifestRecord(
         idForManifest, version, ctx.database, ctx.collection, "IMPORT", outerType, innerType, incoming))
 

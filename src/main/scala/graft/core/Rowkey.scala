@@ -26,18 +26,22 @@ object Rowkey {
       case _ => None
     }
     message match {
-      case Some(m: JObj) =>
-        m.get("_id") match {
-          case Some(o: JObj) => Some(o)
-          case Some(JStr(s)) => Some(JObj("id" -> JStr(s)))
-          case Some(n: JNum) =>
-            // klaxon `is Int` branch: only Int-ranged integers qualify
-            n.toLongExact.filter(l => l >= Int.MinValue && l <= Int.MaxValue)
-              .map(l => JObj("id" -> JStr(l.toString)))
-          case _ => None
-        }
+      case Some(m: JObj) => m.get("_id").flatMap(idToKeyObject)
       case _ => None
     }
+  }
+
+  /** The `message._id` → key-object rule, factored so callers holding
+    * the id VALUE (e.g. the envelope producer, which rendered it) need
+    * not re-parse the whole envelope to apply it. */
+  def idToKeyObject(idValue: JValue): Option[JObj] = idValue match {
+    case o: JObj => Some(o)
+    case JStr(s) => Some(JObj("id" -> JStr(s)))
+    case n: JNum =>
+      // klaxon `is Int` branch: only Int-ranged integers qualify
+      n.toLongExact.filter(l => l >= Int.MinValue && l <= Int.MaxValue)
+        .map(l => JObj("id" -> JStr(l.toString)))
+    case _ => None
   }
 
   /** K3 — 4-byte big-endian CRC32 (MessageUtils.kt:142-149). */

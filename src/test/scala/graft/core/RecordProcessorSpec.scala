@@ -164,6 +164,30 @@ class RecordProcessorSpec extends AnyFunSuite {
     assert(env.get("@type").contains(JStr("HDI")))
   }
 
+  test("producer-parts fast path ≡ envelope reparse on every fixture shape (incl. id quirks)") {
+    // processLine now derives innerType/rowkey/outerType from the parts
+    // the envelope producer holds; this pins them to what re-parsing the
+    // rendered envelope (the reference's flow) yields, over the full
+    // fixture corpus plus the klaxon id quirks (Int-wrap, Long id → no
+    // key, object id).
+    val quirky = Seq(
+      baseRecord("d", 1).replace("""{"someId": "RANDOM_GUID", "declarationId": "d"}""", "12345"),
+      baseRecord("d", 1).replace("""{"someId": "RANDOM_GUID", "declarationId": "d"}""", "99999999999"),
+      baseRecord("d", 1).replace("""{"someId": "RANDOM_GUID", "declarationId": "d"}""", "\"plain-string\""))
+    val corpus = graft.ingest.FixtureDumps.dumpLines("database-1", "collection-1", 1) ++ quirky
+    corpus.foreach { line =>
+      processLine(line, ctx(), identity, fixedIv).foreach { p =>
+        val env = Json.parse(p.envelope)
+        assert(Versions.getType(env) == p.innerType, line)
+        assert(Rowkey.generateKeyFromEnvelope(env).sameElements(p.rowkey), line)
+        env match {
+          case o: JObj => assert(o.get("@type").contains(JStr("HDI")), line)
+          case other => fail(s"envelope not an object: $other")
+        }
+      }
+    }
+  }
+
   test("filename parse extracts db/collection/filenumber, case-insensitive, path-prefixed") {
     assert(parseFilename("some/prefix/database-1.collection-1.0001.json.gz.enc")
       .contains(("database-1", "collection-1", 1)))
