@@ -64,6 +64,21 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aggs.size >= 2, s"expected partial+final HashAggregate pair:\n$aggs")
   }
 
+  test("q41: split assignment is a pure narrow map — zero exchanges") {
+    val df = SparkEntry.queries("q41_split")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"), s)
+  }
+
+  test("q42: keeper join broadcasts (dedup keepers are id-sized, never a sort-merge)") {
+    val df = SparkEntry.queries("q42_clean_corpus")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
   test("q08: rank filter plants a map-side WindowGroupLimit before the shuffle") {
     val df = SparkEntry.queries("q08_window")(spark, sf)
     df.collect() // AQE: final plan only after execution
