@@ -269,6 +269,55 @@ object TrainingData {
         sum(col("len")).as("total_chars"))
     },
 
+    // Gopher-style repetition filter: the fraction of duplicate bigrams
+    // inside a document — high ratios mark boilerplate/spam that
+    // length/punctuation heuristics (q22) miss. All-integer outputs;
+    // the token array is projected FIRST so the higher-order transform
+    // reads it instead of re-tokenizing per element (the q15 lesson).
+    // Guard: Spark's sequence(1, n) DESCENDS when n < 1, so short docs
+    // take the explicit zero branch (DuckDB's range is empty there).
+    "q44_repetition" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"), (size(col("toks")) - 1).as("n_bigrams"))
+        .withColumn("n_distinct",
+          when(col("n_bigrams") < 1, lit(0)).otherwise(
+            size(array_distinct(expr(
+              "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")))))
+        .withColumn("dup_bigram_x100",
+          when(col("n_bigrams") < 1, lit(0))
+            .otherwise(expr("((n_bigrams - n_distinct) * 100) div n_bigrams")))
+        .withColumn("repetitive", col("dup_bigram_x100") >= 20)
+        // long casts: DuckDB's len()/'//' produce BIGINT
+        .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          col("dup_bigram_x100").cast("long").as("dup_bigram_x100"), col("repetitive"))
+    },
+
+    // Benchmark-contamination check: flag corpus documents sharing any
+    // 8-char window fingerprint with a probe set (docs 0-19 stand in
+    // for a benchmark's text). Scale shape: the probe fingerprint set is
+    // benchmark-sized (thousands of rows, never corpus-sized) so it
+    // BROADCASTS — the corpus side streams through one narrow
+    // explode + broadcast-hash join + partial-aggregable count, no
+    // corpus shuffle on the fingerprint key. Same window formula as the
+    // q23 fingerprint, so fingerprints are engine-portable.
+    "q45_contamination" -> { (s, d) =>
+      val windows = expr(
+        "transform(sequence(1, CAST(greatest(n_chars - 6, 2) - 1 AS INT)), i -> md5(substring(text, i, 8)))")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("n_chars"))
+      val probe = docs.filter(col("doc_id") < 20)
+        .select(explode(windows).as("fp")).distinct()
+      val corpus = docs.filter(col("doc_id") >= 20)
+      val hits = corpus.select(col("doc_id"), explode(windows).as("fp"))
+        .join(broadcast(probe), "fp")
+        .groupBy(col("doc_id")).agg(countDistinct(col("fp")).as("n_hits"))
+      corpus.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("contaminated", col("n_hits") > 0)
+    },
+
     // Dedup clusters: transitive closure over the q24 near-dup pairs —
     // pairs alone dedup a~b, b~c to TWO survivors; components give the
     // one-canonical-per-group semantics a real pipeline needs. Spark
@@ -391,6 +440,39 @@ object TrainingData {
          SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
                 count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens, sum(len)::BIGINT AS total_chars
          FROM clean GROUP BY 1""",
+    "q44_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         b AS (
+           SELECT doc_id,
+                  len(toks) - 1 AS n_bigrams,
+                  CASE WHEN len(toks) < 2 THEN 0
+                       ELSE len(list_distinct(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1]))) END AS n_distinct
+           FROM t
+         )
+         SELECT doc_id, n_bigrams, n_distinct,
+                CASE WHEN n_bigrams < 1 THEN 0
+                     ELSE ((n_bigrams - n_distinct) * 100) // n_bigrams END AS dup_bigram_x100,
+                (CASE WHEN n_bigrams < 1 THEN 0
+                      ELSE ((n_bigrams - n_distinct) * 100) // n_bigrams END) >= 20 AS repetitive
+         FROM b""",
+    "q45_contamination" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(n_chars - 6, 2)),
+                         i -> md5(substr(text, i, 8)))) AS fp
+           FROM documents
+         ),
+         probe AS (SELECT DISTINCT fp FROM w WHERE doc_id < 20),
+         hits AS (
+           SELECT c.doc_id, count(DISTINCT c.fp) AS n_hits
+           FROM (SELECT * FROM w WHERE doc_id >= 20) c JOIN probe p USING (fp)
+           GROUP BY 1
+         )
+         SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                coalesce(h.n_hits, 0) > 0 AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+         LEFT JOIN hits h USING (doc_id)""",
     "q40_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (
             SELECT a.vec_id AS va, b.vec_id AS vb
