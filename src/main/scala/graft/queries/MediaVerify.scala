@@ -61,7 +61,26 @@ object MediaVerify {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q38_multimodal" -> ((s, dir) => features(s, dir))
+    "q38_multimodal" -> ((s, dir) => features(s, dir)),
+
+    // q47 — the frame-sampling face of the media pipeline: every k-th
+    // 4 KB block of each video payload as (media_id, frame_idx,
+    // frame_md5). DuckDB recomputes each frame analytically (substr
+    // over the same UTF-8 text the payload was built from), so the
+    // whole binary blocking/striding path is oracle-checked without a
+    // golden. Scale shape: narrow flatMap, emits digests not blobs.
+    "q47_frame_sample" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+      val media = docs.map { case (id, text) =>
+        Media.MediaRow(id, Media.MediaMeta(mediaTypeOf(id), 640, 480, 16000),
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      Media.sampleFrames(media, everyK = 2)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          md5(col("frame_bytes")).as("frame_md5"))
+    }
   )
 
   val oracle: Map[String, String] = Map(
@@ -81,6 +100,18 @@ object MediaVerify {
                   AS n_frames_sampled,
                 g.feature_fp
          FROM src s
-         JOIN read_parquet('/root/repo/testdata/q38_golden/*.parquet') g USING (media_id)"""
+         JOIN read_parquet('/root/repo/testdata/q38_golden/*.parquet') g USING (media_id)""",
+    "q47_frame_sample" ->
+      """WITH v AS (
+           SELECT doc_id, text, strlen(text) AS L FROM documents WHERE doc_id % 3 = 2
+         ),
+         f AS (
+           SELECT doc_id AS media_id, text,
+                  unnest(range(0, CAST(ceil(L / 4096.0) AS BIGINT))) AS frame_idx
+           FROM v
+         )
+         SELECT media_id, frame_idx,
+                md5(substr(text, CAST(frame_idx * 4096 + 1 AS BIGINT), 4096)) AS frame_md5
+         FROM f WHERE frame_idx % 2 = 0"""
   )
 }

@@ -294,6 +294,26 @@ object TrainingData {
           col("dup_bigram_x100").cast("long").as("dup_bigram_x100"), col("repetitive"))
     },
 
+    // Sequence packing: assign documents to fixed-token-budget packs by
+    // running prefix-sum, the distributed shape of context-window
+    // packing for training shards. The window partitions by a 32-way
+    // id shard FIRST — a global ORDER BY window would serialize the
+    // whole corpus through one task; per-shard packing is what a real
+    // packer does (each shard feeds its own writer) and keeps the sort
+    // distributed. Deterministic: shard and order are pure id
+    // functions.
+    "q46_pack" -> { (s, d) =>
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("shard", expr("doc_id % 32"))
+        .withColumn("cum_before",
+          sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("pack_id", expr("cum_before div 4096"))
+        .select(col("doc_id"), col("shard"), col("n_tokens"), col("pack_id"))
+    },
+
     // Benchmark-contamination check: flag corpus documents sharing any
     // 8-char window fingerprint with a probe set (docs 0-19 stand in
     // for a benchmark's text). Scale shape: the probe fingerprint set is
@@ -456,6 +476,16 @@ object TrainingData {
                 (CASE WHEN n_bigrams < 1 THEN 0
                       ELSE ((n_bigrams - n_distinct) * 100) // n_bigrams END) >= 20 AS repetitive
          FROM b""",
+    "q46_pack" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 32 AS shard,
+                  len(string_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents
+         )
+         SELECT doc_id, shard, n_tokens,
+                ((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 4096)::BIGINT AS pack_id
+         FROM t""",
     "q45_contamination" ->
       """WITH w AS (
            SELECT doc_id,
