@@ -64,6 +64,25 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aggs.size >= 2, s"expected partial+final HashAggregate pair:\n$aggs")
   }
 
+  test("global sweep: no cartesian/nested-loop join anywhere in the 47-query surface") {
+    // The only sanctioned cross joins are the bounded-by-construction
+    // query-side broadcasts in the ANN scorers (|Q| = 5 probe vectors /
+    // nlist centroids) — everything else going cartesian is a planning
+    // regression that would explode at scale.
+    val sanctioned = Set("q18_ann_bruteforce", "q19_ann_lsh", "q19b_ann_ivf")
+    val failures = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(sanctioned)
+      .flatMap { q =>
+        val df = SparkEntry.queries(q)(spark, sf)
+        df.collect()
+        val s = df.queryExecution.executedPlan.toString
+        if (s.contains("CartesianProduct") || s.contains("BroadcastNestedLoopJoin"))
+          Some(q)
+        else None
+      }
+    assert(failures.isEmpty, s"cartesian/nested-loop in: $failures")
+  }
+
   test("q41: split assignment is a pure narrow map — zero exchanges") {
     val df = SparkEntry.queries("q41_split")(spark, sf)
     df.collect()
