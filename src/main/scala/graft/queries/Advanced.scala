@@ -14,6 +14,39 @@ object Advanced {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Streaming exact dedup through the driver's gate: the events file
+    // flows through Structured Streaming's parquet source
+    // (AvailableNow, multi-batch) into watermarked dropDuplicates, and
+    // the surviving (user_id, ts_ms) key set must equal DuckDB's
+    // DISTINCT over the same parquet. Keys only — keeping payload
+    // columns would make the survivor order-dependent. Scale shape:
+    // dedup state is watermark-bounded per key, exactly-once file
+    // source, one shuffle on the dedup key.
+    "q48_stream_dedup" -> { (s, d) =>
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val ck = java.nio.file.Files.createTempDirectory("graft-q48-ck")
+      val sinkName = "q48_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // the file source requires a DIRECTORY; select just the events
+      // file out of the shared sf dir with a glob filter
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      val keyed = raw
+        .select(col("user_id").cast("long").as("user_id"),
+          expr("ts div 1000000").as("ts_ms"))
+        .withColumn("ts_t", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts_t", "2 hours")
+        .dropDuplicates("user_id", "ts_ms")
+        .select(col("user_id"), col("ts_ms"))
+      val q = keyed.writeStream
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+    },
+
     // Gap-based sessions (30 min) per user over the events table.
     // Integer-millisecond arithmetic end to end.
     "q25_sessionize" -> { (s, d) =>
@@ -183,6 +216,8 @@ object Advanced {
   )
 
   val oracle: Map[String, String] = Map(
+    "q48_stream_dedup" ->
+      """SELECT DISTINCT user_id::BIGINT AS user_id, epoch_ms(ts)::BIGINT AS ts_ms FROM events""",
     "q25_sessionize" ->
       s"""WITH e AS (
             SELECT user_id::BIGINT user_id, epoch_ms(ts)::BIGINT ts_ms,
