@@ -120,7 +120,10 @@ object DateFmt {
       i += 1
     }
     val y = digits(s, 0, 4); val mo = digits(s, 5, 2); val d = digits(s, 8, 2)
-    mo >= 1 && mo <= 12 && d >= 1 && d <= daysInMonth(y, mo) &&
+    // y >= 1600: the slow path's GregorianCalendar applies the Julian
+    // cutover (Oct 1582) — proleptic arithmetic diverges from it before
+    // ~1583, so antique dates stay on the formatter path byte-for-byte
+    y >= 1600 && mo >= 1 && mo <= 12 && d >= 1 && d <= daysInMonth(y, mo) &&
       digits(s, 11, 2) <= 23 && digits(s, 14, 2) <= 59 && digits(s, 17, 2) <= 59
   }
 }

@@ -27,11 +27,16 @@ object Envelope {
   final case class EncryptionResult(initialisationVector: String, encrypted: String)
   final case class DataKeyResult(dataKeyEncryptionKeyId: String, plaintextDataKey: String, ciphertextDataKey: String)
 
-  private def wallClockFormat(d: Date): String = {
-    val df = new SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss.SSS")
-    df.setTimeZone(TimeZone.getTimeZone("UTC"))
-    df.format(d)
-  }
+  // per-record hot path: one formatter per thread, not per call
+  // (SimpleDateFormat is reusable within a thread, never across)
+  private val wallClockFmt: ThreadLocal[SimpleDateFormat] =
+    ThreadLocal.withInitial { () =>
+      val df = new SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss.SSS")
+      df.setTimeZone(TimeZone.getTimeZone("UTC"))
+      df
+    }
+
+  private def wallClockFormat(d: Date): String = wallClockFmt.get().format(d)
 
   /** `@type` of the transformed record: primitive → its string value,
     * absent → MONGO_IMPORT, object/array/null → error (the reference's

@@ -127,14 +127,25 @@ object RecordProcessor {
       // producer ALREADY holds: outer @type is the literal "HDI" the
       // template writes, innerType is the quoted `tpe` the reparse would
       // read back verbatim, and the id only needs its own ≤100-byte
-      // rendered literal parsed — not the multi-KB envelope. Same
-      // values, minus the dominant per-record parse (EnvelopeSpec pins
-      // the equivalence against the reparse path).
-      val innerType = produced.innerType
+      // rendered literal parsed — not the multi-KB envelope. Exception:
+      // a tpe or string id carrying quote/backslash/control characters
+      // renders an envelope the reparse would either REJECT (invalid
+      // JSON → the record was a Malformed skip) or escape-DECODE
+      // differently — those rare records take the full reparse path so
+      // observable behavior is unchanged (the corpus spec pins both
+      // routes).
+      def escapeSensitive(v: String): Boolean =
+        v.exists(c => c == '"' || c == '\\' || c < ' ')
+      val (innerType, rowkey) =
+        if (escapeSensitive(produced.innerType) || (idIsString && escapeSensitive(id))) {
+          val envelopeJson = Json.parse(envelope) // throws → Malformed, as before
+          (Versions.getType(envelopeJson), Rowkey.generateKeyFromEnvelope(envelopeJson))
+        } else
+          (produced.innerType,
+            Rowkey.idToKeyObject(Json.parse(produced.messageIdJson))
+              .map(Rowkey.generateKey).getOrElse(Array.emptyByteArray))
       val versionString = Versions.getVersion(innerType, lastModified, removedDateTime, archivedDateTime)
       val version = Versions.getTimestampAsLong(versionString)
-      val rowkey = Rowkey.idToKeyObject(Json.parse(produced.messageIdJson))
-        .map(Rowkey.generateKey).getOrElse(Array.emptyByteArray)
 
       // W4 — manifest line (HBaseWriter.kt:250-258)
       val idForManifest = if (idIsString) id else Json.sortByKeyCompact(Json.parseObject(id))

@@ -392,10 +392,14 @@ object IngestPipeline {
         // cells the existence skip filtered (the reference declares this
         // counter but its filter never returns FilterExists — here the
         // skip path is real, so the counter is too). Import-off and
-        // skipExisting=false runs report 0 by construction.
+        // skipExisting=false runs report 0 by construction. Clamped at
+        // 0: the push sink's put counter has Spark's at-least-once
+        // accumulator semantics under task retry, so the difference is
+        // approximate in crash-retry runs — the STORE state stays
+        // exactly-once regardless.
         filteredExisting =
           if (runMode == RunMode.Manifest || !skipExisting) 0L
-          else okUnfiltered - put)
+          else math.max(0L, okUnfiltered - put))
     } finally rows.unpersist()
   }
 }

@@ -51,6 +51,11 @@ object DedupClusters {
       .select(col("n"), least(col("n"), col("l")).as("l"))
       .localCheckpoint()
 
+    // empty pair list (clean corpus) → empty clustering, not an NPE on
+    // the null sum below
+    if (labels.head(1).isEmpty)
+      return labels.select(col("n").as("node"), col("l").as("cluster_id"))
+
     // Convergence test: labels are monotonically non-increasing per
     // node, so fixpoint ⟺ the (exact, decimal — no long overflow at
     // any id scale) label sum is unchanged. One narrow scan over the

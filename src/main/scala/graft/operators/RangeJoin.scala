@@ -59,8 +59,11 @@ object RangeJoin {
     val loBucket = expr(s"${q(leftLo)} div $bucketWidth")
     val hiBucket = expr(s"${q(leftHi)} div $bucketWidth")
     // when/otherwise keeps the guard inside the sequence's upper-bound
-    // expression, so column pruning can never drop it.
-    val guardedHi = when(hiBucket - loBucket < maxReplication, hiBucket)
+    // expression, so column pruning can never drop it. NULL bounds pass
+    // a null upper bound through (sequence → null, explode drops the
+    // row — standard inner-join null semantics), they do NOT abort.
+    val guardedHi = when(loBucket.isNull || hiBucket.isNull, lit(null).cast("bigint"))
+      .when(hiBucket - loBucket < maxReplication, hiBucket)
       .otherwise(raise_error(concat(
         lit(s"rangeJoin: interval [${q(leftLo)}, ${q(leftHi)}] spans more than " +
           s"$maxReplication buckets of width $bucketWidth (lo="),

@@ -83,7 +83,12 @@ object IngestVerify {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      goldenProjection(s.table(sinkName))
+      // detach name + drop checkpoint so repeated invocations don't
+      // accumulate driver state; the plan holds the sink relation
+      val out = goldenProjection(s.table(sinkName))
+      s.catalog.dropTempView(sinkName)
+      org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+      out
     }
   )
 

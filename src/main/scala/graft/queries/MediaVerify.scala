@@ -71,7 +71,13 @@ object MediaVerify {
     // golden. Scale shape: narrow flatMap, emits digests not blobs.
     "q47_frame_sample" -> { (s, dir) =>
       import s.implicits._
+      // ASCII-only docs, filtered in BOTH engines: Spark blocks the
+      // UTF-8 BYTE payload while DuckDB's substr slices CHARACTERS, so
+      // a multibyte doc would shift boundaries and silently diverge —
+      // exclude it symmetrically instead of relying on the corpus
+      // happening to be ASCII
       val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(octet_length(col("text")) === length(col("text")))
         .select("doc_id", "text").as[(Long, String)]
       val media = docs.map { case (id, text) =>
         Media.MediaRow(id, Media.MediaMeta(mediaTypeOf(id), 640, 480, 16000),
@@ -103,7 +109,8 @@ object MediaVerify {
          JOIN read_parquet('/root/repo/testdata/q38_golden/*.parquet') g USING (media_id)""",
     "q47_frame_sample" ->
       """WITH v AS (
-           SELECT doc_id, text, strlen(text) AS L FROM documents WHERE doc_id % 3 = 2
+           SELECT doc_id, text, strlen(text) AS L FROM documents
+           WHERE doc_id % 3 = 2 AND strlen(text) = length(text)
          ),
          f AS (
            SELECT doc_id AS media_id, text,

@@ -62,6 +62,22 @@ class DateFmtSpec extends AnyFunSuite {
     }
   }
 
+  test("pre-1600 dates stay on the Julian-cutover formatter path (no proleptic drift)") {
+    // GregorianCalendar applies the Oct-1582 cutover; proleptic
+    // arithmetic differs by ~10 days there. Both calls must agree with
+    // a freshly-built SimpleDateFormat on these.
+    Seq("1500-01-01T00:00:00.000Z", "1582-10-10T00:00:00.000Z", "1599-12-31T23:59:59.999Z")
+      .foreach { s =>
+        val df = new java.text.SimpleDateFormat(DateFmt.IncomingFormat)
+        df.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+        val out = new java.text.SimpleDateFormat(DateFmt.OutgoingFormat)
+        out.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+        val d = df.parse(s)
+        assert(DateFmt.timestampAsLong(s) == d.getTime, s)
+        assert(DateFmt.kafkaFormat(s) == out.format(d), s)
+      }
+  }
+
   test("non-canonical inputs fall back to the lenient parser (rollover preserved)") {
     // lenient SimpleDateFormat rolls month 13 into the next year — the
     // fast path must NOT intercept these

@@ -188,6 +188,24 @@ class RecordProcessorSpec extends AnyFunSuite {
     }
   }
 
+  test("escape-sensitive @type values take the reparse route: quote → Malformed, escape → decoded") {
+    // @type with an embedded quote renders an invalid envelope — the
+    // reparse throws and the record is a Malformed skip, exactly as
+    // before the fast path existed
+    val quoted = baseRecord("d", 1).replace(""""type": "addressDeclaration"""",
+      """"@type": "a\"b"""")
+    assert(processLine(quoted, ctx(), identity, fixedIv).left.exists {
+      case RecordProcessor.SkipReason.Malformed(_) => true; case _ => false
+    })
+    // @type with a backslash escape: the reparse DECODES it (\\b →
+    // backspace) — innerType must be the decoded form, matching what
+    // Versions.getType on the envelope yields
+    val escaped = baseRecord("d", 1).replace(""""type": "addressDeclaration"""",
+      """"@type": "a\\b"""")
+    val p = process(escaped)
+    assert(Versions.getType(Json.parse(p.envelope)) == p.innerType)
+  }
+
   test("filename parse extracts db/collection/filenumber, case-insensitive, path-prefixed") {
     assert(parseFilename("some/prefix/database-1.collection-1.0001.json.gz.enc")
       .contains(("database-1", "collection-1", 1)))

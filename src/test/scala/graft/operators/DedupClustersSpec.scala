@@ -63,6 +63,12 @@ class DedupClustersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.toSet == Set(10L))
   }
 
+  test("empty pair list yields an empty clustering, not a crash") {
+    val sp = spark; import sp.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(DedupClusters.connectedComponents(empty, "a", "b").count() == 0)
+  }
+
   test("non-convergence throws instead of returning a partial clustering") {
     val sp = spark; import sp.implicits._
     val chain = (0L until 12L).map(i => (i, i + 1))

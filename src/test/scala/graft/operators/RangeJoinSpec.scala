@@ -71,6 +71,16 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e).exists(_.contains("rangeJoin")), e.toString)
   }
 
+  test("NULL interval bounds drop the row (inner-join null semantics), never abort") {
+    val sp = spark; import sp.implicits._
+    val left = Seq((1L, Some(100L), Some(200L)), (2L, None, Some(300L)), (3L, Some(100L), None))
+      .toDF("lid", "lo", "hi")
+    val right = Seq((9L, 150L)).toDF("rid", "pt")
+    val got = RangeJoin.rangeJoin(left, right, "lo", "hi", "pt", 100L)
+      .select("lid").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
   test("dot/space column names resolve as literal identifiers") {
     val sp = spark; import sp.implicits._
     val left = Seq((1L, 100L, 200L)).toDF("l id", "lo.x", "hi.x")
