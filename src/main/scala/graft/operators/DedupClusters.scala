@@ -93,6 +93,9 @@ object DedupClusters {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "graph diameter exceeds the near-dup assumption; use a larger maxIter " +
           "or a large-star/small-star formulation")
+    // at 100 TB the round count IS the cost model — surface it
+    graft.core.JsonLog.info("DedupClusters", "Connected components converged",
+      "rounds" -> iter.toString)
     labels.select(col("n").as("node"), col("l").as("cluster_id"))
   }
 }
