@@ -85,10 +85,17 @@ final case class FileStore(rootDir: String) extends Store {
     }
   }
 
+  // memoized per store instance (one per executor task): the DDL is
+  // written once by the driver and immutable afterwards, so re-reading
+  // the _spec.json file on every putBatch would be pure I/O waste
+  @transient private lazy val maxVersionsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   private def maxVersionsOf(tableName: String): Int =
-    readSpecJson(tableName).flatMap { json =>
-      """"maxVersions":(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
-    }.getOrElse(Int.MaxValue)
+    maxVersionsCache.computeIfAbsent(tableName, _ =>
+      Int.box(readSpecJson(tableName).flatMap { json =>
+        """"maxVersions":(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+      }.getOrElse(Int.MaxValue))).intValue()
 
   private def pruneVersions(shardDir: Path, keyHex: String, maxVersions: Int): Unit = {
     if (maxVersions == Int.MaxValue) return

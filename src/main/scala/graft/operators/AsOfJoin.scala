@@ -43,11 +43,6 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** Backtick-quoted column ref: treats the whole name as one literal
-    * identifier, so names containing dots (or backticks) resolve. */
-  private def qcol(name: String): Column =
-    col("`" + name.replace("`", "``") + "`")
-
   /** Left-outer as-of join.
     *
     * @param left     probe side; all its columns are preserved

@@ -29,10 +29,7 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Backtick-quote an identifier for safe splicing into SQL text:
-    * names with dots, spaces, or reserved keywords parse as one literal
-    * identifier. */
-  private def q(name: String): String = "`" + name.replace("`", "``") + "`"
+  private def q(name: String): String = quoteIdent(name)
 
   /** Inner range join.
     *

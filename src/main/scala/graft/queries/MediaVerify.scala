@@ -31,16 +31,26 @@ object MediaVerify {
   private def mediaTypeOf(id: Long): String =
     Seq("image", "audio", "video")((id % 3).toInt)
 
-  /** The shared Spark side: documents → MediaRow → StubDecoder features.
-    * Also used by GoldenGen to freeze checksum/feature_fp. */
-  def features(s: SparkSession, dir: String): DataFrame = {
+  /** documents → MediaRow (type round-robin by id, payload = UTF-8
+    * bytes of `text`, fixed metadata hints). `asciiOnly` filters to
+    * byte-length == char-length docs for queries whose oracle slices
+    * characters. */
+  private def mediaFromDocuments(s: SparkSession, dir: String,
+                                 asciiOnly: Boolean): org.apache.spark.sql.Dataset[Media.MediaRow] = {
     import s.implicits._
-    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val docs0 = s.read.parquet(s"$dir/documents.parquet")
+    val docs = (if (asciiOnly) docs0.filter(octet_length(col("text")) === length(col("text"))) else docs0)
       .select("doc_id", "text").as[(Long, String)]
-    val media = docs.map { case (id, text) =>
+    docs.map { case (id, text) =>
       Media.MediaRow(id, Media.MediaMeta(mediaTypeOf(id), 640, 480, 16000),
         text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+  }
+
+  /** The shared Spark side: documents → MediaRow → StubDecoder features.
+    * Also used by GoldenGen to freeze checksum/feature_fp. */
+  def features(s: SparkSession, dir: String): DataFrame = {
+    val media = mediaFromDocuments(s, dir, asciiOnly = false)
     Media.extractFeatures(media, new Media.StubDecoder(8), partitions = 32)
       .toDF()
       .select(
@@ -70,19 +80,12 @@ object MediaVerify {
     // whole binary blocking/striding path is oracle-checked without a
     // golden. Scale shape: narrow flatMap, emits digests not blobs.
     "q47_frame_sample" -> { (s, dir) =>
-      import s.implicits._
-      // ASCII-only docs, filtered in BOTH engines: Spark blocks the
-      // UTF-8 BYTE payload while DuckDB's substr slices CHARACTERS, so
-      // a multibyte doc would shift boundaries and silently diverge —
+      // ASCII-only, filtered in BOTH engines: Spark blocks the UTF-8
+      // BYTE payload while DuckDB's substr slices CHARACTERS, so a
+      // multibyte doc would shift boundaries and silently diverge —
       // exclude it symmetrically instead of relying on the corpus
       // happening to be ASCII
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .filter(octet_length(col("text")) === length(col("text")))
-        .select("doc_id", "text").as[(Long, String)]
-      val media = docs.map { case (id, text) =>
-        Media.MediaRow(id, Media.MediaMeta(mediaTypeOf(id), 640, 480, 16000),
-          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      }
+      val media = mediaFromDocuments(s, dir, asciiOnly = true)
       Media.sampleFrames(media, everyK = 2)
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           md5(col("frame_bytes")).as("frame_md5"))

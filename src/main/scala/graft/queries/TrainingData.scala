@@ -228,12 +228,8 @@ object TrainingData {
     // the id alone, never of partitioning, ordering, or RNG state.
     "q41_split" -> { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"))
-        .withColumn("bucket",
-          expr("((doc_id % 1000003) * 2654435761) % 1000000007 % 100"))
-        .withColumn("split",
-          when(col("bucket") < 80, lit("train"))
-            .when(col("bucket") < 90, lit("val"))
-            .otherwise(lit("test")))
+        .withColumn("bucket", splitBucket)
+        .withColumn("split", splitName)
     },
 
     // C4-style filter-chain composition — the end-to-end "clean corpus"
@@ -257,12 +253,8 @@ object TrainingData {
         .filter(col("n_markers") * 10 >= col("n_tokens"))
         .filter(col("n_tokens") >= 10 && col("mean_tok_len_x100").between(200, 800))
         .join(keepers, "doc_id") // semi-shaped: keeper ids are unique
-        .withColumn("bucket",
-          expr("((doc_id % 1000003) * 2654435761) % 1000000007 % 100"))
-        .withColumn("split",
-          when(col("bucket") < 80, lit("train"))
-            .when(col("bucket") < 90, lit("val"))
-            .otherwise(lit("test")))
+        .withColumn("bucket", splitBucket)
+        .withColumn("split", splitName)
       clean.groupBy(col("split")).agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -350,6 +342,16 @@ object TrainingData {
         .select(col("node").as("vec_id"), col("cluster_id"))
     }
   )
+
+  /** q41/q42's deterministic split hash: two mod steps keep every
+    * intermediate < 2^52, so ANSI arithmetic never overflows at any id
+    * scale; a pure function of doc_id (never partitioning / RNG). */
+  private def splitBucket =
+    expr("((doc_id % 1000003) * 2654435761) % 1000000007 % 100")
+  private def splitName =
+    when(col("bucket") < 80, lit("train"))
+      .when(col("bucket") < 90, lit("val"))
+      .otherwise(lit("test"))
 
   private val dot = "list_dot_product(%s::DOUBLE[], %s::DOUBLE[])"
   private def cosineSql(a: String, b: String): String =
