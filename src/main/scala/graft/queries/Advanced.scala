@@ -53,6 +53,46 @@ object Advanced {
       out
     },
 
+    // Bucketed co-located join: both sides pre-bucketed on the join key
+    // (Spark native bucketing, bucketBy + saveAsTable), so the join
+    // reads bucket-aligned files and plans with NO exchange on either
+    // side — the technique that turns a recurring 100 TB fact⋈fact join
+    // from two full shuffles into zero. PlanHygieneSpec asserts the
+    // no-exchange plan; the oracle is the plain join in DuckDB (bucketing
+    // must never change RESULTS, only movement).
+    "q49_bucketed_join" -> { (s, d) =>
+      val bucketDb = "graft_buckets"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $bucketDb")
+      // write once per (session, sf dir): repeated bench passes reuse.
+      // String.hashCode is spec-fixed, so the tag is deterministic.
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val ordersT = s"$bucketDb.orders_b_$tag"
+      val custT = s"$bucketDb.customer_b_$tag"
+      if (!s.catalog.tableExists(ordersT)) {
+        // a previous JVM may have left the managed location behind while
+        // this session's catalog has no such table — clear it or CREATE
+        // fails with LOCATION_ALREADY_EXISTS
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+        Seq(s"orders_b_$tag", s"customer_b_$tag").foreach { t =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$bucketDb.db/$t"))
+        }
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .mode("overwrite").saveAsTable(ordersT)
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .mode("overwrite").saveAsTable(custT)
+      }
+      // merge hint: a broadcast would ALSO avoid the shuffle at this SF
+      // but wouldn't demonstrate (or test) bucket co-location — the
+      // 100 TB case is two fact tables where broadcast is impossible
+      s.table(ordersT).hint("merge")
+        .join(s.table(custT), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).cast("double").as("total_price"))
+    },
+
     // Gap-based sessions (30 min) per user over the events table.
     // Integer-millisecond arithmetic end to end.
     "q25_sessionize" -> { (s, d) =>
@@ -224,6 +264,11 @@ object Advanced {
   val oracle: Map[String, String] = Map(
     "q48_stream_dedup" ->
       """SELECT DISTINCT user_id::BIGINT AS user_id, epoch_ms(ts)::BIGINT AS ts_ms FROM events""",
+    "q49_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
     "q25_sessionize" ->
       s"""WITH e AS (
             SELECT user_id::BIGINT user_id, epoch_ms(ts)::BIGINT ts_ms,

@@ -83,6 +83,16 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failures.isEmpty, s"cartesian/nested-loop in: $failures")
   }
 
+  test("q49: bucketed join reads bucket-aligned scans with no exchange on the join keys") {
+    val df = SparkEntry.queries("q49_bucketed_join")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("SortMergeJoin"), s)
+    assert(s.contains("Bucketed: true"), s)
+    // the only allowed exchange is the post-join groupBy on c_mktsegment
+    assert(!s.contains("hashpartitioning(o_custkey") && !s.contains("hashpartitioning(c_custkey"), s)
+  }
+
   test("q41: split assignment is a pure narrow map — zero exchanges") {
     val df = SparkEntry.queries("q41_split")(spark, sf)
     df.collect()
