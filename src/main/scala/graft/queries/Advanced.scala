@@ -93,6 +93,33 @@ object Advanced {
           sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).cast("double").as("total_price"))
     },
 
+    // Partition-pruned scan: events re-laid-out once per session as a
+    // date-partitioned table (the on-disk layout a 100 TB event store
+    // actually uses); a date-range query then reads ONLY the matching
+    // partition directories — PartitionFilters at the scan, not a
+    // post-scan filter over everything (plan-asserted). Results
+    // hash-match the same range filter over the unpartitioned parquet
+    // in DuckDB: layout changes I/O, never answers.
+    "q50_partition_prune" -> { (s, d) =>
+      val bucketDb = "graft_buckets"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $bucketDb")
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val eventsT = s"$bucketDb.events_p_$tag"
+      if (!s.catalog.tableExists(eventsT)) {
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$bucketDb.db/events_p_$tag"))
+        Tables.events(s, d)
+          .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+          .write.partitionBy("event_date")
+          .mode("overwrite").saveAsTable(eventsT)
+      }
+      s.table(eventsT)
+        .filter(col("event_date") >= "2024-01-03" && col("event_date") <= "2024-01-05")
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(value AS DECIMAL(18,2))")).cast("double").as("total_value"))
+    },
+
     // Gap-based sessions (30 min) per user over the events table.
     // Integer-millisecond arithmetic end to end.
     "q25_sessionize" -> { (s, d) =>
@@ -264,6 +291,13 @@ object Advanced {
   val oracle: Map[String, String] = Map(
     "q48_stream_dedup" ->
       """SELECT DISTINCT user_id::BIGINT AS user_id, epoch_ms(ts)::BIGINT AS ts_ms FROM events""",
+    "q50_partition_prune" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-03' AND '2024-01-05'
+         GROUP BY 1, 2""",
     "q49_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

@@ -93,6 +93,17 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("hashpartitioning(o_custkey") && !s.contains("hashpartitioning(c_custkey"), s)
   }
 
+  test("q50: date range prunes partition directories at the scan") {
+    val df = SparkEntry.queries("q50_partition_prune")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val scanLine = s.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("event_date"), s)
+    // the range predicate must be a partition filter, not a data filter
+    // over a full scan
+    assert(!scanLine.contains("PartitionFilters: []"), scanLine)
+  }
+
   test("q41: split assignment is a pure narrow map — zero exchanges") {
     val df = SparkEntry.queries("q41_split")(spark, sf)
     df.collect()
