@@ -330,6 +330,29 @@ object TrainingData {
         .withColumn("contaminated", col("n_hits") > 0)
     },
 
+    // Threshold Jaccard similarity join with AllPairs prefix filtering —
+    // the scale-robust complement of q17's top-k inverted index: exact
+    // results (verified against DuckDB's brute-force pairwise oracle)
+    // with candidate generation that a stop-shingle cannot inflate
+    // (SimilarityJoinSpec proves zero candidates from a universal
+    // shingle). τ = 1/2 as an integer rational — no float thresholds.
+    "q51_jaccard_join" -> { (s, d) =>
+      // shingle rows via the position-sequence pattern (the HOF-free
+      // Generate shape) — the operator dedups internally
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val sh = toks
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 2)).as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ",
+            element_at(col("toks"), col("i")),
+            element_at(col("toks"), col("i") + 1),
+            element_at(col("toks"), col("i") + 2)).as("shingle"))
+      graft.operators.SimilarityJoin.jaccardJoin(sh, "doc_id", "shingle", 1, 2)
+    },
+
     // Dedup clusters: transitive closure over the q24 near-dup pairs —
     // pairs alone dedup a~b, b~c to TWO survivors; components give the
     // one-canonical-per-group semantics a real pipeline needs. Spark
@@ -505,6 +528,21 @@ object TrainingData {
                 coalesce(h.n_hits, 0) > 0 AS contaminated
          FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
          LEFT JOIN hits h USING (doc_id)""",
+    "q51_jaccard_join" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3)
+         )
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                len(list_intersect(a.shingles, b.shingles))::BIGINT AS shared,
+                (len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles)))::BIGINT AS total
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.shingles, b.shingles)) * 2 >=
+               (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))""",
     "q40_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (
             SELECT a.vec_id AS va, b.vec_id AS vb
