@@ -75,6 +75,16 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((1L, 3L, "b", None), (1L, 10L, "a", Some("x"))))
   }
 
+  test("string keys and timestamp-typed time columns work (key type is not assumed numeric)") {
+    val sp = spark; import sp.implicits._
+    val ldf = Seq(("alpha", 10L, 1), ("beta", 20L, 2), ("alpha", 4L, 3)).toDF("k", "lts", "lid")
+    val rdf = Seq(("alpha", 5L, "x"), ("beta", 20L, "y")).toDF("k", "rts", "rv")
+    val out = AsOfJoin.asOf(ldf, rdf, "k", "lts", "rts", Seq("rv"))
+      .select("k", "lid", "rv").as[(String, Int, Option[String])].collect().toSeq.sorted
+    // alpha@4 has no earlier state; alpha@10 sees x; beta@20 ties (<=) to y
+    assert(out == Seq(("alpha", 1, Some("x")), ("alpha", 3, None), ("beta", 2, Some("y"))))
+  }
+
   test("plan has one shuffle + window, no join node") {
     val sp = spark; import sp.implicits._
     val ldf = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "lts", "lv")

@@ -32,19 +32,22 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val right = Seq.tabulate(400)(j => (j.toLong, rnd.nextInt(2300).toLong))
 
-    val got = RangeJoin.rangeJoin(
-        left.toDF("lid", "lo", "hi"), right.toDF("rid", "pt"),
-        "lo", "hi", "pt", bucketWidth = 100L)
-      .select("lid", "rid").as[(Long, Long)].collect()
-
-    val want = for {
+    val want = (for {
       (lid, lo, hi) <- left
       (rid, pt) <- right
       if pt >= lo && pt <= hi
-    } yield (lid, rid)
+    } yield (lid, rid)).sorted
 
-    // multiset equality: duplicates would reveal double bucket-meeting
-    assert(got.sorted.toSeq == want.sorted.toSeq)
+    // sweep widths around and far from the typical span: results must be
+    // width-INDEPENDENT (width tunes replication, never answers), and
+    // multiset equality would reveal double bucket-meeting
+    Seq(1L, 7L, 100L, 1000L, 100000L).foreach { width =>
+      val got = RangeJoin.rangeJoin(
+          left.toDF("lid", "lo", "hi"), right.toDF("rid", "pt"),
+          "lo", "hi", "pt", bucketWidth = width)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      assert(got.sorted.toSeq == want, s"width=$width")
+    }
     assert(want.nonEmpty)
   }
 
