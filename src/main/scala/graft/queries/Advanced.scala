@@ -120,6 +120,37 @@ object Advanced {
           sum(expr("CAST(value AS DECIMAL(18,2))")).cast("double").as("total_value"))
     },
 
+    // Streaming windowed aggregation through the gate: the events file
+    // flows through the file source into the watermarked hourly
+    // aggregation; Complete output mode makes the bounded run emit every
+    // window (append mode would hold back windows the final watermark
+    // never passes), and the result must equal DuckDB's batch GROUP BY.
+    // Decimal-routed totals make the sums bit-identical cross-engine.
+    "q52_stream_hourly" -> { (s, d) =>
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val ck = java.nio.file.Files.createTempDirectory("graft-q52-ck")
+      val sinkName = "q52_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      val events = raw.select(
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"), col("value"))
+      val q = Sessions.hourlyCountsStream(events).writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(sinkName)
+        .select(unix_millis(col("hour_start")).as("hour_ms"),
+          col("event_type"), col("n"), col("total_value"))
+      s.catalog.dropTempView(sinkName)
+      org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+      out
+    },
+
     // Gap-based sessions (30 min) per user over the events table.
     // Integer-millisecond arithmetic end to end.
     "q25_sessionize" -> { (s, d) =>
@@ -291,6 +322,11 @@ object Advanced {
   val oracle: Map[String, String] = Map(
     "q48_stream_dedup" ->
       """SELECT DISTINCT user_id::BIGINT AS user_id, epoch_ms(ts)::BIGINT AS ts_ms FROM events""",
+    "q52_stream_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts))::BIGINT AS hour_ms, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
     "q50_partition_prune" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
                 count(*) AS n,

@@ -127,11 +127,15 @@ object Sessions {
       .withWatermark("ts", watermark)
       .dropDuplicates("user_id", "ts")
 
-  /** Watermarked streaming hourly aggregation (q12's streaming face). */
+  /** Watermarked streaming hourly aggregation (q12's streaming face).
+    * The total routes through DECIMAL(18,2): double summation order
+    * varies with partitioning (and across engines), decimal doesn't —
+    * so totals are bit-stable under replays and verifiable. */
   def hourlyCountsStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(value AS DECIMAL(18,2))")).cast("double").as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
 }
