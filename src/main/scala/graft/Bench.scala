@@ -30,7 +30,8 @@ object Bench {
     // pass is the one least contaminated by external load; Spark's own
     // execution is deterministic enough that min ≈ true cost). The raw
     // passes are emitted too so noise stays visible.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).getOrElse(3).max(1)
     // (per-pass sec, error message or null) per query: a crashing query
     // must be distinguishable from a fast one in the bench JSON.
     val results: Seq[(String, Seq[Double], String)] = sorted.map { case (name, fn) =>
