@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point. Prints ONE compact JSON line on stdout.
+  *
+  * The round driver captures only the LAST 2000 characters of this
+  * process's output and parses the JSON line out of that tail —
+  * BENCH_r05.json came back `parsed: null` because the line carried the
+  * raw per-pass arrays and grew past the buffer. The stdout line
+  * therefore stays minimal (rounded per-query minima + failure count);
+  * the full detail (every pass, every error) goes to
+  * `target/bench_detail.json` for humans.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,36 +37,51 @@ object Bench {
     // Ambient machine load (round-end snapshots, concurrent builds) can
     // inflate a single timed pass 4-12× per query — BENCH_r04.json recorded
     // 43.3 s for an engine that reproducibly runs in 20.0 s. Defense: run
-    // N timed passes per query and report the per-query MINIMUM (the best
-    // pass is the one least contaminated by external load; Spark's own
-    // execution is deterministic enough that min ≈ true cost). The raw
-    // passes are emitted too so noise stays visible.
+    // N timed passes per query and report the per-query MINIMUM over the
+    // passes that succeeded (a fast crash must not masquerade as a fast
+    // query), falling back to the failed times only when no pass succeeded.
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(_.toIntOption).getOrElse(3).max(1)
-    // (per-pass sec, error message or null) per query: a crashing query
-    // must be distinguishable from a fast one in the bench JSON.
-    val results: Seq[(String, Seq[Double], String)] = sorted.map { case (name, fn) =>
+    val results: Seq[(String, Seq[(Double, Boolean)], String)] = sorted.map { case (name, fn) =>
       var err: String = null
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch {
-          case e: Throwable =>
-            if (err == null)
-              err = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              if (err == null)
+                err = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+              false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
       (name, times, err)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString } + "\""
-    val qs = results.map { case (k, ts, _) => jstr(k) + ":" + ts.min }.mkString("{", ",", "}")
-    val raw = results.map { case (k, ts, _) => jstr(k) + ":" + ts.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    def best(ts: Seq[(Double, Boolean)]): Double = {
+      val good = ts.collect { case (t, true) => t }
+      (if (good.nonEmpty) good else ts.map(_._1)).min
+    }
+    def r4(d: Double): String = "%.4f".format(d)
+    val qs = results.map { case (k, ts, _) => jstr(k) + ":" + r4(best(ts)) }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, e) if e != null => jstr(k) + ":" + jstr(e) }.mkString("{", ",", "}")
     val nFailed = results.count(_._3 != null)
-    val total = results.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$raw,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.map(r => best(r._2)).sum
+    // Full detail for humans; NOT on stdout (see header comment).
+    val raw = results.map { case (k, ts, _) =>
+      jstr(k) + ":" + ts.map(t => r4(t._1)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"passes":$raw,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get("target/bench_detail.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    val errField = if (nFailed > 0) s""","errors":$errs""" else ""
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$nFailed$errField,"sf":"$sfDir"}""")
     spark.stop()
     if (nFailed > 0) sys.exit(3)
   }

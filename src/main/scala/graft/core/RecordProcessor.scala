@@ -128,16 +128,21 @@ object RecordProcessor {
       // template writes, innerType is the quoted `tpe` the reparse would
       // read back verbatim, and the id only needs its own ≤100-byte
       // rendered literal parsed — not the multi-KB envelope. Exception:
-      // a tpe or string id carrying quote/backslash/control characters
-      // renders an envelope the reparse would either REJECT (invalid
-      // JSON → the record was a Malformed skip) or escape-DECODE
-      // differently — those rare records take the full reparse path so
-      // observable behavior is unchanged (the corpus spec pins both
-      // routes).
+      // a tpe, string id, or lastModified carrying quote/backslash/
+      // control characters renders an envelope the reparse would either
+      // REJECT (invalid JSON → the record was a Malformed skip) or
+      // escape-DECODE differently — those rare records take the full
+      // reparse path so observable behavior is unchanged (the corpus
+      // spec pins both routes). lastModified matters because it is the
+      // only other record-derived string the template splices unescaped
+      // ("_lastModifiedDateTime": "$lastModified") — a date-prefixed
+      // value with trailing junk still version-parses (lenient), so
+      // without this check an invalid envelope would ship as Ok.
       def escapeSensitive(v: String): Boolean =
         v.exists(c => c == '"' || c == '\\' || c < ' ')
       val (innerType, rowkey) =
-        if (escapeSensitive(produced.innerType) || (idIsString && escapeSensitive(id))) {
+        if (escapeSensitive(produced.innerType) || (idIsString && escapeSensitive(id)) ||
+            escapeSensitive(lastModified)) {
           val envelopeJson = Json.parse(envelope) // throws → Malformed, as before
           (Versions.getType(envelopeJson), Rowkey.generateKeyFromEnvelope(envelopeJson))
         } else

@@ -54,19 +54,10 @@ object DedupClusters {
       .select(col("n"), least(col("n"), col("l")).as("l"))
       .localCheckpoint()
 
-    // empty pair list (clean corpus) → empty clustering, not an NPE on
-    // the null sum below
+    // empty pair list (clean corpus) → empty clustering
     if (labels.head(1).isEmpty)
       return labels.select(col("n").as("node"), col("l").as("cluster_id"))
 
-    // Convergence test: labels are monotonically non-increasing per
-    // node, so fixpoint ⟺ the (exact, decimal — no long overflow at
-    // any id scale) label sum is unchanged. One narrow scan over the
-    // checkpointed round result — no compare-join.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0)
-
-    var prevSum = labelSum(labels)
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
@@ -80,15 +71,22 @@ object DedupClusters {
       val jumped = labels.toDF("n0", "l0")
         .join(labels.withColumnRenamed("n", "l0").withColumnRenamed("l", "ll"), "l0")
         .select(col("n0").as("n"), col("ll").as("l"))
-      // lazy checkpoint: the labelSum scan below is the materializing
-      // action, so each round runs ONE job, not checkpoint + sum
-      val next = labels.union(viaNeighbor).union(jumped)
-        .groupBy(col("n")).agg(min(col("l")).as("l"))
+      // Convergence test rides the SAME groupBy: the prev-label rows are
+      // flagged, the prev label travels through the agg as
+      // min(when(flag, l)) (exactly one prev row per node), and the
+      // materializing scan counts nodes whose new min differs. Works for
+      // ANY orderable id type — numeric, string, date — with no
+      // compare-join and one job per round (the lazy checkpoint
+      // materializes on the count scan).
+      val tagged = labels.select(col("n"), col("l"), lit(true).as("p"))
+        .union(viaNeighbor.select(col("n"), col("l"), lit(false).as("p")))
+        .union(jumped.select(col("n"), col("l"), lit(false).as("p")))
+      val next = tagged.groupBy(col("n"))
+        .agg(min(col("l")).as("l"), min(when(col("p"), col("l"))).as("pl"))
         .localCheckpoint(false)
-      val nextSum = labelSum(next)
-      changed = nextSum.compareTo(prevSum) != 0
-      prevSum = nextSum
-      labels = next
+      val nChanged = next.filter(col("l") =!= col("pl")).count()
+      changed = nChanged != 0
+      labels = next.select(col("n"), col("l"))
       iter += 1
     }
     if (changed)

@@ -12,6 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object Advanced {
 
+  /** Catalog-table tag for session-cached storage layouts (q49/q50):
+    * the full sanitized source path (never a 32-bit hash — distinct
+    * dirs must not collide) plus each source file's literal
+    * (length, mtime) so regenerated data invalidates the cache. */
+  private def layoutTag(d: String, files: String*): String = {
+    val path = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "")
+    val fp = files.map { f =>
+      val jf = new java.io.File(s"$d/$f")
+      java.lang.Long.toHexString(jf.length) + "t" + java.lang.Long.toHexString(jf.lastModified)
+    }.mkString("_")
+    s"${path}_$fp"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Streaming exact dedup through the driver's gate: the events file
@@ -63,9 +76,13 @@ object Advanced {
     "q49_bucketed_join" -> { (s, d) =>
       val bucketDb = "graft_buckets"
       s.sql(s"CREATE DATABASE IF NOT EXISTS $bucketDb")
-      // write once per (session, sf dir): repeated bench passes reuse.
-      // String.hashCode is spec-fixed, so the tag is deterministic.
-      val tag = java.lang.Integer.toHexString(d.hashCode)
+      // write once per (session, sf dir, source contents): repeated bench
+      // passes reuse. The tag embeds the full sanitized path (not a
+      // 32-bit hash — two dirs must never collide) AND each source
+      // file's (length, mtime), so regenerating the parquet at the same
+      // path invalidates the cached layout instead of silently serving
+      // stale rows.
+      val tag = layoutTag(d, "orders.parquet", "customer.parquet")
       val ordersT = s"$bucketDb.orders_b_$tag"
       val custT = s"$bucketDb.customer_b_$tag"
       if (!s.catalog.tableExists(ordersT)) {
@@ -103,7 +120,7 @@ object Advanced {
     "q50_partition_prune" -> { (s, d) =>
       val bucketDb = "graft_buckets"
       s.sql(s"CREATE DATABASE IF NOT EXISTS $bucketDb")
-      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val tag = layoutTag(d, "events.parquet")
       val eventsT = s"$bucketDb.events_p_$tag"
       if (!s.catalog.tableExists(eventsT)) {
         val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath

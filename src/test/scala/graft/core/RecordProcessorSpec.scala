@@ -206,6 +206,21 @@ class RecordProcessorSpec extends AnyFunSuite {
     assert(Versions.getType(Json.parse(p.envelope)) == p.innerType)
   }
 
+  test("escape-sensitive lastModified takes the reparse route: date+quote junk → Malformed") {
+    // A _lastModifiedDateTime string with a lenient-parseable date prefix
+    // followed by a raw quote: the version parse succeeds (SimpleDateFormat
+    // ignores trailing garbage) but the envelope splice would be invalid
+    // JSON. The reference reparses every envelope (MessageUtils.kt:43-77)
+    // and throws → F4 Malformed skip; the fast-path guard must match.
+    val junkDate = baseRecord("d", 0).replace(
+      """"_lastModifiedDateTime": {"$date": "2018-12-01T15:01:02.000Z"}""",
+      """"_lastModifiedDateTime": "2018-12-01T15:01:02.000Z\"junk"""")
+    assert(junkDate != baseRecord("d", 0), "fixture replace must hit")
+    assert(processLine(junkDate, ctx(), identity, fixedIv).left.exists {
+      case RecordProcessor.SkipReason.Malformed(_) => true; case _ => false
+    })
+  }
+
   test("filename parse extracts db/collection/filenumber, case-insensitive, path-prefixed") {
     assert(parseFilename("some/prefix/database-1.collection-1.0001.json.gz.enc")
       .contains(("database-1", "collection-1", 1)))

@@ -63,6 +63,18 @@ class DedupClustersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.toSet == Set(10L))
   }
 
+  test("string node ids cluster correctly (lexicographic min becomes the cluster id)") {
+    val sp = spark; import sp.implicits._
+    // two components with string ids, plus a chain so labels must travel:
+    // {doc-a, doc-c, doc-b} and {x9, x2}
+    val edges = Seq(("doc-c", "doc-a"), ("doc-a", "doc-b"), ("x9", "x2"))
+    val got = DedupClusters.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
+      "x2" -> "x2", "x9" -> "x2"))
+  }
+
   test("empty pair list yields an empty clustering, not a crash") {
     val sp = spark; import sp.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
