@@ -25,6 +25,25 @@ object Advanced {
     s"${path}_$fp"
   }
 
+  /** Gaps-and-islands batch sessions in DuckDB — the oracle for BOTH
+    * q25 (batch) and q53 (streaming): same SQL, two execution models. */
+  private def sessionOracleSql: String =
+    s"""WITH e AS (
+          SELECT user_id::BIGINT user_id, epoch_ms(ts)::BIGINT ts_ms,
+                 round(value * 100)::BIGINT value_x100
+          FROM events),
+        flagged AS (
+          SELECT user_id, ts_ms, value_x100,
+                 CASE WHEN lag(ts_ms) OVER w IS NULL
+                           OR ts_ms - lag(ts_ms) OVER w > ${Sessions.GapMs} THEN 1 ELSE 0 END new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms))
+        SELECT user_id, min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+               count(*) AS n_events, sum(value_x100)::BIGINT AS total_value_x100
+        FROM (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_no
+              FROM flagged)
+        GROUP BY user_id, session_no"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Streaming exact dedup through the driver's gate: the events file
@@ -163,6 +182,93 @@ object Advanced {
       val out = s.table(sinkName)
         .select(unix_millis(col("hour_start")).as("hour_ms"),
           col("event_type"), col("n"), col("total_value"))
+      s.catalog.dropTempView(sinkName)
+      org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+      out
+    },
+
+    // Streaming sessionization through the gate: the events file flows
+    // into the flatMapGroupsWithState session operator and the result
+    // must hash-match the SAME DuckDB batch-session oracle as q25 —
+    // stream ≡ batch proven in the driver's gate, not just StreamingSpec.
+    // Append-mode stateful output only emits sessions the watermark has
+    // sealed, so the staged source dir carries one sentinel row far in
+    // the future: the post-data no-data batch advances the watermark
+    // past every real session and the EventTimeTimeout flushes them.
+    // (The sentinel user's own open session never emits; it is filtered
+    // defensively anyway.) Scale shape: one shuffle on user_id, state =
+    // open-session intervals per user, watermark-bounded.
+    "q53_stream_sessions" -> { (s, d) =>
+      val src = new java.io.File(s"$d/events.parquet")
+      val schema = s.read.parquet(src.getPath).schema
+      val stage = java.nio.file.Files.createTempDirectory("graft-q53-src")
+      java.nio.file.Files.copy(src.toPath, stage.resolve("events.parquet"))
+      // sentinel: year-2100 nanos, schema-identical by construction
+      s.read.parquet(src.getPath).limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", lit(4102444800000000000L))
+        .write.mode("append").parquet(stage.toString)
+      val ck = java.nio.file.Files.createTempDirectory("graft-q53-ck")
+      val sinkName = "q53_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(stage.toString)
+      val events = raw.select(
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val q = Sessions.sessionizeStream(Sessions.typedEvents(events)).toDF().writeStream
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(sinkName).filter(col("user_id") >= 0)
+      s.catalog.dropTempView(sinkName)
+      org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+      out
+    },
+
+    // Stream-stream interval join (click → purchase attribution within
+    // 30 minutes): both sides are watermarked streams and the join
+    // condition bounds buy_ts relative to click_ts, so Spark can GC
+    // join state behind the watermark — the shape that holds on an
+    // unbounded 100 TB event feed. Inner joins emit on match (no
+    // holdback), so the bounded AvailableNow run yields the complete
+    // pair set, which must equal DuckDB's batch self-join. The
+    // inequalities compare microsecond-truncated timestamps on BOTH
+    // engines (Spark TimestampType IS micros; the oracle uses
+    // epoch_us) so boundary rows can't drift.
+    "q54_stream_join" -> { (s, d) =>
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val ck = java.nio.file.Files.createTempDirectory("graft-q54-ck")
+      val sinkName = "q54_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      def side(): DataFrame = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .select(col("user_id").cast("long").as("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("event_type"))
+      val clicks = side().filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+      val buys = side().filter(col("event_type") === "purchase")
+        .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"))
+        .withWatermark("buy_ts", "2 hours")
+      val joined = clicks.join(buys,
+        expr("""user_id = buy_user AND
+                buy_ts > click_ts AND
+                buy_ts <= click_ts + interval 30 minutes"""))
+        .select(col("user_id"),
+          unix_millis(col("click_ts")).as("click_ms"),
+          unix_millis(col("buy_ts")).as("buy_ms"))
+      val q = joined.writeStream
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(sinkName)
       s.catalog.dropTempView(sinkName)
       org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
       out
@@ -356,22 +462,20 @@ object Advanced {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1""",
-    "q25_sessionize" ->
-      s"""WITH e AS (
-            SELECT user_id::BIGINT user_id, epoch_ms(ts)::BIGINT ts_ms,
-                   round(value * 100)::BIGINT value_x100
-            FROM events),
-          flagged AS (
-            SELECT user_id, ts_ms, value_x100,
-                   CASE WHEN lag(ts_ms) OVER w IS NULL
-                             OR ts_ms - lag(ts_ms) OVER w > ${Sessions.GapMs} THEN 1 ELSE 0 END new_session
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms))
-          SELECT user_id, min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
-                 count(*) AS n_events, sum(value_x100)::BIGINT AS total_value_x100
-          FROM (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_no
-                FROM flagged)
-          GROUP BY user_id, session_no""",
+    "q25_sessionize" -> sessionOracleSql,
+    // q53 is the STREAMING face of q25 — one oracle, two execution
+    // models: hash-equality of both against the same SQL is the
+    // stream ≡ batch proof inside the driver's gate.
+    "q53_stream_sessions" -> sessionOracleSql,
+    "q54_stream_join" ->
+      """SELECT a.user_id::BIGINT AS user_id,
+                epoch_ms(a.ts)::BIGINT AS click_ms,
+                epoch_ms(b.ts)::BIGINT AS buy_ms
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND a.event_type = 'click' AND b.event_type = 'purchase'
+          AND epoch_us(b.ts) > epoch_us(a.ts)
+          AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000""",
     "q26_kafka_format" ->
       """SELECT DISTINCT strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || '+0000' AS kafka_ts FROM events""",
     "q27_latest_events" ->

@@ -363,6 +363,22 @@ object TrainingData {
       val pairs = queries("q24_dedup_embedding")(s, d).select(col("vec_a"), col("vec_b"))
       graft.operators.DedupClusters.connectedComponents(pairs, "vec_a", "vec_b")
         .select(col("node").as("vec_id"), col("cluster_id"))
+    },
+
+    // Data mixing: down-sample the dominant language to its target
+    // mixture rate with pure integer id-hash arithmetic (the q41 hash
+    // family, different multiplier so mixing never correlates with the
+    // train/val/test split). No RNG, no sample() operator — the keep
+    // decision is a deterministic pure function of doc_id, so reruns,
+    // task retries, and other engines reproduce the exact corpus. A
+    // narrow map with zero exchanges; at 100 TB the sampled corpus
+    // streams straight to the writer.
+    "q55_data_mix" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket", expr("((doc_id % 1000003) * 2246822519) % 1000000007 % 100"))
+        .filter(col("bucket") <
+          when(col("lang") === "en", lit(40)).otherwise(lit(100)))
+        .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
     }
   )
 
@@ -555,6 +571,12 @@ object TrainingData {
             UNION
             SELECT e.n, r.l FROM edges e JOIN reach r ON r.n = e.m
           )
-          SELECT n AS vec_id, min(l) AS cluster_id FROM reach GROUP BY n"""
+          SELECT n AS vec_id, min(l) AS cluster_id FROM reach GROUP BY n""",
+    "q55_data_mix" ->
+      """SELECT doc_id, lang, source, bucket FROM (
+           SELECT doc_id, lang, source,
+                  ((doc_id % 1000003) * 2246822519) % 1000000007 % 100 AS bucket
+           FROM documents)
+         WHERE bucket < CASE WHEN lang = 'en' THEN 40 ELSE 100 END"""
   )
 }
