@@ -64,7 +64,7 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aggs.size >= 2, s"expected partial+final HashAggregate pair:\n$aggs")
   }
 
-  test("global sweep: no cartesian/nested-loop join anywhere in the 47-query surface") {
+  test("global sweep: no cartesian/nested-loop join anywhere in the full query surface") {
     // The only sanctioned cross joins are the bounded-by-construction
     // query-side broadcasts in the ANN scorers (|Q| = 5 probe vectors /
     // nlist centroids) — everything else going cartesian is a planning
@@ -102,6 +102,13 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the range predicate must be a partition filter, not a data filter
     // over a full scan
     assert(!scanLine.contains("PartitionFilters: []"), scanLine)
+  }
+
+  test("q55: mixing keep-decision is a pure narrow map — zero exchanges") {
+    val df = SparkEntry.queries("q55_data_mix")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"), s)
   }
 
   test("q41: split assignment is a pure narrow map — zero exchanges") {
