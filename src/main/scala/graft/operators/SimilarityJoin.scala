@@ -56,9 +56,13 @@ object SimilarityJoin {
     * later ones ≤ 1+min(la-pa, lb-pb), so
     * overlap ≤ least(pa,pb) + least(la-pa, lb-pb). Every shared prefix
     * element yields a valid bound; the groupBy (which replaces the
-    * plain distinct — same shuffle) takes the tightest and drops pairs
-    * that provably cannot reach α = ⌈τ/(1+τ)·(la+lb)⌉, the Jaccard-≥τ
-    * overlap minimum. Measured at sf0.1: 310k → 45k candidates. */
+    * plain distinct — same shuffle, so the filter is FREE) takes the
+    * tightest and drops pairs that provably cannot reach
+    * α = ⌈τ/(1+τ)·(la+lb)⌉, the Jaccard-≥τ overlap minimum. On corpora
+    * whose candidates come from RARE shared shingles the bound prunes
+    * little (rare elements sit at the front of the order, where it is
+    * weakest — q51's corpus: <1%); it earns its keep on skewed/sloppy
+    * corpora where mid-frequency elements dominate candidates. */
   private[operators] def candidatePairs(e: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     val dfreq = e.groupBy(col("e")).agg(count(lit(1)).as("df"))
     // rank and set size from ONE hash-partition of the element rows:

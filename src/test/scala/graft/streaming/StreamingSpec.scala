@@ -167,6 +167,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches pairs AND evicts state behind the watermark") {
+    // The q54 shape: because the join condition bounds buy_ts relative
+    // to click_ts and both sides carry watermarks, Spark must recognize
+    // the state as finite and EVICT rows the watermark has passed —
+    // numRowsRemoved > 0 is the evidence the unbounded-stream posture
+    // is real, not just that the bounded run happened to terminate.
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(java.sql.Timestamp, Long)]
+    val buysIn = MemoryStream[(java.sql.Timestamp, Long)]
+    val clicks = clicksIn.toDF().toDF("click_ts", "user_id")
+      .withWatermark("click_ts", "10 minutes")
+    val buys = buysIn.toDF().toDF("buy_ts", "buy_user")
+      .withWatermark("buy_ts", "10 minutes")
+    val joined = clicks.join(buys, expr(
+      "user_id = buy_user AND buy_ts > click_ts AND buy_ts <= click_ts + interval 30 minutes"))
+    val query = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    try {
+      // ten users click at minutes 0..9; only user 5's click pairs with
+      // the minute-9 purchase (9 > 5 and 9 ≤ 5 + 30)
+      clicksIn.addData((0L until 10L).map(u => (ts(u), u)))
+      buysIn.addData(Seq((ts(9), 5L)))
+      query.processAllAvailable()
+      // advance both watermarks far past the first batch, then run one
+      // more batch so the eviction pass executes under the new watermark
+      clicksIn.addData(Seq((ts(1000), 999L)))
+      buysIn.addData(Seq((ts(1000), 998L)))
+      query.processAllAvailable()
+      clicksIn.addData(Seq((ts(1001), 997L)))
+      buysIn.addData(Seq((ts(1001), 996L)))
+      query.processAllAvailable()
+
+      val out = spark.table("ssj_out").collect()
+      assert(out.length == 1 && out.head.getLong(1) == 5L, out.mkString(","))
+      val removed = query.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed > 0, "watermark never evicted join state — the time bound was not recognized")
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView("ssj_out")
+    }
+  }
+
   test("watermarked hourly aggregation matches the batch grouping") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
