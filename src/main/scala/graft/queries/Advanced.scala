@@ -274,6 +274,39 @@ object Advanced {
       out
     },
 
+    // Stream-static enrichment: the event stream joins a static
+    // dimension (customer segments). The static side is planned per
+    // micro-batch like any batch relation — broadcast at this size, a
+    // shuffled join only if the dim outgrows it — and needs NO state:
+    // nothing is watermark-held, so the bounded run is trivially
+    // complete. The remaining streaming capability class after
+    // stream-stream (q54) and stateful aggregation (q52/q53).
+    "q56_stream_enrich" -> { (s, d) =>
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val ck = java.nio.file.Files.createTempDirectory("graft-q56-ck")
+      val sinkName = "q56_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .select(col("user_id").cast("long").as("user_id"),
+          expr("ts div 1000000").as("ts_ms"),
+          col("event_type"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_mktsegment"))
+      val enriched = raw.join(dim, col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("ts_ms"), col("event_type"), col("c_mktsegment"))
+      val q = enriched.writeStream
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(sinkName)
+      s.catalog.dropTempView(sinkName)
+      org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+      out
+    },
+
     // Gap-based sessions (30 min) per user over the events table.
     // Integer-millisecond arithmetic end to end.
     "q25_sessionize" -> { (s, d) =>
@@ -467,6 +500,10 @@ object Advanced {
     // models: hash-equality of both against the same SQL is the
     // stream ≡ batch proof inside the driver's gate.
     "q53_stream_sessions" -> sessionOracleSql,
+    "q56_stream_enrich" ->
+      """SELECT e.user_id::BIGINT AS user_id, epoch_ms(e.ts)::BIGINT AS ts_ms,
+                e.event_type, c.c_mktsegment
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
     "q54_stream_join" ->
       """SELECT a.user_id::BIGINT AS user_id,
                 epoch_ms(a.ts)::BIGINT AS click_ms,
