@@ -81,7 +81,16 @@ object Bench {
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val errField = if (nFailed > 0) s""","errors":$errs""" else ""
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$nFailed$errField,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$nFailed$errField,"sf":"$sfDir"}"""
+    // safety valve for future query growth: if the line ever nears the
+    // capture-tail limit, re-render at 3 decimals (still 1 ms precision)
+    val safe =
+      if (line.length <= 1800) line
+      else {
+        val q3 = results.map { case (k, ts, _) => jstr(k) + ":" + "%.3f".format(best(ts)) }.mkString("{", ",", "}")
+        s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$q3,"failed":$nFailed,"sf":"$sfDir"}"""
+      }
+    println(safe)
     spark.stop()
     if (nFailed > 0) sys.exit(3)
   }
