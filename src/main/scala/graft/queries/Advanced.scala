@@ -70,11 +70,16 @@ object Advanced {
         .withWatermark("ts_t", "2 hours")
         .dropDuplicates("user_id", "ts_ms")
         .select(col("user_id"), col("ts_ms"))
-      val q = keyed.writeStream
-        .format("memory").queryName(sinkName)
-        .option("checkpointLocation", ck.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // state partitions sized to key cardinality (see q53's comment)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try {
+        keyed.writeStream
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation", ck.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       // detach the temp-view name and drop the checkpoint dir so
       // repeated invocations (bench runs 4×) don't accumulate driver
@@ -172,12 +177,17 @@ object Advanced {
       val events = raw.select(
         timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_type"), col("value"))
-      val q = Sessions.hourlyCountsStream(events).writeStream
-        .format("memory").queryName(sinkName)
-        .outputMode("complete")
-        .option("checkpointLocation", ck.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // state partitions sized to key cardinality (see q53's comment)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try {
+        Sessions.hourlyCountsStream(events).writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .option("checkpointLocation", ck.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       val out = s.table(sinkName)
         .select(unix_millis(col("hour_start")).as("hour_ms"),
