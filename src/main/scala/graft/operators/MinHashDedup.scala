@@ -16,19 +16,41 @@ import org.apache.spark.sql.functions._
   * the same reason q17's exact verifier uses 3-grams.
   *
   * Scale shape: the only data-keyed shuffle is the band-bucket join,
-  * whose key (bandIdx, bandHash) is uniform by construction — no skew.
+  * whose key (bandIdx, bandKey) is uniform by construction — no skew.
   * The candidate set is |pairs sharing a band| << |all pairs|, which is
   * the point vs the O(n²) exact cross-join. With k=32, b=8, r=4 the
   * match-probability curve crosses ~0.5 near Jaccard ≈ 0.6.
   *
-  * Deterministic: murmur3 with fixed literal salts, so replays and
-  * verification runs agree bit-for-bit.
+  * Deterministic AND cross-engine reproducible: the k hash functions
+  * are the classic universal-hash family h_j(s) = (a_j·x(s) + b_j) mod
+  * M over ONE md5-derived 31-bit base hash x(s) per shingle (the same
+  * md5-hex-prefix primitive the q16 SimHash oracle already proved
+  * portable), with literal (a_j, b_j) constants. Every value the
+  * operator computes — signatures, band keys, match counts — is
+  * therefore expressible in plain SQL, which is what lets the driver
+  * hash-match q15 against a DuckDB oracle instead of trusting a
+  * rows-only check (Spark's murmur3 `hash()` has no DuckDB analogue).
+  * One md5 per shingle row; the 31-bit base keeps a_j·x + b_j under
+  * 2^62, so ANSI-mode arithmetic can never overflow.
   */
 object MinHashDedup {
 
   val NumHashes = 32
   val Bands = 8
   val RowsPerBand: Int = NumHashes / Bands
+
+  /** Modulus of the affine hash family (fits 31-bit operands safely). */
+  val HashMod = 1000000007L
+  /** 31-bit space of the base hash. */
+  val BaseMod = 2147483648L
+
+  /** Literal (a_j, b_j) per signature position, from a fixed-seed LCG
+    * (java.util.Random is spec-pinned, so these are stable constants —
+    * and they are spliced verbatim into the DuckDB oracle SQL). */
+  val HashParams: IndexedSeq[(Long, Long)] = {
+    val r = new scala.util.Random(20260812L)
+    IndexedSeq.fill(NumHashes)((r.nextInt(Int.MaxValue - 1).toLong + 1L, r.nextInt(Int.MaxValue).toLong))
+  }
 
   /** Distinct word-3-gram shingles from a pre-split token array column.
     * Tokenizing once and shingling over the array keeps the per-shingle
@@ -44,7 +66,7 @@ object MinHashDedup {
   def shingles(text: Column): Column = shinglesFromTokens(split(text, " "))
 
   /** (docs: [idCol: long, textCol: string]) → signature per doc:
-    * sig[j] = min over shingles of murmur3(shingle, salt_j).
+    * sig[j] = min over shingles of (a_j·x(shingle) + b_j) mod M.
     *
     * Shingles are built by exploding a POSITION sequence and assembling
     * each one with codegen'd concat_ws/element_at — exploding a
@@ -62,9 +84,12 @@ object MinHashDedup {
           element_at(col("toks"), col("i")),
           element_at(col("toks"), col("i") + 1),
           element_at(col("toks"), col("i") + 2)).as("tok"))
+      // ONE md5 per shingle row; all k hashes derive from it affinely
+      .withColumn("x",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % BaseMod)
     // one aggregation computing all k mins — single shuffle by doc_id
-    val minCols: Seq[Column] = (0 until NumHashes).map { j =>
-      min(hash(col("tok"), lit(j))).as(s"h$j")
+    val minCols: Seq[Column] = HashParams.zipWithIndex.map { case ((a, b), j) =>
+      min(expr(s"($a * x + $b) % $HashMod")).as(s"h$j")
     }
     toks.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
@@ -76,14 +101,17 @@ object MinHashDedup {
     * signature positions (estimated Jaccard = est_matches / k). */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String, minMatches: Int): DataFrame = {
     val sigs = signatures(docs, idCol, textCol)
-    // explode the band INDEX, hash the slice per exploded row (same
+    // explode the band INDEX and key the bucket by the band's VALUES
+    // (concatenated) — engine-neutral, unlike hashing the slice (same
     // Generate-stays-codegen rationale as signatures)
     val bands = sigs
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(Bands - 1))).as("band_idx"))
-      .withColumn("band_hash", hash(slice(col("sig"), col("band_idx") * RowsPerBand + 1, lit(RowsPerBand))))
-    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band_idx"), col("band_hash"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band_idx"), col("band_hash"))
-    a.join(b, Seq("band_idx", "band_hash"))
+      .withColumn("band_key", concat_ws("_",
+        (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), col("band_idx") * RowsPerBand + lit(r) + 1)): _*))
+    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band_idx"), col("band_key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)").as("est_matches"))

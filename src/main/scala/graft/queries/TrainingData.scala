@@ -31,8 +31,13 @@ object TrainingData {
         .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
     },
 
-    // MinHash+LSH near-dup candidates (Spark-only: rows-only driver
-    // check; MinHashDedupSpec verifies against exact Jaccard).
+    // MinHash+LSH near-dup candidates. The operator's universal-hash
+    // family runs on one md5-derived base hash per shingle with literal
+    // affine constants, so the ENTIRE pipeline — signatures, band
+    // buckets, match counts — is recomputed independently in DuckDB and
+    // hash-compared (was rows-only when the hashes were Spark murmur3);
+    // DedupAnnSpec additionally gates the ESTIMATOR against exact
+    // Jaccard.
     "q15_dedup_minhash" -> { (s, d) =>
       MinHashDedup.candidatePairs(Tables.documents(s, d), "doc_id", "text", minMatches = 16)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -396,7 +401,43 @@ object TrainingData {
   private def cosineSql(a: String, b: String): String =
     s"${dot.format(a, b)} / (sqrt(${dot.format(a, a)}) * sqrt(${dot.format(b, b)}))"
 
+  /** The q15 MinHash pipeline re-expressed in DuckDB SQL, generated
+    * from the SAME constants the operator uses (MinHashDedup.HashParams
+    * spliced as literals). Structure: shingles → md5-derived 31-bit
+    * base hash → 32 affine min-hashes → 8 band keys → bucket self-join
+    * → positional agreement count ≥ 16. */
+  private def minhashOracleSql: String = {
+    import graft.operators.MinHashDedup._
+    val hashCols = HashParams.zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a * x + $b) % $HashMod) AS h$j"
+    }.mkString(", ")
+    val bandCases = (0 until Bands).map { bi =>
+      val key = (0 until RowsPerBand).map(r => s"h${bi * RowsPerBand + r}").mkString(" || '_' || ")
+      s"WHEN $bi THEN $key"
+    }.mkString(" ")
+    val est = (0 until NumHashes).map(j => s"(sa.h$j = sb.h$j)::INT").mkString(" + ")
+    s"""WITH toks AS (
+          SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))) AS tok
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        based AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % $BaseMod AS x FROM toks),
+        sig AS (SELECT doc_id, $hashCols FROM based GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, b AS band_idx, CASE b $bandCases END AS band_key
+          FROM sig, range(${Bands}) r(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, ($est)::INT AS est_matches
+        FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+                  JOIN sig sb ON cand.doc_b = sb.doc_id
+        WHERE $est >= 16"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q15_dedup_minhash" -> minhashOracleSql,
     "q14_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",
