@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed total-order rank — the scale-correct replacement for a
+  * single-partition `row_number() OVER (ORDER BY ...)` (which funnels
+  * 100 TB through one task and dies).
+  *
+  * Shape: `repartitionByRange` on the sort keys gives globally ordered
+  * partition RANGES; `sortWithinPartitions` orders inside each; the
+  * global rank of a row is then (rows in all earlier partitions) +
+  * (its position inside its own partition). Both terms come from ONE
+  * range shuffle:
+  *
+  *   - position-in-partition: `monotonically_increasing_id()` evaluated
+  *     ABOVE the partition-local sort is `partitionId << 33 | localRow`
+  *     by construction, so the low 33 bits are the 0-based sorted
+  *     position and the high bits the range-partition id. The column is
+  *     nondeterministic-flagged, which is exactly what stops Catalyst
+  *     from reordering it below the sort; its VALUE is deterministic
+  *     here because the partition contents and order are (range
+  *     partitioning + total sort key). Task retry replays the same
+  *     sorted iterator and reassigns identical ids.
+  *   - earlier-partition counts: a `groupBy(partitionId).count()` over
+  *     the SAME ranged subtree — Catalyst's ReuseExchange dedupes the
+  *     range shuffle, so the data moves once — then a prefix sum over
+  *     the tiny (one row per partition) count table, broadcast-joined
+  *     back. No second shuffle of the big side.
+  *
+  * The caller must pass a TOTAL order (append a unique tiebreak key);
+  * ties across a partition boundary would otherwise make range
+  * placement, and hence ranks, nondeterministic.
+  */
+object GlobalRank {
+
+  private val LocalBits = 33
+  private val LocalMask = (1L << LocalBits) - 1
+
+  /** @param df        input
+    * @param sortExprs  total-order sort expressions (e.g. `col("p").desc, col("id").asc`)
+    * @param numParts   range partitions — on a real cluster, ~cores×2; each
+    *                   partition must fit a task (the only memory bound here)
+    * @param rankCol    name of the produced 1-based BIGINT rank column
+    */
+  def rank(df: DataFrame, sortExprs: Seq[Column], numParts: Int, rankCol: String): DataFrame = {
+    val parted = df.repartitionByRange(numParts, sortExprs: _*)
+    val ranged = parted
+      .sortWithinPartitions(sortExprs: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), LocalBits))
+      .withColumn("__local", col("__mid").bitwiseAND(lit(LocalMask)))
+    // partition sizes don't depend on intra-partition order, so the
+    // counts branch hangs off the exchange BEFORE the sort
+    // (spark_partition_id, no second per-partition sort at scale);
+    // ReuseExchange still dedupes the range shuffle itself.
+    val counts = parted
+      .select(spark_partition_id().cast("long").as("__pid"))
+      .groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+    // one row per partition: the single-partition window is over
+    // `numParts` rows, not the data
+    val offsets = counts
+      .withColumn("__off",
+        coalesce(
+          sum(col("__n")).over(
+            Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__off"))
+    ranged
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rankCol, col("__off") + col("__local") + lit(1L))
+      .drop("__mid", "__pid", "__local", "__off")
+  }
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.operators.GlobalRank
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * runs between raw ingest and tokenized shards: rule-based quality
+  * filtering (Gopher-style), global ranking/sorting, PII scrubbing,
+  * context-window chunking, unigram LM scoring, and embedding
+  * quantization. All hash-checked against DuckDB with the repo's oracle
+  * discipline: integer arithmetic for thresholds, identical float
+  * formulas on both engines, md5 for text equality.
+  */
+object Corpus {
+
+  private val StopWords = Seq("the", "a", "of", "to", "and")
+
+  // chunking geometry: 32-token windows advancing by 24 (8-token overlap)
+  private val ChunkW = 32
+  private val ChunkS = 24
+
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher-style rule filter: each document gets a flag per rule plus
+    // the conjunction, so downstream can both FILTER and AUDIT (which
+    // rule kills how much of which source — the first question anyone
+    // asks of a corpus filter). Pure narrow map, no shuffle; every
+    // threshold is integer arithmetic (`3*n <= chars`, never a rounded
+    // ratio) so the oracle can't disagree on a boundary. Rules:
+    // token count in [30,90], mean word length in [4.0,5.0], distinct
+    // ratio >= 1/2, >= 2 distinct stopwords present.
+    "q57_gopher_rules" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      val stopHits = size(array_distinct(
+        filter(toks, t => t.isin(StopWords.map(x => x: Any): _*))))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          length(regexp_replace(col("text"), " ", "")).as("n_word_chars"),
+          size(array_distinct(toks)).as("n_distinct"),
+          stopHits.as("n_stop"))
+        .withColumn("r_count", when(col("n_tokens").between(30, 90), 1).otherwise(0))
+        .withColumn("r_wordlen",
+          when(col("n_word_chars") >= col("n_tokens") * 4 &&
+               col("n_word_chars") <= col("n_tokens") * 5, 1).otherwise(0))
+        .withColumn("r_distinct", when(col("n_distinct") * 2 >= col("n_tokens"), 1).otherwise(0))
+        .withColumn("r_stop", when(col("n_stop") >= 2, 1).otherwise(0))
+        .withColumn("keep",
+          col("r_count") * col("r_wordlen") * col("r_distinct") * col("r_stop"))
+    },
+
+    // Global total-order rank over orders by price — the operator a
+    // single-partition window can't survive at scale (see GlobalRank:
+    // range shuffle + reused exchange + broadcast prefix offsets).
+    // Price rides as integer cents through DECIMAL(18,2) on both
+    // engines; o_orderkey breaks ties so the order is total.
+    "q58_global_rank" -> { (s, d) =>
+      GlobalRank.rank(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        numParts = 32,
+        rankCol = "rank")
+        .select(col("rank"), col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_x100"))
+    },
+
+    // PII scrub: plant one deterministic email + phone per document
+    // (the corpus is synthetic word soup with no organic PII — planting
+    // keeps the check non-vacuous), then count and redact with
+    // conservative patterns both regex engines (Java / RE2) read
+    // identically. Narrow map; at 100 TB this is the same
+    // embarrassingly-parallel shape, the only care being that the
+    // patterns stay linear-time (these are: no backtracking
+    // constructs).
+    "q59_pii_scrub" -> { (s, d) =>
+      val planted = concat(
+        lit("user"), col("doc_id").cast("string"), lit("@example.com "),
+        col("text"),
+        lit(" +1-555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), planted.as("planted"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("planted"), lit(EmailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("planted"), lit(PhonePat), lit(0))).as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("planted"), EmailPat, "<EMAIL>"),
+            PhonePat, "<PHONE>")).as("scrub_md5"))
+    },
+
+    // Context-window chunking: split each document into 32-token
+    // windows with stride 24 (8-token overlap) — the step that turns
+    // cleaned documents into model-context-sized rows. The token array
+    // is projected ONCE, then a cheap integer sequence explodes and
+    // each chunk is assembled per exploded row with codegen'd
+    // slice/concat_ws — never explode the product of a higher-order
+    // transform (the Generate re-evaluates it per row; measured ~1
+    // ms/row on q17's first draft). Output grows ~n_tokens/stride per
+    // doc: a narrow flatMap, no shuffle at any scale.
+    "q60_chunk" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), expr(s"(size(toks) - 1) div $ChunkS"))).as("chunk_idx"))
+        .select(
+          col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          least(lit(ChunkW).cast("long"),
+            size(col("toks")) - col("chunk_idx") * ChunkS).as("n_chunk_tokens"),
+          md5(concat_ws(" ",
+            slice(col("toks"), col("chunk_idx") * ChunkS + 1, lit(ChunkW)))).as("chunk_md5"))
+    },
+
+    // Unigram-LM document scoring: corpus term frequencies joined back
+    // onto each document's tokens — the classic two-pass "how typical
+    // is this document's vocabulary" signal (sum/min of corpus tf; the
+    // perplexity analogue without floats, so it hash-matches). The
+    // vocabulary aggregate is partial (map-side combine) and the
+    // re-join is broadcast here because a closed vocabulary is small;
+    // at open-web scale the same plan holds with the broadcast swapped
+    // for a shuffle join on `tok` — both sides partial-aggregate first,
+    // so the shuffle carries (token, count), not raw tokens.
+    "q61_unigram_lm" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      toks.join(broadcast(freq), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("tf")).as("sum_tf"),
+          min(col("tf")).as("rarest_tf"))
+    },
+
+    // Int8 embedding quantization (symmetric, per-vector max-abs
+    // scale): the storage/serving step that cuts an embedding corpus
+    // 4×. Emits per-vector integer checksums (sum/min/max of the
+    // quantized values) — floor((x*127.0)/mx) is the identical double
+    // expression on both engines, so the integers are exact. Narrow
+    // map over the vector column; no shuffle.
+    "q62_quantize" -> { (s, d) =>
+      val q = transform(col("emb"), x => floor((x * lit(127.0)) / col("mx")).cast("long"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("mx", array_max(transform(col("emb"), abs(_))))
+        .select(
+          col("vec_id"),
+          size(col("emb")).as("n_dims"),
+          aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(q).as("q_min"),
+          array_max(q).as("q_max"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q57_gopher_rules" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+                  length(replace(text, ' ', '')) AS wc
+           FROM documents)
+         SELECT doc_id,
+           len(toks) AS n_tokens,
+           wc AS n_word_chars,
+           len(list_distinct(toks)) AS n_distinct,
+           len(list_distinct(list_filter(toks, x -> x IN ('the','a','of','to','and')))) AS n_stop,
+           CASE WHEN len(toks) BETWEEN 30 AND 90 THEN 1 ELSE 0 END AS r_count,
+           CASE WHEN wc >= 4*len(toks) AND wc <= 5*len(toks) THEN 1 ELSE 0 END AS r_wordlen,
+           CASE WHEN len(list_distinct(toks))*2 >= len(toks) THEN 1 ELSE 0 END AS r_distinct,
+           CASE WHEN len(list_distinct(list_filter(toks, x -> x IN ('the','a','of','to','and')))) >= 2 THEN 1 ELSE 0 END AS r_stop,
+           (CASE WHEN len(toks) BETWEEN 30 AND 90 THEN 1 ELSE 0 END) *
+           (CASE WHEN wc >= 4*len(toks) AND wc <= 5*len(toks) THEN 1 ELSE 0 END) *
+           (CASE WHEN len(list_distinct(toks))*2 >= len(toks) THEN 1 ELSE 0 END) *
+           (CASE WHEN len(list_distinct(list_filter(toks, x -> x IN ('the','a','of','to','and')))) >= 2 THEN 1 ELSE 0 END) AS keep
+         FROM t""",
+
+    "q58_global_rank" ->
+      """SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+           o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_x100
+         FROM orders""",
+
+    "q59_pii_scrub" ->
+      """WITH t AS (
+           SELECT doc_id,
+             'user' || CAST(doc_id AS VARCHAR) || '@example.com ' || text ||
+             ' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS planted
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(planted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(planted, '\+1-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           md5(regexp_replace(
+             regexp_replace(planted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+         FROM t""",
+
+    "q60_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+                 unnest(range(0, ((len(toks)-1)//24)+1)) AS i
+               FROM t)
+         SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           least(CAST(32 AS BIGINT), len(toks) - i*24) AS n_chunk_tokens,
+           md5(array_to_string(toks[i*24+1 : least(i*24+32, len(toks))], ' ')) AS chunk_md5
+         FROM c""",
+
+    "q61_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok)
+         SELECT t.doc_id, count(*) AS n_tokens,
+           CAST(sum(f.tf) AS BIGINT) AS sum_tf,
+           min(f.tf) AS rarest_tf
+         FROM toks t JOIN freq f ON t.tok = f.tok
+         GROUP BY t.doc_id""",
+
+    "q62_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         m AS (SELECT vec_id, emb,
+                 list_max(list_transform(emb, x -> abs(x))) AS mx
+               FROM e)
+         SELECT vec_id,
+           len(emb) AS n_dims,
+           CAST(list_sum(list_transform(emb, x -> CAST(floor((x*127.0)/mx) AS BIGINT))) AS BIGINT) AS q_sum,
+           CAST(list_min(list_transform(emb, x -> CAST(floor((x*127.0)/mx) AS BIGINT))) AS BIGINT) AS q_min,
+           CAST(list_max(list_transform(emb, x -> CAST(floor((x*127.0)/mx) AS BIGINT))) AS BIGINT) AS q_max
+         FROM m"""
+  )
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** GlobalRank must equal the single-partition row_number it replaces —
+  * on skewed data, with ties in the sort value, and with more range
+  * partitions than distinct keys (empty partitions). */
+class GlobalRankSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("global-rank-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def referenceRanks(rows: Seq[(Long, Double)]): Map[Long, Long] =
+    rows.sortBy { case (id, v) => (-v, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+
+  test("rank == single-partition row_number on skewed data with value ties") {
+    val sp = spark; import sp.implicits._
+    val rng = new scala.util.Random(7)
+    // heavy ties: only 20 distinct values over 5000 rows
+    val rows = (0L until 5000L).map(id => (id, (rng.nextInt(20) * 10).toDouble))
+    val df = rows.toDF("id", "v").repartition(16)
+    val got = GlobalRank.rank(df, Seq(col("v").desc, col("id").asc), numParts = 8, rankCol = "r")
+      .select(col("id"), col("r")).as[(Long, Long)].collect().toMap
+    assert(got == referenceRanks(rows))
+  }
+
+  test("more range partitions than rows: empty partitions don't shift offsets") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq((1L, 3.0), (2L, 1.0), (3L, 2.0))
+    val got = GlobalRank.rank(rows.toDF("id", "v"), Seq(col("v").desc, col("id").asc), 8, "r")
+      .select(col("id"), col("r")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 2L, 2L -> 3L))
+  }
+
+  test("rank is dense, 1-based, and a permutation") {
+    val sp = spark; import sp.implicits._
+    val df = (0L until 1000L).map(id => (id, (id * 2654435761L % 97).toDouble)).toDF("id", "v")
+    val ranks = GlobalRank.rank(df, Seq(col("v").asc, col("id").asc), 6, "r")
+      .select(col("r")).as[Long].collect().sorted
+    assert(ranks.toSeq == (1L to 1000L))
+  }
+
+  test("agrees with a window row_number (oracle form) on a random frame") {
+    val sp = spark; import sp.implicits._
+    val rng = new scala.util.Random(13)
+    val df = (0L until 2000L).map(id => (id, rng.nextDouble())).toDF("id", "v")
+    val viaWindow = df.withColumn("r",
+      row_number().over(Window.orderBy(col("v").desc, col("id").asc)).cast("long"))
+      .select(col("id"), col("r")).as[(Long, Long)].collect().toMap
+    val viaOp = GlobalRank.rank(df, Seq(col("v").desc, col("id").asc), 8, "r")
+      .select(col("id"), col("r")).as[(Long, Long)].collect().toMap
+    assert(viaOp == viaWindow)
+  }
+}

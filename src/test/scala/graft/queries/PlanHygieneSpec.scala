@@ -207,6 +207,50 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q34 window not partitioned by doc_id:\n$windowLines")
   }
 
+  test("q57/q59/q62: corpus rule/scrub/quantize queries are pure narrow maps — zero exchanges") {
+    Seq("q57_gopher_rules", "q59_pii_scrub", "q62_quantize").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      assert(!s.contains("Exchange"), s"$q shuffles a shuffle-free operator:\n$s")
+    }
+  }
+
+  test("q60: chunking explodes an integer sequence (no HOF inside the Generate), zero exchanges") {
+    val df = SparkEntry.queries("q60_chunk")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"), s)
+    val gen = s.linesIterator.filter(_.contains("Generate")).mkString("\n")
+    assert(gen.contains("sequence"), s"q60 Generate is not over a position sequence:\n$gen")
+    assert(!gen.contains("transform("), s"q60 explodes a HOF-built array:\n$gen")
+  }
+
+  test("q58: ONE range shuffle of the data — counts branch reuses the exchange, offsets broadcast") {
+    val df = SparkEntry.queries("q58_global_rank")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("rangepartitioning"), s)
+    assert(s.contains("ReusedExchange"), s"q58 counts branch re-shuffles the data:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"q58 offsets must broadcast, not sort-merge:\n$s")
+    assert(!s.contains("SortMergeJoin"), s)
+    // the big side is range-partitioned exactly once in the FINAL plan
+    // (ReusedExchange echoes the node's description; Initial Plan shows
+    // the pre-reuse shape — exclude both)
+    val finalPlan = s.split("== Initial Plan ==")(0)
+    assert(finalPlan.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange")) == 1, finalPlan)
+  }
+
+  test("q61: vocabulary joins back via broadcast; both aggregations are partial") {
+    val df = SparkEntry.queries("q61_unigram_lm")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(s.contains("partial_count"), s)
+  }
+
   test("entry smoke plan has no Python/UDF eval nodes (everything codegen-able)") {
     Seq("q01_pricing_summary", "q04_join_shuffle", "q14_dedup_exact", "q21_lang_id").foreach { q =>
       val s = plan(q).toString
