@@ -44,7 +44,16 @@ object GlobalRank {
     *                   partition must fit a task (the only memory bound here)
     * @param rankCol    name of the produced 1-based BIGINT rank column
     */
-  def rank(df: DataFrame, sortExprs: Seq[Column], numParts: Int, rankCol: String): DataFrame = {
+  def rank(df: DataFrame, sortExprs: Seq[Column], numParts: Int, rankCol: String): DataFrame =
+    rankWithTotal(df, sortExprs, numParts, rankCol, totalCol = None)
+
+  /** Like [[rank]], but also emits the TOTAL row count as a column when
+    * `totalCol` is set — computed from the same tiny per-partition count
+    * table and carried on the broadcast offsets join, so rank-relative
+    * operators (ntile/equi-depth buckets, percentile cuts) need no
+    * second scan of the data and no extra join. */
+  def rankWithTotal(df: DataFrame, sortExprs: Seq[Column], numParts: Int,
+                    rankCol: String, totalCol: Option[String]): DataFrame = {
     val parted = df.repartitionByRange(numParts, sortExprs: _*)
     val ranged = parted
       .sortWithinPartitions(sortExprs: _*)
@@ -60,13 +69,21 @@ object GlobalRank {
       .groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
     // one row per partition: the single-partition window is over
     // `numParts` rows, not the data
-    val offsets = counts
+    val withOff = counts
       .withColumn("__off",
         coalesce(
           sum(col("__n")).over(
             Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("__pid"), col("__off"))
+    val offsets = totalCol match {
+      case Some(tc) =>
+        withOff
+          .withColumn(tc,
+            sum(col("__n")).over(
+              Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select(col("__pid"), col("__off"), col(tc))
+      case None => withOff.select(col("__pid"), col("__off"))
+    }
     ranged
       .join(broadcast(offsets), Seq("__pid"))
       .withColumn(rankCol, col("__off") + col("__local") + lit(1L))

@@ -136,6 +136,38 @@ object Corpus {
           min(col("tf")).as("rarest_tf"))
     },
 
+    // Equi-depth histogram: ntile(20) buckets over order prices,
+    // WITHOUT the single-partition window ntile needs — global rank
+    // AND the total row count both come from GlobalRank's one range
+    // shuffle (the total rides the broadcast offsets join — no second
+    // scan, no extra join), and the bucket is the exact integer ntile
+    // formula: with q = n div B, r = n mod B, the first r buckets take
+    // q+1 rows. Hash-matching DuckDB's built-in ntile proves the
+    // distributed decomposition IS ntile. Output is the histogram
+    // itself: B rows of count + min/max bounds.
+    "q63_equidepth" -> { (s, d) =>
+      val B = 20
+      val priced = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_x100"))
+      val ranked = GlobalRank.rankWithTotal(
+        priced, Seq(col("price_x100").asc, col("o_orderkey").asc), numParts = 32,
+        rankCol = "rnk", totalCol = Some("__n"))
+      // exact ntile: q+1-sized buckets first (r of them), then q-sized.
+      // CASE is lazy, so the `div (__n div B)` branch never evaluates
+      // when n < B (where q = 0 and every rank takes the THEN branch).
+      ranked
+        .withColumn("bucket", expr(
+          s"""CASE WHEN rnk <= (__n % $B) * ((__n div $B) + 1)
+             |     THEN (rnk - 1) div ((__n div $B) + 1) + 1
+             |     ELSE (__n % $B) + (rnk - (__n % $B) * ((__n div $B) + 1) - 1) div (__n div $B) + 1
+             |END""".stripMargin))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("price_x100")).as("lo_x100"),
+          max(col("price_x100")).as("hi_x100"))
+    },
+
     // Int8 embedding quantization (symmetric, per-vector max-abs
     // scale): the storage/serving step that cuts an embedding corpus
     // 4×. Emits per-vector integer checksums (sum/min/max of the
@@ -217,6 +249,17 @@ object Corpus {
            min(f.tf) AS rarest_tf
          FROM toks t JOIN freq f ON t.tok = f.tok
          GROUP BY t.doc_id""",
+
+    "q63_equidepth" ->
+      """WITH p AS (SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_x100
+           FROM orders),
+         r AS (SELECT price_x100,
+                 ntile(20) OVER (ORDER BY price_x100, o_orderkey) AS bucket
+               FROM p)
+         SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,
+           min(price_x100) AS lo_x100, max(price_x100) AS hi_x100
+         FROM r GROUP BY bucket""",
 
     "q62_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -109,6 +109,19 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally df.unpersist()
   }
 
+  test("q63: equi-depth buckets are contiguous, cover all rows, sizes differ by at most 1") {
+    val sp = spark; import sp.implicits._
+    val h = q("q63_equidepth").orderBy("bucket")
+      .select(col("bucket"), col("n_rows"), col("lo_x100"), col("hi_x100"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(h.map(_._1).toSeq == (1L to h.length))
+    val sizes = h.map(_._2)
+    assert(sizes.max - sizes.min <= 1, sizes.mkString(","))
+    assert(sizes.sum == Tables.orders(spark, sf).count())
+    // depth boundaries are non-decreasing across buckets
+    h.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._3, s"$a !<= $b"); case _ => }
+  }
+
   test("q61: per-doc token count agrees with an independent tokenizer; rarest_tf >= 1") {
     val nToks = Tables.documents(spark, sf)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))

@@ -242,6 +242,15 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange")) == 1, finalPlan)
   }
 
+  test("q63: histogram reuses the rank exchange; count joins in as a broadcast hash join") {
+    val df = SparkEntry.queries("q63_equidepth")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("ReusedExchange"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q61: vocabulary joins back via broadcast; both aggregations are partial") {
     val df = SparkEntry.queries("q61_unigram_lm")(spark, sf)
     df.collect()
