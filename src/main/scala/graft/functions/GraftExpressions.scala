@@ -101,13 +101,39 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `nfc(s)` — Unicode NFC normalization (canonical composition): the
+  * first step of any text-cleaning chain (decomposed `e`+U+0301 and
+  * composed `é` must dedup/fingerprint identically). Spark has no
+  * built-in for it; a native expression keeps the hot path inside
+  * whole-stage codegen (a direct `java.text.Normalizer` static call —
+  * the same Unicode tables DuckDB's `nfc_normalize` implements, so
+  * results hash-match cross-engine). */
+case class NfcNormalize(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Registration — either through `spark.sql.extensions=graft.GraftExtensions`
   * or imperatively via [[GraftFunctions.register]]. */
 object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "kafka_date_format" -> (children => KafkaDateFormat(children.head)),
     "hdi_rowkey" -> (children => HdiRowkey(children.head)),
-    "array_dot" -> (children => ArrayDotProduct(children(0), children(1))))
+    "array_dot" -> (children => ArrayDotProduct(children(0), children(1))),
+    "nfc" -> (children => NfcNormalize(children.head)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -186,9 +186,77 @@ object Corpus {
           array_min(q).as("q_min"),
           array_max(q).as("q_max"))
     }
+    ,
+
+    // Text normalization: Unicode NFC (native codegen expression —
+    // Spark has no built-in), lowercase, whitespace collapse. Even
+    // doc_ids get a decomposed-accent + double-space prefix planted
+    // (the corpus is ASCII soup, so organic NFC work is zero) — odd
+    // ids prove the no-op path, even ids the composition path, and
+    // `changed` splits the corpus between them. Narrow map; both
+    // engines implement the same Unicode composition tables
+    // (java.text.Normalizer / DuckDB nfc_normalize) so the md5s of the
+    // cleaned text hash-match.
+    "q64_normalize" -> { (s, d) =>
+      def nfc(c: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.GraftSqlGlue.column(
+          graft.functions.NfcNormalize(org.apache.spark.sql.GraftSqlGlue.expression(c)))
+      // "Cafe" + U+0301 combining acute + two spaces — NFC composes to
+      // "Café", the collapse then removes the double space
+      val planted = when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("Cafe\u0301  "), col("text"))).otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), planted.as("raw"))
+        .select(
+          col("doc_id"),
+          length(col("raw")).as("len_raw"),
+          length(nfc(col("raw"))).as("len_nfc"),
+          when(nfc(col("raw")) =!= col("raw"), 1).otherwise(0).as("changed"),
+          md5(regexp_replace(lower(nfc(col("raw"))), "\\s+", " ")).as("clean_md5"))
+    },
+
+    // Corpus snapshot diff — the incremental-refresh primitive: given
+    // two crawl snapshots, classify every doc_id as added / removed /
+    // changed / unchanged by FULL OUTER joining on the id and comparing
+    // content hashes (the one join class the rest of the surface never
+    // exercises; a full outer can't broadcast, so this is the
+    // shuffle-join shape at any scale, hash-partitioned on the uniform
+    // doc_id). v2 is derived deterministically from v1 (drop %13,
+    // rewrite %7, add %11 under new ids) so both engines build the
+    // identical pair of snapshots.
+    "q65_snapshot_diff" -> { (s, d) =>
+      val v1 = Tables.documents(s, d).select(col("doc_id"), md5(col("text")).as("h1"))
+      val base = Tables.documents(s, d)
+      val v2 = base.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .select(col("doc_id"),
+          md5(when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h2"))
+        .unionAll(base.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), md5(col("text")).as("h2")))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h1").isNull, lit("added"))
+            .when(col("h2").isNull, lit("removed"))
+            .when(col("h1") =!= col("h2"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+    }
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q64_normalize" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'Cafe' || chr(769) || '  ' || text
+                  ELSE text END AS raw
+           FROM documents)
+         SELECT doc_id,
+           length(raw) AS len_raw,
+           length(nfc_normalize(raw)) AS len_nfc,
+           CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END AS changed,
+           md5(regexp_replace(lower(nfc_normalize(raw)), '\s+', ' ', 'g')) AS clean_md5
+         FROM t""",
 
     "q57_gopher_rules" ->
       """WITH t AS (
@@ -260,6 +328,22 @@ object Corpus {
          SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,
            min(price_x100) AS lo_x100, max(price_x100) AS hi_x100
          FROM r GROUP BY bucket""",
+
+    "q65_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h2
+           FROM documents WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, md5(text) AS h2
+           FROM documents WHERE doc_id % 11 = 0)
+         SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.h1 IS NULL THEN 'added'
+                WHEN v2.h2 IS NULL THEN 'removed'
+                WHEN v1.h1 <> v2.h2 THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""",
 
     "q62_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -43,6 +43,34 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nfc composes decomposed sequences, is idempotent, and passes nulls through") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      "Cafe\u0301",           // e + combining acute -> e-acute
+      "Caf\u00e9",            // already composed: unchanged
+      "A\u030angstro\u0308m", // combining ring + diaeresis
+      "plain ascii", "")
+    val out = rows.toDF("s").selectExpr("nfc(s) AS n").as[String].collect()
+    assert(out(0) == "Caf\u00e9")
+    assert(out(1) == "Caf\u00e9")
+    assert(out(2) == "\u00c5ngstr\u00f6m")
+    assert(out(3) == "plain ascii" && out(4) == "")
+    // idempotent: nfc(nfc(x)) == nfc(x)
+    val twice = rows.toDF("s").selectExpr("nfc(nfc(s)) AS n").as[String].collect()
+    assert(twice.toSeq == out.toSeq)
+    val withNull = Seq[String](null).toDF("s").selectExpr("nfc(s) AS n").collect()
+    assert(withNull.head.isNullAt(0))
+  }
+
+  test("nfc: interpreted eval equals the codegen path") {
+    val in = "Cafe\u0301 x\u0308"  // -> e-acute and precomposed U+1E8D
+    val e = NfcNormalize(org.apache.spark.sql.catalyst.expressions.Literal(in))
+    val interpreted = e.eval(null).toString
+    val sp = spark; import sp.implicits._
+    val viaCodegen = Seq(in).toDF("s").selectExpr("nfc(s) AS n").as[String].head()
+    assert(interpreted == viaCodegen && viaCodegen == "Caf\u00e9 \u1e8d")
+  }
+
   test("expressions run inside whole-stage codegen (no fallback fence)") {
     val df = spark.range(100).selectExpr(
       "kafka_date_format('2018-12-01T15:01:02.000Z') AS k",

@@ -122,6 +122,33 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     h.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._3, s"$a !<= $b"); case _ => }
   }
 
+  test("q64: exactly the even doc_ids change, each losing one combining codepoint") {
+    val df = q("q64_normalize").cache()
+    try {
+      // planted (even ids): NFC composes e+U+0301 -> one codepoint less
+      assert(df.filter(col("changed") === 1 &&
+        (pmod(col("doc_id"), lit(2)) =!= 0 || col("len_raw") - col("len_nfc") =!= 1)).count() == 0)
+      // odd ids: ASCII soup is NFC-invariant
+      assert(df.filter(col("changed") === 0 && pmod(col("doc_id"), lit(2)) === 0).count() == 0)
+      val n = df.count()
+      assert(df.filter(col("changed") === 1).count() == (n + 1) / 2)
+    } finally df.unpersist()
+  }
+
+  test("q65: diff statuses partition the id space exactly as the v2 derivation dictates") {
+    val sp = spark; import sp.implicits._
+    val df = q("q65_snapshot_diff").cache()
+    try {
+      val byStatus = df.groupBy("status").count().as[(String, Long)].collect().toMap
+      val ids = Tables.documents(spark, sf).select(col("doc_id")).as[Long].collect()
+      assert(byStatus.getOrElse("removed", 0L) == ids.count(_ % 13 == 0))
+      assert(byStatus.getOrElse("added", 0L) == ids.count(_ % 11 == 0))
+      assert(byStatus.getOrElse("changed", 0L) == ids.count(i => i % 7 == 0 && i % 13 != 0))
+      assert(byStatus.values.sum == ids.length + ids.count(_ % 11 == 0))
+      assert(byStatus.keySet == Set("added", "removed", "changed", "unchanged"))
+    } finally df.unpersist()
+  }
+
   test("q61: per-doc token count agrees with an independent tokenizer; rarest_tf >= 1") {
     val nToks = Tables.documents(spark, sf)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))

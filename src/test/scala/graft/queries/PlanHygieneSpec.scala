@@ -208,7 +208,7 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q57/q59/q62: corpus rule/scrub/quantize queries are pure narrow maps — zero exchanges") {
-    Seq("q57_gopher_rules", "q59_pii_scrub", "q62_quantize").foreach { q =>
+    Seq("q57_gopher_rules", "q59_pii_scrub", "q62_quantize", "q64_normalize").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val s = df.queryExecution.executedPlan.toString
@@ -251,6 +251,14 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q65: the snapshot diff is a FULL OUTER shuffle join on the uniform id key") {
+    val df = SparkEntry.queries("q65_snapshot_diff")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("FullOuter"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q61: vocabulary joins back via broadcast; both aggregations are partial") {
     val df = SparkEntry.queries("q61_unigram_lm")(spark, sf)
     df.collect()
@@ -261,7 +269,8 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("entry smoke plan has no Python/UDF eval nodes (everything codegen-able)") {
-    Seq("q01_pricing_summary", "q04_join_shuffle", "q14_dedup_exact", "q21_lang_id").foreach { q =>
+    Seq("q01_pricing_summary", "q04_join_shuffle", "q14_dedup_exact", "q21_lang_id",
+        "q64_normalize").foreach { q =>
       val s = plan(q).toString
       assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"), s"$q contains UDF eval")
     }
