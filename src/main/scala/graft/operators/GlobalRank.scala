@@ -54,6 +54,19 @@ object GlobalRank {
     * second scan of the data and no extra join. */
   def rankWithTotal(df: DataFrame, sortExprs: Seq[Column], numParts: Int,
                     rankCol: String, totalCol: Option[String]): DataFrame = {
+    // Correctness REQUIRES the counts branch and the ranked branch to
+    // read the same physical range shuffle: RangePartitioner samples
+    // its boundaries per execution, so two independent executions of
+    // the repartitionByRange could place rows differently and the
+    // offsets would lie. ReuseExchange (and AQE stage reuse) is what
+    // collapses the two subtrees onto one shuffle — fail fast if it's
+    // disabled rather than return silently wrong ranks.
+    val conf = df.sparkSession.conf
+    require(conf.get("spark.sql.exchange.reuse", "true").toBoolean ||
+            conf.get("spark.sql.adaptive.enabled", "true").toBoolean,
+      "GlobalRank needs spark.sql.exchange.reuse (or AQE) enabled: with both off, the " +
+        "counts branch re-executes the range shuffle with freshly sampled boundaries " +
+        "and the prefix offsets no longer describe the ranked partitions")
     val parted = df.repartitionByRange(numParts, sortExprs: _*)
     val ranged = parted
       .sortWithinPartitions(sortExprs: _*)

@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
 /** Corpus-preparation operators a large-scale training-data pipeline
   * runs between raw ingest and tokenized shards: rule-based quality
   * filtering (Gopher-style), global ranking/sorting, PII scrubbing,
-  * context-window chunking, unigram LM scoring, and embedding
-  * quantization. All hash-checked against DuckDB with the repo's oracle
-  * discipline: integer arithmetic for thresholds, identical float
-  * formulas on both engines, md5 for text equality.
+  * context-window chunking, unigram LM scoring, embedding quantization,
+  * equi-depth histograms, Unicode normalization, and snapshot diffing.
+  * All hash-checked against DuckDB with the repo's oracle discipline:
+  * integer arithmetic for thresholds, identical float formulas on both
+  * engines, md5 for text equality.
   */
 object Corpus {
 
@@ -175,16 +176,22 @@ object Corpus {
     // expression on both engines, so the integers are exact. Narrow
     // map over the vector column; no shuffle.
     "q62_quantize" -> { (s, d) =>
-      val q = transform(col("emb"), x => floor((x * lit(127.0)) / col("mx")).cast("long"))
+      // the quantized array is materialized ONCE in its own projection:
+      // lambda-bearing expressions are excluded from Spark's
+      // subexpression elimination, so inlining `q` into q_sum/q_min/
+      // q_max would run the per-element map three times per row (and
+      // CollapseProject keeps non-cheap multi-referenced aliases in
+      // their own Project, so this shape survives optimization)
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         .withColumn("mx", array_max(transform(col("emb"), abs(_))))
+        .withColumn("q", transform(col("emb"), x => floor((x * lit(127.0)) / col("mx")).cast("long")))
         .select(
           col("vec_id"),
           size(col("emb")).as("n_dims"),
-          aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
-          array_min(q).as("q_min"),
-          array_max(q).as("q_max"))
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"))
     }
     ,
 
@@ -212,7 +219,9 @@ object Corpus {
           length(col("raw")).as("len_raw"),
           length(nfc(col("raw"))).as("len_nfc"),
           when(nfc(col("raw")) =!= col("raw"), 1).otherwise(0).as("changed"),
-          md5(regexp_replace(lower(nfc(col("raw"))), "\\s+", " ")).as("clean_md5"))
+          // explicit class, not \s: Java's \s matches vertical tab,
+          // RE2's does not — the one whitespace dialect divergence
+          md5(regexp_replace(lower(nfc(col("raw"))), "[ \\t\\r\\n]+", " ")).as("clean_md5"))
     },
 
     // Corpus snapshot diff — the incremental-refresh primitive: given
@@ -223,7 +232,9 @@ object Corpus {
     // shuffle-join shape at any scale, hash-partitioned on the uniform
     // doc_id). v2 is derived deterministically from v1 (drop %13,
     // rewrite %7, add %11 under new ids) so both engines build the
-    // identical pair of snapshots.
+    // identical pair of snapshots. Added docs get NEGATIVE ids
+    // (-(doc_id+1)) — disjoint from every real non-negative id at any
+    // corpus scale, unlike an offset which collides once ids reach it.
     "q65_snapshot_diff" -> { (s, d) =>
       val v1 = Tables.documents(s, d).select(col("doc_id"), md5(col("text")).as("h1"))
       val base = Tables.documents(s, d)
@@ -232,7 +243,7 @@ object Corpus {
           md5(when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text"))).as("h2"))
         .unionAll(base.filter(pmod(col("doc_id"), lit(11)) === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), md5(col("text")).as("h2")))
+          .select((-(col("doc_id") + 1L)).as("doc_id"), md5(col("text")).as("h2")))
       v1.join(v2, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
           when(col("h1").isNull, lit("added"))
@@ -255,7 +266,7 @@ object Corpus {
            length(raw) AS len_raw,
            length(nfc_normalize(raw)) AS len_nfc,
            CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END AS changed,
-           md5(regexp_replace(lower(nfc_normalize(raw)), '\s+', ' ', 'g')) AS clean_md5
+           md5(regexp_replace(lower(nfc_normalize(raw)), '[ \t\r\n]+', ' ', 'g')) AS clean_md5
          FROM t""",
 
     "q57_gopher_rules" ->
@@ -336,7 +347,7 @@ object Corpus {
              md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h2
            FROM documents WHERE doc_id % 13 <> 0
            UNION ALL
-           SELECT doc_id + 1000000 AS doc_id, md5(text) AS h2
+           SELECT -(doc_id + 1) AS doc_id, md5(text) AS h2
            FROM documents WHERE doc_id % 11 = 0)
          SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
            CASE WHEN v1.h1 IS NULL THEN 'added'

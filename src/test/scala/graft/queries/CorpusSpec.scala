@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-/** Semantic invariants of the corpus-preparation queries (q57–q62) that
+/** Semantic invariants of the corpus-preparation queries (q57–q65) that
   * the DuckDB hash-match can't see on its own: rule-flag consistency,
   * chunk geometry/reconstruction, scrub completeness, quantization
-  * saturation. Runs at sf0.001. */
+  * saturation, ntile bucket balance, NFC change parity, diff status
+  * partitioning. Runs at sf0.001. */
 class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _

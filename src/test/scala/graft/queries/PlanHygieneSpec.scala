@@ -207,7 +207,7 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q34 window not partitioned by doc_id:\n$windowLines")
   }
 
-  test("q57/q59/q62: corpus rule/scrub/quantize queries are pure narrow maps — zero exchanges") {
+  test("q57/q59/q62/q64: corpus rule/scrub/quantize/normalize queries are pure narrow maps — zero exchanges") {
     Seq("q57_gopher_rules", "q59_pii_scrub", "q62_quantize", "q64_normalize").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
