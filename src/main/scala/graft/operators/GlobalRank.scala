@@ -61,12 +61,14 @@ object GlobalRank {
     // offsets would lie. ReuseExchange (and AQE stage reuse) is what
     // collapses the two subtrees onto one shuffle — fail fast if it's
     // disabled rather than return silently wrong ranks.
-    val conf = df.sparkSession.conf
-    require(conf.get("spark.sql.exchange.reuse", "true").toBoolean ||
-            conf.get("spark.sql.adaptive.enabled", "true").toBoolean,
-      "GlobalRank needs spark.sql.exchange.reuse (or AQE) enabled: with both off, the " +
-        "counts branch re-executes the range shuffle with freshly sampled boundaries " +
-        "and the prefix offsets no longer describe the ranked partitions")
+    // NOTE: AQE's stage cache is ALSO gated on this flag (probed: with
+    // exchange.reuse=false and AQE on, the final plan carries TWO
+    // independent rangepartitioning exchanges), so AQE being enabled is
+    // not a substitute.
+    require(df.sparkSession.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "GlobalRank needs spark.sql.exchange.reuse enabled: without it the counts branch " +
+        "re-executes the range shuffle with freshly sampled boundaries and the prefix " +
+        "offsets no longer describe the ranked partitions")
     val parted = df.repartitionByRange(numParts, sortExprs: _*)
     val ranged = parted
       .sortWithinPartitions(sortExprs: _*)

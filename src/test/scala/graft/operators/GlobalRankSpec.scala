@@ -54,6 +54,17 @@ class GlobalRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ranks.toSeq == (1L to 1000L))
   }
 
+  test("fails fast when exchange reuse is disabled (correctness depends on it)") {
+    val isolated = spark.newSession()
+    isolated.conf.set("spark.sql.exchange.reuse", "false")
+    val sp = isolated; import sp.implicits._
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      GlobalRank.rank(df, Seq(col("v").asc), 2, "r")
+    }
+    assert(e.getMessage.contains("exchange.reuse"))
+  }
+
   test("agrees with a window row_number (oracle form) on a random frame") {
     val sp = spark; import sp.implicits._
     val rng = new scala.util.Random(13)
