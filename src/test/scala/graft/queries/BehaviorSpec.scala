@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantic invariants of the behavioral-analytics queries (q66/q67)
+  * beyond the oracle hash: funnel stage ordering/windows/monotone
+  * narrowing, retention triangle structure. Runs at sf0.001. */
+class BehaviorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("behavior-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("q66: stage times are strictly ordered within the 24h windows; stages only narrow") {
+    val df = SparkEntry.queries("q66_funnel")(spark, sf).cache()
+    try {
+      val win = 86400000000L
+      // ordering + window containment whenever a stage is reached
+      assert(df.filter(col("t2_us").isNotNull &&
+        (col("t2_us") <= col("t1_us") || col("t2_us") > col("t1_us") + win)).count() == 0)
+      assert(df.filter(col("t3_us").isNotNull &&
+        (col("t3_us") <= col("t2_us") || col("t3_us") > col("t2_us") + win)).count() == 0)
+      // a user can't reach purchase without the click stage
+      assert(df.filter(col("t3_us").isNotNull && col("t2_us").isNull).count() == 0)
+      assert(df.filter(col("converted") === 1).count() ==
+        df.filter(col("t3_us").isNotNull).count())
+      // the funnel narrows and every stage is non-vacuous at sf0.001
+      val n1 = df.count()
+      val n2 = df.filter(col("t2_us").isNotNull).count()
+      val n3 = df.filter(col("t3_us").isNotNull).count()
+      assert(n1 >= n2 && n2 >= n3, s"$n1/$n2/$n3")
+      assert(n1 > 0 && n2 > 0 && n3 > 0 && n2 < n1, s"$n1/$n2/$n3")
+    } finally df.unpersist()
+  }
+
+  test("q67: the retention triangle starts at offset 0 and accounts for every user") {
+    val df = SparkEntry.queries("q67_retention")(spark, sf).cache()
+    try {
+      assert(df.filter(col("day_offset") < 0 || col("n_users") < 1).count() == 0)
+      // every user is active on their own cohort day
+      val sp = spark; import sp.implicits._
+      val atZero = df.filter(col("day_offset") === 0)
+        .agg(sum(col("n_users"))).as[Long].head()
+      val totalUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+      assert(atZero == totalUsers, s"$atZero != $totalUsers")
+    } finally df.unpersist()
+  }
+}
