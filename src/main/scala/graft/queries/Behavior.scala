@@ -63,6 +63,28 @@ object Behavior {
           expr("us div 86400000000 - first_us div 86400000000").as("day_offset"))
         .groupBy(col("cohort_day"), col("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // Semi-structured column processing: extract a typed field from the
+    // JSON `props` column and aggregate it — the schema-on-read path
+    // every event pipeline needs. `get_json_object` is codegen'd
+    // (Jackson under the hood) and the extraction is a narrow map
+    // before a partial-aggregable groupBy on the 5-value event_type;
+    // at open scale the extraction cost dominates and parallelizes
+    // per-row, so there is nothing to shuffle but the tiny aggregate.
+    // For a STABLE high-volume schema the scale upgrade is
+    // from_json with an explicit schema projected at the scan — kept
+    // get_json_object here because single-field extraction is the
+    // dominant ad-hoc shape.
+    "q68_json_props" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
     }
   )
 
@@ -94,6 +116,17 @@ object Behavior {
            (epoch_us(e.ts) // 86400000000) - (f.first_us // 86400000000) AS day_offset,
            count(DISTINCT e.user_id) AS n_users
          FROM events e JOIN firsts f ON e.user_id = f.user_id
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+
+    "q68_json_props" ->
+      """SELECT event_type,
+           count(k) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+         GROUP BY event_type"""
   )
 }
