@@ -24,18 +24,25 @@ object Behavior {
     // join) beats a per-user collect-and-walk at scale: event_type
     // predicates push into the scan, every shuffle is on the uniform
     // user_id, and each stage's aggregate is partial — no per-user
-    // event buffer exists anywhere. After stage 1's aggregation all
-    // later joins and groupBys are co-partitioned on user_id, so AQE
-    // plans one exchange per stage input, nothing quadratic.
+    // event buffer exists anywhere. events is scanned once per stage
+    // (with its stage filter pushed) — the irreducible cost of the
+    // sequential dependency. s1/s2 feed TWO consumers each (the next
+    // stage and the final assembly), and the pushed isnotnull filters
+    // on the joined instances defeat exchange canonicalization, so
+    // without a checkpoint every stage subtree re-executes (measured:
+    // 10 events scans, 9 exchanges); the per-user stage tables are
+    // |users|-sized, so materializing them is cheap insurance.
     "q66_funnel" -> { (s, d) =>
       val ev = Tables.events(s, d)
         .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
       val s1 = ev.filter(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(col("us")).as("t1_us"))
+        .localCheckpoint()
       val s2 = ev.filter(col("event_type") === "click")
         .join(s1, "user_id")
         .filter(col("us") > col("t1_us") && col("us") <= col("t1_us") + WinUs)
         .groupBy(col("user_id")).agg(min(col("us")).as("t2_us"))
+        .localCheckpoint()
       val s3 = ev.filter(col("event_type") === "purchase")
         .join(s2, "user_id")
         .filter(col("us") > col("t2_us") && col("us") <= col("t2_us") + WinUs)
