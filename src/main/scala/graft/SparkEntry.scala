@@ -19,7 +19,8 @@ object SparkEntry {
       (_root_.graft.queries.IngestVerify.queries, _root_.graft.queries.IngestVerify.oracle),
       (_root_.graft.queries.MediaVerify.queries, _root_.graft.queries.MediaVerify.oracle),
       (_root_.graft.queries.Corpus.queries, _root_.graft.queries.Corpus.oracle),
-      (_root_.graft.queries.Behavior.queries, _root_.graft.queries.Behavior.oracle)
+      (_root_.graft.queries.Behavior.queries, _root_.graft.queries.Behavior.oracle),
+      (_root_.graft.queries.TableOps.queries, _root_.graft.queries.TableOps.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
