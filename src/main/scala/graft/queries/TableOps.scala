@@ -55,6 +55,51 @@ object TableOps {
         s"'$c', n_rows, n_$c, ndv_$c, min_$c, max_$c").mkString(", ")
       wide.selectExpr(
         s"stack(${cols.length}, $stacked) AS (col_name, n_rows, n_non_null, ndv, min_x100, max_x100)")
+    },
+
+    // Deterministic per-stratum evaluation sampler: exactly 20 docs per
+    // language, chosen by md5-of-id order — reproducible across runs,
+    // reshards, and engines (no RNG state). The rank filter is its own
+    // bare row_number window, which Spark 4 turns into a map-side
+    // WindowGroupLimit: each input partition forwards at most 20 rows
+    // per stratum to the shuffle, so the exchange carries ~|strata|·20
+    // rows at ANY corpus size.
+    "q71_eval_sample" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+    },
+
+    // Referential-integrity audit: orphan counts for the two
+    // fact→dimension edges, via LEFT ANTI joins on the uniform keys
+    // (never a collect of the dimension). TPC-H-shaped data has no
+    // organic orphans, so the child side is audited with planted
+    // corruption — every key ≡ 0 (mod 97) is negated, which is absent
+    // from any parent at any scale — keeping both the clean and the
+    // violating path non-vacuous. Output: one row per relation.
+    "q72_fk_audit" -> { (s, d) =>
+      def corrupt(k: org.apache.spark.sql.Column) =
+        when(pmod(k, lit(97)) === 0, -k - 1).otherwise(k)
+      val li = Tables.lineitem(s, d)
+        .select(corrupt(col("l_orderkey")).as("ck"))
+      val ord = Tables.orders(s, d)
+        .select(corrupt(col("o_custkey")).as("ck"), col("o_orderkey"))
+      val liOrphans = li.join(
+        Tables.orders(s, d).select(col("o_orderkey").as("pk")),
+        col("ck") === col("pk"), "left_anti").count()
+      val ordOrphans = ord.join(
+        Tables.customer(s, d).select(col("c_custkey").as("pk")),
+        col("ck") === col("pk"), "left_anti").count()
+      val sp = s; import sp.implicits._
+      Seq(
+        ("lineitem->orders", Tables.lineitem(s, d).count(), liOrphans),
+        ("orders->customer", Tables.orders(s, d).count(), ordOrphans)
+      ).toDF("relation", "n_rows", "n_orphans")
     }
   )
 
@@ -81,6 +126,29 @@ object TableOps {
            FROM lineitem"""
       }
       per.mkString(" UNION ALL ")
-    }
+    },
+
+    "q71_eval_sample" ->
+      """SELECT lang,
+           CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk,
+           doc_id
+         FROM documents
+         QUALIFY rk <= 20""",
+
+    "q72_fk_audit" ->
+      """WITH li AS (
+           SELECT CASE WHEN l_orderkey % 97 = 0 THEN -l_orderkey - 1 ELSE l_orderkey END AS ck
+           FROM lineitem),
+         ord AS (
+           SELECT CASE WHEN o_custkey % 97 = 0 THEN -o_custkey - 1 ELSE o_custkey END AS ck
+           FROM orders)
+         SELECT 'lineitem->orders' AS relation,
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM li WHERE ck NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+         UNION ALL
+         SELECT 'orders->customer' AS relation,
+           (SELECT count(*) FROM orders) AS n_rows,
+           (SELECT count(*) FROM ord WHERE ck NOT IN (SELECT c_custkey FROM customer)) AS n_orphans"""
   )
 }

@@ -48,6 +48,33 @@ class BehaviorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally df.unpersist()
   }
 
+  test("q71: exactly 20 per stratum (or the whole stratum when smaller), ranks dense") {
+    val sp = spark; import sp.implicits._
+    val df = SparkEntry.queries("q71_eval_sample")(spark, sf).cache()
+    try {
+      val sizes = Tables.documents(spark, sf).groupBy("lang").count()
+        .as[(String, Long)].collect().toMap
+      val got = df.groupBy("lang").agg(count(lit(1)).as("n"), max("rk").as("mx"))
+        .as[(String, Long, Long)].collect()
+      got.foreach { case (lang, n, mx) =>
+        assert(n == math.min(20L, sizes(lang)) && mx == n, s"$lang: $n/$mx")
+      }
+    } finally df.unpersist()
+  }
+
+  test("q72: orphan counts equal exactly the planted corruption") {
+    val sp = spark; import sp.implicits._
+    val byRel = SparkEntry.queries("q72_fk_audit")(spark, sf)
+      .select(col("relation"), col("n_orphans")).as[(String, Long)].collect().toMap
+    val liPlanted = Tables.lineitem(spark, sf)
+      .filter(pmod(col("l_orderkey"), lit(97)) === 0).count()
+    val ordPlanted = Tables.orders(spark, sf)
+      .filter(pmod(col("o_custkey"), lit(97)) === 0).count()
+    assert(byRel("lineitem->orders") == liPlanted)
+    assert(byRel("orders->customer") == ordPlanted)
+    assert(liPlanted > 0 && ordPlanted > 0, "planting vacuous at this sf")
+  }
+
   test("q67: the retention triangle starts at offset 0 and accounts for every user") {
     val df = SparkEntry.queries("q67_retention")(spark, sf).cache()
     try {
