@@ -109,7 +109,8 @@ object MediaVerify {
                   AS n_frames_sampled,
                 g.feature_fp
          FROM src s
-         JOIN read_parquet('/root/repo/testdata/q38_golden/*.parquet') g USING (media_id)""",
+         JOIN read_parquet('/root/repo/testdata/q38_golden/*.parquet') g USING (media_id)
+         WHERE g.corpus_chars = (SELECT sum(n_chars) FROM documents)""",
     "q47_frame_sample" ->
       """WITH v AS (
            SELECT doc_id, text, strlen(text) AS L FROM documents
