@@ -82,14 +82,21 @@ object Bench {
     } catch { case _: Throwable => () }
     val errField = if (nFailed > 0) s""","errors":$errs""" else ""
     val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$nFailed$errField,"sf":"$sfDir"}"""
-    // safety valve for future query growth: if the line ever nears the
-    // capture-tail limit, re-render at 3 decimals (still 1 ms precision)
+    // cascading safety valves for query-count growth: the driver
+    // captures only the last ~2000 chars of stdout, so re-render at
+    // coarser precision as the surface grows, and as the final resort
+    // drop the per-query map (bench_detail.json always has it all)
+    def render(dec: Int): String = {
+      val f = s"%.${dec}f"
+      val q = results.map { case (k, ts, _) => jstr(k) + ":" + f.format(best(ts)) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f.format(total)},"unit":"sec","queries":$q,"failed":$nFailed,"sf":"$sfDir"}"""
+    }
     val safe =
       if (line.length <= 1800) line
-      else {
-        val q3 = results.map { case (k, ts, _) => jstr(k) + ":" + "%.3f".format(best(ts)) }.mkString("{", ",", "}")
-        s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$q3,"failed":$nFailed,"sf":"$sfDir"}"""
-      }
+      else Seq(render(3), render(2))
+        .find(_.length <= 1900)
+        .getOrElse(
+          s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":{},"failed":$nFailed,"sf":"$sfDir"}""")
     println(safe)
     spark.stop()
     if (nFailed > 0) sys.exit(3)

@@ -40,9 +40,12 @@ object ZOrder {
     * file count; each output partition covers a compact z-range, i.e.
     * a small tile set in (x, y) space, which is what makes min/max
     * skipping on BOTH columns effective at read time. */
-  def repartitionByZ(df: DataFrame, x: Column, y: Column, bits: Int, numParts: Int): DataFrame =
-    df.withColumn("__z", zValue(x, y, bits))
-      .repartitionByRange(numParts, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+  def repartitionByZ(df: DataFrame, x: Column, y: Column, bits: Int, numParts: Int): DataFrame = {
+    // collision-proof temp name: never clobber a caller's column
+    val zc = Iterator.from(0).map(i => s"__z$i").find(n => !df.columns.contains(n)).get
+    df.withColumn(zc, zValue(x, y, bits))
+      .repartitionByRange(numParts, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
+  }
 }

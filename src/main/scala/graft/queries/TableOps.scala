@@ -85,21 +85,24 @@ object TableOps {
     "q72_fk_audit" -> { (s, d) =>
       def corrupt(k: org.apache.spark.sql.Column) =
         when(pmod(k, lit(97)) === 0, -k - 1).otherwise(k)
-      val li = Tables.lineitem(s, d)
-        .select(corrupt(col("l_orderkey")).as("ck"))
-      val ord = Tables.orders(s, d)
-        .select(corrupt(col("o_custkey")).as("ck"), col("o_orderkey"))
-      val liOrphans = li.join(
+      // one LAZY scan per edge: LEFT OUTER join on the (unique) parent
+      // key, orphans = null parent after the join, rows counted in the
+      // same aggregate — no eager driver-side jobs, and the join plan
+      // is the returned frame's own (plan-asserted). Parent keys are
+      // primary keys, so the left join cannot fan the child out.
+      def edge(child: DataFrame, parent: DataFrame, rel: String): DataFrame =
+        child.join(parent, col("ck") === col("pk"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            count(when(col("pk").isNull, 1)).as("n_orphans"))
+          .select(lit(rel).as("relation"), col("n_rows"), col("n_orphans"))
+      edge(
+        Tables.lineitem(s, d).select(corrupt(col("l_orderkey")).as("ck")),
         Tables.orders(s, d).select(col("o_orderkey").as("pk")),
-        col("ck") === col("pk"), "left_anti").count()
-      val ordOrphans = ord.join(
-        Tables.customer(s, d).select(col("c_custkey").as("pk")),
-        col("ck") === col("pk"), "left_anti").count()
-      val sp = s; import sp.implicits._
-      Seq(
-        ("lineitem->orders", Tables.lineitem(s, d).count(), liOrphans),
-        ("orders->customer", Tables.orders(s, d).count(), ordOrphans)
-      ).toDF("relation", "n_rows", "n_orphans")
+        "lineitem->orders")
+        .unionAll(edge(
+          Tables.orders(s, d).select(corrupt(col("o_custkey")).as("ck")),
+          Tables.customer(s, d).select(col("c_custkey").as("pk")),
+          "orders->customer"))
     }
   )
 

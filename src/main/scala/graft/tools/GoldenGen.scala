@@ -35,13 +35,19 @@ object GoldenGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions.lit
-    sfDirs.map { sfDir =>
+    val tagged = sfDirs.map { sfDir =>
       val corpusChars = spark.read.parquet(s"$sfDir/documents.parquet")
         .agg(org.apache.spark.sql.functions.sum("n_chars")).head().getLong(0)
-      graft.queries.MediaVerify.features(spark, sfDir)
-        .select("media_id", "checksum", "feature_fp")
-        .withColumn("corpus_chars", lit(corpusChars))
-    }.reduce(_ unionAll _)
+      (corpusChars,
+        graft.queries.MediaVerify.features(spark, sfDir)
+          .select("media_id", "checksum", "feature_fp")
+          .withColumn("corpus_chars", lit(corpusChars)))
+    }
+    // corpus_chars is the oracle's ONLY slice discriminator — a
+    // collision would make the q38 join keep two slices and fan out
+    require(tagged.map(_._1).distinct.size == tagged.size,
+      s"corpus_chars fingerprints collide across sf dirs: ${tagged.map(_._1)}")
+    tagged.map(_._2).reduce(_ unionAll _)
       .coalesce(1)
       .write.mode("overwrite").parquet(outDir)
     spark.stop()
