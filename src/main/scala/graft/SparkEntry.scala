@@ -20,7 +20,9 @@ object SparkEntry {
       (_root_.graft.queries.MediaVerify.queries, _root_.graft.queries.MediaVerify.oracle),
       (_root_.graft.queries.Corpus.queries, _root_.graft.queries.Corpus.oracle),
       (_root_.graft.queries.Behavior.queries, _root_.graft.queries.Behavior.oracle),
-      (_root_.graft.queries.TableOps.queries, _root_.graft.queries.TableOps.oracle)
+      (_root_.graft.queries.TableOps.queries, _root_.graft.queries.TableOps.oracle),
+      (_root_.graft.queries.TimeSeries.queries, _root_.graft.queries.TimeSeries.oracle),
+      (_root_.graft.queries.ChangeData.queries, _root_.graft.queries.ChangeData.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture operators: MERGE-style upsert apply and
+  * incremental aggregate-view maintenance. Both are the table-refresh
+  * primitives a lakehouse pipeline runs daily; both are derived from a
+  * deterministic synthetic change feed (computed identically in the
+  * oracle SQL) so the gate hash-checks the merge semantics exactly.
+  */
+object ChangeData {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MERGE INTO target USING changes: updates (keys ≡3 mod 10, +500
+    // cents and status 'U'), deletes (keys ≡7 mod 10), inserts (new
+    // keys k+1000000 for k ≡5 mod 1000). Executed as ONE hash shuffle:
+    // base and change rows ride the same union tagged with a priority,
+    // the winner per key is max_by(priority), deletes drop after the
+    // winner is chosen. No join node at all — the classic
+    // copy-on-write MERGE rewrite without the read-modify-write of a
+    // join-based plan, and the uniform o_orderkey shuffle key holds at
+    // any scale. (At table scale the same plan runs per storage
+    // partition, touching only partitions the change feed hits.)
+    "q73_merge_upsert" -> { (s, d) =>
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val base = t.select(col("k"), col("status"), col("cents"),
+        lit(0).as("pri"), lit("K").as("op"))
+      val upd = t.filter(col("k") % 10 === 3).select(col("k"),
+        lit("U").as("status"), (col("cents") + 500).as("cents"),
+        lit(1).as("pri"), lit("U").as("op"))
+      val del = t.filter(col("k") % 10 === 7).select(col("k"),
+        col("status"), col("cents"), lit(1).as("pri"), lit("D").as("op"))
+      val ins = t.filter(col("k") % 1000 === 5).select(
+        (col("k") + 100000000L).as("k"), lit("N").as("status"),
+        (col("k") * 10 + 7).as("cents"), lit(1).as("pri"), lit("U").as("op"))
+      base.unionAll(upd).unionAll(del).unionAll(ins)
+        .groupBy(col("k"))
+        .agg(max_by(struct(col("status"), col("cents"), col("op")), col("pri")).as("w"))
+        .filter(col("w.op") =!= "D")
+        .select(col("k").as("o_orderkey"), col("w.status").as("status"),
+          col("w.cents").as("cents"))
+    },
+
+    // Incremental aggregate-view maintenance: the daily (event_type,
+    // day) stats view refreshed by merging yesterday's materialized
+    // partials with the delta scan — count/sum re-added, min/max
+    // re-merged. The cutoff splits a day in half so the merge path is
+    // exercised on groups that span both sides. The oracle is the FULL
+    // recompute: merged partials must equal it exactly, which is the
+    // correctness contract that lets a 100 TB refresh scan only the
+    // delta instead of the whole history.
+    "q80_incremental_agg" -> { (s, d) =>
+      val cutoff = lit("2024-01-21 12:00:00").cast("timestamp")
+      def partials(ev: DataFrame): DataFrame =
+        ev.groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"), sum(col("vx")).as("sum_vx"),
+            min(col("vx")).as("min_vx"), max(col("vx")).as("max_vx"))
+      val ev = Tables.events(s, d).select(col("ts"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        round(col("value") * 100).cast("long").as("vx"))
+      val base = partials(ev.filter(col("ts") < cutoff))
+      val delta = partials(ev.filter(col("ts") >= cutoff))
+      base.unionAll(delta)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_vx")).as("sum_vx"),
+          min(col("min_vx")).as("min_vx"), max(col("max_vx")).as("max_vx"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q73_merge_upsert" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+           chg AS (
+             SELECT k, 'U' AS op, 'U' AS status, cents + 500 AS cents
+             FROM t WHERE k % 10 = 3
+             UNION ALL
+             SELECT k, 'D', status, cents FROM t WHERE k % 10 = 7
+             UNION ALL
+             SELECT k + 100000000, 'U', 'N', k * 10 + 7 FROM t WHERE k % 1000 = 5)
+         SELECT t.k AS o_orderkey, t.status, t.cents
+         FROM t WHERE t.k NOT IN (SELECT k FROM chg)
+         UNION ALL
+         SELECT k AS o_orderkey, status, cents FROM chg WHERE op <> 'D'""",
+
+    // Full recompute — the invariant incremental maintenance must hit.
+    "q80_incremental_agg" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS n,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_vx,
+           min(round(value * 100)::BIGINT) AS min_vx,
+           max(round(value * 100)::BIGINT) AS max_vx
+         FROM events GROUP BY 1, 2"""
+  )
+}

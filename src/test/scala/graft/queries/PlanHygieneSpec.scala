@@ -285,6 +285,46 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("partial_count"), s)
   }
 
+  test("q73: MERGE plans as one hash shuffle on the key — no join node anywhere") {
+    val df = SparkEntry.queries("q73_merge_upsert")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Join"), s"q73 must merge via union+agg, not a join:\n$s")
+    val finalPlan = s.split("== Initial Plan ==")(0)
+    assert(finalPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")) == 1,
+      s"q73 must shuffle exactly once:\n$finalPlan")
+    assert(s.contains("partial_max_by") || s.contains("Partial"), s)
+  }
+
+  test("q76: the heavy input collapses in a partial aggregate before the dense-domain join") {
+    val df = SparkEntry.queries("q76_gap_fill")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("partial_count"), s"q76 counts aggregate not partial:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"the types×hours domain must build via hash joins only:\n$s")
+  }
+
+  test("q77: the rolling window partitions on the uniform customer key") {
+    val df = SparkEntry.queries("q77_rolling")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val windowLines = s.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(windowLines.contains("o_custkey"), s"q77 window not keyed on o_custkey:\n$windowLines")
+    assert(!s.contains("SinglePartition"), s"q77 must never sort globally:\n$s")
+  }
+
+  test("q78/q80: sliding-window and partial-merge aggregates are map-side partial") {
+    Seq("q78_sliding_window", "q80_incremental_agg").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("partial_count"), s"$q aggregate not partial:\n$s")
+      assert(!s.contains("CartesianProduct") && !s.contains("ScalaUDF"), s)
+    }
+  }
+
   test("entry smoke plan has no Python/UDF eval nodes (everything codegen-able)") {
     Seq("q01_pricing_summary", "q04_join_shuffle", "q14_dedup_exact", "q21_lang_id",
         "q64_normalize").foreach { q =>

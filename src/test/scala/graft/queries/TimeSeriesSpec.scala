@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantic invariants of the time-series (q76–q78) and change-data
+  * (q73/q80) queries that the DuckDB hash-match can't see on its own:
+  * gap-fill domain density, rolling-frame containment, sliding-window
+  * double-coverage, MERGE row accounting, and partial-merge equality
+  * with the direct aggregate. Runs at sf0.001. */
+class TimeSeriesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("timeseries-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q76: dense domain — |types| × |hours| rows, zero-fill non-vacuous, totals preserved") {
+    val df = q("q76_gap_fill").cache()
+    try {
+      val types = df.select("event_type").distinct().count()
+      val hours = df.select("hr").distinct().count()
+      assert(df.count() == types * hours, "grid must be dense")
+      assert(df.filter(col("n") === 0).count() > 0, "zero-filled slots must exist at sf0.001")
+      val total = df.agg(sum("n")).head().getLong(0)
+      val events = Tables.events(spark, sf).count()
+      assert(total == events, s"gap fill must not lose or invent events: $total vs $events")
+    } finally df.unpersist()
+  }
+
+  test("q77: rolling frame contains the row itself and only 7-day-window peers") {
+    val df = q("q77_rolling").cache()
+    try {
+      assert(df.filter(col("roll_n") < 1).count() == 0, "frame always contains current row")
+      // recompute one busy customer by hand
+      val cust = df.groupBy("o_custkey").count().orderBy(desc("count")).head().getLong(0)
+      val orders = Tables.orders(spark, sf)
+        .filter(col("o_custkey") === cust)
+        .select(expr("unix_micros(cast(o_orderdate as timestamp))").as("tsu"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+          col("o_orderkey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val week = 7L * 86400L * 1000000L
+      val expected = orders.map { case (t, _, k) =>
+        val in = orders.filter { case (t2, _, _) => t2 >= t - week && t2 <= t }
+        k -> ((in.length.toLong, in.map(_._2).sum))
+      }.toMap
+      df.filter(col("o_custkey") === cust).collect().foreach { r =>
+        val (n, cents) = expected(r.getAs[Long]("o_orderkey"))
+        assert(r.getAs[Long]("roll_n") == n && r.getAs[Long]("roll_cents") == cents,
+          s"orderkey ${r.getAs[Long]("o_orderkey")}")
+      }
+    } finally df.unpersist()
+  }
+
+  test("q78: every event is counted in exactly two sliding windows") {
+    val total = q("q78_sliding_window").agg(sum("n")).head().getLong(0)
+    val events = Tables.events(spark, sf).count()
+    assert(total == 2 * events, s"1h/30m windows must double-count: $total vs ${2 * events}")
+  }
+
+  test("q73: merge row accounting — deletes gone, inserts present, updates applied") {
+    val t = Tables.orders(spark, sf).select(
+      col("o_orderkey").as("k"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents")).cache()
+    val out = q("q73_merge_upsert").cache()
+    try {
+      val nBase = t.count()
+      val nDel = t.filter(col("k") % 10 === 7).count()
+      val nIns = t.filter(col("k") % 1000 === 5).count()
+      assert(out.count() == nBase - nDel + nIns)
+      assert(out.filter(col("o_orderkey") % 10 === 7).filter(col("o_orderkey") < 100000000L).count() == 0,
+        "deleted keys must not survive")
+      assert(out.filter(col("status") === "N").count() == nIns, "inserts all present")
+      // spot-check an updated key: +500 cents vs the base table
+      val joined = out.filter(col("o_orderkey") % 10 === 3 && col("o_orderkey") < 100000000L)
+        .join(t, col("o_orderkey") === col("k"))
+        .filter(col("status") =!= "U" || out("cents") =!= t("cents") + 500)
+      assert(joined.count() == 0, "every surviving ≡3 key carries the update")
+    } finally { out.unpersist(); t.unpersist() }
+  }
+
+  test("q80: merged partials equal the direct single-pass aggregate exactly") {
+    val direct = Tables.events(spark, sf)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        round(col("value") * 100).cast("long").as("vx"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum("vx").as("sum_vx"),
+        min("vx").as("min_vx"), max("vx").as("max_vx"))
+    assert(q("q80_incremental_agg").exceptAll(direct).isEmpty &&
+      direct.exceptAll(q("q80_incremental_agg")).isEmpty)
+  }
+
+  test("q80: the cutoff actually splits at least one group across base and delta") {
+    val cutoff = lit("2024-01-21 12:00:00").cast("timestamp")
+    val ev = Tables.events(spark, sf)
+      .select(col("ts"), col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val spanning = ev.groupBy("event_type", "day")
+      .agg(sum(when(col("ts") < cutoff, 1).otherwise(0)).as("lo"),
+        sum(when(col("ts") >= cutoff, 1).otherwise(0)).as("hi"))
+      .filter(col("lo") > 0 && col("hi") > 0)
+    assert(spanning.count() > 0, "merge path must be exercised by split groups")
+  }
+}
