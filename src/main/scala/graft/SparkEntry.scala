@@ -22,7 +22,8 @@ object SparkEntry {
       (_root_.graft.queries.Behavior.queries, _root_.graft.queries.Behavior.oracle),
       (_root_.graft.queries.TableOps.queries, _root_.graft.queries.TableOps.oracle),
       (_root_.graft.queries.TimeSeries.queries, _root_.graft.queries.TimeSeries.oracle),
-      (_root_.graft.queries.ChangeData.queries, _root_.graft.queries.ChangeData.oracle)
+      (_root_.graft.queries.ChangeData.queries, _root_.graft.queries.ChangeData.oracle),
+      (_root_.graft.queries.JoinHardening.queries, _root_.graft.queries.JoinHardening.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

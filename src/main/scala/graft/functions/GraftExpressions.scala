@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Native Catalyst expressions for the hot scalar paths, with full
   * whole-stage-codegen support (`doGenCode` emits a direct static call —
@@ -123,6 +124,35 @@ case class NfcNormalize(child: Expression) extends UnaryExpression with ExpectsI
         s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))")
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+/** `bloom_might_contain(key)` — membership probe of a long key against
+  * a pre-built [[org.apache.spark.util.sketch.BloomFilter]], carried in
+  * the plan as its serialized bytes. This is the executor-side face of
+  * the bloom-prefiltered join (q74): the filter runs inside whole-stage
+  * codegen directly on the scan output, BEFORE the shuffle, so the
+  * exchange only carries rows that can possibly join. False positives
+  * are removed by the exact join that follows — the bloom only prunes,
+  * it never decides. */
+case class BloomKeyMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes))
+
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom, classOf[BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomKeyMightContain =
     copy(child = newChild)
 }
 

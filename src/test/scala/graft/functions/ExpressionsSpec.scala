@@ -80,6 +80,26 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 100)
   }
 
+  test("bloom_might_contain: zero false negatives, interpreted equals codegen, fpp in spec") {
+    val sp = spark; import sp.implicits._
+    val keys = sp.range(0, 10000).filter($"id" % 3 === 0).toDF("id")
+    val bloom = keys.stat.bloomFilter("id", 4000, 0.01)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
+    def probe(df: org.apache.spark.sql.DataFrame) = df.filter(
+      org.apache.spark.sql.GraftSqlGlue.column(graft.functions.BloomKeyMightContain(
+        org.apache.spark.sql.GraftSqlGlue.expression($"id"), bytes)))
+    // no false negatives: every inserted key passes
+    assert(probe(keys).count() == keys.count())
+    // false positives bounded: non-members passing stay well under 5× fpp
+    val nonMembers = sp.range(0, 10000).filter($"id" % 3 =!= 0).toDF("id")
+    val fp = probe(nonMembers).count().toDouble / nonMembers.count()
+    assert(fp < 0.05, s"false-positive rate $fp")
+    // interpreted eval agrees with the codegen path on a sample
+    val e = graft.functions.BloomKeyMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(42L), bytes)
+    assert(e.eval(null) == bloom.mightContainLong(42L))
+  }
+
   test("null input yields null, unparseable input throws (reference F4 semantics)") {
     val sp = spark; import sp.implicits._
     val out = Seq[String](null).toDF("s").selectExpr("kafka_date_format(s) AS k").collect()

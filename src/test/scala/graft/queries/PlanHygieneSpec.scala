@@ -325,6 +325,46 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q74: the bloom probe filters the fact scan BEFORE the shuffle; the join stays exact") {
+    val df = SparkEntry.queries("q74_bloom_join")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("bloom_might_contain"), s"bloom probe missing:\n$s")
+    assert(s.contains("LeftSemi"), s"exact semi join missing (bloom must not decide):\n$s")
+    // the probe sits in the scan stage: in the FINAL plan (parents print
+    // above children) the fact FileScan must follow the bloom filter
+    // line with no Exchange between them
+    val lines = s.split("== Initial Plan ==").head.linesIterator.toSeq
+    val bloomIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("bloom_might_contain(l_orderkey"))
+    assert(bloomIdx >= 0, s"no bloom Filter on the fact key:\n$s")
+    val below = lines.drop(bloomIdx)
+      .takeWhile(l => !(l.contains("FileScan parquet") && l.contains("lineitem")))
+    assert(!below.exists(_.contains("Exchange")),
+      s"bloom probe must run directly on the fact scan, below any shuffle:\n$s")
+    assert(!s.contains("ScalaUDF"), s)
+  }
+
+  test("q75: hot keys broadcast, cold keys shuffle — both join flavors in one plan") {
+    // simulate the scale condition (dim too big to broadcast) so the
+    // cold slice takes the shuffle join it would take at 100 TB; the
+    // hot slice's explicit broadcast() hint must survive regardless
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q75_skew_join")(spark, sf)
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("BroadcastHashJoin"), s"hot slice must broadcast:\n$s")
+      assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
+        s"cold slice must stay a shuffle join:\n$s")
+      assert(s.contains("Union"), s)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("entry smoke plan has no Python/UDF eval nodes (everything codegen-able)") {
     Seq("q01_pricing_summary", "q04_join_shuffle", "q14_dedup_exact", "q21_lang_id",
         "q64_normalize").foreach { q =>
