@@ -163,7 +163,9 @@ object GraftFunctions {
     "kafka_date_format" -> (children => KafkaDateFormat(children.head)),
     "hdi_rowkey" -> (children => HdiRowkey(children.head)),
     "array_dot" -> (children => ArrayDotProduct(children(0), children(1))),
-    "nfc" -> (children => NfcNormalize(children.head)))
+    "nfc" -> (children => NfcNormalize(children.head)),
+    "topk_longs" -> (children =>
+      TopKLongs(children(0), children(1)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

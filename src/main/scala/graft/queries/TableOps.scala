@@ -103,6 +103,62 @@ object TableOps {
           Tables.orders(s, d).select(corrupt(col("o_custkey")).as("ck")),
           Tables.customer(s, d).select(col("c_custkey").as("pk")),
           "orders->customer"))
+    },
+
+    // Winsorization — outlier clipping at exact per-group percentiles
+    // (the robust-stats data-prep step before training). percentile_disc
+    // picks an ACTUAL data value (SQL-standard smallest-cume_dist≥p on
+    // both engines), so the clamp bounds stay integer-exact. Two-pass
+    // shape: the bounds aggregate is partial-aggregable and
+    // |groups|-sized, then broadcasts back onto the row stream — the
+    // big side never shuffles. Output: only the rows the clamp touched.
+    "q79_winsorize" -> { (s, d) =>
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      // Spark's percentile_disc returns double; the value is an actual
+      // long data point, so the cast back is exact
+      val bounds = t.groupBy(col("o_orderstatus")).agg(
+        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)").cast("long").as("lo"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").cast("long").as("hi"))
+      t.join(broadcast(bounds), Seq("o_orderstatus"))
+        .filter(col("cents") < col("lo") || col("cents") > col("hi"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+          greatest(least(col("cents"), col("hi")), col("lo")).as("clipped"))
+    },
+
+    // Bounded per-group top-k via the native TopKLongs
+    // TypedImperativeAggregate: top-3 order totals per customer. The
+    // map-side partial carries AT MOST k longs per group — O(groups·k)
+    // shuffle no matter how large the groups get, which neither
+    // collect_list+slice (buffers whole groups) nor a window sort
+    // (shuffles every row) can promise. Ties at the cut are
+    // value-identical, so the multiset — and the sorted array — is
+    // deterministic under any input order or merge-tree shape.
+    "q82_topk_agg" -> { (s, d) =>
+      import org.apache.spark.sql.GraftSqlGlue
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val t = Tables.orders(s, d).select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val top3 = GraftSqlGlue.column(graft.functions.TopKLongs(
+        GraftSqlGlue.expression(col("cents")), Literal(3)).toAggregateExpression())
+      t.groupBy(col("o_custkey")).agg(top3.as("top3"))
+    },
+
+    // Deterministic grouped concatenation (listagg): per order, the
+    // sorted line summary string. collect_list is order-nondeterministic
+    // under retries/AQE — array_sort before the join is what makes the
+    // result stable and engine-portable (both engines compare the
+    // composed strings bytewise). Partial-aggregable; state per group
+    // is the group's own lines.
+    "q81_group_concat" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          concat(col("l_linenumber").cast("string"), lit(":"),
+            (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").cast("string")).as("line"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_join(array_sort(collect_list(col("line"))), ",").as("lines"),
+          count(lit(1)).as("n_lines"))
     }
   )
 
@@ -152,6 +208,35 @@ object TableOps {
          UNION ALL
          SELECT 'orders->customer' AS relation,
            (SELECT count(*) FROM orders) AS n_rows,
-           (SELECT count(*) FROM ord WHERE ck NOT IN (SELECT c_custkey FROM customer)) AS n_orphans"""
+           (SELECT count(*) FROM ord WHERE ck NOT IN (SELECT c_custkey FROM customer)) AS n_orphans""",
+
+    "q79_winsorize" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+           b AS (SELECT o_orderstatus,
+               percentile_disc(0.05) WITHIN GROUP (ORDER BY cents) AS lo,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY cents) AS hi
+             FROM t GROUP BY 1)
+         SELECT t.o_orderkey, t.o_orderstatus, t.cents,
+           greatest(least(t.cents, b.hi), b.lo) AS clipped
+         FROM t JOIN b USING (o_orderstatus)
+         WHERE t.cents < b.lo OR t.cents > b.hi""",
+
+    "q82_topk_agg" ->
+      """WITH t AS (SELECT o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_custkey, (list(cents ORDER BY cents DESC))[1:3] AS top3
+         FROM t GROUP BY 1""",
+
+    "q81_group_concat" ->
+      """WITH l AS (SELECT l_orderkey,
+             l_linenumber::VARCHAR || ':' ||
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)::VARCHAR AS line
+           FROM lineitem)
+         SELECT l_orderkey, string_agg(line, ',' ORDER BY line) AS lines,
+           count(*) AS n_lines
+         FROM l GROUP BY 1"""
   )
 }

@@ -100,6 +100,34 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.eval(null) == bloom.mightContainLong(42L))
   }
 
+  test("topk_longs: equals sort-based top-k on adversarial distributions, heap never exceeds k") {
+    val sp = spark; import sp.implicits._
+    graft.functions.GraftFunctions.register(sp)
+    // adversarial inputs: duplicates across the cut, ascending, descending,
+    // single-element groups, ties everywhere
+    val rows = Seq(
+      (1, Seq(5L, 5L, 5L, 5L, 1L)), (2, Seq(1L, 2L, 3L, 4L, 5L, 6L)),
+      (3, Seq(9L, 8L, 7L)), (4, Seq(42L)), (5, Seq(2L, 2L, 2L, 2L))
+    ).flatMap { case (g, vs) => vs.map(v => (g, v)) }
+    val df = rows.toDF("g", "v")
+    val got = df.groupBy($"g")
+      .agg(org.apache.spark.sql.functions.expr("topk_longs(v, 3)").as("topk"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).sorted.reverse.take(3)
+    }
+    assert(got == want, s"got $got want $want")
+    // unit heap: bounded size, eviction order
+    val h = new graft.functions.TopKHeap(2)
+    Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L).foreach(h.insert)
+    assert(h.size == 2 && h.sortedDesc.toSeq == Seq(9L, 6L))
+    // merge == union semantics
+    val h1 = new graft.functions.TopKHeap(3); Seq(1L, 2L, 3L).foreach(h1.insert)
+    val h2 = new graft.functions.TopKHeap(3); Seq(10L, 0L).foreach(h2.insert)
+    h1.mergeFrom(h2)
+    assert(h1.sortedDesc.toSeq == Seq(10L, 3L, 2L))
+  }
+
   test("null input yields null, unparseable input throws (reference F4 semantics)") {
     val sp = spark; import sp.implicits._
     val out = Seq[String](null).toDF("s").selectExpr("kafka_date_format(s) AS k").collect()

@@ -365,6 +365,30 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q79: percentile bounds broadcast back — the row stream never shuffles") {
+    val df = SparkEntry.queries("q79_winsorize")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s"bounds must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"row stream must not shuffle for the clamp join:\n$s")
+  }
+
+  test("q81: grouped concatenation aggregates partially (map-side collect)") {
+    val df = SparkEntry.queries("q81_group_concat")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("partial_collect_list") || s.contains("partial_"), s)
+    assert(!s.contains("ScalaUDF"), s)
+  }
+
+  test("q82: the bounded top-k aggregate is partial — the shuffle carries k-long heaps, not rows") {
+    val df = SparkEntry.queries("q82_topk_agg")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("partial_topk_longs"), s"topk aggregate must have a map-side partial:\n$s")
+    assert(s.contains("ObjectHashAggregate"), s)
+  }
+
   test("entry smoke plan has no Python/UDF eval nodes (everything codegen-able)") {
     Seq("q01_pricing_summary", "q04_join_shuffle", "q14_dedup_exact", "q21_lang_id",
         "q64_normalize").foreach { q =>

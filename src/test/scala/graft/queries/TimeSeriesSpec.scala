@@ -106,6 +106,39 @@ class TimeSeriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       direct.exceptAll(q("q80_incremental_agg")).isEmpty)
   }
 
+  test("q79: every output row was actually clipped, into its group's [lo, hi], touching ≤ ~10%") {
+    val out = q("q79_winsorize").cache()
+    try {
+      assert(out.filter(col("clipped") === col("cents")).count() == 0,
+        "output must contain only rows the clamp changed")
+      assert(out.filter(col("clipped") =!= col("cents")).count() == out.count())
+      val total = Tables.orders(spark, sf).count()
+      val frac = out.count().toDouble / total
+      assert(frac > 0 && frac <= 0.12, s"winsorize touched fraction $frac")
+      // clipped values are actual data values from the group (disc percentiles)
+      val t = Tables.orders(spark, sf).select(col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c2"))
+      val orphan = out.join(t, out("o_orderstatus") === t("o_orderstatus") &&
+        out("clipped") === t("c2"), "left_anti")
+      assert(orphan.count() == 0, "clip bounds must be actual group values")
+    } finally out.unpersist()
+  }
+
+  test("q81: line lists are sorted, complete, and correctly sized") {
+    val out = q("q81_group_concat").cache()
+    try {
+      assert(out.filter(col("n_lines") < 1).count() == 0)
+      assert(out.count() ==
+        Tables.lineitem(spark, sf).select("l_orderkey").distinct().count())
+      // string order == array_sort order: re-sorting the split never changes it
+      val unsorted = out.filter(
+        array_join(array_sort(split(col("lines"), ",")), ",") =!= col("lines"))
+      assert(unsorted.count() == 0, "lines must be sorted for determinism")
+      val sizeMismatch = out.filter(size(split(col("lines"), ",")) =!= col("n_lines"))
+      assert(sizeMismatch.count() == 0)
+    } finally out.unpersist()
+  }
+
   test("q80: the cutoff actually splits at least one group across base and delta") {
     val cutoff = lit("2024-01-21 12:00:00").cast("timestamp")
     val ev = Tables.events(spark, sf)
