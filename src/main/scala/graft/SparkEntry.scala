@@ -23,7 +23,8 @@ object SparkEntry {
       (_root_.graft.queries.TableOps.queries, _root_.graft.queries.TableOps.oracle),
       (_root_.graft.queries.TimeSeries.queries, _root_.graft.queries.TimeSeries.oracle),
       (_root_.graft.queries.ChangeData.queries, _root_.graft.queries.ChangeData.oracle),
-      (_root_.graft.queries.JoinHardening.queries, _root_.graft.queries.JoinHardening.oracle)
+      (_root_.graft.queries.JoinHardening.queries, _root_.graft.queries.JoinHardening.oracle),
+      (_root_.graft.queries.Maintenance.queries, _root_.graft.queries.Maintenance.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
