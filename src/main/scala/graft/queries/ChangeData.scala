@@ -69,6 +69,30 @@ object ChangeData {
         .groupBy(col("event_type"), col("day"))
         .agg(sum(col("n")).as("n"), sum(col("sum_vx")).as("sum_vx"),
           min(col("min_vx")).as("min_vx"), max(col("max_vx")).as("max_vx"))
+    },
+
+    // Slowly-changing-dimension type 2 build: compress a change feed
+    // (orders as priority-change events per customer) into validity
+    // intervals [valid_from, valid_to) + an is_current flag — the
+    // history table every warehouse keeps, and the right-hand side of
+    // the as-of/range lookups q32/q33 already implement. Two stages,
+    // both on uniform keys: same-instant collisions collapse first
+    // (winner = highest o_orderkey, the feed's tiebreak), then one
+    // lead() per customer closes each interval. The window partition
+    // key is the dimension's natural key — cardinality grows with the
+    // table, so no hot-partition hazard at scale.
+    "q90_scd2_build" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("custkey")).orderBy(col("o_orderdate"))
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"), col("o_orderdate"))
+        .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("priority"))
+        .withColumn("valid_from_ms", unix_millis(col("o_orderdate").cast("timestamp")))
+        .withColumn("valid_to_ms",
+          unix_millis(lead(col("o_orderdate"), 1).over(w).cast("timestamp")))
+        .withColumn("is_current", col("valid_to_ms").isNull.cast("int"))
+        .select(col("custkey"), col("priority"),
+          col("valid_from_ms"), col("valid_to_ms"), col("is_current"))
     }
   )
 
@@ -97,6 +121,18 @@ object ChangeData {
            sum(round(value * 100)::BIGINT)::BIGINT AS sum_vx,
            min(round(value * 100)::BIGINT) AS min_vx,
            max(round(value * 100)::BIGINT) AS max_vx
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    "q90_scd2_build" ->
+      """WITH chg AS (
+           SELECT o_custkey AS custkey, o_orderdate,
+                  arg_max(o_orderpriority, o_orderkey) AS priority
+           FROM orders GROUP BY 1, 2)
+         SELECT custkey, priority,
+           epoch_ms(o_orderdate)::BIGINT AS valid_from_ms,
+           epoch_ms(LEAD(o_orderdate) OVER w)::BIGINT AS valid_to_ms,
+           CASE WHEN LEAD(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+         FROM chg
+         WINDOW w AS (PARTITION BY custkey ORDER BY o_orderdate)"""
   )
 }

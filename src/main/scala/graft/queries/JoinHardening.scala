@@ -75,6 +75,41 @@ object JoinHardening {
         }
       joined.groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), sum(col("vx")).as("sum_vx"))
+    },
+
+    // Fuzzy (edit-distance) self-join — entity resolution over dirty
+    // names. Two-level pruning keeps it EXACT but far from n²:
+    // (1) intern the name dictionary — real-world name columns are
+    // heavily repeated, so levenshtein runs once per distinct ORDERED
+    // name pair, not once per row pair (64 names / 20k parts at sf0.1:
+    // 4096 calls instead of 16M);
+    // (2) length-band blocking inside the dictionary join — dist ≤ 3
+    // forces |len(a)-len(b)| ≤ 3, so width-3 bands differ by ≤ 1: side
+    // A explodes to band ± 1, side B keeps its own band, and the band
+    // equi-join covers every qualifying ordered pair exactly once.
+    // The fuzzy dictionary (bounded by matched name pairs) broadcasts;
+    // part rows then flow through two equi-joins — no similarity
+    // arithmetic ever touches a fact row. When the dictionary is NOT
+    // small (genuinely unique strings), the escalation is q-gram
+    // prefix filtering — SimilarityJoin over character n-grams.
+    "q91_fuzzy_join" -> { (s, d) =>
+      val p = Tables.part(s, d)
+        .select(col("p_partkey").as("key"), col("p_name").as("name"),
+          col("p_brand").as("brand"))
+      val names = p.select(col("name")).distinct()
+        .withColumn("band", expr("length(name) div 3"))
+      val na = names.select(col("name").as("name_a"),
+        explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
+      val np = na.join(names.select(col("name").as("name_b"), col("band")), Seq("band"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 3)
+        .select(col("name_a"), col("name_b"), col("dist"))
+      val a = p.select(col("key").as("key_a"), col("name").as("name_a"), col("brand"))
+      val b = p.select(col("key").as("key_b"), col("name").as("name_b"), col("brand"))
+      a.join(broadcast(np), Seq("name_a"))
+        .join(b, Seq("brand", "name_b"))
+        .filter(col("key_a") < col("key_b"))
+        .select(col("key_a"), col("key_b"), col("dist"))
     }
   )
 
@@ -95,6 +130,15 @@ object JoinHardening {
            FROM events)
          SELECT c.c_mktsegment, count(*) AS n, sum(f.vx)::BIGINT AS sum_vx
          FROM f JOIN customer c ON f.k = c.c_custkey
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    // The oracle is the UNBLOCKED fuzzy join — blocking must be
+    // invisible (no length predicate needed: dist ≤ 3 implies it).
+    "q91_fuzzy_join" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 3"""
   )
 }

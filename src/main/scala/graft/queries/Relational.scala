@@ -160,6 +160,47 @@ object Relational {
       Tables.lineitem(s, d)
         .rollup($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("n"), sum(dec($"l_quantity")).cast("double").as("qty"))
+    },
+    // The rest of the window-function family (q08 covers row_number +
+    // running frames): lag/lead, ntile, percent_rank, cume_dist — one
+    // Window partitioning, ONE exchange for all six functions (they
+    // share partitionBy+orderBy, so Catalyst fuses them into a single
+    // Window node). The order key (o_orderdate, o_orderkey) is total,
+    // so rank-based doubles are exact rationals k/(n-1) — one IEEE
+    // division, identical in both engines. lag/lead carry raw doubles
+    // (no arithmetic → hash-safe).
+    "q88_window_suite" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+        .withColumn("next_price", lead($"o_totalprice", 1).over(w))
+        .select($"o_custkey", $"o_orderkey", $"rn", $"quartile", $"pr", $"cd",
+          $"prev_price", $"next_price")
+    },
+    // Full outer join — the reconciliation shape (rows surviving from
+    // either side with nulls opposite). A full outer can never
+    // broadcast and never prunes partitions: both sides shuffle on the
+    // key, so at scale the defense is the same as any fact⋈fact join —
+    // AQE skew-split plus bucketing (q49) when it recurs.
+    "q89_full_outer" -> { (s, d) =>
+      import s.implicits._
+      val bought = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec($"o_totalprice")).cast("double").as("revenue"))
+      val rich = Tables.customer(s, d)
+        .filter($"c_acctbal" > 5000.0)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      bought.join(rich, $"o_custkey" === $"c_custkey", "full_outer")
+        .select(coalesce($"o_custkey", $"c_custkey").as("custkey"),
+          $"n_orders", $"revenue", $"c_name", $"c_acctbal")
     }
   )
 
@@ -232,6 +273,26 @@ object Relational {
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q88_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+           ROW_NUMBER()   OVER w AS rn,
+           NTILE(4)       OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST()    OVER w AS cd,
+           LAG(o_totalprice, 1)  OVER w AS prev_price,
+           LEAD(o_totalprice, 1) OVER w AS next_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q89_full_outer" ->
+      """SELECT COALESCE(b.o_custkey, r.c_custkey) AS custkey,
+           b.n_orders, b.revenue, r.c_name, r.c_acctbal
+         FROM (SELECT o_custkey, COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+               FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+               GROUP BY o_custkey) b
+         FULL OUTER JOIN (SELECT c_custkey, c_name, c_acctbal FROM customer
+                          WHERE c_acctbal > 5000.0) r
+           ON b.o_custkey = r.c_custkey"""
   )
 }

@@ -36,25 +36,29 @@ object TableOps {
 
     // ANALYZE-style table profile of lineitem's numeric columns: row
     // count, nulls, exact NDV, and decimal-routed min/max per column,
-    // one output row per column. Single-pass multi-aggregate (Spark
-    // plans count(DISTINCT a), count(DISTINCT b), ... as one Expand +
-    // partial aggregate — the data is read once), then unpivoted to
-    // the long (column, stats) shape the catalog stores.
+    // one output row per column. Unpivot FIRST (stack to long
+    // (col_name, value) rows), then two partial-aggregable shuffles:
+    // (col_name, value) → distinct counts, then col_name → the stats
+    // row. The alternative — one wide agg with k count(DISTINCT c_i) —
+    // plans an Expand that copies every row k+1 times before the first
+    // partial aggregate; the unpivot moves strictly fewer bytes (k
+    // narrow rows, map-side-combined per distinct value) and stays in
+    // whole-stage codegen. NDV groups the RAW double so the count is
+    // exactly DuckDB's count(DISTINCT c); min/max route through
+    // DECIMAL(18,2)·100 as everywhere else.
     "q70_profile" -> { (s, d) =>
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val aggs = cols.flatMap { c =>
-        Seq(count(col(c)).as(s"n_$c"),
-          countDistinct(col(c)).as(s"ndv_$c"),
-          min((col(c).cast("decimal(18,2)") * 100).cast("long")).as(s"min_$c"),
-          max((col(c).cast("decimal(18,2)") * 100).cast("long")).as(s"max_$c"))
-      }
-      val wide = Tables.lineitem(s, d)
-        .agg(count(lit(1)).as("n_rows"), aggs: _*)
-      // stack takes FLAT args (k rows of 6), not row tuples
-      val stacked = cols.map(c =>
-        s"'$c', n_rows, n_$c, ndv_$c, min_$c, max_$c").mkString(", ")
-      wide.selectExpr(
-        s"stack(${cols.length}, $stacked) AS (col_name, n_rows, n_non_null, ndv, min_x100, max_x100)")
+      val stacked = cols.map(c => s"'$c', $c").mkString(", ")
+      Tables.lineitem(s, d)
+        .selectExpr(s"stack(${cols.length}, $stacked) AS (col_name, v)")
+        .groupBy(col("col_name"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("col_name"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n_non_null"),
+          count(col("v")).as("ndv"),
+          min((col("v").cast("decimal(18,2)") * 100).cast("long")).as("min_x100"),
+          max((col("v").cast("decimal(18,2)") * 100).cast("long")).as("max_x100"))
     },
 
     // Deterministic per-stratum evaluation sampler: exactly 20 docs per
