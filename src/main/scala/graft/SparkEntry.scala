@@ -25,7 +25,8 @@ object SparkEntry {
       (_root_.graft.queries.ChangeData.queries, _root_.graft.queries.ChangeData.oracle),
       (_root_.graft.queries.JoinHardening.queries, _root_.graft.queries.JoinHardening.oracle),
       (_root_.graft.queries.Maintenance.queries, _root_.graft.queries.Maintenance.oracle),
-      (_root_.graft.queries.Formats.queries, _root_.graft.queries.Formats.oracle)
+      (_root_.graft.queries.Formats.queries, _root_.graft.queries.Formats.oracle),
+      (_root_.graft.queries.Graph.queries, _root_.graft.queries.Graph.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -384,6 +384,37 @@ object TrainingData {
         .filter(col("bucket") <
           when(col("lang") === "en", lit(40)).otherwise(lit(100)))
         .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+    },
+
+    // Per-label centroid + embedding outliers — the "is this example
+    // mislabeled / out of distribution" screen a curation pipeline
+    // runs per class. All arithmetic is fixed-point (components
+    // floored to micro-units, centroid = integer mean, distance =
+    // integer sum of squares) so the distributed sums are exact longs
+    // — order-independent, hash-identical to DuckDB (float centroids
+    // would drift by summation order). Shapes: one partial-aggregable
+    // shuffle on (label, pos) for centroids — a bounded table that
+    // then BROADCASTS back onto the exploded rows — one shuffle on
+    // (label, vec_id) for distances, and a top-5-per-label window that
+    // Spark 4 turns into a map-side group limit. Overflow headroom:
+    // |q| ≤ 10⁷ ⇒ dq² ≤ 4·10¹⁴, ×dim(64) ≪ 2⁶³.
+    "q93_centroid_outliers" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos0", "comp")))
+        .select(col("vec_id"), col("label"), (col("pos0") + 1).as("pos"),
+          floor(col("comp").cast("double") * 1000000).cast("long").as("q"))
+      val cent = ex.groupBy(col("label"), col("pos"))
+        .agg(expr("sum(q) div count(1)").as("cq"))
+      val dist = ex.join(broadcast(cent), Seq("label", "pos"))
+        .withColumn("dq", col("q") - col("cq"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(sum(col("dq") * col("dq")).as("dist2"))
+      val w = Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id").asc)
+      dist.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("label"), col("rk").cast("long").as("rk"),
+          col("vec_id"), col("dist2"))
     }
   )
 
@@ -618,6 +649,23 @@ object TrainingData {
            SELECT doc_id, lang, source,
                   ((doc_id % 1000003) * 2246822519) % 1000000007 % 100 AS bucket
            FROM documents)
-         WHERE bucket < CASE WHEN lang = 'en' THEN 40 ELSE 100 END"""
+         WHERE bucket < CASE WHEN lang = 'en' THEN 40 ELSE 100 END""",
+
+    "q93_centroid_outliers" ->
+      """WITH ex AS (
+           SELECT vec_id, label, unnest(range(1, len(embedding)+1)) AS pos, embedding
+           FROM embeddings),
+         q AS (SELECT vec_id, label, pos,
+                 floor(embedding[pos]::DOUBLE * 1000000)::BIGINT AS q FROM ex),
+         cent AS (SELECT label, pos, sum(q) // count(*) AS cq FROM q GROUP BY 1, 2),
+         dist AS (SELECT q.label, q.vec_id,
+                    sum((q.q - cent.cq) * (q.q - cent.cq)) AS dist2
+                  FROM q JOIN cent ON q.label = cent.label AND q.pos = cent.pos
+                  GROUP BY 1, 2)
+         SELECT label,
+           CAST(row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS BIGINT) AS rk,
+           vec_id, dist2::BIGINT AS dist2
+         FROM dist
+         QUALIFY rk <= 5"""
   )
 }
