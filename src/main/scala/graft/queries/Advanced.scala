@@ -54,6 +54,69 @@ object Advanced {
     // columns would make the survivor order-dependent. Scale shape:
     // dedup state is watermark-bounded per key, exactly-once file
     // source, one shuffle on the dedup key.
+    // Streaming UPSERT sink — the lakehouse merge pattern. The event
+    // stream (staged as 8 files, maxFilesPerTrigger=1 ⇒ 8 genuine
+    // micro-batches with overlapping keys) flows through foreachBatch;
+    // each batch writes its per-user argmax PARTIAL to its own
+    // `batch=<id>` subdir — mode=overwrite keyed by batchId makes a
+    // replayed batch idempotent (exactly-once without a transactional
+    // sink). The table is merge-on-read: the reader compacts partials
+    // with the same argmax. max_by is a true partial aggregate on both
+    // legs, so state never exceeds |users| per batch, and the final
+    // result must equal the BATCH argmax over all events — which is
+    // exactly what the oracle computes. Winner key (ts_ms, event_id)
+    // is total, so the upsert is deterministic across engines.
+    "q94_stream_upsert" -> { (s, d) =>
+      val srcTag = layoutTag(d, "events.parquet")
+      val src = new java.io.File(sys.props("java.io.tmpdir"), s"graft_upsert_$srcTag")
+      if (!src.exists()) {
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_millis(cast(ts as timestamp))").as("ts_ms"),
+            col("event_type"), round(col("value") * 100).cast("long").as("vx"))
+          .repartition(8).write.mode("overwrite").parquet(src.getPath)
+      }
+      val target = java.nio.file.Files.createTempDirectory("graft-q94-target")
+      val ck = java.nio.file.Files.createTempDirectory("graft-q94-ck")
+      val schema = s.read.parquet(src.getPath).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.getPath)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try {
+        stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            batch.groupBy(col("user_id"))
+              .agg(max_by(struct(col("ts_ms"), col("event_id"), col("event_type"), col("vx")),
+                struct(col("ts_ms"), col("event_id"))).as("w"))
+              .select(col("user_id"), col("w.ts_ms"), col("w.event_id"),
+                col("w.event_type"), col("w.vx"))
+              .write.mode("overwrite").parquet(s"$target/batch=$id")
+            ()
+          }
+          .option("checkpointLocation", ck.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+      // the upsert demo is only real if the keys actually arrived split
+      // across micro-batches — fail loudly if the source planner ever
+      // coalesces the 8 staged files into one batch
+      val nBatches = target.toFile.listFiles().count(_.getName.startsWith("batch="))
+      require(nBatches >= 2, s"expected multi-batch upsert, got $nBatches batch dirs")
+      // merge-on-read compaction, pinned so the temp dirs can be dropped
+      val out = s.read.parquet(target.toString)
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("ts_ms"), col("event_id"), col("event_type"), col("vx")),
+          struct(col("ts_ms"), col("event_id"))).as("w"))
+        .select(col("user_id"), col("w.ts_ms").as("ts_ms"),
+          col("w.event_type").as("event_type"), col("w.vx").as("vx"))
+        .localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteQuietly(target.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+      out
+    },
+
     "q48_stream_dedup" -> { (s, d) =>
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val ck = java.nio.file.Files.createTempDirectory("graft-q48-ck")
@@ -514,6 +577,15 @@ object Advanced {
   val oracle: Map[String, String] = Map(
     "q48_stream_dedup" ->
       """SELECT DISTINCT user_id::BIGINT AS user_id, epoch_ms(ts)::BIGINT AS ts_ms FROM events""",
+    // The oracle is the BATCH argmax — incremental upserts must
+    // converge to exactly the all-at-once answer.
+    "q94_stream_upsert" ->
+      """SELECT user_id, ts_ms, event_type, vx FROM (
+           SELECT user_id::BIGINT AS user_id, epoch_ms(ts)::BIGINT AS ts_ms,
+                  event_type, round(value * 100)::BIGINT AS vx,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
     "q52_stream_hourly" ->
       """SELECT epoch_ms(date_trunc('hour', ts))::BIGINT AS hour_ms, event_type,
                 count(*) AS n,
