@@ -541,6 +541,26 @@ object Advanced {
     // exact variant). Interpolation runs over integer hundredths, so
     // every (1−g)·a + g·b lands on an exactly-representable double and
     // hash-matches percentile_cont bit-for-bit.
+    // Deterministic MODE aggregate — most frequent lang per source,
+    // ties broken lexicographically (Spark's own mode() leaves ties
+    // unspecified, so it can't cross a hash gate; this decomposition
+    // pins them). Two partial-aggregable shuffles, both on uniform
+    // keys: (source, lang) counts, then an argmin per source over
+    // struct(-cnt, lang) — negating the count turns the
+    // count-DESC/lang-ASC contract into one lexicographic MIN (max_by
+    // on struct(cnt, lang) would tie-break toward the HIGHER lang).
+    // Integer counts only; no floats anywhere.
+    "q96_mode" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(min_by(struct((-col("cnt")).as("nc"), col("lang")),
+          struct((-col("cnt")).as("nc"), col("lang"))).as("w"))
+        .select(col("source"), col("w.lang").as("mode_lang"),
+          (-col("w.nc")).as("n"))
+    },
+
     "q35_percentiles" -> { (s, d) =>
       Tables.events(s, d)
         .select(col("event_type"), round(col("value") * 100).cast("long").as("vx"))
@@ -629,6 +649,12 @@ object Advanced {
                   row_number() OVER (PARTITION BY user_id
                     ORDER BY epoch_ms(ts) DESC, event_type DESC, events.value DESC) rn
            FROM events) WHERE rn = 1""",
+    "q96_mode" ->
+      """SELECT source, mode_lang, n FROM (
+           SELECT source, lang AS mode_lang, count(*) AS n,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY count(*) DESC, lang ASC) AS rn
+           FROM documents GROUP BY source, lang) WHERE rn = 1""",
     "q28_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
                 sum(round(value * 100)::BIGINT)::BIGINT AS total_value_x100

@@ -201,6 +201,25 @@ object Relational {
       bought.join(rich, $"o_custkey" === $"c_custkey", "full_outer")
         .select(coalesce($"o_custkey", $"c_custkey").as("custkey"),
           $"n_orders", $"revenue", $"c_name", $"c_acctbal")
+    },
+    // NULL-safe equality join (<=>): NULL keys match each other instead
+    // of vanishing — the semantics a dirty-dimension reconciliation
+    // needs. Planted NULLs on both sides (the TPC-H keys have none);
+    // <=> is a legal equi-join key, so this stays a hash join — the
+    // NULL group is ONE key, i.e. the textbook skew key at scale: if
+    // the NULL fraction is material, route it through the q75 hot/cold
+    // split instead of letting one task take the whole NULL⋈NULL block.
+    "q97_nullsafe_join" -> { (s, d) =>
+      import s.implicits._
+      val a = Tables.customer(s, d).select(
+        when($"c_custkey" % 20 === 0, lit(null)).otherwise($"c_nationkey")
+          .cast("int").as("ka"))
+      val b = Tables.supplier(s, d).select(
+        when($"s_suppkey" % 7 === 0, lit(null)).otherwise($"s_nationkey")
+          .cast("int").as("kb"))
+      a.join(b, $"ka" <=> $"kb")
+        .groupBy($"ka").agg(count(lit(1)).as("n_pairs"))
+        .select($"ka".as("k"), $"n_pairs")
     }
   )
 
@@ -293,6 +312,14 @@ object Relational {
                GROUP BY o_custkey) b
          FULL OUTER JOIN (SELECT c_custkey, c_name, c_acctbal FROM customer
                           WHERE c_acctbal > 5000.0) r
-           ON b.o_custkey = r.c_custkey"""
+           ON b.o_custkey = r.c_custkey""",
+    "q97_nullsafe_join" ->
+      """SELECT a.ka AS k, count(*) AS n_pairs
+         FROM (SELECT CASE WHEN c_custkey % 20 = 0 THEN NULL
+                           ELSE c_nationkey END::INT AS ka FROM customer) a
+         JOIN (SELECT CASE WHEN s_suppkey % 7 = 0 THEN NULL
+                           ELSE s_nationkey END::INT AS kb FROM supplier) b
+           ON a.ka IS NOT DISTINCT FROM b.kb
+         GROUP BY 1"""
   )
 }

@@ -61,7 +61,19 @@ object TableOps {
           max((col("v").cast("decimal(18,2)") * 100).cast("long")).as("max_x100"))
     },
 
-    // Deterministic per-stratum evaluation sampler: exactly 20 docs per
+    // Wide→long reshape through the Dataset unpivot operator itself
+    // (q70's stack() is the expression face; this is the API face a
+    // catalog/metrics pipeline calls). Narrow map, zero shuffles —
+    // rows multiply by the value-column count but never move. Values
+    // unify to double (unpivot requires one value type); no arithmetic
+    // touches them, so the hash is engine-safe.
+    "q95_unpivot" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")), "attr", "val")
+    },
+
     // language, chosen by md5-of-id order — reproducible across runs,
     // reshards, and engines (no RNG state). The rank filter is its own
     // bare row_number window, which Spark 4 turns into a map-side
@@ -167,6 +179,11 @@ object TableOps {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q95_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS attr, p_size::DOUBLE AS val FROM part
+         UNION ALL
+         SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part""",
 
     "q69_zorder" -> {
       val z = ZOrder.zValueSql("xb", "yb", ZBits)
