@@ -130,6 +130,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batchDistinct)
   }
 
+  test("stateful stream resumes from its checkpoint across restarts (dedup state survives)") {
+    // The operational property no single-run test can show: stop a
+    // stateful query, start a NEW query instance on the same
+    // checkpoint, and the recovered state must keep deduplicating keys
+    // it saw before the restart. Duplicates are planted ACROSS the
+    // restart boundary, so only recovered state — not file tracking —
+    // can drop them. No watermark: state must be retained indefinitely
+    // for the cross-run dedup to be decidable.
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-restart").toFile
+    val (srcDir, sinkDir, ckDir) =
+      (new java.io.File(tmp, "src"), new java.io.File(tmp, "sink"), new java.io.File(tmp, "ck"))
+    srcDir.mkdirs()
+    val rows = eventsDf
+      .select(col("user_id").cast("long").as("user_id"), expr("unix_millis(ts)").as("ts_ms"))
+      .as[(Long, Long)].collect().toSeq.distinct.take(400)
+    val (firstHalf, secondHalf) = rows.splitAt(200)
+    // run-2 file re-delivers 50 of run-1's rows
+    firstHalf.toDF("user_id", "ts_ms").coalesce(1)
+      .write.parquet(new java.io.File(srcDir, "gen=1").getPath)
+    val schema = spark.read.parquet(new java.io.File(srcDir, "gen=1").getPath).schema
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir.getPath)
+        .dropDuplicates("user_id", "ts_ms")
+        .writeStream.format("parquet")
+        .option("path", sinkDir.getPath)
+        .option("checkpointLocation", ckDir.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // run 1: first half only
+    (secondHalf ++ firstHalf.take(50)).toDF("user_id", "ts_ms").coalesce(1)
+      .write.parquet(new java.io.File(srcDir, "gen=2").getPath)
+    runOnce() // run 2: NEW query instance, same checkpoint
+
+    val got = spark.read.parquet(sinkDir.getPath)
+      .select("user_id", "ts_ms").as[(Long, Long)].collect().toSet
+    assert(got == rows.toSet, "restart must resume state, not re-emit or lose rows")
+    assert(spark.read.parquet(sinkDir.getPath).count() == rows.size.toLong,
+      "the 50 rows re-delivered after the restart must be deduplicated by RECOVERED state")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
   test("file-arrival streaming ingest decodes landing dumps exactly once") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ingest")
     val identity = graft.core.Envelope.RunIdentity("uow", "trace", "test", () => new java.util.Date(0L))
