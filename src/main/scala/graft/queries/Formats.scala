@@ -90,6 +90,26 @@ object Formats {
       s.read.orc(dir.getPath)
         .select(col("event_id"), unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
           col("user_id"), col("event_type"), col("value"), col("props"))
+    },
+
+    // Compression-codec round-trip: the same parquet data rewritten
+    // with zstd — the codec a 100 TB store actually wants (~25-35%
+    // smaller than snappy at comparable scan speed, which is petabytes
+    // of S3 at fleet scale). Codec choice must be invisible to every
+    // reader: the oracle reads the snappy original. The query also
+    // fail-fasts if the rewrite silently fell back to another codec.
+    "q98_zstd_roundtrip" -> { (s, d) =>
+      val dir = new java.io.File(stageDir(d, "zstd", "lineitem.parquet"), "lineitem_zstd")
+      if (!dir.exists()) {
+        Tables.lineitem(s, d).write.mode("overwrite")
+          .option("compression", "zstd").parquet(dir.getPath)
+      }
+      val wrote = dir.listFiles().exists(_.getName.endsWith(".zstd.parquet"))
+      require(wrote, s"expected zstd-compressed parquet files in $dir")
+      s.read.parquet(dir.getPath)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"),
+          unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
     }
   )
 
@@ -109,6 +129,11 @@ object Formats {
     "q87_orc_roundtrip" ->
       """SELECT event_id, epoch_ms(ts)::BIGINT AS ts_ms, user_id, event_type,
            value, props
-         FROM events"""
+         FROM events""",
+
+    "q98_zstd_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_returnflag, epoch_ms(l_shipdate)::BIGINT AS ship_ms
+         FROM lineitem"""
   )
 }

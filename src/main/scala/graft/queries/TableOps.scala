@@ -61,6 +61,42 @@ object TableOps {
           max((col("v").cast("decimal(18,2)") * 100).cast("long")).as("max_x100"))
     },
 
+    // Equi-WIDTH histogram (q63 is the equi-depth face): 20 fixed-width
+    // buckets over cents, bucket id in pure integer arithmetic —
+    // ((v-mn)*20) div (mx-mn+1) lands in [0,19] by construction with
+    // no float boundary drift between engines. Global min/max is ONE
+    // bounded row computed first (the second pass is the narrow bucket
+    // map + a partial-aggregable count — two scans, the classic
+    // histogram trade; a t-digest sketch is the one-pass approximate
+    // escalation, q29).
+    "q99_width_histogram" -> { (s, d) =>
+      val cents = Tables.orders(s, d)
+        .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      val Array(mn, mx) = cents.agg(min(col("c")), max(col("c")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      cents.select(expr(s"((c - $mn) * 20) div ${mx - mn + 1}").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    },
+
+    // Exact distributed covariance via integer moments: float
+    // covar_pop is summation-order-dependent, so it can never cross a
+    // hash gate (or reproduce across retries). The moments n, Σx, Σy,
+    // Σxy are exact longs on the cents/hour domain; the covariance
+    // NUMERATOR n·Σxy − Σx·Σy (denominator n²) is therefore exact —
+    // callers divide at presentation time. One partial-aggregable
+    // shuffle on the bounded event_type key.
+    "q100_covariance" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("vx"),
+          hour(col("ts")).cast("long").as("hh"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vx")).as("sx"),
+          sum(col("hh")).as("sy"), sum(col("vx") * col("hh")).as("sxy"))
+        .select(col("event_type"), col("n"), col("sx"), col("sy"), col("sxy"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"))
+    },
+
     // Wide→long reshape through the Dataset unpivot operator itself
     // (q70's stack() is the expression face; this is the API face a
     // catalog/metrics pipeline calls). Narrow map, zero shuffles —
@@ -184,6 +220,22 @@ object TableOps {
       """SELECT p_partkey, 'p_size' AS attr, p_size::DOUBLE AS val FROM part
          UNION ALL
          SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part""",
+
+    "q99_width_histogram" ->
+      """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM orders),
+            b AS (SELECT min(c) AS mn, max(c) AS mx FROM c)
+         SELECT ((c.c - b.mn) * 20) // (b.mx - b.mn + 1) AS bucket, count(*) AS n
+         FROM c, b GROUP BY 1""",
+
+    "q100_covariance" ->
+      """SELECT event_type, count(*) AS n,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sx,
+           sum(hour(ts))::BIGINT AS sy,
+           sum(round(value * 100)::BIGINT * hour(ts))::BIGINT AS sxy,
+           (count(*) * sum(round(value * 100)::BIGINT * hour(ts))
+             - sum(round(value * 100)::BIGINT) * sum(hour(ts)))::BIGINT AS cov_num
+         FROM events GROUP BY 1""",
 
     "q69_zorder" -> {
       val z = ZOrder.zValueSql("xb", "yb", ZBits)
