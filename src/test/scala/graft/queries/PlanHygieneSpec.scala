@@ -396,4 +396,59 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"), s"$q contains UDF eval")
     }
   }
+
+  test("q88: six window functions fuse into window nodes sharing ONE exchange") {
+    val df = SparkEntry.queries("q88_window_suite")(spark, sf)
+    df.collect()
+    // AQE's toString repeats the plan under "== Initial Plan ==" —
+    // count only the final section
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val nExchanges = s.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    val nWindows = s.linesIterator.count(_.trim.matches("(\\+- )?Window .*"))
+    assert(nExchanges == 1 && nWindows == 1,
+      s"six functions must fuse into ONE Window over ONE exchange " +
+        s"(got $nWindows windows, $nExchanges exchanges):\n$s")
+  }
+
+  test("q89: full outer join never broadcasts (either side may be preserved)") {
+    val df = SparkEntry.queries("q89_full_outer")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val outer = s.linesIterator.filter(_.contains("FullOuter")).mkString
+    assert(outer.nonEmpty, s"expected a FullOuter join:\n$s")
+    assert(!outer.contains("Broadcast"), s"full outer must shuffle both sides:\n$outer")
+  }
+
+  test("q91: the fuzzy dictionary broadcasts — levenshtein never touches a fact-row join") {
+    val df = SparkEntry.queries("q91_fuzzy_join")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s"fuzzy name-pair dict must broadcast:\n$s")
+    // levenshtein may only appear below the dictionary join (64² rows),
+    // never as a post-join filter over part×part candidates
+    val filterLines = s.linesIterator.filter(l => l.contains("levenshtein") && l.contains("Filter")).toSeq
+    filterLines.foreach(l => assert(!l.contains("key_a"),
+      s"levenshtein filtering fact-pair rows (n² at scale): $l"))
+  }
+
+  test("q93: the centroid table broadcasts back onto the exploded rows") {
+    val df = SparkEntry.queries("q93_centroid_outliers")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s"bounded (label,pos) centroids must broadcast:\n$s")
+  }
+
+  test("q95: unpivot is a zero-exchange narrow map") {
+    val df = SparkEntry.queries("q95_unpivot")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"), s)
+  }
+
+  test("q96/q99/q100: mode, histogram and covariance aggregate partially before the shuffle") {
+    Seq("q96_mode", "q99_width_histogram", "q100_covariance").foreach { q =>
+      val s = plan(q).toString
+      assert(s.contains("partial"), s"$q has no partial aggregate:\n$s")
+    }
+  }
 }
