@@ -1,0 +1,300 @@
+package graft.queries
+
+import graft.operators.{DedupClusters, MinHashDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators that close the loop from pair generation
+  * to a shipped training corpus: SimHash hamming-distance pairing, the
+  * end-to-end MinHash→clusters→keeper dedup pipeline, tokenizer
+  * vocabulary construction, C4-style duplicate-span removal, bigram
+  * language-model tables, and sharded-export manifests.
+  *
+  * Oracle discipline (the repo standard): integer arithmetic for every
+  * threshold and score, md5 for text equality, struct-argmin for
+  * deterministic tie-breaks — nothing depends on engine float
+  * summation order or RNG.
+  */
+object Curation {
+
+  /** q101 band geometry: 60-bit SimHash split into 4 bands of 15 bits.
+    * Pigeonhole: hamming distance ≤ 3 flips at most 3 bands, so every
+    * qualifying pair agrees EXACTLY on at least one band — blocking on
+    * band equality is lossless for the ≤3 predicate. */
+  private val SimBands = 4
+  private val SimBandBits = 15
+  private val SimBandMask = (1L << SimBandBits) - 1
+  private val MaxHamming = 3
+  /** q101 sub-bucket fan-out inside a band bucket (see q24): caps the
+    * per-task pair count when signatures concentrate. */
+  private val SimB = 4
+
+  /** q104 span geometry: aligned 10-token chunks. */
+  private val SpanW = 10
+
+  /** q106 shard hash: the q41/q55 two-mod family with its own
+    * multiplier, so shard assignment never correlates with the
+    * train/val/test split or the mixing decision. */
+  private val shardOf =
+    expr("((doc_id % 1000003) * 2971215073) % 1000000007 % 16")
+  private val ShardSqlExpr =
+    "((doc_id % 1000003) * 2971215073) % 1000000007 % 16"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SimHash near-duplicate summary: for every document, how many
+    // others sit within hamming distance 3 of its 60-bit signature, and
+    // the smallest such neighbor id. Candidate generation blocks on
+    // band equality (lossless for hd ≤ 3 by pigeonhole) — never the
+    // all-pairs cross join the oracle runs. Skew defense: this corpus's
+    // 31-word vocabulary makes signatures CONCENTRATE (the largest band
+    // bucket holds ~1.6k of 5k docs at sf0.1), so a bare (band, value)
+    // join key would put that bucket's pairs in ONE task — each side is
+    // additionally hash-bucketed by doc_id into B sub-buckets and
+    // replicated across the other axis (the q24 decomposition), giving
+    // the join key (band, value, ba, bb) and B²-way parallelism inside
+    // every hot bucket. Exact hamming via xor+bit_count re-checks every
+    // candidate, so the blocking is invisible to the oracle.
+    "q101_simhash_pairs" -> { (s, d) =>
+      val sig = TrainingData.simhashSignatures(Tables.documents(s, d))
+        .withColumn("bkt", pmod(hash(col("doc_id")), lit(SimB)))
+      val bands = sig.select(col("doc_id"), col("simhash"), col("bkt"),
+        explode(sequence(lit(0), lit(SimBands - 1))).as("band"))
+        .withColumn("bv", expr(s"shiftright(simhash, band * $SimBandBits) & $SimBandMask"))
+      val a = bands.select(col("band"), col("bv"),
+        col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+        col("bkt").as("ba"), explode(sequence(lit(0), lit(SimB - 1))).as("bb"))
+      val b = bands.select(col("band"), col("bv"),
+        col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+        col("bkt").as("bb"), explode(sequence(lit(0), lit(SimB - 1))).as("ba"))
+      val pairs = a.join(b, Seq("band", "bv", "ba", "bb"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+        .distinct() // a pair can agree on several bands
+        .filter(expr(s"bit_count(sig_a ^ sig_b) <= $MaxHamming"))
+      val sym = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nb"))
+        .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nb")))
+      val stats = sym.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_near"), min(col("nb")).as("min_neighbor"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          col("min_neighbor"))
+    },
+
+    // The end-to-end text dedup pipeline a pretraining run actually
+    // ships: MinHash-LSH candidate pairs (q15's operator, est ≥ 16 of
+    // 32) → connected components (q40's operator) → one canonical
+    // keeper per cluster (the min doc_id — which IS the component
+    // label), singletons keeping themselves. Output is corpus-shaped:
+    // every document with its cluster id, cluster size, and keeper
+    // flag. The oracle re-derives the SAME pairs from the shared
+    // minhash CTE constants and clusters them with a recursive CTE —
+    // two structurally unrelated component algorithms, hash-compared.
+    "q102_dedup_pipeline" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = MinHashDedup.candidatePairs(docs, "doc_id", "text", minMatches = 16)
+      val cc = DedupClusters.connectedComponents(pairs, "doc_a", "doc_b")
+      val assigned = docs.select(col("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val sizes = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      assigned.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("keeper"))
+    },
+
+    // Tokenizer vocabulary build: global top-20 subword tokens (the q31
+    // BPE-ish pattern) by (count DESC, token ASC). The global top-k is
+    // orderBy+limit — Spark plans TakeOrderedAndProject, a map-side
+    // top-k per partition merged on the driver, NOT a single-partition
+    // window sort (which serializes the vocabulary through one task; at
+    // open-web scale the distinct-token table is billions of rows). The
+    // rank column is a row_number over the ALREADY-LIMITED k rows —
+    // bounded by construction, like every "small side" window in this
+    // repo.
+    "q103_vocab_build" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .select(explode(expr(
+          raw"""regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)""")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(20)
+      counts.withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)).cast("long"))
+        .select(col("rank"), col("token"), col("cnt"))
+    },
+
+    // C4-style duplicate-span removal: documents are cut into aligned
+    // 10-token chunks; every chunk that appears anywhere else in the
+    // corpus survives only at its FIRST occurrence (min (doc_id, pos),
+    // encoded as the integer doc_id*16+pos so the argmin is a plain
+    // integer min — pos < 16 by the 2.2 GB/99-token document bound);
+    // each document is then rebuilt from its surviving chunks plus the
+    // sub-chunk tail, and the cleaned text ships as an md5. Shapes: one
+    // shuffle on the chunk string (uniform — text content, md5-like
+    // distribution), one on doc_id for reassembly; the rebuild sorts
+    // only WITHIN a document (array_sort of its own ≤10 chunks), never
+    // globally.
+    "q104_span_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("nch", expr(s"size(toks) div $SpanW"))
+      val chunks = docs
+        .filter(col("nch") >= 1) // sequence(1, 0) would DESCEND (q44 lesson)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), col("nch"))).as("ci"))
+        .select(col("doc_id"), col("ci"),
+          concat_ws(" ", slice(col("toks"), (col("ci") - 1) * SpanW + 1, lit(SpanW))).as("chunk"))
+        .withColumn("occ", col("doc_id") * 16 + col("ci"))
+      val keepers = chunks.groupBy(col("chunk")).agg(min(col("occ")).as("keep_occ"))
+      val kept = chunks.join(keepers, "chunk")
+        .filter(col("occ") === col("keep_occ"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", expr("transform(array_sort(collect_list(struct(ci, chunk))), x -> x.chunk)"))
+            .as("kept_str"))
+      docs
+        .withColumn("tail_str",
+          concat_ws(" ", slice(col("toks"), col("nch") * SpanW + 1, size(col("toks")) - col("nch") * SpanW)))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("nch").cast("long").as("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(concat_ws(" ", expr(
+            "filter(array(kept_str, tail_str), x -> x IS NOT NULL AND x != '')"))).as("clean_hash"))
+    },
+
+    // Bigram language-model table: for every first token, the most
+    // likely next token (count DESC, token ASC tie-break via the q96
+    // struct-argmin) with an integer-scaled conditional probability
+    // c(a,b)·10⁶ div c(a,·). Two partial-aggregable shuffles — (a, b)
+    // counts then argmax per a; bigrams are assembled by exploding a
+    // position sequence (the codegen-friendly Generate shape, q17
+    // lesson). The LM table is |vocab|-sized, the classic broadcast
+    // side for downstream perplexity scoring (q61).
+    "q105_bigram_lm" -> { (s, d) =>
+      val bigrams = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("toks"), explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+        .select(element_at(col("toks"), col("i")).as("tok"),
+          element_at(col("toks"), col("i") + 1).as("next_tok"))
+      val c2 = bigrams.groupBy(col("tok"), col("next_tok")).agg(count(lit(1)).as("c_bigram"))
+      c2.groupBy(col("tok"))
+        .agg(min(struct((-col("c_bigram")).as("neg"), col("next_tok").as("nt"))).as("top"),
+          sum(col("c_bigram")).as("c_first"))
+        .select(col("tok"), col("top.nt").as("next_tok"),
+          (-col("top.neg")).as("c_bigram"), col("c_first"),
+          expr("((-top.neg) * 1000000) div c_first").as("p_x1e6"))
+    },
+
+    // Sharded-export manifest: the writer-side contract for shipping a
+    // corpus as N deterministic shards — per shard, the document count,
+    // token total, and an order-insensitive id digest (md5 over the
+    // SORTED id list) that a consumer re-derives to prove it read
+    // exactly the shard the writer meant. Shard assignment is the pure
+    // id-hash family (never partitioning/RNG), so re-runs and other
+    // engines land every document in the same shard. The per-shard id
+    // list is collect_list-sorted — bounded by one OUTPUT FILE's ids,
+    // the same thing the manifest describes (at 100 TB shard count
+    // scales so a shard stays file-sized; a streaming hash per writer
+    // task is the constant-memory escalation).
+    "q106_shard_manifest" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("shard", shardOf)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          md5(concat_ws(",", expr(
+            "transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING))"))).as("id_digest"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    // brute-force all-pairs hamming — the blocking must be invisible
+    "q101_simhash_pairs" ->
+      s"""WITH ${TrainingData.simhashSigCte},
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM simhash_sig a JOIN simhash_sig b
+              ON a.doc_id < b.doc_id
+             AND bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming),
+          sym AS (SELECT doc_a AS doc_id, doc_b AS nb FROM p
+                  UNION ALL SELECT doc_b, doc_a FROM p),
+          st AS (SELECT doc_id, count(*) AS n_near, min(nb) AS min_neighbor
+                 FROM sym GROUP BY 1)
+          SELECT d.doc_id, coalesce(st.n_near, 0)::BIGINT AS n_near, st.min_neighbor
+          FROM documents d LEFT JOIN st USING (doc_id)""",
+    "q102_dedup_pipeline" ->
+      s"""WITH RECURSIVE ${TrainingData.minhashPairsCte},
+          edges AS (SELECT doc_a AS n, doc_b AS m FROM minhash_pairs
+                    UNION SELECT doc_b, doc_a FROM minhash_pairs),
+          reach(n, l) AS (
+            SELECT n, n FROM (SELECT DISTINCT n FROM edges)
+            UNION
+            SELECT e.n, r.l FROM edges e JOIN reach r ON r.n = e.m),
+          cl AS (SELECT n AS doc_id, min(l) AS cluster_id FROM reach GROUP BY n),
+          assigned AS (
+            SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cl USING (doc_id)),
+          sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM assigned GROUP BY 1)
+          SELECT a.doc_id, a.cluster_id, s.cluster_size,
+                 a.doc_id = a.cluster_id AS keeper
+          FROM assigned a JOIN sizes s USING (cluster_id)""",
+    "q103_vocab_build" ->
+      raw"""SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt
+            FROM (
+              SELECT token, count(*) AS cnt
+              FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token
+                    FROM documents)
+              GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20)""",
+    "q104_span_dedup" ->
+      s"""WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) // $SpanW AS nch
+            FROM documents),
+          c AS (
+            SELECT doc_id,
+                   unnest(range(1, nch + 1)) AS ci,
+                   unnest(list_transform(range(1, nch + 1),
+                     i -> array_to_string(toks[(i - 1) * $SpanW + 1 : i * $SpanW], ' '))) AS chunk
+            FROM t WHERE nch >= 1),
+          occ AS (SELECT doc_id, ci, chunk, doc_id * 16 + ci AS occ FROM c),
+          keepers AS (SELECT chunk, min(occ) AS keep_occ FROM occ GROUP BY 1),
+          kept AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(o.chunk, ' ' ORDER BY o.ci) AS kept_str
+            FROM occ o JOIN keepers k ON o.chunk = k.chunk AND o.occ = k.keep_occ
+            GROUP BY 1)
+          SELECT t.doc_id, t.nch::BIGINT AS n_chunks,
+                 coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+                 md5(coalesce(array_to_string(list_filter(
+                   [k.kept_str,
+                    array_to_string(toks[t.nch * $SpanW + 1 : len(toks)], ' ')],
+                   x -> x IS NOT NULL AND x != ''), ' '), '')) AS clean_hash
+          FROM t LEFT JOIN kept k USING (doc_id)""",
+    "q105_bigram_lm" ->
+      """WITH b AS (
+           SELECT t[i] AS tok, t[i + 1] AS next_tok
+           FROM (SELECT string_split(text, ' ') AS t FROM documents),
+                LATERAL (SELECT unnest(range(1, len(t))) AS i)
+           WHERE len(t) >= 2),
+         c2 AS (SELECT tok, next_tok, count(*) AS c_bigram FROM b GROUP BY 1, 2)
+         SELECT tok, next_tok, c_bigram, c_first::BIGINT AS c_first,
+                ((c_bigram * 1000000) // c_first)::BIGINT AS p_x1e6
+         FROM (
+           SELECT tok, next_tok, c_bigram,
+                  sum(c_bigram) OVER (PARTITION BY tok) AS c_first,
+                  row_number() OVER (PARTITION BY tok
+                    ORDER BY c_bigram DESC, next_tok) AS rk
+           FROM c2)
+         WHERE rk = 1""",
+    "q106_shard_manifest" ->
+      s"""SELECT $ShardSqlExpr AS shard, count(*) AS n_docs,
+                 sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+                 md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS id_digest
+          FROM documents GROUP BY 1"""
+  )
+}

@@ -45,16 +45,7 @@ object TrainingData {
 
     // 60-bit SimHash per document from distinct-token hashes. explode →
     // two partial-aggregable shuffles; all integer arithmetic.
-    "q16_dedup_simhash" -> { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .withColumn("hv", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-      toks.select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(59))).as("i"))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(sum(when(expr("shiftright(hv, i) & 1") === 1, 1).otherwise(-1)).as("s"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L)).as("simhash"))
-    },
+    "q16_dedup_simhash" -> { (s, d) => simhashSignatures(Tables.documents(s, d)) },
 
     // Word-3-gram (shingle) Jaccard, top-5 most similar overlapping
     // pairs per source block, via a shingle INVERTED INDEX: explode →
@@ -418,6 +409,33 @@ object TrainingData {
     }
   )
 
+  /** q16's 60-bit SimHash signatures: (doc_id, simhash). Shared with
+    * q101's hamming-pair blocking so both queries hash the SAME
+    * signature definition. All integer arithmetic; two
+    * partial-aggregable shuffles. */
+  private[queries] def simhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("hv", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    toks.select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(59))).as("i"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(when(expr("shiftright(hv, i) & 1") === 1, 1).otherwise(-1)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** The q16 signature pipeline as DuckDB CTE bodies ending in
+    * `simhash_sig(doc_id, simhash)` — shared by the q16 oracle and
+    * q101's brute-force hamming oracle. */
+  private[queries] def simhashSigCte: String =
+    """simhash_toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) tok FROM documents),
+       simhash_h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT hv FROM simhash_toks),
+       simhash_bits AS (SELECT doc_id, i, sum(CASE WHEN (hv >> i::INT) & 1 = 1 THEN 1 ELSE -1 END) s
+                        FROM simhash_h, range(60) r(i) GROUP BY 1, 2),
+       simhash_sig AS (
+         SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << i::INT ELSE 0 END)::BIGINT AS simhash
+         FROM simhash_bits GROUP BY doc_id)"""
+
   /** q41/q42's deterministic split hash: two mod steps keep every
     * intermediate < 2^52, so ANSI arithmetic never overflows at any id
     * scale; a pure function of doc_id (never partitioning / RNG). */
@@ -432,12 +450,14 @@ object TrainingData {
   private def cosineSql(a: String, b: String): String =
     s"${dot.format(a, b)} / (sqrt(${dot.format(a, a)}) * sqrt(${dot.format(b, b)}))"
 
-  /** The q15 MinHash pipeline re-expressed in DuckDB SQL, generated
-    * from the SAME constants the operator uses (MinHashDedup.HashParams
-    * spliced as literals). Structure: shingles → md5-derived 31-bit
-    * base hash → 32 affine min-hashes → 8 band keys → bucket self-join
-    * → positional agreement count ≥ 16. */
-  private def minhashOracleSql: String = {
+  /** The q15 MinHash pipeline re-expressed as DuckDB CTE bodies ending
+    * in `minhash_pairs(doc_a, doc_b, est_matches)`, generated from the
+    * SAME constants the operator uses (MinHashDedup.HashParams spliced
+    * as literals). Structure: shingles → md5-derived 31-bit base hash →
+    * 32 affine min-hashes → 8 band keys → bucket self-join →
+    * positional agreement count ≥ 16. Shared by the q15 oracle and the
+    * q102 dedup-pipeline oracle (which clusters these pairs). */
+  private[queries] def minhashPairsCte: String = {
     import graft.operators.MinHashDedup._
     val hashCols = HashParams.zipWithIndex.map { case ((a, b), j) =>
       s"min(($a * x + $b) % $HashMod) AS h$j"
@@ -447,25 +467,29 @@ object TrainingData {
       s"WHEN $bi THEN $key"
     }.mkString(" ")
     val est = (0 until NumHashes).map(j => s"(sa.h$j = sb.h$j)::INT").mkString(" + ")
-    s"""WITH toks AS (
+    s"""mh_toks AS (
           SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
                    i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))) AS tok
           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
-        based AS (
-          SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % $BaseMod AS x FROM toks),
-        sig AS (SELECT doc_id, $hashCols FROM based GROUP BY doc_id),
-        bands AS (
+        mh_based AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % $BaseMod AS x FROM mh_toks),
+        mh_sig AS (SELECT doc_id, $hashCols FROM mh_based GROUP BY doc_id),
+        mh_bands AS (
           SELECT doc_id, b AS band_idx, CASE b $bandCases END AS band_key
-          FROM sig, range(${Bands}) r(b)),
-        cand AS (
+          FROM mh_sig, range(${Bands}) r(b)),
+        mh_cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b, ($est)::INT AS est_matches
-        FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
-                  JOIN sig sb ON cand.doc_b = sb.doc_id
-        WHERE $est >= 16"""
+          FROM mh_bands a JOIN mh_bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        minhash_pairs AS (
+          SELECT doc_a, doc_b, ($est)::INT AS est_matches
+          FROM mh_cand JOIN mh_sig sa ON mh_cand.doc_a = sa.doc_id
+                       JOIN mh_sig sb ON mh_cand.doc_b = sb.doc_id
+          WHERE $est >= 16)"""
   }
+
+  private def minhashOracleSql: String =
+    s"WITH $minhashPairsCte SELECT doc_a, doc_b, est_matches FROM minhash_pairs"
 
   val oracle: Map[String, String] = Map(
     "q15_dedup_minhash" -> minhashOracleSql,
@@ -473,12 +497,7 @@ object TrainingData {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",
     "q16_dedup_simhash" ->
-      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) tok FROM documents),
-         h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT hv FROM toks),
-         bits AS (SELECT doc_id, i, sum(CASE WHEN (hv >> i::INT) & 1 = 1 THEN 1 ELSE -1 END) s
-                  FROM h, range(60) r(i) GROUP BY 1, 2)
-         SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << i::INT ELSE 0 END)::BIGINT AS simhash
-         FROM bits GROUP BY doc_id""",
+      s"WITH $simhashSigCte SELECT doc_id, simhash FROM simhash_sig",
     "q17_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id, source,

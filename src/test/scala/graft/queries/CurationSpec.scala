@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantic invariants of the curation queries (q101–q106) beyond the
+  * DuckDB hash-match: blocking losslessness vs a Scala brute force,
+  * cluster-label minimality, vocabulary ordering, span-dedup
+  * reconstruction (an untouched document rebuilds to its own md5),
+  * bigram argmax determinism, and manifest digest integrity. Runs at
+  * sf0.001 with full in-memory recomputation as the oracle.
+  */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("curation-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private lazy val docs: Map[Long, String] =
+    Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  // ---- q101 ----------------------------------------------------------
+
+  test("q101: band blocking is lossless — output equals the Scala brute-force hamming count") {
+    // signatures straight from the q16 gate query (itself hash-verified)
+    val sigs = q("q16_dedup_simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sigs.keys.toSeq.sorted
+    val near = ids.map { a =>
+      val others = ids.filter(b => b != a &&
+        java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3)
+      a -> others
+    }.toMap
+    val out = q("q101_simhash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.length == ids.length)
+    out.foreach { case (id, n, mn) =>
+      val exp = near(id)
+      assert(n == exp.length, s"doc $id: n_near $n != ${exp.length}")
+      assert(mn == (if (exp.isEmpty) -1L else exp.min), s"doc $id: min_neighbor")
+    }
+    assert(out.exists(_._2 > 0), "vacuous: no near pairs at sf0.001")
+  }
+
+  // ---- q102 ----------------------------------------------------------
+
+  test("q102: cluster ids are component minima, keepers are exactly the labels, sizes sum to the corpus") {
+    val rows = q("q102_dedup_pipeline").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length == docs.size)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid label is not its min member")
+      assert(members.forall(_._3 == members.length), s"cluster $cid size column wrong")
+      assert(members.count(_._4) == 1 && members.find(_._4).get._1 == cid,
+        s"cluster $cid keeper flag wrong")
+    }
+    assert(byCluster.values.map(_.length).sum == docs.size)
+    // and the clustering is consistent with the q15 pairs it came from
+    val pairs = q("q15_dedup_minhash").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val label = rows.map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
+  // ---- q103 ----------------------------------------------------------
+
+  test("q103: vocabulary is the exact top-20 by (count DESC, token ASC) of the subword counts") {
+    val pat = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.values.foreach { t =>
+      val m = pat.matcher(t)
+      while (m.find()) counts(m.group) = counts.getOrElse(m.group, 0L) + 1
+    }
+    val expected = counts.toSeq.sortBy { case (tok, c) => (-c, tok) }.take(20)
+      .zipWithIndex.map { case ((tok, c), i) => (i + 1L, tok, c) }
+    val got = q("q103_vocab_build").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == expected, s"vocab mismatch:\n got=$got\n exp=$expected")
+  }
+
+  // ---- q104 ----------------------------------------------------------
+
+  /** Full Scala reimplementation of the span-dedup semantics. */
+  private def spanDedupExpected: Map[Long, (Long, Long, String)] = {
+    case class Occ(doc: Long, ci: Int, chunk: String)
+    val occs = docs.toSeq.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val nch = toks.length / 10
+      (1 to nch).map(i => Occ(id, i, toks.slice((i - 1) * 10, i * 10).mkString(" ")))
+    }
+    val keepOcc = occs.groupBy(_.chunk).map { case (c, os) =>
+      c -> os.map(o => o.doc * 16 + o.ci).min
+    }
+    docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val nch = toks.length / 10
+      val kept = (1 to nch).filter { i =>
+        val chunk = toks.slice((i - 1) * 10, i * 10).mkString(" ")
+        keepOcc(chunk) == id * 16 + i
+      }
+      val parts = kept.map(i => toks.slice((i - 1) * 10, i * 10).mkString(" ")) ++
+        (if (toks.length > nch * 10) Seq(toks.drop(nch * 10).mkString(" ")) else Nil)
+      id -> ((nch.toLong, kept.length.toLong, md5hex(parts.mkString(" "))))
+    }
+  }
+
+  test("q104: output equals the full Scala recomputation of first-occurrence span dedup") {
+    val exp = spanDedupExpected
+    val got = q("q104_span_dedup").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (id, v) => assert(v == exp(id), s"doc $id: $v != ${exp(id)}") }
+  }
+
+  test("q104: a document whose chunks all survive rebuilds to md5 of its ORIGINAL text") {
+    val exp = spanDedupExpected
+    val untouched = docs.filter { case (id, _) => exp(id)._1 == exp(id)._2 }
+    assert(untouched.nonEmpty, "vacuous: every doc lost a chunk")
+    untouched.foreach { case (id, text) =>
+      assert(exp(id)._3 == md5hex(text), s"doc $id did not reconstruct")
+    }
+  }
+
+  // ---- q105 ----------------------------------------------------------
+
+  test("q105: per-token argmax matches Scala recomputation, ties broken by token ASC") {
+    val big = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.values.foreach { t =>
+      val toks = t.split(" ", -1)
+      toks.sliding(2).foreach { case Array(a, b) =>
+        big((a, b)) = big.getOrElse((a, b), 0L) + 1
+      case _ => ()
+      }
+    }
+    val expected = big.groupBy(_._1._1).map { case (tok, m) =>
+      val cFirst = m.values.sum
+      val (nb, c) = m.toSeq.map { case ((_, b), c) => (b, c) }.minBy { case (b, c) => (-c, b) }
+      tok -> ((nb, c, cFirst, c * 1000000L / cFirst))
+    }
+    val got = q("q105_bigram_lm").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+  }
+
+  // ---- q106 ----------------------------------------------------------
+
+  test("q106: shards partition the corpus and each digest re-derives from the sorted member ids") {
+    def shardOf(id: Long): Long = ((id % 1000003L) * 2971215073L) % 1000000007L % 16L
+    val byShard = docs.keys.toSeq.groupBy(shardOf)
+    val got = q("q106_shard_manifest").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == byShard.keySet)
+    assert(got.values.map(_._1).sum == docs.size, "shards do not partition the corpus")
+    byShard.foreach { case (s, ids) =>
+      val (nDocs, nToks, digest) = got(s)
+      assert(nDocs == ids.length)
+      assert(nToks == ids.map(id => docs(id).split(" ", -1).length.toLong).sum)
+      assert(digest == md5hex(ids.sorted.mkString(",")), s"shard $s digest")
+    }
+  }
+}

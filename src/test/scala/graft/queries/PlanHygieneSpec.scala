@@ -451,4 +451,31 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s.contains("partial"), s"$q has no partial aggregate:\n$s")
     }
   }
+
+  test("q101: candidate join keys on (band, bv, ba, bb) — sub-bucketed inside band buckets") {
+    val df = SparkEntry.queries("q101_simhash_pairs")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val joinLine = s.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("band")).mkString
+    assert(joinLine.contains("ba") && joinLine.contains("bb"),
+      s"pair join must carry the (ba, bb) sub-bucket axes (hot-bucket parallelism):\n$s")
+    assert(s.contains("bit_count"), s"exact hamming re-check missing:\n$s")
+  }
+
+  test("q103: global vocabulary top-k plans as TakeOrderedAndProject, never a global window sort") {
+    val df = SparkEntry.queries("q103_vocab_build")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-k must be map-side TakeOrdered (a global sort dies at vocab scale):\n$s")
+  }
+
+  test("q104/q105/q106: span keepers, bigram argmax, and shard manifests aggregate partially") {
+    Seq("q104_span_dedup", "q105_bigram_lm", "q106_shard_manifest").foreach { q =>
+      val s = plan(q).toString
+      assert(s.contains("partial"), s"$q has no partial aggregate:\n$s")
+      assert(!s.contains("CartesianProduct"), q)
+    }
+  }
 }
