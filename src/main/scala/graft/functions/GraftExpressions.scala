@@ -127,6 +127,48 @@ case class NfcNormalize(child: Expression) extends UnaryExpression with ExpectsI
     copy(child = newChild)
 }
 
+/** `sorted_intersect_size(a, b)` — the number of common elements of two
+  * SORTED long arrays (as `array_sort` over a distinct set produces),
+  * counted by a single merge walk. This is the verification kernel of
+  * the threshold similarity join (q51): candidates × doc-length long
+  * comparisons run inside whole-stage codegen with no per-row data
+  * structure — `array_intersect` allocates and fills a hash set for
+  * EVERY candidate pair, which dominated the verify stage. Inputs are
+  * assumed duplicate-free (the join dedups its element rows); shared
+  * duplicates would each count once per matching run, so callers keep
+  * the distinct-set contract. */
+case class SortedLongIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongIntersectSize.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedLongIntersectSize.count($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedLongIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedLongIntersectSize {
+  /** static merge-walk shared by interpreted eval and generated code */
+  def count(x: ArrayData, y: ArrayData): Long = {
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val a = x.getLong(i); val b = y.getLong(j)
+      if (a < b) i += 1
+      else if (a > b) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+}
+
 /** `bloom_might_contain(key)` — membership probe of a long key against
   * a pre-built [[org.apache.spark.util.sketch.BloomFilter]], carried in
   * the plan as its serialized bytes. This is the executor-side face of
@@ -164,6 +206,7 @@ object GraftFunctions {
     "hdi_rowkey" -> (children => HdiRowkey(children.head)),
     "array_dot" -> (children => ArrayDotProduct(children(0), children(1))),
     "nfc" -> (children => NfcNormalize(children.head)),
+    "sorted_intersect_size" -> (children => SortedLongIntersectSize(children(0), children(1))),
     "topk_longs" -> (children =>
       TopKLongs(children(0), children(1)).toAggregateExpression()))
 

@@ -134,14 +134,22 @@ object SimilarityJoin {
     // had to fit in memory.
     val candDocs = cands.select(col("doc_a").as("id"))
       .union(cands.select(col("doc_b").as("id"))).distinct()
+    // sets are SORTED once at build so the per-candidate intersection is
+    // a codegen'd merge walk (SortedLongIntersectSize) — array_intersect
+    // allocates a hash set per candidate pair and dominated this stage
     val sets = e.join(candDocs, Seq("id"), "leftsemi")
-      .groupBy(col("id")).agg(collect_list(col("e")).as("es"))
+      .groupBy(col("id")).agg(array_sort(collect_list(col("e"))).as("es"))
       .localCheckpoint()
+    def intersectSize(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftSqlGlue.column(
+        graft.functions.SortedLongIntersectSize(
+          org.apache.spark.sql.GraftSqlGlue.expression(a),
+          org.apache.spark.sql.GraftSqlGlue.expression(b)))
     cands
       .join(sets.select(col("id").as("doc_a"), col("es").as("es_a")), "doc_a")
       .join(sets.select(col("id").as("doc_b"), col("es").as("es_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("la"), col("lb"),
-        size(array_intersect(col("es_a"), col("es_b"))).cast("long").as("shared"))
+        intersectSize(col("es_a"), col("es_b")).as("shared"))
       .filter(col("shared") * tauDen >= (col("la") + col("lb") - col("shared")) * tauNum)
       .select(col("doc_a"), col("doc_b"), col("shared"),
         (col("la") + col("lb") - col("shared")).as("total"))

@@ -71,6 +71,30 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(interpreted == viaCodegen && viaCodegen == "Caf\u00e9 \u1e8d")
   }
 
+  test("sorted_intersect_size: equals array_intersect size on random sorted sets, interpreted == codegen") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(5L), Seq(5L)))
+    val df = cases.toDF("a", "b")
+      .selectExpr("a", "b",
+        "sorted_intersect_size(a, b) AS fast",
+        "CAST(size(array_intersect(a, b)) AS BIGINT) AS ref")
+    val bad = df.filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+    // interpreted path agrees with the codegen'd result
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val e = SortedLongIntersectSize(
+      Literal(new GenericArrayData(Array(1L, 3L, 7L, 9L)), ArrayType(LongType)),
+      Literal(new GenericArrayData(Array(2L, 3L, 9L, 11L)), ArrayType(LongType)))
+    assert(e.eval(null) == 2L)
+  }
+
   test("expressions run inside whole-stage codegen (no fallback fence)") {
     val df = spark.range(100).selectExpr(
       "kafka_date_format('2018-12-01T15:01:02.000Z') AS k",
