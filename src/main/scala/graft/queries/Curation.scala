@@ -190,6 +190,57 @@ object Curation {
           expr("((-top.neg) * 1000000) div c_first").as("p_x1e6"))
     },
 
+    // Time-decayed per-user activity score — the recency-weighted
+    // feature a curation/ranking pipeline derives from an event log
+    // (recent behavior counts, stale behavior decays). The decay is a
+    // pure integer halving per week of age: vx div 2^age_weeks, so the
+    // distributed sum is order-independent and hash-identical across
+    // engines (a float exp() decay can never cross the gate). The
+    // anchor is the corpus max timestamp — ONE bounded driver-side row
+    // (the same driver-sized class as counters), spliced as a literal
+    // so the per-event arithmetic is a zero-exchange narrow map into a
+    // partial-aggregable groupBy on the uniform user key.
+    "q107_decay_agg" -> { (s, d) =>
+      val anchorUs = Tables.events(s, d)
+        .agg(max(unix_micros(col("ts")))).head.getLong(0)
+      Tables.events(s, d)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("vx"),
+          expr(s"($anchorUs - unix_micros(ts)) div 604800000000").as("age_w"))
+        .withColumn("decayed",
+          expr("vx div shiftleft(CAST(1 AS BIGINT), CAST(least(age_w, 62) AS INT))"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("vx")).as("raw_cents"),
+          sum(col("decayed")).as("decayed_cents"))
+    },
+
+    // Tokenize-to-ids: the step that turns a cleaned corpus into model
+    // input — every subword (q31 pattern) mapped through the q103
+    // vocabulary (rank = token id), out-of-vocabulary tokens to id 0.
+    // The vocabulary is bounded by construction (top-k), so it
+    // BROADCASTS back onto the exploded token stream; the id sequence
+    // reassembles per document in position order (array_sort of one
+    // doc's own tokens — never a global sort) and ships as an md5, with
+    // the unk count as the tokenizer-coverage audit every pipeline
+    // tracks.
+    "q108_token_ids" -> { (s, d) =>
+      val vocab = queries("q103_vocab_build")(s, d)
+        .select(col("token"), col("rank").as("id"))
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as(Seq("pos", "token")))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0L)).as("id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_unk"),
+          md5(concat_ws(",", expr(
+            "transform(array_sort(collect_list(struct(pos, id))), x -> CAST(x.id AS STRING))")))
+            .as("ids_hash"))
+    },
+
     // Sharded-export manifest: the writer-side contract for shipping a
     // corpus as N deterministic shards — per shard, the document count,
     // token total, and an order-insensitive id digest (md5 over the
@@ -295,6 +346,35 @@ object Curation {
       s"""SELECT $ShardSqlExpr AS shard, count(*) AS n_docs,
                  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
                  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS id_digest
-          FROM documents GROUP BY 1"""
+          FROM documents GROUP BY 1""",
+    "q107_decay_agg" ->
+      """WITH e AS (
+           SELECT user_id,
+                  round(value * 100)::BIGINT AS vx,
+                  ((SELECT max(epoch_us(ts)) FROM events) - epoch_us(ts)) // 604800000000 AS age_w
+           FROM events)
+         SELECT user_id, count(*) AS n_events,
+                sum(vx)::BIGINT AS raw_cents,
+                sum(vx // (1::BIGINT << least(age_w, 62)::INT))::BIGINT AS decayed_cents
+         FROM e GROUP BY user_id""",
+    "q108_token_ids" ->
+      raw"""WITH vocab AS (
+              SELECT row_number() OVER (ORDER BY cnt DESC, token) AS id, token
+              FROM (SELECT token, count(*) AS cnt
+                    FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token
+                          FROM documents)
+                    GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20)),
+            toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token,
+                     unnest(range(1, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) + 1)) AS pos
+              FROM documents),
+            ids AS (
+              SELECT doc_id, pos, coalesce(v.id, 0)::BIGINT AS id
+              FROM toks LEFT JOIN vocab v USING (token))
+          SELECT doc_id, count(*) AS n_tokens,
+                 sum((id = 0)::INT)::BIGINT AS n_unk,
+                 md5(string_agg(id::VARCHAR, ',' ORDER BY pos)) AS ids_hash
+          FROM ids GROUP BY doc_id"""
   )
 }

@@ -165,6 +165,44 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  // ---- q107 ----------------------------------------------------------
+
+  test("q107: decayed score equals Scala recomputation; decay strictly discounts old activity") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(round(value * 100) AS BIGINT) AS vx", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val anchor = ev.map(_._3).max
+    val exp = ev.groupBy(_._1).map { case (u, es) =>
+      val decayed = es.map { case (_, vx, us) =>
+        vx >> math.min((anchor - us) / 604800000000L, 62L).toInt
+      }.sum
+      u -> ((es.length.toLong, es.map(_._2).sum, decayed))
+    }
+    val got = q("q107_decay_agg").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == exp)
+    // non-vacuous: some user's decayed score is strictly below raw
+    assert(got.values.exists(v => v._3 < v._2), "decay vacuous — no event older than a week")
+  }
+
+  // ---- q108 ----------------------------------------------------------
+
+  test("q108: token ids rebuild from the q103 vocab; unk count is the out-of-vocab count") {
+    val vocab = q("q103_vocab_build").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    val pat = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+    val exp = docs.map { case (id, text) =>
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      val m = pat.matcher(text)
+      while (m.find()) toks += m.group
+      val ids = toks.map(t => vocab.getOrElse(t, 0L))
+      id -> ((ids.length.toLong, ids.count(_ == 0L).toLong, md5hex(ids.mkString(","))))
+    }
+    val got = q("q108_token_ids").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == exp)
+  }
+
   // ---- q106 ----------------------------------------------------------
 
   test("q106: shards partition the corpus and each digest re-derives from the sorted member ids") {

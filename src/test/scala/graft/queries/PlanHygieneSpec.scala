@@ -471,11 +471,18 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"top-k must be map-side TakeOrdered (a global sort dies at vocab scale):\n$s")
   }
 
-  test("q104/q105/q106: span keepers, bigram argmax, and shard manifests aggregate partially") {
-    Seq("q104_span_dedup", "q105_bigram_lm", "q106_shard_manifest").foreach { q =>
+  test("q104/q105/q106/q107: span keepers, bigram argmax, shard manifests, decay aggregate partially") {
+    Seq("q104_span_dedup", "q105_bigram_lm", "q106_shard_manifest", "q107_decay_agg").foreach { q =>
       val s = plan(q).toString
       assert(s.contains("partial"), s"$q has no partial aggregate:\n$s")
       assert(!s.contains("CartesianProduct"), q)
     }
+  }
+
+  test("q108: the bounded vocabulary broadcasts back onto the token stream") {
+    val df = SparkEntry.queries("q108_token_ids")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s"top-k vocab must broadcast:\n$s")
   }
 }
