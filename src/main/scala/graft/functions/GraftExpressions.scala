@@ -198,6 +198,56 @@ case class BloomKeyMightContain(child: Expression, bloomBytes: Array[Byte])
     copy(child = newChild)
 }
 
+/** The bounded centroid table of the exact k-means operator, shipped
+  * to executors inside [[NearestCentroidPacked]] (k·dim longs — the
+  * broadcast-sized side of every Lloyd round). */
+case class PackedCentroids(cids: Array[Int], vecs: Array[Array[Long]]) {
+  require(cids.length == vecs.length && cids.forall(c => c >= 0 && c < 16),
+    "cluster ids must fit the 4-bit pack")
+  /** min over centroids of dist²·16 + cid — the integer argmin with a
+    * deterministic low-id tie-break, shared by eval and codegen. */
+  def nearest(x: ArrayData): Long = {
+    var best = Long.MaxValue
+    var c = 0
+    while (c < vecs.length) {
+      val v = vecs(c)
+      val n = math.min(x.numElements(), v.length)
+      var d = 0L
+      var i = 0
+      while (i < n) { val dq = x.getLong(i) - v(i); d += dq * dq; i += 1 }
+      val packed = d * 16 + cids(c)
+      if (packed < best) best = packed
+      c += 1
+    }
+    best
+  }
+}
+
+/** `nearest_centroid_packed(qv)` — the assignment step of exact
+  * k-means as a ZERO-SHUFFLE narrow map: the quantized vector is
+  * compared against the (bounded, plan-carried) centroid table inside
+  * whole-stage codegen and the winning (dist², cluster) comes back as
+  * one packed long (dist2·16 + cid; unpack with `p div 16` / `p % 16`).
+  * The k× row replication of a crossJoin(broadcast(centroids)) never
+  * happens — the loop runs in-register per row. */
+case class NearestCentroidPacked(child: Expression, cents: PackedCentroids)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid_packed"
+
+  override protected def nullSafeEval(input: Any): Any =
+    cents.nearest(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, classOf[PackedCentroids].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.nearest($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidPacked =
+    copy(child = newChild)
+}
+
 /** Registration — either through `spark.sql.extensions=graft.GraftExtensions`
   * or imperatively via [[GraftFunctions.register]]. */
 object GraftFunctions {

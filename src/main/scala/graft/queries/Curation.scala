@@ -241,6 +241,21 @@ object Curation {
             .as("ids_hash"))
     },
 
+    // Exact fixed-point k-means (k=8, 2 Lloyd updates, deterministic
+    // min-id seeds): the clustering face of embedding curation, made
+    // bit-reproducible — integer micro-unit distances, integer-mean
+    // centroid updates, packed-long argmin with a low-id tie-break —
+    // so the oracle can UNROLL the same two rounds in SQL and the
+    // assignment hash-matches (the q92 PageRank strategy; AnnIvf keeps
+    // the sampled Spark-ML path for the approximate regime). Scale
+    // shape: centroids are bounded and ride inside a codegen'd
+    // expression, so assignment is a ZERO-SHUFFLE narrow map
+    // (plan-asserted); each update is one partial-aggregable shuffle
+    // over k·dim groups.
+    "q109_kmeans" -> { (s, d) =>
+      graft.operators.KMeansExact.assignments(Tables.embeddings(s, d), k = 8, rounds = 2)
+    },
+
     // Sharded-export manifest: the writer-side contract for shipping a
     // corpus as N deterministic shards — per shard, the document count,
     // token total, and an order-insensitive id digest (md5 over the
@@ -262,6 +277,34 @@ object Curation {
             "transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING))"))).as("id_digest"))
     }
   )
+
+  /** The q109 Lloyd iterations unrolled in DuckDB SQL (the q92
+    * strategy): quantize → seed centroids from the k smallest ids →
+    * per round, integer distances + packed argmin + integer-mean
+    * update → final assignment. Every sum is cast back to BIGINT
+    * (DuckDB's sum(BIGINT) widens to HUGEINT). */
+  private def kmeansOracleSql(k: Int, rounds: Int): String = {
+    def dist(t: Int) =
+      s"""d$t AS (SELECT e.vec_id, c.cid,
+            sum((e.q - c.cq) * (e.q - c.cq))::BIGINT AS d2
+          FROM ex e JOIN c${t - 1} c USING (pos) GROUP BY 1, 2),
+          a$t AS (SELECT vec_id, min(d2 * 16 + cid)::BIGINT AS p FROM d$t GROUP BY 1)"""
+    def update(t: Int) =
+      s"""c$t AS (SELECT (a.p % 16) AS cid, e.pos,
+            (sum(e.q) // count(*))::BIGINT AS cq
+          FROM ex e JOIN a$t a USING (vec_id) GROUP BY 1, 2)"""
+    val body = (1 to rounds).map(t => s"${dist(t)}, ${update(t)}").mkString(",\n")
+    s"""WITH ex AS (
+          SELECT vec_id,
+                 unnest(range(1, len(embedding) + 1)) AS pos,
+                 unnest(list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT)) AS q
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, pos, q AS cq FROM ex WHERE vec_id < $k),
+        $body,
+        ${dist(rounds + 1)}
+        SELECT vec_id, (p % 16)::BIGINT AS cluster, (p // 16)::BIGINT AS dist2
+        FROM a${rounds + 1}"""
+  }
 
   val oracle: Map[String, String] = Map(
     // brute-force all-pairs hamming — the blocking must be invisible
@@ -357,6 +400,7 @@ object Curation {
                 sum(vx)::BIGINT AS raw_cents,
                 sum(vx // (1::BIGINT << least(age_w, 62)::INT))::BIGINT AS decayed_cents
          FROM e GROUP BY user_id""",
+    "q109_kmeans" -> kmeansOracleSql(k = 8, rounds = 2),
     "q108_token_ids" ->
       raw"""WITH vocab AS (
               SELECT row_number() OVER (ORDER BY cnt DESC, token) AS id, token

@@ -203,6 +203,43 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp)
   }
 
+  // ---- q109 ----------------------------------------------------------
+
+  test("q109: k-means assignment equals a full Scala Lloyd recomputation; iterations move points") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000).toLong).toArray)
+      .toMap
+    val k = 8
+    def assign(cents: Map[Int, Array[Long]]): Map[Long, (Int, Long)] =
+      vecs.map { case (id, q) =>
+        val (cid, d2) = cents.toSeq.map { case (c, v) =>
+          (c, q.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }.minBy { case (c, d) => (d, c) }
+        id -> ((cid, d2))
+      }
+    def update(a: Map[Long, (Int, Long)]): Map[Int, Array[Long]] =
+      a.groupBy(_._2._1).map { case (c, m) =>
+        val members = m.keys.toSeq.map(vecs)
+        c -> Array.tabulate(64)(i => {
+          val s = members.map(_(i)).sum
+          // truncate-toward-zero: Spark `div` and DuckDB `//` both do
+          // (-7 div 2 = -3), which is Java's `/` — NOT floorDiv
+          s / members.size.toLong
+        })
+      }
+    var cents = (0 until k).map(c => c -> vecs(c.toLong)).toMap
+    val first = assign(cents)
+    (1 to 2).foreach { _ => cents = update(assign(cents)) }
+    val expected = assign(cents)
+    val got = q("q109_kmeans").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1).toInt, r.getLong(2)))).toMap
+    assert(got == expected)
+    assert(got.exists { case (id, (c, _)) => first(id)._1 != c },
+      "vacuous: no vector changed cluster across Lloyd rounds")
+    assert(got.values.map(_._1).toSet.size > 1, "degenerate single cluster")
+  }
+
   // ---- q106 ----------------------------------------------------------
 
   test("q106: shards partition the corpus and each digest re-derives from the sorted member ids") {

@@ -479,6 +479,15 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q109: the k-means assignment is a zero-shuffle narrow map (centroids ride the expression)") {
+    val df = SparkEntry.queries("q109_kmeans")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"),
+      s"final assignment must not shuffle (bounded centroids are plan-carried):\n$s")
+    assert(s.contains("nearest_centroid_packed"), s)
+  }
+
   test("q108: the bounded vocabulary broadcasts back onto the token stream") {
     val df = SparkEntry.queries("q108_token_ids")(spark, sf)
     df.collect()
