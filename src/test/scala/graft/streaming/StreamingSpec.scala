@@ -94,6 +94,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("sessionization state survives on the RocksDB state store (the 100 TB state backend)") {
+    // The default HDFS-backed store keeps every key's state on the
+    // executor HEAP — at 100 TB of keyed state that is an OOM, and the
+    // production config is RocksDBStateStoreProvider (state spills to
+    // local SST files, incremental checkpoints). The operator must not
+    // care: same query, same results, different provider.
+    val sp = spark; import sp.implicits._
+    val typed = typedEvents(eventsDf).collect().toSeq
+    val maxTs = typed.map(_.ts_ms).max
+    val sentinels = typed.map(_.user_id).distinct.map(u => Event(u, maxTs + 100 * GapMs, "flush", 0.0))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Event]
+      val query = sessionizeStream(input.toDS())
+        .writeStream.format("memory").queryName("sessions_rocks").outputMode("append").start()
+      val (first, second) = typed.sortBy(_.ts_ms).splitAt(typed.size / 2)
+      input.addData(first)
+      query.processAllAvailable()
+      input.addData(second ++ sentinels)
+      query.processAllAvailable()
+      // the provider actually engaged — read it back from the running
+      // query's lastProgress rather than trusting the conf
+      val usedProvider = Option(query.lastProgress)
+        .flatMap(p => p.stateOperators.headOption)
+        .map(_.customMetrics.keySet().toString)
+      query.stop()
+      assert(usedProvider.exists(_.contains("rocksdb")),
+        s"RocksDB provider not engaged: $usedProvider")
+      val streamed = spark.table("sessions_rocks").as[SessionOut].collect()
+        .map(s => (s.user_id, s.session_start_ms, s.session_end_ms, s.n_events, s.total_value_x100)).toSet
+      val batch = sessionizeBatch(eventsDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sessionizeBatch agrees with Spark's built-in session_window") {
     val sessions = sessionizeBatch(eventsDf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
