@@ -241,6 +241,32 @@ object Curation {
             .as("ids_hash"))
     },
 
+    // Entity resolution end-to-end — the third pair-source composed
+    // through connected components (after embeddings q40 and MinHash
+    // q102): q91's length-band-blocked edit-distance pairs become
+    // transitive entity groups, every record gets its entity id (the
+    // min member key — singletons keep themselves), the entity size,
+    // and the canonical name under a min-key survivorship rule. This
+    // is the record-linkage shape (block → match → cluster → survive)
+    // over a NUMERIC key domain whose pair generator is a string
+    // matcher; the oracle re-derives the same pairs and clusters them
+    // with a recursive CTE.
+    "q110_entity_resolution" -> { (s, d) =>
+      val pairs = JoinHardening.queries("q91_fuzzy_join")(s, d)
+        .select(col("key_a"), col("key_b"))
+      val cc = DedupClusters.connectedComponents(pairs, "key_a", "key_b")
+      val parts = Tables.part(s, d).select(col("p_partkey").as("key"), col("p_name"))
+      val assigned = parts
+        .join(cc.withColumnRenamed("node", "key"), Seq("key"), "left")
+        .select(col("key"), coalesce(col("cluster_id"), col("key")).as("entity_id"))
+      val sizes = assigned.groupBy(col("entity_id")).agg(count(lit(1)).as("entity_size"))
+      assigned
+        .join(sizes, "entity_id")
+        .join(parts.select(col("key").as("entity_id"), col("p_name").as("canonical_name")),
+          "entity_id")
+        .select(col("key"), col("entity_id"), col("entity_size"), col("canonical_name"))
+    },
+
     // Exact fixed-point k-means (k=8, 2 Lloyd updates, deterministic
     // min-id seeds): the clustering face of embedding curation, made
     // bit-reproducible — integer micro-unit distances, integer-mean
@@ -401,6 +427,27 @@ object Curation {
                 sum(vx // (1::BIGINT << least(age_w, 62)::INT))::BIGINT AS decayed_cents
          FROM e GROUP BY user_id""",
     "q109_kmeans" -> kmeansOracleSql(k = 8, rounds = 2),
+    "q110_entity_resolution" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+           FROM part a JOIN part b
+             ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+           WHERE levenshtein(a.p_name, b.p_name) <= 3),
+         edges AS (SELECT key_a AS n, key_b AS m FROM pairs
+                   UNION SELECT key_b, key_a FROM pairs),
+         reach(n, l) AS (
+           SELECT n, n FROM (SELECT DISTINCT n FROM edges)
+           UNION
+           SELECT e.n, r.l FROM edges e JOIN reach r ON r.n = e.m),
+         cl AS (SELECT n AS key, min(l) AS entity_id FROM reach GROUP BY n),
+         assigned AS (
+           SELECT p.p_partkey AS key, coalesce(cl.entity_id, p.p_partkey) AS entity_id
+           FROM part p LEFT JOIN cl ON p.p_partkey = cl.key),
+         sizes AS (SELECT entity_id, count(*) AS entity_size FROM assigned GROUP BY 1)
+         SELECT a.key, a.entity_id, s.entity_size, c.p_name AS canonical_name
+         FROM assigned a
+         JOIN sizes s USING (entity_id)
+         JOIN part c ON a.entity_id = c.p_partkey""",
     "q108_token_ids" ->
       raw"""WITH vocab AS (
               SELECT row_number() OVER (ORDER BY cnt DESC, token) AS id, token

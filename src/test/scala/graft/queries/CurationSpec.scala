@@ -240,6 +240,30 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.map(_._1).toSet.size > 1, "degenerate single cluster")
   }
 
+  // ---- q110 ----------------------------------------------------------
+
+  test("q110: entity groups honor the fuzzy pairs, min-key survivorship, and singleton identity") {
+    val rows = q("q110_entity_resolution").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val names = Tables.part(spark, sf).select("p_partkey", "p_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == names.size, "every part gets exactly one entity row")
+    val byEntity = rows.groupBy(_._2)
+    byEntity.foreach { case (eid, members) =>
+      assert(members.map(_._1).min == eid, s"entity $eid is not its min member")
+      assert(members.forall(_._3 == members.length), s"entity $eid size wrong")
+      assert(members.forall(_._4 == names(eid)), s"entity $eid canonical name wrong")
+    }
+    val pairs = JoinHardening.queries("q91_fuzzy_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val entity = rows.map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (a, b) =>
+      assert(entity(a) == entity(b), s"fuzzy pair ($a,$b) split across entities")
+    }
+    assert(byEntity.values.exists(_.length > 1), "vacuous: no multi-record entity")
+    assert(byEntity.values.exists(_.length == 1), "vacuous: no singleton entity")
+  }
+
   // ---- q106 ----------------------------------------------------------
 
   test("q106: shards partition the corpus and each digest re-derives from the sorted member ids") {
