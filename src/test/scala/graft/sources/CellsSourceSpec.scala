@@ -1,0 +1,97 @@
+package graft.sources
+
+import graft.ingest.FileStore
+import graft.ingest.PushTableSink.{CellPut, TableSpec}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The DataSource V2 face of the cell store: correctness of the full
+  * scan against FileStore's own scanTable, version-predicate pruning
+  * that provably skips file opens, column pruning that skips content
+  * I/O entirely, and shard-per-partition parallelism. */
+class CellsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var root: String = _
+  private val table = "ns:cells_spec"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("cells-source-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    root = java.nio.file.Files.createTempDirectory("graft-cells-spec").toString
+    val store = FileStore(root)
+    store.ensureTable(table, TableSpec())
+    // 40 keys × 3 versions, deterministic bodies
+    val puts = for (k <- 0 until 40; v <- 1 to 3) yield CellPut(
+      table,
+      s"rowkey-$k".getBytes("UTF-8"),
+      (100L * k) + v,
+      s"body-$k-$v".getBytes("UTF-8"))
+    store.putBatch(table, puts)
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  private def read = spark.read.format("graft-cells")
+    .option("root", root).option("table", table).load()
+
+  test("full scan equals FileStore.scanTable (keys, versions, bodies)") {
+    val got = read.collect()
+      .map(r => (r.getAs[Array[Byte]]("rowkey").toSeq, r.getLong(1),
+        new String(r.getAs[Array[Byte]]("body"), "UTF-8"))).toSet
+    val want = FileStore(root).scanTable(table)
+      .map { case (hex, v, body) => (hexToBytes(hex).toSeq, v, new String(body, "UTF-8")) }
+      .toSet
+    // scanTable returns the digest hex, not the key — compare via count
+    // + (version, body) multiset, and key round-trip separately
+    assert(got.size == 120 && want.size == 120)
+    assert(got.map(g => (g._2, g._3)) == want.map(w => (w._2, w._3)))
+    assert(got.forall { case (k, _, body) =>
+      val ks = new String(k.toArray, "UTF-8")
+      ks.startsWith("rowkey-") && body.startsWith(s"body-${ks.drop(7)}-")
+    })
+  }
+
+  test("version predicates prune by filename — out-of-range cells are never opened") {
+    CellsSource.filesOpened.set(0)
+    val rows = read.filter(col("version") <= 200L).collect()
+    // keys 0 and 1 have versions ≤ 200: k=0 → 1,2,3; k=1 → 101,102,103 minus >200
+    val want = (for (k <- 0 until 40; v <- 1 to 3; ver = 100L * k + v if ver <= 200) yield ver).toSet
+    assert(rows.map(_.getLong(1)).toSet == want)
+    assert(CellsSource.filesOpened.get() == want.size,
+      s"opened ${CellsSource.filesOpened.get()} files for ${want.size} matching cells — pruning failed")
+  }
+
+  test("the version filter is fully pushed — no residual Filter re-evaluation in the plan") {
+    val df = read.filter(col("version") === 203L)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Filter ("), s"expected no post-scan Filter node:\n$s")
+    assert(df.collect().map(_.getLong(1)).toSeq == Seq(203L))
+  }
+
+  test("version-only projection reads zero file content (count is directory listing)") {
+    CellsSource.filesOpened.set(0)
+    assert(read.select("version").count() == 120)
+    assert(CellsSource.filesOpened.get() == 0,
+      "a count over version opened cell files — column pruning failed")
+  }
+
+  test("scan parallelism is one partition per shard directory") {
+    val scan = CellsScan(root, table, Long.MinValue, Long.MaxValue, CellsSource.Schema)
+    val parts = scan.planInputPartitions()
+    val shardDirs = new java.io.File(s"$root/${table.replace(':', '~')}")
+      .listFiles().count(_.isDirectory)
+    assert(parts.length == shardDirs && parts.nonEmpty)
+  }
+
+  private def hexToBytes(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+}
