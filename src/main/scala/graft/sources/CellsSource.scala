@@ -2,9 +2,10 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,15 +58,70 @@ object CellsSource {
   val filesOpened = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
-case class CellsTable(root: String, table: String) extends Table with SupportsRead {
+case class CellsTable(root: String, table: String) extends Table
+    with SupportsRead with SupportsWrite {
   require(root != null && table != null, "graft-cells requires options: root, table")
   override def name(): String = s"graft-cells:$table"
   override def schema(): StructType = CellsSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     CellsScanBuilder(root, table)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    CellsWriteBuilder(root, table, info.schema())
 }
+
+/** Write face: append rows as versioned cells through the SAME
+  * [[graft.ingest.FileStore]] contract the push sink honors. Each cell
+  * lands by atomic rename keyed on (rowkey, version), so a retried or
+  * speculated task re-puts the identical files — at-least-once task
+  * execution converges to exactly-once cell STATE, the W2/F5 posture,
+  * with no commit coordinator needed (commit/abort are no-ops by
+  * design, not omission). The driver ensures the table DDL once;
+  * executors batch puts by the W1 byte cap. */
+case class CellsWriteBuilder(root: String, table: String, schema: StructType) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = CellsBatchWrite(root, table, schema)
+  }
+}
+
+case class CellsBatchWrite(root: String, table: String, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    require(schema.fieldNames.toSeq == Seq("rowkey", "version", "body"),
+      s"graft-cells writes (rowkey BINARY, version BIGINT, body BINARY); got ${schema.simpleString}")
+    // driver-side, once: the DDL write (W3) — executors only put cells
+    graft.ingest.FileStore(root).ensureTable(table, graft.ingest.PushTableSink.TableSpec())
+    CellsWriterFactory(root, table)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class CellsWriterFactory(root: String, table: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val store = graft.ingest.FileStore(root)
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[graft.ingest.PushTableSink.CellPut]
+      private var bufBytes = 0L
+      private val MaxBatchBytes = 100000000L // W1: the reference's put-batch cap
+
+      override def write(r: InternalRow): Unit = {
+        val cell = graft.ingest.PushTableSink.CellPut(
+          table, r.getBinary(0), r.getLong(1), r.getBinary(2))
+        buf += cell
+        bufBytes += cell.rowkey.length + cell.body.length
+        if (bufBytes >= MaxBatchBytes) flush()
+      }
+      private def flush(): Unit = if (buf.nonEmpty) {
+        store.putBatch(table, buf.toSeq); buf.clear(); bufBytes = 0
+      }
+      override def commit(): WriterCommitMessage = { flush(); CellsCommit }
+      override def abort(): Unit = () // idempotent re-put on retry
+      override def close(): Unit = ()
+    }
+}
+
+case object CellsCommit extends WriterCommitMessage
 
 case class CellsScanBuilder(root: String, table: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
