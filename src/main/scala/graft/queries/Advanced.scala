@@ -55,8 +55,10 @@ object Advanced {
     // dedup state is watermark-bounded per key, exactly-once file
     // source, one shuffle on the dedup key.
     // Streaming UPSERT sink — the lakehouse merge pattern. The event
-    // stream (staged as 8 files, maxFilesPerTrigger=1 ⇒ 8 genuine
-    // micro-batches with overlapping keys) flows through foreachBatch;
+    // stream (staged as 4 files, maxFilesPerTrigger=1 ⇒ 4 genuine
+    // micro-batches with overlapping keys — enough batches to make the
+    // upsert real, without paying 8 rounds of per-batch machinery in
+    // every bench pass) flows through foreachBatch;
     // each batch writes its per-user argmax PARTIAL to its own
     // `batch=<id>` subdir — mode=overwrite keyed by batchId makes a
     // replayed batch idempotent (exactly-once without a transactional
@@ -68,13 +70,15 @@ object Advanced {
     // is total, so the upsert is deterministic across engines.
     "q94_stream_upsert" -> { (s, d) =>
       val srcTag = layoutTag(d, "events.parquet")
-      val src = new java.io.File(sys.props("java.io.tmpdir"), s"graft_upsert_$srcTag")
+      // dir name carries the file count: changing the staging layout
+      // must never reuse a stale cached dir
+      val src = new java.io.File(sys.props("java.io.tmpdir"), s"graft_upsert4_$srcTag")
       if (!src.exists()) {
         Tables.events(s, d)
           .select(col("event_id"), col("user_id"),
             expr("unix_millis(cast(ts as timestamp))").as("ts_ms"),
             col("event_type"), round(col("value") * 100).cast("long").as("vx"))
-          .repartition(8).write.mode("overwrite").parquet(src.getPath)
+          .repartition(4).write.mode("overwrite").parquet(src.getPath)
       }
       val target = java.nio.file.Files.createTempDirectory("graft-q94-target")
       val ck = java.nio.file.Files.createTempDirectory("graft-q94-ck")
