@@ -241,6 +241,91 @@ object Curation {
             .as("ids_hash"))
     },
 
+    // Cross-source contamination matrix: for every ordered source
+    // pair, how many distinct 8-char window fingerprints they share —
+    // the provenance-hygiene audit run before mixing corpora (a
+    // benchmark leaking into a crawl shows up as an off-diagonal
+    // spike). Same fingerprint formula as q23/q45, so the oracle
+    // recomputes it exactly. Shape: ONE shuffle on the fingerprint
+    // builds each fp's source SET (collect_set partial-aggregates);
+    // pair expansion then explodes a ≤|sources| array per fp — bounded
+    // by sources², never corpus rows — and the final count is a plain
+    // count (each (pair, fp) row is unique by construction, so no
+    // The fingerprint is the raw 8-char window itself (hashing it buys
+    // nothing for overlap counting and costs 1.45M md5s ≈ +1 s), and
+    // each fp aggregates its sources into a BITMASK via bit_or — a
+    // TRUE partial aggregate whose map-side combine collapses every
+    // partition to ≤|distinct fps| longs before the one shuffle; the
+    // pair matrix then reads off a bounded |sources|²-row explode.
+    // Lookalike formulations measured at sf0.1: distinct-(source,
+    // fp)+self-join+countDistinct = 5.0 s (the barely-reducing
+    // 173k-group partial agg runs TWICE — no exchange reuse under the
+    // self-join — and countDistinct adds an Expand);
+    // collect_set-of-sources = 4.5 s (ObjectHashAggregate's 128-key
+    // sort fallback over 1.45M rows); 60-bit md5-prefix keys = 3.4 s.
+    // This shape: ~2.5 s, floor-bound by generating + aggregating the
+    // 1.45M window rows once. The source dictionary is a driver-sized
+    // bounded collect (the q75/q107 class); masks require ≤64 sources
+    // — fail fast otherwise.
+    "q111_source_overlap" -> { (s, d) =>
+      val sources = Tables.documents(s, d).select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted
+      require(sources.length <= 64, s"bitmask overlap needs ≤64 sources, got ${sources.length}")
+      val srcBit = typedlit(sources.zipWithIndex.map { case (n, i) => n -> (1L << i) }.toMap)
+      val masks = Tables.documents(s, d)
+        .select(element_at(srcBit, col("source")).as("bit"),
+          explode(expr(
+            "transform(sequence(1, CAST(greatest(n_chars - 6, 2) - 1 AS INT)), i -> substring(text, i, 8))"))
+            .as("fp"))
+        .groupBy(col("fp")).agg(bit_or(col("bit")).as("mask"))
+      val pairs = for {
+        (a, ia) <- sources.zipWithIndex; (b, ib) <- sources.zipWithIndex if a < b
+      } yield struct(lit(a).as("src_a"), lit(b).as("src_b"),
+        lit((1L << ia) | (1L << ib)).as("need"))
+      masks
+        .select(col("mask"), explode(array(pairs: _*)).as("p"))
+        .filter((col("mask").bitwiseAND(col("p.need"))) === col("p.need"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+    },
+
+    // Incremental delta dedup — the daily-ingest reality: yesterday's
+    // corpus (doc_id < cutoff) already has exact-dedup keepers; today's
+    // delta (doc_id ≥ cutoff) must be classified WITHOUT rescanning
+    // history beyond its keeper hash set: `dup_of_old` (hash exists in
+    // the base), `dup_in_new` (first-seen collision inside the delta —
+    // min delta id keeps it), or `keeper`. The base keeper set is
+    // hash-keyed and id-bounded — at 100 TB it is the incremental
+    // index a curation pipeline maintains, joined by hash, never by
+    // content. The corpus has no organic exact duplicates (q14), so
+    // duplicates are PLANTED deterministically (the q59/q72 pattern):
+    // every doc_id ≡ 4 (mod 5) carries the content of its 5-group
+    // leader (doc_id - 4); cutoff 252 splits the 250..254 group so all
+    // three statuses are non-vacuous on both engines. Every rule is
+    // exact (md5 + min), so the chain hash-matches.
+    "q112_delta_dedup" -> { (s, d) =>
+      val cutoff = 252L
+      val raw = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = raw
+        .withColumn("content_src",
+          when(col("doc_id") % 5 === 4, col("doc_id") - 4).otherwise(col("doc_id")))
+        .join(raw.select(col("doc_id").as("content_src"), col("text").as("content")),
+          "content_src")
+        .select(col("doc_id"), md5(col("content")).as("h"))
+      val baseKeepers = docs.filter(col("doc_id") < cutoff)
+        .groupBy(col("h")).agg(min(col("doc_id")).as("base_keeper"))
+      val delta = docs.filter(col("doc_id") >= cutoff)
+      val firstInNew = delta.groupBy(col("h")).agg(min(col("doc_id")).as("new_first"))
+      delta
+        .join(baseKeepers, Seq("h"), "left")
+        .join(firstInNew, "h")
+        .select(col("doc_id"),
+          when(col("base_keeper").isNotNull, lit("dup_of_old"))
+            .when(col("doc_id") =!= col("new_first"), lit("dup_in_new"))
+            .otherwise(lit("keeper")).as("status"),
+          col("base_keeper"))
+    },
+
     // Entity resolution end-to-end — the third pair-source composed
     // through connected components (after embeddings q40 and MinHash
     // q102): q91's length-band-blocked edit-distance pairs become
@@ -427,6 +512,30 @@ object Curation {
                 sum(vx // (1::BIGINT << least(age_w, 62)::INT))::BIGINT AS decayed_cents
          FROM e GROUP BY user_id""",
     "q109_kmeans" -> kmeansOracleSql(k = 8, rounds = 2),
+    "q111_source_overlap" ->
+      """WITH fps AS (
+           SELECT DISTINCT source,
+                  unnest(list_transform(range(1, greatest(n_chars - 6, 2)),
+                         i -> substr(text, i, 8))) AS fp
+           FROM documents)
+         SELECT a.source AS src_a, b.source AS src_b,
+                count(DISTINCT a.fp) AS shared_fps
+         FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+         GROUP BY 1, 2""",
+    "q112_delta_dedup" ->
+      """WITH docs AS (
+           SELECT d.doc_id, md5(l.text) AS h
+           FROM documents d JOIN documents l
+             ON l.doc_id = d.doc_id - (CASE WHEN d.doc_id % 5 = 4 THEN 4 ELSE 0 END)),
+         base AS (SELECT h, min(doc_id) AS base_keeper FROM docs WHERE doc_id < 252 GROUP BY 1),
+         delta AS (SELECT * FROM docs WHERE doc_id >= 252),
+         fn AS (SELECT h, min(doc_id) AS new_first FROM delta GROUP BY 1)
+         SELECT d.doc_id,
+                CASE WHEN b.base_keeper IS NOT NULL THEN 'dup_of_old'
+                     WHEN d.doc_id != fn.new_first THEN 'dup_in_new'
+                     ELSE 'keeper' END AS status,
+                b.base_keeper
+         FROM delta d LEFT JOIN base b USING (h) JOIN fn USING (h)""",
     "q110_entity_resolution" ->
       """WITH RECURSIVE pairs AS (
            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b

@@ -240,6 +240,52 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.map(_._1).toSet.size > 1, "degenerate single cluster")
   }
 
+  // ---- q111 ----------------------------------------------------------
+
+  test("q111: pairwise shared-fingerprint counts equal a Scala recomputation") {
+    val sources = Tables.documents(spark, sf).select("source", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySource = sources.groupBy(_._1).map { case (s, docs) =>
+      s -> docs.flatMap { case (_, text, nChars) =>
+        val hi = math.max(nChars - 6, 2).toInt - 1
+        // the fingerprint IS the raw 8-char window (see the query doc)
+        (1 to hi).map(i => text.substring(i - 1, math.min(i - 1 + 8, text.length)))
+      }.toSet
+    }
+    val names = bySource.keys.toSeq.sorted
+    val expected = (for {
+      a <- names; b <- names if a < b
+      n = (bySource(a) & bySource(b)).size if n > 0
+    } yield (a, b, n.toLong)).toSet
+    val got = q("q111_source_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "vacuous: no source pair shares a fingerprint")
+  }
+
+  // ---- q112 ----------------------------------------------------------
+
+  test("q112: delta classification matches the planted-duplicate ground truth, all classes live") {
+    val rows = q("q112_delta_dedup").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val counts = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(counts.keySet == Set("keeper", "dup_in_new", "dup_of_old"),
+      s"some status vacuous: $counts")
+    rows.foreach { case (id, status, baseKeeper) =>
+      val isPlantedDup = id % 5 == 4
+      val leader = if (isPlantedDup) id - 4 else id
+      if (status == "dup_of_old") {
+        assert(isPlantedDup && leader < 252, s"doc $id misclassified dup_of_old")
+        assert(baseKeeper == leader, s"doc $id base keeper should be its group leader")
+      }
+      if (status == "dup_in_new")
+        assert(isPlantedDup && leader >= 252, s"doc $id misclassified dup_in_new")
+      if (status == "keeper")
+        assert(!isPlantedDup || leader >= 252 && id == leader,
+          s"doc $id misclassified keeper")
+    }
+  }
+
   // ---- q110 ----------------------------------------------------------
 
   test("q110: entity groups honor the fuzzy pairs, min-key survivorship, and singleton identity") {
