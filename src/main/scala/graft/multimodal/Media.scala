@@ -73,6 +73,32 @@ object Media {
       .mapPartitions(_.map(decoder.decode))
   }
 
+  final case class ResizedMedia(media_id: Long, out_w: Int, out_h: Int,
+                                n_bytes_in: Long, n_bytes_out: Long,
+                                payload: Array[Byte])
+
+  /** Resize stub: payload scales by the target/source pixel ratio —
+    * out_len = max(1, n·(tw·th) div (w·h)), capped at n (a stub cannot
+    * invent bytes on upscale) — and the resized "image" is that byte
+    * prefix. The PLUMBING is the real contract a JNI/library resizer
+    * drops into: typed dataset in, repartition by id, one mapPartitions
+    * decode-transform per task, binary out with updated dimensions.
+    * Deterministic: a pure function of (payload, dims), so task
+    * retries and repartitioning cannot change a row. */
+  def resize(media: Dataset[MediaRow], tw: Int, th: Int, partitions: Int): Dataset[ResizedMedia] = {
+    require(tw > 0 && th > 0, s"target dims must be positive: ${tw}x$th")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.repartition(partitions, col("media_id"))
+      .mapPartitions(_.map { row =>
+        val n = row.payload.length
+        val ideal = (n.toLong * tw * th) / (row.meta.widthHint.toLong * row.meta.heightHint)
+        val outLen = math.min(math.max(1L, ideal), n.toLong).toInt
+        ResizedMedia(row.media_id, tw, th, n.toLong, outLen.toLong,
+          java.util.Arrays.copyOf(row.payload, outLen))
+      })
+  }
+
   /** Frame sampling stub for video payloads: every k-th 4 KB block
     * stands in for a frame; emits (media_id, frame_idx, frame_bytes) —
     * the schema a real ffmpeg-backed sampler would produce. */

@@ -89,6 +89,23 @@ object MediaVerify {
       Media.sampleFrames(media, everyK = 2)
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           md5(col("frame_bytes")).as("frame_md5"))
+    },
+
+    // q113 — the resize face of the media pipeline: 640×480 payloads
+    // scaled to 64×48 (stub: the 1/100-pixel-ratio byte prefix, dims
+    // updated). ASCII-only for the same byte-vs-character reason as
+    // q47; the oracle recomputes the output LENGTH arithmetic and the
+    // resized payload's md5 analytically from the source text — the
+    // whole typed transform (repartition, per-task map, binary out) is
+    // content-checked with no golden.
+    "q113_media_resize" -> { (s, dir) =>
+      val media = mediaFromDocuments(s, dir, asciiOnly = true)
+      Media.resize(media, tw = 64, th = 48, partitions = 32).toDF()
+        .select(col("media_id"),
+          col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"),
+          col("n_bytes_in"), col("n_bytes_out"),
+          md5(col("payload")).as("out_md5"))
     }
   )
 
@@ -123,6 +140,20 @@ object MediaVerify {
          )
          SELECT media_id, frame_idx,
                 md5(substr(text, CAST(frame_idx * 4096 + 1 AS BIGINT), 4096)) AS frame_md5
-         FROM f WHERE frame_idx % 2 = 0"""
+         FROM f WHERE frame_idx % 2 = 0""",
+    "q113_media_resize" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id, text, strlen(text) AS n
+           FROM documents WHERE strlen(text) = length(text)
+         ),
+         r AS (
+           SELECT media_id, text, n,
+                  least(greatest(1, (n * 64 * 48) // (640 * 480)), n) AS out_len
+           FROM m
+         )
+         SELECT media_id, CAST(64 AS BIGINT) AS out_w, CAST(48 AS BIGINT) AS out_h,
+                n::BIGINT AS n_bytes_in, out_len::BIGINT AS n_bytes_out,
+                md5(substr(text, 1, CAST(out_len AS BIGINT))) AS out_md5
+         FROM r"""
   )
 }

@@ -80,6 +80,28 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp == wantFp)
   }
 
+  test("resize scales payload length by the pixel ratio, caps at source, keeps the byte prefix") {
+    val media = syntheticMedia(spark, 30)
+    val src = media.collect().map(r => r.media_id -> r.payload).toMap
+    val out = Media.resize(media, tw = 64, th = 48, partitions = 4).collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      val n = src(r.media_id).length.toLong
+      val expectLen = math.min(math.max(1L, n * 64 * 48 / (640L * 480)), n)
+      assert(r.out_w == 64 && r.out_h == 48)
+      assert(r.n_bytes_in == n && r.n_bytes_out == expectLen)
+      assert(r.payload.toSeq == src(r.media_id).take(expectLen.toInt).toSeq,
+        s"media ${r.media_id}: resized payload is not the source prefix")
+    }
+    // upscale request caps at the source length (a stub cannot invent bytes)
+    val up = Media.resize(media, tw = 6400, th = 4800, partitions = 4).collect()
+    up.foreach(r => assert(r.n_bytes_out == r.n_bytes_in))
+    // deterministic under a different partitioning
+    val again = Media.resize(media, tw = 64, th = 48, partitions = 2).collect()
+      .map(r => r.media_id -> r.payload.toSeq).toMap
+    out.foreach(r => assert(again(r.media_id) == r.payload.toSeq))
+  }
+
   test("frame sampling emits every k-th block for video rows only") {
     val media = syntheticMedia(spark, 30)
     val frames = sampleFrames(media, everyK = 2).collect()
