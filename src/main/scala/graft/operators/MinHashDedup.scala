@@ -75,7 +75,12 @@ object MinHashDedup {
     * ~5 s of pure overhead at sf0.1). Duplicate shingles need no
     * dedup here: `min` is duplicate-insensitive. */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs
+    // fan the skinny doc rows out BEFORE the shingle expansion: a
+    // single-split source (one parquet file locally) would otherwise
+    // run the whole explode+md5 on one core (see queries.Tables.fanOut)
+    val fanned = docs.repartition(
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val toks = fanned
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), greatest(size(col("toks")) - 2, lit(1)))).as("i"))

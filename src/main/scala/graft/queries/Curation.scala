@@ -272,7 +272,7 @@ object Curation {
         .collect().map(_.getString(0)).sorted
       require(sources.length <= 64, s"bitmask overlap needs ≤64 sources, got ${sources.length}")
       val srcBit = typedlit(sources.zipWithIndex.map { case (n, i) => n -> (1L << i) }.toMap)
-      val masks = Tables.documents(s, d)
+      val masks = Tables.fanOut(Tables.documents(s, d))
         .select(element_at(srcBit, col("source")).as("bit"),
           explode(expr(
             "transform(sequence(1, CAST(greatest(n_chars - 6, 2) - 1 AS INT)), i -> substring(text, i, 8))"))

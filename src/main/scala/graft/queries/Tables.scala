@@ -30,4 +30,23 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Round-robin fan-out to the session's shuffle parallelism. The
+    * driver tables are ONE parquet file each, so the scan is one input
+    * split — and every row of generate-heavy work (shingling, window
+    * hashing, signature building) scheduled BEFORE the first exchange
+    * would run on a single core (measured 2.5 s → 0.56 s on the q111
+    * window aggregate). The repartition shuffles only the skinny
+    * source rows, far cheaper than serializing the expansion. At
+    * cluster scale a real table has thousands of splits and this
+    * becomes a cheap no-op by comparison — the operator shapes
+    * themselves are unchanged (all downstream results are
+    * partitioning-independent by the repo's determinism discipline).
+    * Use it ONLY where the pre-exchange expansion dominates: A/B
+    * benching showed q111 4× faster and MinHash signatures ~20%
+    * faster, but q16/q17/q51 neutral-to-slower — their heavy stages
+    * already sit behind an exchange, so the extra shuffle is pure
+    * overhead there. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 }
