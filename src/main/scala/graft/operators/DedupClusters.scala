@@ -53,6 +53,12 @@ object DedupClusters {
     // lever: chains collapse before anything shuffles. Memory is
     // bounded by one partition's node count (maxPartitionBytes-sized).
     val raw = edges.select(col(src).as("n"), col(dst).as("m"))
+    // The contraction pass emits the SYMMETRIC star adjacency directly
+    // (both directions + root self-rows, locally deduped), so the
+    // global distinct is the only post-pass step and the whole
+    // adjacency materializes in ONE localCheckpoint — the previous
+    // contract-then-symmetrize-then-distinct chain paid a second full
+    // materialization per clustering for no information gain.
     val contracted = raw.sparkSession.createDataFrame(
       raw.rdd.mapPartitions { rows =>
         val parent = new java.util.HashMap[Any, Any]()
@@ -75,26 +81,19 @@ object DedupClusters {
         val out = scala.collection.mutable.LinkedHashSet.empty[(Any, Any)]
         edgeBuf.foreach { case (a, b) =>
           val ra = find(a); val rb = find(b)
-          // star edges keep every node attached to its local root;
-          // the root self-row keeps isolated roots (self-loop inputs)
-          if (a != ra) out += ((a, ra))
-          if (b != rb) out += ((b, rb))
+          // star edges keep every node attached to its local root (both
+          // directions); the root self-row keeps isolated roots
+          if (a != ra) { out += ((a, ra)); out += ((ra, a)) }
+          if (b != rb) { out += ((b, rb)); out += ((rb, b)) }
           out += ((ra, ra))
         }
         out.iterator.map { case (a, b) => org.apache.spark.sql.Row(a, b) }
       },
       raw.schema)
-      // checkpoint BEFORE the symmetrizing union below: its two branches
-      // would otherwise each re-run the upstream pair generator
-      .localCheckpoint()
-    // symmetric adjacency: one row per directed edge. Materialized ONCE
-    // (localCheckpoint) — it is joined every round, and the upstream
-    // pair generator is typically an expensive similarity join that must
-    // not re-execute per iteration.
-    val adj = contracted
-      .union(contracted.select(col("m").as("n"), col("n").as("m")))
-      .distinct()
-      .localCheckpoint()
+    // one global dedup + ONE materialization: the adjacency is joined
+    // every round, and the upstream pair generator is typically an
+    // expensive similarity join that must not re-execute per iteration
+    val adj = contracted.distinct().localCheckpoint()
 
     var labels = adj.groupBy(col("n")).agg(min(col("m")).as("l"))
       .select(col("n"), least(col("n"), col("l")).as("l"))
