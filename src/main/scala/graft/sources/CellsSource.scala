@@ -165,11 +165,41 @@ case class CellsScanBuilder(root: String, table: String) extends ScanBuilder
 }
 
 case class CellsScan(root: String, table: String, lo: Long, hi: Long, required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-cells table=$table version=[$lo,$hi] cols=[${required.fieldNames.mkString(",")}]"
+
+  /** Exact post-pruning statistics from the directory listing alone
+    * (cell count and byte size are filename/metadata reads — no file
+    * contents), so Catalyst can size joins over cell tables: a small
+    * as-of slice becomes a broadcast candidate instead of an
+    * unknown-size shuffle side. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val (rows, bytes) = {
+      val dir = Paths.get(root, table.replace(':', '~'))
+      var n = 0L
+      var b = 0L
+      if (Files.isDirectory(dir)) {
+        val shards = Files.list(dir)
+        try shards.iterator().asScala.filter(Files.isDirectory(_)).foreach { shard =>
+          val s = Files.list(shard)
+          try s.iterator().asScala.foreach { p =>
+            val name = p.getFileName.toString
+            val dot = name.lastIndexOf('.')
+            if (dot > 0 && !name.endsWith(".tmp"))
+              name.drop(dot + 1).toLongOption.foreach { v =>
+                if (v >= lo && v <= hi) { n += 1; b += Files.size(p) }
+              }
+          } finally s.close()
+        } finally shards.close()
+      }
+      (n, b)
+    }
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = Paths.get(root, table.replace(':', '~'))

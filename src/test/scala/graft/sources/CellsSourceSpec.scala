@@ -84,6 +84,18 @@ class CellsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a count over version opened cell files — column pruning failed")
   }
 
+  test("statistics report exact post-pruning row counts from the listing (no content reads)") {
+    CellsSource.filesOpened.set(0)
+    val all = CellsScan(root, table, Long.MinValue, Long.MaxValue, CellsSource.Schema)
+      .estimateStatistics()
+    assert(all.numRows().getAsLong == 120)
+    assert(all.sizeInBytes().getAsLong > 0)
+    val sliced = CellsScan(root, table, Long.MinValue, 200L, CellsSource.Schema)
+      .estimateStatistics()
+    assert(sliced.numRows().getAsLong == 6, s"got ${sliced.numRows()}") // k=0,1 × 3 versions
+    assert(CellsSource.filesOpened.get() == 0, "statistics opened cell files")
+  }
+
   test("scan parallelism is one partition per shard directory") {
     val scan = CellsScan(root, table, Long.MinValue, Long.MaxValue, CellsSource.Schema)
     val parts = scan.planInputPartitions()
