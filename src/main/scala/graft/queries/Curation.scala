@@ -245,28 +245,23 @@ object Curation {
     // pair, how many distinct 8-char window fingerprints they share —
     // the provenance-hygiene audit run before mixing corpora (a
     // benchmark leaking into a crawl shows up as an off-diagonal
-    // spike). Same fingerprint formula as q23/q45, so the oracle
-    // recomputes it exactly. Shape: ONE shuffle on the fingerprint
-    // builds each fp's source SET (collect_set partial-aggregates);
-    // pair expansion then explodes a ≤|sources| array per fp — bounded
-    // by sources², never corpus rows — and the final count is a plain
-    // count (each (pair, fp) row is unique by construction, so no
-    // The fingerprint is the raw 8-char window itself (hashing it buys
-    // nothing for overlap counting and costs 1.45M md5s ≈ +1 s), and
-    // each fp aggregates its sources into a BITMASK via bit_or — a
-    // TRUE partial aggregate whose map-side combine collapses every
-    // partition to ≤|distinct fps| longs before the one shuffle; the
-    // pair matrix then reads off a bounded |sources|²-row explode.
-    // Lookalike formulations measured at sf0.1: distinct-(source,
-    // fp)+self-join+countDistinct = 5.0 s (the barely-reducing
-    // 173k-group partial agg runs TWICE — no exchange reuse under the
-    // self-join — and countDistinct adds an Expand);
-    // collect_set-of-sources = 4.5 s (ObjectHashAggregate's 128-key
-    // sort fallback over 1.45M rows); 60-bit md5-prefix keys = 3.4 s.
-    // This shape: ~2.5 s, floor-bound by generating + aggregating the
-    // 1.45M window rows once. The source dictionary is a driver-sized
-    // bounded collect (the q75/q107 class); masks require ≤64 sources
-    // — fail fast otherwise.
+    // spike). The fingerprint is the raw 8-char window itself (hashing
+    // it buys nothing for overlap counting and costs 1.45M md5s ≈
+    // +1 s), and each fp aggregates its sources into a BITMASK via
+    // bit_or — a TRUE partial aggregate whose map-side combine
+    // collapses every partition to ≤|distinct fps| longs before the
+    // one shuffle; the pair matrix then reads off a bounded
+    // |sources|²-row explode, and the final count is a plain count
+    // (each (pair, fp) row is unique by construction — no countDistinct
+    // Expand). Lookalike formulations measured at sf0.1:
+    // distinct-(source, fp)+self-join+countDistinct = 5.0 s (the
+    // barely-reducing 173k-group partial agg runs TWICE — no exchange
+    // reuse under the self-join); collect_set-of-sources = 4.5 s
+    // (ObjectHashAggregate's 128-key sort fallback over 1.45M rows);
+    // 60-bit md5-prefix keys = 3.4 s. This shape with the fanned-out
+    // scan: ~0.8 s. The source dictionary is a driver-sized bounded
+    // collect (the q75/q107 class); masks require ≤64 sources — fail
+    // fast otherwise.
     "q111_source_overlap" -> { (s, d) =>
       val sources = Tables.documents(s, d).select(col("source")).distinct()
         .collect().map(_.getString(0)).sorted
