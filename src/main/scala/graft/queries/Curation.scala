@@ -321,6 +321,55 @@ object Curation {
           col("base_keeper"))
     },
 
+    // Negative sampling for contrastive training: every anchor
+    // document draws k=4 reproducible pseudo-random negatives via the
+    // q41 two-mod hash family with the draw index folded in (every
+    // intermediate < 2^52 — ANSI-safe at any id scale), mapped into
+    // the dense id space and collision-repaired (+1 mod N when a draw
+    // hits its own anchor). No RNG, no sample(): reruns, task retries,
+    // and other engines produce the identical negative set — the same
+    // reproducibility contract as the q41 split and q55 mixing. A
+    // zero-data-shuffle narrow map; N is one bounded driver-side count
+    // (the q107 anchor class).
+    "q114_negative_sampling" -> { (s, d) =>
+      val n = Tables.documents(s, d).count()
+      Tables.documents(s, d).select(col("doc_id"))
+        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("draw",
+          expr(s"((doc_id % 1000003) * 2654435761 + j * 40503) % 1000000007 % $n"))
+        .withColumn("neg_id",
+          when(col("draw") === col("doc_id"), (col("draw") + 1) % n).otherwise(col("draw")))
+        .select(col("doc_id"), col("j").cast("long").as("j"), col("neg_id"))
+    },
+
+    // Hard-negative mining — the contrastive complement of q18's
+    // nearest-neighbor search: for each probe vector, the top-3 most
+    // similar embeddings with a DIFFERENT label (the "looks close but
+    // isn't" examples a metric-learning run trains against). Exact
+    // cosine on the codegen'd ArrayDotProduct (bit-identical to the
+    // oracle's list_dot_product), probe set bounded (|Q| = 50) so the
+    // corpus-side cross join broadcasts the probes; the per-probe
+    // window plants a map-side WindowGroupLimit. Same rounding/tie
+    // discipline as q18 (round 6 digits, neighbor-id ascending).
+    "q115_hard_negatives" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("embedding").cast("array<double>").as("qe"))
+      val c = emb.select(col("vec_id").as("neg_id"), col("label").as("nlabel"),
+        col("embedding").cast("array<double>").as("ne"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neg_id").asc)
+      c.crossJoin(broadcast(q))
+        .filter(col("nlabel") =!= col("qlabel"))
+        .withColumn("sim", graft.operators.AnnLsh.cosine(col("qe"), col("ne")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neg_id"), round(col("sim"), 6).as("sim_r6"))
+    },
+
     // Entity resolution end-to-end — the third pair-source composed
     // through connected components (after embeddings q40 and MinHash
     // q102): q91's length-band-blocked edit-distance pairs become
@@ -383,6 +432,10 @@ object Curation {
             "transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING))"))).as("id_digest"))
     }
   )
+
+  private val dotQ = "list_dot_product(%s::DOUBLE[], %s::DOUBLE[])"
+  private def cosineSqlQ(a: String, b: String): String =
+    s"${dotQ.format(a, b)} / (sqrt(${dotQ.format(a, a)}) * sqrt(${dotQ.format(b, b)}))"
 
   /** The q109 Lloyd iterations unrolled in DuckDB SQL (the q92
     * strategy): quantize → seed centroids from the k smallest ids →
@@ -507,6 +560,24 @@ object Curation {
                 sum(vx // (1::BIGINT << least(age_w, 62)::INT))::BIGINT AS decayed_cents
          FROM e GROUP BY user_id""",
     "q109_kmeans" -> kmeansOracleSql(k = 8, rounds = 2),
+    "q114_negative_sampling" ->
+      """SELECT doc_id, j, CASE WHEN draw = doc_id
+                THEN (draw + 1) % (SELECT count(*) FROM documents)
+                ELSE draw END AS neg_id
+         FROM (
+           SELECT doc_id, j,
+                  ((doc_id % 1000003) * 2654435761 + j * 40503) % 1000000007
+                    % (SELECT count(*) FROM documents) AS draw
+           FROM documents, range(4) r(j))""",
+    "q115_hard_negatives" ->
+      s"""SELECT query_id, rank, neg_id, round(sim, 6) AS sim_r6 FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+                   ${cosineSqlQ("q.embedding", "c.embedding")} AS sim,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${cosineSqlQ("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id < 50 AND c.label != q.label)
+          WHERE rank <= 3""",
     "q111_source_overlap" ->
       """WITH fps AS (
            SELECT DISTINCT source,

@@ -286,6 +286,49 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- q114 ----------------------------------------------------------
+
+  test("q114: negatives are reproducible, in-range, never the anchor, and k per anchor") {
+    val n = docs.size.toLong
+    val rows = q("q114_negative_sampling").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == docs.size * 4)
+    rows.foreach { case (id, j, neg) =>
+      val draw = ((id % 1000003L) * 2654435761L + j * 40503L) % 1000000007L % n
+      val expected = if (draw == id) (draw + 1) % n else draw
+      assert(neg == expected, s"anchor $id draw $j")
+      assert(neg != id && neg >= 0 && neg < n, s"anchor $id: negative $neg out of contract")
+    }
+    // the collision repair actually fires somewhere (non-vacuous)
+    assert(rows.exists { case (id, j, _) =>
+      ((id % 1000003L) * 2654435761L + j * 40503L) % 1000000007L % n == id
+    } || docs.size < 100, "no draw ever collided — repair path untested at this scale")
+  }
+
+  // ---- q115 ----------------------------------------------------------
+
+  test("q115: hard negatives are the nearest DIFFERENT-label vectors, exactly top-3") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = vecs.filter(_._1 < 50).flatMap { case (qid, qlab, qe) =>
+      vecs.filter(_._2 != qlab)
+        .map { case (cid, _, ce) => (cid, cos(qe, ce)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(3).zipWithIndex
+        .map { case ((cid, s), i) => (qid, i + 1L, cid) }
+    }.toSet
+    val got = q("q115_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // every result really crosses labels
+    val label = vecs.map(v => v._1 -> v._2).toMap
+    got.foreach { case (qid, _, cid) => assert(label(qid) != label(cid)) }
+  }
+
   // ---- q110 ----------------------------------------------------------
 
   test("q110: entity groups honor the fuzzy pairs, min-key survivorship, and singleton identity") {

@@ -70,7 +70,8 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // query-side broadcasts in the ANN scorers (|Q| = 5 probe vectors /
     // nlist centroids) — everything else going cartesian is a planning
     // regression that would explode at scale.
-    val sanctioned = Set("q18_ann_bruteforce", "q19_ann_lsh", "q19b_ann_ivf")
+    val sanctioned = Set("q18_ann_bruteforce", "q19_ann_lsh", "q19b_ann_ivf",
+      "q115_hard_negatives") // |Q| = 50 probes broadcast — bounded by construction
     val failures = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(sanctioned)
       .flatMap { q =>
