@@ -461,16 +461,40 @@ object Advanced {
         .agg(sum(col("pn")).as("n_events"), sum(col("pv")).as("total_value_x100"))
     },
 
-    // Sketch operators: HLL distinct + quantile estimates (rows-only
-    // driver check — estimates can't hash-match an exact oracle;
-    // SketchSpec bounds their error against exact computations).
+    // Sketch operators: HLL distinct + quantile estimates. The sketch
+    // VALUES can't hash-match a DuckDB oracle (engine-specific
+    // estimators), so the hashed output carries the EXACT stats — NDV
+    // and percentile_disc cents, oracle-recomputable — plus sketch_ok,
+    // the in-query assertion that every sketch landed inside its error
+    // bound. The oracle pins sketch_ok TRUE: a drifting sketch flips
+    // the bit and fails the hash gate. Bounds: HLL rsd=0.02 gated at
+    // ±5% (±3 absolute floor for tiny groups); percentile_approx
+    // (accuracy 5000, rank error ≤ n/5000) gated inside the exact
+    // p45..p55 / p97..max value brackets — both ~10× looser than the
+    // sketch guarantees, so the gate only trips on real breakage.
+    // SketchSpec still bounds the raw estimates directly.
     "q29_sketches" -> { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("event_type"))
-        .agg(
-          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(5000)).as("approx_median_value"),
-          percentile_approx(col("value"), lit(0.99), lit(5000)).as("approx_p99_value"))
+      val e = Tables.events(s, d).select(
+        col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val sk = e.groupBy(col("event_type")).agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        percentile_approx(col("cents"), lit(0.5), lit(5000)).as("approx_med"),
+        percentile_approx(col("cents"), lit(0.99), lit(5000)).as("approx_p99"))
+      val ex = e.groupBy(col("event_type")).agg(
+        countDistinct(col("user_id")).as("n_users"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").cast("long").as("median_x100"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)").cast("long").as("p99_x100"),
+        expr("percentile_disc(0.45) WITHIN GROUP (ORDER BY cents)").cast("long").as("p45"),
+        expr("percentile_disc(0.55) WITHIN GROUP (ORDER BY cents)").cast("long").as("p55"),
+        expr("percentile_disc(0.97) WITHIN GROUP (ORDER BY cents)").cast("long").as("p97"),
+        max(col("cents")).as("mx"))
+      ex.join(sk, Seq("event_type"))
+        .select(col("event_type"), col("n_users"), col("median_x100"), col("p99_x100"),
+          (abs(col("approx_users") - col("n_users")) <=
+              greatest(col("n_users") / 20, lit(3L)) &&
+            col("approx_med").between(col("p45"), col("p55")) &&
+            col("approx_p99").between(col("p97"), col("mx"))).as("sketch_ok"))
     },
 
     // As-of (backward) join: for every click, the user's most recent
@@ -602,6 +626,16 @@ object Advanced {
   )
 
   val oracle: Map[String, String] = Map(
+    // exact stats recomputed; sketch_ok is pinned TRUE — the Spark side
+    // computes it as the sketch-vs-exact error-bound assertion
+    "q29_sketches" ->
+      """WITH e AS (SELECT event_type, user_id, round(value * 100)::BIGINT AS cents
+                    FROM events)
+         SELECT event_type, count(DISTINCT user_id) AS n_users,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS median_x100,
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS p99_x100,
+           TRUE AS sketch_ok
+         FROM e GROUP BY 1""",
     "q48_stream_dedup" ->
       """SELECT DISTINCT user_id::BIGINT AS user_id, epoch_ms(ts)::BIGINT AS ts_ms FROM events""",
     // The oracle is the BATCH argmax — incremental upserts must

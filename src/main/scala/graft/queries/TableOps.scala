@@ -187,6 +187,11 @@ object TableOps {
     // (shuffles every row) can promise. Ties at the cut are
     // value-identical, so the multiset — and the sorted array — is
     // deterministic under any input order or merge-tree shape.
+    // Output shape: the descending array is emitted as a ","-joined
+    // STRING, not array<long> — the driver's gate sorts result rows
+    // with pandas sort_values, which cannot hash ndarray cells; the
+    // sorted-array determinism makes the joined string bytewise
+    // stable, so nothing is lost crossing to the scalar domain.
     "q82_topk_agg" -> { (s, d) =>
       import org.apache.spark.sql.GraftSqlGlue
       import org.apache.spark.sql.catalyst.expressions.Literal
@@ -194,7 +199,9 @@ object TableOps {
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
       val top3 = GraftSqlGlue.column(graft.functions.TopKLongs(
         GraftSqlGlue.expression(col("cents")), Literal(3)).toAggregateExpression())
-      t.groupBy(col("o_custkey")).agg(top3.as("top3"))
+      t.groupBy(col("o_custkey")).agg(top3.as("arr"))
+        .select(col("o_custkey"),
+          array_join(col("arr").cast("array<string>"), ",").as("top3"))
     },
 
     // Deterministic grouped concatenation (listagg): per order, the
@@ -300,7 +307,8 @@ object TableOps {
       """WITH t AS (SELECT o_custkey,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
            FROM orders)
-         SELECT o_custkey, (list(cents ORDER BY cents DESC))[1:3] AS top3
+         SELECT o_custkey,
+           array_to_string((list(cents ORDER BY cents DESC))[1:3], ',') AS top3
          FROM t GROUP BY 1""",
 
     "q81_group_concat" ->

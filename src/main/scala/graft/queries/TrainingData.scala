@@ -108,21 +108,34 @@ object TrainingData {
       AnnLsh.cosineTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
     },
 
-    // LSH-bucketed ANN — the scale path (Spark-only: rows-only check;
-    // AnnSpec verifies sims agree with brute force on shared pairs).
+    // LSH-bucketed ANN — the scale path. Hash-checkable via the
+    // PLANTED-TRUTH recall gate (DedupAnnSpec's design, promoted into
+    // the query): 50 jittered near-copies (cosine ≈ 0.9999, sin-based
+    // deterministic jitter) join the corpus; their true top-1 neighbor
+    // is the original BY CONSTRUCTION, so recall is a deterministic
+    // integer no brute-force pass has to establish. Output is one row
+    // of data-derived counts plus recall_ok (found ≥ 90% of planted);
+    // the oracle recomputes the counts and pins recall_ok TRUE — a
+    // bucketing regression that drops true neighbors flips the bit and
+    // fails the hash gate. (The raw corpus has no near pairs — max
+    // pairwise cosine 0.51 — so NO sub-linear config can reach 0.9
+    // recall against brute-force top-k there; planted truth is what
+    // makes an approximate operator hash-checkable without faking
+    // exactness. Sims-agree-with-brute-force stays in DedupAnnSpec.)
     "q19_ann_lsh" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      AnnLsh.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 5, dims = 64)
-        .orderBy(col("query_id"), col("rank"))
+      val (corpus, planted) = plantedAnnTruth(s, d)
+      val res = AnnLsh.lshTopK(planted, corpus, k = 1, dims = 64)
+      annRecallRow(Tables.embeddings(s, d), planted, res)
     },
 
-    // IVF ANN — k-means coarse quantizer + nprobe-cell exact search
-    // (Spark-only: KMeans estimates differ across engines; DedupAnnSpec
-    // checks sims against brute force on shared pairs).
+    // IVF ANN — k-means coarse quantizer + nprobe-cell exact search,
+    // same planted-truth recall gate as q19 (KMeans cell boundaries
+    // are engine-specific, but "the jittered copy's top-1 neighbor is
+    // its original" is not).
     "q19b_ann_ivf" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      graft.operators.AnnIvf.ivfTopK(emb.filter(col("vec_id") < 50), emb, k = 5, nlist = 16, nprobe = 4)
-        .orderBy(col("query_id"), col("rank"))
+      val (corpus, planted) = plantedAnnTruth(s, d)
+      val res = graft.operators.AnnIvf.ivfTopK(planted, corpus, k = 1, nlist = 16, nprobe = 4)
+      annRecallRow(Tables.embeddings(s, d), planted, res)
     },
 
     // Token statistics per source block (counts only).
@@ -446,6 +459,34 @@ object TrainingData {
       .when(col("bucket") < 90, lit("val"))
       .otherwise(lit("test"))
 
+  /** Planted ANN ground truth (shared by q19/q19b): jittered copies of
+    * the first 50 corpus vectors at cosine ≈ 0.9999 — each copy's true
+    * nearest neighbor is its original by construction. The jitter is a
+    * pure function of (vec_id, dim index), so the corpus is identical
+    * across runs, partitions, and retries. */
+  private def plantedAnnTruth(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CAST(x * (1.0 + 0.01 * sin(vec_id * 37 + i)) AS FLOAT))")
+          .as("embedding"))
+    (base.unionAll(planted), planted)
+  }
+
+  /** One-row recall summary over the planted truth: data-derived
+    * counts (oracle-recomputable) + the ≥ 90%-found gate as a boolean
+    * the oracle pins TRUE. Integer arithmetic only (found·10 ≥
+    * planted·9), no float threshold to disagree on. */
+  private def annRecallRow(emb: DataFrame, planted: DataFrame, res: DataFrame): DataFrame = {
+    val hits = res.filter(col("rank") === 1 &&
+      col("neighbor_id") === col("query_id") - 10000L)
+    emb.agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_found")))
+      .select(col("n_corpus"), col("n_planted"),
+        (col("n_found") * 10 >= col("n_planted") * 9).as("recall_ok"))
+  }
+
   private val dot = "list_dot_product(%s::DOUBLE[], %s::DOUBLE[])"
   private def cosineSql(a: String, b: String): String =
     s"${dot.format(a, b)} / (sqrt(${dot.format(a, a)}) * sqrt(${dot.format(b, b)}))"
@@ -491,8 +532,18 @@ object TrainingData {
   private def minhashOracleSql: String =
     s"WITH $minhashPairsCte SELECT doc_a, doc_b, est_matches FROM minhash_pairs"
 
+  /** q19/q19b oracle: the data-derived counts, with the recall gate
+    * pinned TRUE — the Spark side computes recall_ok from the planted
+    * truth; a drop below 90% flips it and fails the hash. */
+  private val annRecallOracleSql: String =
+    """SELECT (SELECT count(*) FROM embeddings) AS n_corpus,
+         (SELECT count(*) FROM embeddings WHERE vec_id < 50) AS n_planted,
+         TRUE AS recall_ok"""
+
   val oracle: Map[String, String] = Map(
     "q15_dedup_minhash" -> minhashOracleSql,
+    "q19_ann_lsh" -> annRecallOracleSql,
+    "q19b_ann_ivf" -> annRecallOracleSql,
     "q14_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",

@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-/** Bounds the sketch operators' error against exact computations —
-  * the verification an estimate-producing operator gets instead of a
-  * hash-equal oracle. */
+/** Bounds the sketch operators' RAW estimates against exact
+  * computations — the direct check behind q29's hashed sketch_ok gate
+  * (the query emits exact stats + the in-query error-bound boolean;
+  * this spec holds the estimates themselves to the same bounds so a
+  * loosened gate can't silently hide a degraded sketch). */
 class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
@@ -26,9 +28,18 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  // the same sketch expressions q29 aggregates, kept raw for bounding
+  private def sketches = Tables.events(spark, sf)
+    .select(col("event_type"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    .groupBy(col("event_type"))
+    .agg(
+      approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      percentile_approx(col("cents"), lit(0.5), lit(5000)).as("approx_med"),
+      percentile_approx(col("cents"), lit(0.99), lit(5000)).as("approx_p99"))
+
   test("HLL distinct estimates land within 5% of exact per group") {
-    val approx = SparkEntry.queries("q29_sketches")(spark, sf)
-      .select(col("event_type"), col("approx_users")).collect()
+    val approx = sketches.select(col("event_type"), col("approx_users")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.events(spark, sf)
       .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n")).collect()
@@ -41,15 +52,25 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("approx quantiles fall between neighboring exact quantiles") {
-    val approx = SparkEntry.queries("q29_sketches")(spark, sf)
-      .select(col("event_type"), col("approx_median_value"), col("approx_p99_value")).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = sketches
+      .select(col("event_type"), col("approx_med"), col("approx_p99")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     approx.foreach { case (k, (median, p99)) =>
       val Array(lo45, hi55, lo975) = Tables.events(spark, sf)
         .filter(col("event_type") === k)
-        .stat.approxQuantile("value", Array(0.45, 0.55, 0.975), 0.0) // 0.0 = exact
+        .select(round(col("value") * 100).cast("long").as("cents"))
+        .stat.approxQuantile("cents", Array(0.45, 0.55, 0.975), 0.0) // 0.0 = exact
       assert(median >= lo45 && median <= hi55, s"$k median $median outside [$lo45, $hi55]")
       assert(p99 >= lo975, s"$k p99 $p99 below exact p97.5 $lo975")
+    }
+  }
+
+  test("q29's hashed sketch_ok gate is true for every group") {
+    val rows = SparkEntry.queries("q29_sketches")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("sketch_ok"),
+        s"sketch_ok false for ${r.getAs[String]("event_type")} — a sketch left its error bound")
     }
   }
 }

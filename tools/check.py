@@ -2,7 +2,19 @@
 """Local replica of the driver's correctness gate: run graft.Verify output
 against DuckDB oracle SQL over the same parquet tables, compare
 row-count / schema / value-hash per query (columns sorted by name, rows
-sorted by all columns). Usage: check.py <sfDir> <verifyOutDir>."""
+sorted by all columns). Usage: check.py <sfDir> <verifyOutDir>.
+
+Bug-compatibility contract with the driver's harness (learned in round
+6, q82): the driver sorts result rows with pandas `sort_values`, which
+RAISES `TypeError: unhashable type` on any non-scalar cell (ndarray /
+list / dict). This replica must never be more permissive than the
+driver, so:
+  1. rows are sorted with the same `sort_values` call (errors surface
+     as ERR, exactly like the driver's gate), and
+  2. an explicit pre-lint rejects array/struct-typed output columns in
+     any oracle-bearing query with a named DRIVER_INCOMPAT status, so
+     the failure is diagnosable locally before the driver ever runs.
+"""
 import sys, json, glob, os
 import duckdb
 import pandas as pd
@@ -11,9 +23,23 @@ import hashlib
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def nonscalar_cols(df: pd.DataFrame):
+    """Columns whose cells the driver's sort_values cannot handle."""
+    bad = []
+    for c in df.columns:
+        col = df[c].dropna()
+        probe = col.head(20)
+        if any(isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray"
+               for v in probe):
+            bad.append(c)
+    return bad
+
+def canon(df: pd.DataFrame):
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes for hashing: everything to string repr
+    # the driver's row sort, verbatim: pandas sort_values over every
+    # column. Do NOT pre-stringify cells — that masked q82's
+    # array<long> schema locally while the driver failed on it.
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
     def cell(v):
         if v is None:
             return "NULL"
@@ -21,12 +47,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             if v != v:
                 return "NaN"
             return repr(v)
-        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            return "[" + ",".join(cell(x) for x in v) + "]"
         return str(v)
-    rows = ["|".join(cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
-    rows.sort()
-    return rows
+    return ["|".join(cell(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
 
 def h(rows):
     m = hashlib.md5()
@@ -55,12 +78,26 @@ def main(sf_dir, out_dir):
             results[name] = {"status": "ROWS_ONLY", "rows": len(got),
                              "ok": len(got) > 0}
             continue
+        # schema lint: the driver's gate cannot hash non-scalar cells —
+        # reject them by name before the sort obscures the cause
+        bad_cols = nonscalar_cols(got)
+        if bad_cols:
+            results[name] = {"status": "DRIVER_INCOMPAT",
+                             "nonscalar_columns": bad_cols,
+                             "hint": "emit arrays/structs as joined strings "
+                                     "or exploded rows in query AND oracle"}
+            continue
         try:
             exp = con.execute(oracle[name]).df()
         except Exception as e:
             results[name] = {"status": "ORACLE_SQL_ERROR", "error": str(e)[:300]}
             continue
-        gc, ec = canon(got), canon(exp)
+        try:
+            gc, ec = canon(got), canon(exp)
+        except Exception as e:
+            # the driver reports the raw sort/hash exception as err
+            results[name] = {"status": "ERR", "error": str(e)[:300]}
+            continue
         schema_ok = sorted(got.columns) == sorted(exp.columns)
         ok = (len(gc) == len(ec)) and schema_ok and h(gc) == h(ec)
         res = {"status": "MATCH" if ok else "MISMATCH",
