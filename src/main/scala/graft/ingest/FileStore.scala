@@ -26,6 +26,16 @@ import scala.jdk.CollectionConverters._
   * HBase/Bigtable client behind the same [[Store]] trait — the spec
   * suite pins the contract, not the storage.
   */
+object FileStore {
+  /** The cell-file naming digest. Public because the read face
+    * ([[graft.sources.CellsSource]]) must route rowkey point lookups
+    * to the SAME digest shard the writer used — a single definition
+    * keeps write placement and read pruning in lockstep. */
+  def keyDigest(rowkey: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(rowkey)
+      .map(b => f"$b%02x").mkString
+}
+
 final case class FileStore(rootDir: String) extends Store {
 
   private def tableDir(tableName: String): Path =
@@ -35,8 +45,7 @@ final case class FileStore(rootDir: String) extends Store {
   private def hex(bytes: Array[Byte]): String =
     bytes.map(b => f"$b%02x").mkString
 
-  private def keyDigest(rowkey: Array[Byte]): String =
-    hex(java.security.MessageDigest.getInstance("SHA-256").digest(rowkey))
+  private def keyDigest(rowkey: Array[Byte]): String = FileStore.keyDigest(rowkey)
 
   private def cellPath(c: CellPut): Path = {
     val d = keyDigest(c.rowkey)

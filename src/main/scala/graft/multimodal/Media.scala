@@ -91,9 +91,17 @@ object Media {
     import spark.implicits._
     media.repartition(partitions, col("media_id"))
       .mapPartitions(_.map { row =>
+        // zero/negative hints would divide-by-zero inside the task;
+        // fail with the offending row named, not an ArithmeticException
+        require(row.meta.widthHint > 0 && row.meta.heightHint > 0,
+          s"media_id=${row.media_id}: non-positive dimension hints " +
+            s"${row.meta.widthHint}x${row.meta.heightHint}")
         val n = row.payload.length
-        val ideal = (n.toLong * tw * th) / (row.meta.widthHint.toLong * row.meta.heightHint)
-        val outLen = math.min(math.max(1L, ideal), n.toLong).toInt
+        // BigInt intermediate: n·tw·th overflows Long for large target
+        // dims; outLen is ≤ n so the final value always fits an Int
+        val ideal = (BigInt(n) * tw * th /
+          (BigInt(row.meta.widthHint) * row.meta.heightHint)).min(BigInt(n)).toLong
+        val outLen = math.max(1L, ideal).toInt
         ResizedMedia(row.media_id, tw, th, n.toLong, outLen.toLong,
           java.util.Arrays.copyOf(row.payload, outLen))
       })

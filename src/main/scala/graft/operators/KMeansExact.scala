@@ -66,6 +66,10 @@ object KMeansExact {
       q.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), posexplode(col("qv")).as(Seq("pos0", "cq")))
         .select(col("cid"), (col("pos0") + 1).cast("long").as("pos"), col("cq"))))
+    // sparse or offset ids would seed < k clusters and make nearest()
+    // return garbage silently — contract violations fail fast instead
+    require(cents.cids.length == k,
+      s"seeding expects dense 0-based vec_ids: found ${cents.cids.length} of $k seed vectors with vec_id < $k")
 
     def nearest(c: Column): Column =
       org.apache.spark.sql.GraftSqlGlue.column(

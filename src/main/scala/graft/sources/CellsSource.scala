@@ -6,7 +6,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import java.nio.file.{Files, Path, Paths}
@@ -28,7 +28,15 @@ import scala.jdk.CollectionConverters._
   *    cell name, so out-of-range cells are never opened (at HBase
   *    scale this is the time-travel read path touching only the
   *    as-of slice). Fully handled — nothing residual for Spark to
-  *    re-filter.
+  *    re-filter. Strict bounds saturate at the Long extremes (no
+  *    v±1 wraparound admitting the whole table).
+  *  - **rowkey `=` / `IN` route to the digest shard** — the same
+  *    `FileStore.keyDigest` the writer used for placement resolves a
+  *    point probe to 1 shard directory (and within it, only the
+  *    probed key's cell files), instead of listing all 256 shards —
+  *    the get-by-key read path. Rowkey predicates stay residual, so
+  *    Spark re-checks the bytes on survivors and correctness never
+  *    rests on digest uniqueness.
   *  - **column pruning cuts I/O, not just rows**: without `body` the
   *    reader stops after the length-prefixed key; with only `version`
   *    requested it never reads file CONTENT at all (the version is in
@@ -87,7 +95,12 @@ case class CellsWriteBuilder(root: String, table: String, schema: StructType) ex
 
 case class CellsBatchWrite(root: String, table: String, schema: StructType) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    require(schema.fieldNames.toSeq == Seq("rowkey", "version", "body"),
+    // names AND types, driver-side: a STRING rowkey or INT version
+    // would otherwise surface as an opaque executor ClassCastException
+    // from r.getBinary/getLong mid-write
+    require(
+      schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        Seq(("rowkey", BinaryType), ("version", LongType), ("body", BinaryType)),
       s"graft-cells writes (rowkey BINARY, version BIGINT, body BINARY); got ${schema.simpleString}")
     // driver-side, once: the DDL write (W3) — executors only put cells
     graft.ingest.FileStore(root).ensureTable(table, graft.ingest.PushTableSink.TableSpec())
@@ -106,6 +119,11 @@ case class CellsWriterFactory(root: String, table: String) extends DataWriterFac
       private val MaxBatchBytes = 100000000L // W1: the reference's put-batch cap
 
       override def write(r: InternalRow): Unit = {
+        // nullable input passes the driver-side schema check (Spark
+        // marks most derived columns nullable); a null CELL must fail
+        // with a named error, not an NPE from getBinary
+        require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+          "graft-cells: null rowkey/version/body cell — cells are non-nullable")
         val cell = graft.ingest.PushTableSink.CellPut(
           table, r.getBinary(0), r.getLong(1), r.getBinary(2))
         buf += cell
@@ -128,6 +146,10 @@ case class CellsScanBuilder(root: String, table: String) extends ScanBuilder
 
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
+  // rowkey point predicates, resolved to cell-file digests: None = no
+  // rowkey predicate, Some(set) = only these digests can match (an
+  // empty set is a provably-empty scan)
+  private var keyDigests: Option[Set[String]] = None
   private var pushed = Array.empty[Filter]
   private var required: StructType = CellsSource.Schema
 
@@ -139,6 +161,19 @@ case class CellsScanBuilder(root: String, table: String) extends ScanBuilder
     case _ => None
   }
 
+  private def bytesOf(v: Any): Option[Array[Byte]] = v match {
+    case b: Array[Byte] => Some(b)
+    case _ => None
+  }
+
+  private def intersectDigests(ds: Set[String]): Unit =
+    keyDigests = Some(keyDigests.fold(ds)(_ intersect ds))
+
+  // strict bound x < v / x > v: saturate at the Long extremes instead
+  // of computing v∓1 — the wrapped bound would silently ADMIT all rows
+  // (version filters are fully pushed, Spark never re-filters)
+  private def markEmpty(): Unit = { lo = Long.MaxValue; hi = Long.MinValue }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = Array.newBuilder[Filter]
     val accepted = Array.newBuilder[Filter]
@@ -146,13 +181,28 @@ case class CellsScanBuilder(root: String, table: String) extends ScanBuilder
       case f @ EqualTo("version", v) if longOf(v).isDefined =>
         val x = longOf(v).get; lo = math.max(lo, x); hi = math.min(hi, x); accepted += f
       case f @ GreaterThan("version", v) if longOf(v).isDefined =>
-        lo = math.max(lo, longOf(v).get + 1); accepted += f
+        val x = longOf(v).get
+        if (x == Long.MaxValue) markEmpty() else lo = math.max(lo, x + 1)
+        accepted += f
       case f @ GreaterThanOrEqual("version", v) if longOf(v).isDefined =>
         lo = math.max(lo, longOf(v).get); accepted += f
       case f @ LessThan("version", v) if longOf(v).isDefined =>
-        hi = math.min(hi, longOf(v).get - 1); accepted += f
+        val x = longOf(v).get
+        if (x == Long.MinValue) markEmpty() else hi = math.min(hi, x - 1)
+        accepted += f
       case f @ LessThanOrEqual("version", v) if longOf(v).isDefined =>
         hi = math.min(hi, longOf(v).get); accepted += f
+      // rowkey point lookups route to their digest SHARD (and file):
+      // the same FileStore.keyDigest the writer used for placement, so
+      // an equality/IN probe opens 1 shard directory instead of all
+      // 256. Kept in the residual set — Spark re-checks the bytes on
+      // the survivors, so correctness never rests on digest uniqueness.
+      case f @ EqualTo("rowkey", v) if bytesOf(v).isDefined =>
+        intersectDigests(Set(graft.ingest.FileStore.keyDigest(bytesOf(v).get)))
+        accepted += f; residual += f
+      case f @ In("rowkey", vs) if vs.nonEmpty && vs.forall(bytesOf(_).isDefined) =>
+        intersectDigests(vs.map(v => graft.ingest.FileStore.keyDigest(bytesOf(v).get)).toSet)
+        accepted += f; residual += f
       case other => residual += other
     }
     pushed = accepted.result()
@@ -161,15 +211,21 @@ case class CellsScanBuilder(root: String, table: String) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = CellsScan(root, table, lo, hi, required)
+  override def build(): Scan = CellsScan(root, table, lo, hi, keyDigests, required)
 }
 
-case class CellsScan(root: String, table: String, lo: Long, hi: Long, required: StructType)
+case class CellsScan(root: String, table: String, lo: Long, hi: Long,
+                     keyDigests: Option[Set[String]], required: StructType)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-cells table=$table version=[$lo,$hi] cols=[${required.fieldNames.mkString(",")}]"
+    s"graft-cells table=$table version=[$lo,$hi]" +
+      keyDigests.fold("")(d => s" keys=${d.size}") +
+      s" cols=[${required.fieldNames.mkString(",")}]"
+
+  private def digestMatches(name: String, dot: Int): Boolean =
+    keyDigests.forall(_.contains(name.take(dot)))
 
   /** Exact post-pruning statistics from the directory listing alone
     * (cell count and byte size are filename/metadata reads — no file
@@ -188,7 +244,7 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long, required: 
           try s.iterator().asScala.foreach { p =>
             val name = p.getFileName.toString
             val dot = name.lastIndexOf('.')
-            if (dot > 0 && !name.endsWith(".tmp"))
+            if (dot > 0 && !name.endsWith(".tmp") && digestMatches(name, dot))
               name.drop(dot + 1).toLongOption.foreach { v =>
                 if (v >= lo && v <= hi) { n += 1; b += Files.size(p) }
               }
@@ -204,21 +260,27 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long, required: 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = Paths.get(root, table.replace(':', '~'))
     if (!Files.isDirectory(dir)) return Array.empty
+    // a rowkey point lookup plans ONLY its digest shard(s) — 1 input
+    // partition instead of 256 (the get-by-key read path at HBase
+    // scale: a region-server point read, not a table scan)
+    val wantShards = keyDigests.map(_.map(_.take(2)))
     val shards = Files.list(dir)
     try shards.iterator().asScala
       .filter(Files.isDirectory(_))
+      .filter(p => wantShards.forall(_.contains(p.getFileName.toString)))
       .map(p => CellsShard(p.toString): InputPartition)
       .toArray
     finally shards.close()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CellsReaderFactory(lo, hi, required.fieldNames)
+    CellsReaderFactory(lo, hi, keyDigests, required.fieldNames)
 }
 
 case class CellsShard(dir: String) extends InputPartition
 
-case class CellsReaderFactory(lo: Long, hi: Long, cols: Array[String])
+case class CellsReaderFactory(lo: Long, hi: Long, keyDigests: Option[Set[String]],
+                              cols: Array[String])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -233,6 +295,7 @@ case class CellsReaderFactory(lo: Long, hi: Long, cols: Array[String])
             val n = p.getFileName.toString
             val dot = n.lastIndexOf('.')
             if (dot <= 0 || n.endsWith(".tmp")) None
+            else if (!keyDigests.forall(_.contains(n.take(dot)))) None // point lookup: only the probed key's cells
             else n.drop(dot + 1).toLongOption.collect {
               case v if v >= lo && v <= hi => (p, v) // filename prune — not opened
             }

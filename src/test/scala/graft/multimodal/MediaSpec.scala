@@ -102,6 +102,23 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.foreach(r => assert(again(r.media_id) == r.payload.toSeq))
   }
 
+  test("resize rejects zero dimension hints with the offending row named; huge target dims don't overflow") {
+    val sp = spark; import sp.implicits._
+    val bad = Seq(MediaRow(99L, MediaMeta("image", 0, 480, 0), Array[Byte](1, 2, 3))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Media.resize(bad, tw = 64, th = 48, partitions = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("media_id=99") && m.contains("dimension hints")),
+      messages(e).mkString(" | "))
+    // n·tw·th would overflow Long pre-fix (2^31-scale targets); the
+    // BigInt intermediate must still cap at the source length
+    val media = syntheticMedia(spark, 3)
+    val out = Media.resize(media, tw = Int.MaxValue, th = Int.MaxValue, partitions = 1).collect()
+    out.foreach(r => assert(r.n_bytes_out == r.n_bytes_in, s"media ${r.media_id} overflowed"))
+  }
+
   test("frame sampling emits every k-th block for video rows only") {
     val media = syntheticMedia(spark, 30)
     val frames = sampleFrames(media, everyK = 2).collect()

@@ -86,22 +86,81 @@ class CellsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("statistics report exact post-pruning row counts from the listing (no content reads)") {
     CellsSource.filesOpened.set(0)
-    val all = CellsScan(root, table, Long.MinValue, Long.MaxValue, CellsSource.Schema)
+    val all = CellsScan(root, table, Long.MinValue, Long.MaxValue, None, CellsSource.Schema)
       .estimateStatistics()
     assert(all.numRows().getAsLong == 120)
     assert(all.sizeInBytes().getAsLong > 0)
-    val sliced = CellsScan(root, table, Long.MinValue, 200L, CellsSource.Schema)
+    val sliced = CellsScan(root, table, Long.MinValue, 200L, None, CellsSource.Schema)
       .estimateStatistics()
     assert(sliced.numRows().getAsLong == 6, s"got ${sliced.numRows()}") // k=0,1 × 3 versions
     assert(CellsSource.filesOpened.get() == 0, "statistics opened cell files")
   }
 
   test("scan parallelism is one partition per shard directory") {
-    val scan = CellsScan(root, table, Long.MinValue, Long.MaxValue, CellsSource.Schema)
+    val scan = CellsScan(root, table, Long.MinValue, Long.MaxValue, None, CellsSource.Schema)
     val parts = scan.planInputPartitions()
     val shardDirs = new java.io.File(s"$root/${table.replace(':', '~')}")
       .listFiles().count(_.isDirectory)
     assert(parts.length == shardDirs && parts.nonEmpty)
+  }
+
+  test("rowkey point lookup plans ONLY its digest shard and opens only that key's cells") {
+    val key = "rowkey-7".getBytes("UTF-8")
+    // planning face: 1 input partition, not one per shard
+    val sb = CellsScanBuilder(root, table)
+    val residual = sb.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("rowkey", key)))
+    assert(residual.nonEmpty, "rowkey equality must stay residual — Spark re-checks the bytes")
+    val parts = sb.build().asInstanceOf[CellsScan].planInputPartitions()
+    assert(parts.length == 1, s"point lookup planned ${parts.length} shards, want 1")
+    // end-to-end: correct rows, and only the probed key's 3 version
+    // cells are opened (not the shard's other keys, not 120 files)
+    CellsSource.filesOpened.set(0)
+    val rows = read.filter(col("rowkey") === lit(key)).collect()
+    assert(rows.map(_.getLong(1)).toSet == Set(701L, 702L, 703L))
+    assert(CellsSource.filesOpened.get() == 3,
+      s"opened ${CellsSource.filesOpened.get()} files for a 3-version point lookup")
+  }
+
+  test("rowkey IN-list routes to the union of digest shards with correct rows") {
+    val keys = Seq("rowkey-3", "rowkey-29").map(_.getBytes("UTF-8"))
+    val rows = read.filter(col("rowkey").isin(keys: _*)).collect()
+    assert(rows.map(_.getLong(1)).toSet == Set(301L, 302L, 303L, 2901L, 2902L, 2903L))
+    val sb = CellsScanBuilder(root, table)
+    sb.pushFilters(Array(org.apache.spark.sql.sources.In("rowkey", keys.toArray[Any])))
+    assert(sb.build().asInstanceOf[CellsScan].planInputPartitions().length <= 2)
+  }
+
+  test("strict version bounds at Long extremes saturate to an empty scan (no wraparound)") {
+    // pre-fix, v+1 / v-1 wrapped and the fully-pushed filter silently
+    // returned ALL rows
+    assert(read.filter(col("version") > lit(Long.MaxValue)).count() == 0)
+    assert(read.filter(col("version") < lit(Long.MinValue)).count() == 0)
+  }
+
+  test("write face rejects wrong column types at planning, null cells with a named error") {
+    val sp = spark; import sp.implicits._
+    val wroot = java.nio.file.Files.createTempDirectory("graft-cells-bad").toString
+    try {
+      val typed = Seq(("str-key", 1L, "b".getBytes("UTF-8"))).toDF("rowkey", "version", "body")
+      val e1 = intercept[Exception] {
+        typed.write.format("graft-cells").option("root", wroot).option("table", "bt")
+          .mode("append").save()
+      }
+      // Spark's DSv2 analysis rejects the unsafe STRING→BINARY cast
+      // even before the factory's own type require (which still guards
+      // direct-API misuse past the analyzer)
+      assert(e1.getMessage.contains("Cannot safely cast") ||
+        e1.getMessage.contains("graft-cells writes"), e1.getMessage)
+      val withNull = Seq((Option("k".getBytes("UTF-8")), 1L, Option.empty[Array[Byte]]))
+        .toDF("rowkey", "version", "body")
+      val e2 = intercept[Exception] {
+        withNull.write.format("graft-cells").option("root", wroot).option("table", "bt")
+          .mode("append").save()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e2).exists(_.contains("non-nullable")), messages(e2).mkString(" | "))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wroot))
   }
 
   test("write face: df.write lands cells readable back; a replayed write converges (idempotent)") {
