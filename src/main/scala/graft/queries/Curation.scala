@@ -372,26 +372,47 @@ object Curation {
 
     // Entity resolution end-to-end — the third pair-source composed
     // through connected components (after embeddings q40 and MinHash
-    // q102): q91's length-band-blocked edit-distance pairs become
+    // q102): q91's length-band-blocked edit-distance dictionary becomes
     // transitive entity groups, every record gets its entity id (the
     // min member key — singletons keep themselves), the entity size,
     // and the canonical name under a min-key survivorship rule. This
-    // is the record-linkage shape (block → match → cluster → survive)
-    // over a NUMERIC key domain whose pair generator is a string
-    // matcher; the oracle re-derives the same pairs and clusters them
-    // with a recursive CTE.
+    // is the record-linkage shape (block → match → cluster → survive).
+    //
+    // Scale shape — SUPERNODE CONTRACTION: records with identical
+    // (brand, name) are one connectivity node by construction (they
+    // pairwise match at dist 0), so CC runs over the distinct-key
+    // group graph — supernode id = the group's min record key — and
+    // the result broadcasts back onto records through one equi-join.
+    // Neither levenshtein NOR connectivity ever touches a fact row;
+    // on a 10×-duplicated corpus the edge stream shrinks ~100×
+    // (sf1 probe: 51.3M key pairs → the ~0.5M-edge name graph), and
+    // at 100 TB it is the difference between CC over 10^9 records and
+    // over the bounded name dictionary. Exactness: contraction
+    // preserves components (clone groups are cliques via their own
+    // dist-0 self pair; min-over-supernodes = min-over-keys because
+    // each supernode IS its group's min); the oracle still clusters
+    // the uncontracted q91 pairs with a recursive CTE.
     "q110_entity_resolution" -> { (s, d) =>
-      val pairs = JoinHardening.queries("q91_fuzzy_join")(s, d)
+      val p = Tables.part(s, d).select(col("p_partkey").as("key"),
+        col("p_name").as("name"), col("p_brand").as("brand"))
+      val supers = p.groupBy(col("brand"), col("name")).agg(min(col("key")).as("snode"))
+      val np = JoinHardening.fuzzyNamePairs(s, d).select(col("name_a"), col("name_b"))
+      val edges = supers.select(col("brand"), col("name").as("name_a"), col("snode").as("key_a"))
+        .join(broadcast(np), Seq("name_a"))
+        .join(supers.select(col("brand"), col("name").as("name_b"), col("snode").as("key_b")),
+          Seq("brand", "name_b"))
+        .filter(col("key_a") =!= col("key_b")) // drop the group's own dist-0 self pair
         .select(col("key_a"), col("key_b"))
-      val cc = DedupClusters.connectedComponents(pairs, "key_a", "key_b")
-      val parts = Tables.part(s, d).select(col("p_partkey").as("key"), col("p_name"))
-      val assigned = parts
-        .join(cc.withColumnRenamed("node", "key"), Seq("key"), "left")
-        .select(col("key"), coalesce(col("cluster_id"), col("key")).as("entity_id"))
+      val cc = DedupClusters.connectedComponents(edges, "key_a", "key_b")
+      val sassign = supers.join(cc.withColumnRenamed("node", "snode"), Seq("snode"), "left")
+        .select(col("brand"), col("name"),
+          coalesce(col("cluster_id"), col("snode")).as("entity_id"))
+      val assigned = p.join(sassign, Seq("brand", "name"))
+        .select(col("key"), col("entity_id"))
       val sizes = assigned.groupBy(col("entity_id")).agg(count(lit(1)).as("entity_size"))
       assigned
         .join(sizes, "entity_id")
-        .join(parts.select(col("key").as("entity_id"), col("p_name").as("canonical_name")),
+        .join(p.select(col("key").as("entity_id"), col("name").as("canonical_name")),
           "entity_id")
         .select(col("key"), col("entity_id"), col("entity_size"), col("canonical_name"))
     },

@@ -96,14 +96,7 @@ object JoinHardening {
       val p = Tables.part(s, d)
         .select(col("p_partkey").as("key"), col("p_name").as("name"),
           col("p_brand").as("brand"))
-      val names = p.select(col("name")).distinct()
-        .withColumn("band", expr("length(name) div 3"))
-      val na = names.select(col("name").as("name_a"),
-        explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
-      val np = na.join(names.select(col("name").as("name_b"), col("band")), Seq("band"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 3)
-        .select(col("name_a"), col("name_b"), col("dist"))
+      val np = fuzzyNamePairs(s, d)
       val a = p.select(col("key").as("key_a"), col("name").as("name_a"), col("brand"))
       val b = p.select(col("key").as("key_b"), col("name").as("name_b"), col("brand"))
       a.join(broadcast(np), Seq("name_a"))
@@ -112,6 +105,23 @@ object JoinHardening {
         .select(col("key_a"), col("key_b"), col("dist"))
     }
   )
+
+  /** The q91 fuzzy DICTIONARY: every ordered distinct-name pair within
+    * edit distance 3, found by length-band blocking (dist ≤ 3 forces
+    * |len(a)−len(b)| ≤ 3, so width-3 bands differ by ≤ 1 and the band
+    * equi-join meets every qualifying pair exactly once). Shared with
+    * q110, whose supernode contraction runs connectivity over this
+    * name-level graph instead of the fact rows. */
+  private[queries] def fuzzyNamePairs(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      .withColumn("band", expr("length(name) div 3"))
+    val na = names.select(col("name").as("name_a"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
+    na.join(names.select(col("name").as("name_b"), col("band")), Seq("band"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select(col("name_a"), col("name_b"), col("dist"))
+  }
 
   val oracle: Map[String, String] = Map(
 
