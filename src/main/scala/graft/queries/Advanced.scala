@@ -132,7 +132,7 @@ object Advanced {
         .parquet(d)
       val keyed = raw
         .select(col("user_id").cast("long").as("user_id"),
-          expr("ts div 1000000").as("ts_ms"))
+          Tables.tsAsMillis(raw).as("ts_ms"))
         .withColumn("ts_t", timestamp_millis(col("ts_ms")))
         .withWatermark("ts_t", "2 hours")
         .dropDuplicates("user_id", "ts_ms")
@@ -242,7 +242,7 @@ object Advanced {
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
       val events = raw.select(
-        timestamp_micros(expr("ts div 1000")).as("ts"),
+        Tables.tsAsTimestamp(raw).as("ts"),
         col("event_type"), col("value"))
       // state partitions sized to key cardinality (see q53's comment)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -288,10 +288,16 @@ object Advanced {
         org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
         java.nio.file.Files.createDirectories(stage)
         java.nio.file.Files.copy(src.toPath, stage.resolve("events.parquet"))
-        // sentinel: year-2100 nanos, schema-identical by construction
+        // sentinel: year 2100, written in the SOURCE's own ts encoding
+        // (nanos long for the driver files; timestamp/_NTZ for standard
+        // parquet) so the staged dir stays schema-homogeneous
+        val tsType = schema("ts").dataType
+        val sentinelTs =
+          if (tsType == org.apache.spark.sql.types.LongType) lit(4102444800000000000L)
+          else timestamp_micros(lit(4102444800000000L)).cast(tsType)
         s.read.parquet(src.getPath).limit(1)
           .withColumn("user_id", lit(-1L))
-          .withColumn("ts", lit(4102444800000000000L))
+          .withColumn("ts", sentinelTs)
           .write.mode("append").parquet(stage.toString)
         java.nio.file.Files.createFile(marker)
       }
@@ -301,7 +307,7 @@ object Advanced {
         .option("pathGlobFilter", "*.parquet")
         .parquet(stage.toString)
       val events = raw.select(
-        timestamp_micros(expr("ts div 1000")).as("ts"),
+        Tables.tsAsTimestamp(raw).as("ts"),
         col("user_id"), col("event_type"), col("value"))
       // streaming state partitions are fixed at query start from
       // spark.sql.shuffle.partitions — size them to the stream's key
@@ -339,12 +345,14 @@ object Advanced {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val ck = java.nio.file.Files.createTempDirectory("graft-q54-ck")
       val sinkName = "q54_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      def side(): DataFrame = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .select(col("user_id").cast("long").as("user_id"),
-          timestamp_micros(expr("ts div 1000")).as("ts"),
+      def side(): DataFrame = {
+        val raw = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+        raw.select(col("user_id").cast("long").as("user_id"),
+          Tables.tsAsTimestamp(raw).as("ts"),
           col("event_type"))
+      }
       val clicks = side().filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("click_ts"))
         .withWatermark("click_ts", "2 hours")
@@ -391,11 +399,12 @@ object Advanced {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val ck = java.nio.file.Files.createTempDirectory("graft-q56-ck")
       val sinkName = "q56_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val raw = s.readStream.schema(schema)
+      val raw0 = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
+      val raw = raw0
         .select(col("user_id").cast("long").as("user_id"),
-          expr("ts div 1000000").as("ts_ms"),
+          Tables.tsAsMillis(raw0).as("ts_ms"),
           col("event_type"))
       val dim = Tables.customer(s, d)
         .select(col("c_custkey").cast("long").as("c_custkey"), col("c_mktsegment"))

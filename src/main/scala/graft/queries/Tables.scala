@@ -21,12 +21,32 @@ object Tables {
     * to a microsecond TimestampType column here.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "events")
+    raw.withColumn("ts", tsAsTimestamp(raw))
+  }
+
+  /** The raw events `ts` as a microsecond TimestampType column,
+    * whichever way the parquet encoded it: TIMESTAMP(NANOS) surfaces
+    * as a nanos LONG under nanosAsLong=true (the driver files);
+    * standard MICROS/MILLIS parquet surfaces as TimestampType
+    * directly. Works on batch AND streaming frames — the streaming
+    * queries must not assume the exotic nanos encoding. */
+  def tsAsTimestamp(df: DataFrame): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
-    val raw = t(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    if (df.schema("ts").dataType == LongType) timestamp_micros(expr("ts div 1000"))
+    // micros/millis parquet reads as TIMESTAMP or (isAdjustedToUTC=0)
+    // TIMESTAMP_NTZ; with the session pinned to UTC the cast makes the
+    // NTZ wall-clock the same instant (the q69 convention)
+    else col("ts").cast("timestamp")
+  }
+
+  /** The raw events `ts` as epoch millis (long), either encoding. */
+  def tsAsMillis(df: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    if (df.schema("ts").dataType == LongType) expr("ts div 1000000")
+    else unix_millis(col("ts").cast("timestamp"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
