@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
-  private val StopWords = Seq("the", "a", "of", "to", "and")
+  // shared with Curation's q119 cascade — the rule sets must agree
+  private[queries] val StopWords = Seq("the", "a", "of", "to", "and")
 
   // chunking geometry: 32-token windows advancing by 24 (8-token overlap)
   private val ChunkW = 32

@@ -451,6 +451,171 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
           md5(concat_ws(",", expr(
             "transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING))"))).as("id_digest"))
+    },
+
+    // Top-20 bigram collocations by pointwise mutual information — the
+    // phrase-mining / tokenizer-merge-candidate pass. PMI is monotone
+    // in c_ab·N/(c_a·c_b), so the log never needs to be taken: the
+    // score is the pure-integer ((c_ab·10⁶ div c_a)·N) div c_b, staged
+    // so every intermediate stays ≤ 10⁶·N (no overflow at any corpus
+    // size, unlike c_ab·N·10⁶ first). A c_ab ≥ 5 support floor drops
+    // the noise pairs PMI is notorious for. Shape: one bigram explode →
+    // two partial-aggregable count shuffles → vocabulary-sized joins;
+    // the final top-20 is a TakeOrderedAndProject (never a global
+    // sort), totally ordered by (score, t1, t2) so the cut is
+    // deterministic. N is one bounded driver scalar (the q99 pattern).
+    "q116_collocations" -> { (s, d) =>
+      val toks = Tables.documents(s, d).select(split(col("text"), " ").as("ts"))
+      val nTotal = toks.agg(sum(size(col("ts")))).collect().head.getLong(0)
+      // explode a POSITION sequence, assemble bigrams per row (the q17
+      // lesson: exploding a transform array re-runs HOFs in Generate)
+      val bg = toks
+        .select(col("ts"), explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+        .select(element_at(col("ts"), col("i")).as("t1"),
+          element_at(col("ts"), col("i") + 1).as("t2"))
+      val cab = bg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val uni = toks.select(explode(col("ts")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      cab
+        .join(uni.select(col("t").as("t1"), col("c").as("c1")), "t1")
+        .join(uni.select(col("t").as("t2"), col("c").as("c2")), "t2")
+        .select(col("t1"), col("t2"), col("c_ab"),
+          expr(s"((c_ab * 1000000 div c1) * ${nTotal}L) div c2").as("score"))
+        .orderBy(col("score").desc, col("t1").asc, col("t2").asc)
+        .limit(20)
+    },
+
+    // Asymmetric CONTAINMENT join: ordered pairs where ≥ 50% of doc_a's
+    // shingles appear in doc_b — the quote/subset-duplication detector
+    // Jaccard misses (a short doc embedded in a long one has low
+    // Jaccard but full containment; C4/RefinedWeb curation removes
+    // these). Same inverted-index shape as q17 — only pairs that share
+    // a shingle are ever scored, threshold in multiply form (shared·100
+    // ≥ na·50, no division boundary) — but corpus-wide and DIRECTED
+    // (na normalizes, so (a,b) and (b,a) score differently). Posting
+    // lists here are near-unique; the stop-shingle df² escalation is
+    // q17's (prefix filtering / df cap), unchanged.
+    "q117_containment_join" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val inv = toks
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 2)).as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ",
+            element_at(col("toks"), col("i")),
+            element_at(col("toks"), col("i") + 1),
+            element_at(col("toks"), col("i") + 2)).as("shingle"))
+        .distinct()
+      val counts = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val shared = inv.select(col("shingle"), col("doc_id").as("doc_a"))
+        .hint("shuffle_hash") // q17's rationale: exploded build side, never broadcast
+        .join(inv.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      shared
+        .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .filter(col("shared") * 100 >= col("na") * 50)
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("na"),
+          expr("shared * 100 div na").as("cont"))
+    },
+
+    // N-gram novelty: what fraction of each document's distinct
+    // 3-shingles first appear HERE (global first occurrence = min
+    // doc_id over the corpus)? The crawl-ordering signal incremental
+    // curation ranks by — a doc that only repeats earlier n-grams is
+    // dead weight even when no single document duplicates it. Shape:
+    // two partial-aggregable shuffles (min per shingle, counts per
+    // doc); the shingle→first-doc table joins back by shingle, so no
+    // row ever meets more than its own shingles. Docs with no shingle
+    // (< 3 tokens) are vacuously 100% novel.
+    "q118_ngram_novelty" -> { (s, d) =>
+      val inv = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("toks")) - 2)).as("i"), col("toks"))
+        .select(col("doc_id"),
+          concat_ws(" ",
+            element_at(col("toks"), col("i")),
+            element_at(col("toks"), col("i") + 1),
+            element_at(col("toks"), col("i") + 2)).as("shingle"))
+        .distinct()
+      val firsts = inv.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+      val stats = inv.join(firsts, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        .withColumn("novelty_x100",
+          when(col("n_shingles") === 0, lit(100L))
+            .otherwise(expr("(n_novel * 100) div n_shingles")))
+    },
+
+    // Filter-cascade attrition: run the q57 gopher rules in their fixed
+    // order and attribute every rejected document to its FIRST failing
+    // rule, per source — the observability report a corpus filter ships
+    // with (which rule kills how much of which feed; a rule that kills
+    // 90% of one source is a bug in the rule or the feed). Narrow map →
+    // one partial-aggregable count shuffle; cardinality is
+    // |sources|×|rules|, never row-scale.
+    "q119_filter_cascade" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      val stopHits = size(array_distinct(
+        filter(toks, t => t.isin(Corpus.StopWords.map(x => x: Any): _*))))
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(toks).as("n_tokens"),
+          length(regexp_replace(col("text"), " ", "")).as("n_word_chars"),
+          size(array_distinct(toks)).as("n_distinct"),
+          stopHits.as("n_stop"))
+        .withColumn("stage",
+          when(!col("n_tokens").between(30, 90), lit("1_count"))
+            .when(col("n_word_chars") < col("n_tokens") * 4 ||
+                  col("n_word_chars") > col("n_tokens") * 5, lit("2_wordlen"))
+            .when(col("n_distinct") * 2 < col("n_tokens"), lit("3_distinct"))
+            .when(col("n_stop") < 2, lit("4_stop"))
+            .otherwise(lit("pass")))
+        .groupBy(col("source"), col("stage"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
+    // Per-source boilerplate candidates: the 10 bigrams with the
+    // highest document frequency inside each source — the C4
+    // boilerplate screen (nav bars, legal footers, templated intros
+    // repeat across a feed's pages, not across the web). Document
+    // frequency — distinct (doc, bigram) — not raw counts, so one
+    // spammy doc can't promote a phrase; top-k per source rather than
+    // a rate threshold, so the audit is non-vacuous at every corpus
+    // size (a fixed rate cut empties as df dilutes with scale). The
+    // window runs over per-source AGGREGATES (|bigram vocab| rows,
+    // never fact rows), totally ordered by (df desc, bigram).
+    "q120_boilerplate" -> { (s, d) =>
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"), col("toks"))
+        .select(col("doc_id"), col("source"),
+          concat_ws(" ",
+            element_at(col("toks"), col("i")),
+            element_at(col("toks"), col("i") + 1)).as("bigram"))
+        .distinct()
+      val perSource = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_src_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("df").desc, col("bigram").asc)
+      bg.groupBy(col("source"), col("bigram")).agg(count(lit(1)).as("df"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .join(perSource, "source")
+        .select(col("source"), col("rank"), col("bigram"), col("df"), col("n_src_docs"))
     }
   )
 
@@ -487,6 +652,89 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    // same staged integer PMI score; n_total cast out of HUGEINT
+    "q116_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+          bg AS (SELECT ts[i] AS t1, ts[i+1] AS t2
+                 FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i)),
+          cab AS (SELECT t1, t2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+          uni AS (SELECT t, count(*) AS c
+                  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1),
+          n AS (SELECT sum(c)::BIGINT AS n_total FROM uni)
+          SELECT t1, t2, c_ab,
+            (((c_ab * 1000000 // u1.c) * n.n_total) // u2.c)::BIGINT AS score
+          FROM cab JOIN uni u1 ON cab.t1 = u1.t JOIN uni u2 ON cab.t2 = u2.t, n
+          WHERE c_ab >= 5
+          ORDER BY score DESC, t1, t2 LIMIT 20""",
+
+    // inverted-index recomputation: exactly equivalent to the all-pairs
+    // scan because a pair sharing ZERO shingles has shared=0, which can
+    // never reach 50% of na ≥ 1 — only co-occurring pairs can qualify.
+    // (The naive `JOIN ON a.doc_id != b.doc_id` + list_intersect form is
+    // quadratic in documents and never finishes at sf0.1 in DuckDB.)
+    "q117_containment_join" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(
+             list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                    || ' ' || string_split(text, ' ')[i+2]))) AS shingle
+           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                   FROM sh a JOIN sh b USING (shingle)
+                   WHERE a.doc_id != b.doc_id GROUP BY 1, 2)
+         SELECT p.doc_a, p.doc_b, p.shared, c.n AS na,
+           (p.shared * 100) // c.n AS cont
+         FROM pairs p JOIN cnt c ON p.doc_a = c.doc_id
+         WHERE p.shared * 100 >= 50 * c.n""",
+
+    "q118_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+                FROM t WHERE len(ts) >= 3),
+         f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+         st AS (SELECT sh.doc_id, count(*) AS n_shingles,
+                  sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+                FROM sh JOIN f USING (shingle) GROUP BY 1)
+         SELECT d.doc_id, coalesce(st.n_shingles, 0)::BIGINT AS n_shingles,
+           coalesce(st.n_novel, 0)::BIGINT AS n_novel,
+           (CASE WHEN coalesce(st.n_shingles, 0) = 0 THEN 100
+                 ELSE (st.n_novel * 100) // st.n_shingles END)::BIGINT AS novelty_x100
+         FROM documents d LEFT JOIN st USING (doc_id)""",
+
+    // the q57 rule arithmetic verbatim, re-shaped into first-fail attribution
+    "q119_filter_cascade" ->
+      """WITH f AS (SELECT source,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(replace(text, ' ', '')) AS wc,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_distinct(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','to','and')))) AS n_stop
+           FROM documents)
+         SELECT source,
+           CASE WHEN n_tokens NOT BETWEEN 30 AND 90 THEN '1_count'
+                WHEN wc < n_tokens * 4 OR wc > n_tokens * 5 THEN '2_wordlen'
+                WHEN n_distinct * 2 < n_tokens THEN '3_distinct'
+                WHEN n_stop < 2 THEN '4_stop'
+                ELSE 'pass' END AS stage,
+           count(*)::BIGINT AS n_docs
+         FROM f GROUP BY 1, 2""",
+
+    "q120_boilerplate" ->
+      """WITH bg AS (SELECT DISTINCT doc_id, source,
+             unnest(list_transform(range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         dfx AS (SELECT source, bigram, count(*) AS df FROM bg GROUP BY 1, 2),
+         rk AS (SELECT source, bigram, df,
+                  row_number() OVER (PARTITION BY source ORDER BY df DESC, bigram) AS rank
+                FROM dfx),
+         ps AS (SELECT source, count(*) AS n_src_docs FROM documents GROUP BY 1)
+         SELECT rk.source, rk.rank::BIGINT AS rank, rk.bigram, rk.df::BIGINT AS df,
+           ps.n_src_docs::BIGINT AS n_src_docs
+         FROM rk JOIN ps USING (source) WHERE rk.rank <= 10""",
+
     // brute-force all-pairs hamming — the blocking must be invisible
     "q101_simhash_pairs" ->
       s"""WITH ${TrainingData.simhashSigCte},

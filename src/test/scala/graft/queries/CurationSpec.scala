@@ -353,6 +353,112 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byEntity.values.exists(_.length == 1), "vacuous: no singleton entity")
   }
 
+  // ---- q116 ----------------------------------------------------------
+
+  test("q116: PMI top-20 matches a brute-force integer recomputation") {
+    val texts = docs.values.map(_.split(" ", -1).toSeq).toSeq
+    val n = texts.map(_.length.toLong).sum
+    val uni = texts.flatten.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val cab = texts.flatMap(ts => ts.zip(ts.tail))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      .filter(_._2 >= 5L)
+    val expected = cab.toSeq.map { case ((t1, t2), c) =>
+      (t1, t2, c, ((c * 1000000L / uni(t1)) * n) / uni(t2))
+    }.sortBy { case (t1, t2, _, s) => (-s, t1, t2) }.take(20)
+    val got = q("q116_collocations").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "vacuous: support floor killed every bigram at this scale")
+  }
+
+  // ---- q117 ----------------------------------------------------------
+
+  test("q117: containment pairs match brute force; asymmetry is real") {
+    val shingles: Map[Long, Set[String]] = docs.collect {
+      case (id, text) if text.split(" ", -1).length >= 3 =>
+        val ts = text.split(" ", -1)
+        id -> ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val expected = (for {
+      (a, sa) <- shingles; (b, sb) <- shingles if a != b
+      shared = (sa & sb).size.toLong if shared * 100 >= 50L * sa.size
+    } yield (a, b, shared, sa.size.toLong, shared * 100 / sa.size)).toSet
+    val got = q("q117_containment_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+    // directedness: some (a,b) scores differently than its reverse
+    // (or the reverse fails the threshold entirely)
+    assert(expected.exists { case (a, b, _, _, cont) =>
+      !expected.exists(e => e._1 == b && e._2 == a && e._5 == cont)
+    } || expected.isEmpty, "vacuous: containment never asymmetric at this scale")
+  }
+
+  // ---- q118 ----------------------------------------------------------
+
+  test("q118: novelty matches brute-force first-occurrence attribution") {
+    val shingles: Map[Long, Set[String]] = docs.map { case (id, text) =>
+      val ts = text.split(" ", -1)
+      id -> (if (ts.length >= 3) ts.sliding(3).map(_.mkString(" ")).toSet else Set.empty[String])
+    }
+    val firstDoc: Map[String, Long] = shingles.toSeq
+      .flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).map { case (sh, xs) => sh -> xs.map(_._2).min }
+    val expected = shingles.map { case (id, ss) =>
+      val novel = ss.count(firstDoc(_) == id).toLong
+      val n = ss.size.toLong
+      (id, n, novel, if (n == 0) 100L else novel * 100 / n)
+    }.toSet
+    val got = q("q118_ngram_novelty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    // non-vacuous: somebody repeats and somebody innovates
+    assert(got.exists(_._4 < 100) && got.exists(_._4 > 0))
+  }
+
+  // ---- q119 ----------------------------------------------------------
+
+  test("q119: every doc lands on its FIRST failing q57 rule; totals partition the corpus") {
+    val meta = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val stop = Set("the", "a", "of", "to", "and")
+    val expected = meta.groupBy { case (src, text) =>
+      val ts = text.split(" ", -1)
+      val wc = text.replace(" ", "").length
+      val stage =
+        if (ts.length < 30 || ts.length > 90) "1_count"
+        else if (wc < ts.length * 4 || wc > ts.length * 5) "2_wordlen"
+        else if (ts.distinct.length * 2 < ts.length) "3_distinct"
+        else if (ts.distinct.count(stop) < 2) "4_stop"
+        else "pass"
+      (src, stage)
+    }.map { case ((src, stage), xs) => (src, stage, xs.length.toLong) }.toSet
+    val got = q("q119_filter_cascade").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // toSeq first: summing over the Set would collapse equal counts
+    assert(got.toSeq.map(_._3).sum == docs.size, "stages do not partition the corpus")
+  }
+
+  // ---- q120 ----------------------------------------------------------
+
+  test("q120: per-source top-10 bigram document frequencies, deterministically ranked") {
+    val meta = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bySource = meta.groupBy(_._2)
+    val expected = bySource.flatMap { case (src, rows) =>
+      val df = rows.flatMap { case (_, _, text) =>
+        val ts = text.split(" ", -1)
+        if (ts.length >= 2) ts.sliding(2).map(_.mkString(" ")).toSet else Set.empty[String]
+      }.groupBy(identity).map { case (bg, xs) => bg -> xs.length.toLong }
+      df.toSeq.sortBy { case (bg, c) => (-c, bg) }.take(10).zipWithIndex.map {
+        case ((bg, c), i) => (src, i + 1L, bg, c, rows.length.toLong)
+      }
+    }.toSet
+    val got = q("q120_boilerplate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
   // ---- q106 ----------------------------------------------------------
 
   test("q106: shards partition the corpus and each digest re-derives from the sorted member ids") {

@@ -495,4 +495,40 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = df.queryExecution.executedPlan.toString
     assert(s.contains("BroadcastHashJoin"), s"top-k vocab must broadcast:\n$s")
   }
+
+  test("q116: collocation top-20 is TakeOrdered over partial count aggregates") {
+    val df = SparkEntry.queries("q116_collocations")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"the cut must be map-side top-k, never a global sort of the bigram table:\n$s")
+    assert(s.contains("partial"), s"bigram/unigram counts must combine map-side:\n$s")
+  }
+
+  test("q117: the shingle self-join shuffles by hash — an exploded side must never broadcast") {
+    val df = SparkEntry.queries("q117_containment_join")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("ShuffledHashJoin"),
+      s"posting-list self-join must be a shuffled hash join on shingle:\n$s")
+  }
+
+  test("q118/q119: novelty and cascade counts combine map-side (partial aggregates)") {
+    Seq("q118_ngram_novelty", "q119_filter_cascade").foreach { q =>
+      val s = plan(q).toString
+      assert(s.contains("partial"), s"$q has no partial aggregate:\n$s")
+    }
+  }
+
+  test("q120: the ranking window runs over df aggregates, never fact rows") {
+    val df = SparkEntry.queries("q120_boilerplate")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("Window"), s)
+    // the window's sort key is the aggregated df column — proof the
+    // per-(source,bigram) aggregate ran BEFORE the window, not after
+    val wLine = s.linesIterator.filter(_.contains("Window")).mkString
+    assert(wLine.contains("df"), s"window must rank aggregated df values:\n$s")
+    assert(s.contains("partial"), s"df count must combine map-side:\n$s")
+  }
 }
