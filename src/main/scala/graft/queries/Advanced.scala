@@ -16,7 +16,7 @@ object Advanced {
     * the full sanitized source path (never a 32-bit hash — distinct
     * dirs must not collide) plus each source file's literal
     * (length, mtime) so regenerated data invalidates the cache. */
-  private def layoutTag(d: String, files: String*): String = {
+  private[queries] def layoutTag(d: String, files: String*): String = {
     val path = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "")
     val fp = files.map { f =>
       val jf = new java.io.File(s"$d/$f")

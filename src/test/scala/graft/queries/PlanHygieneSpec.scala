@@ -520,6 +520,28 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q121/q123: repetition and familiarity counts combine map-side (partial aggregates)") {
+    Seq("q121_repetition", "q123_lm_familiarity").foreach { q =>
+      val s = plan(q).toString
+      assert(s.contains("partial"), s"$q has no partial aggregate:\n$s")
+      assert(!s.contains("CartesianProduct"), s"$q plans a cross join:\n$s")
+    }
+  }
+
+  test("q122: int8 quantization is a pure narrow map — zero exchanges in the plan") {
+    val s = plan("q122_quantize_embed").toString
+    assert(!s.contains("Exchange"),
+      s"per-vector quantization must never shuffle:\n$s")
+  }
+
+  test("q125: the |sources| row-set broadcasts; token counts combine map-side") {
+    val df = SparkEntry.queries("q125_source_drift")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s"ns must broadcast:\n$s")
+    assert(s.contains("partial"), s"token counts must combine map-side:\n$s")
+  }
+
   test("q120: the ranking window runs over df aggregates, never fact rows") {
     val df = SparkEntry.queries("q120_boilerplate")(spark, sf)
     df.collect()
