@@ -28,7 +28,8 @@ object SparkEntry {
       (_root_.graft.queries.Formats.queries, _root_.graft.queries.Formats.oracle),
       (_root_.graft.queries.Graph.queries, _root_.graft.queries.Graph.oracle),
       (_root_.graft.queries.Curation.queries, _root_.graft.queries.Curation.oracle),
-      (_root_.graft.queries.Quality.queries, _root_.graft.queries.Quality.oracle)
+      (_root_.graft.queries.Quality.queries, _root_.graft.queries.Quality.oracle),
+      (_root_.graft.queries.Pipeline.queries, _root_.graft.queries.Pipeline.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -628,7 +628,11 @@ object Curation {
     * per round, integer distances + packed argmin + integer-mean
     * update → final assignment. Every sum is cast back to BIGINT
     * (DuckDB's sum(BIGINT) widens to HUGEINT). */
-  private def kmeansOracleSql(k: Int, rounds: Int): String = {
+  /** The q109 Lloyd-iteration CTE chain, exposed separately so q127's
+    * SemDeDup oracle can compose more CTEs on top of the final
+    * assignment (`a{rounds+1}` carries the packed argmin `p`; `ex`
+    * carries the quantized components). */
+  private[queries] def kmeansCtes(k: Int, rounds: Int): String = {
     def dist(t: Int) =
       s"""d$t AS (SELECT e.vec_id, c.cid,
             sum((e.q - c.cq) * (e.q - c.cq))::BIGINT AS d2
@@ -639,17 +643,23 @@ object Curation {
             (sum(e.q) // count(*))::BIGINT AS cq
           FROM ex e JOIN a$t a USING (vec_id) GROUP BY 1, 2)"""
     val body = (1 to rounds).map(t => s"${dist(t)}, ${update(t)}").mkString(",\n")
-    s"""WITH ex AS (
+    s"""ex AS (
           SELECT vec_id,
                  unnest(range(1, len(embedding) + 1)) AS pos,
                  unnest(list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT)) AS q
           FROM embeddings),
         c0 AS (SELECT vec_id AS cid, pos, q AS cq FROM ex WHERE vec_id < $k),
         $body,
-        ${dist(rounds + 1)}
-        SELECT vec_id, (p % 16)::BIGINT AS cluster, (p // 16)::BIGINT AS dist2
-        FROM a${rounds + 1}"""
+        ${dist(rounds + 1)}"""
   }
+
+  /** The `a{rounds+1}` tail of [[kmeansCtes]], for composition. */
+  private[queries] def kmeansFinal(rounds: Int): String = s"a${rounds + 1}"
+
+  private def kmeansOracleSql(k: Int, rounds: Int): String =
+    s"""WITH ${kmeansCtes(k, rounds)}
+        SELECT vec_id, (p % 16)::BIGINT AS cluster, (p // 16)::BIGINT AS dist2
+        FROM ${kmeansFinal(rounds)}"""
 
   val oracle: Map[String, String] = Map(
     // same staged integer PMI score; n_total cast out of HUGEINT

@@ -1,0 +1,344 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline operators, batch two (q126-q130):
+  * PII-style redaction, SemDeDup embedding dedup, BPE merge training,
+  * DSIR-style domain selection, and the per-source dataset card.
+  *
+  * Same oracle discipline as Curation/Quality: integer arithmetic for
+  * every score, md5 digests for text-valued outputs, regex patterns
+  * restricted to the Java-regex ∩ RE2 common subset (no backrefs, no
+  * lookaround) so Spark and DuckDB match them byte-identically.
+  */
+object Pipeline {
+
+  /** Regexes shared by q126's Spark body and oracle. `\b` is ASCII
+    * word-boundary in both Java regex and RE2; `{m,n}` bounds and
+    * character classes are common-subset. The entity lexicon is what
+    * fires on this corpus (the email/IP classes prove the negative
+    * path end-to-end: extracted count 0, text unchanged). */
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Pat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val EntPat = "\\b(customer|supplier|account)\\b"
+
+  /** q128: number of BPE merge rounds learned. */
+  private val BpeRounds = 4
+
+  /** q129: target-domain source, vocabulary width, per-source keep. */
+  private val DomainSource = "src0"
+  private val DomainVocab = 30
+  private val DomainKeep = 50
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PII-style redaction: count + mask three pattern classes (email,
+    // IPv4, entity lexicon), emit per-document match counts and the
+    // md5 of the fully redacted text so the oracle proves the MASKED
+    // BYTES, not just the counts. Shape: a pure narrow map — no
+    // shuffle, no state — the embarrassingly-parallel scrubber pass
+    // every corpus gets before anything else touches it; at 100 TB it
+    // rides the scan. Patterns live in the Column API (lit), never a
+    // SQL string, so no escaping dialect can skew them (q31's rule).
+    "q126_pii_redact" -> { (s, d) =>
+      def nMatches(c: org.apache.spark.sql.Column, pat: String) =
+        size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+      val red = regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), lit(EmailPat), lit("<EMAIL>")),
+          lit(Ipv4Pat), lit("<IP>")),
+        lit(EntPat), lit("<ENT>"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nMatches(col("text"), EmailPat).as("n_email"),
+        nMatches(col("text"), Ipv4Pat).as("n_ip"),
+        nMatches(col("text"), EntPat).as("n_ent"),
+        length(red).cast("long").as("red_len"),
+        md5(red).as("red_md5"))
+    },
+
+    // SemDeDup: semantic near-duplicate pruning inside k-means
+    // clusters — assign every embedding to its q109 cluster, then mark
+    // a vector a duplicate when a SMALLER-id vector in the SAME
+    // cluster has cosine ≥ 0.3 with it (keeper = that partner's min
+    // id). The cluster is the blocking key: pairs are only ever formed
+    // within a cluster, so the pair space is Σ|cluster|² — at 100 TB k
+    // scales with the corpus to keep clusters bounded, which is
+    // exactly the published SemDeDup design (cluster in embedding
+    // space, dedup within cluster). Cosine ≥ τ is evaluated in EXACT
+    // integer arithmetic on the micro-unit quantization — dot > 0 and
+    // 100·dot² ≥ 9·‖a‖²·‖b‖² (DECIMAL(38,0) intermediates, the q125
+    // pattern) — so both engines agree bit-for-bit at the threshold.
+    "q127_semdedup" -> { (s, d) =>
+      val asg = graft.operators.KMeansExact
+        .assignments(Tables.embeddings(s, d), k = 8, rounds = 2)
+        .select(col("vec_id"), col("cluster"))
+      val qv = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("qv"))
+      val v = asg.join(qv, "vec_id")
+        .withColumn("n2", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+        // two self-join arms below — materialize the assignment +
+        // quantization once instead of re-running the Lloyd rounds
+        .localCheckpoint()
+      val a = v.select(col("cluster"), col("vec_id").as("va"),
+        col("qv").as("qa"), col("n2").as("na2"))
+      val b = v.select(col("cluster"), col("vec_id").as("vb"),
+        col("qv").as("qb"), col("n2").as("nb2"))
+      val dup = a.join(b, Seq("cluster")).filter(col("va") < col("vb"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .filter(col("dot") > 0)
+        .filter(expr("CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0)) * 100 >= " +
+          "CAST(na2 AS DECIMAL(38,0)) * CAST(nb2 AS DECIMAL(38,0)) * 9"))
+        .groupBy(col("vb").as("vec_id")).agg(min(col("va")).as("kmin"))
+      v.select(col("vec_id"), col("cluster")).join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("kmin"), col("vec_id")).as("keeper"),
+          col("kmin").isNotNull.as("is_dup"))
+    },
+
+    // BPE merge training: learn the first 4 byte-pair-encoding merges
+    // over the corpus vocabulary — chars spaced out per word, count
+    // adjacent symbol pairs weighted by word frequency, take the
+    // global (count desc, pair asc) argmax, splice the pair, repeat.
+    // The merge is a literal ' a b ' → ' ab ' replace, which both
+    // engines apply leftmost-non-overlapping, so ' l l l ' resolves
+    // identically. Scale shape: everything after the first groupBy is
+    // VOCABULARY-scale, not corpus-scale — the corpus is touched once
+    // for word counts (partial-aggregable); each round is one
+    // vocab-sized pair count + a 1-row bounded collect (the q116
+    // scalar class) + a narrow map. That is how production BPE
+    // trainers run: the corpus pass and the merge loop have different
+    // data scales.
+    "q128_bpe_merges" -> { (s, d) =>
+      import s.implicits._
+      var segs = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("seg", concat(lit(" "), regexp_replace(col("w"), lit("(.)"), lit("$1 "))))
+        .select(col("seg"), col("c"))
+        .localCheckpoint() // vocab-sized; flat lineage for the merge loop
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      (1 to BpeRounds).foreach { r =>
+        val Array(al, bl, cnt) = segs
+          .select(col("c"), split(trim(col("seg")), " ").as("arr"))
+          .filter(size(col("arr")) >= 2)
+          .select(col("c"), explode(expr(
+            "transform(sequence(1, size(arr) - 1), " +
+              "i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b))")).as("pr"))
+          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+          .agg(sum(col("c")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
+          .collect().head.toSeq.toArray
+        val (aStr, bStr) = (al.asInstanceOf[String], bl.asInstanceOf[String])
+        merges += ((r.toLong, aStr, bStr, cnt.asInstanceOf[Long]))
+        // literal-args replace through the Column API (no SQL splicing)
+        segs = segs.withColumn("seg",
+          replace(col("seg"), lit(s" $aStr $bStr "), lit(s" $aStr$bStr ")))
+      }
+      merges.result().toDF("round", "lhs", "rhs", "cnt")
+    },
+
+    // DSIR-style domain selection: score every document by how many of
+    // its token OCCURRENCES fall in the target domain's top-30
+    // vocabulary, then keep the top-50 per source — the
+    // importance-resampling proxy a mixture pipeline uses to upweight
+    // target-like data, kept in pure integers so it hash-matches.
+    // Shape: the vocabulary is bounded (top-30, TakeOrdered — never a
+    // global sort) and BROADCAST to the scoring join; scoring is one
+    // partial-aggregable count; ranking is a per-source window (the
+    // partition key is the parallelism unit, no single-partition
+    // window).
+    "q129_domain_select" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+      val tv = toks.filter(col("source") === DomainSource)
+        .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+        .orderBy(col("ct").desc, col("t").asc).limit(DomainVocab)
+        .select(col("t"))
+      val sc = toks.join(broadcast(tv), "t")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("score"))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(sc, Seq("doc_id"), "left").na.fill(0L, Seq("score"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rk") <= DomainKeep)
+        .select(col("doc_id"), col("source"), col("score"), col("rk"))
+    },
+
+    // Dataset card: the per-source datasheet a corpus release ships —
+    // volume (docs, tokens), language spread (distinct langs + modal
+    // language), exact-duplicate exposure (share of docs whose text
+    // md5 collides anywhere in the corpus), and central tendency
+    // (integer mean + exact lower-median chars). Shape: one corpus
+    // pass for the base stats, one hash-keyed count for dup exposure,
+    // two per-source windows (modal lang, median rank) — every
+    // aggregate partial-aggregable, every window partitioned by
+    // source.
+    "q130_dataset_card" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hcnt = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val dupdoc = hcnt
+        .join(hcnt.groupBy(col("h")).agg(count(lit(1)).as("nh")), "h")
+        .select(col("doc_id"), (col("nh") > 1).cast("long").as("is_dup"))
+      val base = docs.select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      val agg = base.join(dupdoc, "doc_id").groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("is_dup")).as("dup_docs"),
+        expr("sum(n_chars) div count(1)").as("mean_chars"))
+        .withColumn("dup_pct", expr("dup_docs * 100 div n_docs"))
+      val topLang = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cl"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("cl").desc, col("lang").asc)))
+        .filter(col("r") === 1).select(col("source"), col("lang").as("top_lang"))
+      // exact lower median: the ((n+1) div 2)-th n_chars in sorted
+      // order — the k-th order statistic of the multiset is unique, so
+      // the doc_id tie-break only picks WHICH row carries it
+      val med = base
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("n_chars").asc, col("doc_id").asc)))
+        .withColumn("nsrc", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("rn") === expr("(nsrc + 1) div 2"))
+        .select(col("source"), col("n_chars").as("med_chars"))
+      agg.join(topLang, "source").join(med, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("top_lang"), col("dup_docs"), col("dup_pct"),
+          col("mean_chars"), col("med_chars"))
+    }
+  )
+
+  /** q127's oracle: the q109 Lloyd CTE chain + within-cluster exact
+    * integer cosine pairs. The pair join is keyed (pos, cluster) so
+    * DuckDB never forms a cross-cluster candidate. */
+  private def semdedupOracleSql: String =
+    s"""WITH ${Curation.kmeansCtes(k = 8, rounds = 2)},
+        asg AS (SELECT vec_id, (p % 16)::BIGINT AS cluster
+                FROM ${Curation.kmeansFinal(rounds = 2)}),
+        exc AS (SELECT e.vec_id, e.pos, e.q, a.cluster
+                FROM ex e JOIN asg a USING (vec_id)),
+        n AS (SELECT vec_id, sum(q * q)::BIGINT AS n2 FROM ex GROUP BY 1),
+        dots AS (SELECT ea.vec_id AS va, eb.vec_id AS vb,
+                   sum(ea.q * eb.q)::BIGINT AS dot
+                 FROM exc ea JOIN exc eb
+                   ON ea.pos = eb.pos AND ea.cluster = eb.cluster
+                  AND ea.vec_id < eb.vec_id
+                 GROUP BY 1, 2),
+        dup AS (SELECT d.vb AS vec_id, min(d.va) AS kmin
+                FROM dots d JOIN n na ON d.va = na.vec_id
+                            JOIN n nb ON d.vb = nb.vec_id
+                WHERE d.dot > 0
+                  AND d.dot::HUGEINT * d.dot::HUGEINT * 100 >=
+                      na.n2::HUGEINT * nb.n2::HUGEINT * 9
+                GROUP BY 1)
+        SELECT a.vec_id, a.cluster,
+               coalesce(k.kmin, a.vec_id)::BIGINT AS keeper,
+               k.kmin IS NOT NULL AS is_dup
+        FROM asg a LEFT JOIN dup k USING (vec_id)"""
+
+  /** q128's oracle: the merge loop unrolled as CTE rounds; scalar
+    * subqueries carry each round's argmax pair into the splice. */
+  private def bpeOracleSql: String = {
+    def pairs(t: Int) =
+      s"""p$t AS (SELECT arr[i] AS a, arr[i + 1] AS b, sum(c)::BIGINT AS cnt
+            FROM (SELECT string_split(trim(seg), ' ') AS arr, c FROM s${t - 1}) t$t,
+                 LATERAL (SELECT unnest(range(1, len(arr))) AS i) l$t
+            GROUP BY 1, 2),
+          b$t AS (SELECT a, b, cnt FROM p$t ORDER BY cnt DESC, a, b LIMIT 1)"""
+    def merged(t: Int) =
+      s"""s$t AS (SELECT replace(seg,
+            ' ' || (SELECT a FROM b$t) || ' ' || (SELECT b FROM b$t) || ' ',
+            ' ' || (SELECT a FROM b$t) || (SELECT b FROM b$t) || ' ') AS seg, c
+          FROM s${t - 1})"""
+    val rounds = (1 to BpeRounds).map { t =>
+      if (t < BpeRounds) s"${pairs(t)}, ${merged(t)}" else pairs(t)
+    }.mkString(",\n")
+    val out = (1 to BpeRounds)
+      .map(t => s"SELECT $t::BIGINT AS round, a AS lhs, b AS rhs, cnt FROM b$t")
+      .mkString(" UNION ALL ")
+    s"""WITH w AS (SELECT w, count(*) AS c
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE len(w) > 0 GROUP BY 1),
+        s0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg, c FROM w),
+        $rounds
+        $out"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q126_pii_redact" ->
+      s"""WITH r AS (SELECT doc_id,
+            len(regexp_extract_all(text, '$EmailPat')) AS n_email,
+            len(regexp_extract_all(text, '$Ipv4Pat')) AS n_ip,
+            len(regexp_extract_all(text, '$EntPat')) AS n_ent,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '$EmailPat', '<EMAIL>', 'g'),
+              '$Ipv4Pat', '<IP>', 'g'),
+              '$EntPat', '<ENT>', 'g') AS red
+          FROM documents)
+          SELECT doc_id, n_email::BIGINT AS n_email, n_ip::BIGINT AS n_ip,
+                 n_ent::BIGINT AS n_ent, length(red)::BIGINT AS red_len,
+                 md5(red) AS red_md5
+          FROM r""",
+
+    "q127_semdedup" -> semdedupOracleSql,
+
+    "q128_bpe_merges" -> bpeOracleSql,
+
+    "q129_domain_select" ->
+      s"""WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+            FROM documents),
+          tok AS (SELECT * FROM toks WHERE len(t) > 0),
+          tv AS (SELECT t FROM tok WHERE source = '$DomainSource'
+                 GROUP BY t ORDER BY count(*) DESC, t LIMIT $DomainVocab),
+          sc AS (SELECT doc_id, count(*) AS score
+                 FROM tok JOIN tv USING (t) GROUP BY 1),
+          r AS (SELECT d.doc_id, d.source,
+                  coalesce(sc.score, 0)::BIGINT AS score,
+                  row_number() OVER (PARTITION BY d.source
+                    ORDER BY coalesce(sc.score, 0) DESC, d.doc_id) AS rk
+                FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+          SELECT doc_id, source, score, rk::BIGINT AS rk
+          FROM r WHERE rk <= $DomainKeep""",
+
+    "q130_dataset_card" ->
+      """WITH hc AS (SELECT doc_id, md5(text) AS h FROM documents),
+          hn AS (SELECT h, count(*) AS nh FROM hc GROUP BY 1),
+          dup AS (SELECT hc.doc_id,
+                    (CASE WHEN hn.nh > 1 THEN 1 ELSE 0 END)::BIGINT AS is_dup
+                  FROM hc JOIN hn USING (h)),
+          base AS (SELECT doc_id, source, lang, n_chars,
+                     len(string_split(text, ' '))::BIGINT AS n_toks
+                   FROM documents),
+          agg AS (SELECT source, count(*)::BIGINT AS n_docs,
+                    sum(n_toks)::BIGINT AS n_tokens,
+                    count(DISTINCT lang)::BIGINT AS n_langs,
+                    sum(is_dup)::BIGINT AS dup_docs,
+                    (sum(n_chars) // count(*))::BIGINT AS mean_chars
+                  FROM base JOIN dup USING (doc_id) GROUP BY 1),
+          tl AS (SELECT source, lang AS top_lang FROM (
+                   SELECT source, lang, row_number() OVER (PARTITION BY source
+                     ORDER BY count(*) DESC, lang) AS r
+                   FROM base GROUP BY source, lang)
+                 WHERE r = 1),
+          med AS (SELECT source, n_chars AS med_chars FROM (
+                    SELECT source, n_chars,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY n_chars, doc_id) AS rn,
+                      count(*) OVER (PARTITION BY source) AS nsrc
+                    FROM base)
+                  WHERE rn = (nsrc + 1) // 2)
+          SELECT a.source, a.n_docs, a.n_tokens, a.n_langs, tl.top_lang,
+                 a.dup_docs, (a.dup_docs * 100 // a.n_docs)::BIGINT AS dup_pct,
+                 a.mean_chars, med.med_chars
+          FROM agg a JOIN tl USING (source) JOIN med USING (source)"""
+  )
+}
