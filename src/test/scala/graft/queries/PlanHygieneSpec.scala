@@ -120,6 +120,20 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("Exchange"), s)
   }
 
+  test("q126: redaction is a pure narrow map — zero exchanges") {
+    val df = SparkEntry.queries("q126_pii_redact")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"), s)
+  }
+
+  test("q129: the bounded target vocabulary broadcasts into the scoring join") {
+    val df = SparkEntry.queries("q129_domain_select")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s"top-30 vocab must broadcast:\n$s")
+  }
+
   test("q42: keeper join broadcasts (dedup keepers are id-sized, never a sort-merge)") {
     val df = SparkEntry.queries("q42_clean_corpus")(spark, sf)
     df.collect()
