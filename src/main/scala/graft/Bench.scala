@@ -48,7 +48,17 @@ object Bench {
     // 1.25 s late in a full run). A full GC between queries releases
     // them OUTSIDE the timed window — measurement hygiene, not a cheat:
     // each query still pays its own checkpoint costs inside its window.
-    def reclaim(): Unit = { System.gc(); Thread.sleep(50) }
+    def reclaim(): Unit = {
+      // deterministic release first: every persisted/localCheckpointed
+      // RDD still registered gets dropped NOW, not when the GC happens
+      // to collect its wrapper — measured up to 70% inflation on later
+      // similarity joins when checkpoint blocks from earlier queries
+      // were still resident
+      spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+        try r.unpersist(blocking = true) catch { case _: Throwable => () }
+      }
+      System.gc(); Thread.sleep(50)
+    }
     reclaim()
     // Ambient machine load (round-end snapshots, concurrent builds) can
     // inflate a single timed pass 4-12× per query — BENCH_r04.json recorded
