@@ -27,10 +27,46 @@ object Pipeline {
   /** q128: number of BPE merge rounds learned. */
   private val BpeRounds = 4
 
+  /** The q128 merge loop, shared with q131's encoder: word counts once
+    * (corpus-scale, partial-aggregable), then per round a vocab-sized
+    * adjacent-pair count, a 1-row bounded argmax collect, and a literal
+    * leftmost-non-overlapping splice. Returns (round, lhs, rhs, cnt). */
+  private def learnBpeMerges(s: SparkSession, d: String): Seq[(Long, String, String, Long)] = {
+    var segs = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("seg", concat(lit(" "), regexp_replace(col("w"), lit("(.)"), lit("$1 "))))
+      .select(col("seg"), col("c"))
+      .localCheckpoint() // vocab-sized; flat lineage for the merge loop
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    (1 to BpeRounds).foreach { r =>
+      val Array(al, bl, cnt) = segs
+        .select(col("c"), split(trim(col("seg")), " ").as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(arr) - 1), " +
+            "i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b))")).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
+        .collect().head.toSeq.toArray
+      val (aStr, bStr) = (al.asInstanceOf[String], bl.asInstanceOf[String])
+      merges += ((r.toLong, aStr, bStr, cnt.asInstanceOf[Long]))
+      // literal-args replace through the Column API (no SQL splicing)
+      segs = segs.withColumn("seg",
+        replace(col("seg"), lit(s" $aStr $bStr "), lit(s" $aStr$bStr ")))
+    }
+    merges.result()
+  }
+
   /** q129: target-domain source, vocabulary width, per-source keep. */
   private val DomainSource = "src0"
   private val DomainVocab = 30
   private val DomainKeep = 50
+
+  /** q132: token budget apportioned across sources. */
+  private val MixBudget = 100000L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -115,32 +151,7 @@ object Pipeline {
     // data scales.
     "q128_bpe_merges" -> { (s, d) =>
       import s.implicits._
-      var segs = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .withColumn("seg", concat(lit(" "), regexp_replace(col("w"), lit("(.)"), lit("$1 "))))
-        .select(col("seg"), col("c"))
-        .localCheckpoint() // vocab-sized; flat lineage for the merge loop
-      val merges = Seq.newBuilder[(Long, String, String, Long)]
-      (1 to BpeRounds).foreach { r =>
-        val Array(al, bl, cnt) = segs
-          .select(col("c"), split(trim(col("seg")), " ").as("arr"))
-          .filter(size(col("arr")) >= 2)
-          .select(col("c"), explode(expr(
-            "transform(sequence(1, size(arr) - 1), " +
-              "i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b))")).as("pr"))
-          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-          .agg(sum(col("c")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
-          .collect().head.toSeq.toArray
-        val (aStr, bStr) = (al.asInstanceOf[String], bl.asInstanceOf[String])
-        merges += ((r.toLong, aStr, bStr, cnt.asInstanceOf[Long]))
-        // literal-args replace through the Column API (no SQL splicing)
-        segs = segs.withColumn("seg",
-          replace(col("seg"), lit(s" $aStr $bStr "), lit(s" $aStr$bStr ")))
-      }
-      merges.result().toDF("round", "lhs", "rhs", "cnt")
+      learnBpeMerges(s, d).toDF("round", "lhs", "rhs", "cnt")
     },
 
     // DSIR-style domain selection: score every document by how many of
@@ -214,6 +225,59 @@ object Pipeline {
         .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
           col("top_lang"), col("dup_docs"), col("dup_pct"),
           col("mean_chars"), col("med_chars"))
+    },
+
+    // BPE ENCODE — the apply face of q128's train face: re-learn the 4
+    // merges (vocab-scale), then tokenize every document with them —
+    // per word, space out the chars and splice the merges in learned
+    // order (the exact encode rule of a merge-list tokenizer). Output
+    // is the per-doc subword count plus the md5 of the full encoded
+    // stream, so the oracle proves the tokenization itself. Shape: the
+    // encoder is a PURE NARROW MAP over documents (the merge table is
+    // 4 driver strings riding inside the expression — the q109
+    // plan-carried-constants pattern); only the train pass touches a
+    // shuffle.
+    "q131_bpe_encode" -> { (s, d) =>
+      val merges = learnBpeMerges(s, d)
+      def encodeWord(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val spaced = concat(lit(" "), regexp_replace(w, lit("(.)"), lit("$1 ")))
+        merges.foldLeft(spaced) { case (c, (_, a, b, _)) =>
+          replace(c, lit(s" $a $b "), lit(s" $a$b "))
+        }
+      }
+      Tables.documents(s, d)
+        .withColumn("enc", concat_ws(" ",
+          transform(filter(split(col("text"), " "), w => length(w) > 0),
+            w => trim(encodeWord(w)))))
+        .select(col("doc_id"),
+          size(split(col("enc"), " ")).cast("long").as("n_subwords"),
+          md5(col("enc")).as("enc_digest"))
+    },
+
+    // Mixture apportionment: split a fixed token budget across sources
+    // proportionally to their token mass with the largest-remainder
+    // (Hamilton) method — the EXACT integer answer to "how many tokens
+    // does each source contribute to this training mix", reproducible
+    // to the token where floating shares are not. base = B·n_s div N;
+    // the leftover B − Σbase (< |sources|) goes to the largest
+    // remainders, ties to the smaller source name. Shape: one
+    // partial-aggregable count to |sources| rows, then windows over
+    // the bounded source set — nothing here ever exceeds |sources|
+    // rows after the first aggregate.
+    "q132_mixture_apportion" -> { (s, d) =>
+      val ns = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      val w = Window.orderBy(col("rem").desc, col("source").asc)
+      // |sources| rows total: the unpartitioned windows below are over
+      // a BOUNDED set (the same class as q103's rank over top-20)
+      ns.withColumn("n_total", sum(col("n_tokens")).over())
+        .withColumn("base", expr(s"$MixBudget * n_tokens div n_total"))
+        .withColumn("rem", expr(s"$MixBudget * n_tokens - base * n_total"))
+        .withColumn("leftover", lit(MixBudget) - sum(col("base")).over())
+        .withColumn("rk", row_number().over(w))
+        .select(col("source"), col("n_tokens"), col("base"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("quota"))
     }
   )
 
@@ -245,9 +309,11 @@ object Pipeline {
                k.kmin IS NOT NULL AS is_dup
         FROM asg a LEFT JOIN dup k USING (vec_id)"""
 
-  /** q128's oracle: the merge loop unrolled as CTE rounds; scalar
-    * subqueries carry each round's argmax pair into the splice. */
-  private def bpeOracleSql: String = {
+  /** The q128 merge loop unrolled as CTE rounds (w, s0, then per round
+    * pair counts p_t, argmax b_t, splice s_t); scalar subqueries carry
+    * each round's argmax pair into the splice. Shared by the q128
+    * (train) and q131 (encode) oracles. */
+  private def bpeCtesSql: String = {
     def pairs(t: Int) =
       s"""p$t AS (SELECT arr[i] AS a, arr[i + 1] AS b, sum(c)::BIGINT AS cnt
             FROM (SELECT string_split(trim(seg), ' ') AS arr, c FROM s${t - 1}) t$t,
@@ -262,15 +328,46 @@ object Pipeline {
     val rounds = (1 to BpeRounds).map { t =>
       if (t < BpeRounds) s"${pairs(t)}, ${merged(t)}" else pairs(t)
     }.mkString(",\n")
-    val out = (1 to BpeRounds)
-      .map(t => s"SELECT $t::BIGINT AS round, a AS lhs, b AS rhs, cnt FROM b$t")
-      .mkString(" UNION ALL ")
     s"""WITH w AS (SELECT w, count(*) AS c
           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
           WHERE len(w) > 0 GROUP BY 1),
         s0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg, c FROM w),
-        $rounds
+        $rounds"""
+  }
+
+  /** q128's oracle: the CTE chain + one row per learned merge. */
+  private def bpeOracleSql: String = {
+    val out = (1 to BpeRounds)
+      .map(t => s"SELECT $t::BIGINT AS round, a AS lhs, b AS rhs, cnt FROM b$t")
+      .mkString(" UNION ALL ")
+    s"""$bpeCtesSql
         $out"""
+  }
+
+  /** q131's oracle: the q128 CTE chain re-derives the merges, a one-row
+    * CTE materializes them as columns, and the encode is the same
+    * 4-deep nested literal replace inside a list lambda (DuckDB lambdas
+    * can reference sibling columns). `array_to_string`, not
+    * `concat_ws` — DuckDB's concat_ws stringifies a LIST argument
+    * instead of joining its elements; coalesce('') matches Spark's
+    * concat_ws on an empty array. */
+  private def bpeEncodeOracleSql: String = {
+    val mCols = (1 to BpeRounds).map(t =>
+      s"(SELECT a FROM b$t) AS a$t, (SELECT b FROM b$t) AS bb$t, (SELECT a || b FROM b$t) AS ab$t")
+      .mkString(", ")
+    val spaced = """' ' || regexp_replace(x, '(.)', '\1 ', 'g')"""
+    val applied = (1 to BpeRounds).foldLeft(spaced) { (c, t) =>
+      s"replace($c, ' ' || m.a$t || ' ' || m.bb$t || ' ', ' ' || m.ab$t || ' ')"
+    }
+    s"""${bpeCtesSql},
+        m AS (SELECT $mCols),
+        enc AS (SELECT doc_id, coalesce(array_to_string(
+            list_transform(list_filter(string_split(text, ' '), x -> len(x) > 0),
+              x -> trim($applied)), ' '), '') AS e
+          FROM documents, m)
+        SELECT doc_id, len(string_split(e, ' '))::BIGINT AS n_subwords,
+               md5(e) AS enc_digest
+        FROM enc"""
   }
 
   val oracle: Map[String, String] = Map(
@@ -292,6 +389,23 @@ object Pipeline {
     "q127_semdedup" -> semdedupOracleSql,
 
     "q128_bpe_merges" -> bpeOracleSql,
+
+    "q131_bpe_encode" -> bpeEncodeOracleSql,
+
+    "q132_mixture_apportion" ->
+      s"""WITH ns AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+            FROM documents GROUP BY 1),
+          t AS (SELECT sum(n_tokens)::BIGINT AS n_total FROM ns),
+          b AS (SELECT source, n_tokens,
+                  ($MixBudget * n_tokens // n_total)::BIGINT AS base,
+                  ($MixBudget * n_tokens -
+                   ($MixBudget * n_tokens // n_total) * n_total)::BIGINT AS rem
+                FROM ns, t),
+          l AS (SELECT ($MixBudget - sum(base))::BIGINT AS leftover FROM b),
+          r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+          SELECT source, n_tokens, base,
+                 (base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END)::BIGINT AS quota
+          FROM r, l""",
 
     "q129_domain_select" ->
       s"""WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t

@@ -88,13 +88,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("q128: learned merges match a string brute force; counts non-increasing") {
-    // brute force: word counts -> spaced segs -> 4 greedy merges
+  /** Brute-force BPE learner shared by the q128 and q131 tests:
+    * word counts -> spaced segs -> 4 greedy merges. */
+  private def bruteBpeMerges: Seq[(String, String, Long)] = {
     var segs: Map[String, Long] = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
       .groupBy(identity).map { case (w, ws) =>
         (" " + w.toCharArray.map(c => s"$c ").mkString) -> ws.size.toLong
       }
-    val expect = (1 to 4).map { _ =>
+    (1 to 4).map { _ =>
       val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
       segs.foreach { case (seg, c) =>
         val arr = seg.trim.split(" ")
@@ -106,11 +107,54 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       segs = segs.map { case (seg, c) => seg.replace(s" $a $b ", s" $a$b ") -> c }
       (a, b, cnt)
     }
+  }
+
+  test("q128: learned merges match a string brute force; counts non-increasing") {
+    val expect = bruteBpeMerges
     val got = q("q128_bpe_merges").collect().sortBy(_.getLong(0))
       .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == expect, s"merge tables differ: got $got expected $expect")
     assert(got.map(_._3).sliding(2).forall(w => w.head >= w.last),
       "BPE max-pair counts must be non-increasing across rounds")
+  }
+
+  test("q131: encoded stream matches applying the brute-force merges per word") {
+    val merges = bruteBpeMerges
+    def encode(w: String): String = {
+      val spaced = " " + w.toCharArray.map(c => s"$c ").mkString
+      merges.foldLeft(spaced) { case (s, (a, b, _)) => s.replace(s" $a $b ", s" $a$b ") }.trim
+    }
+    val got = q("q131_bpe_encode").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.size == docs.size)
+    var anyMerged = false
+    docs.foreach { case (id, text) =>
+      val enc = text.split(" ").filter(_.nonEmpty).map(encode).mkString(" ")
+      val (n, dig) = got(id)
+      assert(n == enc.split(" ", -1).length, s"doc $id subword count")
+      assert(dig == md5hex(enc), s"doc $id encoded digest")
+      if (enc.split(" ", -1).length < text.count(_ != ' ')) anyMerged = true
+    }
+    assert(anyMerged, "the learned merges must actually fuse symbols somewhere")
+  }
+
+  test("q132: quotas are an exact Hamilton apportionment of the budget") {
+    val rows = q("q132_mixture_apportion").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._4).sum == 100000L, "quotas must sum exactly to the budget")
+    rows.foreach { case (src, _, base, quota) =>
+      assert(quota == base || quota == base + 1, s"$src quota within 1 of base")
+    }
+    // brute force: largest remainder over exact integer arithmetic
+    val n = rows.map(_._2).sum
+    val withRem = rows.map { case (src, nt, base, quota) =>
+      assert(base == 100000L * nt / n, s"$src base")
+      (src, 100000L * nt - base * n, quota - base)
+    }
+    val leftover = 100000L - rows.map(_._3).sum
+    val topUp = withRem.sortBy { case (src, rem, _) => (-rem, src) }
+      .zipWithIndex.map { case ((src, _, got), i) => (src, got, if (i < leftover) 1L else 0L) }
+    topUp.foreach { case (src, got, want) => assert(got == want, s"$src top-up") }
   }
 
   test("q129: per-source ranking is a dense 1..n prefix with non-increasing scores") {

@@ -127,6 +127,13 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("Exchange"), s)
   }
 
+  test("q131: the encode stage is a pure narrow map — merges ride inside the expression") {
+    val df = SparkEntry.queries("q131_bpe_encode")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"), s)
+  }
+
   test("q129: the bounded target vocabulary broadcasts into the scoring join") {
     val df = SparkEntry.queries("q129_domain_select")(spark, sf)
     df.collect()
