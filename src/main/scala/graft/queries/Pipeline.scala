@@ -278,6 +278,62 @@ object Pipeline {
         .withColumn("rk", row_number().over(w))
         .select(col("source"), col("n_tokens"), col("base"),
           (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("quota"))
+    },
+
+    // Change-feed round trip through the cell store: write a
+    // documents-derived cell slice through the DSv2 WRITE face in two
+    // version-ordered halves, and TAIL it back through the connector's
+    // MicroBatchStream (sources/CellsSource.scala) across a restart —
+    // the first AvailableNow run drains half one, the store then grows,
+    // and the restarted query delivers ONLY the new versions from its
+    // checkpointed watermark. Exactly-once across the restart is the
+    // assertion: the final union must hold every cell exactly once,
+    // which the oracle checks by recomputing the slice's logical
+    // content straight from documents. The staging store is fresh per
+    // call (the stream face is the thing under test, not a cache).
+    "q133_cells_tail" -> { (s, d) =>
+      val sub = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+          col("doc_id").as("version"),
+          expr("cast(md5(text) as binary)").as("body"))
+        .localCheckpoint()
+      // range midpoint: both halves non-empty whenever min < max, and
+      // half B's versions are all ABOVE half A's — the monotone-append
+      // contract the stream face tails by
+      val Array(mn, mx) = sub.agg(min(col("version")), max(col("version")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val half = (mn + mx + 1) / 2
+      val root = java.nio.file.Files.createTempDirectory("graft-q133-cells").toString
+      val ck = java.nio.file.Files.createTempDirectory("graft-q133-ck").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-q133-out").toString
+      def write(df: DataFrame): Unit =
+        df.write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q133").save()
+      def tailOnce(): Unit = {
+        val q = s.readStream.format("graft-cells")
+          .option("root", root).option("table", "q133").load()
+          .select(col("version"), col("rowkey").cast("string").as("key_str"),
+            col("body").cast("string").as("body_md5"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      write(sub.filter(col("version") < half))
+      tailOnce()
+      val afterFirst = s.read.parquet(out).count()
+      write(sub.filter(col("version") >= half))
+      tailOnce()
+      val res = s.read.parquet(out).localCheckpoint()
+      val total = res.count()
+      require(afterFirst > 0 && total > afterFirst,
+        s"restarted tail must deliver only the appended versions: $afterFirst -> $total")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      res
     }
   )
 
@@ -406,6 +462,13 @@ object Pipeline {
           SELECT source, n_tokens, base,
                  (base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END)::BIGINT AS quota
           FROM r, l""",
+
+    // the logical content of the tailed slice — the round trip through
+    // the store and the stream's watermark restart is what the Spark
+    // side adds on top of this
+    "q133_cells_tail" ->
+      """SELECT doc_id AS version, 'doc-' || doc_id AS key_str, md5(text) AS body_md5
+         FROM documents WHERE doc_id % 10 = 0""",
 
     "q129_domain_select" ->
       s"""WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t

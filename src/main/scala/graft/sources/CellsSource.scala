@@ -72,7 +72,8 @@ case class CellsTable(root: String, table: String) extends Table
   override def name(): String = s"graft-cells:$table"
   override def schema(): StructType = CellsSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     CellsScanBuilder(root, table)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -275,6 +276,114 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     CellsReaderFactory(lo, hi, keyDigests, required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    CellsMicroBatch(root, table, lo, hi, keyDigests, required.fieldNames)
+}
+
+/** Streaming read face: tail the cell store by VERSION watermark —
+  * `spark.readStream.format("graft-cells")...` turns the versioned KV
+  * sink into a change feed. Each micro-batch delivers exactly the
+  * cells with version in (lastOffset, latestOffset]; the offset is the
+  * max version visible at planning time, so replaying a batch from the
+  * checkpoint relists the same closed range and regenerates the SAME
+  * rows (deterministic filename listing — exactly-once delivery with
+  * no source-side state beyond the one long in the offset log).
+  *
+  * Contract: the producer appends with monotonically NON-DECREASING
+  * versions (the ingest pipeline's epoch-millis versions qualify
+  * per-table); a cell back-dated below a committed watermark is
+  * outside the feed's delivery guarantee — the same contract an HBase
+  * timestamp tailer or a watermarked Kafka consumer carries. Version
+  * and rowkey pushdown compose: a `.where("version >= T")` on the
+  * stream bounds the watermark window at the FILENAME level, exactly
+  * like the batch face. */
+case class CellsOffset(v: Long) extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"v":$v}"""
+}
+
+case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
+                           keyDigests: Option[Set[String]], cols: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // Trigger.AvailableNow contract: snapshot the watermark ONCE at
+  // prepare time; every batch in the run drains up to that cap and the
+  // query stops there, even if a producer keeps appending mid-run.
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(maxVersionOnDisk)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    availableNowCap.fold(latestOffset())(CellsOffset(_))
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  private def dir = Paths.get(root, table.replace(':', '~'))
+
+  /** max version currently on disk within the pushed [lo, hi] window —
+    * a filename sweep, no file contents (the same store-index shape a
+    * real backend would serve from memory). */
+  private def maxVersionOnDisk: Long = {
+    var mx = Long.MinValue
+    if (Files.isDirectory(dir)) {
+      val shards = Files.list(dir)
+      try shards.iterator().asScala.filter(Files.isDirectory(_)).foreach { shard =>
+        val s = Files.list(shard)
+        try s.iterator().asScala.foreach { p =>
+          val n = p.getFileName.toString
+          val dot = n.lastIndexOf('.')
+          if (dot > 0 && !n.endsWith(".tmp") && keyDigests.forall(_.contains(n.take(dot))))
+            n.drop(dot + 1).toLongOption.foreach { v =>
+              if (v >= lo && v <= hi && v > mx) mx = v
+            }
+        } finally s.close()
+      } finally shards.close()
+    }
+    mx
+  }
+
+  override def initialOffset(): Offset = CellsOffset(Long.MinValue)
+  override def latestOffset(): Offset = {
+    val mx = maxVersionOnDisk
+    CellsOffset(if (mx == Long.MinValue) Long.MinValue else mx)
+  }
+  override def deserializeOffset(json: String): Offset =
+    // {"v":N} — one signed long field, no JSON lib needed
+    CellsOffset(json.replaceAll("[^0-9-]", "").toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CellsOffset].v
+    val e = end.asInstanceOf[CellsOffset].v
+    if (e <= s || !Files.isDirectory(dir)) return Array.empty
+    // the batch window (s, e] intersected with the pushed [lo, hi]:
+    // saturating guard — s = Long.MinValue means "from the beginning"
+    val bLo = math.max(lo, if (s == Long.MinValue) Long.MinValue else s + 1)
+    val bHi = math.min(hi, e)
+    val wantShards = keyDigests.map(_.map(_.take(2)))
+    val shards = Files.list(dir)
+    try shards.iterator().asScala
+      .filter(Files.isDirectory(_))
+      .filter(p => wantShards.forall(_.contains(p.getFileName.toString)))
+      .map(p => CellsStreamShard(p.toString, bLo, bHi): InputPartition)
+      .toArray
+    finally shards.close()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = CellsStreamReaderFactory(keyDigests, cols)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class CellsStreamShard(dir: String, lo: Long, hi: Long) extends InputPartition
+
+case class CellsStreamReaderFactory(keyDigests: Option[Set[String]], cols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CellsStreamShard]
+    CellsReaders.reader(p.dir, p.lo, p.hi, keyDigests, cols)
+  }
 }
 
 case class CellsShard(dir: String) extends InputPartition
@@ -284,11 +393,20 @@ case class CellsReaderFactory(lo: Long, hi: Long, keyDigests: Option[Set[String]
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    CellsReaders.reader(partition.asInstanceOf[CellsShard].dir, lo, hi, keyDigests, cols)
+}
+
+/** The shard reader shared by the batch scan and the micro-batch
+  * stream — identical filename pruning, point-lookup digest filter,
+  * and column-pruned I/O in both faces. */
+object CellsReaders {
+  def reader(shardDir: String, lo: Long, hi: Long, keyDigests: Option[Set[String]],
+             cols: Array[String]): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val needKey = cols.contains("rowkey")
       private val needBody = cols.contains("body")
       private val files: Iterator[(Path, Long)] = {
-        val shard = Paths.get(partition.asInstanceOf[CellsShard].dir)
+        val shard = Paths.get(shardDir)
         val s = Files.list(shard)
         val listed =
           try s.iterator().asScala.flatMap { p =>

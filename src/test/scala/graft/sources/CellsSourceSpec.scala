@@ -189,6 +189,67 @@ class CellsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wroot))
   }
 
+  test("streaming face: version-watermark tailing delivers each cell exactly once across restarts") {
+    // fresh table so this test owns the version timeline
+    val stable = "ns:cells_stream_spec"
+    val store = FileStore(root)
+    store.ensureTable(stable, TableSpec())
+    store.putBatch(stable, (0 until 10).map(k =>
+      CellPut(stable, s"sk-$k".getBytes("UTF-8"), 1000L + k, s"sb-$k-a".getBytes("UTF-8"))))
+    val ck = java.nio.file.Files.createTempDirectory("graft-cells-stream-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cells-stream-out").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-cells")
+        .option("root", root).option("table", stable).load()
+        .select(col("rowkey").cast("string").as("k"), col("version"),
+          col("body").cast("string").as("b"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val first = spark.read.parquet(out).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(first.length == 10 && first.toSet.size == 10, s"first run delivers the 10 seed cells: $first")
+    // append 5 cells with HIGHER versions, plus re-put one ORIGINAL cell
+    // (idempotent store replay) — the restarted stream must deliver the
+    // 5 new cells only: the re-put sits below the committed watermark
+    store.putBatch(stable, (10 until 15).map(k =>
+      CellPut(stable, s"sk-$k".getBytes("UTF-8"), 1000L + k, s"sb-$k-a".getBytes("UTF-8"))))
+    store.putBatch(stable, Seq(
+      CellPut(stable, "sk-3".getBytes("UTF-8"), 1003L, "sb-3-a".getBytes("UTF-8"))))
+    runOnce()
+    val all = spark.read.parquet(out).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(all.length == 15, s"restart delivers ONLY the 5 appended cells (no replay): $all")
+    assert(all.toSet == (0 until 15).map(k => (s"sk-$k", 1000L + k)).toSet)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("streaming face: a version lower bound composes with the watermark window") {
+    val stable = "ns:cells_stream_bound"
+    val store = FileStore(root)
+    store.ensureTable(stable, TableSpec())
+    store.putBatch(stable, (0 until 12).map(k =>
+      CellPut(stable, s"bk-$k".getBytes("UTF-8"), 2000L + k, s"bb-$k".getBytes("UTF-8"))))
+    val ck = java.nio.file.Files.createTempDirectory("graft-cells-bound-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cells-bound-out").toString
+    val q = spark.readStream.format("graft-cells")
+      .option("root", root).option("table", stable).load()
+      .where(col("version") >= 2006L)
+      .select(col("rowkey").cast("string").as("k"), col("version"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == (6 until 12).map(k => (s"bk-$k", 2000L + k)).toSet, got.toString)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   private def hexToBytes(h: String): Array[Byte] =
     h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 }
