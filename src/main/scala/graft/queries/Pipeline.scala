@@ -334,6 +334,47 @@ object Pipeline {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       res
+    },
+
+    // Major compaction through the connector: seed three versions per
+    // rowkey through the WRITE face, then keep only each key's LATEST
+    // version (max_by over the BATCH read face — one partial-aggregable
+    // shuffle on the rowkey) and rewrite the survivors into a fresh
+    // table; the output is the compacted table read BACK through the
+    // connector. This is the HBase-major-compaction maintenance face of
+    // the store (the q83 parquet compaction's cell-level sibling): at
+    // store scale it runs shard-parallel (the scan is one partition per
+    // digest shard) and the rewrite is idempotent per (rowkey, version)
+    // like every cell write. The in-query invariant pins the version
+    // drop (3 cells per key before, 1 after); the oracle recomputes the
+    // survivors' logical content straight from documents.
+    "q134_cells_compact" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q134-cells").toString
+      val seed = Tables.documents(s, d)
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), explode(sequence(lit(1), lit(3))).as("v"))
+        .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+          expr("doc_id * 4 + v").as("version"),
+          expr("cast(md5(concat(cast(doc_id as string), '-', cast(v as string))) as binary)").as("body"))
+      seed.write.format("graft-cells").mode("append")
+        .option("root", root).option("table", "q134").save()
+      def readTable(t: String) = s.read.format("graft-cells")
+        .option("root", root).option("table", t).load()
+      val before = readTable("q134").count()
+      readTable("q134")
+        .groupBy(col("rowkey"))
+        .agg(max(col("version")).as("version"), expr("max_by(body, version)").as("body"))
+        .write.format("graft-cells").mode("append")
+        .option("root", root).option("table", "q134c").save()
+      val res = readTable("q134c")
+        .select(col("rowkey").cast("string").as("key_str"), col("version"),
+          col("body").cast("string").as("body_md5"))
+        .localCheckpoint()
+      val after = res.count()
+      require(before == 3 * after && after > 0,
+        s"compaction must keep exactly the latest of 3 versions per key: $before -> $after")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      res
     }
   )
 
@@ -469,6 +510,12 @@ object Pipeline {
     "q133_cells_tail" ->
       """SELECT doc_id AS version, 'doc-' || doc_id AS key_str, md5(text) AS body_md5
          FROM documents WHERE doc_id % 10 = 0""",
+
+    // the survivors of latest-per-key compaction: version 3 of 3
+    "q134_cells_compact" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + 3)::BIGINT AS version,
+              md5(doc_id::VARCHAR || '-3') AS body_md5
+         FROM documents WHERE doc_id % 20 = 0""",
 
     "q129_domain_select" ->
       s"""WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
