@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** End-to-end training-data pipeline operators, batch two (q126-q130):
-  * PII-style redaction, SemDeDup embedding dedup, BPE merge training,
-  * DSIR-style domain selection, and the per-source dataset card.
+/** End-to-end training-data pipeline operators, batch two (q126-q134):
+  * PII-style redaction, SemDeDup embedding dedup, BPE merge training
+  * and encoding, DSIR-style domain selection, the per-source dataset
+  * card, Hamilton mixture apportionment, and the cell-store lifecycle
+  * pair (change-feed tail, major compaction) over the DSv2 connector.
   *
   * Same oracle discipline as Curation/Quality: integer arithmetic for
   * every score, md5 digests for text-valued outputs, regex patterns

@@ -169,6 +169,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q133/q134: the cell-store round trips carry exactly the documents-derived content") {
+    val tail = q("q133_cells_tail").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(tail == docs.filter(_._1 % 10 == 0).map { case (id, text) =>
+      (id, s"doc-$id", md5hex(text))
+    }.toSet, "q133 tail content")
+    val compact = q("q134_cells_compact").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(compact == docs.filter(_._1 % 20 == 0).map { case (id, _) =>
+      (s"doc-$id", id * 4 + 3, md5hex(s"$id-3"))
+    }.toSet, "q134 keeps exactly the latest version's content")
+  }
+
   test("q130: card totals reconcile with the corpus") {
     val rows = q("q130_dataset_card").collect()
     assert(rows.map(_.getString(0)).distinct.length == rows.length, "one row per source")
