@@ -377,6 +377,39 @@ object Pipeline {
         s"compaction must keep exactly the latest of 3 versions per key: $before -> $after")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       res
+    },
+
+    // Winnowing document fingerprints (the MOSS algorithm): per
+    // document, 3-gram rolling hashes (the q15 md5-derived base hash),
+    // then from every sliding window of 4 consecutive grams select the
+    // minimum (hash, position) — the guaranteed-coverage fingerprint
+    // set plagiarism/contamination detection indexes at corpus scale.
+    // Selection is ENTIRELY per-row array arithmetic: a pure narrow
+    // map, zero exchanges (plan-pinned) — at 100 TB the fingerprint
+    // pass rides the scan and only the (fingerprint → doc) index build
+    // behind it ever shuffles. Ties inside a window break on the
+    // ENCODED (hash·10⁵ + position) long, so both engines select the
+    // identical gram; the digest is over the sorted distinct set.
+    "q135_winnowing" -> { (s, d) =>
+      import graft.operators.MinHashDedup.BaseMod
+      val W = 4 // winnowing window (selected density ≈ 2/(W+1))
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .withColumn("g", size(col("ts")) - 2)
+        .withColumn("hs", expr(
+          "transform(sequence(1, greatest(g, 1)), i -> " +
+            "CAST(conv(substring(md5(concat_ws(' ', element_at(ts, i), " +
+            "element_at(ts, i + 1), element_at(ts, i + 2))), 1, 8), 16, 10) AS BIGINT) " +
+            s"% $BaseMod)"))
+        .withColumn("fps", expr(
+          "CASE WHEN g < 1 THEN array() ELSE array_sort(array_distinct(" +
+            s"transform(sequence(1, greatest(g - ${W - 1}, 1)), i -> " +
+            s"array_min(transform(sequence(i, least(i + ${W - 1}, g)), " +
+            "j -> element_at(hs, j) * 100000 + j))))) END"))
+        .select(col("doc_id"),
+          greatest(col("g"), lit(0)).cast("long").as("n_grams"),
+          size(col("fps")).cast("long").as("n_fp"),
+          md5(concat_ws(",", expr("transform(fps, x -> CAST(x AS STRING))"))).as("fp_digest"))
     }
   )
 
@@ -518,6 +551,26 @@ object Pipeline {
       """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + 3)::BIGINT AS version,
               md5(doc_id::VARCHAR || '-3') AS body_md5
          FROM documents WHERE doc_id % 20 = 0""",
+
+    // DuckDB range(a, b) is half-open — every Spark sequence(a, b)
+    // becomes range(a, b + 1)
+    "q135_winnowing" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts,
+             len(string_split(text, ' ')) - 2 AS g FROM documents),
+          h AS (SELECT doc_id, g, list_transform(range(1, greatest(g, 1) + 1),
+              i -> ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 8))::BIGINT
+                   % ${graft.operators.MinHashDedup.BaseMod}) AS hs
+            FROM t),
+          f AS (SELECT doc_id, g,
+              CASE WHEN g < 1 THEN [] ELSE list_sort(list_distinct(
+                list_transform(range(1, greatest(g - 3, 1) + 1),
+                  i -> list_min(list_transform(range(i, least(i + 3, g) + 1),
+                    j -> hs[j] * 100000 + j))))) END AS fps
+            FROM h)
+          SELECT doc_id, greatest(g, 0)::BIGINT AS n_grams,
+                 len(fps)::BIGINT AS n_fp,
+                 md5(coalesce(array_to_string(fps, ','), '')) AS fp_digest
+          FROM f""",
 
     "q129_domain_select" ->
       s"""WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t

@@ -182,6 +182,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toSet, "q134 keeps exactly the latest version's content")
   }
 
+  test("q135: winnowing fingerprints match a brute-force window-min selection") {
+    val BaseMod = graft.operators.MinHashDedup.BaseMod
+    def h(g: String): Long =
+      java.lang.Long.parseLong(md5hex(g).take(8), 16) % BaseMod
+    val got = q("q135_winnowing").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.size == docs.size)
+    var anyWindowed = false
+    docs.foreach { case (id, text) =>
+      val ts = text.split(" ")
+      val g = ts.length - 2
+      val fps: Seq[Long] =
+        if (g < 1) Seq.empty
+        else {
+          val hs = (1 to math.max(g, 1)).map(i => h(s"${ts(i - 1)} ${ts(i)} ${ts(i + 1)}"))
+          (1 to math.max(g - 3, 1)).map { i =>
+            (i to math.min(i + 3, g)).map(j => hs(j - 1) * 100000L + j).min
+          }.distinct.sorted
+        }
+      val (nGrams, nFp, dig) = got(id)
+      assert(nGrams == math.max(g, 0), s"doc $id gram count")
+      assert(nFp == fps.length, s"doc $id fingerprint count")
+      assert(dig == md5hex(fps.mkString(",")), s"doc $id fingerprint digest")
+      if (g >= 4 && nFp < nGrams) anyWindowed = true
+    }
+    assert(anyWindowed, "window selection must actually thin the gram set somewhere")
+  }
+
   test("q130: card totals reconcile with the corpus") {
     val rows = q("q130_dataset_card").collect()
     assert(rows.map(_.getString(0)).distinct.length == rows.length, "one row per source")

@@ -134,6 +134,13 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("Exchange"), s)
   }
 
+  test("q135: winnowing selection is a pure narrow map — zero exchanges") {
+    val df = SparkEntry.queries("q135_winnowing")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"), s)
+  }
+
   test("q129: the bounded target vocabulary broadcasts into the scoring join") {
     val df = SparkEntry.queries("q129_domain_select")(spark, sf)
     df.collect()
