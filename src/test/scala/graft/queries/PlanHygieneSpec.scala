@@ -141,6 +141,21 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("Exchange"), s)
   }
 
+  test("q130: the exact median never sorts whole-source ROWS through a window") {
+    // the median must come from the (source, n_chars, count) aggregate —
+    // value-domain cardinality — not a row_number over every row of a
+    // source (one task sorts a whole source at scale). Pin: no window in
+    // the plan orders by the per-row tiebreak column; every window runs
+    // over post-aggregate columns only.
+    val df = SparkEntry.queries("q130_dataset_card")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val rowScaleWindows = s.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("doc_id"))
+      .toSeq
+    assert(rowScaleWindows.isEmpty, s"whole-source row window(s):\n${rowScaleWindows.mkString("\n")}")
+  }
+
   test("q129: the bounded target vocabulary broadcasts into the scoring join") {
     val df = SparkEntry.queries("q129_domain_select")(spark, sf)
     df.collect()
