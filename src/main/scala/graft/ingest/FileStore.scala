@@ -12,9 +12,15 @@ import scala.jdk.CollectionConverters._
   * named by the rowkey's SHA-256 (rowkeys embed the full record id and
   * are unbounded — far past the 255-byte filename limit — so the true
   * key is stored INSIDE the cell file, length-prefixed before the
-  * body). `shard` is the first two digest hex chars, keeping directory
-  * fan-out bounded and uniform — the same property HBase region splits
-  * rely on. `ensureTable` records the full DDL at `<table>/_spec.json`
+  * body). `shard` is the hex of the ROWKEY'S OWN FIRST BYTE — 256
+  * contiguous KEY RANGES, the HBase region model (regions partition the
+  * rowkey space by range; splits land on key-prefix boundaries). The
+  * reference rowkey opens with a 4-byte CRC32 of the id
+  * (MessageUtils.kt:120-149) precisely so this first byte is uniform —
+  * range sharding gets hash-bucket balance for free, and a rowkey
+  * PREFIX/RANGE scan resolves to a contiguous shard subset (the read
+  * face's prefix pushdown) where a digest shard could never prune one.
+  * `ensureTable` records the full DDL at `<table>/_spec.json`
   * idempotently (W3); `exists` is file existence, giving per-batch
   * read-your-writes under task retry (F5); `putBatch` stages each cell
   * to a temp file and atomically renames, so a killed task never leaves
@@ -29,11 +35,18 @@ import scala.jdk.CollectionConverters._
 object FileStore {
   /** The cell-file naming digest. Public because the read face
     * ([[graft.sources.CellsSource]]) must route rowkey point lookups
-    * to the SAME digest shard the writer used — a single definition
+    * to the SAME cell files the writer placed — a single definition
     * keeps write placement and read pruning in lockstep. */
   def keyDigest(rowkey: Array[Byte]): String =
     java.security.MessageDigest.getInstance("SHA-256").digest(rowkey)
       .map(b => f"$b%02x").mkString
+
+  /** Shard directory of a rowkey: hex of its first byte — a RANGE
+    * shard (region analog), shared by writer placement and the read
+    * face's point/prefix/range pruning. Empty keys (never produced by
+    * the rowkey builder, but storable) sort first, with the 0x00 range. */
+  def shardOf(rowkey: Array[Byte]): String =
+    if (rowkey.isEmpty) "00" else f"${rowkey(0) & 0xff}%02x"
 }
 
 final case class FileStore(rootDir: String) extends Store {
@@ -49,7 +62,7 @@ final case class FileStore(rootDir: String) extends Store {
 
   private def cellPath(c: CellPut): Path = {
     val d = keyDigest(c.rowkey)
-    tableDir(c.tableName).resolve(d.take(2)).resolve(s"$d.${c.version}")
+    tableDir(c.tableName).resolve(FileStore.shardOf(c.rowkey)).resolve(s"$d.${c.version}")
   }
 
   override def ensureTable(tableName: String, spec: TableSpec): Unit = {

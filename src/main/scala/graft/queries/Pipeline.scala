@@ -412,6 +412,40 @@ object Pipeline {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // Rowkey PREFIX scan through the cell store — the third HBase read
+    // idiom after point GET (q133's shard routing) and time-travel
+    // version slice: seed cells whose rowkeys open with a spreading
+    // byte (the reference rowkey's CRC32-prefix shape,
+    // MessageUtils.kt:120-149), then read back ONE key-range via
+    // `rowkey >= P AND rowkey < P+1` — the region-range scan. The
+    // connector resolves the binary bounds to the contiguous first-byte
+    // shard span (in-query invariant: the pruned scan plans exactly 1
+    // of the seeded shards) and re-checks bounds on parsed keys before
+    // body I/O; the oracle recomputes the slice's logical content
+    // straight from documents, proving the range semantics end to end.
+    "q136_cells_prefix" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q136-cells").toString
+      try {
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+          .select(
+            expr("cast(concat(chr(65 + doc_id % 8), '-', cast(doc_id as string)) as binary)").as("rowkey"),
+            col("doc_id").as("version"),
+            expr("cast(md5(text) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q136").save()
+        val pruned = s.read.format("graft-cells")
+          .option("root", root).option("table", "q136").load()
+          .filter(col("rowkey") >= lit("C".getBytes("UTF-8")) &&
+            col("rowkey") < lit("D".getBytes("UTF-8")))
+        require(pruned.rdd.getNumPartitions == 1,
+          s"prefix scan must plan exactly the 'C' shard, got ${pruned.rdd.getNumPartitions}")
+        pruned
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // Winnowing document fingerprints (the MOSS algorithm): per
     // document, 3-gram rolling hashes (the q15 md5-derived base hash),
     // then from every sliding window of 4 consecutive grams select the
@@ -589,6 +623,12 @@ object Pipeline {
       """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + 3)::BIGINT AS version,
               md5(doc_id::VARCHAR || '-3') AS body_md5
          FROM documents WHERE doc_id % 20 = 0""",
+
+    // the logical content of the 'C' key range: first byte chr(65+2)
+    "q136_cells_prefix" ->
+      """SELECT chr((65 + (doc_id % 8))::INTEGER) || '-' || doc_id AS key_str,
+              doc_id AS version, md5(text) AS body_md5
+         FROM documents WHERE doc_id % 5 = 0 AND doc_id % 8 = 2""",
 
     // DuckDB range(a, b) is half-open — every Spark sequence(a, b)
     // becomes range(a, b + 1)

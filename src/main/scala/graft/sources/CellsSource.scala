@@ -19,7 +19,10 @@ import scala.jdk.CollectionConverters._
   *
   * Layout read (must match FileStore): `<root>/<table>/<shard>/
   * <sha256hex>.<version>`, cell file = [4-byte BE keylen][rowkey]
-  * [body]; `:` in table names mangles to `~`.
+  * [body]; `:` in table names mangles to `~`. `shard` is the hex of
+  * the rowkey's FIRST BYTE — 256 contiguous key ranges, the HBase
+  * region model (uniform because reference rowkeys open with a CRC32
+  * byte).
   *
   * What the connector pushes DOWN (the reason it exists instead of a
   * driver-side scan helper):
@@ -30,21 +33,27 @@ import scala.jdk.CollectionConverters._
   *    as-of slice). Fully handled — nothing residual for Spark to
   *    re-filter. Strict bounds saturate at the Long extremes (no
   *    v±1 wraparound admitting the whole table).
-  *  - **rowkey `=` / `IN` route to the digest shard** — the same
-  *    `FileStore.keyDigest` the writer used for placement resolves a
-  *    point probe to 1 shard directory (and within it, only the
-  *    probed key's cell files), instead of listing all 256 shards —
-  *    the get-by-key read path. Rowkey predicates stay residual, so
-  *    Spark re-checks the bytes on survivors and correctness never
-  *    rests on digest uniqueness.
+  *  - **rowkey `=` / `IN` route to the key's range shard AND its
+  *    digest-named cell files** — a point probe opens 1 shard
+  *    directory and within it only the probed key's cells — the
+  *    get-by-key read path. Rowkey predicates stay residual, so Spark
+  *    re-checks the bytes on survivors and correctness never rests on
+  *    digest uniqueness.
+  *  - **rowkey RANGE / PREFIX scans prune to contiguous shard
+  *    subsets** — `>=`/`>`/`<=`/`<` on the binary rowkey (a prefix
+  *    scan is `rowkey >= P AND rowkey < P+1`) resolve to the shard
+  *    directories whose first-byte range intersects the bound — the
+  *    HBase region-range scan idiom (the reference rowkey's 4-byte
+  *    CRC32 prefix makes the leading byte the region unit). Bounds are
+  *    re-checked exactly (unsigned lexicographic, Spark's BinaryType
+  *    order) as each cell's key is parsed, before body I/O.
   *  - **column pruning cuts I/O, not just rows**: without `body` the
   *    reader stops after the length-prefixed key; with only `version`
   *    requested it never reads file CONTENT at all (the version is in
   *    the name) — a `count(version)` query is pure directory listing.
   *
   * Parallelism: one [[InputPartition]] per shard directory. Shards are
-  * the first two digest hex chars — 256 uniform buckets (the same
-  * fan-out property HBase region splits rely on), so partition work is
+  * 256 uniform buckets (CRC32 leading byte), so partition work is
   * balanced by construction and scales the scan to the cluster.
   */
 class CellsSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
@@ -64,6 +73,61 @@ object CellsSource {
   /** files actually OPENED by readers — the spec's proof that version
     * pushdown and column pruning skip I/O (single-JVM local mode). */
   val filesOpened = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
+/** Rowkey predicates resolved at planning time into three pruning
+  * tiers: shard DIRECTORIES (point probes and first-byte range spans),
+  * cell FILES (point-probe digests matched against the filename), and
+  * an exact BYTE-RANGE re-check applied as each cell's key is parsed —
+  * before body I/O. All byte comparisons are unsigned lexicographic,
+  * the order Spark's own BinaryType comparisons use, so pruning always
+  * agrees with the residual filter Spark re-applies on survivors. */
+final case class CellsKeyPred(
+    digests: Option[Set[String]],
+    pointShards: Option[Set[String]],
+    lo: Option[Array[Byte]], loInc: Boolean,
+    hi: Option[Array[Byte]], hiInc: Boolean) {
+
+  /** can this shard directory (hex of the first key byte) hold a match? */
+  def shardOk(name: String): Boolean = {
+    val b = try Integer.parseInt(name, 16) catch { case _: NumberFormatException => return false }
+    pointShards.forall(_.contains(name)) &&
+      lo.forall(k => k.isEmpty || b >= (k(0) & 0xff)) &&
+      hi.forall { k =>
+        if (k.isEmpty) hiInc && b == 0
+        // exclusive 1-byte bound: every key in shard k(0) is >= [k(0)]
+        // as a prefix, so the bound's own shard cannot match — the
+        // common `rowkey < [P+1]` prefix-scan shape prunes to P exactly
+        else if (k.length == 1 && !hiInc) b < (k(0) & 0xff)
+        else b <= (k(0) & 0xff)
+      }
+  }
+
+  /** can this cell file (digest filename) hold a match? (point tier) */
+  def fileOk(digestHex: String): Boolean = digests.forall(_.contains(digestHex))
+
+  def hasRange: Boolean = lo.isDefined || hi.isDefined
+
+  /** exact range check on the parsed key bytes. */
+  def keyOk(key: Array[Byte]): Boolean =
+    lo.forall { k => val c = CellsKeyPred.cmp(key, k); if (loInc) c >= 0 else c > 0 } &&
+      hi.forall { k => val c = CellsKeyPred.cmp(key, k); if (hiInc) c <= 0 else c < 0 }
+}
+
+object CellsKeyPred {
+  val All: CellsKeyPred = CellsKeyPred(None, None, None, true, None, true)
+
+  /** unsigned lexicographic byte-array order — Spark's BinaryType order. */
+  def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
 }
 
 case class CellsTable(root: String, table: String) extends Table
@@ -147,10 +211,17 @@ case class CellsScanBuilder(root: String, table: String) extends ScanBuilder
 
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
-  // rowkey point predicates, resolved to cell-file digests: None = no
-  // rowkey predicate, Some(set) = only these digests can match (an
-  // empty set is a provably-empty scan)
+  // rowkey point predicates, resolved to cell-file digests AND range
+  // shards: None = no point predicate, Some(set) = only these can
+  // match (an empty set is a provably-empty scan)
   private var keyDigests: Option[Set[String]] = None
+  private var pointShards: Option[Set[String]] = None
+  // rowkey range bounds (binary, unsigned order), tightened across
+  // conjunctive filters; inclusivity tracked per bound
+  private var keyLo: Option[Array[Byte]] = None
+  private var keyLoInc = true
+  private var keyHi: Option[Array[Byte]] = None
+  private var keyHiInc = true
   private var pushed = Array.empty[Filter]
   private var required: StructType = CellsSource.Schema
 
@@ -167,8 +238,32 @@ case class CellsScanBuilder(root: String, table: String) extends ScanBuilder
     case _ => None
   }
 
-  private def intersectDigests(ds: Set[String]): Unit =
+  private def intersectPoints(keys: Seq[Array[Byte]]): Unit = {
+    val ds = keys.map(graft.ingest.FileStore.keyDigest).toSet
+    val ss = keys.map(graft.ingest.FileStore.shardOf).toSet
     keyDigests = Some(keyDigests.fold(ds)(_ intersect ds))
+    pointShards = Some(pointShards.fold(ss)(_ intersect ss))
+  }
+
+  private def tightenLo(k: Array[Byte], inc: Boolean): Unit = {
+    val stronger = keyLo match {
+      case None => true
+      case Some(cur) =>
+        val c = CellsKeyPred.cmp(k, cur)
+        c > 0 || (c == 0 && keyLoInc && !inc)
+    }
+    if (stronger) { keyLo = Some(k); keyLoInc = inc }
+  }
+
+  private def tightenHi(k: Array[Byte], inc: Boolean): Unit = {
+    val stronger = keyHi match {
+      case None => true
+      case Some(cur) =>
+        val c = CellsKeyPred.cmp(k, cur)
+        c < 0 || (c == 0 && keyHiInc && !inc)
+    }
+    if (stronger) { keyHi = Some(k); keyHiInc = inc }
+  }
 
   // strict bound x < v / x > v: saturate at the Long extremes instead
   // of computing v∓1 — the wrapped bound would silently ADMIT all rows
@@ -193,17 +288,29 @@ case class CellsScanBuilder(root: String, table: String) extends ScanBuilder
         accepted += f
       case f @ LessThanOrEqual("version", v) if longOf(v).isDefined =>
         hi = math.min(hi, longOf(v).get); accepted += f
-      // rowkey point lookups route to their digest SHARD (and file):
-      // the same FileStore.keyDigest the writer used for placement, so
-      // an equality/IN probe opens 1 shard directory instead of all
-      // 256. Kept in the residual set — Spark re-checks the bytes on
-      // the survivors, so correctness never rests on digest uniqueness.
+      // rowkey point lookups route to their range shard AND cell files:
+      // the same FileStore placement the writer used, so an equality/IN
+      // probe opens 1 shard directory and only the probed key's cells.
+      // Kept in the residual set — Spark re-checks the bytes on the
+      // survivors, so correctness never rests on digest uniqueness.
       case f @ EqualTo("rowkey", v) if bytesOf(v).isDefined =>
-        intersectDigests(Set(graft.ingest.FileStore.keyDigest(bytesOf(v).get)))
+        intersectPoints(Seq(bytesOf(v).get))
         accepted += f; residual += f
       case f @ In("rowkey", vs) if vs.nonEmpty && vs.forall(bytesOf(_).isDefined) =>
-        intersectDigests(vs.map(v => graft.ingest.FileStore.keyDigest(bytesOf(v).get)).toSet)
+        intersectPoints(vs.map(v => bytesOf(v).get).toSeq)
         accepted += f; residual += f
+      // rowkey range/prefix scans prune to the contiguous first-byte
+      // shard span (the HBase region-range scan); the exact bound is
+      // re-applied against the parsed key before body I/O, and ALSO
+      // stays residual for Spark's own re-check.
+      case f @ GreaterThan("rowkey", v) if bytesOf(v).isDefined =>
+        tightenLo(bytesOf(v).get, inc = false); accepted += f; residual += f
+      case f @ GreaterThanOrEqual("rowkey", v) if bytesOf(v).isDefined =>
+        tightenLo(bytesOf(v).get, inc = true); accepted += f; residual += f
+      case f @ LessThan("rowkey", v) if bytesOf(v).isDefined =>
+        tightenHi(bytesOf(v).get, inc = false); accepted += f; residual += f
+      case f @ LessThanOrEqual("rowkey", v) if bytesOf(v).isDefined =>
+        tightenHi(bytesOf(v).get, inc = true); accepted += f; residual += f
       case other => residual += other
     }
     pushed = accepted.result()
@@ -212,27 +319,30 @@ case class CellsScanBuilder(root: String, table: String) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = CellsScan(root, table, lo, hi, keyDigests, required)
+  override def build(): Scan =
+    CellsScan(root, table, lo, hi,
+      CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), required)
 }
 
 case class CellsScan(root: String, table: String, lo: Long, hi: Long,
-                     keyDigests: Option[Set[String]], required: StructType)
+                     keys: CellsKeyPred, required: StructType)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-cells table=$table version=[$lo,$hi]" +
-      keyDigests.fold("")(d => s" keys=${d.size}") +
+      keys.digests.fold("")(d => s" keys=${d.size}") +
+      (if (keys.hasRange) " keyrange" else "") +
       s" cols=[${required.fieldNames.mkString(",")}]"
-
-  private def digestMatches(name: String, dot: Int): Boolean =
-    keyDigests.forall(_.contains(name.take(dot)))
 
   /** Exact post-pruning statistics from the directory listing alone
     * (cell count and byte size are filename/metadata reads — no file
     * contents), so Catalyst can size joins over cell tables: a small
     * as-of slice becomes a broadcast candidate instead of an
-    * unknown-size shuffle side. */
+    * unknown-size shuffle side. A rowkey RANGE is only pruned to its
+    * shard span here (the exact bound needs the key bytes, which live
+    * inside the file) — statistics may overestimate a range scan, never
+    * underestimate it, so a too-big side never broadcasts. */
   override def estimateStatistics(): Statistics = new Statistics {
     private lazy val (rows, bytes) = {
       val dir = Paths.get(root, table.replace(':', '~'))
@@ -240,17 +350,19 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
       var b = 0L
       if (Files.isDirectory(dir)) {
         val shards = Files.list(dir)
-        try shards.iterator().asScala.filter(Files.isDirectory(_)).foreach { shard =>
-          val s = Files.list(shard)
-          try s.iterator().asScala.foreach { p =>
-            val name = p.getFileName.toString
-            val dot = name.lastIndexOf('.')
-            if (dot > 0 && !name.endsWith(".tmp") && digestMatches(name, dot))
-              name.drop(dot + 1).toLongOption.foreach { v =>
-                if (v >= lo && v <= hi) { n += 1; b += Files.size(p) }
-              }
-          } finally s.close()
-        } finally shards.close()
+        try shards.iterator().asScala
+          .filter(p => Files.isDirectory(p) && keys.shardOk(p.getFileName.toString))
+          .foreach { shard =>
+            val s = Files.list(shard)
+            try s.iterator().asScala.foreach { p =>
+              val name = p.getFileName.toString
+              val dot = name.lastIndexOf('.')
+              if (dot > 0 && !name.endsWith(".tmp") && keys.fileOk(name.take(dot)))
+                name.drop(dot + 1).toLongOption.foreach { v =>
+                  if (v >= lo && v <= hi) { n += 1; b += Files.size(p) }
+                }
+            } finally s.close()
+          } finally shards.close()
       }
       (n, b)
     }
@@ -261,25 +373,24 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = Paths.get(root, table.replace(':', '~'))
     if (!Files.isDirectory(dir)) return Array.empty
-    // a rowkey point lookup plans ONLY its digest shard(s) — 1 input
-    // partition instead of 256 (the get-by-key read path at HBase
-    // scale: a region-server point read, not a table scan)
-    val wantShards = keyDigests.map(_.map(_.take(2)))
+    // a rowkey point lookup plans ONLY its shard — 1 input partition
+    // instead of 256 (a region-server point read, not a table scan);
+    // a range/prefix scan plans the contiguous shard span it covers
     val shards = Files.list(dir)
     try shards.iterator().asScala
       .filter(Files.isDirectory(_))
-      .filter(p => wantShards.forall(_.contains(p.getFileName.toString)))
+      .filter(p => keys.shardOk(p.getFileName.toString))
       .map(p => CellsShard(p.toString): InputPartition)
       .toArray
     finally shards.close()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CellsReaderFactory(lo, hi, keyDigests, required.fieldNames)
+    CellsReaderFactory(lo, hi, keys, required.fieldNames)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    CellsMicroBatch(root, table, lo, hi, keyDigests, required.fieldNames)
+    CellsMicroBatch(root, table, lo, hi, keys, required.fieldNames)
 }
 
 /** Streaming read face: tail the cell store by VERSION watermark —
@@ -291,20 +402,27 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
   * rows (deterministic filename listing — exactly-once delivery with
   * no source-side state beyond the one long in the offset log).
   *
-  * Contract: the producer appends with monotonically NON-DECREASING
-  * versions (the ingest pipeline's epoch-millis versions qualify
-  * per-table); a cell back-dated below a committed watermark is
-  * outside the feed's delivery guarantee — the same contract an HBase
-  * timestamp tailer or a watermarked Kafka consumer carries. Version
-  * and rowkey pushdown compose: a `.where("version >= T")` on the
-  * stream bounds the watermark window at the FILENAME level, exactly
-  * like the batch face. */
+  * Contract: between one micro-batch's offset commit and the next
+  * planning pass, every new cell must land at a version STRICTLY ABOVE
+  * the highest version visible at commit time — the watermark is the
+  * max version on disk, so a later append at a version ≤ that watermark
+  * (including EQUAL: two same-epoch-millisecond writes straddling a
+  * commit) falls outside the (s, e] window and is never delivered. The
+  * ingest pipeline's per-table epoch-millis versions satisfy this
+  * whenever the producer is single-writer-per-table or its clock ticks
+  * between batches; a back-dated or same-tick straddling write is
+  * outside the feed's delivery guarantee (CellsSourceSpec pins the
+  * miss) but always visible to the BATCH face — the same contract an
+  * HBase timestamp tailer or a watermarked Kafka consumer carries.
+  * Version and rowkey pushdown compose: a `.where("version >= T")` on
+  * the stream bounds the watermark window at the FILENAME level,
+  * exactly like the batch face. */
 case class CellsOffset(v: Long) extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = s"""{"v":$v}"""
 }
 
 case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
-                           keyDigests: Option[Set[String]], cols: Array[String])
+                           keys: CellsKeyPred, cols: Array[String])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -329,17 +447,19 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
     var mx = Long.MinValue
     if (Files.isDirectory(dir)) {
       val shards = Files.list(dir)
-      try shards.iterator().asScala.filter(Files.isDirectory(_)).foreach { shard =>
-        val s = Files.list(shard)
-        try s.iterator().asScala.foreach { p =>
-          val n = p.getFileName.toString
-          val dot = n.lastIndexOf('.')
-          if (dot > 0 && !n.endsWith(".tmp") && keyDigests.forall(_.contains(n.take(dot))))
-            n.drop(dot + 1).toLongOption.foreach { v =>
-              if (v >= lo && v <= hi && v > mx) mx = v
-            }
-        } finally s.close()
-      } finally shards.close()
+      try shards.iterator().asScala
+        .filter(p => Files.isDirectory(p) && keys.shardOk(p.getFileName.toString))
+        .foreach { shard =>
+          val s = Files.list(shard)
+          try s.iterator().asScala.foreach { p =>
+            val n = p.getFileName.toString
+            val dot = n.lastIndexOf('.')
+            if (dot > 0 && !n.endsWith(".tmp") && keys.fileOk(n.take(dot)))
+              n.drop(dot + 1).toLongOption.foreach { v =>
+                if (v >= lo && v <= hi && v > mx) mx = v
+              }
+          } finally s.close()
+        } finally shards.close()
     }
     mx
   }
@@ -361,46 +481,44 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
     // saturating guard — s = Long.MinValue means "from the beginning"
     val bLo = math.max(lo, if (s == Long.MinValue) Long.MinValue else s + 1)
     val bHi = math.min(hi, e)
-    val wantShards = keyDigests.map(_.map(_.take(2)))
     val shards = Files.list(dir)
     try shards.iterator().asScala
-      .filter(Files.isDirectory(_))
-      .filter(p => wantShards.forall(_.contains(p.getFileName.toString)))
+      .filter(p => Files.isDirectory(p) && keys.shardOk(p.getFileName.toString))
       .map(p => CellsStreamShard(p.toString, bLo, bHi): InputPartition)
       .toArray
     finally shards.close()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = CellsStreamReaderFactory(keyDigests, cols)
+  override def createReaderFactory(): PartitionReaderFactory = CellsStreamReaderFactory(keys, cols)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 case class CellsStreamShard(dir: String, lo: Long, hi: Long) extends InputPartition
 
-case class CellsStreamReaderFactory(keyDigests: Option[Set[String]], cols: Array[String])
+case class CellsStreamReaderFactory(keys: CellsKeyPred, cols: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CellsStreamShard]
-    CellsReaders.reader(p.dir, p.lo, p.hi, keyDigests, cols)
+    CellsReaders.reader(p.dir, p.lo, p.hi, keys, cols)
   }
 }
 
 case class CellsShard(dir: String) extends InputPartition
 
-case class CellsReaderFactory(lo: Long, hi: Long, keyDigests: Option[Set[String]],
+case class CellsReaderFactory(lo: Long, hi: Long, keys: CellsKeyPred,
                               cols: Array[String])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    CellsReaders.reader(partition.asInstanceOf[CellsShard].dir, lo, hi, keyDigests, cols)
+    CellsReaders.reader(partition.asInstanceOf[CellsShard].dir, lo, hi, keys, cols)
 }
 
 /** The shard reader shared by the batch scan and the micro-batch
   * stream — identical filename pruning, point-lookup digest filter,
-  * and column-pruned I/O in both faces. */
+  * exact rowkey-range re-check, and column-pruned I/O in both faces. */
 object CellsReaders {
-  def reader(shardDir: String, lo: Long, hi: Long, keyDigests: Option[Set[String]],
+  def reader(shardDir: String, lo: Long, hi: Long, keys: CellsKeyPred,
              cols: Array[String]): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val needKey = cols.contains("rowkey")
@@ -413,7 +531,7 @@ object CellsReaders {
             val n = p.getFileName.toString
             val dot = n.lastIndexOf('.')
             if (dot <= 0 || n.endsWith(".tmp")) None
-            else if (!keyDigests.forall(_.contains(n.take(dot)))) None // point lookup: only the probed key's cells
+            else if (!keys.fileOk(n.take(dot))) None // point lookup: only the probed key's cells
             else n.drop(dot + 1).toLongOption.collect {
               case v if v >= lo && v <= hi => (p, v) // filename prune — not opened
             }
@@ -423,31 +541,47 @@ object CellsReaders {
       }
       private var row: InternalRow = _
 
-      override def next(): Boolean =
-        if (!files.hasNext) false
-        else {
+      override def next(): Boolean = {
+        while (files.hasNext) {
           val (p, version) = files.next()
-          val (key, body) =
-            if (!needKey && !needBody) (null, null) // version-only: no content I/O
-            else {
-              CellsSource.filesOpened.incrementAndGet()
-              val in = Files.newInputStream(p)
-              try {
-                val lenBytes = in.readNBytes(4)
-                val keyLen = java.nio.ByteBuffer.wrap(lenBytes).getInt
-                val k = in.readNBytes(keyLen)
-                val b = if (needBody) in.readAllBytes() else null // key-only: stop early
-                (k, b)
-              } finally in.close()
-            }
-          val values = cols.map {
-            case "rowkey" => key
-            case "version" => version
-            case "body" => body
+          // version-only projection with no range bound: the version is
+          // in the filename — emit without any content I/O
+          val readsContent = needKey || needBody || keys.hasRange
+          if (!readsContent) {
+            row = mkRow(null, version, null)
+            return true
           }
-          row = new GenericInternalRow(values.asInstanceOf[Array[Any]])
-          true
+          CellsSource.filesOpened.incrementAndGet()
+          val in = Files.newInputStream(p)
+          val cell =
+            try {
+              val lenBytes = in.readNBytes(4)
+              val keyLen = java.nio.ByteBuffer.wrap(lenBytes).getInt
+              val k = in.readNBytes(keyLen)
+              // range re-check on the PARSED key, before body I/O: a
+              // non-matching cell costs a key read, never a body read
+              if (!keys.keyOk(k)) None
+              else {
+                val b = if (needBody) in.readAllBytes() else null // key-only: stop early
+                Some((k, b))
+              }
+            } finally in.close()
+          cell match {
+            case Some((k, b)) => row = mkRow(k, version, b); return true
+            case None => // out of key range — skip to the next cell file
+          }
         }
+        false
+      }
+
+      private def mkRow(key: Array[Byte], version: Long, body: Array[Byte]): InternalRow = {
+        val values = cols.map {
+          case "rowkey" => key
+          case "version" => version
+          case "body" => body
+        }
+        new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      }
 
       override def get(): InternalRow = row
       override def close(): Unit = ()

@@ -198,7 +198,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         else {
           val hs = (1 to math.max(g, 1)).map(i => h(s"${ts(i - 1)} ${ts(i)} ${ts(i + 1)}"))
           (1 to math.max(g - 3, 1)).map { i =>
-            (i to math.min(i + 3, g)).map(j => hs(j - 1) * 100000L + j).min
+            (i to math.min(i + 3, g)).map(j => hs(j - 1) * 4294967296L + j).min
           }.distinct.sorted
         }
       val (nGrams, nFp, dig) = got(id)

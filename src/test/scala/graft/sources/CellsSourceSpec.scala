@@ -86,18 +86,18 @@ class CellsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("statistics report exact post-pruning row counts from the listing (no content reads)") {
     CellsSource.filesOpened.set(0)
-    val all = CellsScan(root, table, Long.MinValue, Long.MaxValue, None, CellsSource.Schema)
+    val all = CellsScan(root, table, Long.MinValue, Long.MaxValue, CellsKeyPred.All, CellsSource.Schema)
       .estimateStatistics()
     assert(all.numRows().getAsLong == 120)
     assert(all.sizeInBytes().getAsLong > 0)
-    val sliced = CellsScan(root, table, Long.MinValue, 200L, None, CellsSource.Schema)
+    val sliced = CellsScan(root, table, Long.MinValue, 200L, CellsKeyPred.All, CellsSource.Schema)
       .estimateStatistics()
     assert(sliced.numRows().getAsLong == 6, s"got ${sliced.numRows()}") // k=0,1 × 3 versions
     assert(CellsSource.filesOpened.get() == 0, "statistics opened cell files")
   }
 
   test("scan parallelism is one partition per shard directory") {
-    val scan = CellsScan(root, table, Long.MinValue, Long.MaxValue, None, CellsSource.Schema)
+    val scan = CellsScan(root, table, Long.MinValue, Long.MaxValue, CellsKeyPred.All, CellsSource.Schema)
     val parts = scan.planInputPartitions()
     val shardDirs = new java.io.File(s"$root/${table.replace(':', '~')}")
       .listFiles().count(_.isDirectory)
@@ -128,6 +128,51 @@ class CellsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sb = CellsScanBuilder(root, table)
     sb.pushFilters(Array(org.apache.spark.sql.sources.In("rowkey", keys.toArray[Any])))
     assert(sb.build().asInstanceOf[CellsScan].planInputPartitions().length <= 2)
+  }
+
+  test("rowkey prefix/range scan plans only its shard span and opens only that span's cells") {
+    // fresh table whose keys have DIVERSE first bytes (range shards):
+    // 16 shards × 5 keys × 2 versions
+    val ptable = "ns:cells_prefix_spec"
+    val store = FileStore(root)
+    store.ensureTable(ptable, TableSpec())
+    val puts = for (b <- 0 until 16; k <- 0 until 5; v <- 1 to 2) yield CellPut(
+      ptable,
+      Array(b.toByte, 0x10.toByte, k.toByte),
+      10000L + b * 100 + k * 10 + v,
+      s"pb-$b-$k-$v".getBytes("UTF-8"))
+    store.putBatch(ptable, puts)
+    // prefix scan for first byte 0x05: rowkey >= [05] AND rowkey < [06]
+    val sb = CellsScanBuilder(root, ptable)
+    val residual = sb.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("rowkey", Array(5.toByte): Array[Byte]),
+      org.apache.spark.sql.sources.LessThan("rowkey", Array(6.toByte): Array[Byte])))
+    assert(residual.length == 2, "range bounds must stay residual — Spark re-checks the bytes")
+    val parts = sb.build().asInstanceOf[CellsScan].planInputPartitions()
+    assert(parts.length == 1, s"prefix scan planned ${parts.length} shards, want 1 of 16")
+    // end-to-end through the DataFrame API: the binary comparisons must
+    // translate, prune to the one shard, and return exactly its cells
+    CellsSource.filesOpened.set(0)
+    val rows = spark.read.format("graft-cells")
+      .option("root", root).option("table", ptable).load()
+      .filter(col("rowkey") >= lit(Array(5.toByte)) && col("rowkey") < lit(Array(6.toByte)))
+      .collect()
+    assert(rows.length == 10, s"want shard 05's 10 cells, got ${rows.length}")
+    assert(rows.forall(_.getAs[Array[Byte]]("rowkey")(0) == 5.toByte))
+    assert(CellsSource.filesOpened.get() == 10,
+      s"opened ${CellsSource.filesOpened.get()} files for a 1-of-16-shard prefix scan (160 cells total)")
+  }
+
+  test("rowkey range bounds are re-checked exactly on the parsed key before body I/O") {
+    // a range that splits INSIDE shard 0x05: keys [05,10,k] for k in
+    // 1..3 inclusive — the shard has 5 keys, the exact bound keeps 3
+    val got = spark.read.format("graft-cells")
+      .option("root", root).option("table", "ns:cells_prefix_spec").load()
+      .filter(col("rowkey") >= lit(Array(5.toByte, 0x10.toByte, 1.toByte)) &&
+        col("rowkey") <= lit(Array(5.toByte, 0x10.toByte, 3.toByte)))
+      .collect()
+    assert(got.length == 6, s"3 keys × 2 versions, got ${got.length}")
+    assert(got.map(_.getAs[Array[Byte]]("rowkey")(2).toInt).toSet == Set(1, 2, 3))
   }
 
   test("strict version bounds at Long extremes saturate to an empty scan (no wraparound)") {
@@ -248,6 +293,53 @@ class CellsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == (6 until 12).map(k => (s"bk-$k", 2000L + k)).toSet, got.toString)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("streaming contract negative path: a write at or below a committed watermark is " +
+      "outside the feed's guarantee — missed by the stream, always visible to the batch face") {
+    val stable = "ns:cells_stream_backdate"
+    val store = FileStore(root)
+    store.ensureTable(stable, TableSpec())
+    store.putBatch(stable, (0 until 8).map(k =>
+      CellPut(stable, s"nk-$k".getBytes("UTF-8"), 3000L + k, s"nb-$k".getBytes("UTF-8"))))
+    val ck = java.nio.file.Files.createTempDirectory("graft-cells-neg-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cells-neg-out").toString
+    try {
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("graft-cells")
+          .option("root", root).option("table", stable).load()
+          .select(col("rowkey").cast("string").as("k"), col("version"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce() // commits watermark 3007
+      // two contract-breaking producers: a back-dated cell BELOW the
+      // committed watermark and a same-tick cell EQUAL to it — the
+      // (s, e] window can deliver neither (documented exclusion)
+      store.putBatch(stable, Seq(
+        CellPut(stable, "nk-backdated".getBytes("UTF-8"), 2500L, "late".getBytes("UTF-8")),
+        CellPut(stable, "nk-same-tick".getBytes("UTF-8"), 3007L, "tied".getBytes("UTF-8"))))
+      // plus one contract-honoring append strictly above the watermark
+      store.putBatch(stable, Seq(
+        CellPut(stable, "nk-fresh".getBytes("UTF-8"), 3010L, "ok".getBytes("UTF-8"))))
+      runOnce()
+      val streamed = spark.read.parquet(out).collect().map(_.getString(0)).toSet
+      assert(streamed.contains("nk-fresh"), streamed.toString)
+      assert(!streamed.contains("nk-backdated") && !streamed.contains("nk-same-tick"),
+        s"cells at/below a committed watermark must be outside the stream guarantee: $streamed")
+      // the batch face misses NOTHING: the store itself holds all 11
+      val batch = spark.read.format("graft-cells")
+        .option("root", root).option("table", stable).load()
+        .select(col("rowkey").cast("string")).collect().map(_.getString(0)).toSet
+      assert(batch.size == 11 && batch.contains("nk-backdated") && batch.contains("nk-same-tick"),
+        batch.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
   }
 
   private def hexToBytes(h: String): Array[Byte] =
