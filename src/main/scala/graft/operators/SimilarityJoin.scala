@@ -90,6 +90,112 @@ object SimilarityJoin {
       .select(col("doc_a"), col("doc_b"), col("la"), col("lb"))
   }
 
+  /** Driver-side posting-list cost probe: (Σ df², Σ df) over the
+    * element key of DEDUPED (id, element) rows. Σ df² is the candidate
+    * row volume an inverted-index self-join meets (each element e
+    * contributes df(e)² joined rows); Σ df is the posting count the
+    * scan already pays. Their ratio is the join's average fan-out —
+    * the quantity a stop-shingle inflates quadratically and the signal
+    * the q17/q117 plans switch on: fan-out ≤ ~8 means the direct
+    * posting join is within a constant of the scan (take it — fewer
+    * stages); above it, the prefix-filtered operators bound candidate
+    * generation regardless of how hostile the df distribution is. Both
+    * branches are EXACT — this chooses a physical plan, never an
+    * answer. Cost: one partial-aggregable count per element plus a
+    * 1-row collect, a prefix of what every branch computes anyway. */
+  def postingCost(elems: DataFrame, keyCols: Seq[String]): (Long, Long) = {
+    val r = elems.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df")), sum(col("df"))).collect().head
+    if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+  }
+
+  /** Candidate DIRECTED pairs for the containment join (unverified):
+    * a-side PREFIX rows joined against the FULL b-side index, plus the
+    * b-size filter. Package-private so the hostile-corpus spec can
+    * assert the stop-shingle defense is ENGAGED (near-zero candidates),
+    * not just documented.
+    *
+    * Losslessness of the prefix for |A∩B| ≥ τ·|A| (τ = tauNum/tauDen):
+    * order every set by ascending global df (ties by element — any one
+    * shared total order works); index only a's first
+    * p = na − ⌈τ·na⌉ + 1 elements. If NONE of those p elements is in
+    * B, then A∩B ⊆ A's remaining na − p = ⌈τ·na⌉ − 1 < τ·na elements —
+    * contradiction with |A∩B| ≥ τ·na. So every qualifying ordered pair
+    * shares an a-PREFIX element with b's FULL set, and joining prefix_a
+    * against the full index on the element key finds it. The b side
+    * needs no prefix (containment is asymmetric: only |A| normalizes),
+    * but does need nb·tauDen ≥ na·tauNum (|A∩B| ≤ |B|). A stop-shingle
+    * with df ≈ n sorts LAST in the global order, lands outside every
+    * prefix, and therefore contributes ZERO candidates from the a side
+    * — its n-long posting list on the b side is never probed. */
+  private[operators] def containmentCandidates(e: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    val dfreq = e.groupBy(col("e")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("e").asc)
+    val wLen = Window.partitionBy(col("id"))
+    val ceilTauLen = expr(s"(len * $tauNum + ${tauDen - 1}) div $tauDen")
+    val ranked = e.join(dfreq, "e")
+      .withColumn("pos", row_number().over(w))
+      .withColumn("len", count(lit(1)).over(wLen))
+    val prefixA = ranked
+      .filter(col("pos") <= col("len") - ceilTauLen + 1)
+      .select(col("e"), col("id").as("doc_a"), col("len").as("na"))
+    prefixA
+      .hint("shuffle_hash") // exploded build side: never broadcast (q17's rationale)
+      .join(ranked.select(col("e"), col("id").as("doc_b"), col("len").as("nb")), "e")
+      .filter(col("doc_a") =!= col("doc_b"))
+      // b-size filter: shared ≤ nb, so nb must admit τ·na
+      .filter(col("nb") * tauDen >= col("na") * tauNum)
+      .select(col("doc_a"), col("doc_b"), col("na")).distinct()
+  }
+
+  /** All DIRECTED pairs with |elements_a ∩ elements_b| ≥ τ·|elements_a|
+    * — the asymmetric containment join (quote/subset duplication: a
+    * short doc fully embedded in a long one has low Jaccard but full
+    * containment). Same exact-verification discipline as [[jaccardJoin]]:
+    * prefix filtering only shrinks CANDIDATE generation (losslessly —
+    * proof on [[containmentCandidates]]); every candidate is verified by
+    * an exact sorted-set intersection, so the output is identical to
+    * brute force.
+    *
+    * @param elems one row per (document id, set element); duplicates
+    *              tolerated (de-duplicated internally)
+    * @return (doc_a, doc_b, shared, na) with doc_a ≠ doc_b and
+    *         shared·tauDen ≥ na·tauNum exactly (integer comparison)
+    */
+  def containmentJoin(elems: DataFrame, idCol: String, elemCol: String,
+                      tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be in (0, 1]: $tauNum/$tauDen")
+    // same staging as jaccardJoin: dedup once, intern elements to dense
+    // longs so every shuffle moves 8-byte keys, checkpoint shared subtrees
+    val raw = normalized(elems, idCol, elemCol).localCheckpoint()
+    val dict = raw.select(col("e")).distinct()
+      .withColumn("eid", monotonically_increasing_id())
+    val e = raw.join(dict, "e")
+      .select(col("id"), col("eid").as("e")).localCheckpoint()
+    val cands = containmentCandidates(e, tauNum, tauDen).localCheckpoint()
+    val candDocs = cands.select(col("doc_a").as("id"))
+      .union(cands.select(col("doc_b").as("id"))).distinct()
+    val sets = e.join(candDocs, Seq("id"), "leftsemi")
+      .groupBy(col("id")).agg(array_sort(collect_list(col("e"))).as("es"))
+      .localCheckpoint()
+    cands
+      .join(sets.select(col("id").as("doc_a"), col("es").as("es_a")), "doc_a")
+      .join(sets.select(col("id").as("doc_b"), col("es").as("es_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("na"),
+        intersectSize(col("es_a"), col("es_b")).as("shared"))
+      .filter(col("shared") * tauDen >= col("na") * tauNum)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("na"))
+  }
+
+  /** codegen'd merge-walk intersection of two sorted long arrays —
+    * shared by the jaccard and containment verification stages. */
+  private def intersectSize(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftSqlGlue.column(
+      graft.functions.SortedLongIntersectSize(
+        org.apache.spark.sql.GraftSqlGlue.expression(a),
+        org.apache.spark.sql.GraftSqlGlue.expression(b)))
+
   /** All pairs with Jaccard(elements_a, elements_b) ≥ tauNum/tauDen.
     *
     * @param elems  one row per (document id, set element); duplicates
@@ -140,11 +246,6 @@ object SimilarityJoin {
     val sets = e.join(candDocs, Seq("id"), "leftsemi")
       .groupBy(col("id")).agg(array_sort(collect_list(col("e"))).as("es"))
       .localCheckpoint()
-    def intersectSize(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      org.apache.spark.sql.GraftSqlGlue.column(
-        graft.functions.SortedLongIntersectSize(
-          org.apache.spark.sql.GraftSqlGlue.expression(a),
-          org.apache.spark.sql.GraftSqlGlue.expression(b)))
     cands
       .join(sets.select(col("id").as("doc_a"), col("es").as("es_a")), "doc_a")
       .join(sets.select(col("id").as("doc_b"), col("es").as("es_b")), "doc_b")

