@@ -108,7 +108,11 @@ object Bench {
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val errField = if (nFailed > 0) s""","errors":$errs""" else ""
-    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$nFailed$errField,"sf":"$sfDir"}"""
+    // "passes" documents the measurement protocol IN the snapshot: every
+    // per-query number is the minimum over that many timed passes after
+    // a full warmup pass, so round-over-round diffs aren't chasing
+    // ambient-load ghosts (the r8 verdict's bench-protocol note)
+    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","protocol":"min-of-$passes-passes-after-warmup","queries":$qs,"failed":$nFailed$errField,"sf":"$sfDir"}"""
     // Safety valve for query-count growth: the driver captures only the
     // last ~2000 chars of stdout, so when the full per-query map no
     // longer fits, keep the SLOWEST queries (the ones a grader needs)
@@ -120,7 +124,7 @@ object Bench {
         .sortBy(-_._2)
         .map { case (k, t) => jstr(k) + ":" + f.format(t) }
       val head =
-        s"""{"metric":"total","value":${f.format(total)},"unit":"sec","failed":$nFailed,"sf":"$sfDir""""
+        s"""{"metric":"total","value":${f.format(total)},"unit":"sec","protocol":"min-of-$passes-passes-after-warmup","failed":$nFailed,"sf":"$sfDir""""
       val fixedTail = ""","queries_omitted":00,"queries":{}}"""
       var used = head.length + fixedTail.length
       val kept = entries.takeWhile { e => used += e.length + 1; used <= budget }
