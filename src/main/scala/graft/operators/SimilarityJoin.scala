@@ -104,9 +104,28 @@ object SimilarityJoin {
     * answer. Cost: one partial-aggregable count per element plus a
     * 1-row collect, a prefix of what every branch computes anyway. */
   def postingCost(elems: DataFrame, keyCols: Seq[String]): (Long, Long) = {
+    val s = postingStats(elems, keyCols, hazardDf = Long.MaxValue)
+    (s.df2, s.dfSum)
+  }
+
+  /** [[postingCost]] plus the HAZARD mass: the share of Σ df²
+    * contributed by near-universal elements (df ≥ hazardDf). The
+    * discriminator the containment join's switch needs: prefix
+    * filtering provably ejects near-universal elements (max df ⇒ they
+    * sort last, outside every prefix), so a blowup ATTRIBUTABLE to them
+    * is exactly the blowup escalation fixes. A high Σ df² whose mass
+    * sits in mid-df elements (true duplication — clones) is
+    * output-order work no candidate scheme can avoid; the direct join
+    * is then the cheaper exact plan. One aggregate, one 1-row collect. */
+  final case class PostingStats(df2: Long, dfSum: Long, hazard: Long)
+
+  def postingStats(elems: DataFrame, keyCols: Seq[String], hazardDf: Long): PostingStats = {
     val r = elems.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("df"))
-      .agg(sum(col("df") * col("df")), sum(col("df"))).collect().head
-    if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+      .agg(sum(col("df") * col("df")), sum(col("df")),
+        sum(when(col("df") >= hazardDf, col("df") * col("df")).otherwise(lit(0L))))
+      .collect().head
+    if (r.isNullAt(0)) PostingStats(0L, 0L, 0L)
+    else PostingStats(r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** Candidate DIRECTED pairs for the containment join (unverified):

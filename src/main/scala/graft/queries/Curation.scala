@@ -490,11 +490,15 @@ object Curation {
     // shingles appear in doc_b — the quote/subset-duplication detector
     // Jaccard misses (a short doc embedded in a long one has low
     // Jaccard but full containment; C4/RefinedWeb curation removes
-    // these). COST-SWITCHED physical plan, both branches exact:
-    // a Σdf²/Σdf posting probe (SimilarityJoin.postingCost) measures
-    // the inverted-index self-join's fan-out; benign df distributions (fan-out ≤ 16: join volume stays scan-order)
-    // (this corpus: max df 6 at sf0.1) take the direct posting join —
-    // fewest stages — while a stop-shingle-inflated corpus escalates to
+    // these). COST-SWITCHED physical plan, both branches exact: a
+    // posting probe (SimilarityJoin.postingStats) measures the
+    // inverted-index self-join's fan-out Σdf²/Σdf AND how much of that
+    // volume near-universal elements contribute. Benign distributions
+    // (fan-out ≤ 16 — join volume stays scan-order; this corpus) and
+    // clone-driven fan-out (mid-df mass = output-order work no
+    // candidate scheme avoids) take the direct posting join; a
+    // stop-shingle-inflated corpus — where the volume IS attributable
+    // to near-universal elements — escalates to
     // SimilarityJoin.containmentJoin, whose a-side lowest-df PREFIX is
     // lossless for the ≥τ·|A| predicate (proof on
     // containmentCandidates) and keeps a df ≈ n shingle out of every
@@ -517,10 +521,20 @@ object Curation {
       // probe on the live lineage: the benign branch keeps the fused
       // scan→explode→distinct codegen pipeline (a posting-list
       // checkpoint was measured SLOWER than recomputing the cheap
-      // dedup: materialization + lost fusion outweigh one extra pass)
-      val (df2, dfsum) = graft.operators.SimilarityJoin.postingCost(inv, Seq("shingle"))
+      // dedup: materialization + lost fusion outweigh one extra pass).
+      // TWO-SIGNAL switch: escalate only when (a) the self-join's
+      // fan-out exceeds 16 AND (b) at least half the Σdf² meeting
+      // volume is ATTRIBUTABLE to near-universal elements
+      // (df ≥ max(64, n_docs/8)) — exactly the elements the prefix
+      // filter provably ejects. Clone-driven fan-out (true duplication,
+      // mid-df mass) keeps the direct join: its volume is then
+      // OUTPUT-order work no candidate scheme avoids, and the sf1
+      // clone probe measured the escalated path 1.3× slower there.
+      val nDocs = Tables.documents(s, d).count()
+      val st = graft.operators.SimilarityJoin
+        .postingStats(inv, Seq("shingle"), math.max(64L, nDocs / 8))
       val base =
-        if (df2 <= 16L * dfsum) {
+        if (st.df2 <= 16L * st.dfSum || st.hazard * 2 < st.df2) {
           // direct posting join: within 8× of the scan by construction
           val counts = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
           inv.select(col("shingle"), col("doc_id").as("doc_a"))

@@ -65,6 +65,33 @@ class AdaptiveJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df2 > 16L * dfsum, s"fixture must escalate: df2=$df2 dfsum=$dfsum")
   }
 
+  test("q117's two-signal switch: stop-shingle volume escalates, clone volume stays direct") {
+    val sp = spark; import sp.implicits._
+    def decide(rows: Seq[(Long, String)], nDocs: Long): Boolean = {
+      val inv = rows.toDF("doc_id", "shingle")
+      val st = graft.operators.SimilarityJoin
+        .postingStats(inv, Seq("shingle"), math.max(64L, nDocs / 8))
+      st.df2 > 16L * st.dfSum && st.hazard * 2 >= st.df2 // true = escalate
+    }
+    // stop-shingle corpus: 300 docs, one universal shingle + 9 unique.
+    // fan-out = (300² + 2700)/3000 ≈ 31 > 16, and the universal element
+    // (df = 300 ≥ max(64, 37)) carries ~97% of Σdf² → escalate: this is
+    // the blowup the prefix filter provably removes.
+    val stopCorpus = (0 until 300).flatMap(i =>
+      ("STOP" +: (0 until 9).map(k => s"u$i-$k")).map(sh => (i.toLong, sh)))
+    assert(decide(stopCorpus, 300), "stop-shingle corpus must escalate")
+    // clone corpus: 200 docs in identical groups of 25, NO universal
+    // element. fan-out = 25 > 16, but max df = 25 < max(64, 25) —
+    // hazard 0: the volume is true-duplication OUTPUT work, where the
+    // direct join is the cheaper exact plan (sf1 probe: escalation
+    // measured 1.3× slower there) → stay direct.
+    val cloneCorpus = (0 until 200).flatMap { i =>
+      val g = i / 25
+      (0 until 10).map(k => (i.toLong, s"c$g-$k"))
+    }
+    assert(!decide(cloneCorpus, 200), "clone corpus must stay on the direct join")
+  }
+
   test("escalated q17 equals brute-force top-5 per source (phase 1 + phase 2 assembly)") {
     val brute: Seq[(String, Long, Long, Long, Long, Long)] = {
       val bySrc = docs.groupBy(_._2)
