@@ -446,6 +446,55 @@ object Pipeline {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // TTL retention sweep through the cell store — the HBase
+    // TTL+minVersions maintenance semantics (cells older than the
+    // retention cutoff expire, but every key keeps at least its LATEST
+    // cell): seed 3 versions per key, sweep into a fresh table keeping
+    // exactly {version ≥ cutoff} ∪ {key's max version}, read the swept
+    // table back through the connector. Shapes: the fresh slice is a
+    // FILENAME-pruned pushdown scan (version ≥ cutoff never opens
+    // expired cells); the latest-per-key arm is one partial-aggregable
+    // rowkey shuffle (q134's max_by); the two arms are DISJOINT by
+    // construction (latest kept by the second arm only when it is
+    // itself expired), so the union needs no dedup. At store scale both
+    // arms are shard-parallel and the rewrite is idempotent per
+    // (rowkey, version).
+    "q140_cells_ttl" -> { (s, d) =>
+      val cutoff = 1000L
+      val root = java.nio.file.Files.createTempDirectory("graft-q140-cells").toString
+      try {
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 15 === 0)
+          .select(col("doc_id"), explode(sequence(lit(1), lit(3))).as("v"))
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 4 + v").as("version"),
+            expr("cast(md5(concat(cast(doc_id as string), '-', cast(v as string))) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q140").save()
+        def readTable(t: String) = s.read.format("graft-cells")
+          .option("root", root).option("table", t).load()
+        val fresh = readTable("q140").filter(col("version") >= cutoff)
+        val latestExpired = readTable("q140")
+          .groupBy(col("rowkey"))
+          .agg(max(col("version")).as("version"), expr("max_by(body, version)").as("body"))
+          .filter(col("version") < cutoff) // disjoint from the fresh arm
+          .select(col("rowkey"), col("version"), col("body"))
+        fresh.unionByName(latestExpired)
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q140t").save()
+        val res = readTable("q140t")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+        // every seeded key survives the sweep (minVersions=1 semantics)
+        val keysBefore = readTable("q140").select(col("rowkey")).distinct().count()
+        val keysAfter = res.select(col("key_str")).distinct().count()
+        require(keysBefore == keysAfter && keysAfter > 0,
+          s"TTL sweep must keep every key: $keysBefore -> $keysAfter")
+        res
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // Winnowing document fingerprints (the MOSS algorithm): per
     // document, 3-gram rolling hashes (the q15 md5-derived base hash),
     // then from every sliding window of 4 consecutive grams select the
@@ -623,6 +672,13 @@ object Pipeline {
       """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + 3)::BIGINT AS version,
               md5(doc_id::VARCHAR || '-3') AS body_md5
          FROM documents WHERE doc_id % 20 = 0""",
+
+    // survivors of the TTL sweep: fresh cells plus each key's latest
+    "q140_cells_ttl" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + v)::BIGINT AS version,
+              md5(doc_id::VARCHAR || '-' || v::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([1, 2, 3]) AS v)
+         WHERE doc_id % 15 = 0 AND (doc_id * 4 + v >= 1000 OR v = 3)""",
 
     // the logical content of the 'C' key range: first byte chr(65+2)
     "q136_cells_prefix" ->

@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable SKETCHES — the approximate operators
+  * a 100 TB pipeline leans on (cardinality, set overlap), built so both
+  * engines compute the IDENTICAL sketch and the hash gate checks the
+  * estimates exactly (unlike q29, which gates Spark's built-in
+  * HLL++/KLL sketches against exact bounds because their binary states
+  * are not portable):
+  *
+  *  - q137: HyperLogLog from first principles — md5-derived 60-bit
+  *    hashes, m = 32 registers, register = max leading-zero rank
+  *    (partial-aggregable max — the sketch is MERGEABLE, which is the
+  *    whole point at scale), raw HLL estimate in pure integer
+  *    arithmetic (α·m² scaled by 2⁴⁰, register sum as powers of two,
+  *    one integer division).
+  *  - q138/q139: KMV (bottom-k / θ-sketch family) — per source the k
+  *    smallest order-preserving 40-bit token hashes; distinct estimate
+  *    (k−1)·2⁴⁰ div h_(k); pairwise vocabulary Jaccard from the merged
+  *    union's bottom-k (the mergeability property again: sketches
+  *    compose across partitions AND across sets).
+  *
+  * Shapes: hashing is a narrow map; register/bottom-k reduction is one
+  * partial-aggregable shuffle (max per register / per-source map-side
+  * group-limit window with constant k); everything after is
+  * sketch-sized (m, k, |sources|² rows), never corpus-sized.
+  */
+object Sketches {
+
+  /** HLL geometry: m = 2^P registers; rank capped (P(rank>cap) = 2^-40
+    * at corpus scale — the cap only bounds the integer arithmetic). */
+  private val P = 5
+  private val M = 1 << P // 32 registers
+  private val RankCap = 40
+  /** α(32)·1000 — the standard bias constant as an exact rational. */
+  private val AlphaX1000 = 697L
+
+  /** KMV size. */
+  private val K = 256
+
+  /** 60-bit md5-derived hash — the q15/q135 cross-engine base hash.
+    * Takes the column as a SQL fragment (evaluated inside expr). */
+  private def h60(c: String): Column =
+    expr(s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT)")
+
+  /** order-preserving 40-bit truncation (div, not mod — KMV needs the
+    * ORDER of hashes preserved). */
+  private def h40(c: String): Column =
+    expr(s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT) div 1048576")
+
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+
+  /** per-source bottom-K sketch rows (source, h) — constant-k group
+    * limit, map-side before the shuffle. */
+  private def kmvSketch(s: SparkSession, d: String): DataFrame = {
+    val hashed = tokens(s, d)
+      .select(col("source"), h40("t").as("h")).distinct()
+    hashed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h").asc)))
+      .filter(col("rn") <= K)
+      .select(col("source"), col("h"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic HyperLogLog over events.user_id per event_type:
+    // register index = low P bits, rank = leading-zero position of the
+    // remaining 55-bit window (via length(bin(w)) — identical in both
+    // engines), register = max rank (ABSENT register = 0). Raw HLL
+    // estimate α·m²/Σ2^-M in pure integers: Σ 2^(40-M) with absent
+    // registers contributing 2^40, then (697·1024·2^40) div (1000·S).
+    // No low-range linear-counting branch — the raw estimator is the
+    // contract (exact-reproducible beats bias-corrected-but-unportable
+    // here; n ≫ 2.5m at every SF so the raw regime applies). The
+    // register digest pins the ENTIRE sketch state, not just the
+    // estimate.
+    "q137_hll_sketch" -> { (s, d) =>
+      val h = Tables.events(s, d)
+        .select(col("event_type"), h60("CAST(user_id AS STRING)").as("h"))
+        .withColumn("idx", col("h") % M)
+        .withColumn("w", expr(s"h div $M"))
+        .withColumn("rank", least(lit(56) - length(bin(col("w"))), lit(RankCap)))
+      val regs = h.groupBy(col("event_type"), col("idx"))
+        .agg(max(col("rank")).as("m"))
+      val sums = regs.groupBy(col("event_type")).agg(
+        count(lit(1)).as("nreg"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RankCap - m)")).as("s_present"),
+        md5(concat_ws(",", sort_array(collect_list(
+          concat(col("idx").cast("string"), lit(":"), col("m").cast("string")))))).as("reg_digest"))
+      val exact = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      sums
+        .withColumn("s_total",
+          col("s_present") + (lit(M.toLong) - col("nreg")) * expr(s"shiftleft(CAST(1 AS BIGINT), $RankCap)"))
+        .withColumn("est",
+          expr(s"($AlphaX1000 * ${M.toLong * M} * shiftleft(CAST(1 AS BIGINT), $RankCap)) div (1000 * s_total)"))
+        .join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"), col("est"),
+          col("nreg"), col("reg_digest"))
+    },
+
+    // KMV distinct-vocabulary estimate per source: the k smallest
+    // order-preserving 40-bit token hashes; fewer than k distinct
+    // hashes ⇒ the sketch IS the exact count, else (k−1)·2⁴⁰ div h_(k).
+    // The sketch digest pins the full bottom-k state.
+    "q138_kmv_distinct" -> { (s, d) =>
+      val sk = kmvSketch(s, d)
+      val exact = tokens(s, d).groupBy(col("source"))
+        .agg(countDistinct(col("t")).as("n_tokens_exact"))
+      sk.groupBy(col("source")).agg(
+        count(lit(1)).as("sk_size"),
+        max(col("h")).as("kth"),
+        expr("md5(concat_ws(',', transform(sort_array(collect_list(h)), x -> CAST(x AS STRING))))")
+          .as("sketch_digest"))
+        .withColumn("est",
+          when(col("sk_size") < K, col("sk_size"))
+            .otherwise(expr(s"(${K - 1} * CAST(1099511627776 AS BIGINT)) div kth")))
+        .join(exact, "source")
+        .select(col("source"), col("n_tokens_exact"), col("sk_size"),
+          col("kth"), col("est"), col("sketch_digest"))
+    },
+
+    // Pairwise source-vocabulary Jaccard from MERGED KMV sketches: for
+    // every source pair, the bottom-k of the union of their sketches;
+    // ρ = |in-both among those k| / k estimates J(A,B) — the θ-sketch
+    // set-operation trick, all integer. Pair fan-out rides an explode
+    // over the bounded source list (|sources| collected driver-side,
+    // the q17 pattern — never a cross join); everything after the
+    // sketch build is k·|sources|²-sized, independent of the corpus.
+    "q139_kmv_jaccard" -> { (s, d) =>
+      val sk = kmvSketch(s, d).localCheckpoint() // reused: pair fan-out reads it once
+      val srcs = sk.select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted // bounded by |sources|
+      val fan = sk.withColumn("other", explode(array(srcs.map(lit): _*)))
+        .filter(col("other") =!= col("source"))
+        .select(least(col("source"), col("other")).as("src_a"),
+          greatest(col("source"), col("other")).as("src_b"),
+          col("h"), col("source").as("origin"))
+      val merged = fan.groupBy(col("src_a"), col("src_b"), col("h"))
+        .agg(countDistinct(col("origin")).as("nsrc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h").asc)))
+        .filter(col("rn") <= K)
+      merged.groupBy(col("src_a"), col("src_b")).agg(
+        count(lit(1)).as("u"),
+        sum(when(col("nsrc") === 2, 1L).otherwise(0L)).as("matches"))
+        .withColumn("jacc_x1000", expr("matches * 1000 div u"))
+        .select(col("src_a"), col("src_b"), col("u"), col("matches"), col("jacc_x1000"))
+    }
+  )
+
+  /** shared oracle CTEs: the 40-bit token-hash rows and the bottom-k
+    * sketch per source (row_number in DuckDB mirrors the group limit). */
+  private def kmvCtes: String =
+    s"""tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        hsh AS (SELECT DISTINCT source,
+                 (('0x' || substr(md5(t), 1, 15))::BIGINT // 1048576) AS h
+               FROM tok WHERE len(t) > 0),
+        sk AS (SELECT source, h FROM (
+                 SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) rn
+                 FROM hsh) WHERE rn <= $K)"""
+
+  val oracle: Map[String, String] = Map(
+
+    "q137_hll_sketch" ->
+      s"""WITH h AS (SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+           FROM events),
+          rk AS (SELECT event_type, h % $M AS idx,
+                   least(56 - length(bin(h // $M)), $RankCap) AS rank
+                 FROM h),
+          regs AS (SELECT event_type, idx, max(rank) AS m
+                   FROM rk GROUP BY 1, 2),
+          sums AS (SELECT event_type, count(*)::BIGINT AS nreg,
+                     sum(1::BIGINT << ($RankCap - m))::BIGINT AS s_present,
+                     md5(array_to_string(list_sort(list(idx::VARCHAR || ':' || m::VARCHAR)), ',')) AS reg_digest
+                   FROM regs GROUP BY 1),
+          ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+                 FROM events GROUP BY 1)
+          SELECT s.event_type, ex.n_exact,
+                 (($AlphaX1000 * ${M.toLong * M} * (1::BIGINT << $RankCap)) //
+                  (1000 * (s_present + ($M - nreg) * (1::BIGINT << $RankCap))))::BIGINT AS est,
+                 nreg, reg_digest
+          FROM sums s JOIN ex USING (event_type)""",
+
+    "q138_kmv_distinct" ->
+      s"""WITH $kmvCtes,
+          agg AS (SELECT source, count(*)::BIGINT AS sk_size, max(h) AS kth,
+                    md5(array_to_string(list_transform(list_sort(list(h)), x -> x::VARCHAR), ',')) AS sketch_digest
+                  FROM sk GROUP BY 1),
+          ex AS (SELECT source, count(DISTINCT t)::BIGINT AS n_tokens_exact
+                 FROM tok WHERE len(t) > 0 GROUP BY 1)
+          SELECT source, n_tokens_exact, sk_size, kth,
+                 (CASE WHEN sk_size < $K THEN sk_size
+                       ELSE (${K - 1} * 1099511627776::BIGINT) // kth END)::BIGINT AS est,
+                 sketch_digest
+          FROM agg JOIN ex USING (source)""",
+
+    "q139_kmv_jaccard" ->
+      s"""WITH $kmvCtes,
+          srcs AS (SELECT DISTINCT source FROM sk),
+          fan AS (SELECT least(sk.source, o.source) AS src_a,
+                    greatest(sk.source, o.source) AS src_b,
+                    sk.h, sk.source AS origin
+                  FROM sk JOIN srcs o ON o.source <> sk.source),
+          merged AS (SELECT src_a, src_b, h, count(DISTINCT origin) AS nsrc
+                     FROM fan GROUP BY 1, 2, 3),
+          topk AS (SELECT src_a, src_b, nsrc FROM (
+                     SELECT src_a, src_b, nsrc,
+                       row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) rn
+                     FROM merged) WHERE rn <= $K)
+          SELECT src_a, src_b, count(*)::BIGINT AS u,
+                 sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END)::BIGINT AS matches,
+                 (sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT AS jacc_x1000
+          FROM topk GROUP BY 1, 2"""
+  )
+}
