@@ -156,6 +156,22 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowScaleWindows.isEmpty, s"whole-source row window(s):\n${rowScaleWindows.mkString("\n")}")
   }
 
+  test("q137: HLL registers reduce with a partial/final aggregate pair (the sketch merge)") {
+    val df = SparkEntry.queries("q137_hll_sketch")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // max-per-register must partial-aggregate map-side — that partial
+    // IS the distributed HLL merge the spec proves correct
+    assert(s.linesIterator.count(_.contains("HashAggregate")) >= 2, s)
+  }
+
+  test("q138: the KMV bottom-k is a map-side group limit, never a whole-group sort") {
+    val df = SparkEntry.queries("q138_kmv_distinct")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("WindowGroupLimit"), s"constant-k rank filter must plant a group limit:\n$s")
+  }
+
   test("q129: the bounded target vocabulary broadcasts into the scoring join") {
     val df = SparkEntry.queries("q129_domain_select")(spark, sf)
     df.collect()
