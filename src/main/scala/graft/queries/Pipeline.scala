@@ -495,6 +495,59 @@ object Pipeline {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // Secondary INDEX over the cell store — the HBase index-table
+    // pattern: the index is just another cell table whose rowkey is
+    // value ⊕ main-key (one index cell per posting), so a value lookup
+    // becomes an index PREFIX scan (the round-9 range pushdown: plans
+    // exactly the value's shard) followed by point GETs on the main
+    // table (rowkey IN — plans only the probed keys' shards). The
+    // looked-up value is the subset's modal body (deterministic argmax,
+    // 1-row bounded collect); the index-hit key list is dup-group-sized
+    // (bounded — the same class as every keeper list). In-query pins:
+    // the index scan plans 1 partition; no full main-table scan on the
+    // read path. The oracle recomputes the answer relationally.
+    "q141_cells_index" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q141-cells").toString
+      try {
+        val sub = Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+          .localCheckpoint()
+        // main table: key -> body (the value)
+        sub.select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            col("doc_id").as("version"), expr("cast(h as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q141m").save()
+        // index table: (value | main-key) -> main-key
+        sub.select(expr("cast(concat(h, '|', 'doc-', doc_id) as binary)").as("rowkey"),
+            col("doc_id").as("version"),
+            expr("cast(concat('doc-', doc_id) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q141i").save()
+        // the value under lookup: modal body hash (count desc, h asc)
+        val target = sub.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("h").asc).limit(1)
+          .collect().head.getString(0)
+        def readTable(t: String) = s.read.format("graft-cells")
+          .option("root", root).option("table", t).load()
+        // index prefix scan: ["<h>|", "<h>}") — '}' = '|' + 1
+        val idxScan = readTable("q141i")
+          .filter(col("rowkey") >= lit(s"$target|".getBytes("UTF-8")) &&
+            col("rowkey") < lit(s"$target}".getBytes("UTF-8")))
+        require(idxScan.rdd.getNumPartitions == 1,
+          s"index prefix scan must plan the value's shard only, got ${idxScan.rdd.getNumPartitions}")
+        val mainKeys = idxScan.select(col("body")).collect()
+          .map(_.getAs[Array[Byte]](0)) // dup-group-sized
+        require(mainKeys.nonEmpty, "index lookup found no postings")
+        val hits = readTable("q141m")
+          .filter(col("rowkey").isin(mainKeys.toSeq: _*))
+        require(hits.rdd.getNumPartitions <= mainKeys.length,
+          "main-table read must plan only the probed keys' shards")
+        hits.select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // Winnowing document fingerprints (the MOSS algorithm): per
     // document, 3-gram rolling hashes (the q15 md5-derived base hash),
     // then from every sliding window of 4 consecutive grams select the
@@ -679,6 +732,14 @@ object Pipeline {
               md5(doc_id::VARCHAR || '-' || v::VARCHAR) AS body_md5
          FROM documents, (SELECT unnest([1, 2, 3]) AS v)
          WHERE doc_id % 15 = 0 AND (doc_id * 4 + v >= 1000 OR v = 3)""",
+
+    // the cells the index lookup must surface: every subset doc whose
+    // body equals the modal hash
+    "q141_cells_index" ->
+      """WITH sub AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 = 0),
+          tgt AS (SELECT h FROM sub GROUP BY h ORDER BY count(*) DESC, h LIMIT 1)
+         SELECT 'doc-' || doc_id AS key_str, doc_id::BIGINT AS version, h AS body_md5
+         FROM sub JOIN tgt USING (h)""",
 
     // the logical content of the 'C' key range: first byte chr(65+2)
     "q136_cells_prefix" ->

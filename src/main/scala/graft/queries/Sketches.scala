@@ -51,6 +51,32 @@ object Sketches {
   private def h40(c: String): Column =
     expr(s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT) div 1048576")
 
+  /** (event_type, idx, rank) rows — the HLL register update stream,
+    * a pure narrow map over events. */
+  private def hllRanks(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), h60("CAST(user_id AS STRING)").as("h"))
+      .withColumn("idx", col("h") % M)
+      .withColumn("rank", least(lit(56) - length(bin(expr(s"h div $M"))), lit(RankCap)))
+
+  /** registers (event_type, idx, m) → (event_type, est, nreg,
+    * reg_digest): the integer raw-HLL assembly, shared by the batch
+    * (q137) and streaming (q142) faces — identical estimates by
+    * construction. */
+  private def registersToEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy(col("event_type")).agg(
+      count(lit(1)).as("nreg"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RankCap - m)")).as("s_present"),
+      md5(concat_ws(",", sort_array(collect_list(
+        concat(col("idx").cast("string"), lit(":"), col("m").cast("string")))))).as("reg_digest"))
+      .withColumn("s_total",
+        col("s_present") + (lit(M.toLong) - col("nreg")) * expr(s"shiftleft(CAST(1 AS BIGINT), $RankCap)"))
+      .withColumn("est",
+        expr(s"($AlphaX1000 * ${M.toLong * M} * shiftleft(CAST(1 AS BIGINT), $RankCap)) div (1000 * s_total)"))
+      .select(col("event_type"), col("est"), col("nreg"), col("reg_digest"))
+
+  private val memSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def tokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("t"))
@@ -82,28 +108,59 @@ object Sketches {
     // register digest pins the ENTIRE sketch state, not just the
     // estimate.
     "q137_hll_sketch" -> { (s, d) =>
-      val h = Tables.events(s, d)
-        .select(col("event_type"), h60("CAST(user_id AS STRING)").as("h"))
-        .withColumn("idx", col("h") % M)
-        .withColumn("w", expr(s"h div $M"))
-        .withColumn("rank", least(lit(56) - length(bin(col("w"))), lit(RankCap)))
-      val regs = h.groupBy(col("event_type"), col("idx"))
+      val regs = hllRanks(Tables.events(s, d))
+        .groupBy(col("event_type"), col("idx"))
         .agg(max(col("rank")).as("m"))
-      val sums = regs.groupBy(col("event_type")).agg(
-        count(lit(1)).as("nreg"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RankCap - m)")).as("s_present"),
-        md5(concat_ws(",", sort_array(collect_list(
-          concat(col("idx").cast("string"), lit(":"), col("m").cast("string")))))).as("reg_digest"))
       val exact = Tables.events(s, d).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
-      sums
-        .withColumn("s_total",
-          col("s_present") + (lit(M.toLong) - col("nreg")) * expr(s"shiftleft(CAST(1 AS BIGINT), $RankCap)"))
-        .withColumn("est",
-          expr(s"($AlphaX1000 * ${M.toLong * M} * shiftleft(CAST(1 AS BIGINT), $RankCap)) div (1000 * s_total)"))
+      registersToEstimate(regs)
         .join(exact, "event_type")
         .select(col("event_type"), col("n_exact"), col("est"),
           col("nreg"), col("reg_digest"))
+    },
+
+    // STREAMING HLL — the same sketch maintained by Structured
+    // Streaming's stateful aggregation across micro-batches: the
+    // events feed arrives as file-triggered micro-batches, the streaming
+    // groupBy(event_type, idx).max(rank) state IS the register table
+    // (one int per register — the smallest useful streaming state
+    // there is), and the post-stream assembly turns the final
+    // registers into the identical estimate q137 computes in batch.
+    // This is the always-on cardinality dashboard a 100 TB feed runs:
+    // per-key state is bounded by m·|types| FOREVER, no watermark
+    // needed because max never retracts. In-query pin: the feed really
+    // arrived split (≥ 2 non-empty batches).
+    "q142_stream_hll" -> { (s, d) =>
+      val srcTag = Advanced.layoutTag(d, "events.parquet")
+      val src = new java.io.File(sys.props("java.io.tmpdir"), s"graft_shll2_$srcTag")
+      if (!src.exists()) {
+        // 2 staged files = 2 genuine micro-batches — enough to make the
+        // cross-batch state real without paying 4 rounds of trigger
+        // machinery (the q124 lesson)
+        Tables.events(s, d).select(col("event_type"), col("user_id"))
+          .repartition(2).write.mode("overwrite").parquet(src.getPath)
+      }
+      val ck = java.nio.file.Files.createTempDirectory("graft-q142-ck")
+      val sinkName = s"graft_q142_sink_${memSinkId.incrementAndGet()}"
+      val schema = s.read.parquet(src.getPath).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.getPath)
+      try {
+        val q = hllRanks(stream)
+          .groupBy(col("event_type"), col("idx"))
+          .agg(max(col("rank")).as("m"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation", ck.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          "streaming HLL must see the feed as multiple micro-batches")
+        registersToEstimate(s.table(sinkName)).localCheckpoint()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+      }
     },
 
     // KMV distinct-vocabulary estimate per source: the k smallest
@@ -189,6 +246,27 @@ object Sketches {
                   (1000 * (s_present + ($M - nreg) * (1::BIGINT << $RankCap))))::BIGINT AS est,
                  nreg, reg_digest
           FROM sums s JOIN ex USING (event_type)""",
+
+    // the streaming face converges to the identical register table, so
+    // its oracle is q137's minus the exact-count column
+    "q142_stream_hll" ->
+      s"""WITH h AS (SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+           FROM events),
+          rk AS (SELECT event_type, h % $M AS idx,
+                   least(56 - length(bin(h // $M)), $RankCap) AS rank
+                 FROM h),
+          regs AS (SELECT event_type, idx, max(rank) AS m
+                   FROM rk GROUP BY 1, 2),
+          sums AS (SELECT event_type, count(*)::BIGINT AS nreg,
+                     sum(1::BIGINT << ($RankCap - m))::BIGINT AS s_present,
+                     md5(array_to_string(list_sort(list(idx::VARCHAR || ':' || m::VARCHAR)), ',')) AS reg_digest
+                   FROM regs GROUP BY 1)
+          SELECT event_type,
+                 (($AlphaX1000 * ${M.toLong * M} * (1::BIGINT << $RankCap)) //
+                  (1000 * (s_present + ($M - nreg) * (1::BIGINT << $RankCap))))::BIGINT AS est,
+                 nreg, reg_digest
+          FROM sums""",
 
     "q138_kmv_distinct" ->
       s"""WITH $kmvCtes,
