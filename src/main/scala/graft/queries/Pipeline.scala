@@ -548,6 +548,71 @@ object Pipeline {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // Streaming MATERIALIZED VIEW over the cell store — change feed in,
+    // derived cells out: tail the main table through the connector's
+    // MicroBatchStream and land a transformed cell per input cell into
+    // a derived table via foreachBatch + the connector's WRITE face.
+    // The exactly-once argument is COMPOSITIONAL: foreachBatch is
+    // at-least-once, but cell puts are idempotent per (rowkey, version)
+    // (atomic rename), so replayed batches converge to the same derived
+    // STATE — no batchId bookkeeping, the same argument the ingest
+    // pipeline's F5/W2 posture makes. The stream restarts mid-feed
+    // (half the versions, then the rest) and the derived table must
+    // hold exactly one derived cell per source cell. This is the HBase
+    // replication/coprocessor-MV analog, run entirely on the engine's
+    // own primitives.
+    "q143_cells_stream_mv" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q143-cells").toString
+      val ck = java.nio.file.Files.createTempDirectory("graft-q143-ck").toString
+      try {
+        val seed = Tables.documents(s, d).filter(col("doc_id") % 9 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            col("doc_id").as("version"),
+            expr("cast(md5(text) as binary)").as("body"))
+          .localCheckpoint()
+        val Array(mn, mx) = seed.agg(min(col("version")), max(col("version")))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val half = (mn + mx + 1) / 2
+        def write(df: DataFrame): Unit =
+          df.write.format("graft-cells").mode("append")
+            .option("root", root).option("table", "q143m").save()
+        def readTable(t: String) = s.read.format("graft-cells")
+          .option("root", root).option("table", t).load()
+        def tailOnce(): Unit = {
+          val q = s.readStream.format("graft-cells")
+            .option("root", root).option("table", "q143m").load()
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              batch.select(col("rowkey"), col("version"),
+                expr("cast(md5(concat(cast(body as string), '-mv')) as binary)").as("body"))
+                .write.format("graft-cells").mode("append")
+                .option("root", root).option("table", "q143d").save()
+              ()
+            }
+            .option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        write(seed.filter(col("version") < half))
+        tailOnce()
+        val afterFirst = readTable("q143d").count()
+        write(seed.filter(col("version") >= half))
+        tailOnce()
+        val res = readTable("q143d")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("deriv_md5"))
+          .localCheckpoint()
+        val total = res.count()
+        require(afterFirst > 0 && total > afterFirst && total == seed.count(),
+          s"derived view must hold exactly one cell per source cell: $afterFirst -> $total")
+        res
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      }
+    },
+
     // Winnowing document fingerprints (the MOSS algorithm): per
     // document, 3-gram rolling hashes (the q15 md5-derived base hash),
     // then from every sliding window of 4 consecutive grams select the
@@ -732,6 +797,13 @@ object Pipeline {
               md5(doc_id::VARCHAR || '-' || v::VARCHAR) AS body_md5
          FROM documents, (SELECT unnest([1, 2, 3]) AS v)
          WHERE doc_id % 15 = 0 AND (doc_id * 4 + v >= 1000 OR v = 3)""",
+
+    // the derived view's logical content: one transformed cell per
+    // source cell (the stream lifecycle is what the Spark side adds)
+    "q143_cells_stream_mv" ->
+      """SELECT 'doc-' || doc_id AS key_str, doc_id AS version,
+              md5(md5(text) || '-mv') AS deriv_md5
+         FROM documents WHERE doc_id % 9 = 0""",
 
     // the cells the index lookup must surface: every subset doc whose
     // body equals the modal hash

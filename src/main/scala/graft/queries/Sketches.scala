@@ -41,6 +41,10 @@ object Sketches {
   /** KMV size. */
   private val K = 256
 
+  /** count-min geometry: d salted rows × w counters. */
+  private val CmD = 4
+  private val CmW = 512
+
   /** 60-bit md5-derived hash — the q15/q135 cross-engine base hash.
     * Takes the column as a SQL fragment (evaluated inside expr). */
   private def h60(c: String): Column =
@@ -163,6 +167,50 @@ object Sketches {
       }
     },
 
+    // Count-min frequency sketch over the corpus token stream — the
+    // frequency member of the sketch family (q137 cardinality, q74
+    // membership, q138/139 similarity): d = 4 salted hash rows × w =
+    // 512 counters, counter = Σ token count — PURE SUMS, so the sketch
+    // is mergeable by addition (partial aggregation is the merge, and
+    // so is cross-shard rollup). Point estimates for the exact top-20
+    // tokens: est = min over rows of the counter each salt maps the
+    // token to — ≥ exact always (one-sided error, collisions only ADD).
+    // Shape: token counts are the only corpus-scale pass
+    // (partial-aggregable); the sketch is d·w rows; the probe joins a
+    // broadcast 20-row top-k against it. The sketch digest pins all
+    // 2048 counters.
+    "q144_countmin" -> { (s, d) =>
+      val counts = tokens(s, d).groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds the sketch build, the top-k, and the probe
+      val hashed = counts
+        .select(col("t"), col("c"), explode(sequence(lit(0), lit(CmD - 1))).as("r"))
+        .withColumn("b", expr(
+          s"CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', t)), 1, 15), 16, 10) AS BIGINT) % $CmW"))
+      val cm = hashed.groupBy(col("r"), col("b")).agg(sum(col("c")).as("cnt"))
+        .localCheckpoint() // d·w rows, read by the digest and the probe
+      val digest = cm.agg(
+        md5(concat_ws(",", sort_array(collect_list(
+          concat(col("r").cast("string"), lit(":"), col("b").cast("string"),
+            lit(":"), col("cnt").cast("string")))))).as("cm_digest"))
+      val top = counts
+        .orderBy(col("c").desc, col("t").asc).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("c").desc, col("t").asc)).cast("long"))
+      val probes = top
+        .select(col("rank"), col("t"), col("c"), explode(sequence(lit(0), lit(CmD - 1))).as("r"))
+        .withColumn("b", expr(
+          s"CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', t)), 1, 15), 16, 10) AS BIGINT) % $CmW"))
+        .join(cm, Seq("r", "b"))
+        .groupBy(col("rank"), col("t"), col("c"))
+        .agg(min(col("cnt")).as("c_est"))
+      // literal-key equi-join, not a cross join (the 1-row digest
+      // broadcast-hash-joins onto the 20 probe rows)
+      probes.withColumn("j", lit(1))
+        .join(broadcast(digest.withColumn("j", lit(1))), "j")
+        .select(col("rank"), col("t").as("token"), col("c").as("c_exact"),
+          col("c_est"), col("cm_digest"))
+    },
+
     // KMV distinct-vocabulary estimate per source: the k smallest
     // order-preserving 40-bit token hashes; fewer than k distinct
     // hashes ⇒ the sketch IS the exact count, else (k−1)·2⁴⁰ div h_(k).
@@ -267,6 +315,27 @@ object Sketches {
                   (1000 * (s_present + ($M - nreg) * (1::BIGINT << $RankCap))))::BIGINT AS est,
                  nreg, reg_digest
           FROM sums""",
+
+    "q144_countmin" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+          cnt AS (SELECT t, count(*)::BIGINT AS c FROM tok WHERE len(t) > 0 GROUP BY 1),
+          hashed AS (SELECT t, c, r,
+                       ('0x' || substr(md5(r::VARCHAR || ':' || t), 1, 15))::BIGINT % $CmW AS b
+                     FROM cnt, (SELECT unnest(range(0, $CmD)) AS r)),
+          cm AS (SELECT r, b, sum(c)::BIGINT AS cnt FROM hashed GROUP BY 1, 2),
+          dig AS (SELECT md5(array_to_string(list_sort(
+                    list(r::VARCHAR || ':' || b::VARCHAR || ':' || cnt::VARCHAR)), ',')) AS cm_digest
+                  FROM cm),
+          top AS (SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rank
+                  FROM cnt ORDER BY c DESC, t LIMIT 20),
+          probes AS (SELECT p.rank, p.t, p.c, min(cm.cnt) AS c_est
+                     FROM (SELECT top.*, r,
+                             ('0x' || substr(md5(r::VARCHAR || ':' || t), 1, 15))::BIGINT % $CmW AS b
+                           FROM top, (SELECT unnest(range(0, $CmD)) AS r)) p
+                     JOIN cm ON cm.r = p.r AND cm.b = p.b
+                     GROUP BY 1, 2, 3)
+          SELECT rank::BIGINT AS rank, t AS token, c AS c_exact, c_est, dig.cm_digest
+          FROM probes, dig""",
 
     "q138_kmv_distinct" ->
       s"""WITH $kmvCtes,

@@ -91,6 +91,41 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q144: count-min is one-sided and tight — est ≥ exact, overshoot within the CM bound") {
+    val rows = SparkEntry.queries("q144_countmin")(spark, sf).collect()
+    assert(rows.length == 20)
+    val n = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("c_exact")
+      val est = r.getAs[Long]("c_est")
+      assert(est >= exact, s"${r.getAs[String]("token")}: CM must never undercount ($est < $exact)")
+      // standard CM guarantee: overshoot ≤ 2N/w with prob 1-2^-d per
+      // probe; gate at 4N/w for slack on a fixed corpus
+      assert(est - exact <= math.max(5L, 4L * n / 512),
+        s"${r.getAs[String]("token")}: overshoot ${est - exact} vs N=$n")
+    }
+  }
+
+  test("q144: the counter table is mergeable by addition — sum-merge of halves equals the whole") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    def cm(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      df.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .select(col("t"), col("c"), explode(sequence(lit(0), lit(3))).as("r"))
+        .withColumn("b", expr(
+          "CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', t)), 1, 15), 16, 10) AS BIGINT) % 512"))
+        .groupBy(col("r"), col("b")).agg(sum(col("c")).as("cnt"))
+        .collect().map(x => ((x.getInt(0), x.getLong(1)), x.getLong(2))).toMap
+    val whole = cm(toks)
+    val a = cm(toks.filter(col("doc_id") % 2 === 0))
+    val b = cm(toks.filter(col("doc_id") % 2 === 1))
+    val merged = (a.keySet ++ b.keySet).map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
+
   test("q139: KMV Jaccard tracks exact vocabulary Jaccard within ±0.2 on every pair") {
     val toks = Tables.documents(spark, sf)
       .select(col("source"), explode(split(col("text"), " ")).as("t"))
