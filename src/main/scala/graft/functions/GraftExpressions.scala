@@ -258,7 +258,9 @@ object GraftFunctions {
     "nfc" -> (children => NfcNormalize(children.head)),
     "sorted_intersect_size" -> (children => SortedLongIntersectSize(children(0), children(1))),
     "topk_longs" -> (children =>
-      TopKLongs(children(0), children(1)).toAggregateExpression()))
+      TopKLongs(children(0), children(1)).toAggregateExpression()),
+    "hll_registers" -> (children =>
+      HllRegisters(children.head).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

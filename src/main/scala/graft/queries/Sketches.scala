@@ -111,14 +111,29 @@ object Sketches {
     // here; n ≫ 2.5m at every SF so the raw regime applies). The
     // register digest pins the ENTIRE sketch state, not just the
     // estimate.
+    // Execution: the NATIVE HllRegisters TypedImperativeAggregate — one
+    // exchange on event_type alone, each group's partial is a 32-byte
+    // register buffer merged by elementwise max (the relational
+    // groupBy(type, idx).max shape ships m·|types| shuffle rows; the
+    // aggregate-function face ships |types|). The register array then
+    // unpacks to the same nreg/digest/estimate the oracle derives
+    // relationally — same sketch, two plan shapes, one hash.
     "q137_hll_sketch" -> { (s, d) =>
-      val regs = hllRanks(Tables.events(s, d))
-        .groupBy(col("event_type"), col("idx"))
-        .agg(max(col("rank")).as("m"))
-      val exact = Tables.events(s, d).groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("n_exact"))
-      registersToEstimate(regs)
-        .join(exact, "event_type")
+      val hllAgg = org.apache.spark.sql.GraftSqlGlue.column(
+        graft.functions.HllRegisters(
+          org.apache.spark.sql.GraftSqlGlue.expression(col("h"))).toAggregateExpression())
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), h60("CAST(user_id AS STRING)").as("h"))
+        .groupBy(col("event_type"))
+        .agg(hllAgg.as("regs"), countDistinct(col("user_id")).as("n_exact"))
+        .withColumn("nreg", expr("size(filter(regs, x -> x > 0))").cast("long"))
+        .withColumn("s_total", expr(
+          s"aggregate(regs, CAST(0 AS BIGINT), (acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), $RankCap - x))"))
+        .withColumn("est", expr(
+          s"($AlphaX1000 * ${M.toLong * M} * shiftleft(CAST(1 AS BIGINT), $RankCap)) div (1000 * s_total)"))
+        .withColumn("reg_digest", expr(
+          "md5(concat_ws(',', sort_array(transform(filter(sequence(0, 31), i -> element_at(regs, i + 1) > 0), " +
+            "i -> concat(CAST(i AS STRING), ':', CAST(element_at(regs, i + 1) AS STRING))))))"))
         .select(col("event_type"), col("n_exact"), col("est"),
           col("nreg"), col("reg_digest"))
     },

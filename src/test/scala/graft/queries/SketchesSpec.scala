@@ -73,6 +73,26 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == whole)
   }
 
+  test("hll_registers (native aggregate) equals the relational groupBy(idx).max derivation") {
+    val sp = spark; import sp.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val vals = (1 to 500).map(i => ("g" + (i % 3), (i * 2654435761L) & ((1L << 60) - 1)))
+    val df = vals.toDF("g", "h")
+    val native = df.groupBy(col("g"))
+      .agg(expr("hll_registers(h)").as("regs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toVector).toMap
+    val relational = df
+      .withColumn("idx", col("h") % 32)
+      .withColumn("rank", least(lit(56) - length(bin(expr("h div 32"))), lit(40)))
+      .groupBy(col("g"), col("idx")).agg(max(col("rank")).as("m"))
+      .collect().groupBy(_.getString(0)).map { case (g, rows) =>
+        val regs = Array.fill(32)(0)
+        rows.foreach(r => regs(r.getLong(1).toInt) = r.getInt(2))
+        g -> regs.toVector
+      }
+    assert(native == relational)
+  }
+
   test("q138: KMV estimate is exact below k and within ±20% (3σ for k=256) above it") {
     val rows = SparkEntry.queries("q138_kmv_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
