@@ -613,6 +613,27 @@ object Pipeline {
       }
     },
 
+    // Deterministic corpus SHUFFLE — the reproducible global permutation
+    // every pretraining run applies before sharding: shuffle key = the
+    // salted md5 hash of the doc id (pure function — reruns, retries,
+    // and other engines produce the IDENTICAL order, unlike any
+    // rand()-based shuffle), global position via GlobalRank's
+    // range-partitioned rank (one range shuffle + reused-exchange
+    // prefix offsets — never a single-partition ORDER BY, the q58
+    // operator), shard = position div 64 so consecutive training
+    // shards read hash-interleaved documents. At 100 TB this IS the
+    // dataset-shuffling job: range partitioning scales the sort to the
+    // cluster and the output order is an auditable function of ids.
+    "q145_corpus_shuffle" -> { (s, d) =>
+      val hashed = Tables.documents(s, d).select(col("doc_id"),
+        expr("CAST(conv(substring(md5(concat('sh:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+          .as("skey"))
+      graft.operators.GlobalRank.rank(hashed,
+          Seq(col("skey").asc, col("doc_id").asc), numParts = 32, rankCol = "pos")
+        .withColumn("shard", expr("(pos - 1) div 64"))
+        .select(col("doc_id"), col("skey"), col("pos"), col("shard"))
+    },
+
     // Winnowing document fingerprints (the MOSS algorithm): per
     // document, 3-gram rolling hashes (the q15 md5-derived base hash),
     // then from every sliding window of 4 consecutive grams select the
@@ -797,6 +818,15 @@ object Pipeline {
               md5(doc_id::VARCHAR || '-' || v::VARCHAR) AS body_md5
          FROM documents, (SELECT unnest([1, 2, 3]) AS v)
          WHERE doc_id % 15 = 0 AND (doc_id * 4 + v >= 1000 OR v = 3)""",
+
+    "q145_corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+             ('0x' || substr(md5('sh:' || doc_id), 1, 15))::BIGINT AS skey
+           FROM documents)
+         SELECT doc_id, skey,
+                row_number() OVER (ORDER BY skey, doc_id) AS pos,
+                ((row_number() OVER (ORDER BY skey, doc_id)) - 1) // 64 AS shard
+         FROM h""",
 
     // the derived view's logical content: one transformed cell per
     // source cell (the stream lifecycle is what the Spark side adds)
