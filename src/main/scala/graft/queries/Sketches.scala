@@ -203,10 +203,14 @@ object Sketches {
           s"CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', t)), 1, 15), 16, 10) AS BIGINT) % $CmW"))
       val cm = hashed.groupBy(col("r"), col("b")).agg(sum(col("c")).as("cnt"))
         .localCheckpoint() // d·w rows, read by the digest and the probe
+      // 1-row bounded scalar (the q116/q128 argmax-collect class): the
+      // digest of the d·w counter table rides back as a literal — a
+      // constant-key join would plan a nested-loop the sweep forbids
       val digest = cm.agg(
         md5(concat_ws(",", sort_array(collect_list(
           concat(col("r").cast("string"), lit(":"), col("b").cast("string"),
             lit(":"), col("cnt").cast("string")))))).as("cm_digest"))
+        .collect().head.getString(0)
       val top = counts
         .orderBy(col("c").desc, col("t").asc).limit(20)
         .withColumn("rank", row_number().over(
@@ -218,10 +222,7 @@ object Sketches {
         .join(cm, Seq("r", "b"))
         .groupBy(col("rank"), col("t"), col("c"))
         .agg(min(col("cnt")).as("c_est"))
-      // literal-key equi-join, not a cross join (the 1-row digest
-      // broadcast-hash-joins onto the 20 probe rows)
-      probes.withColumn("j", lit(1))
-        .join(broadcast(digest.withColumn("j", lit(1))), "j")
+      probes.withColumn("cm_digest", lit(digest))
         .select(col("rank"), col("t").as("token"), col("c").as("c_exact"),
           col("c_est"), col("cm_digest"))
     },
