@@ -175,6 +175,30 @@ class CellsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_.getAs[Array[Byte]]("rowkey")(2).toInt).toSet == Set(1, 2, 3))
   }
 
+  test("shard-layout edges: empty and 0xff-leading rowkeys round-trip; inverted key range is empty") {
+    val etable = "ns:cells_edge_spec"
+    val store = FileStore(root)
+    store.ensureTable(etable, TableSpec())
+    store.putBatch(etable, Seq(
+      CellPut(etable, Array.emptyByteArray, 1L, "empty-key".getBytes("UTF-8")),
+      CellPut(etable, Array(0xff.toByte, 1.toByte), 2L, "high-key".getBytes("UTF-8")),
+      CellPut(etable, Array(0x00.toByte, 7.toByte), 3L, "low-key".getBytes("UTF-8"))))
+    def rd = spark.read.format("graft-cells")
+      .option("root", root).option("table", etable).load()
+    // all three stored and readable (empty key shares the 0x00 shard)
+    assert(rd.count() == 3)
+    // point lookup on the 0xff key prunes to its shard and returns it
+    val hi = rd.filter(col("rowkey") === lit(Array(0xff.toByte, 1.toByte))).collect()
+    assert(hi.map(_.getLong(1)).toSeq == Seq(2L))
+    // unsigned range: >= [0x80] must see the 0xff key (signed byte
+    // comparison would sort 0xff below 0x00 and lose it)
+    val upper = rd.filter(col("rowkey") >= lit(Array(0x80.toByte))).collect()
+    assert(upper.map(_.getLong(1)).toSeq == Seq(2L))
+    // inverted range prunes to nothing
+    assert(rd.filter(col("rowkey") >= lit(Array(9.toByte)) &&
+      col("rowkey") < lit(Array(3.toByte))).count() == 0)
+  }
+
   test("strict version bounds at Long extremes saturate to an empty scan (no wraparound)") {
     // pre-fix, v+1 / v-1 wrapped and the fully-pushed filter silently
     // returned ALL rows
