@@ -634,6 +634,69 @@ object Pipeline {
         .select(col("doc_id"), col("skey"), col("pos"), col("shard"))
     },
 
+    // k-ANONYMITY release gate: before a corpus ships, every document
+    // whose quasi-identifier combination — (source, lang, length
+    // bucket) here — is shared by fewer than k documents is SUPPRESSED
+    // (the classic small-cell rule: rare attribute combinations
+    // re-identify). Shape: one partial-aggregable count over the QI
+    // key, whose cardinality is bounded by the VALUE DOMAIN
+    // (|sources|·|langs|·|buckets|), joined back — never row-scale
+    // state. The flag, not a filtered table, ships: downstream stages
+    // decide whether to drop or generalize.
+    "q146_k_anonymity" -> { (s, d) =>
+      val k = 5
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          expr("n_chars div 100").as("len_bucket"))
+      val groups = base.groupBy(col("source"), col("lang"), col("len_bucket"))
+        .agg(count(lit(1)).as("grp_n"))
+      base.join(groups, Seq("source", "lang", "len_bucket"))
+        .select(col("doc_id"), col("source"), col("lang"), col("len_bucket"),
+          col("grp_n"), (col("grp_n") >= k).as("released"))
+    },
+
+    // The corpus-RELEASE pipeline, end to end in one verified flow —
+    // the composition a pretraining data drop actually runs, each stage
+    // a proven operator family: (1) quality gate (token floor, the q57
+    // rule class), (2) exact dedup keepers (q14's min-id-per-hash),
+    // (3) deterministic mixing (q55's integer hash rule), (4) the
+    // deterministic shuffle (q145's salted hash + range-partitioned
+    // rank) over the SURVIVORS only. Every doc ships with its stage
+    // flags and its final training position (-1 = not released), so the
+    // release is fully auditable: any doc's fate is explained by four
+    // pure predicates. Shapes: stages 1-3 are narrow maps or one
+    // hash-keyed aggregate; only the final rank shuffles, and only the
+    // survivor set.
+    "q147_release_pipeline" -> { (s, d) =>
+      val toks = size(split(col("text"), " "))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          (toks >= 20).as("passed_quality"))
+      val keepers = base.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper_id"))
+      val flagged = base
+        .join(keepers, md5(col("text")) === col("h"))
+        .withColumn("is_keeper", col("doc_id") === col("keeper_id"))
+        .withColumn("in_mix",
+          expr("((doc_id % 1000003) * 2246822519) % 1000000007 % 100") <
+            when(col("lang") === "en", lit(40)).otherwise(lit(100)))
+        .withColumn("released",
+          col("passed_quality") && col("is_keeper") && col("in_mix"))
+        .select(col("doc_id"), col("passed_quality"), col("is_keeper"),
+          col("in_mix"), col("released"))
+      val survivors = flagged.filter(col("released"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(concat('sh:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+            .as("skey"))
+      val positioned = graft.operators.GlobalRank.rank(survivors,
+        Seq(col("skey").asc, col("doc_id").asc), numParts = 32, rankCol = "pos")
+        .select(col("doc_id"), col("pos"))
+      flagged.join(positioned, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("passed_quality"), col("is_keeper"),
+          col("in_mix"), col("released"),
+          coalesce(col("pos"), lit(-1L)).as("pos"))
+    },
+
     // Winnowing document fingerprints (the MOSS algorithm): per
     // document, 3-gram rolling hashes (the q15 md5-derived base hash),
     // then from every sliding window of 4 consecutive grams select the
@@ -818,6 +881,35 @@ object Pipeline {
               md5(doc_id::VARCHAR || '-' || v::VARCHAR) AS body_md5
          FROM documents, (SELECT unnest([1, 2, 3]) AS v)
          WHERE doc_id % 15 = 0 AND (doc_id * 4 + v >= 1000 OR v = 3)""",
+
+    "q146_k_anonymity" ->
+      """WITH base AS (SELECT doc_id, source, lang, n_chars // 100 AS len_bucket
+           FROM documents),
+          g AS (SELECT source, lang, len_bucket, count(*)::BIGINT AS grp_n
+                FROM base GROUP BY 1, 2, 3)
+         SELECT b.doc_id, b.source, b.lang, b.len_bucket, g.grp_n,
+                g.grp_n >= 5 AS released
+         FROM base b JOIN g USING (source, lang, len_bucket)""",
+
+    "q147_release_pipeline" ->
+      """WITH base AS (SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) >= 20 AS passed_quality
+           FROM documents),
+          k AS (SELECT md5(text) AS h, min(doc_id) AS keeper_id
+                FROM base GROUP BY 1),
+          f AS (SELECT b.doc_id, b.passed_quality,
+                  b.doc_id = k.keeper_id AS is_keeper,
+                  ((b.doc_id % 1000003) * 2246822519) % 1000000007 % 100 <
+                    (CASE WHEN b.lang = 'en' THEN 40 ELSE 100 END) AS in_mix
+                FROM base b JOIN k ON md5(b.text) = k.h),
+          fl AS (SELECT *, passed_quality AND is_keeper AND in_mix AS released FROM f),
+          pos AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY
+                      ('0x' || substr(md5('sh:' || doc_id), 1, 15))::BIGINT, doc_id) AS pos
+                  FROM fl WHERE released)
+         SELECT fl.doc_id, fl.passed_quality, fl.is_keeper, fl.in_mix, fl.released,
+                coalesce(pos.pos, -1)::BIGINT AS pos
+         FROM fl LEFT JOIN pos USING (doc_id)""",
 
     "q145_corpus_shuffle" ->
       """WITH h AS (SELECT doc_id,
