@@ -26,6 +26,30 @@ object Graph {
           (col("l_suppkey") * 2 + 1).as("dst")).distinct()
       val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       PageRank.ranks(e, 3).select(col("id").as("node_id"), col("rank"))
+    },
+
+    // Hierarchical SUBTREE rollup — the org-chart/BOM aggregation
+    // pattern over the implicit binary tree parent(v) = v div 2 on doc
+    // ids (dense ids ⇒ every parent exists; depth = bit length). The
+    // scalable plan is ANCESTOR EXPANSION, not iteration: each row
+    // emits its own O(log n) ancestor chain with a narrow
+    // transform+distinct+explode (shiftright — no join, no loop), and
+    // ONE partial-aggregable shuffle on the ancestor id produces every
+    // node's subtree docs/chars. n·log n exploded rows beats log n
+    // sequential join rounds at cluster scale (one exchange vs a
+    // synchronization barrier per level). The ORACLE takes the
+    // structurally opposite route — a DuckDB RECURSIVE CTE walking
+    // ancestor edges — so the hash gate cross-checks an iterative
+    // fixpoint against a closed-form expansion.
+    "q148_tree_rollup" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("n_chars"), explode(expr(
+          "array_distinct(transform(sequence(0, 31), i -> shiftright(doc_id, i)))")).as("node"))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("subtree_docs"), sum(col("n_chars")).as("subtree_chars"))
+        .withColumn("depth",
+          expr("CASE WHEN node = 0 THEN 0 ELSE length(bin(node)) END").cast("long"))
+        .select(col("node"), col("depth"), col("subtree_docs"), col("subtree_chars"))
     }
   )
 
@@ -48,6 +72,22 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
-    "q92_pagerank" -> prOracle
+    "q92_pagerank" -> prOracle,
+
+    // recursive ancestor walk: (ancestor, descendant) pairs from each
+    // doc up to the root, then one aggregate per ancestor — the
+    // iterative mirror of the engine's closed-form expansion
+    "q148_tree_rollup" ->
+      """WITH RECURSIVE anc(node, leaf) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION ALL
+           SELECT a.node // 2, a.leaf FROM anc a WHERE a.node > 0
+         )
+         SELECT a.node,
+                (CASE WHEN a.node = 0 THEN 0 ELSE length(bin(a.node)) END)::BIGINT AS depth,
+                count(*)::BIGINT AS subtree_docs,
+                sum(d.n_chars)::BIGINT AS subtree_chars
+         FROM anc a JOIN documents d ON a.leaf = d.doc_id
+         GROUP BY 1"""
   )
 }
