@@ -172,6 +172,15 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("WindowGroupLimit"), s"constant-k rank filter must plant a group limit:\n$s")
   }
 
+  test("q148: subtree rollup is expansion + ONE aggregate — no join, no iteration") {
+    val df = SparkEntry.queries("q148_tree_rollup")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Join"), s"ancestor expansion must not join:\n$s")
+    assert(s.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final aggregate pair:\n$s")
+  }
+
   test("q129: the bounded target vocabulary broadcasts into the scoring join") {
     val df = SparkEntry.queries("q129_domain_select")(spark, sf)
     df.collect()
