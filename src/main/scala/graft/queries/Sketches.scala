@@ -176,7 +176,12 @@ object Sketches {
         q.awaitTermination()
         require(q.recentProgress.count(_.numInputRows > 0) >= 2,
           "streaming HLL must see the feed as multiple micro-batches")
-        registersToEstimate(s.table(sinkName)).localCheckpoint()
+        val out = registersToEstimate(s.table(sinkName)).localCheckpoint()
+        // the checkpoint is eager — release the memory-sink temp view
+        // now so repeated invocations (bench passes) don't accumulate
+        // register tables in the session catalog
+        s.catalog.dropTempView(sinkName)
+        out
       } finally {
         org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
       }

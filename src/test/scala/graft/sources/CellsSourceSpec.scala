@@ -319,6 +319,34 @@ class CellsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("streaming face: a rowkey RANGE composes with the watermark window (shard-pruned tail)") {
+    val stable = "ns:cells_stream_range"
+    val store = FileStore(root)
+    store.ensureTable(stable, TableSpec())
+    // keys across 4 first-byte shards, versions increasing
+    store.putBatch(stable, (0 until 12).map(k =>
+      CellPut(stable, Array((k % 4).toByte, k.toByte), 5000L + k, s"rb-$k".getBytes("UTF-8"))))
+    val ck = java.nio.file.Files.createTempDirectory("graft-cells-range-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cells-range-out").toString
+    try {
+      val q = spark.readStream.format("graft-cells")
+        .option("root", root).option("table", stable).load()
+        .where(col("rowkey") >= lit(Array(2.toByte)) && col("rowkey") < lit(Array(3.toByte)))
+        .select(col("version"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.read.parquet(out).collect().map(_.getLong(0)).toSet
+      // keys with first byte 2: k = 2, 6, 10
+      assert(got == Set(5002L, 5006L, 5010L), got.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
+
   test("streaming contract negative path: a write at or below a committed watermark is " +
       "outside the feed's guarantee — missed by the stream, always visible to the batch face") {
     val stable = "ns:cells_stream_backdate"
