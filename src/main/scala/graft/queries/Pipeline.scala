@@ -4,11 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** End-to-end training-data pipeline operators, batch two (q126-q134):
-  * PII-style redaction, SemDeDup embedding dedup, BPE merge training
-  * and encoding, DSIR-style domain selection, the per-source dataset
-  * card, Hamilton mixture apportionment, and the cell-store lifecycle
-  * pair (change-feed tail, major compaction) over the DSv2 connector.
+/** End-to-end training-data pipeline operators, batch two (q126-q136,
+  * q140-q151): PII-style redaction, SemDeDup embedding dedup, BPE
+  * merge training and encoding, DSIR-style domain selection, the
+  * per-source dataset card, Hamilton mixture apportionment, the
+  * cell-store lifecycle set (change-feed tail, major compaction,
+  * prefix scan, TTL sweep, secondary index, streaming MV) over the
+  * DSv2 connector, winnowing fingerprints, and the release family:
+  * deterministic corpus shuffle, k-anonymity + l-diversity gates, the
+  * auditable release pipeline, Hamilton-quota stratified sampling,
+  * and the DP-shaped noised-histogram release.
   *
   * Same oracle discipline as Curation/Quality: integer arithmetic for
   * every score, md5 digests for text-valued outputs, regex patterns
@@ -733,6 +738,101 @@ object Pipeline {
           greatest(col("g"), lit(0)).cast("long").as("n_grams"),
           size(col("fps")).cast("long").as("n_fp"),
           md5(concat_ws(",", expr("transform(fps, x -> CAST(x AS STRING))"))).as("fp_digest"))
+    },
+
+    // STRATIFIED corpus sample with exact Hamilton quotas: the eval-set
+    // draw every corpus release runs — a fixed budget B spread over the
+    // (source, lang) strata proportionally to their mass, remainders by
+    // largest-remainder (q132's apportionment applied to sampling), and
+    // within each stratum the bottom-quota documents by salted hash
+    // (deterministic: reruns and other engines draw the IDENTICAL
+    // sample, unlike any rand()-based TABLESAMPLE). Shapes: stratum
+    // sizes are one partial-aggregable count whose output is bounded by
+    // the VALUE DOMAIN (|sources|·|langs|); the quota windows run over
+    // that bounded set (the q103 class); the per-stratum draw is a
+    // constant-k group-limit window (rn <= B is a literal, so the rank
+    // sort prunes map-side to B rows per stratum before the exchange —
+    // the whole stratum is never sorted) followed by the broadcast
+    // quota join's residual rn <= quota filter. Assumes B <= N (a
+    // sample, not an inflation); quotas then never exceed stratum
+    // sizes beyond the rank's reach.
+    "q149_stratified_sample" -> { (s, d) =>
+      val B = 200L
+      val base = Tables.documents(s, d).select(
+        col("doc_id"), col("source"), col("lang"),
+        expr("CAST(conv(substring(md5(concat('st:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      val wq = Window.orderBy(col("rem").desc, col("source").asc, col("lang").asc)
+      val quotas = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_stratum"))
+        .withColumn("n_total", sum(col("n_stratum")).over())
+        .withColumn("base_q", expr(s"$B * n_stratum div n_total"))
+        .withColumn("rem", expr(s"$B * n_stratum - base_q * n_total"))
+        .withColumn("leftover", lit(B) - sum(col("base_q")).over())
+        .withColumn("rk", row_number().over(wq))
+        .select(col("source"), col("lang"), col("n_stratum"),
+          (col("base_q") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("quota"))
+      val ws = Window.partitionBy(col("source"), col("lang"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      base.withColumn("samp_rank", row_number().over(ws).cast("long"))
+        .filter(col("samp_rank") <= B) // literal k => map-side WindowGroupLimit
+        .join(broadcast(quotas), Seq("source", "lang"))
+        .filter(col("samp_rank") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_stratum"), col("quota"), col("samp_rank"))
+    },
+
+    // l-DIVERSITY release gate — the k-anonymity companion (q146): a
+    // quasi-identifier group is releasable only if the SENSITIVE
+    // attribute (lang here) takes at least l distinct values inside it,
+    // so membership in a released group never narrows a document's
+    // sensitive value to fewer than l candidates. Also ships the
+    // dominance share (top lang count / group size, integer per-cent)
+    // — the input to the stricter entropy/recursive variants. Shapes:
+    // one partial-aggregable count over (QI, lang), then a second
+    // aggregate over the VALUE-DOMAIN-bounded group table; nothing
+    // row-scale past the first exchange.
+    "q150_l_diversity" -> { (s, d) =>
+      val l = 3
+      Tables.documents(s, d)
+        .select(col("source"), expr("n_chars div 100").as("len_bucket"), col("lang"))
+        .groupBy(col("source"), col("len_bucket"), col("lang"))
+        .agg(count(lit(1)).as("n_sl"))
+        .groupBy(col("source"), col("len_bucket"))
+        .agg(sum(col("n_sl")).as("grp_n"), count(lit(1)).as("n_langs"),
+          max(col("n_sl")).as("top_n"))
+        .withColumn("top_share_x100", expr("top_n * 100 div grp_n"))
+        .withColumn("released", col("n_langs") >= l)
+        .select(col("source"), col("len_bucket"), col("grp_n"),
+          col("n_langs"), col("top_n"), col("top_share_x100"), col("released"))
+    },
+
+    // DIFFERENTIAL-PRIVACY-SHAPED histogram release: the (event_type,
+    // day) activity histogram with additive integer noise and a
+    // small-count suppression threshold — the release shape a DP
+    // publishing pipeline runs (noise → clamp at 0 → suppress below
+    // tau), with the SAMPLER swapped for a deterministic integer
+    // test-double (md5(seed:key) mod (2b+1) − b, a bounded-uniform
+    // stand-in for Laplace(1/eps)) so the gate can hash-check the
+    // plumbing exactly; a production run swaps only that one column.
+    // Every row ships with its true count, noise, and released flag —
+    // auditable like q146, the flag decides. Shapes: one
+    // partial-aggregable count to a value-domain-bounded histogram
+    // (|types|·|days|); noise and gating are narrow maps on that
+    // bounded set.
+    "q151_dp_release" -> { (s, d) =>
+      val b = 5L    // noise half-width
+      val tau = 20L // suppression threshold on the noised count
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_true"))
+        .withColumn("noise", expr(
+          "CAST(conv(substring(md5(concat('dp7:', event_type, ':', day)), 1, 15), 16, 10) AS BIGINT) " +
+            s"% ${2 * b + 1} - $b"))
+        .withColumn("n_noised", greatest(col("n_true") + col("noise"), lit(0L)))
+        .withColumn("released", col("n_noised") >= tau)
+        .select(col("event_type"), col("day"), col("n_true"),
+          col("noise"), col("n_noised"), col("released"))
     }
   )
 
@@ -1008,6 +1108,53 @@ object Pipeline {
           SELECT a.source, a.n_docs, a.n_tokens, a.n_langs, tl.top_lang,
                  a.dup_docs, (a.dup_docs * 100 // a.n_docs)::BIGINT AS dup_pct,
                  a.mean_chars, med.med_chars
-          FROM agg a JOIN tl USING (source) JOIN med USING (source)"""
+          FROM agg a JOIN tl USING (source) JOIN med USING (source)""",
+
+    "q149_stratified_sample" ->
+      """WITH base AS (SELECT doc_id, source, lang,
+             ('0x' || substr(md5('st:' || doc_id), 1, 15))::BIGINT AS h
+           FROM documents),
+          st AS (SELECT source, lang, count(*)::BIGINT AS n_stratum
+                 FROM base GROUP BY 1, 2),
+          t AS (SELECT sum(n_stratum)::BIGINT AS n_total FROM st),
+          b AS (SELECT source, lang, n_stratum,
+                  (200 * n_stratum // n_total)::BIGINT AS base_q,
+                  (200 * n_stratum -
+                   (200 * n_stratum // n_total) * n_total)::BIGINT AS rem
+                FROM st, t),
+          l AS (SELECT (200 - sum(base_q))::BIGINT AS leftover FROM b),
+          q AS (SELECT b.source, b.lang, b.n_stratum,
+                  (base_q + CASE WHEN row_number() OVER
+                     (ORDER BY rem DESC, source, lang) <= l.leftover
+                   THEN 1 ELSE 0 END)::BIGINT AS quota
+                FROM b, l),
+          r AS (SELECT base.*, row_number() OVER (PARTITION BY source, lang
+                  ORDER BY h, doc_id)::BIGINT AS samp_rank
+                FROM base)
+         SELECT r.doc_id, r.source, r.lang, q.n_stratum, q.quota, r.samp_rank
+         FROM r JOIN q USING (source, lang) WHERE r.samp_rank <= q.quota""",
+
+    "q150_l_diversity" ->
+      """WITH c AS (SELECT source, n_chars // 100 AS len_bucket, lang,
+             count(*)::BIGINT AS n_sl
+           FROM documents GROUP BY 1, 2, 3)
+         SELECT source, len_bucket, sum(n_sl)::BIGINT AS grp_n,
+                count(*)::BIGINT AS n_langs, max(n_sl) AS top_n,
+                (max(n_sl) * 100 // sum(n_sl))::BIGINT AS top_share_x100,
+                count(*) >= 3 AS released
+         FROM c GROUP BY 1, 2""",
+
+    "q151_dp_release" ->
+      """WITH h AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             count(*)::BIGINT AS n_true
+           FROM events GROUP BY 1, 2),
+          n AS (SELECT *,
+                  (('0x' || substr(md5('dp7:' || event_type || ':' || day), 1, 15))::BIGINT
+                     % 11 - 5)::BIGINT AS noise
+                FROM h)
+         SELECT event_type, day, n_true, noise,
+                greatest(n_true + noise, 0)::BIGINT AS n_noised,
+                greatest(n_true + noise, 0) >= 20 AS released
+         FROM n"""
   )
 }

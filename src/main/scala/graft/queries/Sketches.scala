@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   *    (k−1)·2⁴⁰ div h_(k); pairwise vocabulary Jaccard from the merged
   *    union's bottom-k (the mergeability property again: sketches
   *    compose across partitions AND across sets).
+  *  - q152: moments sketch (Gan et al., VLDB'18) — raw power sums
+  *    n..Σx⁴ mergeable by ADDITION; mean, variance, central third
+  *    moment, and kurtosis derived in exact integer arithmetic.
   *
   * Shapes: hashing is a narrow map; register/bottom-k reduction is one
   * partial-aggregable shuffle (max per register / per-source map-side
@@ -279,6 +282,44 @@ object Sketches {
         sum(when(col("nsrc") === 2, 1L).otherwise(0L)).as("matches"))
         .withColumn("jacc_x1000", expr("matches * 1000 div u"))
         .select(col("src_a"), col("src_b"), col("u"), col("matches"), col("jacc_x1000"))
+    },
+
+    // MOMENTS sketch (the Gan et al. VLDB'18 scan-statistics summary):
+    // per source the raw power sums n, Σx, Σx², Σx³, Σx⁴ of the
+    // document length — PURE SUMS, so the sketch is mergeable by
+    // addition (partial aggregation IS the merge, same property as
+    // q144's counters), and one corpus pass yields mean, variance,
+    // central third moment, and kurtosis for every group. All derived
+    // stats are EXACT integer arithmetic on the sums (no sqrt — the
+    // skewness DIRECTION ships as the signed central third moment, and
+    // kurtosis·1000 = n·m4/m2² needs only squares), so both engines
+    // agree bit-for-bit; Σx³/Σx⁴ ship as decimal-strings because they
+    // outgrow int64 at corpus scale while the 38-digit decimals both
+    // engines carry (Spark DECIMAL(38,0), DuckDB HUGEINT) hold them to
+    // x < 55,109 and ~10¹⁵ rows. Shapes: one partial-aggregable
+    // aggregate; everything after runs on the |sources|-bounded table.
+    "q152_moments" -> { (s, d) =>
+      val x = col("n_chars")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          min(x).as("mn"), max(x).as("mx"),
+          sum(dec(x)).as("s1"), sum(dec(x * x)).as("s2"),
+          sum(dec(x * x * x)).as("s3"), sum(dec(x * x * x * x)).as("s4"))
+        .withColumn("nD", col("n").cast("decimal(38,0)"))
+        .withColumn("m2", expr("nD * s2 - s1 * s1"))
+        .withColumn("m3n", expr("nD * nD * s3 - 3 * nD * s1 * s2 + 2 * s1 * s1 * s1"))
+        .withColumn("m4n", expr(
+          "nD * nD * nD * s4 - 4 * nD * nD * s1 * s3 + 6 * nD * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1"))
+        .select(col("source"), col("n"), col("mn"), col("mx"),
+          col("s1").cast("long").as("s1"), col("s2").cast("long").as("s2"),
+          col("s3").cast("string").as("s3_str"), col("s4").cast("string").as("s4_str"),
+          expr("CAST((1000 * s1) div nD AS BIGINT)").as("mean_x1000"),
+          expr("CAST((1000000 * m2) div (nD * nD) AS BIGINT)").as("var_x1e6"),
+          expr("CAST(m3n div (nD * nD * nD) AS BIGINT)").as("m3c"),
+          expr("CASE WHEN m2 = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST((1000 * nD * m4n) div (m2 * m2) AS BIGINT) END").as("kurt_x1000"))
     }
   )
 
@@ -387,6 +428,29 @@ object Sketches {
           SELECT src_a, src_b, count(*)::BIGINT AS u,
                  sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END)::BIGINT AS matches,
                  (sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT AS jacc_x1000
-          FROM topk GROUP BY 1, 2"""
+          FROM topk GROUP BY 1, 2""",
+
+    "q152_moments" ->
+      """WITH m AS (SELECT source, count(*)::BIGINT AS n,
+             min(n_chars) AS mn, max(n_chars) AS mx,
+             sum(n_chars::HUGEINT) AS s1,
+             sum((n_chars * n_chars)::HUGEINT) AS s2,
+             sum((n_chars * n_chars * n_chars)::HUGEINT) AS s3,
+             sum((n_chars * n_chars * n_chars * n_chars)::HUGEINT) AS s4
+           FROM documents GROUP BY 1),
+          dd AS (SELECT *, n::HUGEINT AS nh,
+                   n::HUGEINT * s2 - s1 * s1 AS m2,
+                   n::HUGEINT * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3n,
+                   n::HUGEINT * n * n * s4 - 4 * n::HUGEINT * n * s1 * s3
+                     + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4n
+                 FROM m)
+         SELECT source, n, mn, mx, s1::BIGINT AS s1, s2::BIGINT AS s2,
+                s3::VARCHAR AS s3_str, s4::VARCHAR AS s4_str,
+                ((1000 * s1) // nh)::BIGINT AS mean_x1000,
+                ((1000000 * m2) // (nh * nh))::BIGINT AS var_x1e6,
+                (m3n // (nh * nh * nh))::BIGINT AS m3c,
+                (CASE WHEN m2 = 0 THEN 0
+                      ELSE (1000 * nh * m4n) // (m2 * m2) END)::BIGINT AS kurt_x1000
+         FROM dd"""
   )
 }

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Graph-family behavior beyond the hash gate. q153's compact-forward
+  * triangle count is cross-checked against a structurally different
+  * algorithm — driver-side neighbor-set intersection over the collected
+  * edge list — so an orientation bug (the classic double/half-count)
+  * cannot survive even if both engines shared it.
+  */
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("graph-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("q153: triangle count equals brute-force neighbor-set intersection") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    // each triangle counted once: for edge (u,v) with u<v, common
+    // neighbors w > v close it exactly once
+    val brute = edges.map { case (u, v) =>
+      (adj(u) & adj(v)).count(_ > v).toLong
+    }.sum
+    val r = SparkEntry.queries("q153_triangles")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_triangles") == brute,
+      s"compact-forward ${r.getAs[Long]("n_triangles")} vs brute $brute")
+    assert(r.getAs[Long]("n_nodes") == adj.size)
+    assert(r.getAs[Long]("n_edges") == edges.length.toLong)
+    val wedges = adj.valuesIterator.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(r.getAs[Long]("n_wedges") == wedges)
+    assert(r.getAs[Long]("n_triangles") > 0,
+      "fixture degenerate: no triangles to verify against")
+    // transitivity = 3·tri/wedges, in [0, 1000]
+    val t = r.getAs[Long]("transitivity_x1000")
+    assert(t == 3000L * brute / wedges && t >= 0 && t <= 1000)
+  }
+
+  test("q153: orientation is a total order — every edge oriented exactly once") {
+    // re-derive the oriented edge list the query builds and check it is
+    // a permutation of the undirected edges (no drops, no duplicates) —
+    // the property the wedge join's correctness rests on
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("c"))
+    val ed = e
+      .join(deg.select(col("node").as("u"), col("c").as("cu")), "u")
+      .join(deg.select(col("node").as("v"), col("c").as("cv")), "v")
+    val lt = (col("cu") < col("cv")) ||
+      (col("cu") === col("cv") && col("u") < col("v"))
+    val o = ed.select(
+      when(lt, col("u")).otherwise(col("v")).as("s"),
+      when(lt, col("v")).otherwise(col("u")).as("t"))
+    val undirected = e.collect().map(r => {
+      val (a, b) = (r.getLong(0), r.getLong(1)); (math.min(a, b), math.max(a, b))
+    }).toSeq.sorted
+    val oriented = o.collect().map(r => {
+      val (a, b) = (r.getLong(0), r.getLong(1)); (math.min(a, b), math.max(a, b))
+    }).toSeq.sorted
+    assert(oriented == undirected)
+  }
+}

@@ -162,4 +162,50 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(est - exact) <= 0.2, s"($a,$b): est $est vs exact $exact")
     }
   }
+
+  test("q152: the moments sketch is mergeable — sum-merge of halves equals the whole") {
+    // power sums computed on doc-parity halves, merged by ADDITION,
+    // must equal the whole-corpus sums: that identity is why one
+    // partial-aggregable pass (and any cross-shard rollup) is exact
+    def sums(parity: Option[Int]): Map[String, (Long, BigInt, BigInt)] = {
+      val rows = Tables.documents(spark, sf).collect()
+        .filter(r => parity.forall(p => r.getAs[Long]("doc_id") % 2 == p))
+      rows.groupBy(_.getAs[String]("source")).map { case (src, rs) =>
+        val xs = rs.map(r => BigInt(r.getAs[Long]("n_chars")))
+        src -> (rs.length.toLong, xs.sum, xs.map(x => x * x * x * x).sum)
+      }
+    }
+    val (even, odd, whole) = (sums(Some(0)), sums(Some(1)), sums(None))
+    (even.keySet ++ odd.keySet).foreach { src =>
+      val e = even.getOrElse(src, (0L, BigInt(0), BigInt(0)))
+      val o = odd.getOrElse(src, (0L, BigInt(0), BigInt(0)))
+      val w = whole(src)
+      assert((e._1 + o._1, e._2 + o._2, e._3 + o._3) == w, src)
+    }
+    // and the query's shipped s4 equals the driver-side exact sum —
+    // the decimal-string channel carries the full magnitude
+    val got = SparkEntry.queries("q152_moments")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> BigInt(r.getAs[String]("s4_str"))).toMap
+    whole.foreach { case (src, (_, _, s4)) => assert(got(src) == s4, src) }
+  }
+
+  test("q152: derived stats re-derive exactly from the shipped sums (self-consistency)") {
+    SparkEntry.queries("q152_moments")(spark, sf).collect().foreach { r =>
+      val n = BigInt(r.getAs[Long]("n"))
+      val s1 = BigInt(r.getAs[Long]("s1")); val s2 = BigInt(r.getAs[Long]("s2"))
+      val s3 = BigInt(r.getAs[String]("s3_str")); val s4 = BigInt(r.getAs[String]("s4_str"))
+      val m2 = n * s2 - s1 * s1
+      val m3n = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+      val m4n = n * n * n * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+      assert(BigInt(r.getAs[Long]("mean_x1000")) == (1000 * s1) / n, r.toString)
+      assert(BigInt(r.getAs[Long]("var_x1e6")) == (1000000 * m2) / (n * n), r.toString)
+      assert(BigInt(r.getAs[Long]("m3c")) == m3n / (n * n * n), r.toString)
+      if (m2 != 0)
+        assert(BigInt(r.getAs[Long]("kurt_x1000")) == (1000 * n * m4n) / (m2 * m2), r.toString)
+      // moment inequalities any valid sketch satisfies: m2 >= 0,
+      // kurtosis >= 1 (Pearson's bound kurt >= skew^2 + 1)
+      assert(m2 >= 0 && m4n >= 0, r.toString)
+      if (m2 != 0) assert(r.getAs[Long]("kurt_x1000") >= 1000, r.toString)
+    }
+  }
 }
