@@ -30,7 +30,8 @@ object SparkEntry {
       (_root_.graft.queries.Curation.queries, _root_.graft.queries.Curation.oracle),
       (_root_.graft.queries.Quality.queries, _root_.graft.queries.Quality.oracle),
       (_root_.graft.queries.Pipeline.queries, _root_.graft.queries.Pipeline.oracle),
-      (_root_.graft.queries.Sketches.queries, _root_.graft.queries.Sketches.oracle)
+      (_root_.graft.queries.Sketches.queries, _root_.graft.queries.Sketches.oracle),
+      (_root_.graft.queries.Retrieval.queries, _root_.graft.queries.Retrieval.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -833,6 +833,30 @@ object Pipeline {
         .withColumn("released", col("n_noised") >= tau)
         .select(col("event_type"), col("day"), col("n_true"),
           col("noise"), col("n_noised"), col("released"))
+    },
+
+    // WEIGHTED corpus sample, deterministic: a bottom-k draw where each
+    // document's priority is salted-hash div weight (weight = n_chars),
+    // so longer documents are proportionally likelier to be drawn —
+    // the integer analog of the exponential-clock / A-ES weighted
+    // reservoir (whose exact u^(1/w) keys need floats; the linearized
+    // h div w priority keeps the monotone weight→probability coupling
+    // and is reproducible bit-for-bit across engines and reruns, which
+    // is the property a release pipeline actually needs). Shape: a
+    // narrow map then a constant-k global top-k — TakeOrdered ships k
+    // rows per partition, never a global sort; the rank window runs on
+    // the k-row result.
+    "q155_weighted_sample" -> { (s, d) =>
+      val k = 100
+      val w = Window.orderBy(col("priority").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("CAST(conv(substring(md5(concat('ws:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) " +
+            "div greatest(n_chars, 1)").as("priority"))
+        .orderBy(col("priority").asc, col("doc_id").asc).limit(k)
+        .withColumn("samp_rank", row_number().over(w).cast("long"))
+        .select(col("samp_rank"), col("doc_id"), col("source"),
+          col("n_chars"), col("priority"))
     }
   )
 
@@ -1155,6 +1179,15 @@ object Pipeline {
          SELECT event_type, day, n_true, noise,
                 greatest(n_true + noise, 0)::BIGINT AS n_noised,
                 greatest(n_true + noise, 0) >= 20 AS released
-         FROM n"""
+         FROM n""",
+
+    "q155_weighted_sample" ->
+      """WITH p AS (SELECT doc_id, source, n_chars,
+             ('0x' || substr(md5('ws:' || doc_id), 1, 15))::BIGINT
+               // greatest(n_chars, 1) AS priority
+           FROM documents)
+         SELECT row_number() OVER (ORDER BY priority, doc_id)::BIGINT AS samp_rank,
+                doc_id, source, n_chars, priority
+         FROM p ORDER BY priority, doc_id LIMIT 100"""
   )
 }

@@ -284,6 +284,57 @@ object Sketches {
         .select(col("src_a"), col("src_b"), col("u"), col("matches"), col("jacc_x1000"))
     },
 
+    // STREAMING count-min — q144's frequency sketch maintained by
+    // Structured Streaming's stateful aggregation, the q142 pattern
+    // applied to the SUM-mergeable member of the family: the corpus
+    // arrives as file-triggered micro-batches, the streaming
+    // groupBy(r, b).sum state IS the d×w counter table (2048 longs of
+    // state FOREVER, no watermark needed because sums never retract),
+    // and the final counters are the IDENTICAL table q144 derives in
+    // batch — the oracle recomputes it relationally. This is the
+    // always-on token-frequency dashboard over a firehose: bounded
+    // state, mergeable by addition across batches exactly as across
+    // partitions. In-query pin: the feed really arrived split (≥ 2
+    // non-empty micro-batches).
+    "q156_stream_countmin" -> { (s, d) =>
+      val srcTag = Advanced.layoutTag(d, "documents.parquet")
+      val src = new java.io.File(sys.props("java.io.tmpdir"), s"graft_scm_$srcTag")
+      if (!src.exists()) {
+        Tables.documents(s, d).select(col("text"))
+          .repartition(2).write.mode("overwrite").parquet(src.getPath)
+      }
+      val ck = java.nio.file.Files.createTempDirectory("graft-q156-ck")
+      val sinkName = s"graft_q156_sink_${memSinkId.incrementAndGet()}"
+      val schema = s.read.parquet(src.getPath).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.getPath)
+      try {
+        val q = stream
+          .select(explode(split(col("text"), " ")).as("t"))
+          .filter(length(col("t")) > 0)
+          .select(col("t"), explode(sequence(lit(0), lit(CmD - 1))).as("r"))
+          .withColumn("b", expr(
+            s"CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', t)), 1, 15), 16, 10) AS BIGINT) % $CmW"))
+          .groupBy(col("r"), col("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation", ck.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          "streaming count-min must see the feed as multiple micro-batches")
+        val out = s.table(sinkName)
+          .select(col("r").cast("long").as("r"), col("b"), col("cnt"))
+          .localCheckpoint()
+        s.catalog.dropTempView(sinkName) // eager checkpoint — release the view
+        out
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+      }
+    },
+
     // MOMENTS sketch (the Gan et al. VLDB'18 scan-statistics summary):
     // per source the raw power sums n, Σx, Σx², Σx³, Σx⁴ of the
     // document length — PURE SUMS, so the sketch is mergeable by
@@ -429,6 +480,17 @@ object Sketches {
                  sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END)::BIGINT AS matches,
                  (sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT AS jacc_x1000
           FROM topk GROUP BY 1, 2""",
+
+    // the streaming face converges to the identical counter table, so
+    // its oracle is q144's cm CTE emitted directly
+    "q156_stream_countmin" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+          cnt AS (SELECT t, count(*)::BIGINT AS c FROM tok WHERE len(t) > 0 GROUP BY 1),
+          hashed AS (SELECT t, c, r,
+                       ('0x' || substr(md5(r::VARCHAR || ':' || t), 1, 15))::BIGINT % $CmW AS b
+                     FROM cnt, (SELECT unnest(range(0, $CmD)) AS r)),
+          cm AS (SELECT r, b, sum(c)::BIGINT AS cnt FROM hashed GROUP BY 1, 2)
+         SELECT r::BIGINT AS r, b, cnt FROM cm""",
 
     "q152_moments" ->
       """WITH m AS (SELECT source, count(*)::BIGINT AS n,

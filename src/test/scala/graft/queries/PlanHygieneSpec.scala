@@ -655,6 +655,24 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"one corpus pass means exactly one exchange:\n$finalPlan")
   }
 
+  test("q154: top-20 plans as TakeOrdered; the |Q|-row idf table broadcasts") {
+    val df = SparkEntry.queries("q154_bm25")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrdered"), s"BM25 top-k must never globally sort:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"the 4-row idf table must broadcast:\n$s")
+    assert(s.contains("partial"), s"tf/dl counts must combine map-side:\n$s")
+  }
+
+  test("q155: the weighted draw is a narrow map into TakeOrdered — no shuffle of the corpus") {
+    val df = SparkEntry.queries("q155_weighted_sample")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrdered"), s"weighted bottom-k must plan as TakeOrdered:\n$s")
+    assert(!s.contains("Exchange hashpartitioning") && !s.contains("Exchange rangepartitioning"),
+      s"the corpus must not shuffle for a constant-k draw:\n$s")
+  }
+
   test("q153: every triangle join is an equi-hash join on node keys — no nested loop") {
     // materialize the component frames the query builds internally by
     // running it; then re-derive the wedge join's plan shape

@@ -163,6 +163,27 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q156: streaming count-min converges to the batch counter table exactly") {
+    // the q142 property for the sum-mergeable member: cross-micro-batch
+    // stateful sums must equal q144's batch-derived counters — the
+    // identity that makes the streaming face a drop-in for the batch
+    // sketch (and the partial-agg merge for both)
+    val streamed = SparkEntry.queries("q156_stream_countmin")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("b")) -> r.getAs[Long]("cnt")).toMap
+    val batch = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("t"), explode(sequence(lit(0), lit(3))).as("r"))
+      .withColumn("b", expr(
+        "CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', t)), 1, 15), 16, 10) AS BIGINT) % 512"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getAs[Int]("r").toLong, r.getAs[Long]("b")) -> r.getAs[Long]("cnt")).toMap
+    assert(streamed == batch,
+      s"${streamed.size} streamed vs ${batch.size} batch counters; diff=${
+        (streamed.toSet diff batch.toSet).take(3)}")
+  }
+
   test("q152: the moments sketch is mergeable — sum-merge of halves equals the whole") {
     // power sums computed on doc-parity halves, merged by ADDITION,
     // must equal the whole-corpus sums: that identity is why one
