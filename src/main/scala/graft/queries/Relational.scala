@@ -220,6 +220,37 @@ object Relational {
       a.join(b, $"ka" <=> $"kb")
         .groupBy($"ka").agg(count(lit(1)).as("n_pairs"))
         .select($"ka".as("k"), $"n_pairs")
+    },
+
+    // SKYLINE (Pareto frontier) of orders over (earlier date, higher
+    // price): an order is on the frontier iff no other order strictly
+    // precedes it in date AND strictly exceeds it in price — the
+    // classic dominance operator, in its scale-correct 2D shape.
+    // Naive skyline is an O(n²) dominance self-join; the decomposition
+    // here is exact and linear: dominance only depends on the MAX price
+    // per date, so one partial-aggregable date rollup produces a
+    // VALUE-DOMAIN-bounded (|dates|) table, a prefix-max window over
+    // that bounded table yields the strictly-earlier threshold per
+    // date (the q103 bounded-window class, not a data sort), and the
+    // thresholds broadcast back onto the fact scan as one narrow
+    // filter. Price rides DECIMAL(18,2)→cents (the q73 exactness
+    // discipline). The oracle takes the structurally opposite route —
+    // NOT EXISTS dominance against the date-max table — so the hash
+    // gate cross-checks decomposition against definition.
+    "q157_skyline" -> { (s, d) =>
+      val c = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("date_ms"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      val dmax = c.groupBy(col("date_ms")).agg(max(col("cents")).as("mc"))
+      val w = Window.orderBy(col("date_ms").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val thr = dmax
+        .withColumn("thr", max(col("mc")).over(w)) // |dates| rows — bounded
+        .select(col("date_ms"), col("thr"))
+      c.join(broadcast(thr), Seq("date_ms"))
+        .filter(col("thr").isNull || col("cents") >= col("thr"))
+        .select(col("o_orderkey"), col("date_ms"), col("cents"))
     }
   )
 
@@ -320,6 +351,19 @@ object Relational {
          JOIN (SELECT CASE WHEN s_suppkey % 7 = 0 THEN NULL
                            ELSE s_nationkey END::INT AS kb FROM supplier) b
            ON a.ka IS NOT DISTINCT FROM b.kb
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    // dominance by definition (NOT EXISTS against the date-max table)
+    // — the structural cross-check of the engine's prefix-max
+    // decomposition
+    "q157_skyline" ->
+      """WITH c AS (SELECT o_orderkey, o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+          dm AS (SELECT o_orderdate AS d, max(cents) AS mc FROM c GROUP BY 1)
+         SELECT o_orderkey, epoch_ms(o_orderdate)::BIGINT AS date_ms, cents
+         FROM c
+         WHERE NOT EXISTS (SELECT 1 FROM dm
+                           WHERE dm.d < c.o_orderdate AND dm.mc > c.cents)"""
   )
 }

@@ -75,6 +75,54 @@ object TimeSeries {
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+    },
+
+    // PEAK CONCURRENCY per event_type — the sweep-line over intervals
+    // [ts, ts + duration): +1/−1 delta points, a running sum, and the
+    // max of the running sum is the answer (max concurrent sessions,
+    // the capacity-planning number). The textbook single window
+    // `ORDER BY t` per type funnels each type through ONE task
+    // (|types| is small — the q130 whole-partition-sort hazard), so
+    // the running sum is SEGMENTED instead, the GlobalRank
+    // decomposition applied to prefix sums: a within-(type, day)
+    // window computes local running sums (high-cardinality partitions,
+    // parallel), one partial-aggregable rollup yields per-day NET
+    // deltas whose prefix sum over the VALUE-DOMAIN-bounded (type,
+    // day) table is each day's carry-in, and the carry broadcasts
+    // back. Exact: concurrency(t) = carry(day) + local_run(t).
+    // End-before-start at the same instant (delta −1 < +1 in the sort)
+    // makes touching intervals non-overlapping — the half-open
+    // convention. The peak instant reported is the EARLIEST time the
+    // peak is reached (deterministic tie-break). Duration derives from
+    // `value` through the q80 round(value·100) integer discipline.
+    "q158_concurrency" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val iv2 = ev.select(col("event_id"), col("event_type"),
+        Tables.tsAsMillis(ev).as("st"),
+        greatest(round(col("value") * 100).cast("long"), lit(1L)).as("dur"))
+      val del = iv2.select(col("event_type"), col("st").as("t"),
+          lit(1L).as("delta"), col("event_id"))
+        .unionAll(iv2.select(col("event_type"), (col("st") + col("dur")).as("t"),
+          lit(-1L).as("delta"), col("event_id")))
+        .withColumn("day", expr("t div 86400000"))
+      val wLocal = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("t").asc, col("delta").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = del.withColumn("run_local", sum(col("delta")).over(wLocal))
+      val wCarry = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = del.groupBy(col("event_type"), col("day"))
+        .agg(sum(col("delta")).as("net")) // (type, day) — value-domain bounded
+        .withColumn("carry", coalesce(sum(col("net")).over(wCarry), lit(0L)))
+        .select(col("event_type"), col("day"), col("carry"))
+      val run = local.join(broadcast(carry), Seq("event_type", "day"))
+        .withColumn("conc", col("carry") + col("run_local"))
+      val peak = run.groupBy(col("event_type")).agg(max(col("conc")).as("peak_conc"))
+      run.join(broadcast(peak), Seq("event_type"))
+        .filter(col("conc") === col("peak_conc"))
+        .groupBy(col("event_type"), col("peak_conc"))
+        .agg(min(col("t")).as("peak_at_ms"))
+        .select(col("event_type"), col("peak_conc"), col("peak_at_ms"))
     }
   )
 
@@ -110,6 +158,26 @@ object TimeSeries {
                    unnest([e - e % 1800000000, e - e % 1800000000 - 1800000000]) AS ws
                  FROM ev)
          SELECT make_timestamp(ws) AS w_start, event_type, count(*)::BIGINT AS n
-         FROM x GROUP BY 1, 2"""
+         FROM x GROUP BY 1, 2""",
+
+    // the un-segmented textbook sweep (one window per type) — fine at
+    // oracle scale, and a structural cross-check of the engine's
+    // segmented carry-in decomposition
+    "q158_concurrency" ->
+      """WITH iv AS (SELECT event_id, event_type, epoch_ms(ts)::BIGINT AS st,
+             greatest(round(value * 100)::BIGINT, 1) AS dur
+           FROM events),
+          d AS (SELECT event_type, st AS t, 1 AS delta, event_id FROM iv
+                UNION ALL
+                SELECT event_type, st + dur, -1, event_id FROM iv),
+          r AS (SELECT event_type, t,
+                  sum(delta) OVER (PARTITION BY event_type
+                    ORDER BY t, delta, event_id)::BIGINT AS run
+                FROM d),
+          m AS (SELECT event_type, max(run)::BIGINT AS peak_conc
+                FROM r GROUP BY 1)
+         SELECT r.event_type, m.peak_conc, min(r.t)::BIGINT AS peak_at_ms
+         FROM r JOIN m ON r.event_type = m.event_type AND r.run = m.peak_conc
+         GROUP BY 1, 2"""
   )
 }

@@ -673,6 +673,28 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the corpus must not shuffle for a constant-k draw:\n$s")
   }
 
+  test("q157: skyline thresholds broadcast; dominance never self-joins the fact table") {
+    val df = SparkEntry.queries("q157_skyline")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s"the bounded date-max thresholds must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastNestedLoopJoin"),
+      s"skyline must not plan a dominance self-join:\n$s")
+    assert(s.contains("partial"), s"the date-max rollup must combine map-side:\n$s")
+  }
+
+  test("q158: the sweep's data window partitions on (type, day); carries broadcast back") {
+    val df = SparkEntry.queries("q158_concurrency")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // the corpus-scale running sum must ride the high-cardinality
+    // (event_type, day) partitioning — a per-type-only window would
+    // funnel each type through one task
+    val wLines = s.linesIterator.filter(l => l.contains("Window") && l.contains("run_local")).mkString
+    assert(wLines.contains("day"), s"local sweep must partition by (type, day):\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"day carry-ins must broadcast:\n$s")
+  }
+
   test("q153: every triangle join is an equi-hash join on node keys — no nested loop") {
     // materialize the component frames the query builds internally by
     // running it; then re-derive the wedge join's plan shape
