@@ -182,6 +182,20 @@ object TrainingData {
       annRecallRow(Tables.embeddings(s, d), planted, res)
     },
 
+    // Product-quantization ANN (operators/AnnPq) — the memory-side
+    // member of the ANN triple (q19 LSH: no training; q19b IVF: coarse
+    // cells; q159 PQ: 256 B vectors become 8 codebook bytes, ADC scans
+    // codes, constant-size exact re-rank). Same planted-truth recall
+    // gate: the jittered copy's true top-1 is its original by
+    // construction, so a quantization scheme that loses it flips
+    // recall_ok and fails the hash.
+    "q159_ann_pq" -> { (s, d) =>
+      val (corpus, planted) = plantedAnnTruth(s, d)
+      val res = graft.operators.AnnPq.pqTopK(planted, corpus, k = 1,
+        dims = 64, m = 8, ksub = 16, candN = 64)
+      annRecallRow(Tables.embeddings(s, d), planted, res)
+    },
+
     // Token statistics per source block (counts only).
     "q20_token_stats" -> { (s, d) =>
       Tables.documents(s, d)
@@ -588,6 +602,7 @@ object TrainingData {
     "q15_dedup_minhash" -> minhashOracleSql,
     "q19_ann_lsh" -> annRecallOracleSql,
     "q19b_ann_ivf" -> annRecallOracleSql,
+    "q159_ann_pq" -> annRecallOracleSql,
     "q14_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",

@@ -124,6 +124,30 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits >= 45, s"ivf found only $hits/50 planted near-dups — cell probing is dropping true neighbors")
   }
 
+  test("pq ann finds planted near-duplicates (recall floor 0.9)") {
+    val (corpus, planted) = plantedCorpus
+    val pq = AnnPq.pqTopK(planted, corpus, k = 1, dims = 64, m = 8, ksub = 16, candN = 64)
+    val hits = pq.filter(col("rank") === 1 && col("neighbor_id") === col("query_id") - 10000L).count()
+    assert(hits >= 45, s"pq found only $hits/50 planted near-dups — quantization is dropping true neighbors")
+  }
+
+  test("pq encode is deterministic and codes are valid (m entries in [0, ksub))") {
+    val books = AnnPq.fitCodebooks(embs, dims = 64, m = 8, ksub = 16)
+    val a = AnnPq.encode(embs, books, dims = 64)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = AnnPq.encode(embs, AnnPq.fitCodebooks(embs, dims = 64, m = 8, ksub = 16), dims = 64)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b, "re-fit + re-encode must be bit-identical (seeded sample, integer Lloyd)")
+    assert(a.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+    // the codes must actually discriminate: more than one distinct
+    // signature per sub-space, else the codebooks collapsed
+    (0 until 8).foreach { j =>
+      assert(a.values.map(_(j)).toSet.size > 1, s"sub-space $j collapsed to one code")
+    }
+  }
+
   test("lsh ann ranks are dense and ordered by sim within each query") {
     val lsh = AnnLsh.lshTopK(embs.filter(col("vec_id") < 10), embs, k = 5, dims = 64).collect()
     lsh.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>

@@ -71,6 +71,7 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // nlist centroids) — everything else going cartesian is a planning
     // regression that would explode at scale.
     val sanctioned = Set("q18_ann_bruteforce", "q19_ann_lsh", "q19b_ann_ivf",
+      "q159_ann_pq",
       "q115_hard_negatives") // |Q| = 50 probes broadcast — bounded by construction
     val failures = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(sanctioned)
