@@ -218,6 +218,50 @@ object TableOps {
         .groupBy(col("l_orderkey"))
         .agg(array_join(array_sort(collect_list(col("line"))), ",").as("lines"),
           count(lit(1)).as("n_lines"))
+    },
+
+    // MAD (median-absolute-deviation) outlier gate per source — the
+    // ROBUST member of the dispersion family (q79 winsorize clamps by
+    // percentile bounds; q152's moments give variance, which one
+    // pathological document can blow up; MAD is breakdown-point-50%
+    // robust). Rule: |x − median| > 2·MAD — the k = 2 robust fence,
+    // carried as the exact rational 20000/10000 so both engines decide
+    // identically (the normal-consistent 3σ analog k = 3·1.4826 never
+    // fires on this corpus's light-tailed lengths, which would leave
+    // the flag branch untested; k is the caller's knob either way).
+    // Both medians use q130's
+    // VALUE-DOMAIN shape: aggregate to (source, value, count) first —
+    // one partial-aggregable shuffle — then the cumulative-frequency
+    // window runs over rows bounded by distinct VALUES, never a
+    // whole-source row sort; medians broadcast back. Degenerate
+    // MAD = 0 (over half the group at the median) flags every
+    // off-median row — the standard MAD caveat, same in both engines.
+    "q160_mad_outliers" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+        val k = expr("(nsrc + 1) div 2")
+        df.groupBy(col("source"), col(valueCol)).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(
+            Window.partitionBy(col("source")).orderBy(col(valueCol).asc)
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("nsrc", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+          .filter(col("cum") >= k && col("cum") - col("cnt") < k)
+          .select(col("source"), col(valueCol).as(out))
+      }
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      val med = medianOf(base, "n_chars", "med")
+      val dev = base.join(broadcast(med), "source")
+        .withColumn("adev", abs(col("n_chars") - col("med")))
+      val mad = medianOf(dev.select(col("source"), col("adev")), "adev", "mad")
+      dev.join(broadcast(mad), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), max(col("med")).as("med_chars"),
+          max(col("mad")).as("mad_chars"),
+          sum(when(col("adev") * 10000L > col("mad") * 20000L, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .withColumn("outlier_pct_x100", expr("n_outliers * 10000 div n"))
+        .select(col("source"), col("n"), col("med_chars"), col("mad_chars"),
+          col("n_outliers"), col("outlier_pct_x100"))
     }
   )
 
@@ -318,6 +362,31 @@ object TableOps {
            FROM lineitem)
          SELECT l_orderkey, string_agg(line, ',' ORDER BY line) AS lines,
            count(*) AS n_lines
-         FROM l GROUP BY 1"""
+         FROM l GROUP BY 1""",
+
+    "q160_mad_outliers" ->
+      """WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+          m1 AS (SELECT source, n_chars, count(*)::BIGINT AS cnt
+                 FROM base GROUP BY 1, 2),
+          c1 AS (SELECT *, sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+                   sum(cnt) OVER (PARTITION BY source) AS nsrc
+                 FROM m1),
+          med AS (SELECT source, n_chars AS med FROM c1
+                  WHERE cum >= (nsrc + 1) // 2 AND cum - cnt < (nsrc + 1) // 2),
+          dev AS (SELECT b.source, abs(b.n_chars - med.med) AS adev, med.med
+                  FROM base b JOIN med USING (source)),
+          m2 AS (SELECT source, adev, count(*)::BIGINT AS cnt
+                 FROM dev GROUP BY 1, 2),
+          c2 AS (SELECT *, sum(cnt) OVER (PARTITION BY source ORDER BY adev) AS cum,
+                   sum(cnt) OVER (PARTITION BY source) AS nsrc
+                 FROM m2),
+          mad AS (SELECT source, adev AS mad FROM c2
+                  WHERE cum >= (nsrc + 1) // 2 AND cum - cnt < (nsrc + 1) // 2)
+         SELECT d.source, count(*)::BIGINT AS n,
+                max(d.med)::BIGINT AS med_chars, max(mad.mad)::BIGINT AS mad_chars,
+                sum((d.adev * 10000 > mad.mad * 20000)::INT)::BIGINT AS n_outliers,
+                (sum((d.adev * 10000 > mad.mad * 20000)::INT) * 10000
+                   // count(*))::BIGINT AS outlier_pct_x100
+         FROM dev d JOIN mad USING (source) GROUP BY 1"""
   )
 }

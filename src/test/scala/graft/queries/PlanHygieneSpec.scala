@@ -674,6 +674,19 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the corpus must not shuffle for a constant-k draw:\n$s")
   }
 
+  test("q160: both medians ride value-domain aggregates; med/mad broadcast back") {
+    val df = SparkEntry.queries("q160_mad_outliers")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // the cumulative windows must consume (source, value, cnt)
+    // AGGREGATE rows, never raw documents — the q130 median discipline
+    val wLines = s.linesIterator.filter(l => l.contains("Window") && l.contains("cum")).toSeq
+    assert(wLines.nonEmpty && wLines.forall(_.contains("cnt")),
+      s"median windows must run over value-domain counts:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"med/mad tables must broadcast:\n$s")
+    assert(s.contains("partial"), s"value counts must combine map-side:\n$s")
+  }
+
   test("q157: skyline thresholds broadcast; dominance never self-joins the fact table") {
     val df = SparkEntry.queries("q157_skyline")(spark, sf)
     df.collect()

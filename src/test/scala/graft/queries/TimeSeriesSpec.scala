@@ -180,6 +180,25 @@ class TimeSeriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(days.length > 1, "fixture degenerate: carry-in path unexercised")
   }
 
+  test("q160: MAD outliers equal a driver-side sort-based recompute") {
+    val rows = Tables.documents(spark, sf).select("source", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+    val expected = rows.groupBy(_._1).map { case (src, rs) =>
+      val xs = rs.map(_._2).toSeq
+      val med = lowerMedian(xs)
+      val devs = xs.map(x => math.abs(x - med))
+      val mad = lowerMedian(devs)
+      val out = devs.count(d => d * 10000L > mad * 20000L).toLong
+      src -> (xs.length.toLong, med, mad, out)
+    }
+    val got = SparkEntry.queries("q160_mad_outliers")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("med_chars"),
+        r.getAs[Long]("mad_chars"), r.getAs[Long]("n_outliers"))).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.values.exists(_._4 > 0), "fixture degenerate: no outliers flagged anywhere")
+  }
+
   test("q157: skyline equals brute-force pairwise dominance") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"),
