@@ -264,6 +264,114 @@ object Advanced {
       out
     },
 
+    // WATERMARK LATE-DATA semantics through the gate — the streaming
+    // correctness question the rest of the stream family leaves
+    // implicit: rows arriving after the watermark has passed their
+    // window are DROPPED, not silently merged. The staged feed forces
+    // the scenario deterministically: the events file is split at the
+    // time-range midpoint, the ON-TIME half (late half of event time)
+    // arrives first, the LATE half (early event times) arrives second
+    // with a later file mtime — by then the watermark sits at
+    // max_ts − 1 h, hours past every late row's window. In-query pins:
+    // ≥ 2 data batches AND numRowsDroppedByWatermark > 0 (the drop
+    // REALLY happened — without it this would equal a batch aggregate
+    // over everything). Emitted result (append mode): exactly the
+    // on-time windows whose end ≤ final watermark — which is what the
+    // oracle computes relationally from the same midpoint. Scale: the
+    // state is one (window, type) count per open window behind the
+    // watermark — the watermark IS the state bound.
+    "q161_stream_late_drop" -> { (s, d) =>
+      val src = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q161_" + layoutTag(d, "events.parquet"))
+      val evB = Tables.events(s, d)
+      val bounds = evB.agg(min(unix_millis(col("ts"))).as("mn"),
+        max(unix_millis(col("ts"))).as("mx")).collect()(0)
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val cutoff = (mn + mx) / 2
+      require(cutoff + 3600000L < mx - 3600000L,
+        "fixture must span > 2 h so the late half is unambiguously late")
+      if (!src.exists()) {
+        // Two staging subtleties, both load-bearing:
+        //  1. ORDER: under Trigger.AvailableNow the file source slices
+        //     the INITIAL LISTING by maxFilesPerTrigger, and a raw
+        //     part-<uuid> name randomizes which half goes first
+        //     (observed: the late file led, nothing was late). Flat
+        //     ordered names pin listing order = intended order.
+        //  2. The NUDGE batch: since SPARK-40925 the late-record
+        //     filter uses the PREVIOUS batch's COMMITTED watermark —
+        //     batch N drops by the watermark computed from data
+        //     through batch N-2. Back-to-back on-time→late batches
+        //     therefore never drop (observed: late windows emitted,
+        //     numRowsDroppedByWatermark = 0). A 1-row sentinel file
+        //     between the halves (the q53 sentinel idea) commits the
+        //     on-time watermark one batch before the late file lands.
+        src.mkdirs()
+        val staged = evB.select(col("ts"), col("event_type"))
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = new java.io.File(src, s".stage_$name")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+          val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+          val dest = new java.io.File(src, name)
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(mtime)
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        }
+        val t0 = 1700000000000L
+        stage(staged.filter(unix_millis(col("ts")) >= cutoff), "00_ontime.parquet", t0)
+        stage(evB.limit(1).select(timestamp_millis(lit(mx)).as("ts"),
+          lit("__nudge").as("event_type")), "01_nudge.parquet", t0 + 300000L)
+        stage(staged.filter(unix_millis(col("ts")) < cutoff), "02_late.parquet", t0 + 600000L)
+      }
+      val ck = java.nio.file.Files.createTempDirectory("graft-q161-ck")
+      val sinkName = "q161_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      try {
+        val schema = s.read.parquet(src.getPath).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src.getPath)
+        val q = stream
+          .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
+          .filter(col("event_type") =!= "__nudge") // the sentinel only carries the watermark
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation", ck.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val trace = q.recentProgress.map(p =>
+          s"batch=${p.batchId} in=${p.numInputRows} wm=${p.eventTime.get("watermark")} " +
+            s"maxT=${p.eventTime.get("max")}").mkString("; ")
+        require(q.recentProgress.length >= 3,
+          s"the feed must arrive as on-time, nudge, and late batches [$trace]")
+        // both drop pins: the stream READ every data row (late file
+        // included), and the stateful operator COUNTED the late rows
+        // as dropped-by-watermark — together with the oracle's
+        // assertion that no late window was emitted, the drop is
+        // proven end to end. (The sentinel itself may or may not show
+        // in numInputRows: the != '__nudge' predicate pushes into the
+        // parquet scan, whose row-group stats skip the whole file —
+        // the batch still commits the watermark, which is its job.)
+        val totalIn = q.recentProgress.map(_.numInputRows).sum
+        val nAll = evB.count()
+        require(totalIn == nAll || totalIn == nAll + 1,
+          s"stream must READ all $nAll data rows including the late file, saw $totalIn [$trace]")
+        val dropped = q.recentProgress
+          .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+        require(dropped > 0,
+          s"the late batch must be dropped by the watermark [$trace]")
+        val out = s.table(sinkName)
+          .select(unix_millis(col("window.start")).as("hour_ms"),
+            col("event_type"), col("n"))
+          .localCheckpoint()
+        s.catalog.dropTempView(sinkName)
+        out
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+      }
+    },
+
     // Streaming sessionization through the gate: the events file flows
     // into the flatMapGroupsWithState session operator and the result
     // must hash-match the SAME DuckDB batch-session oracle as q25 —
@@ -661,6 +769,21 @@ object Advanced {
                 count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    // the append-mode emission rule, relationally: on-time rows (the
+    // late-event-time half staged first) windowed by hour, keeping
+    // windows sealed by the final watermark (max − 1 h); the late half
+    // contributes NOTHING — that absence is the assertion
+    "q161_stream_late_drop" ->
+      """WITH b AS (SELECT epoch_ms(ts)::BIGINT AS t, event_type FROM events),
+          s AS (SELECT min(t) AS mn, max(t) AS mx FROM b),
+          cut AS (SELECT (mn + mx) // 2 AS c, mx - 3600000 AS wm FROM s),
+          ontime AS (SELECT (t // 3600000) * 3600000 AS hour_ms, event_type
+                     FROM b, cut WHERE t >= cut.c)
+         SELECT hour_ms, event_type, count(*)::BIGINT AS n
+         FROM ontime, cut
+         WHERE hour_ms + 3600000 <= cut.wm
+         GROUP BY 1, 2""",
     "q50_partition_prune" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
                 count(*) AS n,

@@ -262,6 +262,42 @@ object TableOps {
         .withColumn("outlier_pct_x100", expr("n_outliers * 10000 div n"))
         .select(col("source"), col("n"), col("med_chars"), col("mad_chars"),
           col("n_outliers"), col("outlier_pct_x100"))
+    },
+
+    // OLS linear fit per group in EXACT integer arithmetic — the
+    // regression face of q100's covariance moments (value vs
+    // hour-of-day per event_type): slope = (nΣxy − ΣxΣy)/(nΣx² − Σx²)
+    // as the exact rational (num, den), plus presentation-scaled
+    // slope·10⁶, intercept·10², and R²·10⁶ — every division an
+    // integral divide over DECIMAL(38)/HUGEINT intermediates computed
+    // in the SAME stepwise order in both engines (float covar_pop/
+    // regr_slope can never cross a hash gate). One partial-aggregable
+    // shuffle on the bounded group key; everything after runs on
+    // |groups| rows.
+    "q162_linfit" -> { (s, d) =>
+      def dec(c: String): String = s"CAST($c AS DECIMAL(38,0))"
+      Tables.events(s, d)
+        .select(col("event_type"),
+          hour(col("ts")).cast("long").as("x"),
+          round(col("value") * 100).cast("long").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("num", expr(s"CAST(${dec("n")} * sxy - ${dec("sx")} * sy AS BIGINT)"))
+        .withColumn("den", expr(s"CAST(${dec("n")} * sxx - ${dec("sx")} * sx AS BIGINT)"))
+        .withColumn("vy", expr(s"${dec("n")} * syy - ${dec("sy")} * sy"))
+        .withColumn("slope_x1e6", expr(
+          s"CASE WHEN den = 0 THEN CAST(0 AS BIGINT) ELSE CAST((1000000 * ${dec("num")}) div den AS BIGINT) END"))
+        .withColumn("icept_x100", expr(
+          s"CASE WHEN den = 0 THEN CAST((100 * ${dec("sy")}) div n AS BIGINT) " +
+            s"ELSE CAST((100 * (${dec("sy")} * den - ${dec("num")} * sx)) div (${dec("n")} * den) AS BIGINT) END"))
+        .withColumn("r2_x1e6", expr(
+          s"CASE WHEN den = 0 OR vy = 0 THEN CAST(0 AS BIGINT) " +
+            s"ELSE CAST((((1000000 * ${dec("num")}) div den) * num) div vy AS BIGINT) END"))
+        .select(col("event_type"), col("n"), col("num").as("slope_num"),
+          col("den").as("slope_den"), col("slope_x1e6"), col("icept_x100"),
+          col("r2_x1e6"))
     }
   )
 
@@ -387,6 +423,29 @@ object TableOps {
                 sum((d.adev * 10000 > mad.mad * 20000)::INT)::BIGINT AS n_outliers,
                 (sum((d.adev * 10000 > mad.mad * 20000)::INT) * 10000
                    // count(*))::BIGINT AS outlier_pct_x100
-         FROM dev d JOIN mad USING (source) GROUP BY 1"""
+         FROM dev d JOIN mad USING (source) GROUP BY 1""",
+
+    "q162_linfit" ->
+      """WITH m AS (SELECT event_type, count(*)::BIGINT AS n,
+             sum(hour(ts)::BIGINT)::BIGINT AS sx,
+             sum(round(value * 100)::BIGINT)::BIGINT AS sy,
+             sum(hour(ts)::BIGINT * hour(ts)::BIGINT)::BIGINT AS sxx,
+             sum(hour(ts)::BIGINT * round(value * 100)::BIGINT)::BIGINT AS sxy,
+             sum(round(value * 100)::BIGINT * round(value * 100)::BIGINT)::BIGINT AS syy
+           FROM events GROUP BY 1),
+          dd AS (SELECT *,
+                   (n::HUGEINT * sxy - sx::HUGEINT * sy)::BIGINT AS num,
+                   (n::HUGEINT * sxx - sx::HUGEINT * sx)::BIGINT AS den,
+                   n::HUGEINT * syy - sy::HUGEINT * sy AS vy
+                 FROM m)
+         SELECT event_type, n, num AS slope_num, den AS slope_den,
+                (CASE WHEN den = 0 THEN 0
+                      ELSE (1000000 * num::HUGEINT) // den END)::BIGINT AS slope_x1e6,
+                (CASE WHEN den = 0 THEN (100 * sy::HUGEINT) // n
+                      ELSE (100 * (sy::HUGEINT * den - num::HUGEINT * sx))
+                           // (n::HUGEINT * den) END)::BIGINT AS icept_x100,
+                (CASE WHEN den = 0 OR vy = 0 THEN 0
+                      ELSE (((1000000 * num::HUGEINT) // den) * num) // vy END)::BIGINT AS r2_x1e6
+         FROM dd"""
   )
 }
