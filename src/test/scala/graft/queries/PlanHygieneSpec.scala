@@ -674,6 +674,19 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the corpus must not shuffle for a constant-k draw:\n$s")
   }
 
+  test("q162: the OLS fit is ONE partial-aggregable moment pass — no join, no second scan") {
+    val df = SparkEntry.queries("q162_linfit")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("partial"), s"moment sums must combine map-side:\n$s")
+    assert(!s.contains("Join"), s"fit arithmetic must ride the aggregate output:\n$s")
+    val finalPlan = s.split("== Initial Plan ==")(0)
+    assert(finalPlan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange") &&
+        !l.contains("BroadcastExchange")) == 1,
+      s"one moment pass means exactly one exchange:\n$finalPlan")
+  }
+
   test("q160: both medians ride value-domain aggregates; med/mad broadcast back") {
     val df = SparkEntry.queries("q160_mad_outliers")(spark, sf)
     df.collect()
