@@ -92,6 +92,49 @@ object Behavior {
           sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))
+    },
+
+    // ASSOCIATION RULES over order baskets (market-basket analysis,
+    // the Apriori support/confidence/lift triple in exact integers):
+    // baskets = orders' distinct part sets, candidate pairs generated
+    // by the ORDER-key self-join (fan-out bounded by order size, the
+    // q153 edge-build shape — never itemset enumeration), a
+    // data-derived support floor prunes both items and pairs before
+    // any rule math, and each surviving pair yields its two directed
+    // rules with confidence·10³ = n_ab/n_a and lift·10⁶ =
+    // n_ab·N/(n_a·n_b) as integral divides. Shapes: one bounded-fan
+    // self-join + partial-aggregable counts; the rule table is
+    // support-pruned, never pair-complete.
+    "q163_assoc_rules" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+        .localCheckpoint() // reused: basket count, item counts, pair gen
+      val nBaskets = li.select(col("ok")).distinct().count()
+      val minSup = math.max(nBaskets / 1000L, 5L) // data-derived floor
+      val items = li.groupBy(col("p")).agg(count(lit(1)).as("n_i"))
+        .filter(col("n_i") >= minSup)
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= minSup)
+      val ia = items.select(col("p").as("pa"), col("n_i").as("n_a"))
+      val ib = items.select(col("p").as("pb"), col("n_i").as("n_b"))
+      val joined = pairs.join(ia, "pa").join(ib, "pb")
+      val ab = joined.select(col("pa").as("ante"), col("pb").as("cons"),
+        col("n_a"), col("n_b"), col("n_ab"))
+      val ba = joined.select(col("pb").as("ante"), col("pa").as("cons"),
+        col("n_b").as("n_a"), col("n_a").as("n_b"), col("n_ab"))
+      ab.unionAll(ba)
+        .withColumn("conf_x1000", expr("1000 * n_ab div n_a"))
+        // DECIMAL(38) intermediates: 10⁶·n_ab·N outgrows int64 at
+        // corpus scale (the q152/q162 discipline)
+        .withColumn("lift_x1e6", expr(
+          s"CAST((1000000 * CAST(n_ab AS DECIMAL(38,0)) * $nBaskets) div " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+        .filter(col("conf_x1000") >= 100) // 10% confidence floor
+        .select(col("ante"), col("cons"), col("n_a"), col("n_b"),
+          col("n_ab"), col("conf_x1000"), col("lift_x1e6"))
     }
   )
 
@@ -134,6 +177,27 @@ object Behavior {
          FROM (SELECT event_type,
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                FROM events)
-         GROUP BY event_type"""
+         GROUP BY event_type""",
+
+    "q163_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+          nb AS (SELECT count(DISTINCT ok)::BIGINT AS n FROM li),
+          ms AS (SELECT greatest(n // 1000, 5) AS f FROM nb),
+          items AS (SELECT p, count(*)::BIGINT AS n_i FROM li GROUP BY 1
+                    HAVING count(*) >= (SELECT f FROM ms)),
+          pairs AS (SELECT a.p AS pa, b.p AS pb, count(*)::BIGINT AS n_ab
+                    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+                    GROUP BY 1, 2 HAVING count(*) >= (SELECT f FROM ms)),
+          j AS (SELECT pa, pb, ia.n_i AS n_a, ib.n_i AS n_b, n_ab
+                FROM pairs JOIN items ia ON ia.p = pairs.pa
+                           JOIN items ib ON ib.p = pairs.pb),
+          rules AS (SELECT pa AS ante, pb AS cons, n_a, n_b, n_ab FROM j
+                    UNION ALL
+                    SELECT pb, pa, n_b, n_a, n_ab FROM j)
+         SELECT ante, cons, n_a, n_b, n_ab,
+                (1000 * n_ab // n_a)::BIGINT AS conf_x1000,
+                ((1000000 * n_ab::HUGEINT * nb.n) // (n_a::HUGEINT * n_b))::BIGINT AS lift_x1e6
+         FROM rules, nb
+         WHERE 1000 * n_ab // n_a >= 100"""
   )
 }

@@ -251,6 +251,29 @@ object Relational {
       c.join(broadcast(thr), Seq("date_ms"))
         .filter(col("thr").isNull || col("cents") >= col("thr"))
         .select(col("o_orderkey"), col("date_ms"), col("cents"))
+    },
+
+    // GROUPING SETS — the explicit face completing the multi-level
+    // aggregation trio (q13 ROLLUP, q36 CUBE): four chosen grouping
+    // levels in ONE pass, with grouping() flags disambiguating "NULL
+    // because aggregated" from data nulls. Physical shape is the same
+    // Expand + partial-aggregable hash aggregate as rollup/cube — the
+    // row replication factor is the (constant) number of grouping
+    // sets, map-side combined before the one exchange.
+    "q164_grouping_sets" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          round(col("value") * 100).cast("long").as("vx"))
+        .createOrReplaceTempView("q164_base")
+      val out = s.sql(
+        """SELECT event_type, day,
+             CAST(grouping(event_type) AS BIGINT) AS g_type,
+             CAST(grouping(day) AS BIGINT) AS g_day,
+             count(*) AS n, sum(vx) AS sum_vx
+           FROM q164_base
+           GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())""")
+      s.catalog.dropTempView("q164_base") // plan already bound
+      out
     }
   )
 
@@ -364,6 +387,17 @@ object Relational {
          SELECT o_orderkey, epoch_ms(o_orderdate)::BIGINT AS date_ms, cents
          FROM c
          WHERE NOT EXISTS (SELECT 1 FROM dm
-                           WHERE dm.d < c.o_orderdate AND dm.mc > c.cents)"""
+                           WHERE dm.d < c.o_orderdate AND dm.mc > c.cents)""",
+
+    "q164_grouping_sets" ->
+      """WITH b AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             round(value * 100)::BIGINT AS vx
+           FROM events)
+         SELECT event_type, day,
+                grouping(event_type)::BIGINT AS g_type,
+                grouping(day)::BIGINT AS g_day,
+                count(*)::BIGINT AS n, sum(vx)::BIGINT AS sum_vx
+         FROM b
+         GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())"""
   )
 }

@@ -87,4 +87,36 @@ class BehaviorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(atZero == totalUsers, s"$atZero != $totalUsers")
     } finally df.unpersist()
   }
+
+  test("q163: rules equal a driver-side Apriori recompute; lift/conf arithmetic exact") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = li.groupBy(_._1).map { case (_, rs) => rs.map(_._2).toSet }
+    val nB = baskets.size.toLong
+    val minSup = math.max(nB / 1000L, 5L)
+    val itemN = li.groupBy(_._2).map { case (p, rs) => p -> rs.length.toLong }
+      .filter(_._2 >= minSup)
+    val pairN = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    baskets.foreach { b =>
+      val s = b.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) pairN((s(i), s(j))) += 1
+    }
+    val expected = pairN.toSeq.filter(_._2 >= minSup).flatMap { case ((a, b), nab) =>
+      for {
+        na <- itemN.get(a); nb2 <- itemN.get(b)
+      } yield Seq(
+        (a, b, na, nb2, nab, 1000 * nab / na,
+          (BigInt(1000000) * nab * nB / (BigInt(na) * nb2)).toLong),
+        (b, a, nb2, na, nab, 1000 * nab / nb2,
+          (BigInt(1000000) * nab * nB / (BigInt(nb2) * na)).toLong))
+    }.flatten.filter(_._6 >= 100).toSet
+    val got = graft.SparkEntry.queries("q163_assoc_rules")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("ante"), r.getAs[Long]("cons"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("n_ab"), r.getAs[Long]("conf_x1000"),
+        r.getAs[Long]("lift_x1e6"))).toSet
+    assert(got == expected,
+      s"extra=${(got diff expected).take(3)} missing=${(expected diff got).take(3)}")
+    assert(got.nonEmpty, "fixture degenerate: no rules above the floors")
+  }
 }

@@ -674,6 +674,26 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the corpus must not shuffle for a constant-k draw:\n$s")
   }
 
+  test("q163: basket pairs ride the bounded order-key self-join; counts combine map-side") {
+    val df = SparkEntry.queries("q163_assoc_rules")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"pair generation must equi-join on the order key:\n$s")
+    assert(s.contains("partial"), s"item/pair supports must combine map-side:\n$s")
+  }
+
+  test("q164: grouping sets plan as ONE Expand + partial aggregate, no repeated scans") {
+    val df = SparkEntry.queries("q164_grouping_sets")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("Expand"), s"grouping sets must Expand, not union scans:\n$s")
+    assert(s.contains("partial"), s"the multi-level aggregate must combine map-side:\n$s")
+    val finalPlan = s.split("== Initial Plan ==")(0)
+    assert(finalPlan.linesIterator.count(_.contains("FileScan")) <= 1,
+      s"one pass over the data:\n$finalPlan")
+  }
+
   test("q162: the OLS fit is ONE partial-aggregable moment pass — no join, no second scan") {
     val df = SparkEntry.queries("q162_linfit")(spark, sf)
     df.collect()
