@@ -135,6 +135,37 @@ object Behavior {
         .filter(col("conf_x1000") >= 100) // 10% confidence floor
         .select(col("ante"), col("cons"), col("n_a"), col("n_b"),
           col("n_ab"), col("conf_x1000"), col("lift_x1e6"))
+    },
+
+    // LAST-TOUCH ATTRIBUTION — every purchase credited to the user's
+    // most recent click within a 7-day lookback (the marketing-
+    // attribution primitive; first/linear variants are the same plan
+    // with a different pick). Riding the q32 as-of operator: ONE
+    // union + per-user window, no join node, no range explosion — the
+    // purchase stream never shuffles twice. Clicks collapse to unique
+    // (user, ts) first (max event_id wins the tie, q32's determinism
+    // contract); the lookback gate is a narrow post-filter, so
+    // out-of-window purchases ship explicitly unattributed (-1), never
+    // silently dropped. Scale: the window partitions on user_id — the
+    // natural high-cardinality key.
+    "q166_attribution" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val base = ev.select(col("event_id"), col("user_id"),
+        col("event_type"), Tables.tsAsMillis(ev).as("t"))
+      val buys = base.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id"), col("t").as("buy_ms"))
+      val clicks = base.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("t").as("click_ms"))
+        .agg(max(col("event_id")).as("click_id"))
+      val wk = 7L * 86400000L
+      graft.operators.AsOfJoin.asOf(buys, clicks, key = "user_id",
+          leftTs = "buy_ms", rightTs = "click_ms",
+          payload = Seq("click_id", "click_ms"))
+        .withColumn("in_window",
+          col("click_ms").isNotNull && col("buy_ms") - col("click_ms") <= wk)
+        .select(col("buy_id"), col("user_id"), col("buy_ms"),
+          when(col("in_window"), col("click_id")).otherwise(lit(-1L)).as("att_click_id"),
+          when(col("in_window"), col("buy_ms") - col("click_ms")).otherwise(lit(-1L)).as("gap_ms"))
     }
   )
 
@@ -198,6 +229,27 @@ object Behavior {
                 (1000 * n_ab // n_a)::BIGINT AS conf_x1000,
                 ((1000000 * n_ab::HUGEINT * nb.n) // (n_a::HUGEINT * n_b))::BIGINT AS lift_x1e6
          FROM rules, nb
-         WHERE 1000 * n_ab // n_a >= 100"""
+         WHERE 1000 * n_ab // n_a >= 100""",
+
+    // the as-of pick as an explicit correlated rank — the structural
+    // cross-check of the engine's window-over-union shape
+    "q166_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             epoch_ms(ts)::BIGINT AS t FROM events),
+          buys AS (SELECT event_id AS buy_id, user_id, t AS buy_ms
+                   FROM e WHERE event_type = 'purchase'),
+          clicks AS (SELECT user_id, t AS click_ms, max(event_id) AS click_id
+                     FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+          j AS (SELECT b.buy_id, b.user_id, b.buy_ms, c.click_ms, c.click_id,
+                  row_number() OVER (PARTITION BY b.buy_id
+                    ORDER BY c.click_ms DESC) AS rn
+                FROM buys b LEFT JOIN clicks c
+                  ON c.user_id = b.user_id AND c.click_ms <= b.buy_ms)
+         SELECT buy_id, user_id, buy_ms,
+                (CASE WHEN click_ms IS NOT NULL AND buy_ms - click_ms <= 604800000
+                      THEN click_id ELSE -1 END)::BIGINT AS att_click_id,
+                (CASE WHEN click_ms IS NOT NULL AND buy_ms - click_ms <= 604800000
+                      THEN buy_ms - click_ms ELSE -1 END)::BIGINT AS gap_ms
+         FROM j WHERE rn = 1"""
   )
 }

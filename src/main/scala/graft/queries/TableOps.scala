@@ -298,6 +298,46 @@ object TableOps {
         .select(col("event_type"), col("n"), col("num").as("slope_num"),
           col("den").as("slope_den"), col("slope_x1e6"), col("icept_x100"),
           col("r2_x1e6"))
+    },
+
+    // GINI COEFFICIENT + Lorenz deciles of customer spend — the
+    // concentration report (how top-heavy is the revenue?) in exact
+    // integer arithmetic: G·10⁶ = 10⁶·(2·Σ rᵢxᵢ − (n+1)·Σx)/(n·Σx)
+    // over spend ranked ascending. The rank is the SCALE-CORRECT one:
+    // GlobalRank's range-partitioned total order (one range shuffle +
+    // reused-exchange offsets, q58's operator) — never a
+    // single-partition ORDER BY. Decile id = 10·(r−1) div n (exact
+    // equi-depth, q63's decomposition); the three Gini scalars ride
+    // back as one bounded collect (BigInt driver arithmetic — Σrx
+    // outgrows int64 at corpus scale). Output: 10 Lorenz rows, each
+    // carrying the global Gini.
+    "q165_gini" -> { (s, d) =>
+      import graft.operators.GlobalRank
+      val spend = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .groupBy(col("o_custkey")).agg(sum(col("c")).as("x"))
+      val ranked = GlobalRank.rankWithTotal(spend,
+        Seq(col("x").asc, col("o_custkey").asc), numParts = 32,
+        rankCol = "r", totalCol = Some("n_tot"))
+        .localCheckpoint() // reused: gini scalars + decile rollup
+      val st = ranked.agg(
+        sum(col("x")).as("sx"),
+        sum(col("r").cast("decimal(38,0)") * col("x")).as("srx"),
+        max(col("n_tot")).as("n")).collect()(0)
+      val sx = BigInt(st.getLong(0))
+      val srx = st.getDecimal(1).toBigInteger
+      val n = BigInt(st.getLong(2))
+      val gini = (BigInt(1000000) * (2 * BigInt(srx) - (n + 1) * sx)) / (n * sx)
+      ranked
+        .withColumn("decile", expr("(10 * (r - 1)) div n_tot"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("x")).as("decile_cents"))
+        .withColumn("share_x1e6", expr(
+          s"CAST((1000000 * CAST(decile_cents AS DECIMAL(38,0))) div ${sx.toLong} AS BIGINT)"))
+        .withColumn("gini_x1e6", lit(gini.toLong))
+        .select(col("decile"), col("n_cust"), col("decile_cents"),
+          col("share_x1e6"), col("gini_x1e6"))
     }
   )
 
@@ -446,6 +486,24 @@ object TableOps {
                            // (n::HUGEINT * den) END)::BIGINT AS icept_x100,
                 (CASE WHEN den = 0 OR vy = 0 THEN 0
                       ELSE (((1000000 * num::HUGEINT) // den) * num) // vy END)::BIGINT AS r2_x1e6
-         FROM dd"""
+         FROM dd""",
+
+    "q165_gini" ->
+      """WITH spend AS (SELECT o_custkey,
+             sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS x
+           FROM orders GROUP BY 1),
+          r AS (SELECT o_custkey, x,
+                  row_number() OVER (ORDER BY x, o_custkey) AS r,
+                  count(*) OVER () AS n, sum(x) OVER () AS sx
+                FROM spend),
+          g AS (SELECT ((1000000 * (2 * sum(r::HUGEINT * x)
+                          - (max(n) + 1)::HUGEINT * max(sx)))
+                        // (max(n)::HUGEINT * max(sx)))::BIGINT AS gini
+                FROM r)
+         SELECT (10 * (r - 1)) // n AS decile, count(*)::BIGINT AS n_cust,
+                sum(x)::BIGINT AS decile_cents,
+                (1000000 * sum(x) // max(sx))::BIGINT AS share_x1e6,
+                g.gini AS gini_x1e6
+         FROM r, g GROUP BY 1, g.gini"""
   )
 }

@@ -674,6 +674,22 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the corpus must not shuffle for a constant-k draw:\n$s")
   }
 
+  test("q166: attribution plans as window-over-union — no join node touches the event stream") {
+    val df = SparkEntry.queries("q166_attribution")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Join"), s"the as-of pick must be a window, not a join:\n$s")
+    assert(s.contains("Window"), s)
+  }
+
+  test("q165: the Gini rank reuses ONE range exchange; deciles ride the rank output") {
+    val df = SparkEntry.queries("q165_gini")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("partial"), s"spend/decile aggregates must combine map-side:\n$s")
+  }
+
   test("q163: basket pairs ride the bounded order-key self-join; counts combine map-side") {
     val df = SparkEntry.queries("q163_assoc_rules")(spark, sf)
     df.collect()

@@ -199,6 +199,54 @@ class TimeSeriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.exists(_._4 > 0), "fixture degenerate: no outliers flagged anywhere")
   }
 
+  test("q165: Lorenz shares are monotone, sum to ~10^6, and Gini matches a driver recompute") {
+    val rows = SparkEntry.queries("q165_gini")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    val shares = rows.map(_.getAs[Long]("share_x1e6"))
+    // ascending-rank deciles make shares nondecreasing (Lorenz)
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b }, shares.toSeq)
+    val total = shares.sum
+    assert(total <= 1000000 && total >= 1000000 - shares.length,
+      s"floor-rounded shares must sum to ~1e6: $total")
+    val gini = rows.head.getAs[Long]("gini_x1e6")
+    assert(rows.forall(_.getAs[Long]("gini_x1e6") == gini))
+    // independent recompute from raw orders
+    val spend = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).sum }
+    val xs = spend.toSeq.sortBy { case (k, x) => (x, k) }.map(_._2)
+    val n = BigInt(xs.length); val sx = xs.map(BigInt(_)).sum
+    val srx = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val expected = (BigInt(1000000) * (2 * srx - (n + 1) * sx)) / (n * sx)
+    assert(BigInt(gini) == expected, s"gini $gini vs $expected")
+    assert(gini > 0 && gini < 1000000)
+  }
+
+  test("q166: every attribution equals the brute-force latest-click-in-window lookup") {
+    val ev = Tables.events(spark, sf)
+    val base = ev.select(col("event_id"), col("user_id"), col("event_type"),
+        Tables.tsAsMillis(ev).as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = base.filter(_._3 == "click")
+    val wk = 7L * 86400000L
+    val expected = base.filter(_._3 == "purchase").map { case (id, u, _, t) =>
+      val cands = clicks.filter(c => c._2 == u && c._4 <= t && t - c._4 <= wk)
+      val att = if (cands.isEmpty) (-1L, -1L) else {
+        val best = cands.maxBy(c => (c._4, c._1))
+        (best._1, t - best._4)
+      }
+      id -> att
+    }.toMap
+    val got = SparkEntry.queries("q166_attribution")(spark, sf).collect()
+      .map(r => r.getAs[Long]("buy_id") ->
+        (r.getAs[Long]("att_click_id"), r.getAs[Long]("gap_ms"))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._1 >= 0) && got.values.exists(_._1 == -1L),
+      "fixture degenerate: both attribution branches must be exercised")
+  }
+
   test("q157: skyline equals brute-force pairwise dominance") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"),
