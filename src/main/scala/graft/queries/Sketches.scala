@@ -335,6 +335,65 @@ object Sketches {
       }
     },
 
+    // STREAMING moments — q152's sketch maintained by Structured
+    // Streaming, completing the sketch-family symmetry (every
+    // mergeable sketch ships batch AND streaming faces converging to
+    // identical state: q137/q142 HLL by max, q144/q156 count-min by
+    // addition, q152/q167 moments by addition). State = 7 values per
+    // source (count, min, max, four power sums) FOREVER — sums and
+    // extrema never retract, so no watermark. The final state feeds
+    // the IDENTICAL derived-stat arithmetic q152 runs, so the oracle
+    // is shared verbatim. In-query pin: ≥ 2 non-empty micro-batches.
+    "q167_stream_moments" -> { (s, d) =>
+      val srcTag = Advanced.layoutTag(d, "documents.parquet")
+      val src = new java.io.File(sys.props("java.io.tmpdir"), s"graft_smom_$srcTag")
+      if (!src.exists()) {
+        Tables.documents(s, d).select(col("source"), col("n_chars"))
+          .repartition(2).write.mode("overwrite").parquet(src.getPath)
+      }
+      val ck = java.nio.file.Files.createTempDirectory("graft-q167-ck")
+      val sinkName = s"graft_q167_sink_${memSinkId.incrementAndGet()}"
+      val schema = s.read.parquet(src.getPath).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.getPath)
+      try {
+        val x = col("n_chars")
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val q = stream
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), min(x).as("mn"), max(x).as("mx"),
+            sum(dec(x)).as("s1"), sum(dec(x * x)).as("s2"),
+            sum(dec(x * x * x)).as("s3"), sum(dec(x * x * x * x)).as("s4"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation", ck.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          "streaming moments must see the feed as multiple micro-batches")
+        val out = s.table(sinkName)
+          .withColumn("nD", col("n").cast("decimal(38,0)"))
+          .withColumn("m2", expr("nD * s2 - s1 * s1"))
+          .withColumn("m3n", expr("nD * nD * s3 - 3 * nD * s1 * s2 + 2 * s1 * s1 * s1"))
+          .withColumn("m4n", expr(
+            "nD * nD * nD * s4 - 4 * nD * nD * s1 * s3 + 6 * nD * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1"))
+          .select(col("source"), col("n"), col("mn"), col("mx"),
+            col("s1").cast("long").as("s1"), col("s2").cast("long").as("s2"),
+            col("s3").cast("string").as("s3_str"), col("s4").cast("string").as("s4_str"),
+            expr("CAST((1000 * s1) div nD AS BIGINT)").as("mean_x1000"),
+            expr("CAST((1000000 * m2) div (nD * nD) AS BIGINT)").as("var_x1e6"),
+            expr("CAST(m3n div (nD * nD * nD) AS BIGINT)").as("m3c"),
+            expr("CASE WHEN m2 = 0 THEN CAST(0 AS BIGINT) " +
+              "ELSE CAST((1000 * nD * m4n) div (m2 * m2) AS BIGINT) END").as("kurt_x1000"))
+          .localCheckpoint()
+        s.catalog.dropTempView(sinkName)
+        out
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+      }
+    },
+
     // MOMENTS sketch (the Gan et al. VLDB'18 scan-statistics summary):
     // per source the raw power sums n, Σx, Σx², Σx³, Σx⁴ of the
     // document length — PURE SUMS, so the sketch is mergeable by
@@ -492,7 +551,17 @@ object Sketches {
           cm AS (SELECT r, b, sum(c)::BIGINT AS cnt FROM hashed GROUP BY 1, 2)
          SELECT r::BIGINT AS r, b, cnt FROM cm""",
 
-    "q152_moments" ->
+    // the streaming face converges to the identical power sums, so the
+    // derived stats — and the oracle — are q152's verbatim
+    "q167_stream_moments" -> momentsOracleSql,
+
+    "q152_moments" -> momentsOracleSql
+  )
+
+  /** shared by q152 (batch) and q167 (streaming): same sums, same
+    * derived-stat arithmetic, one oracle. (A def: the oracle map above
+    * initializes first, a forward val reference would be null.) */
+  private def momentsOracleSql: String =
       """WITH m AS (SELECT source, count(*)::BIGINT AS n,
              min(n_chars) AS mn, max(n_chars) AS mx,
              sum(n_chars::HUGEINT) AS s1,
@@ -514,5 +583,4 @@ object Sketches {
                 (CASE WHEN m2 = 0 THEN 0
                       ELSE (1000 * nh * m4n) // (m2 * m2) END)::BIGINT AS kurt_x1000
          FROM dd"""
-  )
 }

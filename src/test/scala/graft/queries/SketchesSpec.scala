@@ -184,6 +184,16 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
         (streamed.toSet diff batch.toSet).take(3)}")
   }
 
+  test("q167: streaming moments converge to the batch sketch exactly (row-identical to q152)") {
+    def key(r: org.apache.spark.sql.Row) = r.getAs[String]("source")
+    def snap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => key(r) -> r.toSeq.toList).toMap
+    val batch = snap(SparkEntry.queries("q152_moments")(spark, sf).collect())
+    val streamed = snap(SparkEntry.queries("q167_stream_moments")(spark, sf).collect())
+    assert(streamed == batch,
+      s"faces diverge: ${(streamed.toSet diff batch.toSet).take(2)}")
+  }
+
   test("q152: the moments sketch is mergeable — sum-merge of halves equals the whole") {
     // power sums computed on doc-parity halves, merged by ADDITION,
     // must equal the whole-corpus sums: that identity is why one
