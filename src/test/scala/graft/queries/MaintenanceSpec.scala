@@ -57,4 +57,18 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val evens = Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0).count()
     assert(nulls == evens, s"exactly the v1 generation must surface NULL lang: $nulls vs $evens")
   }
+
+  test("q168: the report fails exactly the planted-failure rule and passes the rest") {
+    val rows = graft.SparkEntry.queries("q168_expectations")(spark, sf).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("metric_x1e6"), r.getAs[Boolean]("passed"))).toMap
+    assert(rows.size == 6)
+    // the 400k price ceiling is the designed failure — a quality suite
+    // that cannot fail proves nothing
+    assert(!rows("range_totalprice_le_400k")._2)
+    assert(rows("range_totalprice_le_400k")._1 < 1000000)
+    (rows.keySet - "range_totalprice_le_400k").foreach { r =>
+      assert(rows(r)._2 && rows(r)._1 == 1000000, s"$r: ${rows(r)}")
+    }
+  }
 }
