@@ -93,6 +93,51 @@ object ChangeData {
         .withColumn("is_current", col("valid_to_ms").isNull.cast("int"))
         .select(col("custkey"), col("priority"),
           col("valid_from_ms"), col("valid_to_ms"), col("is_current"))
+    },
+
+    // ANTI-ENTROPY table sync (the merkle/rsync pattern): two replicas
+    // compared by exchanging 256 BUCKET DIGESTS instead of rows — the
+    // way a 100 TB replica pair finds its divergent shards before
+    // shipping any data. The "next" replica is q73's deterministic
+    // change feed applied (updates ≡3, deletes ≡7, inserts +10⁸), so
+    // exactly the buckets a change touched must differ. The digest is
+    // ORDER-INSENSITIVE and MERGEABLE: sum of 60-bit row hashes mod
+    // 2⁶¹−1 (DECIMAL(38) accumulator) — partial aggregation IS the
+    // digest merge, so no bucket ever materializes a row list (the
+    // sorted-concat alternative holds a whole bucket per task; the sum
+    // form is the one that scales, and raising the bucket count is the
+    // only knob resharding needs). One unioned scan, one
+    // partial-aggregable shuffle on (bucket, side), bounded output.
+    "q169_table_sync" -> { (s, d) =>
+      val P = 2305843009213693951L // 2^61 - 1
+      def digested(df: DataFrame, side: Int): DataFrame =
+        df.select(col("k"), col("status"), col("cents"))
+          .withColumn("h", expr(
+            "CAST(conv(substring(md5(concat(CAST(k AS STRING), '|', status, '|', CAST(cents AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+          .select(pmod(col("k"), lit(256L)).as("bucket"), lit(side).as("side"), col("h"))
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val next = t.filter(col("k") % 10 =!= 7) // deletes
+        .select(col("k"),
+          when(col("k") % 10 === 3, lit("U")).otherwise(col("status")).as("status"),
+          when(col("k") % 10 === 3, col("cents") + 500).otherwise(col("cents")).as("cents"))
+        .unionAll(t.filter(col("k") % 1000 === 5).select(
+          (col("k") + 100000000L).as("k"), lit("N").as("status"),
+          (col("k") * 10 + 7).as("cents")))
+      digested(t, 0).unionAll(digested(next, 1))
+        .groupBy(col("bucket"), col("side"))
+        .agg(count(lit(1)).as("n"),
+          expr(s"CAST(sum(CAST(h AS DECIMAL(38,0))) % $P AS BIGINT)").as("dig"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("side") === 0, col("n"))).as("n_base"),
+          sum(when(col("side") === 1, col("n"))).as("n_next"),
+          max(when(col("side") === 0, col("dig"))).as("dig_base"),
+          max(when(col("side") === 1, col("dig"))).as("dig_next"))
+        .withColumn("in_sync",
+          col("n_base") <=> col("n_next") && col("dig_base") <=> col("dig_next"))
+        .select(col("bucket"), col("n_base"), col("n_next"),
+          col("dig_base"), col("dig_next"), col("in_sync"))
     }
   )
 
@@ -133,6 +178,38 @@ object ChangeData {
            epoch_ms(LEAD(o_orderdate) OVER w)::BIGINT AS valid_to_ms,
            CASE WHEN LEAD(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
          FROM chg
-         WINDOW w AS (PARTITION BY custkey ORDER BY o_orderdate)"""
+         WINDOW w AS (PARTITION BY custkey ORDER BY o_orderdate)""",
+
+    "q169_table_sync" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+          nxt AS (SELECT k,
+                    CASE WHEN k % 10 = 3 THEN 'U' ELSE status END AS status,
+                    CASE WHEN k % 10 = 3 THEN cents + 500 ELSE cents END AS cents
+                  FROM t WHERE k % 10 <> 7
+                  UNION ALL
+                  SELECT k + 100000000, 'N', k * 10 + 7 FROM t WHERE k % 1000 = 5),
+          tagged AS (
+            SELECT k % 256 AS bucket, 0 AS side,
+              ('0x' || substr(md5(k::VARCHAR || '|' || status || '|' || cents::VARCHAR), 1, 15))::BIGINT AS h
+            FROM t
+            UNION ALL
+            SELECT k % 256, 1,
+              ('0x' || substr(md5(k::VARCHAR || '|' || status || '|' || cents::VARCHAR), 1, 15))::BIGINT
+            FROM nxt),
+          per AS (SELECT bucket, side, count(*)::BIGINT AS n,
+                    (sum(h::HUGEINT) % 2305843009213693951)::BIGINT AS dig
+                  FROM tagged GROUP BY 1, 2)
+         SELECT bucket,
+                sum(CASE WHEN side = 0 THEN n END)::BIGINT AS n_base,
+                sum(CASE WHEN side = 1 THEN n END)::BIGINT AS n_next,
+                max(CASE WHEN side = 0 THEN dig END) AS dig_base,
+                max(CASE WHEN side = 1 THEN dig END) AS dig_next,
+                (sum(CASE WHEN side = 0 THEN n END) IS NOT DISTINCT FROM
+                   sum(CASE WHEN side = 1 THEN n END)
+                 AND max(CASE WHEN side = 0 THEN dig END) IS NOT DISTINCT FROM
+                   max(CASE WHEN side = 1 THEN dig END)) AS in_sync
+         FROM per GROUP BY 1"""
   )
 }

@@ -199,6 +199,20 @@ class TimeSeriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.exists(_._4 > 0), "fixture degenerate: no outliers flagged anywhere")
   }
 
+  test("q169: out-of-sync buckets are exactly the buckets the change feed touched") {
+    val keys = Tables.orders(spark, sf).select(col("o_orderkey"))
+      .collect().map(_.getLong(0))
+    val touched = (keys.filter(k => k % 10 == 3 || k % 10 == 7).map(_ % 256) ++
+      keys.filter(_ % 1000 == 5).map(k => (k + 100000000L) % 256)).toSet
+    val rows = SparkEntry.queries("q169_table_sync")(spark, sf).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Boolean]("in_sync")).toMap
+    val outOfSync = rows.filter(!_._2).keySet
+    assert(outOfSync == touched,
+      s"extra=${(outOfSync diff touched).take(5)} missing=${(touched diff outOfSync).take(5)}")
+    assert(outOfSync.nonEmpty && outOfSync.size < rows.size,
+      "fixture degenerate: both sync outcomes must be exercised")
+  }
+
   test("q165: Lorenz shares are monotone, sum to ~10^6, and Gini matches a driver recompute") {
     val rows = SparkEntry.queries("q165_gini")(spark, sf).collect()
       .sortBy(_.getAs[Long]("decile"))
