@@ -618,6 +618,67 @@ object Pipeline {
       }
     },
 
+    // VERIFY-REPLICATION for the cell store — the HBase idiom (the
+    // reference's target store ships a VerifyReplication job) built
+    // from q169's anti-entropy digests THROUGH the DSv2 connector:
+    // a primary and a tampered replica (one cell missing, one body
+    // corrupted — both deterministic) are each reduced to 256
+    // KEY-RANGED order-insensitive mergeable bucket digests over the CONNECTOR
+    // read path, and only divergent buckets would ever need cell-level
+    // comparison. Digest = Σ 60-bit cell-hash mod 2⁶¹−1 (the q169
+    // construction): partial-aggregable, so each store's digest pass
+    // is one scan + one bounded shuffle regardless of store size.
+    // In-query pin: both sync outcomes occur (a verifier that cannot
+    // fail — or cannot pass — proves nothing).
+    "q170_cells_verify" -> { (s, d) =>
+      val P = 2305843009213693951L
+      val root = java.nio.file.Files.createTempDirectory("graft-q170-cells").toString
+      try {
+        val base = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), md5(col("text")).as("body_str"),
+            when(col("doc_id") % 70 === 0, md5(concat(col("text"), lit("-x"))))
+              .otherwise(md5(col("text"))).as("tampered_str"))
+          .localCheckpoint() // feeds both store writes
+        def cells(df: DataFrame, bodyCol: String) = df.select(
+          expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+          col("doc_id").as("version"),
+          col(bodyCol).cast("binary").as("body"))
+        cells(base, "body_str").write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q170a").save()
+        cells(base.filter(col("doc_id") % 100 =!= 0), "tampered_str")
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q170b").save()
+        def digests(t: String, side: Int) = s.read.format("graft-cells")
+          .option("root", root).option("table", t).load()
+          .select(col("rowkey").cast("string").as("k"), col("version"),
+            col("body").cast("string").as("b"))
+          .withColumn("h", expr(
+            "CAST(conv(substring(md5(concat(k, '|', CAST(version AS STRING), '|', b)), 1, 15), 16, 10) AS BIGINT)"))
+          .withColumn("bucket", expr(
+            "CAST(conv(substring(md5(k), 1, 15), 16, 10) AS BIGINT) % 256"))
+          .select(col("bucket"), lit(side).as("side"), col("h"))
+        val out = digests("q170a", 0).unionAll(digests("q170b", 1))
+          .groupBy(col("bucket"), col("side"))
+          .agg(count(lit(1)).as("n"),
+            expr(s"CAST(sum(CAST(h AS DECIMAL(38,0))) % $P AS BIGINT)").as("dig"))
+          .groupBy(col("bucket"))
+          .agg(sum(when(col("side") === 0, col("n"))).as("n_primary"),
+            sum(when(col("side") === 1, col("n"))).as("n_replica"),
+            max(when(col("side") === 0, col("dig"))).as("dig_primary"),
+            max(when(col("side") === 1, col("dig"))).as("dig_replica"))
+          .withColumn("in_sync",
+            col("n_primary") <=> col("n_replica") &&
+              col("dig_primary") <=> col("dig_replica"))
+          .select(col("bucket"), col("n_primary"), col("n_replica"),
+            col("dig_primary"), col("dig_replica"), col("in_sync"))
+          .localCheckpoint()
+        val bad = out.filter(!col("in_sync")).count()
+        require(bad > 0 && bad < out.count(),
+          s"verifier must see both outcomes: $bad of ${out.count()} buckets diverge")
+        out
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // Deterministic corpus SHUFFLE — the reproducible global permutation
     // every pretraining run applies before sharding: shuffle key = the
     // salted md5 hash of the doc id (pure function — reruns, retries,
@@ -1133,6 +1194,38 @@ object Pipeline {
                  a.dup_docs, (a.dup_docs * 100 // a.n_docs)::BIGINT AS dup_pct,
                  a.mean_chars, med.med_chars
           FROM agg a JOIN tl USING (source) JOIN med USING (source)""",
+
+    // the two stores' logical cell content, relationally — the
+    // connector round trip is what the Spark side adds
+    "q170_cells_verify" ->
+      """WITH base AS (SELECT doc_id, md5(text) AS body FROM documents
+           WHERE doc_id % 10 = 0),
+          repl AS (SELECT doc_id,
+                     CASE WHEN doc_id % 70 = 0 THEN md5(text || '-x')
+                          ELSE md5(text) END AS body
+                   FROM documents WHERE doc_id % 10 = 0 AND doc_id % 100 <> 0),
+          tagged AS (
+            SELECT ('0x' || substr(md5('doc-' || doc_id), 1, 15))::BIGINT % 256 AS bucket,
+              0 AS side,
+              ('0x' || substr(md5('doc-' || doc_id || '|' || doc_id || '|' || body), 1, 15))::BIGINT AS h
+            FROM base
+            UNION ALL
+            SELECT ('0x' || substr(md5('doc-' || doc_id), 1, 15))::BIGINT % 256, 1,
+              ('0x' || substr(md5('doc-' || doc_id || '|' || doc_id || '|' || body), 1, 15))::BIGINT
+            FROM repl),
+          per AS (SELECT bucket, side, count(*)::BIGINT AS n,
+                    (sum(h::HUGEINT) % 2305843009213693951)::BIGINT AS dig
+                  FROM tagged GROUP BY 1, 2)
+         SELECT bucket,
+                sum(CASE WHEN side = 0 THEN n END)::BIGINT AS n_primary,
+                sum(CASE WHEN side = 1 THEN n END)::BIGINT AS n_replica,
+                max(CASE WHEN side = 0 THEN dig END) AS dig_primary,
+                max(CASE WHEN side = 1 THEN dig END) AS dig_replica,
+                (sum(CASE WHEN side = 0 THEN n END) IS NOT DISTINCT FROM
+                   sum(CASE WHEN side = 1 THEN n END)
+                 AND max(CASE WHEN side = 0 THEN dig END) IS NOT DISTINCT FROM
+                   max(CASE WHEN side = 1 THEN dig END)) AS in_sync
+         FROM per GROUP BY 1""",
 
     "q149_stratified_sample" ->
       """WITH base AS (SELECT doc_id, source, lang,
