@@ -105,10 +105,14 @@ object Graph {
         .join(adj.select(col("s").as("t"), col("nbrs").as("nv")), Seq("t"))
         .agg(coalesce(sum(intersectSize(col("nu"), col("nv"))), lit(0L)).as("tri"))
         .collect()(0).getLong(0)
-      val nNodes = deg.count()
-      val nEdges = e.count()
-      val nWedges = deg.agg(sum(expr("c * (c - 1) div 2")).as("w"))
-        .collect()(0).getLong(0)
+      // nodes, edges (= Σdeg/2), and wedges all come from the degree
+      // table in ONE bounded job — three separate actions would re-read
+      // it three times
+      val st = deg.agg(count(lit(1)).as("nn"), sum(col("c")).as("sc"),
+        sum(expr("c * (c - 1) div 2")).as("w")).collect()(0)
+      val nNodes = st.getLong(0)
+      val nEdges = st.getLong(1) / 2
+      val nWedges = st.getLong(2)
       val transitivity = if (nWedges == 0) 0L else 3000L * nTri / nWedges
       s.range(1).select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
         lit(nWedges).as("n_wedges"), lit(nTri).as("n_triangles"),
