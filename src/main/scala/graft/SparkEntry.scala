@@ -31,7 +31,8 @@ object SparkEntry {
       (_root_.graft.queries.Quality.queries, _root_.graft.queries.Quality.oracle),
       (_root_.graft.queries.Pipeline.queries, _root_.graft.queries.Pipeline.oracle),
       (_root_.graft.queries.Sketches.queries, _root_.graft.queries.Sketches.oracle),
-      (_root_.graft.queries.Retrieval.queries, _root_.graft.queries.Retrieval.oracle)
+      (_root_.graft.queries.Retrieval.queries, _root_.graft.queries.Retrieval.oracle),
+      (_root_.graft.queries.Statistics.queries, _root_.graft.queries.Statistics.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

