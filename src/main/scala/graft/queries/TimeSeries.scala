@@ -123,6 +123,128 @@ object TimeSeries {
         .groupBy(col("event_type"), col("peak_conc"))
         .agg(min(col("t")).as("peak_at_ms"))
         .select(col("event_type"), col("peak_conc"), col("peak_at_ms"))
+    },
+
+    // CUSUM CHANGEPOINT DETECTION per event_type over the gap-filled
+    // hourly count series (dead hours are real negative deviations —
+    // the zero-fill is load-bearing). The recursive textbook form
+    // s_t = max(0, s_{t−1} + (x_t − μ)) is NOT a window scan, but its
+    // closed form is: s_t = p_t − min(0, min_{j≤t} p_j) with p the
+    // plain prefix sum of deviations — two window passes, no
+    // recursion. Exact arithmetic at ×n_hours scale (dev_t = n·x_t −
+    // Σx clears the mean's denominator); alarm threshold h = 2·Σx
+    // (a cumulative excess of two mean-hours). Shapes: the data-sized
+    // pass is one partial-aggregable (type, hour) count; every window
+    // runs on the calendar-bounded per-type hour series. No-alarm
+    // sentinel is −1, never NULL (the gate's sort can't take NaN).
+    "q174_cusum" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val counts = ev.select(col("event_type"), Tables.tsAsMillis(ev).as("ms"))
+        .withColumn("e", expr("ms div 3600000"))
+        .groupBy(col("event_type"), col("e")).agg(count(lit(1)).as("x"))
+      val dense = counts.groupBy(col("event_type"))
+        .agg(min(col("e")).as("lo"), max(col("e")).as("hi"),
+          count(lit(1)).as("nnz"), sum(col("x")).as("sx"))
+        .withColumn("nh", col("hi") - col("lo") + 1L)
+        .select(col("event_type"), col("nh"), col("sx"),
+          explode(sequence(col("lo"), col("hi"))).as("e"))
+        .join(counts, Seq("event_type", "e"), "left")
+        .withColumn("x", coalesce(col("x"), lit(0L)))
+      val wRun = Window.partitionBy(col("event_type")).orderBy(col("e").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cusum = dense
+        .withColumn("p", sum(col("nh") * col("x") - col("sx")).over(wRun))
+        .withColumn("s", col("p") - least(min(col("p")).over(wRun), lit(0L)))
+        .withColumn("alarm", col("s") > lit(2L) * col("sx"))
+      val per = cusum.groupBy(col("event_type"))
+        .agg(max(col("nh")).as("n_hours"),
+          expr("(100 * max(sx)) div max(nh)").as("mean_x100"),
+          max(col("s")).as("peak_s"),
+          sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+          coalesce(min(when(col("alarm"), col("e"))), lit(-1L)).as("first_alarm_e"))
+      val att = cusum.select(col("event_type").as("et2"), col("e"), col("s"))
+      per.join(broadcast(att),
+          per("event_type") === col("et2") && per("peak_s") === col("s"))
+        .groupBy(col("event_type"), col("n_hours"), col("mean_x100"),
+          col("peak_s"), col("n_alarms"), col("first_alarm_e"))
+        .agg(min(col("e")).as("peak_e"))
+        .select(col("event_type"), col("n_hours"), col("mean_x100"),
+          col("peak_s"), col("peak_e"), col("n_alarms"), col("first_alarm_e"))
+    },
+
+    // AUTOCORRELATION FUNCTION at lags 1..12 h per event_type over the
+    // same gap-filled hourly series — the periodicity detector (a
+    // daily cycle shows as a ridge at lag 24; traffic burstiness as
+    // fast decay). Exact: centered at ×n scale (c_t = n·x_t − Σx),
+    // r_k·10⁶ = 10⁶·Σ c_t·c_{t+k} div Σ c_t² by integral divide
+    // (truncation toward zero in BOTH engines — the house q162
+    // convention). The lag pairing is a self-equi-join on (type,
+    // hour+k) over the calendar-bounded dense series — never a
+    // data-sized shuffle; the 12-lag explode multiplies only that
+    // bounded table.
+    "q175_acf" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val counts = ev.select(col("event_type"), Tables.tsAsMillis(ev).as("ms"))
+        .withColumn("e", expr("ms div 3600000"))
+        .groupBy(col("event_type"), col("e")).agg(count(lit(1)).as("x"))
+      val dense = counts.groupBy(col("event_type"))
+        .agg(min(col("e")).as("lo"), max(col("e")).as("hi"), sum(col("x")).as("sx"))
+        .withColumn("nh", col("hi") - col("lo") + 1L)
+        .select(col("event_type"), col("nh"), col("sx"),
+          explode(sequence(col("lo"), col("hi"))).as("e"))
+        .join(counts, Seq("event_type", "e"), "left")
+        .withColumn("c", col("nh") * coalesce(col("x"), lit(0L)) - col("sx"))
+        .select(col("event_type"), col("e"), col("c"))
+      val den = dense.groupBy(col("event_type"))
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("den"))
+      val lagged = dense.select(col("event_type"),
+          explode(expr("sequence(1, 12)")).as("lag"), col("e"), col("c").as("c2"))
+        .select(col("event_type"), col("lag"), (col("e") - col("lag")).as("e"),
+          col("c2"))
+      dense.join(lagged, Seq("event_type", "e"))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c2")).as("num"))
+        .join(broadcast(den), Seq("event_type"))
+        .withColumn("r_x1e6", expr(
+          "CASE WHEN den = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST((1000000 * num) div den AS BIGINT) END"))
+        .select(col("event_type"), col("lag").cast("long").as("lag"),
+          col("n_pairs"), col("r_x1e6"))
+    },
+
+    // SEASONAL DECOMPOSITION (STL-lite): detrend the gap-filled hourly
+    // series with a centered 25-hour moving average (full frames only),
+    // then average the residual by UTC hour-of-day — the additive
+    // seasonal profile (which hours run hot once the trend is
+    // removed). Exact at ×25 scale: d25_t = 25·x_t − Σ_{|j−t|≤12} x_j;
+    // seasonal·100 = (100·Σ d25) div (25·n_obs) per (type, hod).
+    // hour-of-day = epoch-hour mod 24 — raw integer arithmetic,
+    // never an engine calendar function. Same bounded-window shapes
+    // as q174/q175.
+    "q177_seasonal" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val counts = ev.select(col("event_type"), Tables.tsAsMillis(ev).as("ms"))
+        .withColumn("e", expr("ms div 3600000"))
+        .groupBy(col("event_type"), col("e")).agg(count(lit(1)).as("x"))
+      val dense = counts.groupBy(col("event_type"))
+        .agg(min(col("e")).as("lo"), max(col("e")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("e"))
+        .join(counts, Seq("event_type", "e"), "left")
+        .withColumn("x", coalesce(col("x"), lit(0L)))
+      val wMa = Window.partitionBy(col("event_type")).orderBy(col("e").asc)
+        .rowsBetween(-12, 12)
+      dense
+        .withColumn("wn", count(lit(1)).over(wMa))
+        .withColumn("wsum", sum(col("x")).over(wMa))
+        .filter(col("wn") === 25L) // full centered frames only
+        .withColumn("d25", lit(25L) * col("x") - col("wsum"))
+        .withColumn("hod", expr("e % 24"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n_obs"), sum(col("d25")).as("ssum"))
+        .withColumn("seasonal_x100", expr("(100 * ssum) div (25 * n_obs)"))
+        .select(col("event_type"), col("hod"), col("n_obs"), col("seasonal_x100"))
     }
   )
 
@@ -178,6 +300,88 @@ object TimeSeries {
                 FROM r GROUP BY 1)
          SELECT r.event_type, m.peak_conc, min(r.t)::BIGINT AS peak_at_ms
          FROM r JOIN m ON r.event_type = m.event_type AND r.run = m.peak_conc
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+
+    "q174_cusum" ->
+      """WITH cnt AS (SELECT event_type, epoch_ms(ts) // 3600000 AS e,
+             count(*)::BIGINT AS x
+           FROM events GROUP BY 1, 2),
+          b AS (SELECT event_type, min(e) AS lo, max(e) AS hi,
+                  sum(x)::BIGINT AS sx FROM cnt GROUP BY 1),
+          dense AS (SELECT event_type, (hi - lo + 1)::BIGINT AS nh, sx,
+                      unnest(generate_series(lo, hi)) AS e
+                    FROM b),
+          dj AS (SELECT d.event_type, d.nh, d.sx, d.e,
+                   coalesce(c.x, 0)::BIGINT AS x
+                 FROM dense d LEFT JOIN cnt c
+                   ON c.event_type = d.event_type AND c.e = d.e),
+          run AS (SELECT *, sum(nh * x - sx) OVER
+                    (PARTITION BY event_type ORDER BY e) AS p
+                  FROM dj),
+          sc AS (SELECT *, p - least(min(p) OVER
+                   (PARTITION BY event_type ORDER BY e), 0) AS s
+                 FROM run),
+          al AS (SELECT *, s > 2 * sx AS alarm FROM sc),
+          per AS (SELECT event_type, max(nh)::BIGINT AS n_hours,
+                    ((100 * max(sx)) // max(nh))::BIGINT AS mean_x100,
+                    max(s)::BIGINT AS peak_s,
+                    sum(CASE WHEN alarm THEN 1 ELSE 0 END)::BIGINT AS n_alarms,
+                    coalesce(min(CASE WHEN alarm THEN e END), -1)::BIGINT
+                      AS first_alarm_e
+                  FROM al GROUP BY 1)
+         SELECT per.event_type, n_hours, mean_x100, peak_s,
+                min(al.e)::BIGINT AS peak_e, n_alarms, first_alarm_e
+         FROM per JOIN al ON al.event_type = per.event_type
+           AND al.s = per.peak_s
+         GROUP BY 1, 2, 3, 4, 6, 7""",
+
+    "q175_acf" ->
+      """WITH cnt AS (SELECT event_type, epoch_ms(ts) // 3600000 AS e,
+             count(*)::BIGINT AS x
+           FROM events GROUP BY 1, 2),
+          b AS (SELECT event_type, min(e) AS lo, max(e) AS hi,
+                  sum(x)::BIGINT AS sx FROM cnt GROUP BY 1),
+          dense AS (SELECT event_type, (hi - lo + 1)::BIGINT AS nh, sx,
+                      unnest(generate_series(lo, hi)) AS e
+                    FROM b),
+          dj AS (SELECT d.event_type, d.e,
+                   (d.nh * coalesce(c.x, 0) - d.sx)::BIGINT AS c
+                 FROM dense d LEFT JOIN cnt c
+                   ON c.event_type = d.event_type AND c.e = d.e),
+          den AS (SELECT event_type, sum(c::HUGEINT * c) AS den
+                  FROM dj GROUP BY 1),
+          lags AS (SELECT unnest(generate_series(1, 12)) AS lag),
+          pairs AS (SELECT a.event_type, l.lag, a.c AS c1, b2.c AS c2
+                    FROM dj a CROSS JOIN lags l
+                    JOIN dj b2 ON b2.event_type = a.event_type
+                      AND b2.e = a.e + l.lag)
+         SELECT p.event_type, p.lag::BIGINT AS lag,
+                count(*)::BIGINT AS n_pairs,
+                (CASE WHEN den.den = 0 THEN 0
+                      ELSE (1000000 * sum(p.c1::HUGEINT * p.c2)) // den.den
+                 END)::BIGINT AS r_x1e6
+         FROM pairs p JOIN den ON den.event_type = p.event_type
+         GROUP BY 1, 2, den.den""",
+
+    "q177_seasonal" ->
+      """WITH cnt AS (SELECT event_type, epoch_ms(ts) // 3600000 AS e,
+             count(*)::BIGINT AS x
+           FROM events GROUP BY 1, 2),
+          b AS (SELECT event_type, min(e) AS lo, max(e) AS hi
+                FROM cnt GROUP BY 1),
+          dense AS (SELECT event_type, unnest(generate_series(lo, hi)) AS e
+                    FROM b),
+          dj AS (SELECT d.event_type, d.e, coalesce(c.x, 0)::BIGINT AS x
+                 FROM dense d LEFT JOIN cnt c
+                   ON c.event_type = d.event_type AND c.e = d.e),
+          ma AS (SELECT *, count(*) OVER w AS wn, sum(x) OVER w AS wsum
+                 FROM dj
+                 WINDOW w AS (PARTITION BY event_type ORDER BY e
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+          det AS (SELECT event_type, e % 24 AS hod, 25 * x - wsum AS d25
+                  FROM ma WHERE wn = 25)
+         SELECT event_type, hod::BIGINT AS hod, count(*)::BIGINT AS n_obs,
+                ((100 * sum(d25)) // (25 * count(*)))::BIGINT AS seasonal_x100
+         FROM det GROUP BY 1, 2"""
   )
 }

@@ -277,4 +277,87 @@ class TimeSeriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got.size < orders.length,
       "fixture degenerate: skyline trivial")
   }
+
+  /** Driver-side gap-filled hourly series per type — the shared input
+    * of the q174/q175/q177 cross-checks. */
+  private def hourlySeries(): Map[String, Array[Long]] = {
+    val ev = Tables.events(spark, sf)
+    ev.select(col("event_type"), Tables.tsAsMillis(ev).as("ms")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000L))
+      .groupBy(_._1).map { case (t, rows) =>
+        val es = rows.map(_._2)
+        val (lo, hi) = (es.min, es.max)
+        val cnt = es.groupBy(identity).map { case (e, g) => e -> g.length.toLong }
+        t -> (lo to hi).map(e => cnt.getOrElse(e, 0L)).toArray
+      }
+  }
+
+  test("q174: the window closed form equals the recursive CUSUM definition") {
+    val got = SparkEntry.queries("q174_cusum")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val series = hourlySeries()
+    assert(got.keySet == series.keySet)
+    series.foreach { case (t, xs) =>
+      val n = xs.length.toLong; val sx = xs.sum
+      var s = 0L; var peak = 0L; var alarms = 0L
+      xs.foreach { x =>
+        s = math.max(0L, s + (n * x - sx)) // textbook recursion, ×n scale
+        peak = math.max(peak, s)
+        if (s > 2 * sx) alarms += 1
+      }
+      assert(got(t).getAs[Long]("peak_s") == peak, s"$t peak")
+      assert(got(t).getAs[Long]("n_alarms") == alarms, s"$t alarms")
+      assert(got(t).getAs[Long]("n_hours") == n, s"$t hours")
+    }
+  }
+
+  test("q175: |r| <= 1e6 and lag-k sums match a driver-side scan") {
+    val got = SparkEntry.queries("q175_acf")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(math.abs(r.getAs[Long]("r_x1e6")) <= 1000000L))
+    val series = hourlySeries()
+    val byKey = got.map(r => (r.getString(0), r.getAs[Long]("lag")) -> r).toMap
+    series.foreach { case (t, xs) =>
+      val n = xs.length.toLong; val sx = xs.sum
+      val c = xs.map(x => n * x - sx)
+      val den = c.map(v => BigInt(v) * v).sum
+      (1L to 12L).foreach { k =>
+        val num = (0 until (c.length - k.toInt))
+          .map(i => BigInt(c(i)) * c(i + k.toInt)).sum
+        val expect = if (den == 0) BigInt(0) else (num * 1000000) / den
+        val r = byKey((t, k))
+        assert(r.getAs[Long]("n_pairs") == c.length - k,
+          s"$t lag $k pairs")
+        assert(BigInt(r.getAs[Long]("r_x1e6")) == expect, s"$t lag $k r")
+      }
+    }
+  }
+
+  test("q177: full-frame residuals average to the reported seasonal index") {
+    val got = SparkEntry.queries("q177_seasonal")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("hod")) -> r).toMap
+    val ev = Tables.events(spark, sf)
+    val es = ev.select(col("event_type"), Tables.tsAsMillis(ev).as("ms")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000L))
+    es.groupBy(_._1).foreach { case (t, rows) =>
+      val hrs = rows.map(_._2)
+      val (lo, hi) = (hrs.min, hrs.max)
+      val cnt = hrs.groupBy(identity).map { case (e, g) => e -> g.length.toLong }
+      val xs = (lo to hi).map(e => cnt.getOrElse(e, 0L)).toArray
+      val buckets = collection.mutable.Map[Long, (Long, Long)]().withDefaultValue((0L, 0L))
+      for (i <- 12 until xs.length - 12) {
+        val wsum = (i - 12 to i + 12).map(xs).sum
+        val hod = (lo + i) % 24
+        val (n0, s0) = buckets(hod)
+        buckets(hod) = (n0 + 1, s0 + 25 * xs(i) - wsum)
+      }
+      buckets.foreach { case (hod, (nObs, ssum)) =>
+        val r = got((t, hod))
+        assert(r.getAs[Long]("n_obs") == nObs, s"$t hod $hod n")
+        // Spark div truncates toward zero, like BigInt /
+        assert(r.getAs[Long]("seasonal_x100") ==
+          (BigInt(100) * ssum / (25 * nObs)).toLong, s"$t hod $hod idx")
+      }
+    }
+  }
 }
