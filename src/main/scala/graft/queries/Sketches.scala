@@ -430,6 +430,60 @@ object Sketches {
           expr("CAST(m3n div (nD * nD * nD) AS BIGINT)").as("m3c"),
           expr("CASE WHEN m2 = 0 THEN CAST(0 AS BIGINT) " +
             "ELSE CAST((1000 * nD * m4n) div (m2 * m2) AS BIGINT) END").as("kurt_x1000"))
+    },
+
+    // TWO-PASS HEAVY HITTERS (Misra–Gries + exact verify) over the
+    // corpus bigram stream — the frequent-items sketch whose FINAL
+    // output is exact, which is what makes an approximate summary
+    // hash-checkable (the q19 planted-truth philosophy, applied to
+    // frequency instead of recall). Pass 1 runs Misra–Gries with
+    // m = 700 counters per partition (bounded state, amortized O(1)
+    // per item): any item with global frequency > n/k for k ≤ m+1 is
+    // GUARANTEED to survive as a candidate in at least one partition
+    // (count_global > n/k ⇒ count_p > n_p/k ≥ n_p/(m+1) somewhere —
+    // the MG superset theorem, pinned with real pruning on a planted
+    // Zipf fixture in SketchesSpec). Pass 2 computes EXACT counts of
+    // the ≤ P·m candidates only, so the shuffle carries candidate
+    // partials, never the full vocabulary, and the threshold filter
+    // cnt·600 > n reproduces the true heavy-hitter set no matter how
+    // the input was partitioned. The driver fixture's bigram
+    // distribution is near-uniform, so the report is a handful of
+    // rows at sf0.01 — the 100 TB shape is unchanged: candidate state
+    // is O(m) per task and the verify pass is one partial-aggregable
+    // semi-joined aggregate.
+    "q176_heavy_hitters" -> { (s, d) =>
+      import s.implicits._
+      val m = 700
+      val bigrams = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("ts"))
+        .select(expr("CASE WHEN size(ts) < 2 THEN array() ELSE " +
+          "transform(sequence(1, size(ts) - 1), " +
+          "i -> concat(element_at(ts, i), '_', element_at(ts, i + 1))) END").as("bs"))
+        .select(explode(col("bs")).as("b"))
+      val cand = bigrams.as[String].mapPartitions { it =>
+        val counts = collection.mutable.HashMap[String, Long]()
+        it.foreach { t =>
+          counts.get(t) match {
+            case Some(v) => counts(t) = v + 1
+            case None if counts.size < m => counts(t) = 1L
+            case None => // full: decrement-all, drop zeros (classic MG)
+              val ks = counts.keys.toArray
+              ks.foreach { k =>
+                val v = counts(k) - 1
+                if (v == 0) counts.remove(k) else counts(k) = v
+              }
+          }
+        }
+        counts.keysIterator
+      }.toDF("b").distinct()
+      val n = bigrams.count()
+      bigrams.join(broadcast(cand), Seq("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 600L > lit(n))
+        .withColumn("freq_x1e6", expr(s"(1000000 * cnt) div ${n}L"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("b").asc)).cast("long"))
+        .select(col("rank"), col("b").as("bigram"), col("cnt"), col("freq_x1e6"))
     }
   )
 
@@ -555,7 +609,18 @@ object Sketches {
     // derived stats — and the oracle — are q152's verbatim
     "q167_stream_moments" -> momentsOracleSql,
 
-    "q152_moments" -> momentsOracleSql
+    "q152_moments" -> momentsOracleSql,
+
+    "q176_heavy_hitters" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+          bg AS (SELECT ts[i] || '_' || ts[i + 1] AS b
+                 FROM t, unnest(range(1, len(ts))) AS u(i)),
+          n AS (SELECT count(*)::BIGINT AS n FROM bg),
+          c AS (SELECT b, count(*)::BIGINT AS cnt FROM bg GROUP BY 1)
+         SELECT row_number() OVER (ORDER BY cnt DESC, b)::BIGINT AS rank,
+                b AS bigram, cnt,
+                ((1000000 * cnt) // n.n)::BIGINT AS freq_x1e6
+         FROM c, n WHERE cnt * 600 > n.n"""
   )
 
   /** shared by q152 (batch) and q167 (streaming): same sums, same

@@ -239,4 +239,40 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (m2 != 0) assert(r.getAs[Long]("kurt_x1000") >= 1000, r.toString)
     }
   }
+
+  test("q176: MG candidates prune a planted-Zipf vocabulary yet keep every true heavy hitter") {
+    // Planted Zipf: vocab 5000 ≫ m = 700 slots, so per-partition MG
+    // must genuinely evict — the superset theorem (not capacity) is
+    // what keeps the true heavy hitters alive. Word w_r appears
+    // ⌈2000/r⌉ times; docs shuffle words deterministically by hash.
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mghh").toString
+    try {
+      val words = (1 to 5000).flatMap(r => Seq.fill(2000 / r + 1)(s"w$r"))
+        .sortBy(w => { // deterministic shuffle
+          val c = new java.util.zip.CRC32(); c.update((w + "salt").getBytes); c.getValue
+        })
+      val docs = words.grouped(200).zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "), "en", "s", ws.mkString(" ").length.toLong)
+      }.toSeq
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(8) // force multiple MG partitions
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Sketches.queries("q176_heavy_hitters")(spark, dir).collect()
+        .map(r => r.getAs[String]("bigram") -> r.getAs[Long]("cnt")).toMap
+      // exact truth, recomputed flat
+      val bigrams = spark.read.parquet(s"$dir/documents.parquet")
+        .select(org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ").as("ts"))
+        .selectExpr("explode(transform(sequence(1, size(ts) - 1), " +
+          "i -> concat(element_at(ts, i), '_', element_at(ts, i + 1)))) AS b")
+        .groupBy("b").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val n = bigrams.map(_._2).sum
+      val truth = bigrams.filter(_._2 * 600 > n).toMap
+      assert(got == truth,
+        s"HH mismatch: got ${got.size}, truth ${truth.size}")
+      assert(truth.nonEmpty, "fixture degenerate: no heavy hitters planted")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
