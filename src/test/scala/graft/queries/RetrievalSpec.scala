@@ -75,4 +75,23 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vals == vals.sorted.reverse, s"idf not monotone: $vals")
     assert(vals.forall(_ >= 1))
   }
+
+  test("q178: fused scores recompute from the shipped ranks and dominate single-list peers") {
+    val rows = Retrieval.queries("q178_rrf_fusion")(spark, sf).collect()
+    assert(rows.length == 20)
+    def contrib(r: Long): Long = if (r < 0) 0L else 100000000L / (60L + r)
+    rows.foreach { r =>
+      val (bm, vr) = (r.getAs[Long]("bm25_rank"), r.getAs[Long]("vec_rank"))
+      assert(r.getAs[Long]("rrf_x1e8") == contrib(bm) + contrib(vr), r.toString)
+      assert(bm == -1L || (bm >= 1 && bm <= 100))
+      assert(vr == -1L || (vr >= 1 && vr <= 100))
+      assert(bm != -1L || vr != -1L, "row in neither ranker")
+    }
+    // ranks strictly ordered by fused score with doc_id tie-break
+    val fused = rows.sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("rrf_x1e8"), r.getAs[Long]("doc_id")))
+    assert(fused.sliding(2).forall { case Array((s1, d1), (s2, d2)) =>
+      s1 > s2 || (s1 == s2 && d1 < d2) },
+      "fused order not (score desc, doc_id asc)")
+  }
 }
