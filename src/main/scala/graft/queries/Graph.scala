@@ -117,6 +117,61 @@ object Graph {
       s.range(1).select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
         lit(nWedges).as("n_wedges"), lit(nTri).as("n_triangles"),
         lit(transitivity).as("transitivity_x1000"))
+    },
+
+    // K-CORE EXTRACTION (k = 64) of the q153 co-purchase graph — the
+    // dense-subgraph peel: repeatedly delete every node of degree < k
+    // until the fixpoint; what survives is the maximal subgraph of
+    // min-degree ≥ k (community cores, spam-farm detection, the
+    // densest-region seed). Distributed shape per round: ONE
+    // partial-aggregable degree count + one anti-join against the
+    // (peel-front-sized) kill set — the textbook BSP k-core round;
+    // each round's frontier is localCheckpointed so the plan never
+    // re-derives prior rounds through lineage. Rounds are CAPPED at 6
+    // in BOTH engines (the oracle unrolls the same 6 peels, the q92
+    // fixed-iteration discipline); the fixture converges in ≤ 2
+    // (GraphSpec pins true convergence under the cap, so the capped
+    // result IS the 64-core). Summary scalars ride back as bounded
+    // collects.
+    "q179_kcore" -> { (s, d) =>
+      val k = 64
+      val maxRounds = 6
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val und = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      var e = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      val nNodes = e.select(col("u")).distinct().count()
+      var rounds = 0L
+      var removed = 0L
+      var done = false
+      var i = 0
+      while (i < maxRounds && !done) {
+        val bad = e.groupBy(col("u")).agg(count(lit(1)).as("c"))
+          .filter(col("c") < k).select(col("u").as("b")).localCheckpoint()
+        val nBad = bad.count()
+        if (nBad == 0) done = true
+        else {
+          rounds += 1
+          removed += nBad
+          // peel fronts are small here (broadcast-able), but the
+          // anti-join is left unhinted: a deep peel's front can be
+          // graph-sized, and AQE picks broadcast when it fits
+          e = e.join(bad, col("u") === col("b"), "left_anti")
+            .join(bad, col("v") === col("b"), "left_anti")
+            .localCheckpoint()
+        }
+        i += 1
+      }
+      val st = e.groupBy(col("u")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("nc"), coalesce(min(col("c")), lit(-1L)).as("md"),
+          coalesce(sum(col("c")), lit(0L)).as("sd")).collect()(0)
+      s.range(1).select(lit(k.toLong).as("k"), lit(nNodes).as("n_nodes"),
+        lit(st.getLong(0)).as("n_core"), lit(removed).as("n_removed"),
+        lit(rounds).as("n_rounds"), lit(st.getLong(2) / 2).as("core_edges"),
+        lit(st.getLong(1)).as("core_min_deg"))
     }
   )
 
@@ -182,6 +237,43 @@ object Graph {
                 (CASE WHEN st.n_wedges = 0 THEN 0
                       ELSE 3000 * tri.n_triangles // st.n_wedges END)::BIGINT
                   AS transitivity_x1000
-         FROM st, tri"""
+         FROM st, tri""",
+
+    "q179_kcore" -> kcoreOracle
   )
+
+  /** the same 6 peel rounds, unrolled (the q92 fixed-iteration oracle
+    * discipline): b_i = the round-i kill set, e_i = the surviving
+    * edges; converged rounds contribute empty kill sets on both sides. */
+  private def kcoreOracle: String = {
+    val k = 64
+    val R = 6
+    // AS MATERIALIZED: each round references its predecessor 3× — left
+    // to the inliner the 6-round chain re-expands exponentially
+    def round(i: Int): String =
+      s"""b$i AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS c FROM e${i - 1}
+              GROUP BY 1) WHERE c < $k),
+          e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+                  WHERE e.u NOT IN (SELECT u FROM b$i)
+                    AND e.v NOT IN (SELECT u FROM b$i))"""
+    val rounds = (1 to R).map(round).mkString(",\n          ")
+    val nRounds = (1 to R)
+      .map(i => s"(CASE WHEN EXISTS (SELECT 1 FROM b$i) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val nRemoved = (1 to R).map(i => s"(SELECT count(*) FROM b$i)").mkString(" + ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+          und AS (SELECT DISTINCT a.p AS u, b.p AS v
+                  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+          e0 AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+          n0 AS (SELECT count(DISTINCT u)::BIGINT AS n FROM e0),
+          $rounds,
+          fd AS (SELECT u, count(*)::BIGINT AS c FROM e$R GROUP BY 1)
+         SELECT $k::BIGINT AS k, (SELECT n FROM n0) AS n_nodes,
+                count(*)::BIGINT AS n_core,
+                ($nRemoved)::BIGINT AS n_removed,
+                ($nRounds)::BIGINT AS n_rounds,
+                (coalesce(sum(c), 0) // 2)::BIGINT AS core_edges,
+                coalesce(min(c), -1)::BIGINT AS core_min_deg
+         FROM fd"""
+  }
 }

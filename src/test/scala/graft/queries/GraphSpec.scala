@@ -86,4 +86,40 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }).toSeq.sorted
     assert(oriented == undirected)
   }
+
+  test("q179: capped peel equals the driver-side unbounded fixpoint (convergence under the cap)") {
+    val row = Graph.queries("q179_kcore")(spark, sf).collect()(0)
+    // brute-force the TRUE 64-core, no round cap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val adj = collection.mutable.Map[Long, collection.mutable.Set[Long]]()
+    byOrder.values.foreach { ps =>
+      for (a <- ps; b <- ps if a < b) {
+        adj.getOrElseUpdate(a, collection.mutable.Set()) += b
+        adj.getOrElseUpdate(b, collection.mutable.Set()) += a
+      }
+    }
+    val nNodes = adj.size.toLong
+    var rounds = 0
+    var continue = true
+    while (continue) {
+      val bad = adj.collect { case (n, s) if s.size < 64 => n }.toSeq
+      if (bad.isEmpty) continue = false
+      else {
+        rounds += 1
+        bad.foreach { n => adj(n).foreach(m => adj(m) -= n); adj -= n }
+      }
+    }
+    assert(rounds < 6, s"fixture peels in $rounds rounds — cap margin gone")
+    assert(row.getAs[Long]("n_rounds") == rounds.toLong)
+    assert(row.getAs[Long]("n_core") == adj.size.toLong)
+    assert(row.getAs[Long]("n_removed") == nNodes - adj.size)
+    assert(row.getAs[Long]("core_edges") == adj.values.map(_.size.toLong).sum / 2)
+    if (adj.nonEmpty) {
+      assert(row.getAs[Long]("core_min_deg") == adj.values.map(_.size).min.toLong)
+      assert(row.getAs[Long]("core_min_deg") >= 64L, "core property violated")
+    } else assert(row.getAs[Long]("core_min_deg") == -1L)
+  }
 }
