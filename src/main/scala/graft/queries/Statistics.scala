@@ -149,6 +149,40 @@ object Statistics {
         .withColumn("dof", (count(lit(1)).over(all) - lit(1L)) * lit(ncols - 1L))
         .select(col("event_type"), col("n_type"), col("chi2_contrib_x1e6"),
           col("chi2_x1e6"), col("dof"))
+    },
+
+    // BENFORD'S LAW first-digit audit of order totals (in cents) — the
+    // forensic data-quality screen (fabricated or truncated monetary
+    // data drifts from log₁₀(1+1/d)). The expected distribution is
+    // irrational, so both engines carry the same ×10⁶ integer
+    // constants (published to six digits); observed shares and
+    // deviations are exact integral divides, and Nigrini's MAD·10⁶ =
+    // Σ|dev| div 9 rides on every row. Digits 1..9 are DENSELY
+    // emitted (a digit with zero observations still reports its
+    // Benford deficit). Shapes: first digit is a narrow map (leading
+    // char of the cents string — no logs, no floats), then ONE
+    // partial-aggregable 9-key aggregate; everything after is
+    // 9-row-bounded.
+    "q181_benford" -> { (s, d) =>
+      val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      val obs = Tables.orders(s, d)
+        .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .withColumn("digit", expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val bArr = benford.mkString("array(", "L, ", "L)")
+      s.range(1, 10).select(col("id").as("digit"))
+        .join(obs, Seq("digit"), "left")
+        .withColumn("observed", coalesce(col("observed"), lit(0L)))
+        .withColumn("n", sum(col("observed")).over(all))
+        .withColumn("obs_x1e6", expr("(1000000 * observed) div n"))
+        .withColumn("benford_x1e6", expr(s"element_at($bArr, CAST(digit AS INT))"))
+        .withColumn("dev_x1e6", col("obs_x1e6") - col("benford_x1e6"))
+        .withColumn("sad", sum(abs(col("dev_x1e6"))).over(all))
+        .withColumn("mad_x1e6", expr("sad div 9"))
+        .select(col("digit"), col("observed"), col("obs_x1e6"),
+          col("benford_x1e6"), col("dev_x1e6"), col("mad_x1e6"))
     }
   )
 
@@ -233,6 +267,28 @@ object Statistics {
          SELECT event_type, n_type, chi2_contrib_x1e6,
                 sum(chi2_contrib_x1e6) OVER ()::BIGINT AS chi2_x1e6,
                 ((count(*) OVER () - 1) * (c.ncols - 1))::BIGINT AS dof
-         FROM per, c"""
+         FROM per, c""",
+
+    "q181_benford" ->
+      """WITH cents AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             AS BIGINT) AS cents FROM orders),
+          obs AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                    AS digit, count(*)::BIGINT AS observed
+                  FROM cents GROUP BY 1),
+          digits AS (SELECT unnest(generate_series(1, 9)) AS digit),
+          bf AS (SELECT [301030, 176091, 124939, 96910, 79181,
+                         66947, 57992, 51153, 45757] AS b),
+          dense AS (SELECT d.digit, coalesce(o.observed, 0)::BIGINT AS observed
+                    FROM digits d LEFT JOIN obs o ON o.digit = d.digit),
+          n AS (SELECT sum(observed)::BIGINT AS n FROM dense),
+          rows_ AS (SELECT digit, observed,
+                      ((1000000 * observed) // n.n)::BIGINT AS obs_x1e6,
+                      bf.b[digit::INT]::BIGINT AS benford_x1e6
+                    FROM dense, n, bf)
+         SELECT digit::BIGINT AS digit, observed, obs_x1e6, benford_x1e6,
+                (obs_x1e6 - benford_x1e6)::BIGINT AS dev_x1e6,
+                (sum(abs(obs_x1e6 - benford_x1e6)) OVER () // 9)::BIGINT
+                  AS mad_x1e6
+         FROM rows_"""
   )
 }

@@ -245,6 +245,60 @@ object TimeSeries {
         .agg(count(lit(1)).as("n_obs"), sum(col("d25")).as("ssum"))
         .withColumn("seasonal_x100", expr("(100 * ssum) div (25 * n_obs)"))
         .select(col("event_type"), col("hod"), col("n_obs"), col("seasonal_x100"))
+    },
+
+    // CROSS-CORRELATION (CCF) of every event type against the
+    // reference type's hourly series at lags −12..+12 — the lead/lag
+    // detector (does type B's traffic FOLLOW type A's by k hours?).
+    // Same exact arithmetic as q175's ACF generalized to two series:
+    // both series center at the ×(na·nb) common scale implicitly by
+    // clearing denominators — r_k·10⁶ = 10⁶·Σ cₐ(t)·c_b(t+k) div
+    // √(Σcₐ²·Σc_b²) needs a square root, so the report ships the
+    // exact num and the two den factors plus the SIGNED SQUARED
+    // r²·10¹² (the q171 discipline). The reference series is the
+    // lexicographically first event type — data-derived, no fixture
+    // constant. Shapes: identical to q175 — one partial-aggregable
+    // count, then everything on the calendar-bounded dense grid.
+    "q180_ccf" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val counts = ev.select(col("event_type"), Tables.tsAsMillis(ev).as("ms"))
+        .withColumn("e", expr("ms div 3600000"))
+        .groupBy(col("event_type"), col("e")).agg(count(lit(1)).as("x"))
+      // common hour span: the GLOBAL [lo, hi] so both series align
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val dense = counts.groupBy(col("event_type"))
+        .agg(min(col("e")).as("tlo"), max(col("e")).as("thi"), sum(col("x")).as("sx"))
+        .withColumn("lo", min(col("tlo")).over(all))
+        .withColumn("hi", max(col("thi")).over(all))
+        .withColumn("nh", col("hi") - col("lo") + 1L)
+        .select(col("event_type"), col("nh"), col("sx"),
+          explode(sequence(col("lo"), col("hi"))).as("e"))
+        .join(counts, Seq("event_type", "e"), "left")
+        .withColumn("c", col("nh") * coalesce(col("x"), lit(0L)) - col("sx"))
+        .select(col("event_type"), col("e"), col("c"))
+      val den = dense.groupBy(col("event_type"))
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("den"))
+      val refType = den.agg(min(col("event_type"))).collect()(0).getString(0)
+      val ref = dense.filter(col("event_type") === refType)
+        .select(col("e"), col("c").as("ca"))
+      val refDen = den.filter(col("event_type") === refType)
+        .select(col("den").as("den_a"))
+      val lagged = dense.filter(col("event_type") =!= refType)
+        .select(col("event_type"),
+          explode(expr("sequence(-12, 12)")).as("lag"), col("e"), col("c"))
+        .select(col("event_type"), col("lag"), (col("e") - col("lag")).as("e"),
+          col("c").as("cb"))
+      ref.join(lagged, Seq("e"))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")).as("num"))
+        .join(broadcast(den), Seq("event_type")).crossJoin(broadcast(refDen))
+        .withColumn("r2s_x1e12", expr(
+          "CASE WHEN den = 0 OR den_a = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END * " +
+            "((num * num * 1000000000000) div (den_a * den)) AS BIGINT) END"))
+        .select(col("event_type"), col("lag").cast("long").as("lag"),
+          col("n_pairs"), col("num").cast("long").as("ccf_num"), col("r2s_x1e12"))
     }
   )
 
@@ -382,6 +436,43 @@ object TimeSeries {
                   FROM ma WHERE wn = 25)
          SELECT event_type, hod::BIGINT AS hod, count(*)::BIGINT AS n_obs,
                 ((100 * sum(d25)) // (25 * count(*)))::BIGINT AS seasonal_x100
-         FROM det GROUP BY 1, 2"""
+         FROM det GROUP BY 1, 2""",
+
+    "q180_ccf" ->
+      """WITH cnt AS (SELECT event_type, epoch_ms(ts) // 3600000 AS e,
+             count(*)::BIGINT AS x
+           FROM events GROUP BY 1, 2),
+          b AS (SELECT event_type, min(e) AS tlo, max(e) AS thi,
+                  sum(x)::BIGINT AS sx FROM cnt GROUP BY 1),
+          g AS (SELECT min(tlo) AS lo, max(thi) AS hi FROM b),
+          dense AS (SELECT b.event_type, (g.hi - g.lo + 1)::BIGINT AS nh, b.sx,
+                      unnest(generate_series(g.lo, g.hi)) AS e
+                    FROM b, g),
+          dj AS (SELECT d.event_type, d.e,
+                   (d.nh * coalesce(c.x, 0) - d.sx)::BIGINT AS c
+                 FROM dense d LEFT JOIN cnt c
+                   ON c.event_type = d.event_type AND c.e = d.e),
+          den AS (SELECT event_type, sum(c::HUGEINT * c) AS den
+                  FROM dj GROUP BY 1),
+          rt AS (SELECT min(event_type) AS r FROM den),
+          ref AS (SELECT dj.e, dj.c AS ca FROM dj, rt
+                  WHERE dj.event_type = rt.r),
+          dena AS (SELECT den.den AS den_a FROM den, rt
+                   WHERE den.event_type = rt.r),
+          lags AS (SELECT unnest(generate_series(-12, 12)) AS lag),
+          pr AS (SELECT b2.event_type, l.lag, ref.ca, b2.c AS cb
+                 FROM ref CROSS JOIN lags l
+                 JOIN dj b2 ON b2.e = ref.e + l.lag, rt
+                 WHERE b2.event_type <> rt.r)
+         SELECT p.event_type, p.lag::BIGINT AS lag, count(*)::BIGINT AS n_pairs,
+                sum(p.ca::HUGEINT * p.cb)::BIGINT AS ccf_num,
+                (CASE WHEN den.den = 0 OR dena.den_a = 0 THEN 0
+                      ELSE (CASE WHEN sum(p.ca::HUGEINT * p.cb) < 0
+                              THEN -1 ELSE 1 END)
+                           * ((sum(p.ca::HUGEINT * p.cb)
+                               * sum(p.ca::HUGEINT * p.cb) * 1000000000000)
+                              // (dena.den_a * den.den)) END)::BIGINT AS r2s_x1e12
+         FROM pr p JOIN den ON den.event_type = p.event_type, dena
+         GROUP BY 1, 2, den.den, dena.den_a"""
   )
 }

@@ -72,6 +72,23 @@ class StatisticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getAs[Long]("d_num") >= 0))
   }
 
+  test("q181: digit accounting is exact and MAD recomputes from the deviations") {
+    val rows = Statistics.queries("q181_benford")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("digit"))
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("observed")).sum == nOrders)
+    // published Benford constants, and their ×1e6 shares sum to ~1
+    assert(rows.head.getAs[Long]("benford_x1e6") == 301030L)
+    assert(math.abs(rows.map(_.getAs[Long]("benford_x1e6")).sum - 1000000L) <= 9)
+    val mad = rows.map(r => math.abs(r.getAs[Long]("dev_x1e6"))).sum / 9
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mad_x1e6") == mad)
+      assert(r.getAs[Long]("dev_x1e6") ==
+        r.getAs[Long]("obs_x1e6") - r.getAs[Long]("benford_x1e6"))
+    }
+  }
+
   test("q173: contributions are non-negative, dof = (R-1)(C-1), and chi2 sums") {
     val rows = Statistics.queries("q173_chi_square")(spark, sf).collect()
     assert(rows.nonEmpty)

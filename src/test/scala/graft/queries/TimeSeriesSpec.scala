@@ -360,4 +360,19 @@ class TimeSeriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("q180: Cauchy-Schwarz bound holds and every non-ref type reports all 25 lags") {
+    val rows = SparkEntry.queries("q180_ccf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val types = rows.map(_.getString(0)).distinct
+    types.foreach { t =>
+      val lags = rows.filter(_.getString(0) == t).map(_.getAs[Long]("lag")).sorted
+      assert(lags.toSeq == (-12L to 12L), s"$t lags $lags")
+    }
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("r2s_x1e12")) <= 1000000000000L, r.toString)
+      val rr = r.getAs[Long]("r2s_x1e12")
+      assert(rr == 0L || (rr > 0) == (r.getAs[Long]("ccf_num") > 0))
+    }
+  }
 }
