@@ -490,6 +490,134 @@ object Sketches {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("cnt").desc, col("b").asc)).cast("long"))
         .select(col("rank"), col("b").as("bigram"), col("cnt"), col("freq_x1e6"))
+    },
+
+    // JOIN-SIZE ESTIMATION by the AMS tug-of-war sketch (Alon-Matias-
+    // Szegedy) — the cardinality statistic a cost-based optimizer
+    // consults before picking a join strategy: |A ⋈ B| = Σ_k
+    // c_A(k)·c_B(k), estimated UNBIASED as the median-of-means of
+    // k=128 sign-hash inner products s_j(A)·s_j(B), s_j = Σ_k
+    // sign_j(k)·c(k). (The count-min inner product was measured first
+    // and rejected: its Θ(ΣA·ΣB/w) additive overestimate was 30× the
+    // true size at this key population — AMS variance scales with
+    // F2(A)·F2(B)/k instead, giving a SCALE-INVARIANT ~9% relative
+    // error on this join shape.) Deterministic and engine-portable:
+    // sign_j(key) = ±1 from bit 0 of the md5-derived h60(j:key);
+    // median-of-8-group-means in pure integer arithmetic; the hash
+    // gate pins est, exact, AND the Chebyshev-style bound
+    // (est−exact)²·k ≤ 16·F2(A)·F2(B) — squared, because a square
+    // root is irrational (the q171 discipline). Shapes: each side
+    // collapses to its key-count table by one partial-aggregable
+    // groupBy; the j-explode multiplies only that DISTINCT-key table
+    // (never the fact rows) and re-aggregates to k partials map-side;
+    // exact + F2 ride the same key-count tables. At optimizer scale
+    // the exact pass is the thing you DON'T run — it is here as the
+    // oracle-visible ground truth, the q176 verify philosophy.
+    "q182_join_size_sketch" -> { (s, d) =>
+      val K = 128 // sketches, grouped 8 × 16 for median-of-means
+      // ONE md5 per key: its 128 bits ARE the 128 signs (bit j of the
+      // hex digest). The digest column is materialized INSIDE the
+      // checkpointed key-count table — carried through the j-explode
+      // it would be recomputed once per exploded row (the q176
+      // HOF-in-Generate lesson, same trap via CollapseProject;
+      // measured 18.5 s → 1.3 s at sf0.1).
+      // The digest splits into three integer words BELOW the explode
+      // (once per key); each exploded (key, j) row then derives its
+      // sign with pure integer shifts on carried columns — no sign
+      // ARRAY is ever built or materialized (a transform-built array
+      // alias feeding the explode re-evaluates in Generate — the q176
+      // lesson — and checkpointing 128-long arrays was measured
+      // slower than this column-carry form: 5.5 s → 2.2 s at sf0.1).
+      def keyCounts(df: DataFrame, key: String): DataFrame =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      def amsOf(kc: DataFrame, out: String): DataFrame = kc
+        .withColumn("hx", md5(col("k").cast("string")))
+        .withColumn("w1", expr("CAST(conv(substring(hx, 1, 13), 16, 10) AS BIGINT)"))
+        .withColumn("w2", expr("CAST(conv(substring(hx, 14, 13), 16, 10) AS BIGINT)"))
+        .withColumn("w3", expr("CAST(conv(substring(hx, 27, 6), 16, 10) AS BIGINT)"))
+        .select(col("c"), col("w1"), col("w2"), col("w3"),
+          explode(sequence(lit(0), lit(K - 1))).as("j"))
+        .withColumn("sg", expr(
+          "1 - 2 * (CASE WHEN j < 52 THEN shiftright(w1, j) " +
+            "WHEN j < 104 THEN shiftright(w2, j - 52) " +
+            "ELSE shiftright(w3, j - 104) END & 1)"))
+        .groupBy(col("j")).agg(sum(col("sg") * col("c")).as(out))
+      val ka = keyCounts(Tables.orders(s, d), "o_orderkey").localCheckpoint()
+      val kb = keyCounts(Tables.lineitem(s, d), "l_orderkey").localCheckpoint()
+      val prod = amsOf(ka, "sa").join(amsOf(kb, "sb"), Seq("j"))
+        .withColumn("g", expr("j div 16"))
+        .groupBy(col("g")).agg(sum(col("sa") * col("sb")).as("gsum"))
+      // lower median of the 8 group sums (deterministic rank pick)
+      val med = prod.withColumn("rn", row_number().over(
+          Window.orderBy(col("gsum").asc, col("g").asc)))
+        .filter(col("rn") === 4).collect()(0).getAs[Long]("gsum")
+      val est = med / 16
+      val ex = ka.withColumnRenamed("c", "ca")
+        .join(kb.withColumnRenamed("c", "cb"), Seq("k"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("x"))
+      val st = ka.agg(count(lit(1)).as("da"), sum(col("c")).as("na"),
+        sum(col("c") * col("c")).as("f2a")).collect()(0)
+      val sb = kb.agg(count(lit(1)).as("db"), sum(col("c")).as("nb"),
+        sum(col("c") * col("c")).as("f2b")).collect()(0)
+      val exact = ex.collect()(0).getLong(0)
+      val errOk = BigInt(est - exact).pow(2) * K <=
+        BigInt(16) * st.getLong(2) * sb.getLong(2)
+      s.range(1).select(
+        lit(st.getLong(1)).as("n_a"), lit(sb.getLong(1)).as("n_b"),
+        lit(st.getLong(0)).as("distinct_a"), lit(sb.getLong(0)).as("distinct_b"),
+        lit(st.getLong(2)).as("f2_a"), lit(sb.getLong(2)).as("f2_b"),
+        lit(est).as("est_join_size"), lit(exact).as("exact_join_size"),
+        lit(if (exact == 0) 0L else 1000000L * (est - exact) / exact).as("err_x1e6"),
+        lit(errOk).as("within_bound"))
+    },
+
+    // HLL SET ALGEBRA — pairwise user-audience overlap between event
+    // types from q137's mergeable registers alone: union = register-
+    // wise MAX (the property that makes HLL mergeable), intersection
+    // by inclusion–exclusion est(A) + est(B) − est(A∪B). This is the
+    // sketch-algebra read path every audience-overlap dashboard runs —
+    // |types|² pair estimates from |types| fixed-size sketches,
+    // touching the corpus ONCE. The exact pairwise intersection rides
+    // along as ground truth (it is the pass sketch algebra exists to
+    // avoid). All integer, both engines bit-identical (q137's
+    // estimator verbatim); inclusion–exclusion can legitimately go
+    // negative on near-disjoint sets, so the signed value ships as-is.
+    "q183_hll_intersect" -> { (s, d) =>
+      val hllAgg = org.apache.spark.sql.GraftSqlGlue.column(
+        graft.functions.HllRegisters(
+          org.apache.spark.sql.GraftSqlGlue.expression(col("h"))).toAggregateExpression())
+      def estOf(regs: String): String =
+        s"($AlphaX1000 * ${M.toLong * M} * shiftleft(CAST(1 AS BIGINT), $RankCap)) div " +
+          s"(1000 * aggregate($regs, CAST(0 AS BIGINT), (acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), $RankCap - x)))"
+      val perType = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          h60("CAST(user_id AS STRING)").as("h"))
+        .groupBy(col("event_type"))
+        .agg(hllAgg.as("regs"), countDistinct(col("user_id")).as("n_exact"))
+        .localCheckpoint() // |types| rows, read by both pair legs
+      val du = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .localCheckpoint() // reused by both exact-intersection legs
+      val exact = du.as("a").join(du.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("inter_exact"))
+      perType.as("a").join(perType.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          col("a.n_exact").as("n_a"), col("b.n_exact").as("n_b"),
+          col("a.regs").as("ra"), col("b.regs").as("rb"))
+        .withColumn("ru", expr("zip_with(ra, rb, (x, y) -> greatest(x, y))"))
+        .withColumn("est_a", expr(estOf("ra")))
+        .withColumn("est_b", expr(estOf("rb")))
+        .withColumn("est_union", expr(estOf("ru")))
+        .withColumn("est_inter", col("est_a") + col("est_b") - col("est_union"))
+        .join(exact, Seq("type_a", "type_b"), "left")
+        .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("inter_exact"), col("est_a"), col("est_b"), col("est_union"),
+          col("est_inter"))
     }
   )
 
@@ -616,6 +744,106 @@ object Sketches {
     "q167_stream_moments" -> momentsOracleSql,
 
     "q152_moments" -> momentsOracleSql,
+
+    "q182_join_size_sketch" ->
+      """WITH ka AS (SELECT o_orderkey AS k, count(*)::BIGINT AS c
+            FROM orders GROUP BY 1),
+          kb AS (SELECT l_orderkey AS k, count(*)::BIGINT AS c
+            FROM lineitem GROUP BY 1),
+          jj AS (SELECT unnest(generate_series(0, 127)) AS j),
+          ha AS (SELECT k, c,
+                   ('0x' || substr(md5(k::VARCHAR), 1, 13))::BIGINT AS w1,
+                   ('0x' || substr(md5(k::VARCHAR), 14, 13))::BIGINT AS w2,
+                   ('0x' || substr(md5(k::VARCHAR), 27, 6))::BIGINT AS w3
+                 FROM ka),
+          hb AS (SELECT k, c,
+                   ('0x' || substr(md5(k::VARCHAR), 1, 13))::BIGINT AS w1,
+                   ('0x' || substr(md5(k::VARCHAR), 14, 13))::BIGINT AS w2,
+                   ('0x' || substr(md5(k::VARCHAR), 27, 6))::BIGINT AS w3
+                 FROM kb),
+          sa AS (SELECT jj.j,
+                   sum((1 - 2 * ((CASE WHEN jj.j < 52 THEN w1 >> jj.j::INT
+                     WHEN jj.j < 104 THEN w2 >> (jj.j - 52)::INT
+                     ELSE w3 >> (jj.j - 104)::INT END) & 1)) * c)::BIGINT AS sa
+                 FROM ha, jj GROUP BY 1),
+          sbk AS (SELECT jj.j,
+                   sum((1 - 2 * ((CASE WHEN jj.j < 52 THEN w1 >> jj.j::INT
+                     WHEN jj.j < 104 THEN w2 >> (jj.j - 52)::INT
+                     ELSE w3 >> (jj.j - 104)::INT END) & 1)) * c)::BIGINT AS sb
+                 FROM hb, jj GROUP BY 1),
+          gp AS (SELECT j // 16 AS g, sum(sa.sa * sbk.sb)::BIGINT AS gsum
+                 FROM sa JOIN sbk USING (j) GROUP BY 1),
+          med AS (SELECT gsum FROM (SELECT gsum,
+                    row_number() OVER (ORDER BY gsum, g) AS rn FROM gp)
+                  WHERE rn = 4),
+          est AS (SELECT (gsum // 16)::BIGINT AS est FROM med),
+          ex AS (SELECT coalesce(sum(ka.c * kb.c), 0)::BIGINT AS exact
+                 FROM ka JOIN kb USING (k)),
+          st AS (SELECT count(*)::BIGINT AS da, sum(c)::BIGINT AS na,
+                   sum(c * c)::BIGINT AS f2a FROM ka),
+          sv AS (SELECT count(*)::BIGINT AS db, sum(c)::BIGINT AS nb,
+                   sum(c * c)::BIGINT AS f2b FROM kb)
+         SELECT st.na AS n_a, sv.nb AS n_b, st.da AS distinct_a,
+                sv.db AS distinct_b, st.f2a AS f2_a, sv.f2b AS f2_b,
+                est.est AS est_join_size, ex.exact AS exact_join_size,
+                (CASE WHEN ex.exact = 0 THEN 0
+                      ELSE (1000000 * (est.est - ex.exact)) // ex.exact
+                 END)::BIGINT AS err_x1e6,
+                (est.est - ex.exact)::HUGEINT * (est.est - ex.exact) * 128
+                  <= 16::HUGEINT * st.f2a * sv.f2b AS within_bound
+         FROM st, sv, est, ex""",
+
+    "q183_hll_intersect" ->
+      s"""WITH h AS (SELECT event_type, user_id,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+           FROM events),
+          rk AS (SELECT event_type, h % $M AS idx,
+                   least(56 - length(bin(h // $M)), $RankCap) AS rank
+                 FROM h),
+          regs AS (SELECT event_type, idx, max(rank) AS m
+                   FROM rk GROUP BY 1, 2),
+          sums AS (SELECT event_type, count(*)::BIGINT AS nreg,
+                     sum(1::BIGINT << ($RankCap - m))::BIGINT AS sp
+                   FROM regs GROUP BY 1),
+          et AS (SELECT s.event_type,
+                   (($AlphaX1000 * ${M.toLong * M} * (1::BIGINT << $RankCap)) //
+                    (1000 * (sp + ($M - nreg) * (1::BIGINT << $RankCap))))::BIGINT AS est,
+                   ex.n_exact
+                 FROM sums s JOIN (SELECT event_type,
+                     count(DISTINCT user_id)::BIGINT AS n_exact
+                   FROM events GROUP BY 1) ex USING (event_type)),
+          pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      a.n_exact AS n_a, b.n_exact AS n_b,
+                      a.est AS est_a, b.est AS est_b
+                    FROM et a JOIN et b ON a.event_type < b.event_type),
+          upair AS (SELECT ta, tb, idx, max(m) AS m FROM (
+                      SELECT p.type_a AS ta, p.type_b AS tb, r.idx, r.m
+                      FROM pairs p JOIN regs r ON r.event_type = p.type_a
+                      UNION ALL
+                      SELECT p.type_a, p.type_b, r.idx, r.m
+                      FROM pairs p JOIN regs r ON r.event_type = p.type_b)
+                    GROUP BY 1, 2, 3),
+          usum AS (SELECT ta, tb, count(*)::BIGINT AS nreg,
+                     sum(1::BIGINT << ($RankCap - m))::BIGINT AS sp
+                   FROM upair GROUP BY 1, 2),
+          uest AS (SELECT ta, tb,
+                     (($AlphaX1000 * ${M.toLong * M} * (1::BIGINT << $RankCap)) //
+                      (1000 * (sp + ($M - nreg) * (1::BIGINT << $RankCap))))::BIGINT
+                       AS est_union
+                   FROM usum),
+          duu AS (SELECT DISTINCT event_type, user_id FROM events),
+          exi AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                    count(*)::BIGINT AS inter_exact
+                  FROM duu a JOIN duu b ON a.user_id = b.user_id
+                    AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+         SELECT p.type_a, p.type_b, p.n_a, p.n_b,
+                coalesce(exi.inter_exact, 0)::BIGINT AS inter_exact,
+                p.est_a, p.est_b, u.est_union,
+                (p.est_a + p.est_b - u.est_union)::BIGINT AS est_inter
+         FROM pairs p
+         JOIN uest u ON u.ta = p.type_a AND u.tb = p.type_b
+         LEFT JOIN exi ON exi.ta = p.type_a AND exi.tb = p.type_b""",
 
     "q176_heavy_hitters" ->
       """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),

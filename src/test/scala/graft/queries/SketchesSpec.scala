@@ -240,6 +240,48 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // accuracy bounds run at sf0.01 (the driver-gate scale): at sf0.001
+  // the fixtures are smaller than the fixed sketch geometries — CM's
+  // w=512 sits under the orderkey population (collisions dominate) and
+  // the raw HLL estimator is biased high for n ≲ m — both the KNOWN
+  // sketch small-range regimes, not regressions.
+  private val sfGate = "/root/testdata/sf0.01"
+
+  test("q182: AMS estimate is within its variance bound and exact matches a driver recompute") {
+    val r = Sketches.queries("q182_join_size_sketch")(spark, sfGate).collect()(0)
+    assert(r.getAs[Boolean]("within_bound"))
+    // driver-side exact Σ c_A(k)·c_B(k) and F2 moments
+    val ca = Tables.orders(spark, sfGate).groupBy(col("o_orderkey")).count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val cb = Tables.lineitem(spark, sfGate).groupBy(col("l_orderkey")).count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val exact = ca.iterator.map { case (k, c) => c * cb.getOrElse(k, 0L) }.sum
+    assert(r.getAs[Long]("exact_join_size") == exact)
+    assert(r.getAs[Long]("f2_a") == ca.values.map(c => c * c).sum)
+    assert(r.getAs[Long]("f2_b") == cb.values.map(c => c * c).sum)
+    // unbiased estimator with k=128 on this join shape: ~9% std error;
+    // hold the realized error to 30%
+    assert(math.abs(r.getAs[Long]("err_x1e6")) <= 300000L,
+      s"AMS estimate off: ${r.getAs[Long]("err_x1e6")}")
+  }
+
+  test("q183: union estimate dominates both sides, inclusion-exclusion is internally consistent") {
+    val rows = Sketches.queries("q183_hll_intersect")(spark, sfGate).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ea, eb, eu) = (r.getAs[Long]("est_a"), r.getAs[Long]("est_b"),
+        r.getAs[Long]("est_union"))
+      // register-wise max is monotone in every register ⇒ est(A∪B) ≥ est(A), est(B)
+      assert(eu >= math.max(ea, eb), r.toString)
+      assert(r.getAs[Long]("est_inter") == ea + eb - eu, r.toString)
+      // m = 32 registers ⇒ ~18% standard error; hold the union to 45%
+      val exactU = r.getAs[Long]("n_a") + r.getAs[Long]("n_b") -
+        r.getAs[Long]("inter_exact")
+      assert(math.abs(eu - exactU).toDouble / exactU <= 0.45,
+        s"union estimate off: $eu vs $exactU")
+    }
+  }
+
   test("q176: MG candidates prune a planted-Zipf vocabulary yet keep every true heavy hitter") {
     // Planted Zipf: vocab 5000 ≫ m = 700 slots, so per-partition MG
     // must genuinely evict — the superset theorem (not capacity) is
