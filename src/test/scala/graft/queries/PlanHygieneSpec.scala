@@ -72,7 +72,12 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // regression that would explode at scale.
     val sanctioned = Set("q18_ann_bruteforce", "q19_ann_lsh", "q19b_ann_ivf",
       "q159_ann_pq",
-      "q115_hard_negatives") // |Q| = 50 probes broadcast — bounded by construction
+      "q115_hard_negatives", // |Q| = 50 probes broadcast — bounded by construction
+      "q172_ks_test",     // dense ECDF grid: |distinct values| × |sources|, both value-domain bounded
+      "q173_chi_square",  // contingency grid: R marginals × C marginals (types × 7 dows)
+      "q178_rrf_fusion",  // the 1-row query vector broadcasts against the corpus (q18's shape)
+      "q180_ccf",         // the 1-row reference-denominator scalar broadcasts
+      "q183_hll_intersect") // |types|² sketch pairs — corpus-independent
     val failures = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(sanctioned)
       .flatMap { q =>
@@ -775,5 +780,55 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = e.queryExecution.executedPlan.toString
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
       s"edge build must equi-join on the order key:\n$s")
+  }
+
+  test("q171: both rank maps broadcast back to the fact rows") {
+    val df = SparkEntry.queries("q171_spearman")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // two broadcast hash joins (rx2 on (source, x), ry2 on (source, y))
+    // — the data-sized side must never shuffle for the rank attach
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
+      s"rank maps must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"rank attach went shuffle-side:\n$s")
+  }
+
+  test("q174/q175/q177/q180: the only data-sized exchange is the (type, hour) count") {
+    Seq("q174_cusum", "q175_acf", "q177_seasonal", "q180_ccf").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      // the hourly pre-aggregate must be partial (map-side combine)
+      val aggs = s.linesIterator.filter(_.contains("HashAggregate")).size
+      assert(aggs >= 2, s"$q: expected partial+final aggregate pair:\n$s")
+      assert(!s.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q182: the sketch collapses to 128 partials map-side before any exchange") {
+    val df = SparkEntry.queries("q182_join_size_sketch")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // final select is a literal row — the interesting plan is inside;
+    // rebuild the sketch leg and pin the partial-aggregate pair
+    val ka = Tables.orders(spark, sf).groupBy(col("o_orderkey").as("k"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+    val leg = ka
+      .withColumn("hx", org.apache.spark.sql.functions.md5(col("k").cast("string")))
+      .withColumn("w1", org.apache.spark.sql.functions.expr(
+        "CAST(conv(substring(hx, 1, 13), 16, 10) AS BIGINT)"))
+      .select(col("c"), col("w1"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(0),
+            org.apache.spark.sql.functions.lit(127))).as("j"))
+      .withColumn("sg", org.apache.spark.sql.functions.expr(
+        "1 - 2 * (shiftright(w1, CAST(j % 52 AS INT)) & 1)"))
+      .groupBy(col("j")).agg(org.apache.spark.sql.functions.sum(
+        col("sg") * col("c")).as("sa"))
+    val ls = leg.queryExecution.executedPlan.toString
+    val aggs = ls.linesIterator.filter(_.contains("HashAggregate")).size
+    assert(aggs >= 2, s"sketch leg must partial-aggregate:\n$ls")
   }
 }
