@@ -122,6 +122,40 @@ object Media {
       }.toDF("media_id", "frame_idx", "frame_bytes")
   }
 
+  final case class AudioWindow(media_id: Long, win_idx: Long,
+                               n_samples: Long, energy: Long,
+                               is_silence: Boolean)
+
+  /** Audio energy windowing stub: the payload bytes stand in for 8-bit
+    * PCM samples; per fixed-size window the energy is the exact integer
+    * Σ(b − zero)² (zero = the codec's DC offset), and a window is
+    * "silence" when energy < threshold·n_samples — the segmentation a
+    * real VAD/loudness pass produces (schema and batching identical; a
+    * resampling decoder drops in at the same boundary). Pure function
+    * of the bytes — task retries and repartitioning cannot change a
+    * row — and emits only (idx, energy) rows, never the samples. */
+  def audioEnergy(media: Dataset[MediaRow], window: Int, zero: Int,
+                  silenceThreshold: Long, partitions: Int): Dataset[AudioWindow] = {
+    require(window > 0, s"window must be positive: $window")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.meta.mediaType == "audio")
+      .repartition(partitions, col("media_id"))
+      .flatMap { row =>
+        row.payload.grouped(window).zipWithIndex.map { case (chunk, idx) =>
+          var e = 0L
+          var j = 0
+          while (j < chunk.length) {
+            val d = (chunk(j) & 0xff) - zero
+            e += d.toLong * d
+            j += 1
+          }
+          AudioWindow(row.media_id, idx.toLong, chunk.length.toLong, e,
+            e < silenceThreshold * chunk.length)
+        }
+      }
+  }
+
   /** Synthetic media table for tests/demo: payload bytes derived from
     * the id (deterministic). */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {

@@ -91,6 +91,22 @@ object MediaVerify {
           md5(col("frame_bytes")).as("frame_md5"))
     },
 
+    // q184 — the audio face of the media pipeline: payloads as 8-bit
+    // PCM, 256-sample windows, exact integer energy Σ(b−96)², silence
+    // below 500·n_samples — the VAD/loudness segmentation a real audio
+    // pass produces. ASCII-only for the byte-vs-character reason of
+    // q47; DuckDB recomputes every window analytically (ascii() over
+    // substr positions), so the whole typed byte-windowing path —
+    // repartition, per-task scan, compact (idx, energy) rows out — is
+    // oracle-checked with no golden.
+    "q184_audio_energy" -> { (s, dir) =>
+      val media = mediaFromDocuments(s, dir, asciiOnly = true)
+      Media.audioEnergy(media, window = 256, zero = 96,
+          silenceThreshold = 500L, partitions = 32).toDF()
+        .select(col("media_id"), col("win_idx"), col("n_samples"),
+          col("energy"), col("is_silence"))
+    },
+
     // q113 — the resize face of the media pipeline: 640×480 payloads
     // scaled to 64×48 (stub: the 1/100-pixel-ratio byte prefix, dims
     // updated). ASCII-only for the same byte-vs-character reason as
@@ -141,6 +157,27 @@ object MediaVerify {
          SELECT media_id, frame_idx,
                 md5(substr(text, CAST(frame_idx * 4096 + 1 AS BIGINT), 4096)) AS frame_md5
          FROM f WHERE frame_idx % 2 = 0""",
+    "q184_audio_energy" ->
+      """WITH a AS (
+           SELECT doc_id AS media_id, text, strlen(text) AS L FROM documents
+           WHERE doc_id % 3 = 1 AND strlen(text) = length(text)
+         ),
+         pos AS (
+           SELECT media_id, text,
+                  unnest(range(0, L)) AS i
+           FROM a
+         ),
+         w AS (
+           SELECT media_id, i // 256 AS win_idx,
+                  (ascii(substr(text, CAST(i + 1 AS BIGINT), 1)) - 96)
+                    * (ascii(substr(text, CAST(i + 1 AS BIGINT), 1)) - 96) AS d2
+           FROM pos
+         )
+         SELECT media_id, win_idx::BIGINT AS win_idx,
+                count(*)::BIGINT AS n_samples, sum(d2)::BIGINT AS energy,
+                sum(d2) < 500 * count(*) AS is_silence
+         FROM w GROUP BY 1, 2""",
+
     "q113_media_resize" ->
       """WITH m AS (
            SELECT doc_id AS media_id, text, strlen(text) AS n

@@ -128,4 +128,25 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.forall(_ % 3 == 2))
     assert(frames.forall(_.getInt(1) % 2 == 0))
   }
+
+  test("audio energy windows: hand-computed energies, audio rows only, exact boundary") {
+    val sp = spark; import sp.implicits._
+    // constructed payload: window 0 = four bytes at the zero point
+    // (energy 0, silent), window 1 = four bytes at zero+10 (energy 400,
+    // silent iff 400 < threshold·4), trailing ragged window of 2 bytes
+    val zero = 96
+    val payload = (Array.fill(4)(zero.toByte) ++ Array.fill(4)((zero + 10).toByte)
+      ++ Array.fill(2)((zero + 30).toByte))
+    val media = sp.createDataset(Seq(
+      MediaRow(1L, MediaMeta("audio", 640, 480, 16000), payload),
+      MediaRow(2L, MediaMeta("image", 640, 480, 16000), payload)))
+    val out = Media.audioEnergy(media, window = 4, zero = zero,
+      silenceThreshold = 100L, partitions = 2).collect()
+      .sortBy(w => (w.media_id, w.win_idx))
+    assert(out.map(_.media_id).forall(_ == 1L), "non-audio row leaked in")
+    assert(out.length == 3)
+    assert(out(0).energy == 0L && out(0).is_silence)
+    assert(out(1).energy == 400L && !out(1).is_silence) // 400 == 100·4: strict <
+    assert(out(2).n_samples == 2L && out(2).energy == 1800L && !out(2).is_silence)
+  }
 }
