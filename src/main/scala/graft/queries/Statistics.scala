@@ -151,6 +151,90 @@ object Statistics {
           col("chi2_x1e6"), col("dof"))
     },
 
+    // QUANTILE NORMALIZATION of per-source document-length
+    // distributions onto the global distribution — the batch-effect
+    // remover (microarray classic, equally the feature-normalization
+    // step before mixing corpora): a document at the p-th quantile of
+    // ITS source maps to the global value at the same quantile.
+    // Exact integer definition: g = (C_s(v)·N) div n_s is the target
+    // global position, qnorm = min value whose global cum count ≥ g —
+    // an inverse-CDF lookup solved WITHOUT a quadratic join by the
+    // q32 as-of decomposition: global-value rows (at position G(v'))
+    // and query rows (at position g) union into one stream, and a
+    // running-min window over DESCENDING position hands each query
+    // the smallest qualifying value (value rows tie-break first, so
+    // G = g qualifies). Output one row per present (source, value).
+    // Shapes: everything lives on value-domain-bounded tables — the
+    // only corpus pass is the (source, value) count; the as-of stream
+    // is |sources|·|values| + |values| rows.
+    "q185_quantile_normalize" -> { (s, d) =>
+      val cnt = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val wS = Window.partitionBy(col("source")).orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sv = cnt.withColumn("cum", sum(col("c")).over(wS))
+        .withColumn("ns", sum(col("c")).over(Window.partitionBy(col("source"))))
+      val gTot = cnt.agg(sum(col("c"))).collect()(0).getLong(0)
+      val wG = Window.orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gcum = cnt.groupBy(col("v")).agg(sum(col("c")).as("gc"))
+        .withColumn("gcum", sum(col("gc")).over(wG))
+      // as-of stream: tag 0 = global value rows, tag 1 = query rows
+      val stream = gcum.select(col("gcum").as("pos"), lit(0).as("tag"),
+          col("v").as("gv"), lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("v"), lit(null).cast("long").as("c"))
+        .unionByName(sv.select(
+          expr(s"(cum * ${gTot}L) div ns").as("pos"), lit(1).as("tag"),
+          lit(null).cast("long").as("gv"), col("source"), col("v"), col("c")))
+      val wAsOf = Window.orderBy(col("pos").desc, col("tag").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      stream.withColumn("qnorm", min(col("gv")).over(wAsOf))
+        .filter(col("tag") === 1)
+        .select(col("source"), col("v").as("n_chars"), col("c").as("n_docs"),
+          col("qnorm"))
+    },
+
+    // MANN–WHITNEY U / rank-sum test of every source against the
+    // reference — the nonparametric "is this source's length
+    // distribution stochastically larger?" companion to q172's KS
+    // (which sees shape; U sees direction). Exact via q171's doubled
+    // tie-midpoint ranks over each PAIR's combined sample: at value v,
+    // 2·avg_rank = 2·(combined count < v) + (combined count at v) + 1,
+    // so 2·U_s = Σ_v c_s(v)·avg2(v) − n_s(n_s+1), and the effect size
+    // ships as AUC·10⁶ = 10⁶·U_s div (n_s·n_ref) (the probability of
+    // superiority). Shapes: the pairwise combined ranking needs no
+    // per-pair re-sort — it reads off the SHARED dense ECDF grid
+    // (q172's, value-domain bounded) with the reference column
+    // broadcast; the only corpus pass is the (source, value) count.
+    "q186_mannwhitney" -> { (s, d) =>
+      val cnt = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val vals = cnt.select(col("v")).distinct()
+      val srcs = cnt.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val dense = srcs.crossJoin(broadcast(vals))
+        .join(cnt, Seq("source", "v"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wCum = Window.partitionBy(col("source")).orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ecdf = dense.withColumn("cum", sum(col("c")).over(wCum))
+      val ref = ecdf.filter(col("source") === "src0")
+        .select(col("v"), col("ns").as("nr"), col("c").as("cr"),
+          col("cum").as("cumr"))
+      ecdf.filter(col("source") =!= "src0")
+        .join(broadcast(ref), Seq("v"))
+        .withColumn("avg2", lit(2L) * (col("cum") - col("c") + col("cumr") - col("cr"))
+          + col("c") + col("cr") + lit(1L))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("n"), max(col("nr")).as("n_ref"),
+          sum(col("c") * col("avg2")).as("r1_2"))
+        .withColumn("u2", col("r1_2") - col("n") * (col("n") + lit(1L)))
+        .withColumn("auc_x1e6", expr("(1000000 * u2) div (2 * n * n_ref)"))
+        .select(col("source"), col("n"), col("n_ref"), col("u2"),
+          col("auc_x1e6"))
+    },
+
     // BENFORD'S LAW first-digit audit of order totals (in cents) — the
     // forensic data-quality screen (fabricated or truncated monetary
     // data drifts from log₁₀(1+1/d)). The expected distribution is
@@ -268,6 +352,50 @@ object Statistics {
                 sum(chi2_contrib_x1e6) OVER ()::BIGINT AS chi2_x1e6,
                 ((count(*) OVER () - 1) * (c.ncols - 1))::BIGINT AS dof
          FROM per, c""",
+
+    // the structurally opposite route: a direct bounded inverse-CDF
+    // join instead of the engine's as-of stream — a real cross-check
+    "q185_quantile_normalize" ->
+      """WITH cnt AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c
+           FROM documents GROUP BY 1, 2),
+          sv AS (SELECT *,
+                   sum(c) OVER (PARTITION BY source ORDER BY v)::BIGINT AS cum,
+                   sum(c) OVER (PARTITION BY source)::BIGINT AS ns
+                 FROM cnt),
+          n AS (SELECT sum(c)::BIGINT AS n FROM cnt),
+          g AS (SELECT v, sum(c)::BIGINT AS gc FROM cnt GROUP BY 1),
+          gcum AS (SELECT v, sum(gc) OVER (ORDER BY v)::BIGINT AS gcum FROM g),
+          q AS (SELECT s.source, s.v, s.c, (s.cum * n.n) // s.ns AS pos
+                FROM sv s, n)
+         SELECT q.source, q.v AS n_chars, q.c AS n_docs,
+                min(gc.v)::BIGINT AS qnorm
+         FROM q JOIN gcum gc ON gc.gcum >= q.pos
+         GROUP BY 1, 2, 3""",
+
+    "q186_mannwhitney" ->
+      """WITH cnt AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c
+           FROM documents GROUP BY 1, 2),
+          vals AS (SELECT DISTINCT v FROM cnt),
+          srcs AS (SELECT source, sum(c)::BIGINT AS ns FROM cnt GROUP BY 1),
+          dense AS (SELECT s.source, s.ns, va.v, coalesce(c.c, 0)::BIGINT AS c
+                    FROM srcs s CROSS JOIN vals va
+                    LEFT JOIN cnt c ON c.source = s.source AND c.v = va.v),
+          ecdf AS (SELECT source, ns, v, c,
+                     sum(c) OVER (PARTITION BY source ORDER BY v)::BIGINT AS cum
+                   FROM dense),
+          ref AS (SELECT v, ns AS nr, c AS cr, cum AS cumr FROM ecdf
+                  WHERE source = 'src0'),
+          rs AS (SELECT e.source, max(e.ns)::BIGINT AS n,
+                   max(r.nr)::BIGINT AS n_ref,
+                   sum(e.c * (2 * (e.cum - e.c + r.cumr - r.cr)
+                       + e.c + r.cr + 1))::BIGINT AS r1_2
+                 FROM ecdf e JOIN ref r USING (v)
+                 WHERE e.source <> 'src0' GROUP BY 1)
+         SELECT source, n, n_ref,
+                (r1_2 - n * (n + 1))::BIGINT AS u2,
+                ((1000000 * (r1_2 - n * (n + 1))) // (2 * n * n_ref))::BIGINT
+                  AS auc_x1e6
+         FROM rs""",
 
     "q181_benford" ->
       """WITH cents AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100

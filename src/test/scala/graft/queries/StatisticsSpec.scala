@@ -89,6 +89,51 @@ class StatisticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q185: single-source corpus normalizes to the identity map") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qnorm").toString
+    try {
+      // one source ⇒ its ECDF IS the global ECDF ⇒ qnorm(v) = v
+      (1 to 12).map(i => (i.toLong, "x", "en", "s", 10L * i))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = Statistics.queries("q185_quantile_normalize")(spark, dir).collect()
+      assert(rows.length == 12)
+      rows.foreach(r => assert(r.getAs[Long]("qnorm") == r.getAs[Long]("n_chars"), r.toString))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("q185: qnorm values come from the global domain and are monotone per source") {
+    val rows = Statistics.queries("q185_quantile_normalize")(spark, sf).collect()
+    val globalVals = Tables.documents(spark, sf)
+      .select(col("n_chars")).distinct().collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(globalVals.contains(r.getAs[Long]("qnorm"))))
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("n_chars")).map(_.getAs[Long]("qnorm"))
+      assert(sorted.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    }
+  }
+
+  test("q186: a stochastically larger source scores AUC = 1e6 exactly, and bounds hold") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mwu").toString
+    try {
+      val refDocs = (1 to 5).map(i => (i.toLong, "x", "en", "src0", 10L + i))
+      val bigDocs = (6 to 10).map(i => (i.toLong, "x", "en", "src1", 100L + i))
+      (refDocs ++ bigDocs)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val r = Statistics.queries("q186_mannwhitney")(spark, dir).collect()(0)
+      assert(r.getAs[Long]("u2") == 2L * 5 * 5) // every pair a win, doubled
+      assert(r.getAs[Long]("auc_x1e6") == 1000000L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Statistics.queries("q186_mannwhitney")(spark, sf).collect().foreach { r =>
+      val bound = 2L * r.getAs[Long]("n") * r.getAs[Long]("n_ref")
+      assert(r.getAs[Long]("u2") >= 0L && r.getAs[Long]("u2") <= bound, r.toString)
+      assert(r.getAs[Long]("auc_x1e6") >= 0L && r.getAs[Long]("auc_x1e6") <= 1000000L)
+    }
+  }
+
   test("q173: contributions are non-negative, dof = (R-1)(C-1), and chi2 sums") {
     val rows = Statistics.queries("q173_chi_square")(spark, sf).collect()
     assert(rows.nonEmpty)
