@@ -235,6 +235,51 @@ object Statistics {
           col("auc_x1e6"))
     },
 
+    // POISSON BOOTSTRAP confidence interval for each source's mean
+    // document length — distributed uncertainty quantification done
+    // the way a cluster actually does it (Chamandy et al., "Estimating
+    // Uncertainty for Massive Data Streams": per-row independent
+    // Poisson(1) weights replace the impossible global resample).
+    // Made DETERMINISTIC and engine-portable the q145/q149 way: the
+    // replicate-b weight for a doc is the count of published
+    // Poisson(1) CDF thresholds (×2⁵² integer constants) under the
+    // doc's 52-bit md5-derived draw — no RNG state, identical in both
+    // engines. B = 64 replicates; each replicate mean is one integral
+    // divide; the 95% interval is an exact rank pick (2nd and 63rd of
+    // the 64 sorted means — deterministic, no interpolation). Shapes:
+    // the B-explode multiplies DOCUMENT rows (not tokens) by 64 and
+    // partial-aggregates straight back to |sources|·B cells; the
+    // rank pick runs on the bounded replicate table.
+    "q187_bootstrap_ci" -> { (s, d) =>
+      val thresholds = Seq(1656781714176974L, 3313563428353948L,
+        4141954285442435L, 4418084571138597L, 4487117142562638L,
+        4500923656847446L, 4503224742561580L)
+      val tArr = thresholds.mkString("array(", "L, ", "L)")
+      val reps = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(63))).as("b"))
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(concat(CAST(b AS STRING), ':', CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"))
+        .withColumn("w", expr(s"size(filter($tArr, t -> h >= t))").cast("long"))
+        .groupBy(col("source"), col("b"))
+        .agg(sum(col("w") * col("n_chars")).as("wx"), sum(col("w")).as("ws"))
+        .withColumn("mean_x100", expr(
+          "CASE WHEN ws = 0 THEN CAST(0 AS BIGINT) ELSE (100 * wx) div ws END"))
+      val wRank = Window.partitionBy(col("source"))
+        .orderBy(col("mean_x100").asc, col("b").asc)
+      val ranked = reps.withColumn("rn", row_number().over(wRank))
+      val base = Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          expr("(100 * sum(n_chars)) div count(1)").as("mean_x100"))
+      base
+        .join(ranked.filter(col("rn") === 2)
+          .select(col("source"), col("mean_x100").as("ci_lo_x100")), Seq("source"))
+        .join(ranked.filter(col("rn") === 63)
+          .select(col("source"), col("mean_x100").as("ci_hi_x100")), Seq("source"))
+        .select(col("source"), col("n"), col("mean_x100"),
+          col("ci_lo_x100"), col("ci_hi_x100"))
+    },
+
     // BENFORD'S LAW first-digit audit of order totals (in cents) — the
     // forensic data-quality screen (fabricated or truncated monetary
     // data drifts from log₁₀(1+1/d)). The expected distribution is
@@ -352,6 +397,37 @@ object Statistics {
                 sum(chi2_contrib_x1e6) OVER ()::BIGINT AS chi2_x1e6,
                 ((count(*) OVER () - 1) * (c.ncols - 1))::BIGINT AS dof
          FROM per, c""",
+
+    "q187_bootstrap_ci" ->
+      """WITH reps AS (SELECT source, doc_id, n_chars,
+             unnest(generate_series(0, 63)) AS b
+           FROM documents),
+          hw AS (SELECT source, b, n_chars,
+                   len(list_filter([1656781714176974, 3313563428353948,
+                     4141954285442435, 4418084571138597, 4487117142562638,
+                     4500923656847446, 4503224742561580],
+                     t -> ('0x' || substr(md5(b::VARCHAR || ':'
+                       || doc_id::VARCHAR), 1, 13))::BIGINT >= t))::BIGINT AS w
+                 FROM reps),
+          agg AS (SELECT source, b, sum(w * n_chars)::BIGINT AS wx,
+                    sum(w)::BIGINT AS ws
+                  FROM hw GROUP BY 1, 2),
+          m AS (SELECT source, b,
+                  (CASE WHEN ws = 0 THEN 0
+                        ELSE (100 * wx) // ws END)::BIGINT AS mean_x100
+                FROM agg),
+          r AS (SELECT source, mean_x100,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY mean_x100, b) AS rn
+                FROM m),
+          base AS (SELECT source, count(*)::BIGINT AS n,
+                     ((100 * sum(n_chars)) // count(*))::BIGINT AS mean_x100
+                   FROM documents GROUP BY 1)
+         SELECT base.source, base.n, base.mean_x100,
+                lo.mean_x100 AS ci_lo_x100, hi.mean_x100 AS ci_hi_x100
+         FROM base
+         JOIN (SELECT source, mean_x100 FROM r WHERE rn = 2) lo USING (source)
+         JOIN (SELECT source, mean_x100 FROM r WHERE rn = 63) hi USING (source)""",
 
     // the structurally opposite route: a direct bounded inverse-CDF
     // join instead of the engine's as-of stream — a real cross-check

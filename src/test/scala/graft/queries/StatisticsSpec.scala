@@ -134,6 +134,45 @@ class StatisticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q187: intervals bracket the mean and one source's replicates recompute exactly") {
+    val rows = Statistics.queries("q187_bootstrap_ci")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ci_lo_x100") < r.getAs[Long]("ci_hi_x100"), r.toString)
+      assert(r.getAs[Long]("ci_lo_x100") <= r.getAs[Long]("mean_x100") &&
+        r.getAs[Long]("mean_x100") <= r.getAs[Long]("ci_hi_x100"), r.toString)
+    }
+    // driver-side recompute of src0's 64 replicate means
+    val thresholds = Seq(1656781714176974L, 3313563428353948L,
+      4141954285442435L, 4418084571138597L, 4487117142562638L,
+      4500923656847446L, 4503224742561580L)
+    val docs = Tables.documents(spark, sf).filter(col("source") === "src0")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def h52(sx: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 13), 16)
+    }
+    val means = (0 until 64).map { b =>
+      var wx = 0L; var ws = 0L
+      docs.foreach { case (id, x) =>
+        val h = h52(s"$b:$id")
+        val w = thresholds.count(h >= _).toLong
+        wx += w * x; ws += w
+      }
+      if (ws == 0) 0L else (100 * wx) / ws
+    }.sorted
+    val r0 = rows.find(_.getString(0) == "src0").get
+    assert(r0.getAs[Long]("ci_lo_x100") == means(1), "rank-2 pick")
+    assert(r0.getAs[Long]("ci_hi_x100") == means(62), "rank-63 pick")
+    // Poisson(1) weights average to ~1: total resample mass within 15%
+    val totW = docs.map { case (id, _) =>
+      (0 until 64).map(b => thresholds.count(h52(s"$b:$id") >= _)).sum.toLong
+    }.sum
+    assert(math.abs(totW - 64L * docs.length).toDouble / (64L * docs.length) <= 0.15)
+  }
+
   test("q173: contributions are non-negative, dof = (R-1)(C-1), and chi2 sums") {
     val rows = Statistics.queries("q173_chi_square")(spark, sf).collect()
     assert(rows.nonEmpty)
