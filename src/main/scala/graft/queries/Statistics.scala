@@ -255,7 +255,11 @@ object Statistics {
         4141954285442435L, 4418084571138597L, 4487117142562638L,
         4500923656847446L, 4503224742561580L)
       val tArr = thresholds.mkString("array(", "L, ", "L)")
-      val reps = Tables.documents(s, d)
+      // fanOut first: the driver table is ONE scan partition, and the
+      // B-explode + per-replicate digest chain is the heavy narrow
+      // stage — serialized it was measured 26 s at sf1, fanned out 2.2 s
+      val reps = Tables.fanOut(Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars")))
         .select(col("source"), col("doc_id"), col("n_chars"),
           explode(sequence(lit(0), lit(63))).as("b"))
         .withColumn("h", expr(
