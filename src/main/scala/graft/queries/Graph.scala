@@ -138,19 +138,24 @@ object Graph {
       val maxRounds = 6
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      val und = li.as("a").join(li.as("b"),
+      // peel over the u<v half-edge list (degrees from the endpoint
+      // union) — the symmetric doubled list pays 2× per checkpoint and
+      // per anti-join round for nothing the union-groupBy doesn't give
+      var e = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-      var e = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
         .localCheckpoint()
-      val nNodes = e.select(col("u")).distinct().count()
+      def degOf(df: DataFrame): DataFrame =
+        df.select(col("u").as("node")).unionAll(df.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("c"))
+      val nNodes = degOf(e).count()
       var rounds = 0L
       var removed = 0L
       var done = false
       var i = 0
       while (i < maxRounds && !done) {
-        val bad = e.groupBy(col("u")).agg(count(lit(1)).as("c"))
-          .filter(col("c") < k).select(col("u").as("b")).localCheckpoint()
+        val bad = degOf(e).filter(col("c") < k)
+          .select(col("node").as("b")).localCheckpoint()
         val nBad = bad.count()
         if (nBad == 0) done = true
         else {
@@ -165,7 +170,7 @@ object Graph {
         }
         i += 1
       }
-      val st = e.groupBy(col("u")).agg(count(lit(1)).as("c"))
+      val st = degOf(e)
         .agg(count(lit(1)).as("nc"), coalesce(min(col("c")), lit(-1L)).as("md"),
           coalesce(sum(col("c")), lit(0L)).as("sd")).collect()(0)
       s.range(1).select(lit(k.toLong).as("k"), lit(nNodes).as("n_nodes"),
