@@ -166,6 +166,98 @@ object Behavior {
         .select(col("buy_id"), col("user_id"), col("buy_ms"),
           when(col("in_window"), col("click_id")).otherwise(lit(-1L)).as("att_click_id"),
           when(col("in_window"), col("buy_ms") - col("click_ms")).otherwise(lit(-1L)).as("gap_ms"))
+    },
+
+    // SEQUENTIAL PATTERN MINING (PrefixSpan-lite, length 3): the most
+    // frequent consecutive event-type trigrams across user journeys —
+    // the "next-step prediction" table product analytics builds (q163
+    // mines UNORDERED baskets; this mines ORDER). Each user's timeline
+    // orders by (ts, event_id) — the deterministic tie-break — and
+    // consecutive triples count once per occurrence; support ≥ 5
+    // prunes before ranking. Shapes: ONE shuffle on the
+    // high-cardinality user key powers the lead() windows (each task
+    // holds one user's run); trigram counting partial-aggregates over
+    // the |types|³-bounded key space; top-20 is TakeOrdered.
+    "q188_sequence_mining" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val base = ev.select(col("user_id"), col("event_type"),
+        Tables.tsAsMillis(ev).as("t"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t").asc, col("event_id").asc)
+      val tri = base
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("t2").as("e2"), col("t3").as("e3"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // reused: the total scalar + the ranked report
+      val total = tri.agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
+      tri.filter(col("cnt") >= 5L)
+        .orderBy(col("cnt").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+        .limit(20)
+        .withColumn("rank", row_number().over(Window.orderBy(
+          col("cnt").desc, col("e1").asc, col("e2").asc, col("e3").asc)).cast("long"))
+        .withColumn("support_x1e6", expr(s"(1000000 * cnt) div ${total}L"))
+        .select(col("rank"), col("e1"), col("e2"), col("e3"), col("cnt"),
+          col("support_x1e6"))
+    },
+
+    // KAPLAN–MEIER SURVIVAL CURVE of order-to-first-ship time per
+    // order priority: subject = order, event ("death") = first
+    // lineitem shipped, duration = days from order date to first ship
+    // (clamped at 0 — the synthetic dates are uncorrelated), with
+    // ADMINISTRATIVE CENSORING at the end of order intake (an order
+    // whose first ship falls after the last order date leaves the
+    // risk set unshipped — the standard right-censoring every
+    // time-to-event study carries). S(t) multiplies (n_t − d_t)/n_t
+    // over death days — an inherently SEQUENTIAL product of
+    // rationals, kept exact as the stepwise integral divide
+    // s ← (s·(n−d)) div n at ×10⁶ scale. The step table is
+    // date-domain bounded (≤ span-days rows per cohort), so the fold
+    // rides one bounded driver collect (the q165 scalar class) while
+    // every data-sized pass — the first-ship aggregate, the
+    // (cohort, duration) counts, the reverse-cumulative risk set — is
+    // a partial-aggregable shuffle or a bounded-table window. The
+    // ORACLE walks the same recurrence as a linear recursive CTE — an
+    // iterative fixpoint cross-checking a driver fold (the q148
+    // discipline).
+    "q189_kaplan_meier" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority").as("cohort"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("od"))
+      val fs = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(min(expr("unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000"))
+          .as("sd"))
+      val j = o.join(fs, Seq("o_orderkey")).localCheckpoint()
+      val cDay = j.agg(max(col("od"))).collect()(0).getLong(0)
+      val lives = j
+        .withColumn("died", col("sd") <= lit(cDay))
+        .withColumn("dur", when(col("died"),
+          greatest(col("sd") - col("od"), lit(0L)))
+          .otherwise(greatest(lit(cDay) - col("od"), lit(0L))))
+      val steps = lives.groupBy(col("cohort"), col("dur"))
+        .agg(count(lit(1)).as("n_at"),
+          sum(when(col("died"), 1L).otherwise(0L)).as("d"))
+        .withColumn("n_risk", sum(col("n_at")).over(
+          Window.partitionBy(col("cohort")).orderBy(col("dur").asc)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .filter(col("d") > 0)
+        .select(col("cohort"), col("dur"), col("n_risk"), col("d"))
+        .collect() // date-domain bounded: ≤ span-days rows per cohort
+        .groupBy(_.getString(0))
+      val rows = steps.toSeq.flatMap { case (cohort, rs) =>
+        var s6 = 1000000L
+        rs.sortBy(_.getLong(1)).map { r =>
+          val (dur, n, dd) = (r.getLong(1), r.getLong(2), r.getLong(3))
+          s6 = (s6 * (n - dd)) / n
+          (cohort, dur, n, dd, s6)
+        }
+      }
+      import s.implicits._
+      rows.toDF("cohort", "day", "n_at_risk", "n_died", "surv_x1e6")
     }
   )
 
@@ -250,6 +342,66 @@ object Behavior {
                       THEN click_id ELSE -1 END)::BIGINT AS att_click_id,
                 (CASE WHEN click_ms IS NOT NULL AND buy_ms - click_ms <= 604800000
                       THEN buy_ms - click_ms ELSE -1 END)::BIGINT AS gap_ms
-         FROM j WHERE rn = 1"""
+         FROM j WHERE rn = 1""",
+
+    "q188_sequence_mining" ->
+      """WITH base AS (SELECT user_id, event_type, epoch_ms(ts)::BIGINT AS t,
+             event_id FROM events),
+          tri AS (SELECT event_type AS e1,
+                    lead(event_type, 1) OVER w AS e2,
+                    lead(event_type, 2) OVER w AS e3
+                  FROM base
+                  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+          cnts AS (SELECT e1, e2, e3, count(*)::BIGINT AS cnt FROM tri
+                   WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1, 2, 3),
+          tot AS (SELECT sum(cnt)::BIGINT AS total FROM cnts)
+         SELECT row_number() OVER (ORDER BY cnt DESC, e1, e2, e3)::BIGINT AS rank,
+                e1, e2, e3, cnt,
+                ((1000000 * cnt) // tot.total)::BIGINT AS support_x1e6
+         FROM cnts, tot WHERE cnt >= 5
+         ORDER BY cnt DESC, e1, e2, e3 LIMIT 20""",
+
+    // the engine folds the survival recurrence on bounded driver rows;
+    // the oracle walks the SAME recurrence as a linear recursive CTE
+    "q189_kaplan_meier" ->
+      """WITH RECURSIVE o AS (SELECT o_orderkey, o_orderpriority AS cohort,
+             epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS od
+           FROM orders),
+          fs AS (SELECT l_orderkey AS o_orderkey,
+                   min(epoch_ms(CAST(l_shipdate AS TIMESTAMP)) // 86400000)
+                     AS sd
+                 FROM lineitem GROUP BY 1),
+          j AS (SELECT o.cohort, o.od, fs.sd
+                FROM o JOIN fs USING (o_orderkey)),
+          mx AS (SELECT max(od) AS c FROM j),
+          lives AS (SELECT j.cohort, j.sd <= mx.c AS died,
+                      CASE WHEN j.sd <= mx.c
+                           THEN greatest(j.sd - j.od, 0)
+                           ELSE greatest(mx.c - j.od, 0) END AS dur
+                    FROM j, mx),
+          st0 AS (SELECT cohort, dur, count(*)::BIGINT AS n_at,
+                    sum(died::INT)::BIGINT AS d
+                  FROM lives GROUP BY 1, 2),
+          st AS (SELECT cohort, dur, d,
+                   sum(n_at) OVER (PARTITION BY cohort ORDER BY dur
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+                     AS n_risk
+                 FROM st0),
+          steps AS (SELECT cohort, dur, n_risk, d,
+                      row_number() OVER (PARTITION BY cohort ORDER BY dur)::BIGINT
+                        AS idx
+                    FROM st WHERE d > 0),
+          km(cohort, idx, surv) AS (
+            SELECT cohort, 0::BIGINT, 1000000::BIGINT
+            FROM (SELECT DISTINCT cohort FROM steps)
+            UNION ALL
+            SELECT s.cohort, s.idx,
+                   ((k.surv * (s.n_risk - s.d)) // s.n_risk)::BIGINT
+            FROM km k JOIN steps s ON s.cohort = k.cohort
+              AND s.idx = k.idx + 1
+          )
+         SELECT s.cohort, s.dur AS day, s.n_risk AS n_at_risk,
+                s.d AS n_died, k.surv::BIGINT AS surv_x1e6
+         FROM steps s JOIN km k ON k.cohort = s.cohort AND k.idx = s.idx"""
   )
 }

@@ -119,4 +119,52 @@ class BehaviorSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"extra=${(got diff expected).take(3)} missing=${(expected diff got).take(3)}")
     assert(got.nonEmpty, "fixture degenerate: no rules above the floors")
   }
+
+  test("q188: the ranked trigrams equal a driver-side sequential scan") {
+    val got = graft.SparkEntry.queries("q188_sequence_mining")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+    val events = ev.select(col("user_id"), col("event_type"),
+        Tables.tsAsMillis(ev).as("t"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val counts = collection.mutable.Map[(String, String, String), Long]()
+      .withDefaultValue(0L)
+    events.groupBy(_._1).values.foreach { rows =>
+      val seq = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      seq.sliding(3).filter(_.length == 3).foreach { w =>
+        counts((w(0), w(1), w(2))) += 1
+      }
+    }
+    val expected = counts.toSeq.filter(_._2 >= 5)
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, ((a, b, c), n)) =>
+      assert((r.getString(1), r.getString(2), r.getString(3)) == ((a, b, c)))
+      assert(r.getAs[Long]("cnt") == n)
+    }
+  }
+
+  test("q189: survival is in (0, 1e6], non-increasing, and refolds from the steps") {
+    val rows = graft.SparkEntry.queries("q189_kaplan_meier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("day"))
+      var s6 = 1000000L
+      var prev = Long.MaxValue
+      ordered.foreach { r =>
+        val (n, dd) = (r.getAs[Long]("n_at_risk"), r.getAs[Long]("n_died"))
+        assert(dd >= 1 && dd <= n)
+        s6 = (s6 * (n - dd)) / n
+        assert(r.getAs[Long]("surv_x1e6") == s6, r.toString)
+        assert(s6 <= prev); prev = s6
+        assert(s6 >= 0 && s6 <= 1000000L)
+      }
+    }
+    // risk sets shrink as duration grows (within each cohort)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byDay = rs.sortBy(_.getAs[Long]("day")).map(_.getAs[Long]("n_at_risk"))
+      assert(byDay.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
 }
