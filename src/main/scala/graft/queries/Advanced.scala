@@ -496,6 +496,89 @@ object Advanced {
       out
     },
 
+    // LEFT-OUTER stream-stream join — the capability q54's inner join
+    // leaves open: clicks with no purchase within 30 min must ALSO
+    // emit (buy = −1), and they can only emit when the WATERMARK
+    // proves no match can still arrive — outer results are
+    // state-eviction results. Determinism needs the q161 staging
+    // machinery: the data batch, then TWO sentinel batches (since
+    // SPARK-40925 eviction in batch N uses the watermark COMMITTED at
+    // batch N−1, so one sentinel advances the watermark and the next
+    // flushes against it; the final sentinel's own click stays in
+    // state — its expiry exceeds the last watermark — and is filtered
+    // by user_id ≥ 0 anyway). Oracle: the relational left-outer with
+    // the same interval predicate — every real click appears exactly
+    // once per match or once with −1. Scale: join state is bounded by
+    // the watermark window on BOTH sides (the outer side holds rows
+    // only until expiry proves them unmatched).
+    "q190_stream_outer_join" -> { (s, d) =>
+      val src = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q190_" + layoutTag(d, "events.parquet"))
+      val evB = Tables.events(s, d)
+      val mx = evB.agg(max(unix_millis(col("ts")))).collect()(0).getLong(0)
+      if (!src.exists()) {
+        src.mkdirs()
+        val staged = evB
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("ts"), col("event_type"), col("user_id"))
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = new java.io.File(src, s".stage_$name")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+          val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+          val dest = new java.io.File(src, name)
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(mtime)
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        }
+        val t0 = 1700000000000L
+        def sentinel(tsMs: Long): DataFrame = evB.limit(1).select(
+          timestamp_millis(lit(tsMs)).as("ts"),
+          explode(array(lit("click"), lit("purchase"))).as("event_type"),
+          lit(-1L).as("user_id"))
+        stage(staged, "00_data.parquet", t0)
+        stage(sentinel(mx + 10L * 86400000L), "01_advance.parquet", t0 + 300000L)
+        stage(sentinel(mx + 20L * 86400000L), "02_flush.parquet", t0 + 600000L)
+      }
+      val ck = java.nio.file.Files.createTempDirectory("graft-q190-ck")
+      val sinkName = "q190_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      try {
+        val schema = s.read.parquet(src.getPath).schema
+        def side(): DataFrame = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src.getPath)
+        val clicks = side().filter(col("event_type") === "click")
+          .select(col("user_id").cast("long").as("user_id"),
+            col("ts").cast("timestamp").as("click_ts"))
+          .withWatermark("click_ts", "2 hours")
+        val buys = side().filter(col("event_type") === "purchase")
+          .select(col("user_id").cast("long").as("buy_user"),
+            col("ts").cast("timestamp").as("buy_ts"))
+          .withWatermark("buy_ts", "2 hours")
+        val joined = clicks.join(buys,
+          expr("""user_id = buy_user AND
+                  buy_ts > click_ts AND
+                  buy_ts <= click_ts + interval 30 minutes"""),
+          "left_outer")
+          .select(col("user_id"),
+            unix_millis(col("click_ts")).as("click_ms"),
+            coalesce(unix_millis(col("buy_ts")), lit(-1L)).as("buy_ms"))
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = try {
+          joined.writeStream
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ck.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        q.awaitTermination()
+        val out = s.table(sinkName).filter(col("user_id") >= 0L)
+          .select(col("user_id"), col("click_ms"), col("buy_ms"))
+          .localCheckpoint() // release the memory-sink view eagerly
+        s.catalog.dropTempView(sinkName)
+        out
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+    },
+
     // Stream-static enrichment: the event stream joins a static
     // dimension (customer segments). The static side is planned per
     // micro-batch like any batch relation — broadcast at this size, a
@@ -812,6 +895,18 @@ object Advanced {
          FROM events a JOIN events b
            ON a.user_id = b.user_id
           AND a.event_type = 'click' AND b.event_type = 'purchase'
+          AND epoch_us(b.ts) > epoch_us(a.ts)
+          AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000""",
+
+    // the relational left-outer the watermark-evicted stream converges
+    // to: matches as q54, plus one (click, -1) row per unmatched click
+    "q190_stream_outer_join" ->
+      """SELECT a.user_id::BIGINT AS user_id,
+                epoch_ms(a.ts)::BIGINT AS click_ms,
+                coalesce(epoch_ms(b.ts), -1)::BIGINT AS buy_ms
+         FROM (SELECT * FROM events WHERE event_type = 'click') a
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+           ON a.user_id = b.user_id
           AND epoch_us(b.ts) > epoch_us(a.ts)
           AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000""",
     "q26_kafka_format" ->

@@ -303,6 +303,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q190: the watermark-evicted left-outer stream equals the batch left-outer") {
+    // outer results are EVICTION results — the full file-staged run
+    // (data batch + two sentinel batches, the SPARK-40925 double
+    // advance) must converge to the relational left-outer exactly,
+    // with BOTH outcomes present (matches and −1 unmatched rows)
+    val out = graft.SparkEntry.queries("q190_stream_outer_join")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(x => x).view.mapValues(_.length).toMap
+    val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id").cast("long").as("u"),
+        unix_millis(col("ts")).as("t"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click").select(col("u"), col("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val buys = ev.filter(col("event_type") === "purchase").select(col("u"), col("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = clicks.flatMap { case (u, ct) =>
+      val ms = buys.filter { case (bu, bt) =>
+        bu == u && bt > ct && bt <= ct + 1800000L }
+      if (ms.isEmpty) Seq((u, ct, -1L)) else ms.toSeq.map { case (_, bt) => (u, ct, bt) }
+    }.groupBy(x => x).view.mapValues(_.length).toMap
+    assert(out == expected)
+    assert(expected.keys.exists(_._3 == -1L), "fixture degenerate: no unmatched clicks")
+    assert(expected.keys.exists(_._3 >= 0L), "fixture degenerate: no matches")
+  }
+
   test("watermarked hourly aggregation matches the batch grouping") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
