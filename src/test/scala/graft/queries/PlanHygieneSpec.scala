@@ -74,6 +74,7 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q159_ann_pq",
       "q115_hard_negatives", // |Q| = 50 probes broadcast — bounded by construction
       "q172_ks_test",     // dense ECDF grid: |distinct values| × |sources|, both value-domain bounded
+      "q186_mannwhitney", // the same shared dense ECDF grid as q172
       "q173_chi_square",  // contingency grid: R marginals × C marginals (types × 7 dows)
       "q178_rrf_fusion",  // the 1-row query vector broadcasts against the corpus (q18's shape)
       "q180_ccf",         // the 1-row reference-denominator scalar broadcasts
