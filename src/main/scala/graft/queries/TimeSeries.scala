@@ -299,6 +299,63 @@ object TimeSeries {
             "((num * num * 1000000000000) div (den_a * den)) AS BIGINT) END"))
         .select(col("event_type"), col("lag").cast("long").as("lag"),
           col("n_pairs"), col("num").cast("long").as("ccf_num"), col("r2s_x1e12"))
+    },
+
+    // TEMPORAL INTERVAL COALESCE (gaps-and-islands over INTERVALS):
+    // merge every overlapping-or-touching [st, st+dur) busy period per
+    // event_type into maximal islands — SQL:2011's temporal coalesce,
+    // the normalizer behind q158's concurrency sweep (q25 sessionizes
+    // POINTS by gap; this merges DURATIONS by overlap). The textbook
+    // form needs two sequential scans (running max of prior ends → new-
+    // island flags → running flag count); both decompose by the q158
+    // segmented-carry pattern: within-(type, start-day) windows do the
+    // local running max / flag count in parallel, the (type, day)
+    // rollup's prefix max/sum over the VALUE-DOMAIN-bounded day table
+    // is each day's carry-in, and greatest(local, carry) is exact —
+    // intervals spanning days are covered because the end-max carry
+    // crosses day boundaries. Output: one row per island (start, end,
+    // n_merged, span_ms). Touching intervals (st = prior end) MERGE —
+    // the closed-coalesce convention, the complement of q158's
+    // half-open counting.
+    "q191_interval_coalesce" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val iv = ev.select(col("event_type"), col("event_id"),
+          Tables.tsAsMillis(ev).as("st"),
+          greatest(round(col("value") * 100).cast("long"), lit(1L)).as("dur"))
+        .withColumn("en", col("st") + col("dur"))
+        .withColumn("day", expr("st div 86400000"))
+      val wLocalPrev = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("st").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dayAgg = iv.groupBy(col("event_type"), col("day"))
+        .agg(max(col("en")).as("day_max"), count(lit(1)).as("day_n"))
+      val wCarry = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = dayAgg
+        .withColumn("carry_max", max(col("day_max")).over(wCarry))
+        .select(col("event_type"), col("day"), col("carry_max"))
+      val flagged = iv.join(broadcast(carry), Seq("event_type", "day"))
+        .withColumn("local_prev", max(col("en")).over(wLocalPrev))
+        .withColumn("prior_end", greatest(
+          coalesce(col("local_prev"), lit(Long.MinValue)),
+          coalesce(col("carry_max"), lit(Long.MinValue))))
+        .withColumn("flag",
+          when(col("st") > col("prior_end"), 1L).otherwise(0L))
+      val wLocalFlags = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("st").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dayFlags = flagged.groupBy(col("event_type"), col("day"))
+        .agg(sum(col("flag")).as("day_flags"))
+        .withColumn("flag_carry", coalesce(sum(col("day_flags")).over(wCarry), lit(0L)))
+        .select(col("event_type"), col("day"), col("flag_carry"))
+      flagged.join(broadcast(dayFlags), Seq("event_type", "day"))
+        .withColumn("island", col("flag_carry") + sum(col("flag")).over(wLocalFlags))
+        .groupBy(col("event_type"), col("island"))
+        .agg(min(col("st")).as("island_start"), max(col("en")).as("island_end"),
+          count(lit(1)).as("n_merged"))
+        .withColumn("span_ms", col("island_end") - col("island_start"))
+        .select(col("event_type"), col("island"), col("island_start"),
+          col("island_end"), col("n_merged"), col("span_ms"))
     }
   )
 
@@ -437,6 +494,26 @@ object TimeSeries {
          SELECT event_type, hod::BIGINT AS hod, count(*)::BIGINT AS n_obs,
                 ((100 * sum(d25)) // (25 * count(*)))::BIGINT AS seasonal_x100
          FROM det GROUP BY 1, 2""",
+
+    // the textbook two-scan island detection, one window per type —
+    // the un-segmented mirror of the engine's carry decomposition
+    "q191_interval_coalesce" ->
+      """WITH iv AS (SELECT event_type, event_id, epoch_ms(ts)::BIGINT AS st,
+             greatest(round(value * 100)::BIGINT, 1) AS dur
+           FROM events),
+          x AS (SELECT event_type, event_id, st, st + dur AS en FROM iv),
+          f AS (SELECT *, CASE WHEN st > coalesce(max(en) OVER (
+                  PARTITION BY event_type ORDER BY st, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -9223372036854775807) THEN 1 ELSE 0 END AS flag
+                FROM x),
+          g AS (SELECT *, sum(flag) OVER (PARTITION BY event_type
+                  ORDER BY st, event_id)::BIGINT AS island
+                FROM f)
+         SELECT event_type, island, min(st)::BIGINT AS island_start,
+                max(en)::BIGINT AS island_end, count(*)::BIGINT AS n_merged,
+                (max(en) - min(st))::BIGINT AS span_ms
+         FROM g GROUP BY 1, 2""",
 
     "q180_ccf" ->
       """WITH cnt AS (SELECT event_type, epoch_ms(ts) // 3600000 AS e,

@@ -361,6 +361,35 @@ class TimeSeriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q191: segmented islands equal a driver-side sequential merge, and merges exist") {
+    // sf0.01: the sf0.001 fixture is overlap-free (1k short intervals
+    // over 60 days) — the merge path would go untested there
+    val sf = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q191_interval_coalesce")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("island_start"),
+        r.getAs[Long]("island_end"), r.getAs[Long]("n_merged"))).toSet
+    val ev = Tables.events(spark, sf)
+    val ivs = ev.select(col("event_type"), Tables.tsAsMillis(ev).as("st"),
+        greatest(org.apache.spark.sql.functions.round(col("value") * 100)
+          .cast("long"), lit(1L)).as("dur"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(1) + r.getLong(2), r.getLong(3)))
+    val expected = ivs.groupBy(_._1).flatMap { case (t, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._4))
+      val islands = collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      sorted.foreach { case (_, st, en, _) =>
+        islands.lastOption match {
+          case Some((is, ie, n)) if st <= ie => // touching merges
+            islands(islands.length - 1) = (is, math.max(ie, en), n + 1)
+          case _ => islands += ((st, en, 1L))
+        }
+      }
+      islands.map { case (is, ie, n) => (t, is, ie, n) }
+    }.toSet
+    assert(got == expected,
+      s"extra=${(got diff expected).take(3)} missing=${(expected diff got).take(3)}")
+    assert(expected.exists(_._4 > 1), "fixture degenerate: nothing merged")
+  }
+
   test("q180: Cauchy-Schwarz bound holds and every non-ref type reports all 25 lags") {
     val rows = SparkEntry.queries("q180_ccf")(spark, sf).collect()
     assert(rows.nonEmpty)
