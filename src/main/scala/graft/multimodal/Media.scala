@@ -156,6 +156,34 @@ object Media {
       }
   }
 
+  final case class FrameHist(media_id: Long, frame_idx: Long, n_bytes: Long,
+                             hist: Array[Long])
+
+  /** Per-frame byte-value histograms for video payloads: every block
+    * (the q47 frame convention, caller-sized stride) reduced to a B-bucket
+    * histogram of byte % B — the compact per-frame signature a
+    * scene-change detector consumes (a real pipeline would histogram
+    * decoded luma; the bucketing contract and shapes are identical).
+    * Emits B longs per frame, never the frame bytes. */
+  def frameHistograms(media: Dataset[MediaRow], buckets: Int,
+                      frameBytes: Int = 4096): Dataset[FrameHist] = {
+    require(buckets > 0 && frameBytes > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.meta.mediaType == "video")
+      .flatMap { row =>
+        row.payload.grouped(frameBytes).zipWithIndex.map { case (block, idx) =>
+          val h = new Array[Long](buckets)
+          var j = 0
+          while (j < block.length) {
+            h((block(j) & 0xff) % buckets) += 1
+            j += 1
+          }
+          FrameHist(row.media_id, idx.toLong, block.length.toLong, h)
+        }
+      }
+  }
+
   /** Synthetic media table for tests/demo: payload bytes derived from
     * the id (deterministic). */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {

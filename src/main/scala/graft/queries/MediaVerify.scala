@@ -107,6 +107,36 @@ object MediaVerify {
           col("energy"), col("is_silence"))
     },
 
+    // q192 — the temporal face of the video pipeline: SCENE-CHANGE
+    // detection by consecutive-frame histogram distance. Each 128-byte
+    // frame reduces to a 16-bucket byte histogram (the compact
+    // signature — a real pipeline histograms decoded luma at the same
+    // boundary); L1 distance between consecutive frames is an exact
+    // integer, and a boundary fires when the distance exceeds a
+    // quarter of the combined frame mass (4·l1 > n1 + n2). ASCII-only
+    // for the q47 byte-vs-character reason; the oracle recomputes
+    // every histogram analytically from text positions. Shapes: the
+    // histogram pass emits 16 longs per frame (never frame bytes);
+    // the consecutive pairing is a per-media lag window over
+    // frame-count-bounded rows.
+    "q192_scene_detect" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val media = mediaFromDocuments(s, dir, asciiOnly = true)
+      // 128-byte frames: the driver corpus's ~300-char payloads must
+      // yield multi-frame videos or the temporal pairing is vacuous
+      val hists = Media.frameHistograms(media, buckets = 16, frameBytes = 128).toDF()
+      val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx").asc)
+      hists
+        .withColumn("prev_hist", lag(col("hist"), 1).over(w))
+        .withColumn("prev_n", lag(col("n_bytes"), 1).over(w))
+        .filter(col("prev_hist").isNotNull)
+        .withColumn("l1", expr(
+          "aggregate(zip_with(hist, prev_hist, (a, b) -> abs(a - b)), 0L, (acc, x) -> acc + x)"))
+        .withColumn("is_scene_change", col("l1") * 4L > col("n_bytes") + col("prev_n"))
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("n_bytes"), col("l1"), col("is_scene_change"))
+    },
+
     // q113 — the resize face of the media pipeline: 640×480 payloads
     // scaled to 64×48 (stub: the 1/100-pixel-ratio byte prefix, dims
     // updated). ASCII-only for the same byte-vs-character reason as
@@ -151,11 +181,11 @@ object MediaVerify {
          ),
          f AS (
            SELECT doc_id AS media_id, text,
-                  unnest(range(0, CAST(ceil(L / 4096.0) AS BIGINT))) AS frame_idx
+                  unnest(range(0, CAST(ceil(L / 128.0) AS BIGINT))) AS frame_idx
            FROM v
          )
          SELECT media_id, frame_idx,
-                md5(substr(text, CAST(frame_idx * 4096 + 1 AS BIGINT), 4096)) AS frame_md5
+                md5(substr(text, CAST(frame_idx * 128 + 1 AS BIGINT), 4096)) AS frame_md5
          FROM f WHERE frame_idx % 2 = 0""",
     "q184_audio_energy" ->
       """WITH a AS (
@@ -177,6 +207,52 @@ object MediaVerify {
                 count(*)::BIGINT AS n_samples, sum(d2)::BIGINT AS energy,
                 sum(d2) < 500 * count(*) AS is_silence
          FROM w GROUP BY 1, 2""",
+
+    "q192_scene_detect" ->
+      """WITH v AS (
+           SELECT doc_id AS media_id, text, strlen(text) AS L FROM documents
+           WHERE doc_id % 3 = 2 AND strlen(text) = length(text)
+         ),
+         fr AS (
+           SELECT media_id, text, L,
+                  unnest(range(0, CAST(ceil(L / 128.0) AS BIGINT))) AS frame_idx
+           FROM v
+         ),
+         fb AS (
+           SELECT media_id, frame_idx, text,
+                  least(L - frame_idx * 128, 128)::BIGINT AS n_bytes
+           FROM fr
+         ),
+         pos AS (
+           SELECT media_id, frame_idx, n_bytes, text,
+                  unnest(range(0, n_bytes)) AS i
+           FROM fb
+         ),
+         hh AS (
+           SELECT media_id, frame_idx, n_bytes,
+                  ascii(substr(text, CAST(frame_idx * 128 + i + 1 AS BIGINT), 1)) % 16
+                    AS bucket,
+                  count(*)::BIGINT AS c
+           FROM pos GROUP BY 1, 2, 3, 4
+         ),
+         dense AS (
+           SELECT f.media_id, f.frame_idx, f.n_bytes, b.bucket,
+                  coalesce(hh.c, 0)::BIGINT AS c
+           FROM fb f CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) b
+           LEFT JOIN hh ON hh.media_id = f.media_id
+             AND hh.frame_idx = f.frame_idx AND hh.bucket = b.bucket
+         ),
+         l1 AS (
+           SELECT a.media_id, a.frame_idx, a.n_bytes,
+                  sum(abs(a.c - p.c))::BIGINT AS l1,
+                  max(p.n_bytes)::BIGINT AS prev_n
+           FROM dense a JOIN dense p ON p.media_id = a.media_id
+             AND p.frame_idx = a.frame_idx - 1 AND p.bucket = a.bucket
+           GROUP BY 1, 2, 3
+         )
+         SELECT media_id, frame_idx, n_bytes, l1,
+                l1 * 4 > n_bytes + prev_n AS is_scene_change
+         FROM l1""",
 
     "q113_media_resize" ->
       """WITH m AS (

@@ -149,4 +149,27 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1).energy == 400L && !out(1).is_silence) // 400 == 100·4: strict <
     assert(out(2).n_samples == 2L && out(2).energy == 1800L && !out(2).is_silence)
   }
+
+  test("frame histograms: hand-computed buckets, video rows only, ragged tail") {
+    val sp = spark; import sp.implicits._
+    // frame 0: 128 bytes of value 32 (bucket 0); frame 1: 128 bytes of
+    // value 33 (bucket 1); frame 2 (ragged): 10 bytes of value 32
+    val payload = (Array.fill(128)(32.toByte) ++ Array.fill(128)(33.toByte)
+      ++ Array.fill(10)(32.toByte))
+    val media = sp.createDataset(Seq(
+      MediaRow(1L, MediaMeta("video", 640, 480, 16000), payload),
+      MediaRow(2L, MediaMeta("audio", 640, 480, 16000), payload)))
+    val out = Media.frameHistograms(media, buckets = 16, frameBytes = 128)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.media_id).forall(_ == 1L), "non-video row leaked in")
+    assert(out.length == 3)
+    assert(out(0).hist(0) == 128L && out(0).hist.sum == 128L)
+    assert(out(1).hist(1) == 128L && out(1).hist.sum == 128L)
+    assert(out(2).n_bytes == 10L && out(2).hist(0) == 10L)
+    // the scene-change arithmetic on these frames: L1(f0,f1) = 256 and
+    // 4·256 > 128+128 — a certain boundary; L1(f1,f2) = 138, 4·138 >
+    // 128+10 — boundary again (full mass moved buckets)
+    val l1a = out(0).hist.zip(out(1).hist).map { case (a, b) => math.abs(a - b) }.sum
+    assert(l1a == 256L && 4 * l1a > 256L)
+  }
 }
