@@ -181,11 +181,11 @@ object MediaVerify {
          ),
          f AS (
            SELECT doc_id AS media_id, text,
-                  unnest(range(0, CAST(ceil(L / 128.0) AS BIGINT))) AS frame_idx
+                  unnest(range(0, CAST(ceil(L / 4096.0) AS BIGINT))) AS frame_idx
            FROM v
          )
          SELECT media_id, frame_idx,
-                md5(substr(text, CAST(frame_idx * 128 + 1 AS BIGINT), 4096)) AS frame_md5
+                md5(substr(text, CAST(frame_idx * 4096 + 1 AS BIGINT), 4096)) AS frame_md5
          FROM f WHERE frame_idx % 2 = 0""",
     "q184_audio_energy" ->
       """WITH a AS (
