@@ -28,7 +28,11 @@ object Statistics {
     // exact rational pieces (num, dxx, dyy) plus the signed, squared,
     // presentation-scaled sρ²·10¹² = sign(num)·num²·10¹²/(dxx·dyy) —
     // the q162 r²-discipline (a square root is irrational; its square
-    // is not). Shapes for 100 TB: the rank map lives on the DISTINCT
+    // is not). Range bound (the q152 discipline): ranks ≤ 2n keep
+    // num < 4n³, inside int64 for n ≤ ~1.3M rows per source — beyond
+    // that the exact pieces ship as DECIMAL(38) strings like q152's
+    // s3/s4 (the ×10¹² presentation scalar is computed in DECIMAL(38)
+    // already). Shapes for 100 TB: the rank map lives on the DISTINCT
     // (source, value) table — value-domain bounded, never data-sized —
     // so the only data-sized work is one partial-aggregable groupBy to
     // build it and one broadcast-join pass to accumulate the six
