@@ -64,6 +64,67 @@ object Media {
     }
   }
 
+  /** REAL image decoder riding the same [[Decoder]] seam — proof the
+    * mapPartitions boundary holds for a genuine library, not just the
+    * stub. Uses the JDK's own codec (`javax.imageio`, PNG/JPEG/GIF/BMP
+    * — no external dependency): dimensions come from the DECODED
+    * bitmap (metadata hints are ignored — a real decoder trusts the
+    * bytes), the feature vector is the mean luma of `featureDim`
+    * horizontal bands (deterministic: integer pixel sums, one float
+    * divide at the end), and the checksum stays CRC32-of-payload so
+    * stub and real rows remain comparable. Undecodable bytes fail with
+    * the row named — opting into a real decoder asserts the payloads
+    * really are encoded images. Opt-in via `spark.graft.media.decoder`
+    * = `imageio` ([[decoderFor]]); the gate default stays [[StubDecoder]]
+    * (this sandbox's corpus carries text bytes, not PNGs). */
+  final class ImageIoDecoder(featureDim: Int = 8) extends Decoder {
+    override def decode(row: MediaRow): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+      require(img != null,
+        s"media_id=${row.media_id}: payload is not a decodable image (${row.payload.length} bytes)")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val bands = math.min(featureDim, h)
+      val feat = new Array[Float](featureDim)
+      var b = 0
+      while (b < bands) {
+        val y0 = h.toLong * b / bands
+        val y1 = h.toLong * (b + 1) / bands
+        var sum = 0L
+        var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y.toInt)
+            // integer luma (ITU-R 601 weights scaled by 256): exact,
+            // so the feature is deterministic across JVMs
+            sum += (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        feat(b) = if (n == 0) 0f else sum.toFloat / (n * 255f)
+        b += 1
+      }
+      val crc = new java.util.zip.CRC32()
+      crc.update(row.payload)
+      MediaFeatures(row.media_id, row.meta.mediaType, row.payload.length.toLong,
+        crc.getValue, w, h, 1, feat)
+    }
+  }
+
+  /** Decoder selection — the opt-in flag for the real codec path.
+    * `spark.graft.media.decoder`: `stub` (default, the gate path) or
+    * `imageio` (JDK codec, [[ImageIoDecoder]]). */
+  def decoderFor(spark: SparkSession, featureDim: Int = 8): Decoder =
+    spark.conf.get("spark.graft.media.decoder", "stub") match {
+      case "stub" => new StubDecoder(featureDim)
+      case "imageio" => new ImageIoDecoder(featureDim)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.media.decoder=$other (expected stub | imageio)")
+    }
+
   /** Batched executor-side decode: repartition by id, then decode per
     * partition with one Decoder instance per task. */
   def extractFeatures(media: Dataset[MediaRow], decoder: Decoder, partitions: Int): Dataset[MediaFeatures] = {
@@ -105,6 +166,83 @@ object Media {
         ResizedMedia(row.media_id, tw, th, n.toLong, outLen.toLong,
           java.util.Arrays.copyOf(row.payload, outLen))
       })
+  }
+
+  /** REAL image resize through the same typed boundary as [[resize]]:
+    * decode with the JDK codec, area-scale onto a `tw`×`th` canvas
+    * (bilinear), re-encode as PNG. Identical schema and partitioning
+    * to the stub — a library resizer drops in at exactly this seam.
+    * `n_bytes_out` is the real re-encoded size (unlike the stub's
+    * prefix rule, a codec's output size is its own). */
+  def resizeImageIo(media: Dataset[MediaRow], tw: Int, th: Int,
+                    partitions: Int): Dataset[ResizedMedia] = {
+    require(tw > 0 && th > 0, s"target dims must be positive: ${tw}x$th")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.repartition(partitions, col("media_id"))
+      .mapPartitions(_.map { row =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+        require(img != null,
+          s"media_id=${row.media_id}: payload is not a decodable image")
+        val out = new java.awt.image.BufferedImage(tw, th,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, tw, th, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        val bytes = bos.toByteArray
+        ResizedMedia(row.media_id, tw, th, row.payload.length.toLong,
+          bytes.length.toLong, bytes)
+      })
+  }
+
+  /** REAL WAV audio energy through the same windowing contract as
+    * [[audioEnergy]]: parse the RIFF/WAVE payload with the JDK's
+    * `javax.sound.sampled`, walk the 16-bit PCM samples, and emit the
+    * identical [[AudioWindow]] schema — energy = exact Σs² per
+    * `window`-sample window (s the signed 16-bit sample), silence when
+    * energy < threshold·n_samples. A resampling/VAD library drops in
+    * at this boundary; the q184 gate face stays on the byte stub. */
+  def audioEnergyWav(media: Dataset[MediaRow], window: Int,
+                     silenceThreshold: Long, partitions: Int): Dataset[AudioWindow] = {
+    require(window > 0, s"window must be positive: $window")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.meta.mediaType == "audio")
+      .repartition(partitions, col("media_id"))
+      .flatMap { row =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.payload))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"media_id=${row.media_id}: expected 16-bit signed PCM WAV, got $fmt")
+        val bytes = in.readAllBytes()
+        val le = !fmt.isBigEndian
+        val nCh = fmt.getChannels
+        // mono-fold multi-channel by taking channel 0 (deterministic)
+        val nSamples = bytes.length / (2 * nCh)
+        Iterator.range(0, nSamples, window).map { start =>
+          val end = math.min(start + window, nSamples)
+          var e = 0L
+          var i = start
+          while (i < end) {
+            val off = i * 2 * nCh
+            val s =
+              if (le) ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+              else ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort
+            e += s.toLong * s
+            i += 1
+          }
+          val n = (end - start).toLong
+          AudioWindow(row.media_id, (start / window).toLong, n, e,
+            e < silenceThreshold * n)
+        }
+      }
   }
 
   /** Frame sampling stub for video payloads: every k-th 4 KB block

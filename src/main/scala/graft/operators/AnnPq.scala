@@ -64,8 +64,16 @@ object AnnPq {
     require(sample.nonEmpty, "empty corpus")
     (0 until m).map { j =>
       val subs = sample.map(_.slice(j * dsub, (j + 1) * dsub))
-      // init: first ksub DISTINCT sub-vectors in sample order
-      var cents = subs.distinct.take(ksub)
+      // init: first ksub DISTINCT sub-vectors in sample order.
+      // Distinct BY CONTENT (Array equality is reference equality, so a
+      // bare .distinct would never dedupe and could seed duplicate
+      // centroids that Lloyd ties-to-lower-index keeps empty forever,
+      // silently shrinking the effective codebook below ksub).
+      var cents: Array[Array[Long]] = {
+        val seen = scala.collection.mutable.LinkedHashMap.empty[Seq[Long], Array[Long]]
+        subs.iterator.foreach(v => seen.getOrElseUpdate(v.toSeq, v))
+        seen.values.take(ksub).toArray
+      }
       (1 to rounds).foreach { _ =>
         val assigned = subs.groupBy { v =>
           var best = 0; var bd = Long.MaxValue

@@ -87,7 +87,12 @@ object Advanced {
         .option("maxFilesPerTrigger", "1").parquet(src.getPath)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = try {
+      // hold the state-sizing override until the bounded run FINISHES:
+      // StreamExecution happens to clone the session (and this conf) in
+      // its constructor, but that timing is an implementation detail —
+      // restoring right after start() would race a deferred clone
+      try {
+        val q =
         stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
             batch.groupBy(col("user_id"))
@@ -101,8 +106,8 @@ object Advanced {
           .option("checkpointLocation", ck.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+        q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
       // the upsert demo is only real if the keys actually arrived split
       // across micro-batches — fail loudly if the source planner ever
       // coalesces the 4 staged files into one batch
@@ -140,14 +145,19 @@ object Advanced {
       // state partitions sized to key cardinality (see q53's comment)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = try {
+      // hold the state-sizing override until the bounded run FINISHES:
+      // StreamExecution happens to clone the session (and this conf) in
+      // its constructor, but that timing is an implementation detail —
+      // restoring right after start() would race a deferred clone
+      try {
+        val q =
         keyed.writeStream
           .format("memory").queryName(sinkName)
           .option("checkpointLocation", ck.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+        q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
       // detach the temp-view name and drop the checkpoint dir so
       // repeated invocations (bench runs 4×) don't accumulate driver
       // state; the returned plan holds the sink relation directly
@@ -247,15 +257,20 @@ object Advanced {
       // state partitions sized to key cardinality (see q53's comment)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = try {
+      // hold the state-sizing override until the bounded run FINISHES:
+      // StreamExecution happens to clone the session (and this conf) in
+      // its constructor, but that timing is an implementation detail —
+      // restoring right after start() would race a deferred clone
+      try {
+        val q =
         Sessions.hourlyCountsStream(events).writeStream
           .format("memory").queryName(sinkName)
           .outputMode("complete")
           .option("checkpointLocation", ck.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+        q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
       val out = s.table(sinkName)
         .select(unix_millis(col("hour_start")).as("hour_ms"),
           col("event_type"), col("n"), col("total_value"))
@@ -421,18 +436,23 @@ object Advanced {
       // spark.sql.shuffle.partitions — size them to the stream's key
       // cardinality (150 users at sf0.01), not the batch default: every
       // state partition is a per-batch checkpoint file regardless of
-      // how empty it is. Restored right after start; batch plans are
-      // unaffected.
+      // how empty it is. Restored once the bounded run finishes;
+      // batch plans are unaffected.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = try {
+      // hold the state-sizing override until the bounded run FINISHES:
+      // StreamExecution happens to clone the session (and this conf) in
+      // its constructor, but that timing is an implementation detail —
+      // restoring right after start() would race a deferred clone
+      try {
+        val q =
         Sessions.sessionizeStream(Sessions.typedEvents(events)).toDF().writeStream
           .format("memory").queryName(sinkName)
           .option("checkpointLocation", ck.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+        q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
       val out = s.table(sinkName).filter(col("user_id") >= 0)
       s.catalog.dropTempView(sinkName)
       org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
@@ -482,14 +502,19 @@ object Advanced {
       // instances per batch instead of 32; ~0.4 s/batch saved)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
+      // hold the state-sizing override until the bounded run FINISHES:
+      // StreamExecution happens to clone the session (and this conf) in
+      // its constructor, but that timing is an implementation detail —
+      // restoring right after start() would race a deferred clone
+      try {
+        val q =
         joined.writeStream
           .format("memory").queryName(sinkName)
           .option("checkpointLocation", ck.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+        q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
       val out = s.table(sinkName)
       s.catalog.dropTempView(sinkName)
       org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
@@ -563,14 +588,19 @@ object Advanced {
             coalesce(unix_millis(col("buy_ts")), lit(-1L)).as("buy_ms"))
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q = try {
+        // hold the state-sizing override until the bounded run FINISHES:
+        // StreamExecution happens to clone the session (and this conf) in
+        // its constructor, but that timing is an implementation detail —
+        // restoring right after start() would race a deferred clone
+        try {
+          val q =
           joined.writeStream
             .format("memory").queryName(sinkName)
             .option("checkpointLocation", ck.toString)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
+          q.awaitTermination()
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        q.awaitTermination()
         val out = s.table(sinkName).filter(col("user_id") >= 0L)
           .select(col("user_id"), col("click_ms"), col("buy_ms"))
           .localCheckpoint() // release the memory-sink view eagerly

@@ -119,64 +119,28 @@ object Graph {
         lit(transitivity).as("transitivity_x1000"))
     },
 
-    // K-CORE EXTRACTION (k = 64) of the q153 co-purchase graph — the
-    // dense-subgraph peel: repeatedly delete every node of degree < k
-    // until the fixpoint; what survives is the maximal subgraph of
-    // min-degree ≥ k (community cores, spam-farm detection, the
-    // densest-region seed). Distributed shape per round: ONE
-    // partial-aggregable degree count + one anti-join against the
-    // (peel-front-sized) kill set — the textbook BSP k-core round;
-    // each round's frontier is localCheckpointed so the plan never
-    // re-derives prior rounds through lineage. Rounds are CAPPED at 6
-    // in BOTH engines (the oracle unrolls the same 6 peels, the q92
-    // fixed-iteration discipline); the fixture converges in ≤ 2
-    // (GraphSpec pins true convergence under the cap, so the capped
-    // result IS the 64-core). Summary scalars ride back as bounded
-    // collects.
+    // K-CORE EXTRACTION (k = 64) of the q153 co-purchase graph via
+    // operators/KCore — the BSP peel loop with localCheckpointed
+    // frontiers. Rounds are CAPPED at 6 in BOTH engines (the oracle
+    // unrolls the same 6 peels, the q92 fixed-iteration discipline) —
+    // but k-core is a FIXPOINT semantic, so the row carries an explicit
+    // `converged` bit (min-degree-derived, no extra job) that the
+    // oracle pins TRUE: a graph deep enough to exhaust the cap flips
+    // the bit and fails the hash instead of silently returning a
+    // not-yet-core subgraph. The strict (throwing) posture lives on
+    // the operator and is spec-pinned on a deliberately deep-peel
+    // graph (GraphSpec).
     "q179_kcore" -> { (s, d) =>
-      val k = 64
-      val maxRounds = 6
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      // peel over the u<v half-edge list (degrees from the endpoint
-      // union) — the symmetric doubled list pays 2× per checkpoint and
-      // per anti-join round for nothing the union-groupBy doesn't give
-      var e = li.as("a").join(li.as("b"),
+      val e = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-        .localCheckpoint()
-      def degOf(df: DataFrame): DataFrame =
-        df.select(col("u").as("node")).unionAll(df.select(col("v").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("c"))
-      val nNodes = degOf(e).count()
-      var rounds = 0L
-      var removed = 0L
-      var done = false
-      var i = 0
-      while (i < maxRounds && !done) {
-        val bad = degOf(e).filter(col("c") < k)
-          .select(col("node").as("b")).localCheckpoint()
-        val nBad = bad.count()
-        if (nBad == 0) done = true
-        else {
-          rounds += 1
-          removed += nBad
-          // peel fronts are small here (broadcast-able), but the
-          // anti-join is left unhinted: a deep peel's front can be
-          // graph-sized, and AQE picks broadcast when it fits
-          e = e.join(bad, col("u") === col("b"), "left_anti")
-            .join(bad, col("v") === col("b"), "left_anti")
-            .localCheckpoint()
-        }
-        i += 1
-      }
-      val st = degOf(e)
-        .agg(count(lit(1)).as("nc"), coalesce(min(col("c")), lit(-1L)).as("md"),
-          coalesce(sum(col("c")), lit(0L)).as("sd")).collect()(0)
-      s.range(1).select(lit(k.toLong).as("k"), lit(nNodes).as("n_nodes"),
-        lit(st.getLong(0)).as("n_core"), lit(removed).as("n_removed"),
-        lit(rounds).as("n_rounds"), lit(st.getLong(2) / 2).as("core_edges"),
-        lit(st.getLong(1)).as("core_min_deg"))
+      val r = graft.operators.KCore.peel(e, k = 64, maxRounds = 6)
+      s.range(1).select(lit(r.k).as("k"), lit(r.nNodes).as("n_nodes"),
+        lit(r.nCore).as("n_core"), lit(r.nRemoved).as("n_removed"),
+        lit(r.nRounds).as("n_rounds"), lit(r.coreEdges).as("core_edges"),
+        lit(r.coreMinDeg).as("core_min_deg"), lit(r.converged).as("converged"))
     }
   )
 
@@ -278,7 +242,8 @@ object Graph {
                 ($nRemoved)::BIGINT AS n_removed,
                 ($nRounds)::BIGINT AS n_rounds,
                 (coalesce(sum(c), 0) // 2)::BIGINT AS core_edges,
-                coalesce(min(c), -1)::BIGINT AS core_min_deg
+                coalesce(min(c), -1)::BIGINT AS core_min_deg,
+                (coalesce(min(c), $k) >= $k) AS converged
          FROM fd"""
   }
 }

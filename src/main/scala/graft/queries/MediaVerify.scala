@@ -51,7 +51,11 @@ object MediaVerify {
     * Also used by GoldenGen to freeze checksum/feature_fp. */
   def features(s: SparkSession, dir: String): DataFrame = {
     val media = mediaFromDocuments(s, dir, asciiOnly = false)
-    Media.extractFeatures(media, new Media.StubDecoder(8), partitions = 32)
+    // decoder is the opt-in seam: default = StubDecoder (the gate path,
+    // pinned by the q38 golden parquet); spark.graft.media.decoder =
+    // imageio swaps in the real JDK codec for corpora whose payloads
+    // are actual encoded images (RealCodecSpec proves the seam)
+    Media.extractFeatures(media, Media.decoderFor(s, 8), partitions = 32)
       .toDF()
       .select(
         col("media_id"),

@@ -234,25 +234,14 @@ object Pipeline {
         .withColumn("r", row_number().over(
           Window.partitionBy(col("source")).orderBy(col("cl").desc, col("lang").asc)))
         .filter(col("r") === 1).select(col("source"), col("lang").as("top_lang"))
-      // exact lower median: the ((n+1) div 2)-th n_chars in sorted
-      // order. NOT a per-source row_number window — that funnels every
-      // row of a source through one window-sort task (no constant top-k
-      // ⇒ no WindowGroupLimit), which at 100 TB with few sources is a
-      // whole-source single-task sort. Instead: the k-th order statistic
-      // of the MULTISET is the smallest value whose cumulative frequency
-      // reaches k, so aggregate to (source, n_chars, count) first — one
-      // partial-aggregable shuffle — and run the cumulative window over
-      // the aggregated rows, whose per-source cardinality is bounded by
-      // the VALUE DOMAIN (distinct document lengths), not the corpus.
-      val k = expr("(nsrc + 1) div 2")
-      val med = base
-        .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(
-          Window.partitionBy(col("source")).orderBy(col("n_chars").asc)
-            .rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("nsrc", sum(col("cnt")).over(Window.partitionBy(col("source"))))
-        .filter(col("cum") >= k && col("cum") - col("cnt") < k)
-        .select(col("source"), col("n_chars").as("med_chars"))
+      // exact lower median via operators/ValueDomainStats: the k-th
+      // order statistic decomposed over the VALUE DOMAIN — one
+      // partial-aggregable (source, n_chars, count) shuffle, then the
+      // cumulative window over value-domain-bounded rows, NEVER a
+      // per-source row_number over raw rows (no constant top-k ⇒ no
+      // WindowGroupLimit ⇒ a whole-source single-task sort at 100 TB).
+      val med = graft.operators.ValueDomainStats
+        .medianOf(base, "source", "n_chars", "med_chars")
       agg.join(topLang, "source").join(med, "source")
         .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
           col("top_lang"), col("dup_docs"), col("dup_pct"),

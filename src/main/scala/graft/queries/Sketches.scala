@@ -362,8 +362,9 @@ object Sketches {
         val q = stream
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n"), min(x).as("mn"), max(x).as("mx"),
-            sum(dec(x)).as("s1"), sum(dec(x * x)).as("s2"),
-            sum(dec(x * x * x)).as("s3"), sum(dec(x * x * x * x)).as("s4"))
+            sum(dec(x)).as("s1"), sum(dec(x) * dec(x)).as("s2"),
+            sum(dec(x) * dec(x) * dec(x)).as("s3"),
+            sum(dec(x) * dec(x) * dec(x) * dec(x)).as("s4"))
           .writeStream.outputMode("complete")
           .format("memory").queryName(sinkName)
           .option("checkpointLocation", ck.toString)
@@ -404,9 +405,13 @@ object Sketches {
     // skewness DIRECTION ships as the signed central third moment, and
     // kurtosis·1000 = n·m4/m2² needs only squares), so both engines
     // agree bit-for-bit; Σx³/Σx⁴ ship as decimal-strings because they
-    // outgrow int64 at corpus scale while the 38-digit decimals both
-    // engines carry (Spark DECIMAL(38,0), DuckDB HUGEINT) hold them to
-    // x < 55,109 and ~10¹⁵ rows. Shapes: one partial-aggregable
+    // outgrow int64 at corpus scale. Each power is computed with x
+    // CAST TO DECIMAL(38,0) FIRST — x⁴ in int64 would silently wrap
+    // past x ≈ 55,109 while the oracle errored loudly; in the 38-digit
+    // decimals both engines carry (Spark DECIMAL(38,0), DuckDB
+    // HUGEINT) x⁴ is exact for the whole INT domain, and Σx⁴ holds
+    // ~10¹⁵ rows at document-scale lengths (x ≤ ~10⁵ ⇒ x⁴ ≤ 10²⁰,
+    // 10¹⁸ digits of headroom). Shapes: one partial-aggregable
     // aggregate; everything after runs on the |sources|-bounded table.
     "q152_moments" -> { (s, d) =>
       val x = col("n_chars")
@@ -415,8 +420,9 @@ object Sketches {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
           min(x).as("mn"), max(x).as("mx"),
-          sum(dec(x)).as("s1"), sum(dec(x * x)).as("s2"),
-          sum(dec(x * x * x)).as("s3"), sum(dec(x * x * x * x)).as("s4"))
+          sum(dec(x)).as("s1"), sum(dec(x) * dec(x)).as("s2"),
+          sum(dec(x) * dec(x) * dec(x)).as("s3"),
+          sum(dec(x) * dec(x) * dec(x) * dec(x)).as("s4"))
         .withColumn("nD", col("n").cast("decimal(38,0)"))
         .withColumn("m2", expr("nD * s2 - s1 * s1"))
         .withColumn("m3n", expr("nD * nD * s3 - 3 * nD * s1 * s2 + 2 * s1 * s1 * s1"))

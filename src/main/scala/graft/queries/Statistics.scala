@@ -93,9 +93,7 @@ object Statistics {
       val dense = srcs.crossJoin(broadcast(vals))
         .join(cnt, Seq("source", "v"), "left")
         .withColumn("c", coalesce(col("c"), lit(0L)))
-      val wCum = Window.partitionBy(col("source")).orderBy(col("v").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ecdf = dense.withColumn("cum", sum(col("c")).over(wCum))
+      val ecdf = graft.operators.ValueDomainStats.cumFreq(dense, "source", "v", "c")
         .select(col("source"), col("ns"), col("v"), col("cum"))
       val ref = ecdf.filter(col("source") === "src0")
         .select(col("v"), col("ns").as("n_ref"), col("cum").as("cum_ref"))
@@ -175,10 +173,12 @@ object Statistics {
       val cnt = Tables.documents(s, d)
         .groupBy(col("source"), col("n_chars").as("v"))
         .agg(count(lit(1)).as("c"))
-      val wS = Window.partitionBy(col("source")).orderBy(col("v").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sv = cnt.withColumn("cum", sum(col("c")).over(wS))
-        .withColumn("ns", sum(col("c")).over(Window.partitionBy(col("source"))))
+      // per-source inclusive ECDF + totals via the shared value-domain
+      // operator (q130's decomposition): windows run over (source, v)
+      // rows, never corpus rows
+      val sv = graft.operators.ValueDomainStats.withGroupTotal(
+        graft.operators.ValueDomainStats.cumFreq(cnt, "source", "v", "c"),
+        "source", "c").withColumnRenamed("ntot", "ns")
       val gTot = cnt.agg(sum(col("c"))).collect()(0).getLong(0)
       val wG = Window.orderBy(col("v").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -220,9 +220,7 @@ object Statistics {
       val dense = srcs.crossJoin(broadcast(vals))
         .join(cnt, Seq("source", "v"), "left")
         .withColumn("c", coalesce(col("c"), lit(0L)))
-      val wCum = Window.partitionBy(col("source")).orderBy(col("v").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ecdf = dense.withColumn("cum", sum(col("c")).over(wCum))
+      val ecdf = graft.operators.ValueDomainStats.cumFreq(dense, "source", "v", "c")
       val ref = ecdf.filter(col("source") === "src0")
         .select(col("v"), col("ns").as("nr"), col("c").as("cr"),
           col("cum").as("cumr"))

@@ -237,22 +237,13 @@ object TableOps {
     // MAD = 0 (over half the group at the median) flags every
     // off-median row — the standard MAD caveat, same in both engines.
     "q160_mad_outliers" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
-        val k = expr("(nsrc + 1) div 2")
-        df.groupBy(col("source"), col(valueCol)).agg(count(lit(1)).as("cnt"))
-          .withColumn("cum", sum(col("cnt")).over(
-            Window.partitionBy(col("source")).orderBy(col(valueCol).asc)
-              .rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("nsrc", sum(col("cnt")).over(Window.partitionBy(col("source"))))
-          .filter(col("cum") >= k && col("cum") - col("cnt") < k)
-          .select(col("source"), col(valueCol).as(out))
-      }
+      import graft.operators.ValueDomainStats
       val base = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
-      val med = medianOf(base, "n_chars", "med")
+      val med = ValueDomainStats.medianOf(base, "source", "n_chars", "med")
       val dev = base.join(broadcast(med), "source")
         .withColumn("adev", abs(col("n_chars") - col("med")))
-      val mad = medianOf(dev.select(col("source"), col("adev")), "adev", "mad")
+      val mad = ValueDomainStats.medianOf(
+        dev.select(col("source"), col("adev")), "source", "adev", "mad")
       dev.join(broadcast(mad), "source")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), max(col("med")).as("med_chars"),

@@ -139,7 +139,7 @@ case class CellsTable(root: String, table: String) extends Table
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    CellsScanBuilder(root, table)
+    CellsScanBuilder(root, table, options.getBoolean("stableOffsets", false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     CellsWriteBuilder(root, table, info.schema())
 }
@@ -206,7 +206,7 @@ case class CellsWriterFactory(root: String, table: String) extends DataWriterFac
 
 case object CellsCommit extends WriterCommitMessage
 
-case class CellsScanBuilder(root: String, table: String) extends ScanBuilder
+case class CellsScanBuilder(root: String, table: String, stable: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = Long.MinValue
@@ -321,11 +321,12 @@ case class CellsScanBuilder(root: String, table: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan =
     CellsScan(root, table, lo, hi,
-      CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), required)
+      CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), required, stable)
 }
 
 case class CellsScan(root: String, table: String, lo: Long, hi: Long,
-                     keys: CellsKeyPred, required: StructType)
+                     keys: CellsKeyPred, required: StructType,
+                     stable: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -390,7 +391,7 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    CellsMicroBatch(root, table, lo, hi, keys, required.fieldNames)
+    CellsMicroBatch(root, table, lo, hi, keys, required.fieldNames, stable)
 }
 
 /** Streaming read face: tail the cell store by VERSION watermark —
@@ -414,6 +415,11 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
   * outside the feed's delivery guarantee (CellsSourceSpec pins the
   * miss) but always visible to the BATCH face — the same contract an
   * HBase timestamp tailer or a watermarked Kafka consumer carries.
+  * `option("stableOffsets", "true")` trades one version tick of
+  * delivery lag for closing exactly that hole: offsets stop one below
+  * the max version on disk, so a version is only committed past once
+  * it is SEALED by a strictly higher one, and the same-tick straddler
+  * IS delivered (spec-pinned both ways).
   * Version and rowkey pushdown compose: a `.where("version >= T")` on
   * the stream bounds the watermark window at the FILENAME level,
   * exactly like the batch face. */
@@ -422,7 +428,8 @@ case class CellsOffset(v: Long) extends org.apache.spark.sql.connector.read.stre
 }
 
 case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
-                           keys: CellsKeyPred, cols: Array[String])
+                           keys: CellsKeyPred, cols: Array[String],
+                           stable: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -432,7 +439,22 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
   // query stops there, even if a producer keeps appending mid-run.
   @volatile private var availableNowCap: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(maxVersionOnDisk)
+    availableNowCap = Some(sealedOffset(maxVersionOnDisk))
+
+  /** Offset the feed may deliver up to. Default: the max version on
+    * disk. With `stableOffsets=true` the TIP version is held back
+    * (max − 1): a version is only considered SEALED once a strictly
+    * higher one exists, so a same-tick producer whose second write at
+    * version == max lands after a commit is still inside the next
+    * batch's (max−1, ·] window — exactly-once delivery without the
+    * single-writer/clock-tick caveat, at the cost of one version tick
+    * of delivery lag (the newest version ships only after a newer one
+    * arrives — or never, in a bounded AvailableNow run that ends on
+    * it). */
+  private def sealedOffset(mx: Long): Long =
+    if (mx == Long.MinValue) Long.MinValue
+    else if (stable) mx - 1
+    else mx
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     availableNowCap.fold(latestOffset())(CellsOffset(_))
@@ -465,10 +487,7 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
   }
 
   override def initialOffset(): Offset = CellsOffset(Long.MinValue)
-  override def latestOffset(): Offset = {
-    val mx = maxVersionOnDisk
-    CellsOffset(if (mx == Long.MinValue) Long.MinValue else mx)
-  }
+  override def latestOffset(): Offset = CellsOffset(sealedOffset(maxVersionOnDisk))
   override def deserializeOffset(json: String): Offset =
     // {"v":N} — one signed long field, no JSON lib needed
     CellsOffset(json.replaceAll("[^0-9-]", "").toLong)

@@ -103,23 +103,62 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val nNodes = adj.size.toLong
     var rounds = 0
+    var removed = 0L
     var continue = true
     while (continue) {
+      // edge-derived-degree semantics, matching the query: a node whose
+      // last edge vanished mid-peel is an ORPHAN — it leaves the graph
+      // without being counted as removed and without costing a round
+      // (the query's degree table simply never shows it again)
+      adj.filterInPlace((_, s) => s.nonEmpty)
       val bad = adj.collect { case (n, s) if s.size < 64 => n }.toSeq
       if (bad.isEmpty) continue = false
       else {
         rounds += 1
+        removed += bad.size
         bad.foreach { n => adj(n).foreach(m => adj(m) -= n); adj -= n }
       }
     }
+    adj.filterInPlace((_, s) => s.nonEmpty)
     assert(rounds < 6, s"fixture peels in $rounds rounds — cap margin gone")
     assert(row.getAs[Long]("n_rounds") == rounds.toLong)
     assert(row.getAs[Long]("n_core") == adj.size.toLong)
-    assert(row.getAs[Long]("n_removed") == nNodes - adj.size)
+    assert(row.getAs[Long]("n_removed") == removed)
+    assert(row.getAs[Boolean]("converged"))
     assert(row.getAs[Long]("core_edges") == adj.values.map(_.size.toLong).sum / 2)
     if (adj.nonEmpty) {
       assert(row.getAs[Long]("core_min_deg") == adj.values.map(_.size).min.toLong)
       assert(row.getAs[Long]("core_min_deg") >= 64L, "core property violated")
     } else assert(row.getAs[Long]("core_min_deg") == -1L)
+  }
+
+  test("KCore: deep-peel graph exhausts the round cap — converged flags false, strict throws") {
+    val sp = spark; import sp.implicits._
+    // a path graph peels from both ends, one layer per round: under
+    // k=2 a 30-node path needs 15 rounds to empty — far past a 4-round
+    // cap, so the capped result is NOT the 2-core (which is empty)
+    val e = (0L until 29L).map(i => (i, i + 1)).toDF("u", "v")
+    val capped = graft.operators.KCore.peel(e, k = 2, maxRounds = 4)
+    assert(!capped.converged, "a truncated peel must not claim the fixpoint")
+    assert(capped.nRounds == 4L && capped.nCore > 0L)
+    val ex = intercept[IllegalStateException] {
+      graft.operators.KCore.peel(e, k = 2, maxRounds = 4, strict = true)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // with the cap lifted the same graph converges to the empty 2-core
+    val full = graft.operators.KCore.peel(e, k = 2, maxRounds = 32)
+    assert(full.converged && full.nCore == 0L && full.coreMinDeg == -1L)
+    assert(full.nRemoved + full.nCore <= full.nNodes) // orphans are neither
+  }
+
+  test("KCore: orphaned node is neither core nor removed (edge-derived degrees)") {
+    val sp = spark; import sp.implicits._
+    // star: center 0 with 3 leaves. k=2 peels the leaves in round 1;
+    // the center is then edgeless — an orphan, not a removal, and the
+    // peel converges in exactly 1 round with an empty core
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("u", "v")
+    val r = graft.operators.KCore.peel(e, k = 2, maxRounds = 6)
+    assert(r.converged && r.nRounds == 1L)
+    assert(r.nCore == 0L && r.nRemoved == 3L && r.nNodes == 4L)
   }
 }

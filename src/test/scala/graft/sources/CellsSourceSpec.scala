@@ -394,6 +394,62 @@ class CellsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stableOffsets opt-in: a same-tick write straddling a commit IS delivered — " +
+      "offsets seal one version below the tip") {
+    val stable = "ns:cells_stream_stable"
+    val store = FileStore(root)
+    store.ensureTable(stable, TableSpec())
+    store.putBatch(stable, (0 until 8).map(k =>
+      CellPut(stable, s"sk-$k".getBytes("UTF-8"), 4000L + k, s"sb-$k".getBytes("UTF-8"))))
+    val ck = java.nio.file.Files.createTempDirectory("graft-cells-stable-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cells-stable-out").toString
+    try {
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("graft-cells")
+          .option("root", root).option("table", stable)
+          .option("stableOffsets", "true").load()
+          .select(col("rowkey").cast("string").as("k"), col("version"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce()
+      // the tip (4007) is NOT yet sealed: the run commits watermark 4006
+      val afterFirst = spark.read.parquet(out).collect().map(_.getString(0)).toSet
+      assert(!afterFirst.contains("sk-7"),
+        s"stable offsets must hold back the unsealed tip version: $afterFirst")
+      assert(afterFirst == (0 until 7).map(k => s"sk-$k").toSet, afterFirst.toString)
+      // the same-tick straddler: a second producer writes at version ==
+      // the tip AFTER the commit — under default offsets this is the
+      // documented miss; under stableOffsets the committed watermark is
+      // 4006 < 4007, so the straddler is still ahead of it
+      store.putBatch(stable, Seq(
+        CellPut(stable, "sk-straddler".getBytes("UTF-8"), 4007L, "tied".getBytes("UTF-8"))))
+      // a later append seals 4007
+      store.putBatch(stable, Seq(
+        CellPut(stable, "sk-fresh".getBytes("UTF-8"), 4010L, "ok".getBytes("UTF-8"))))
+      runOnce()
+      val streamed = spark.read.parquet(out).collect().map(_.getString(0)).toSet
+      assert(streamed.contains("sk-7") && streamed.contains("sk-straddler"),
+        s"stableOffsets must deliver the straddling same-tick write: $streamed")
+      // the new tip (4010) is in turn held back until something seals it
+      assert(!streamed.contains("sk-fresh"), streamed.toString)
+      store.putBatch(stable, Seq(
+        CellPut(stable, "sk-seal".getBytes("UTF-8"), 4011L, "seal".getBytes("UTF-8"))))
+      runOnce()
+      val finalSet = spark.read.parquet(out).collect().map(_.getString(0)).toSet
+      assert(finalSet.contains("sk-fresh"), finalSet.toString)
+      // exactly-once: no row delivered twice across the three runs
+      val all = spark.read.parquet(out).collect().map(_.getString(0)).toSeq
+      assert(all.size == all.distinct.size, s"duplicate delivery: $all")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
+
   private def hexToBytes(h: String): Array[Byte] =
     h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 }
