@@ -1,0 +1,213 @@
+package graft.ingest
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.security.MessageDigest
+
+/** The sorted cell SEGMENT file — this store's HFile analog, produced
+  * by [[BulkLoad]] and merged into every read face alongside the
+  * per-cell put files.
+  *
+  * One segment holds the cells of ONE (table, shard) range, sorted by
+  * (rowkey unsigned-lexicographic, version) — the same order Spark's
+  * BinaryType comparisons and the connector's range re-check use, so a
+  * range scan can stream a segment without re-sorting. Layout:
+  *
+  * {{{
+  *   data  : entry*            entry  = [keyLen:4][key][version:8][bodyLen:4][body]
+  *   index : ientry*           ientry = [sha256(key):32][version:8][entryOffset:8]
+  *   trailer (32 bytes)        [indexOffset:8][entryCount:4][minVersion:8][maxVersion:8][magic:4]
+  * }}}
+  *
+  * All integers big-endian. The index carries the SAME key digest the
+  * per-cell filenames use ([[FileStore.keyDigest]]), so existence
+  * probes (F5) and the connector's point-lookup pruning resolve
+  * against a segment WITHOUT touching its data region, exactly as they
+  * resolve against per-cell filenames without opening the files; the
+  * trailer's version bounds give the segment-level analog of the
+  * filename version prune (a time-travel slice skips whole segments).
+  * Segments are immutable once placed (rename-only lifecycle), so
+  * loaded indexes are cacheable per JVM forever.
+  *
+  * Reference analog: the bulk-load posture of HbaseClient.kt:31-36
+  * (SKIP_WAL heavy ingest) — HBase's real answer to that posture is
+  * writing HFiles directly and handing them to the region server,
+  * which is the shape this file implements for the sandbox store.
+  */
+object CellSegment {
+
+  val Magic: Int = 0x47534531 // "GSE1"
+  val TrailerLen: Int = 32 // indexOffset:8 + entryCount:4 + minV:8 + maxV:8 + magic:4
+  private val IndexEntryLen = 48
+
+  final case class Meta(fileName: String, entryCount: Int, minVersion: Long,
+                        maxVersion: Long, dataBytes: Long)
+
+  final case class IndexEntry(digestHex: String, version: Long, offset: Long)
+
+  final case class Trailer(indexOffset: Long, entryCount: Int, minVersion: Long, maxVersion: Long)
+
+  /** Write one segment from (key, version, body) triples ALREADY sorted
+    * by (key, version). The file is staged under `dir` with a temp name,
+    * then renamed to its content-deterministic final name
+    * `bulk-<sha256(data)[0,16]>.seg` — identical input produces an
+    * identical file AND identical name, which is what makes a replayed
+    * bulk load (task retry, speculation, whole-job re-run) converge by
+    * REPLACE_EXISTING rename instead of duplicating state.
+    *
+    * Exact (key, version) duplicates are collapsed (they are one cell —
+    * the F5 identity); a duplicate with a DIFFERENT body is a corrupt
+    * input and throws, because silently picking one would be a
+    * nondeterministic store.
+    */
+  def write(dir: Path, entries: Iterator[(Array[Byte], Long, Array[Byte])]): Meta = {
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, "bulkstage", ".tmp")
+    val digest = MessageDigest.getInstance("SHA-256")
+    val index = Vector.newBuilder[IndexEntry]
+    var count = 0
+    var minV = Long.MaxValue
+    var maxV = Long.MinValue
+    var offset = 0L
+    var prevKey: Array[Byte] = null
+    var prevVersion = 0L
+    var prevBody: Array[Byte] = null
+    val out = new DataOutputStream(new BufferedOutputStream(Files.newOutputStream(tmp), 1 << 16))
+    try {
+      entries.foreach { case (key, version, body) =>
+        val dup = prevKey != null && prevVersion == version && java.util.Arrays.equals(prevKey, key)
+        if (dup) {
+          require(java.util.Arrays.equals(prevBody, body),
+            s"bulk segment: two bodies for one (rowkey, version) cell at version $version")
+        } else {
+          val entryLen = 4 + key.length + 8 + 4 + body.length
+          out.writeInt(key.length); out.write(key)
+          out.writeLong(version)
+          out.writeInt(body.length); out.write(body)
+          // the running content hash that names the file
+          digest.update(java.nio.ByteBuffer.allocate(16).putInt(key.length).putLong(version).putInt(body.length).array())
+          digest.update(key); digest.update(body)
+          index += IndexEntry(FileStore.keyDigest(key), version, offset)
+          offset += entryLen
+          count += 1
+          if (version < minV) minV = version
+          if (version > maxV) maxV = version
+          prevKey = key; prevVersion = version; prevBody = body
+        }
+      }
+      val indexOffset = offset
+      index.result().foreach { e =>
+        out.write(hexToBytes(e.digestHex))
+        out.writeLong(e.version)
+        out.writeLong(e.offset)
+      }
+      out.writeLong(indexOffset)
+      out.writeInt(count)
+      out.writeLong(if (count == 0) 0L else minV)
+      out.writeLong(if (count == 0) 0L else maxV)
+      out.writeInt(Magic)
+    } finally out.close()
+    val name = "bulk-" + digest.digest().take(8).map(b => f"$b%02x").mkString + ".seg"
+    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Meta(name, count, if (count == 0) 0L else minV, if (count == 0) 0L else maxV, offset)
+  }
+
+  def isSegment(fileName: String): Boolean =
+    fileName.startsWith("bulk-") && fileName.endsWith(".seg")
+
+  /** Trailer read: 32 bytes off the file tail — the only I/O a
+    * version-disjoint segment ever costs a scan. */
+  def readTrailer(path: Path): Trailer = {
+    val ch = java.nio.channels.FileChannel.open(path)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(TrailerLen)
+      ch.read(buf, ch.size() - TrailerLen)
+      buf.flip()
+      val t = Trailer(buf.getLong, buf.getInt, buf.getLong, buf.getLong)
+      val magic = buf.getInt
+      require(magic == Magic, s"not a cell segment (bad magic 0x${magic.toHexString}): $path")
+      t
+    } finally ch.close()
+  }
+
+  /** Full index read (48 B/entry) — still no data-region I/O. Cached
+    * per JVM in [[indexOf]]; segments are immutable so the cache never
+    * invalidates. */
+  def readIndex(path: Path): Vector[IndexEntry] = {
+    val t = readTrailer(path)
+    val ch = java.nio.channels.FileChannel.open(path)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(t.entryCount * IndexEntryLen)
+      ch.read(buf, t.indexOffset)
+      buf.flip()
+      Vector.tabulate(t.entryCount) { _ =>
+        val d = new Array[Byte](32); buf.get(d)
+        IndexEntry(d.map(b => f"$b%02x").mkString, buf.getLong, buf.getLong)
+      }
+    } finally ch.close()
+  }
+
+  // segments are rename-only immutable, so index loads memoize per JVM
+  // (the same shape as FileStore's maxVersions DDL cache); a REPLACE-
+  // EXISTING flip only ever lands identical content under the same
+  // content-hash name, so a cached entry can never go stale
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[IndexEntry]]()
+
+  def indexOf(path: Path): Vector[IndexEntry] =
+    indexCache.computeIfAbsent(path.toAbsolutePath.toString, _ => readIndex(path))
+
+  /** Stream the data region in (key, version) order. `needBody = false`
+    * skips every body's bytes (the column-pruned key-only scan). */
+  def entries(path: Path, needBody: Boolean): Iterator[(Array[Byte], Long, Array[Byte])] = {
+    val t = readTrailer(path)
+    val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(path), 1 << 16))
+    var read = 0L
+    new Iterator[(Array[Byte], Long, Array[Byte])] {
+      private var closed = false
+      override def hasNext: Boolean = {
+        val h = !closed && read < t.indexOffset
+        if (!h && !closed) { in.close(); closed = true }
+        h
+      }
+      override def next(): (Array[Byte], Long, Array[Byte]) = {
+        val keyLen = in.readInt()
+        val key = new Array[Byte](keyLen); in.readFully(key)
+        val version = in.readLong()
+        val bodyLen = in.readInt()
+        val body =
+          if (needBody) { val b = new Array[Byte](bodyLen); in.readFully(b); b }
+          else { in.skipNBytes(bodyLen.toLong); null }
+        read += 4 + keyLen + 8 + 4 + bodyLen
+        (key, version, body)
+      }
+    }
+  }
+
+  /** Point read of one entry by its index offset — the segment-side
+    * get-by-key path (open, one seek, one entry). */
+  def entryAt(path: Path, offset: Long, needBody: Boolean): (Array[Byte], Long, Array[Byte]) = {
+    val ch = java.nio.channels.FileChannel.open(path)
+    try {
+      val lenBuf = java.nio.ByteBuffer.allocate(4)
+      ch.read(lenBuf, offset); lenBuf.flip()
+      val keyLen = lenBuf.getInt
+      val head = java.nio.ByteBuffer.allocate(keyLen + 12)
+      ch.read(head, offset + 4); head.flip()
+      val key = new Array[Byte](keyLen); head.get(key)
+      val version = head.getLong
+      val bodyLen = head.getInt
+      val body =
+        if (!needBody) null
+        else {
+          val b = java.nio.ByteBuffer.allocate(bodyLen)
+          ch.read(b, offset + 4 + keyLen + 12)
+          b.array()
+        }
+      (key, version, body)
+    } finally ch.close()
+  }
+
+  private def hexToBytes(hex: String): Array[Byte] =
+    Array.tabulate(hex.length / 2)(i => Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte)
+}

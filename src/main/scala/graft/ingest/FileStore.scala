@@ -88,8 +88,32 @@ final case class FileStore(rootDir: String) extends Store {
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8")) else None
   }
 
+  /** F5 consults BOTH store-file kinds: a cell exists if its per-cell
+    * put file is present OR any bulk [[CellSegment]] in its shard
+    * indexes its (key digest, version) — the HBase semantics where an
+    * existence check sees every store file regardless of how it
+    * arrived. Segment indexes are digest-only reads (no data-region
+    * I/O) and memoize per JVM because segments are immutable. */
   override def exists(tableName: String, cells: Seq[CellPut]): Seq[Boolean] =
-    cells.map(c => Files.exists(cellPath(c)))
+    cells.map { c =>
+      Files.exists(cellPath(c)) || {
+        val shardDir = tableDir(c.tableName).resolve(FileStore.shardOf(c.rowkey))
+        segmentFiles(shardDir).exists { seg =>
+          val d = keyDigest(c.rowkey)
+          CellSegment.indexOf(seg).exists(e => e.version == c.version && e.digestHex == d)
+        }
+      }
+    }
+
+  private def segmentFiles(shardDir: Path): Seq[Path] =
+    if (!Files.isDirectory(shardDir)) Seq.empty
+    else {
+      val s = Files.list(shardDir)
+      try s.iterator().asScala
+        .filter(p => CellSegment.isSegment(p.getFileName.toString))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
 
   override def putBatch(tableName: String, cells: Seq[CellPut]): Unit = {
     val spec = maxVersionsOf(tableName)
@@ -136,11 +160,16 @@ final case class FileStore(rootDir: String) extends Store {
   }
 
   /** All stored cells of a table as (rowkeyHex, version, body) — test /
-    * inspection surface, driver-sized use only. */
+    * inspection surface, driver-sized use only. Merges per-cell put
+    * files with bulk [[CellSegment]]s, deduping on the cell identity
+    * (rowkey, version) — a cell reachable through both write paths is
+    * ONE cell (bodies are identical by the F5 invariant; the segment
+    * writer enforces it within a load). */
   def scanTable(tableName: String): Seq[(String, Long, Array[Byte])] = {
     val dir = tableDir(tableName)
     if (!Files.exists(dir)) return Seq.empty
     val out = Seq.newBuilder[(String, Long, Array[Byte])]
+    val seen = scala.collection.mutable.HashSet.empty[(String, Long)]
     val shards = Files.list(dir)
     try {
       shards.iterator().forEachRemaining { shard =>
@@ -149,15 +178,23 @@ final case class FileStore(rootDir: String) extends Store {
           try cells.iterator().forEachRemaining { p =>
             val n = p.getFileName.toString
             val dot = n.lastIndexOf('.')
-            if (dot > 0 && !n.endsWith(".tmp")) {
+            if (dot > 0 && !n.endsWith(".tmp") && !CellSegment.isSegment(n)) {
               val bytes = Files.readAllBytes(p)
               val buf = java.nio.ByteBuffer.wrap(bytes)
               val keyLen = buf.getInt()
               val rowkey = new Array[Byte](keyLen); buf.get(rowkey)
               val body = new Array[Byte](buf.remaining()); buf.get(body)
-              out += ((hex(rowkey), n.drop(dot + 1).toLong, body))
+              val keyHex = hex(rowkey)
+              val version = n.drop(dot + 1).toLong
+              if (seen.add((keyHex, version))) out += ((keyHex, version, body))
             }
           } finally cells.close()
+          segmentFiles(shard).foreach { seg =>
+            CellSegment.entries(seg, needBody = true).foreach { case (k, v, b) =>
+              val keyHex = hex(k)
+              if (seen.add((keyHex, v))) out += ((keyHex, v, b))
+            }
+          }
         }
       }
     } finally shards.close()

@@ -63,13 +63,26 @@ object IngestBench {
     val t2 = System.nanoTime()
     IngestPipeline.writeManifests(rows, tmp.resolve("manifests").toString)
     val t3 = System.nanoTime()
+    // phase 3: cell-store write paths head to head on the same cached
+    // rows — per-batch puts (PushTableSink) vs the HFile-style sorted
+    // bulk load (one shuffle, sorted segments, atomic flip-in)
+    val pushRoot = tmp.resolve("store_push").toString // String: the factory closure ships to executors
+    val pushed = PushTableSink.write(rows, () => FileStore(pushRoot))
+    val t4 = System.nanoTime()
+    val bulk = BulkLoad.write(rows, tmp.resolve("store_bulk").toString)
+    val t5 = System.nanoTime()
     rows.unpersist()
+    require(pushed == bulk.cells, s"push/bulk cell counts diverge: $pushed vs ${bulk.cells}")
     val total = nFiles.toLong * recordsPerFile
     val decodeSec = (t1 - t0) / 1e9
     val allSec = (t3 - t0) / 1e9
+    val pushSec = (t4 - t3) / 1e9
+    val bulkSec = (t5 - t4) / 1e9
     println(s"""{"metric":"ingest_records_per_sec","value":${(total / allSec).round},"unit":"rec/sec",""" +
       s""""records":$total,"files":$nFiles,"decoded":$decoded,"put":$put,""" +
-      s""""decode_sec":$decodeSec,"table_sink_sec":${(t2 - t1) / 1e9},"manifest_sec":${(t3 - t2) / 1e9},"total_sec":$allSec}""")
+      s""""decode_sec":$decodeSec,"table_sink_sec":${(t2 - t1) / 1e9},"manifest_sec":${(t3 - t2) / 1e9},"total_sec":$allSec,""" +
+      s""""push_store_sec":$pushSec,"bulk_load_sec":$bulkSec,"bulk_segments":${bulk.segments.size},""" +
+      s""""push_cells_per_sec":${(pushed / pushSec).round},"bulk_cells_per_sec":${(bulk.cells / bulkSec).round}}""")
     spark.stop()
   }
 }

@@ -89,6 +89,51 @@ object IngestVerify {
       s.catalog.dropTempView(sinkName)
       org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
       out
+    },
+    // q193 — the bulk-load path's row in the gate: the SAME q30 fixture
+    // rows flow through BOTH cell-store write paths — PushTableSink's
+    // per-batch puts and BulkLoad's one-shuffle sorted-segment flip-in
+    // (the HFile-style heavy-ingest shape, HbaseClient.kt:31-36's
+    // SKIP_WAL posture done idiomatically) — and both stores are read
+    // back through the graft-cells connector. In-query invariant: the
+    // two states are cell-for-cell identical (exceptAll empty both
+    // ways) and the put/bulk counts agree; the emitted result is the
+    // BULK store's content, hash-pinned against the q30 golden's
+    // ok+unfiltered slice, so a bulk-path regression in sorting,
+    // sharding, segment encoding, or the segment-merging read face
+    // breaks the driver hash.
+    "q193_bulk_load" -> { (s, _) =>
+      import graft.ingest.{BulkLoad, FileStore, IngestPipeline, PushTableSink}
+      val dir = writeFixtures()
+      val pushRoot = Files.createTempDirectory("graft-q193-push").toString
+      val bulkRoot = Files.createTempDirectory("graft-q193-bulk").toString
+      val tasks = IngestPipeline.planTasks(s, Seq(dir.toString))
+      val rows = IngestPipeline.ingest(s, tasks, StubKeyService(), identity, timeFilter,
+        IngestPipeline.IvStrategy.Deterministic("q30")).cache()
+      try {
+        val put = PushTableSink.write(rows, () => FileStore(pushRoot))
+        val report = BulkLoad.write(rows, bulkRoot)
+        require(put == report.cells && put > 0,
+          s"push and bulk must write the same cell count: push=$put bulk=${report.cells}")
+        // the table list is driver-bounded (|collections| = 3 here)
+        val sp = s; import sp.implicits._
+        val tables = rows.filter(r => r.status == "ok" && r.filterStatus == "DoNotFilter")
+          .map(_.tableName).distinct().collect().sorted
+        def readState(root: String) = tables.map { t =>
+          s.read.format("graft-cells").option("root", root).option("table", t).load()
+            .select(lit(t).as("table_name"), hex(col("rowkey")).as("rowkey_hex"),
+              col("version"), md5(col("body")).as("envelope_md5"))
+        }.reduce(_ unionByName _)
+        val push = readState(pushRoot)
+        val bulk = readState(bulkRoot)
+        require(push.exceptAll(bulk).count() == 0 && bulk.exceptAll(push).count() == 0,
+          "bulk-written state must be cell-for-cell identical to push-written state")
+        bulk.localCheckpoint()
+      } finally {
+        rows.unpersist()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pushRoot))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bulkRoot))
+      }
     }
   )
 
@@ -99,6 +144,12 @@ object IngestVerify {
 
   val oracle: Map[String, String] = Map(
     "q30_ingest" -> goldenSql,
-    "q39_stream_ingest" -> goldenSql
+    "q39_stream_ingest" -> goldenSql,
+    // the ok+unfiltered slice of the same golden: exactly the cells
+    // both store write paths must hold
+    "q193_bulk_load" ->
+      """SELECT table_name, rowkey_hex, version, envelope_md5
+         FROM read_parquet('/root/repo/testdata/q30_golden/*.parquet')
+         WHERE status = 'ok' AND filter_status = 'DoNotFilter'"""
   )
 }

@@ -358,7 +358,20 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
             try s.iterator().asScala.foreach { p =>
               val name = p.getFileName.toString
               val dot = name.lastIndexOf('.')
-              if (dot > 0 && !name.endsWith(".tmp") && keys.fileOk(name.take(dot)))
+              if (graft.ingest.CellSegment.isSegment(name)) {
+                // segment stats from the index alone: exact in-range
+                // entry count; bytes attributed as the whole data
+                // region when anything matches — may overestimate a
+                // slice, never underestimates it (same posture as the
+                // rowkey-range caveat below)
+                val t = graft.ingest.CellSegment.readTrailer(p)
+                if (t.entryCount > 0 && t.minVersion <= hi && t.maxVersion >= lo) {
+                  val inRange = graft.ingest.CellSegment.indexOf(p)
+                    .count(e => e.version >= lo && e.version <= hi &&
+                      keys.digests.forall(_.contains(e.digestHex)))
+                  if (inRange > 0) { n += inRange; b += t.indexOffset }
+                }
+              } else if (dot > 0 && !name.endsWith(".tmp") && keys.fileOk(name.take(dot)))
                 name.drop(dot + 1).toLongOption.foreach { v =>
                   if (v >= lo && v <= hi) { n += 1; b += Files.size(p) }
                 }
@@ -476,7 +489,24 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
           try s.iterator().asScala.foreach { p =>
             val n = p.getFileName.toString
             val dot = n.lastIndexOf('.')
-            if (dot > 0 && !n.endsWith(".tmp") && keys.fileOk(n.take(dot)))
+            if (graft.ingest.CellSegment.isSegment(n)) {
+              // bulk segments advance the watermark too: trailer-only
+              // read in the common case, index read under a point
+              // predicate (both content-I/O-free)
+              val t = graft.ingest.CellSegment.readTrailer(p)
+              if (t.entryCount > 0 && t.minVersion <= hi && t.maxVersion >= lo) {
+                val segMax = keys.digests match {
+                  case None if t.maxVersion <= hi => t.maxVersion
+                  case None => graft.ingest.CellSegment.indexOf(p).iterator
+                    .filter(e => e.version >= lo && e.version <= hi)
+                    .foldLeft(Long.MinValue)((m, e) => math.max(m, e.version))
+                  case Some(ds) => graft.ingest.CellSegment.indexOf(p).iterator
+                    .filter(e => ds.contains(e.digestHex) && e.version >= lo && e.version <= hi)
+                    .foldLeft(Long.MinValue)((m, e) => math.max(m, e.version))
+                }
+                if (segMax > mx) mx = segMax
+              }
+            } else if (dot > 0 && !n.endsWith(".tmp") && keys.fileOk(n.take(dot)))
               n.drop(dot + 1).toLongOption.foreach { v =>
                 if (v >= lo && v <= hi && v > mx) mx = v
               }
@@ -535,13 +565,35 @@ case class CellsReaderFactory(lo: Long, hi: Long, keys: CellsKeyPred,
 
 /** The shard reader shared by the batch scan and the micro-batch
   * stream — identical filename pruning, point-lookup digest filter,
-  * exact rowkey-range re-check, and column-pruned I/O in both faces. */
+  * exact rowkey-range re-check, and column-pruned I/O in both faces.
+  *
+  * Reads BOTH store-file kinds and merges them on the cell identity
+  * (key digest, version) — the HBase read model where every store file
+  * (flushed put or bulk-loaded HFile) contributes to one logical view:
+  *
+  *  - per-cell put files: the original path, filename-pruned;
+  *  - bulk [[graft.ingest.CellSegment]]s: pruned at SEGMENT level by
+  *    the trailer's version bounds (the filename prune's analog), at
+  *    ENTRY level by the digest index (point lookups seek straight to
+  *    the probed entries; a version-only projection reads the index
+  *    and never the data region), and by the same parsed-key range
+  *    re-check before any body is surfaced.
+  *
+  * A (key, version) present in several store files (bulk replay, bulk
+  * after push) is emitted ONCE; bodies are identical by the F5
+  * invariant so any winner is the cell. The dedup set holds one
+  * (digest, version) pair per emitted cell of ONE shard — bounded by
+  * shard cardinality, the same order of memory HBase spends on
+  * store-file block indexes per region, and kept flat by compaction.
+  */
 object CellsReaders {
   def reader(shardDir: String, lo: Long, hi: Long, keys: CellsKeyPred,
              cols: Array[String]): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val needKey = cols.contains("rowkey")
       private val needBody = cols.contains("body")
+      private val readsContent = needKey || needBody || keys.hasRange
+      private val seen = scala.collection.mutable.HashSet.empty[(String, Long)]
       private val files: Iterator[(Path, Long)] = {
         val shard = Paths.get(shardDir)
         val s = Files.list(shard)
@@ -549,7 +601,7 @@ object CellsReaders {
           try s.iterator().asScala.flatMap { p =>
             val n = p.getFileName.toString
             val dot = n.lastIndexOf('.')
-            if (dot <= 0 || n.endsWith(".tmp")) None
+            if (dot <= 0 || n.endsWith(".tmp") || graft.ingest.CellSegment.isSegment(n)) None
             else if (!keys.fileOk(n.take(dot))) None // point lookup: only the probed key's cells
             else n.drop(dot + 1).toLongOption.collect {
               case v if v >= lo && v <= hi => (p, v) // filename prune — not opened
@@ -558,15 +610,68 @@ object CellsReaders {
           finally s.close()
         listed.iterator
       }
+      // segment phase, built lazily AFTER the per-cell phase drains so
+      // the dedup set is complete; one iterator of ready rows per cell
+      private lazy val segmentRows: Iterator[InternalRow] = {
+        val shard = Paths.get(shardDir)
+        val s = Files.list(shard)
+        val segs =
+          try s.iterator().asScala
+            .filter(p => graft.ingest.CellSegment.isSegment(p.getFileName.toString))
+            .toVector.sortBy(_.getFileName.toString)
+          finally s.close()
+        segs.iterator.flatMap { seg =>
+          val t = graft.ingest.CellSegment.readTrailer(seg)
+          if (t.entryCount == 0 || t.minVersion > hi || t.maxVersion < lo) Iterator.empty
+          else {
+            val index = graft.ingest.CellSegment.indexOf(seg)
+            keys.digests match {
+              case Some(ds) =>
+                // point lookup: seek straight to the probed entries
+                index.iterator
+                  .filter(e => ds.contains(e.digestHex) && e.version >= lo && e.version <= hi &&
+                    !seen.contains((e.digestHex, e.version)))
+                  .flatMap { e =>
+                    if (!readsContent) {
+                      seen.add((e.digestHex, e.version)); Some(mkRow(null, e.version, null))
+                    } else {
+                      CellsSource.filesOpened.incrementAndGet()
+                      val (k, v, b) = graft.ingest.CellSegment.entryAt(seg, e.offset, needBody)
+                      if (!keys.keyOk(k)) None
+                      else { seen.add((e.digestHex, e.version)); Some(mkRow(k, v, b)) }
+                    }
+                  }
+              case None if !readsContent =>
+                // version-only projection: the index IS the result —
+                // the data region is never read
+                index.iterator
+                  .filter(e => e.version >= lo && e.version <= hi && seen.add((e.digestHex, e.version)))
+                  .map(e => mkRow(null, e.version, null))
+              case None =>
+                // scan: stream the data region zipped with the cached
+                // index (same order), so dedup needs no re-hashing
+                CellsSource.filesOpened.incrementAndGet()
+                graft.ingest.CellSegment.entries(seg, needBody).zip(index.iterator).flatMap {
+                  case ((k, v, b), e) =>
+                    if (v < lo || v > hi || !keys.keyOk(k)) None
+                    else if (!seen.add((e.digestHex, v))) None
+                    else Some(mkRow(k, v, b))
+                }
+            }
+          }
+        }
+      }
       private var row: InternalRow = _
 
       override def next(): Boolean = {
         while (files.hasNext) {
           val (p, version) = files.next()
+          val n = p.getFileName.toString
+          val digestHex = n.take(n.lastIndexOf('.'))
           // version-only projection with no range bound: the version is
           // in the filename — emit without any content I/O
-          val readsContent = needKey || needBody || keys.hasRange
           if (!readsContent) {
+            seen.add((digestHex, version))
             row = mkRow(null, version, null)
             return true
           }
@@ -586,10 +691,13 @@ object CellsReaders {
               }
             } finally in.close()
           cell match {
-            case Some((k, b)) => row = mkRow(k, version, b); return true
+            case Some((k, b)) =>
+              seen.add((digestHex, version))
+              row = mkRow(k, version, b); return true
             case None => // out of key range — skip to the next cell file
           }
         }
+        if (segmentRows.hasNext) { row = segmentRows.next(); return true }
         false
       }
 
