@@ -31,4 +31,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+// extra JVM flags for scale probes (GC choice etc.), e.g.
+// SPARK_GRAFT_JVM_OPTS="-XX:+UseParallelGC" for big-heap batch runs
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

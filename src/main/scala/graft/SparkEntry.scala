@@ -32,7 +32,9 @@ object SparkEntry {
       (_root_.graft.queries.Pipeline.queries, _root_.graft.queries.Pipeline.oracle),
       (_root_.graft.queries.Sketches.queries, _root_.graft.queries.Sketches.oracle),
       (_root_.graft.queries.Retrieval.queries, _root_.graft.queries.Retrieval.oracle),
-      (_root_.graft.queries.Statistics.queries, _root_.graft.queries.Statistics.oracle)
+      (_root_.graft.queries.Statistics.queries, _root_.graft.queries.Statistics.oracle),
+      (_root_.graft.queries.StoreLifecycle.queries, _root_.graft.queries.StoreLifecycle.oracle),
+      (_root_.graft.queries.Affinity.queries, _root_.graft.queries.Affinity.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -100,9 +100,17 @@ object Graph {
           graft.functions.SortedLongIntersectSize(
             org.apache.spark.sql.GraftSqlGlue.expression(a),
             org.apache.spark.sql.GraftSqlGlue.expression(b)))
+      // merge-join hints on the two adjacency joins: AQE's shuffled-hash
+      // choice builds the ARRAY-valued adj side in execution memory —
+      // fine at small scale, but deserialized neighbor arrays are ~4×
+      // their map-output size, and the sf10 probe measured flaky
+      // AGGREGATE/ACQUIRE OOM from exactly that underestimate (two
+      // builds + three checkpointed edge lists sharing the pool).
+      // Sort-merge streams and spills — per-task memory stays one
+      // sort buffer regardless of graph size.
       val nTri = o
-        .join(adj.select(col("s"), col("nbrs").as("nu")), Seq("s"))
-        .join(adj.select(col("s").as("t"), col("nbrs").as("nv")), Seq("t"))
+        .join(adj.select(col("s"), col("nbrs").as("nu")).hint("merge"), Seq("s"))
+        .join(adj.select(col("s").as("t"), col("nbrs").as("nv")).hint("merge"), Seq("t"))
         .agg(coalesce(sum(intersectSize(col("nu"), col("nv"))), lit(0L)).as("tri"))
         .collect()(0).getLong(0)
       // nodes, edges (= Σdeg/2), and wedges all come from the degree

@@ -1,0 +1,99 @@
+package graft.ingest
+
+import graft.ingest.IngestPipeline.{IngestedRow, Status}
+import graft.ingest.PushTableSink.TableSpec
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import scala.jdk.CollectionConverters._
+
+/** Major compaction over a mixed store-file population: maxVersions GC
+  * across per-cell puts AND bulk segments, TTL with minVersions=1,
+  * post-compact file population (segments only), and idempotent
+  * re-compaction. */
+class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("compaction-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def row(key: String, version: Long): IngestedRow =
+    IngestedRow("/f", version, "db", "c", "db:c", "m.csv", Status.Ok,
+      key.getBytes("UTF-8"), version, s"body-$key-$version", "MONGO_IMPORT", "line\n", "DoNotFilter", "")
+
+  private def keys(n: Int): Seq[String] = (0 until n).map(i => s"${('A' + i % 19).toChar}-key-$i")
+
+  private def listFiles(root: String): Seq[String] = {
+    val dir = Paths.get(root, "db~c")
+    val shards = Files.list(dir)
+    try shards.iterator().asScala.filter(Files.isDirectory(_)).flatMap { s =>
+      val l = Files.list(s)
+      try l.iterator().asScala.map(_.getFileName.toString).toVector finally l.close()
+    }.toVector
+    finally shards.close()
+  }
+
+  test("major compaction GCs versions past maxVersions across put files and bulk segments") {
+    val sp = spark; import sp.implicits._
+    val root = Files.createTempDirectory("compact-gc").toString
+    val spec = TableSpec(maxVersions = 2)
+    // versions 1-2 arrive by bulk, 3 by bulk again, 4 by push puts —
+    // a mixed store-file population, no write-time pruning anywhere
+    // (put-time pruning only sees per-cell files, and each key has one)
+    BulkLoad.write(spark.createDataset(keys(50).flatMap(k => Seq(row(k, 1), row(k, 2)))), root,
+      BulkLoad.Config(tableSpec = spec))
+    BulkLoad.write(spark.createDataset(keys(50).map(row(_, 3))), root,
+      BulkLoad.Config(tableSpec = spec))
+    PushTableSink.write(spark.createDataset(keys(50).map(row(_, 4))), () => FileStore(root),
+      PushTableSink.Config(tableSpec = spec))
+    assert(FileStore(root).scanTable("db:c").size == 200, "4 versions per key pre-compaction")
+
+    val report = Compaction.major(spark, root, "db:c")
+    assert(report.keptCells == 100, "maxVersions=2 keeps the newest 2 of 4 per key")
+    val state = FileStore(root).scanTable("db:c")
+    assert(state.size == 100)
+    assert(state.map(_._2).toSet == Set(3L, 4L), "kept versions are the newest two")
+    // the store now holds ONLY fresh segments — every put file and old
+    // segment was swept
+    val files = listFiles(root)
+    assert(files.nonEmpty && files.forall(CellSegment.isSegment),
+      s"post-compact store must be segments only, got: ${files.filterNot(CellSegment.isSegment).take(3)}")
+    assert(report.removedFiles > 0)
+  }
+
+  test("TTL compaction keeps fresh versions plus each key's latest (minVersions=1)") {
+    val sp = spark; import sp.implicits._
+    val root = Files.createTempDirectory("compact-ttl").toString
+    // stale key: all versions below cutoff -> keeps only its latest;
+    // fresh key: versions straddle the cutoff -> keeps those >= cutoff
+    BulkLoad.write(spark.createDataset(Seq(
+      row("stale", 10), row("stale", 20),
+      row("fresh", 90), row("fresh", 150), row("fresh", 200))), root)
+    val report = Compaction.major(spark, root, "db:c", ttlCutoff = Some(100L))
+    assert(report.keptCells == 3)
+    val state = FileStore(root).scanTable("db:c").map(t => (new String(
+      t._1.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray), t._2)).sorted
+    assert(state == Seq(("fresh", 150L), ("fresh", 200L), ("stale", 20L)))
+  }
+
+  test("re-compacting a compacted table is a no-op (idempotent maintenance)") {
+    val sp = spark; import sp.implicits._
+    val root = Files.createTempDirectory("compact-idem").toString
+    BulkLoad.write(spark.createDataset(keys(30).flatMap(k => Seq(row(k, 1), row(k, 2)))), root)
+    Compaction.major(spark, root, "db:c")
+    val filesAfterFirst = listFiles(root).sorted
+    val report2 = Compaction.major(spark, root, "db:c")
+    assert(report2.removedFiles == 0, "second compaction must sweep nothing")
+    assert(listFiles(root).sorted == filesAfterFirst, "segment set unchanged")
+    assert(FileStore(root).scanTable("db:c").size == 60)
+  }
+}
