@@ -104,4 +104,53 @@ object GlobalRank {
       .withColumn(rankCol, col("__off") + col("__local") + lit(1L))
       .drop("__mid", "__pid", "__local", "__off")
   }
+
+  /** Distributed RUNNING SUM of `valueCol` in global `sortExprs` order —
+    * the segmented-carry decomposition (the q158 shape) applied to the
+    * total order: one range shuffle, a per-partition cumulative window
+    * (each task sums only its own range), and a numParts-row carry
+    * table broadcast back. The scale-correct replacement for
+    * `sum(...).over(Window.orderBy(...))`, which drags every row
+    * through ONE task. Emits `cumCol` (inclusive running sum) and,
+    * when `totalCol` is set, the grand total on every row — the shape
+    * budget-cut selections need (take while cum ≤ f(total)) with no
+    * second scan. Same ReuseExchange requirement as [[rank]]: the
+    * carry branch must read the SAME physical range shuffle. */
+  def prefixSum(df: DataFrame, sortExprs: Seq[Column], valueCol: Column, numParts: Int,
+                cumCol: String, totalCol: Option[String] = None): DataFrame = {
+    require(df.sparkSession.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "GlobalRank.prefixSum needs spark.sql.exchange.reuse enabled: without it the carry " +
+        "branch re-executes the range shuffle with freshly sampled boundaries and the " +
+        "per-partition carries no longer describe the summed partitions")
+    val parted = df.withColumn("__v", valueCol).repartitionByRange(numParts, sortExprs: _*)
+    // __pid is MATERIALIZED in a projection directly over the range
+    // exchange, then the window partitions by the column VALUE: a
+    // window partitioned by spark_partition_id() itself would re-plan
+    // an exchange and re-evaluate the id on the far side — different
+    // numbers, corrupted groups. The window's own hash exchange on
+    // __pid moves each range partition intact (task-sized groups).
+    val localW = Window.partitionBy(col("__pid"))
+      .orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .withColumn("__cum", sum(col("__v")).over(localW))
+    val sums = parted
+      .select(spark_partition_id().cast("long").as("__pid"), col("__v"))
+      .groupBy(col("__pid")).agg(sum(col("__v")).as("__s"))
+    // numParts rows: the carry = sum of all earlier partitions
+    val carry0 = sums.withColumn("__carry",
+      coalesce(sum(col("__s")).over(
+        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val carries = totalCol match {
+      case Some(tc) => carry0.withColumn(tc,
+          sum(col("__s")).over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("__pid"), col("__carry"), col(tc))
+      case None => carry0.select(col("__pid"), col("__carry"))
+    }
+    local
+      .join(broadcast(carries), Seq("__pid"))
+      .withColumn(cumCol, col("__carry") + col("__cum"))
+      .drop("__pid", "__v", "__cum", "__carry")
+  }
 }

@@ -149,6 +149,30 @@ object Graph {
         lit(r.nCore).as("n_core"), lit(r.nRemoved).as("n_removed"),
         lit(r.nRounds).as("n_rounds"), lit(r.coreEdges).as("core_edges"),
         lit(r.coreMinDeg).as("core_min_deg"), lit(r.converged).as("converged"))
+    },
+
+    // DEGREE DISTRIBUTION of the co-purchase graph in log2 buckets —
+    // the first diagnostic every graph operator's skew defense is
+    // sized against (hub mass decides salting, orientation caps,
+    // broadcast sides). The bucket index is the node degree's binary
+    // WIDTH (length(bin(c)) − 1 = ⌊log2 c⌋, exact in integers — a
+    // floating log2 can land a power of two on the wrong side of the
+    // bucket edge). Shapes: q153's edge derivation, one
+    // partial-aggregable degree count, one bounded (≤ 64-bucket)
+    // rollup.
+    "q202_degree_distribution" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("c"))
+        .withColumn("bucket", (length(expr("bin(c)")) - 1).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("c")).as("min_deg"),
+          max(col("c")).as("max_deg"), sum(col("c")).as("degree_mass"))
     }
   )
 
@@ -216,7 +240,18 @@ object Graph {
                   AS transitivity_x1000
          FROM st, tri""",
 
-    "q179_kcore" -> kcoreOracle
+    "q179_kcore" -> kcoreOracle,
+
+    "q202_degree_distribution" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+          e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+          und AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+          deg AS (SELECT node, count(*)::BIGINT AS c FROM und GROUP BY 1)
+         SELECT (len(bin(c)) - 1)::BIGINT AS bucket, count(*)::BIGINT AS n_nodes,
+                min(c)::BIGINT AS min_deg, max(c)::BIGINT AS max_deg,
+                sum(c)::BIGINT AS degree_mass
+         FROM deg GROUP BY 1"""
   )
 
   /** the same 6 peel rounds, unrolled (the q92 fixed-iteration oracle

@@ -907,6 +907,69 @@ object Pipeline {
         .withColumn("samp_rank", row_number().over(w).cast("long"))
         .select(col("samp_rank"), col("doc_id"), col("source"),
           col("n_chars"), col("priority"))
+    },
+
+    // Tokenizer FERTILITY — the tokenizer-eval metric every vocab
+    // decision runs (subword tokens emitted per whitespace word, and
+    // characters per subword, per language×source slice): a vocabulary
+    // too small for a language shows up as fertility blowup. Rides the
+    // q128/q131 machinery — the memoized BPE merge table feeds the
+    // same column-expression encoder, so the corpus-sized work is ONE
+    // narrow encode map riding the scan into one partial-aggregable
+    // (lang, source) rollup; ratios ship as exact truncating
+    // quotients. Oracle: the shared unrolled-merge CTE chain
+    // aggregated the same way.
+    "q201_tokenizer_fertility" -> { (s, d) =>
+      val merges = learnBpeMergesCached(s, d)
+      def encodeWord(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val spaced = concat(lit(" "), regexp_replace(w, lit("(.)"), lit("$1 ")))
+        merges.foldLeft(spaced) { case (c, (_, a, b, _)) =>
+          replace(c, lit(s" $a $b "), lit(s" $a$b "))
+        }
+      }
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("lang"), col("source"),
+          size(col("ws")).cast("long").as("nw"),
+          expr("CAST(aggregate(ws, 0L, (acc, x) -> acc + length(x)) AS BIGINT)").as("nc"),
+          concat_ws(" ", transform(col("ws"), w => trim(encodeWord(w)))).as("enc"))
+        .withColumn("nt", size(split(col("enc"), " ")).cast("long"))
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("nw")).as("n_words"), sum(col("nt")).as("n_subwords"),
+          sum(col("nc")).as("n_chars"))
+        .withColumn("fertility_x1e6", expr("(n_subwords * 1000000) div n_words"))
+        .withColumn("chars_per_subword_x1e6", expr("(n_chars * 1000000) div n_subwords"))
+    },
+
+    // Token-BUDGET data selection — "fill 30% of the corpus budget
+    // with the densest documents": the greedy knapsack every
+    // data-mixing run executes once quality scores exist. Density =
+    // distinct-word ratio (exact integer); selection = global running
+    // token sum in (density desc) order, cut at the budget — powered
+    // by GlobalRank.prefixSum (range shuffle + per-partition cumsum +
+    // broadcast carries), never a single-task ORDER BY window. The
+    // budget test is pure integer cross-multiplication
+    // (cum·10 ≤ total·3), so the cut is exact at any scale.
+    "q203_token_budget_select" -> { (s, d) =>
+      import graft.operators.GlobalRank
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"), col("source"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
+        .withColumn("density_x1e6", expr("(n_distinct * 1000000) div n_tokens"))
+      GlobalRank.prefixSum(docs,
+          Seq(col("density_x1e6").desc, col("doc_id").asc), col("n_tokens"),
+          numParts = 32, cumCol = "cum_tokens", totalCol = Some("total_tokens"))
+        .filter(col("cum_tokens") * 10 <= col("total_tokens") * 3)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("n_tokens")).as("tokens_selected"),
+          min(col("density_x1e6")).as("min_density_x1e6"))
     }
   )
 
@@ -1270,6 +1333,57 @@ object Pipeline {
            FROM documents)
          SELECT row_number() OVER (ORDER BY priority, doc_id)::BIGINT AS samp_rank,
                 doc_id, source, n_chars, priority
-         FROM p ORDER BY priority, doc_id LIMIT 100"""
+         FROM p ORDER BY priority, doc_id LIMIT 100""",
+
+    "q201_tokenizer_fertility" -> bpeFertilityOracleSql,
+
+    "q203_token_budget_select" ->
+      """WITH d AS (SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+           FROM documents),
+          t AS (SELECT doc_id, source, len(ws)::BIGINT AS n_tokens,
+                  len(list_distinct(ws))::BIGINT AS n_distinct
+                FROM d WHERE len(ws) > 0),
+          r AS (SELECT *, (n_distinct * 1000000 // n_tokens)::BIGINT AS density_x1e6
+                FROM t),
+          c AS (SELECT *,
+                  sum(n_tokens) OVER (ORDER BY density_x1e6 DESC, doc_id) AS cum,
+                  sum(n_tokens) OVER () AS tot
+                FROM r)
+         SELECT source, count(*)::BIGINT AS n_selected,
+                sum(n_tokens)::BIGINT AS tokens_selected,
+                min(density_x1e6)::BIGINT AS min_density_x1e6
+         FROM c WHERE cum * 10 <= tot * 3 GROUP BY 1"""
   )
+
+  /** q201's oracle: the q131 unrolled-merge encode chain, aggregated to
+    * the (lang, source) fertility rollup with the same truncating
+    * quotients as the Spark side. */
+  private def bpeFertilityOracleSql: String = {
+    val mCols = (1 to BpeRounds).map(t =>
+      s"(SELECT a FROM b$t) AS a$t, (SELECT b FROM b$t) AS bb$t, (SELECT a || b FROM b$t) AS ab$t")
+      .mkString(", ")
+    val spaced = """' ' || regexp_replace(x, '(.)', '\1 ', 'g')"""
+    val applied = (1 to BpeRounds).foldLeft(spaced) { (c, t) =>
+      s"replace($c, ' ' || m.a$t || ' ' || m.bb$t || ' ', ' ' || m.ab$t || ' ')"
+    }
+    s"""${bpeCtesSql},
+        m AS (SELECT $mCols),
+        per AS (SELECT lang, source,
+            list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
+            array_to_string(list_transform(
+              list_filter(string_split(text, ' '), x -> len(x) > 0),
+              x -> trim($applied)), ' ') AS e
+          FROM documents, m
+          WHERE len(list_filter(string_split(text, ' '), x -> len(x) > 0)) > 0),
+        agg AS (SELECT lang, source,
+            sum(len(ws))::BIGINT AS n_words,
+            sum(len(string_split(e, ' ')))::BIGINT AS n_subwords,
+            sum(list_sum(list_transform(ws, x -> len(x))))::BIGINT AS n_chars
+          FROM per GROUP BY 1, 2)
+       SELECT lang, source, n_words, n_subwords, n_chars,
+              (n_subwords * 1000000 // n_words)::BIGINT AS fertility_x1e6,
+              (n_chars * 1000000 // n_subwords)::BIGINT AS chars_per_subword_x1e6
+       FROM agg"""
+  }
 }

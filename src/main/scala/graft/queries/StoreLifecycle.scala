@@ -114,6 +114,28 @@ object StoreLifecycle {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bakDir))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dstRoot))
       }
+    },
+
+    // REGION PRE-SPLIT planner: 15 balanced split keys over the binary
+    // rowkey space (16 equal-mass ranges) — what an HBase operator
+    // computes before pointing a bulk load at a new table, so region
+    // splits never happen mid-ingest (reference posture:
+    // HbaseClient.kt's region model; the first-byte shard uniformity
+    // comes from the CRC32 prefix, and THIS op is how you'd split
+    // finer than one byte). Keys are digest-derived binaries (both
+    // engines can compute them); boundaries are exact equi-depth
+    // ranks (i·n div 16) read off GlobalRank's range-partitioned
+    // total order — one range shuffle, no single-task sort, the q63
+    // decomposition on BINARY keys.
+    "q204_split_points" -> { (s, d) =>
+      import graft.operators.GlobalRank
+      val keys = Tables.documents(s, d)
+        .select(unhex(md5(concat(lit("doc-"), col("doc_id")))).as("key"))
+      val n = keys.count() // one bounded scalar: the total mass
+      val targets = (1 to 15).map(i => i * n / 16)
+      GlobalRank.rank(keys, Seq(col("key").asc), numParts = 32, rankCol = "boundary_rank")
+        .filter(col("boundary_rank").isin(targets: _*))
+        .select(col("boundary_rank"), hex(col("key")).as("split_key_hex"))
     }
   )
 
@@ -128,6 +150,18 @@ object StoreLifecycle {
       """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + v)::BIGINT AS version,
               md5(doc_id::VARCHAR || '~' || v::VARCHAR) AS body_md5
          FROM documents, (SELECT unnest([1, 2]) AS v)
-         WHERE doc_id % 13 = 0"""
+         WHERE doc_id % 13 = 0""",
+
+    // hex(md5) sorts identically to the digest bytes, so ranking the
+    // lowercase digest string IS the binary-key total order
+    "q204_split_points" ->
+      """WITH k AS (SELECT md5('doc-' || doc_id) AS kh FROM documents),
+          r AS (SELECT kh, row_number() OVER (ORDER BY kh) AS rk,
+                  count(*) OVER () AS n
+                FROM k)
+         SELECT rk::BIGINT AS boundary_rank, upper(kh) AS split_key_hex
+         FROM r
+         WHERE rk IN (SELECT (i * (SELECT count(*) FROM k)) // 16
+                      FROM (SELECT unnest(range(1, 16)) AS i))"""
   )
 }

@@ -76,4 +76,39 @@ class GlobalRankSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("id"), col("r")).as[(Long, Long)].collect().toMap
     assert(viaOp == viaWindow)
   }
+
+  test("prefixSum == single-partition running sum, with ties, empty partitions, and total") {
+    val sp = spark; import sp.implicits._
+    val rng = new scala.util.Random(29)
+    // skewed values with ties: the tie-break column makes the order total
+    val rows = (0L until 1500L).map(id => (id, (rng.nextInt(20)).toDouble, rng.nextInt(50).toLong))
+    val df = rows.toDF("id", "v", "w")
+    val viaWindow = df.withColumn("cum",
+        sum(col("w")).over(Window.orderBy(col("v").desc, col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+    val viaOp = GlobalRank.prefixSum(df, Seq(col("v").desc, col("id").asc), col("w"),
+        numParts = 8, cumCol = "cum", totalCol = Some("tot"))
+    val got = viaOp.select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+    assert(got == viaWindow)
+    val totals = viaOp.select(col("tot")).distinct().as[Long].collect().toSeq
+    assert(totals == Seq(rows.map(_._3).sum))
+    // more partitions than rows: empty range partitions must not shift carries
+    val tiny = Seq((1L, 5.0, 10L), (2L, 4.0, 20L), (3L, 3.0, 30L)).toDF("id", "v", "w")
+    val t = GlobalRank.prefixSum(tiny, Seq(col("v").desc, col("id").asc), col("w"),
+        numParts = 16, cumCol = "cum")
+      .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+    assert(t == Map(1L -> 10L, 2L -> 30L, 3L -> 60L))
+  }
+
+  test("prefixSum fails fast when exchange reuse is disabled") {
+    val isolated = spark.newSession()
+    isolated.conf.set("spark.sql.exchange.reuse", "false")
+    val sp = isolated; import sp.implicits._
+    val df = Seq((1L, 1.0, 1L), (2L, 2.0, 2L)).toDF("id", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      GlobalRank.prefixSum(df, Seq(col("v").asc), col("w"), 2, "cum")
+    }
+    assert(e.getMessage.contains("exchange.reuse"))
+  }
 }
