@@ -160,6 +160,27 @@ object Affinity {
           "left_anti")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_abandoned"), min(col("us")).as("first_abandoned_us"))
+    },
+
+    // Behavioral DIVERSITY per user — the Gini–Simpson index
+    // 1 − Σp², the entropy-family measure with an exact rational
+    // core (Shannon entropy's ln is banned from hashed output by the
+    // q34 rule; Gini–Simpson is the standard integer-exact stand-in):
+    // diversity·10⁶ = 10⁶·(n² − Σc²) div n². One partial-aggregable
+    // (user, type) count, one user rollup — both shuffles on user_id,
+    // the second reusing the first's key. Flags one-note users
+    // (diversity 0) the engagement models down-weight.
+    "q206_behavior_diversity" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("sum_c2"))
+        .withColumn("diversity_x1e6",
+          expr("(1000000 * (n_events * n_events - sum_c2)) div (n_events * n_events)"))
+        .select(col("user_id"), col("n_events"), col("n_types"), col("diversity_x1e6"))
     }
   )
 
@@ -249,6 +270,17 @@ object Affinity {
            SELECT 1 FROM ev p
            WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
              AND p.us > v.us AND p.us <= v.us + 3600000000)
-         GROUP BY v.user_id"""
+         GROUP BY v.user_id""",
+
+    "q206_behavior_diversity" ->
+      """WITH uc AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+           FROM events GROUP BY 1, 2),
+          u AS (SELECT user_id, sum(c)::BIGINT AS n_events,
+                  count(*)::BIGINT AS n_types, sum(c * c)::BIGINT AS sum_c2
+                FROM uc GROUP BY 1)
+         SELECT user_id, n_events, n_types,
+                ((1000000 * (n_events * n_events - sum_c2))
+                 // (n_events * n_events))::BIGINT AS diversity_x1e6
+         FROM u"""
   )
 }

@@ -136,6 +136,53 @@ object StoreLifecycle {
       GlobalRank.rank(keys, Seq(col("key").asc), numParts = 32, rankCol = "boundary_rank")
         .filter(col("boundary_rank").isin(targets: _*))
         .select(col("boundary_rank"), hex(col("key")).as("split_key_hex"))
+    },
+
+    // INCREMENTAL backup — the CDC face of q195: a full backup at
+    // version watermark W, then only the cells ABOVE W export in the
+    // second pass (a FILENAME/trailer-pruned pushdown scan — expired
+    // generations are never opened), and both increments restore
+    // through the bulk load into one root. In-query invariants: the
+    // incremental export is exactly the post-W slice, and
+    // full + increment restored ≡ the live table cell-for-cell. The
+    // emitted result reads the RESTORED store, so the hash pins
+    // watermark pruning, both exports, and the two bulk rebuilds.
+    "q205_cells_incremental_backup" -> { (s, d) =>
+      val W = 1000L
+      val srcRoot = Files.createTempDirectory("graft-q205-src").toString
+      val bakDir = Files.createTempDirectory("graft-q205-bak").toString
+      val dstRoot = Files.createTempDirectory("graft-q205-dst").toString
+      try {
+        Tables.documents(s, d).filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), explode(sequence(lit(1), lit(2))).as("v"))
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 4 + v").as("version"),
+            expr("cast(md5(concat(cast(doc_id as string), '+', cast(v as string))) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", srcRoot).option("table", "q205").save()
+        def readTable(root: String) = s.read.format("graft-cells")
+          .option("root", root).option("table", "q205").load()
+        readTable(srcRoot).filter(col("version") <= W)
+          .write.mode("overwrite").parquet(bakDir + "/full")
+        readTable(srcRoot).filter(col("version") > W)
+          .write.mode("overwrite").parquet(bakDir + "/incr")
+        def restore(dir: String): Unit = BulkLoad.writeCells(
+          s.read.parquet(dir).select(lit("q205").as("tableName"),
+            col("rowkey"), col("version"), col("body")), dstRoot)
+        restore(bakDir + "/full")
+        restore(bakDir + "/incr")
+        val src = readTable(srcRoot)
+        val dst = readTable(dstRoot)
+        require(src.exceptAll(dst).count() == 0 && dst.exceptAll(src).count() == 0,
+          "full + incremental restore must reproduce the live table cell-for-cell")
+        dst.select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcRoot))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bakDir))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dstRoot))
+      }
     }
   )
 
@@ -162,6 +209,12 @@ object StoreLifecycle {
          SELECT rk::BIGINT AS boundary_rank, upper(kh) AS split_key_hex
          FROM r
          WHERE rk IN (SELECT (i * (SELECT count(*) FROM k)) // 16
-                      FROM (SELECT unnest(range(1, 16)) AS i))"""
+                      FROM (SELECT unnest(range(1, 16)) AS i))""",
+
+    "q205_cells_incremental_backup" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + v)::BIGINT AS version,
+              md5(doc_id::VARCHAR || '+' || v::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([1, 2]) AS v)
+         WHERE doc_id % 17 = 0"""
   )
 }
