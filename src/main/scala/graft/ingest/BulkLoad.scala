@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape — ONE shuffle, then embarrassingly-parallel file writes:
   *
-  *  1. hash-repartition on (tableName, first rowkey byte): the first
-  *     byte IS the store's range-shard unit (the HBase region model —
-  *     uniform because reference rowkeys open with a CRC32 byte), so
-  *     this is a range shard assignment priced as a hash exchange;
+  *  1. hash-repartition on (tableName, shard name): the shard IS the
+  *     store's range unit (the HBase region model — the default 256
+  *     first-byte ranges are uniform because reference rowkeys open
+  *     with a CRC32 byte; custom [[FileStore.Splits]] go finer or
+  *     coarser), so this is a range shard assignment priced as a hash
+  *     exchange, with parallelism = the table's region count;
   *  2. sortWithinPartitions (tableName, rowkey, version) — Spark's
   *     BinaryType sort is unsigned-lexicographic, the segment order;
   *  3. mapPartitions: each task streams its sorted run and rolls one
@@ -51,10 +53,16 @@ object BulkLoad {
 
   final case class Config(numPartitions: Int = 0, // 0 → spark.sql.shuffle.partitions
                           maxSegmentBytes: Long = 1L << 30,
-                          tableSpec: TableSpec = TableSpec())
+                          tableSpec: TableSpec = TableSpec(),
+                          // creation-time pre-split (HBase createTable(splitKeys)):
+                          // N split points → N+1 key-range shards; recorded
+                          // write-once in the table's _splits.json. Tables that
+                          // already exist keep their recorded layout; Nil keeps
+                          // the default 256 first-byte ranges.
+                          splitPoints: Seq[Array[Byte]] = Nil)
 
   /** One flipped segment, as reported back to the driver (bounded:
-    * ≤ tables × 256 shards × segment-roll count rows). */
+    * ≤ tables × region count × segment-roll count rows). */
   final case class SegDesc(table: String, shard: String, file: String,
                            cells: Long, minVersion: Long, maxVersion: Long)
 
@@ -81,10 +89,18 @@ object BulkLoad {
     import spark.implicits._
 
     // driver-side DDL over the distinct table names (W3), as the push
-    // sink does — bounded by the table count, not the data
+    // sink does — bounded by the table count, not the data. The split
+    // layout is resolved HERE too: creation-time splitPoints record a
+    // custom layout; existing tables keep whatever _splits.json says.
     val tables = cellsDf.select(col("tableName")).distinct().as[String].collect().sorted.toSeq
     val store = FileStore(rootDir)
-    tables.foreach(store.ensureTable(_, config.tableSpec))
+    tables.foreach { t =>
+      store.ensureTable(t, config.tableSpec)
+      if (config.splitPoints.nonEmpty)
+        store.ensureSplits(t, FileStore.Splits.ofSplitPoints(config.splitPoints))
+    }
+    val splitsByTable: Map[String, FileStore.Splits] =
+      tables.map(t => t -> store.splitsOf(t)).toMap
 
     val staging = Files.createDirectories(
       Paths.get(rootDir, "_bulk_staging", java.util.UUID.randomUUID().toString))
@@ -93,35 +109,67 @@ object BulkLoad {
             else spark.sessionState.conf.numShufflePartitions
     val maxSeg = config.maxSegmentBytes
 
-    val descs = cellsDf
-      .select(col("tableName"), col("rowkey"), col("version"), col("body"))
-      // substring on BinaryType slices bytes: the first-byte range
-      // shard as a native column, no UDF
-      .withColumn("shard0", substring(col("rowkey"), 1, 1))
-      .repartition(n, col("tableName"), col("shard0"))
-      .sortWithinPartitions(col("tableName"), col("rowkey"), col("version"))
+    // The shuffle key is the SHARD NAME, so a table's write
+    // parallelism is its region count — not a fixed 256 ceiling.
+    // Default layout: the name is a pure column expression (hex of the
+    // first key byte — whole-stage codegen, no UDF). Custom layouts:
+    // one narrow typed pass resolves each key against the broadcast
+    // split list (binary search over ≤ |regions| starts).
+    val base = cellsDf.select(col("tableName"), col("rowkey"), col("version"), col("body"))
+    val withShard =
+      if (splitsByTable.values.forall(_.isDefault))
+        base.withColumn("shard",
+          when(length(col("rowkey")) === 0, lit("00"))
+            .otherwise(lower(hex(substring(col("rowkey"), 1, 1)))))
+          .select(col("tableName"), col("shard"), col("rowkey"), col("version"), col("body"))
+      else {
+        val startsB = spark.sparkContext.broadcast(
+          splitsByTable.map { case (t, s) => t -> s.starts.toArray })
+        base.as[(String, Array[Byte], Long, Array[Byte])]
+          .mapPartitions { it =>
+            val splits = startsB.value.map { case (t, s) => t -> FileStore.Splits(s.toVector) }
+            it.map { case (t, k, v, b) => (t, splits(t).shardNameOf(k), k, v, b) }
+          }
+          .toDF("tableName", "shard", "rowkey", "version", "body")
+      }
+
+    val descs = withShard
+      .repartition(n, col("tableName"), col("shard"))
+      // (shard, rowkey) order ≡ rowkey order within a table (shard
+      // names are range starts in hex), and CellSegment.write needs
+      // each run sorted by (key, version)
+      .sortWithinPartitions(col("tableName"), col("shard"), col("rowkey"), col("version"))
       .mapPartitions { it =>
         val rows = it.buffered
         val out = Seq.newBuilder[SegDesc]
         while (rows.hasNext) {
           val table = rows.head.getString(0)
-          val shard = FileStore.shardOf(rows.head.getAs[Array[Byte]](1))
+          val shard = rows.head.getString(1)
           def sameRun: Boolean = rows.hasNext && {
             val r = rows.head
-            r.getString(0) == table && FileStore.shardOf(r.getAs[Array[Byte]](1)) == shard
+            r.getString(0) == table && r.getString(1) == shard
           }
           val dir = Paths.get(stagingStr, table.replace(':', '~'), shard)
-          while (sameRun) {
+          // duplicate handling spans the WHOLE (table, shard) run, not
+          // one segment: a (rowkey, version) pair straddling a segment
+          // roll still collapses (same body) or fails loudly
+          // (conflicting body) instead of landing in two files
+          val run = dedupSorted(new Iterator[(Array[Byte], Long, Array[Byte])] {
+            override def hasNext: Boolean = sameRun
+            override def next(): (Array[Byte], Long, Array[Byte]) = {
+              val r = rows.next()
+              (r.getAs[Array[Byte]](2), r.getLong(3), r.getAs[Array[Byte]](4))
+            }
+          })
+          while (run.hasNext) {
             // roll a new segment when the byte cap fills; ≥1 entry each
             var bytes = 0L
             val chunk = new Iterator[(Array[Byte], Long, Array[Byte])] {
-              override def hasNext: Boolean = sameRun && (bytes == 0L || bytes < maxSeg)
+              override def hasNext: Boolean = run.hasNext && (bytes == 0L || bytes < maxSeg)
               override def next(): (Array[Byte], Long, Array[Byte]) = {
-                val r = rows.next()
-                val k = r.getAs[Array[Byte]](1)
-                val b = r.getAs[Array[Byte]](3)
-                bytes += 16L + k.length + b.length
-                (k, r.getLong(2), b)
+                val e = run.next()
+                bytes += 16L + e._1.length + e._3.length
+                e
               }
             }
             val meta = CellSegment.write(dir, chunk)
@@ -146,4 +194,38 @@ object BulkLoad {
 
     Report(descs.map(_.cells).sum, descs.toSeq)
   }
+
+  /** Collapse adjacent exact-duplicate cells of a SORTED run — cell
+    * identity is (rowkey, version), the F5 invariant — and throw on a
+    * same-identity pair with DIFFERENT bodies (a corrupt input; picking
+    * one silently would make the store nondeterministic). Lives above
+    * the segment roll so the check cannot be defeated by a duplicate
+    * straddling a maxSegmentBytes boundary. */
+  private[ingest] def dedupSorted(
+      it: Iterator[(Array[Byte], Long, Array[Byte])]): Iterator[(Array[Byte], Long, Array[Byte])] =
+    new Iterator[(Array[Byte], Long, Array[Byte])] {
+      private var prevK: Array[Byte] = null
+      private var prevV = 0L
+      private var prevB: Array[Byte] = null
+      private var pending: (Array[Byte], Long, Array[Byte]) = null
+      override def hasNext: Boolean = {
+        while (pending == null && it.hasNext) {
+          val e = it.next()
+          if (prevK != null && e._2 == prevV && java.util.Arrays.equals(prevK, e._1))
+            require(java.util.Arrays.equals(prevB, e._3),
+              s"bulk load: two bodies for one (rowkey, version) cell at version ${e._2}")
+          else {
+            pending = e
+            prevK = e._1; prevV = e._2; prevB = e._3
+          }
+        }
+        pending != null
+      }
+      override def next(): (Array[Byte], Long, Array[Byte]) = {
+        if (!hasNext) throw new NoSuchElementException("dedupSorted")
+        val e = pending
+        pending = null
+        e
+      }
+    }
 }

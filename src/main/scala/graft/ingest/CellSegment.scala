@@ -115,13 +115,27 @@ object CellSegment {
   def isSegment(fileName: String): Boolean =
     fileName.startsWith("bulk-") && fileName.endsWith(".seg")
 
+  /** Positional read that LOOPS until the buffer fills — a bare
+    * FileChannel.read may return short (interrupted reads, network
+    * filesystems, multi-MB index buffers) and a short-read parse would
+    * silently yield garbage index entries instead of failing loudly.
+    * EOF before the buffer fills throws. */
+  private def readFully(ch: java.nio.channels.FileChannel, buf: java.nio.ByteBuffer, pos: Long): Unit = {
+    var p = pos
+    while (buf.hasRemaining) {
+      val n = ch.read(buf, p)
+      require(n >= 0, s"cell segment truncated: EOF at offset $p with ${buf.remaining} bytes missing")
+      p += n
+    }
+  }
+
   /** Trailer read: 32 bytes off the file tail — the only I/O a
     * version-disjoint segment ever costs a scan. */
   def readTrailer(path: Path): Trailer = {
     val ch = java.nio.channels.FileChannel.open(path)
     try {
       val buf = java.nio.ByteBuffer.allocate(TrailerLen)
-      ch.read(buf, ch.size() - TrailerLen)
+      readFully(ch, buf, ch.size() - TrailerLen)
       buf.flip()
       val t = Trailer(buf.getLong, buf.getInt, buf.getLong, buf.getLong)
       val magic = buf.getInt
@@ -138,7 +152,7 @@ object CellSegment {
     val ch = java.nio.channels.FileChannel.open(path)
     try {
       val buf = java.nio.ByteBuffer.allocate(t.entryCount * IndexEntryLen)
-      ch.read(buf, t.indexOffset)
+      readFully(ch, buf, t.indexOffset)
       buf.flip()
       Vector.tabulate(t.entryCount) { _ =>
         val d = new Array[Byte](32); buf.get(d)
@@ -147,15 +161,68 @@ object CellSegment {
     } finally ch.close()
   }
 
-  // segments are rename-only immutable, so index loads memoize per JVM
-  // (the same shape as FileStore's maxVersions DDL cache); a REPLACE-
-  // EXISTING flip only ever lands identical content under the same
-  // content-hash name, so a cached entry can never go stale
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Vector[IndexEntry]]()
+  // Per-JVM segment-index cache — the HBase BlockCache analog for
+  // index blocks. Segments are rename-only immutable (content-hash
+  // names; a REPLACE_EXISTING flip only lands identical content), so
+  // cached entries never go STALE — but residency must be BOUNDED: an
+  // unbounded memo would pin ~48 B/cell of every segment a long-lived
+  // executor ever probes (F5 existence checks, connector point/range
+  // reads), heap-fatal against a 100 TB table. LRU by estimated index
+  // weight, default 64 MB (`graft.segment.index.cache.bytes`); an
+  // evicted index reloads from its segment file on the next touch
+  // (trailer + index readFully), identical answers either way.
+  private val IndexEntryWeight = 144L // 48 B payload + digest String + Vector boxing
+  private val EntryOverhead = 256L
+  @volatile private var cacheMaxBytes: Long =
+    sys.props.get("graft.segment.index.cache.bytes").flatMap(_.toLongOption).getOrElse(64L << 20)
+  // accessOrder=true: iteration order is least-recently-USED first,
+  // which is exactly the eviction order; all access synchronized (get
+  // mutates the order links)
+  private val indexCache = new java.util.LinkedHashMap[String, Vector[IndexEntry]](64, 0.75f, true)
+  private var cacheBytes = 0L
 
-  def indexOf(path: Path): Vector[IndexEntry] =
-    indexCache.computeIfAbsent(path.toAbsolutePath.toString, _ => readIndex(path))
+  private def weightOf(v: Vector[IndexEntry]): Long = EntryOverhead + IndexEntryWeight * v.length
+
+  private def evictToCap(): Unit = {
+    val it = indexCache.entrySet().iterator()
+    while (cacheBytes > cacheMaxBytes && it.hasNext) {
+      cacheBytes -= weightOf(it.next().getValue)
+      it.remove()
+    }
+  }
+
+  /** Test seam: resize the cache cap (evicting down to it) and return
+    * the previous cap, so specs can prove bounded residency under a
+    * deliberately tiny limit with unchanged query answers. */
+  private[graft] def setIndexCacheMaxBytes(bytes: Long): Long = indexCache.synchronized {
+    val prev = cacheMaxBytes
+    cacheMaxBytes = bytes
+    evictToCap()
+    prev
+  }
+
+  /** (resident entries, estimated resident bytes) — inspection only. */
+  private[graft] def indexCacheStats: (Int, Long) =
+    indexCache.synchronized((indexCache.size, cacheBytes))
+
+  def indexOf(path: Path): Vector[IndexEntry] = {
+    val key = path.toAbsolutePath.toString
+    val hit = indexCache.synchronized(indexCache.get(key))
+    if (hit != null) hit
+    else {
+      // load OUTSIDE the lock: two racing loads of one segment waste a
+      // read but never serialize unrelated loads behind segment I/O
+      val v = readIndex(path)
+      indexCache.synchronized {
+        if (!indexCache.containsKey(key)) {
+          indexCache.put(key, v)
+          cacheBytes += weightOf(v)
+          evictToCap()
+        }
+      }
+      v
+    }
+  }
 
   /** Stream the data region in (key, version) order. `needBody = false`
     * skips every body's bytes (the column-pruned key-only scan). */
@@ -190,10 +257,10 @@ object CellSegment {
     val ch = java.nio.channels.FileChannel.open(path)
     try {
       val lenBuf = java.nio.ByteBuffer.allocate(4)
-      ch.read(lenBuf, offset); lenBuf.flip()
+      readFully(ch, lenBuf, offset); lenBuf.flip()
       val keyLen = lenBuf.getInt
       val head = java.nio.ByteBuffer.allocate(keyLen + 12)
-      ch.read(head, offset + 4); head.flip()
+      readFully(ch, head, offset + 4); head.flip()
       val key = new Array[Byte](keyLen); head.get(key)
       val version = head.getLong
       val bodyLen = head.getInt
@@ -201,7 +268,7 @@ object CellSegment {
         if (!needBody) null
         else {
           val b = java.nio.ByteBuffer.allocate(bodyLen)
-          ch.read(b, offset + 4 + keyLen + 12)
+          readFully(ch, b, offset + 4 + keyLen + 12)
           b.array()
         }
       (key, version, body)

@@ -29,10 +29,18 @@ import scala.jdk.CollectionConverters._
   * are gone (compaction is eventually-applied retention, exactly as
   * in HBase). Idempotent: re-compacting a compacted table regenerates
   * the identical content-hash segment names, flips them onto
-  * themselves, and deletes nothing. Like its HBase analog, compaction
-  * is a single-maintainer operation per table: a put racing the
-  * delete phase can be swept (its cell is not in the rewrite), so
-  * writers pause per table — not per store — during compaction.
+  * themselves, and deletes nothing.
+  *
+  * Concurrent-writer safety (HBase compactions tolerate live writes):
+  * the store-file set is SNAPSHOTTED before the rewrite scan plans,
+  * and the sweep deletes only files present in that snapshot (minus
+  * the fresh segments). A put or bulk load racing any phase lands a
+  * file OUTSIDE the snapshot and survives the sweep; if the rewrite
+  * scan also saw its cell, the cell exists in both a fresh segment and
+  * the surviving file — one logical cell to every read face, which
+  * dedupes on (key, version), and the redundant file is collected by
+  * the NEXT compaction. No writer pause, no generation counter: the
+  * snapshot IS the generation.
   *
   * Reference contract: maxVersions/minVersions DDL at
   * HbaseClient.kt:83-92; the reference relies on HBase itself to GC
@@ -45,11 +53,33 @@ object Compaction {
 
   def major(spark: SparkSession, root: String, table: String,
             ttlCutoff: Option[Long] = None,
-            config: BulkLoad.Config = BulkLoad.Config()): Report = {
+            config: BulkLoad.Config = BulkLoad.Config(),
+            // test seam: runs after the fresh segments flip in, before
+            // the sweep — the window a racing writer is most exposed in
+            beforeSweep: () => Unit = () => ()): Report = {
     val store = FileStore(root)
     val maxVersions = store.readSpecJson(table).flatMap { json =>
       """"maxVersions":(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
     }.getOrElse(Int.MaxValue)
+
+    // the sweep's upper bound: only files that exist NOW — before the
+    // rewrite scan plans — may be deleted, so anything a concurrent
+    // writer lands from here on survives
+    val tableDir0 = Paths.get(root, table.replace(':', '~'))
+    val snapshot: Map[String, Set[String]] =
+      if (!Files.isDirectory(tableDir0)) Map.empty
+      else {
+        val s = Files.list(tableDir0)
+        try s.iterator().asScala.filter(Files.isDirectory(_)).map { shard =>
+          val l = Files.list(shard)
+          val names =
+            try l.iterator().asScala.map(_.getFileName.toString)
+              .filterNot(_.endsWith(".tmp")).toSet
+            finally l.close()
+          shard.getFileName.toString -> names
+        }.toMap
+        finally s.close()
+      }
 
     val cells = spark.read.format("graft-cells")
       .option("root", root).option("table", table).load()
@@ -67,34 +97,33 @@ object Compaction {
     val keepNames: Map[String, Set[String]] =
       report.segments.groupBy(_.shard).map { case (s, ds) => s -> ds.map(_.file).toSet }
 
+    beforeSweep()
+
     // sweep phase: fan the per-shard deletes out over the cluster; a
     // shard only ever holds cell files and segments (the DDL json
-    // lives at table level), so everything not in the fresh segment
-    // set is superseded
-    val tableDir = Paths.get(root, table.replace(':', '~'))
-    val shards =
-      if (!Files.isDirectory(tableDir)) Seq.empty[String]
-      else {
-        val s = Files.list(tableDir)
-        try s.iterator().asScala.filter(Files.isDirectory(_)).map(_.toString).toSeq
-        finally s.close()
-      }
+    // lives at table level). Deletable = in the pre-scan SNAPSHOT and
+    // not a fresh segment — files landed since the snapshot belong to
+    // concurrent writers and are left alone.
+    val shards = snapshot.keys.map(tableDir0.resolve(_).toString).toSeq.sorted
     val keepB = spark.sparkContext.broadcast(keepNames)
-    val removed = spark.sparkContext
-      .parallelize(shards, math.max(1, math.min(shards.size, 32)))
-      .map { shardPath =>
-        val shard = Paths.get(shardPath)
-        val keep = keepB.value.getOrElse(shard.getFileName.toString, Set.empty)
-        var n = 0L
-        val list = Files.list(shard)
-        try list.iterator().asScala.foreach { p =>
-          val name = p.getFileName.toString
-          if (!keep.contains(name) && !name.endsWith(".tmp")) {
-            if (Files.deleteIfExists(p)) n += 1
+    val snapB = spark.sparkContext.broadcast(snapshot)
+    val removed =
+      if (shards.isEmpty) 0L
+      else spark.sparkContext
+        .parallelize(shards, math.max(1, math.min(shards.size, 32)))
+        .map { shardPath =>
+          val shard = Paths.get(shardPath)
+          val shardName = shard.getFileName.toString
+          val keep = keepB.value.getOrElse(shardName, Set.empty)
+          val snap = snapB.value.getOrElse(shardName, Set.empty)
+          var n = 0L
+          snap.foreach { name =>
+            if (!keep.contains(name)) {
+              if (Files.deleteIfExists(shard.resolve(name))) n += 1
+            }
           }
-        } finally list.close()
-        n
-      }.sum().toLong
+          n
+        }.sum().toLong
 
     Report(report.cells, removed, report.segments)
   }

@@ -41,12 +41,97 @@ object FileStore {
     java.security.MessageDigest.getInstance("SHA-256").digest(rowkey)
       .map(b => f"$b%02x").mkString
 
-  /** Shard directory of a rowkey: hex of its first byte — a RANGE
-    * shard (region analog), shared by writer placement and the read
-    * face's point/prefix/range pruning. Empty keys (never produced by
-    * the rowkey builder, but storable) sort first, with the 0x00 range. */
+  /** Shard directory of a rowkey under the DEFAULT split layout: hex
+    * of its first byte — a RANGE shard (region analog), shared by
+    * writer placement and the read face's point/prefix/range pruning.
+    * Empty keys (never produced by the rowkey builder, but storable)
+    * sort first, with the 0x00 range. Tables with custom splits
+    * resolve through [[Splits.shardNameOf]] instead. */
   def shardOf(rowkey: Array[Byte]): String =
     if (rowkey.isEmpty) "00" else f"${rowkey(0) & 0xff}%02x"
+
+  /** Table SPLIT layout — the HBase region-boundary model, generalized
+    * past the default 256 first-byte ranges so a table's write AND
+    * scan parallelism is no longer capped at 256 and a hot key range
+    * can split finer (the region-split answer to first-byte skew).
+    *
+    * `starts` is the sorted distinct list of region START keys; shard
+    * i covers [starts(i), starts(i+1)), and the FIRST shard also owns
+    * every key below starts(0) (HBase's first region starts at the
+    * empty key). A shard's directory name is the lowercase hex of its
+    * start key — empty start encodes as "-", which sorts before every
+    * hex digit — so lexicographic NAME order ≡ key-range order, and
+    * the default layout's names ("00".."ff") are exactly the hex of
+    * the 256 single-byte starts: the split machinery subsumes the
+    * original fixed layout bit-for-bit, no migration.
+    *
+    * Persisted write-once at `<table>/_splits.json` (reference analog:
+    * HBase table descriptors carry region boundaries; the reference's
+    * HbaseClient.kt:62-122 region handling assumes the server owns
+    * them — here the layout file is that server-side metadata). */
+  final case class Splits(starts: Vector[Array[Byte]]) {
+    require(starts.nonEmpty, "split layout needs at least one region start")
+    val names: Vector[String] = starts.map(Splits.nameOf)
+
+    /** region index owning `key`: greatest start <= key, clamped to 0
+      * (keys below the first start belong to the first region). */
+    def shardIdxOf(key: Array[Byte]): Int = {
+      if (java.util.Arrays.compareUnsigned(key, starts(0)) < 0) return 0
+      var lo = 0
+      var hi = starts.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (java.util.Arrays.compareUnsigned(starts(mid), key) <= 0) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+
+    def shardNameOf(key: Array[Byte]): String = names(shardIdxOf(key))
+
+    def size: Int = starts.length
+
+    def isDefault: Boolean =
+      starts.length == 256 && starts.indices.forall(i =>
+        starts(i).length == 1 && starts(i)(0) == i.toByte)
+
+    def toJson: String = names.mkString("""{"starts":["""", "\",\"", "\"]}")
+  }
+
+  object Splits {
+    /** 256 single-byte region starts, names "00".."ff" — byte-identical
+      * to the original fixed first-byte layout. */
+    val Default: Splits = Splits(Vector.tabulate(256)(i => Array(i.toByte)))
+
+    def nameOf(start: Array[Byte]): String =
+      if (start.isEmpty) "-" else start.map(b => f"$b%02x").mkString
+
+    /** decode a shard directory name back to its start key; None for
+      * non-shard names (never prunes what it cannot parse). */
+    def startOf(name: String): Option[Array[Byte]] =
+      if (name == "-") Some(Array.emptyByteArray)
+      else if (name.nonEmpty && name.length % 2 == 0 &&
+        name.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+        Some(Array.tabulate(name.length / 2)(i =>
+          Integer.parseInt(name.substring(2 * i, 2 * i + 2), 16).toByte))
+      else None
+
+    /** HBase createTable(splitKeys) shape: N split points → N+1
+      * regions, the first starting at the empty key. */
+    def ofSplitPoints(points: Seq[Array[Byte]]): Splits = {
+      val sorted = points.filter(_.nonEmpty)
+        .distinctBy(nameOf)
+        .sortWith(java.util.Arrays.compareUnsigned(_, _) < 0)
+      Splits((Array.emptyByteArray +: sorted).toVector)
+    }
+
+    def fromJson(json: String): Splits = {
+      val names = """"(-|[0-9a-f]+)"""".r.findAllMatchIn(
+        json.dropWhile(_ != '[')).map(_.group(1)).toVector
+      val starts = names.flatMap(startOf)
+      require(starts.nonEmpty && starts.length == names.length, s"bad _splits.json: $json")
+      Splits(starts)
+    }
+  }
 }
 
 final case class FileStore(rootDir: String) extends Store {
@@ -62,7 +147,43 @@ final case class FileStore(rootDir: String) extends Store {
 
   private def cellPath(c: CellPut): Path = {
     val d = keyDigest(c.rowkey)
-    tableDir(c.tableName).resolve(FileStore.shardOf(c.rowkey)).resolve(s"$d.${c.version}")
+    tableDir(c.tableName).resolve(splitsOf(c.tableName).shardNameOf(c.rowkey))
+      .resolve(s"$d.${c.version}")
+  }
+
+  /** The table's split layout: `_splits.json` if recorded, else the
+    * default 256 first-byte ranges. Memoized per instance — the layout
+    * is write-once, like the DDL. */
+  def splitsOf(tableName: String): FileStore.Splits =
+    splitsCache.computeIfAbsent(tableName, _ => {
+      val p = tableDir(tableName).resolve("_splits.json")
+      if (Files.exists(p)) FileStore.Splits.fromJson(new String(Files.readAllBytes(p), "UTF-8"))
+      else FileStore.Splits.Default
+    })
+
+  @transient private lazy val splitsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileStore.Splits]()
+
+  /** Record a custom split layout for a table — write-once, atomic,
+    * BEFORE any cell lands (the HBase pre-split: regions exist before
+    * the load, so no mid-ingest splitting). An existing identical
+    * layout is a no-op; a DIFFERENT existing layout throws — resharding
+    * live data is a migration, not a silent re-point. */
+  def ensureSplits(tableName: String, splits: FileStore.Splits): Unit = {
+    val dir = tableDir(tableName)
+    Files.createDirectories(dir)
+    val p = dir.resolve("_splits.json")
+    if (Files.exists(p)) {
+      val existing = new String(Files.readAllBytes(p), "UTF-8")
+      require(existing == splits.toJson,
+        s"table $tableName already has a different split layout")
+    } else if (!splits.isDefault) {
+      val tmp = Files.createTempFile(dir, "_splits", ".tmp")
+      Files.write(tmp, splits.toJson.getBytes("UTF-8"))
+      try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+      splitsCache.remove(tableName)
+    }
   }
 
   override def ensureTable(tableName: String, spec: TableSpec): Unit = {
@@ -97,7 +218,7 @@ final case class FileStore(rootDir: String) extends Store {
   override def exists(tableName: String, cells: Seq[CellPut]): Seq[Boolean] =
     cells.map { c =>
       Files.exists(cellPath(c)) || {
-        val shardDir = tableDir(c.tableName).resolve(FileStore.shardOf(c.rowkey))
+        val shardDir = tableDir(c.tableName).resolve(splitsOf(c.tableName).shardNameOf(c.rowkey))
         segmentFiles(shardDir).exists { seg =>
           val d = keyDigest(c.rowkey)
           CellSegment.indexOf(seg).exists(e => e.version == c.version && e.digestHex == d)

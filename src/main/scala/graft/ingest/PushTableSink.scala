@@ -30,6 +30,28 @@ object PushTableSink {
                              compactionCompression: String = "GZ",
                              regionReplication: Int = 3)
 
+  object TableSpec {
+    /** Parse the `_spec.json` [[graft.ingest.FileStore.ensureTable]]
+      * writes — the backup/restore path's DDL passthrough (HBase's
+      * ExportSnapshot carries the table descriptor; losing maxVersions
+      * across a restore would silently turn retention off). Absent
+      * fields fall back to the defaults, matching the writer. */
+    def fromJson(json: String): TableSpec = {
+      def str(k: String, d: String): String =
+        (s""""$k":"([^"]*)"""").r.findFirstMatchIn(json).map(_.group(1)).getOrElse(d)
+      def int(k: String, d: Int): Int =
+        (s""""$k":(-?\\d+)""").r.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(d)
+      TableSpec(
+        dataFamily = str("dataFamily", "cf"),
+        dataQualifier = str("dataQualifier", "record"),
+        maxVersions = int("maxVersions", Int.MaxValue),
+        minVersions = int("minVersions", 1),
+        compression = str("compression", "GZ"),
+        compactionCompression = str("compactionCompression", "GZ"),
+        regionReplication = int("regionReplication", 3))
+    }
+  }
+
   /** One connection per executor task; implementations wrap an HBase
     * connection, a JDBC pool, etc. */
   trait Store extends Serializable {

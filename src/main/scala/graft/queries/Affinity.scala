@@ -79,7 +79,12 @@ object Affinity {
       for (_ <- 1 to 20) {
         val nx = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
         trans.foreach { case (from, to, c) =>
-          nx(to) += x(from) * c / rowSum(from) // truncating, non-negative
+          // per-term product in BigInt: x is scaled by 1e12, so a Long
+          // product overflows silently once a transition count passes
+          // ~9.2M — the oracle runs the same chain in HUGEINT, and the
+          // truncation chains must stay identical at any scale. The
+          // loop is driver-side over ≤ |types|² rows; cost negligible.
+          nx(to) += (BigInt(x(from)) * c / rowSum(from)).toLong
         }
         x = types.map(t => t -> nx(t)).toMap
       }

@@ -16,6 +16,15 @@ import scala.jdk.CollectionConverters._
   */
 object StoreLifecycle {
 
+  /** sorted shard-directory names of a table — layout inspection. */
+  private def segShardDirs(root: String, tableDirName: String): Seq[String] = {
+    val dir = Paths.get(root, tableDirName)
+    val shards = Files.list(dir)
+    try shards.iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toVector.sorted
+    finally shards.close()
+  }
+
   private def segFiles(root: String, tableDirName: String): Seq[String] = {
     val dir = Paths.get(root, tableDirName)
     val shards = Files.list(dir)
@@ -138,44 +147,183 @@ object StoreLifecycle {
         .select(col("boundary_rank"), hex(col("key")).as("split_key_hex"))
     },
 
-    // INCREMENTAL backup — the CDC face of q195: a full backup at
-    // version watermark W, then only the cells ABOVE W export in the
-    // second pass (a FILENAME/trailer-pruned pushdown scan — expired
-    // generations are never opened), and both increments restore
-    // through the bulk load into one root. In-query invariants: the
-    // incremental export is exactly the post-W slice, and
-    // full + increment restored ≡ the live table cell-for-cell. The
-    // emitted result reads the RESTORED store, so the hash pins
-    // watermark pruning, both exports, and the two bulk rebuilds.
+    // INCREMENTAL backup — the CDC face of q195, now driven entirely
+    // through the [[Backup]] operator API: Backup.full RECORDS the
+    // version watermark it observed (no hardcoded W anywhere);
+    // Backup.incremental exports exactly the cells above that recorded
+    // watermark (a FILENAME/trailer-pruned pushdown scan — sealed
+    // generations are never opened) and advances it; Backup.restore
+    // rebuilds a fresh root from the chain via the bulk load. In-query
+    // invariants: the recorded watermark IS the max version of the
+    // first batch, the incremental slice is exactly the second batch,
+    // and full + increment restored ≡ the live table cell-for-cell.
+    // The emitted result reads the RESTORED store, so the hash pins
+    // watermark recording, both exports, and the chained rebuild.
     "q205_cells_incremental_backup" -> { (s, d) =>
-      val W = 1000L
       val srcRoot = Files.createTempDirectory("graft-q205-src").toString
       val bakDir = Files.createTempDirectory("graft-q205-bak").toString
       val dstRoot = Files.createTempDirectory("graft-q205-dst").toString
       try {
-        Tables.documents(s, d).filter(col("doc_id") % 17 === 0)
-          .select(col("doc_id"), explode(sequence(lit(1), lit(2))).as("v"))
+        // batch v: versions v·10⁹ + doc_id — batch 2 lands strictly
+        // above every batch-1 version, the single-writer monotonic
+        // contract the incremental guarantee documents
+        def seed(v: Int): Unit = Tables.documents(s, d).filter(col("doc_id") % 17 === 0)
           .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
-            expr("doc_id * 4 + v").as("version"),
-            expr("cast(md5(concat(cast(doc_id as string), '+', cast(v as string))) as binary)").as("body"))
+            expr(s"$v * 1000000000 + doc_id").as("version"),
+            expr(s"cast(md5(concat(cast(doc_id as string), '+', '$v')) as binary)").as("body"))
           .write.format("graft-cells").mode("append")
           .option("root", srcRoot).option("table", "q205").save()
         def readTable(root: String) = s.read.format("graft-cells")
           .option("root", root).option("table", "q205").load()
-        readTable(srcRoot).filter(col("version") <= W)
-          .write.mode("overwrite").parquet(bakDir + "/full")
-        readTable(srcRoot).filter(col("version") > W)
-          .write.mode("overwrite").parquet(bakDir + "/incr")
-        def restore(dir: String): Unit = BulkLoad.writeCells(
-          s.read.parquet(dir).select(lit("q205").as("tableName"),
-            col("rowkey"), col("version"), col("body")), dstRoot)
-        restore(bakDir + "/full")
-        restore(bakDir + "/incr")
+        seed(1)
+        val m1 = graft.ingest.Backup.full(s, srcRoot, "q205", bakDir)
+        val batch1Max = readTable(srcRoot).agg(max(col("version"))).collect()(0).getLong(0)
+        require(m1.watermark == batch1Max,
+          s"full backup must record the observed watermark: ${m1.watermark} vs $batch1Max")
+        seed(2)
+        val m2 = graft.ingest.Backup.incremental(s, srcRoot, "q205", bakDir)
+        val incr = s.read.parquet(s"$bakDir/${m2.increments.last}")
+        val batch2 = readTable(srcRoot).filter(col("version") > m1.watermark)
+        require(incr.count() == batch2.count() && m2.watermark > m1.watermark,
+          "incremental export must be exactly the post-watermark slice")
+        graft.ingest.Backup.restore(s, bakDir, dstRoot)
         val src = readTable(srcRoot)
         val dst = readTable(dstRoot)
         require(src.exceptAll(dst).count() == 0 && dst.exceptAll(src).count() == 0,
           "full + incremental restore must reproduce the live table cell-for-cell")
         dst.select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcRoot))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bakDir))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dstRoot))
+      }
+    },
+
+    // SPLIT-LAYOUT bulk load — the region-split answer to key skew:
+    // every seeded rowkey opens with the same byte ('d' of "doc-"), so
+    // the default 256 first-byte layout would funnel the whole load
+    // through ONE shard (the 256-task parallelism ceiling the q204
+    // planner exists to break). A creation-time split layout with
+    // boundaries INSIDE the hot range shards it finer than one byte:
+    // the load fans out across the regions, a point GET plans exactly
+    // one of them, and a key range plans only its span. In-query
+    // invariants: >6 shard directories under the single first byte,
+    // 1-partition point lookup, pruned range scan; the emitted result
+    // reads the whole table back through the connector, so the driver
+    // hash pins placement ∘ split-aware pruning ∘ segment read.
+    "q207_cells_split_bulk_load" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q207-cells").toString
+      try {
+        val points = (1 to 9).map(i => s"doc-$i".getBytes("UTF-8"))
+        val cells = Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+          .select(lit("q207").as("tableName"),
+            expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            col("doc_id").cast("long").as("version"),
+            expr("cast(md5(cast(doc_id as string)) as binary)").as("body"))
+        BulkLoad.writeCells(cells, root, BulkLoad.Config(splitPoints = points))
+        val shardDirs = segShardDirs(root, "q207")
+        require(shardDirs.size > 6,
+          s"skewed keys must spread past the one default first-byte shard: ${shardDirs.size}")
+        def readTable = s.read.format("graft-cells")
+          .option("root", root).option("table", "q207").load()
+        val point = readTable.filter(col("rowkey") === lit("doc-7".getBytes("UTF-8")))
+        require(point.rdd.getNumPartitions == 1, "a point GET must plan exactly its region")
+        val range = readTable.filter(col("rowkey") >= lit("doc-3".getBytes("UTF-8")) &&
+          col("rowkey") < lit("doc-5".getBytes("UTF-8")))
+        require(range.rdd.getNumPartitions <= 3,
+          s"a key range must plan only its region span: ${range.rdd.getNumPartitions}")
+        readTable
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
+    // COMPACTION under a concurrent writer — HBase compactions
+    // tolerate live writes; so does this store's: the sweep deletes
+    // only files captured in the pre-scan SNAPSHOT, so a put racing
+    // the most exposed window (fresh segments flipped in, sweep not
+    // yet run) lands outside the snapshot and SURVIVES. In-query
+    // invariants: the racing cell is present after the sweep, the
+    // snapshot cells obey maxVersions=2 retention, and the emitted
+    // result is the full post-compaction table — the driver hash pins
+    // retention AND the no-lost-write guarantee together.
+    "q208_cells_compaction_race" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q208-cells").toString
+      try {
+        val spec = PushTableSink.TableSpec(maxVersions = 2)
+        val cells = Tables.documents(s, d).filter(col("doc_id") % 23 === 0)
+          .select(col("doc_id"), explode(sequence(lit(1), lit(3))).as("v"))
+          .select(lit("q208").as("tableName"),
+            expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 8 + v").as("version"),
+            expr("cast(md5(concat(cast(doc_id as string), '#', cast(v as string))) as binary)").as("body"))
+        BulkLoad.writeCells(cells, root, BulkLoad.Config(tableSpec = spec))
+        val racing = PushTableSink.CellPut("q208", "doc-race".getBytes("UTF-8"), 1L,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex("race").getBytes("UTF-8"))
+        val report = Compaction.major(s, root, "q208",
+          beforeSweep = () => FileStore(root).putBatch("q208", Seq(racing)))
+        val res = s.read.format("graft-cells")
+          .option("root", root).option("table", "q208").load()
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+        val raceRows = res.filter(col("key_str") === "doc-race").count()
+        require(raceRows == 1, s"the racing put must survive the sweep: $raceRows")
+        require(res.count() == report.keptCells + 1,
+          "post-compaction table = retained snapshot cells + the racing cell")
+        res
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
+    // BACKUP carries the table DESCRIPTOR, not just cells — the HBase
+    // ExportSnapshot contract: a restored table that silently fell
+    // back to default DDL would run with retention OFF
+    // (maxVersions=Int.MaxValue) and the default region layout. Chain:
+    // bulk load under maxVersions=2 + a custom split layout → full
+    // backup → restore into a fresh root → require _spec.json and the
+    // split layout byte-identical across the move → push a THIRD
+    // version through the restored store's write face → compact the
+    // RESTORED table. The emitted result keeps exactly the 2 newest
+    // versions per key, which only happens if the restored table kept
+    // its DDL — the driver hash pins the whole descriptor round-trip.
+    "q209_cells_backup_preserves_ddl" -> { (s, d) =>
+      val srcRoot = Files.createTempDirectory("graft-q209-src").toString
+      val bakDir = Files.createTempDirectory("graft-q209-bak").toString
+      val dstRoot = Files.createTempDirectory("graft-q209-dst").toString
+      try {
+        val spec = PushTableSink.TableSpec(maxVersions = 2)
+        val points = (1 to 9).map(i => s"doc-$i".getBytes("UTF-8"))
+        def batch(vLo: Int, vHi: Int) = Tables.documents(s, d).filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id"), explode(sequence(lit(vLo), lit(vHi))).as("v"))
+          .select(lit("q209").as("tableName"),
+            expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 8 + v").as("version"),
+            expr("cast(md5(concat(cast(doc_id as string), '%', cast(v as string))) as binary)").as("body"))
+        BulkLoad.writeCells(batch(1, 2), srcRoot,
+          BulkLoad.Config(tableSpec = spec, splitPoints = points))
+        graft.ingest.Backup.full(s, srcRoot, "q209", bakDir)
+        graft.ingest.Backup.restore(s, bakDir, dstRoot)
+        val srcStore = FileStore(srcRoot)
+        val dstStore = FileStore(dstRoot)
+        require(srcStore.readSpecJson("q209").isDefined &&
+          dstStore.readSpecJson("q209") == srcStore.readSpecJson("q209"),
+          "restore must carry the table DDL byte-identically")
+        require(dstStore.splitsOf("q209").toJson == srcStore.splitsOf("q209").toJson,
+          "restore must carry the split layout")
+        require(segShardDirs(dstRoot, "q209") == segShardDirs(srcRoot, "q209"),
+          "restored shard layout must match the source")
+        // third version through the restored store's own write face,
+        // then retention via compaction OF THE RESTORED TABLE — only a
+        // carried maxVersions=2 prunes v1
+        batch(3, 3).drop("tableName").write.format("graft-cells").mode("append")
+          .option("root", dstRoot).option("table", "q209").save()
+        Compaction.major(s, dstRoot, "q209")
+        s.read.format("graft-cells")
+          .option("root", dstRoot).option("table", "q209").load()
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
             col("body").cast("string").as("body_md5"))
           .localCheckpoint()
       } finally {
@@ -212,9 +360,29 @@ object StoreLifecycle {
                       FROM (SELECT unnest(range(1, 16)) AS i))""",
 
     "q205_cells_incremental_backup" ->
-      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + v)::BIGINT AS version,
+      """SELECT 'doc-' || doc_id AS key_str, (v * 1000000000 + doc_id)::BIGINT AS version,
               md5(doc_id::VARCHAR || '+' || v::VARCHAR) AS body_md5
          FROM documents, (SELECT unnest([1, 2]) AS v)
-         WHERE doc_id % 17 = 0"""
+         WHERE doc_id % 17 = 0""",
+
+    "q207_cells_split_bulk_load" ->
+      """SELECT 'doc-' || doc_id AS key_str, doc_id::BIGINT AS version,
+              md5(doc_id::VARCHAR) AS body_md5
+         FROM documents WHERE doc_id % 7 = 0""",
+
+    // retained slice (newest 2 of 3) plus the surviving racing cell
+    "q208_cells_compaction_race" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 8 + v)::BIGINT AS version,
+              md5(doc_id::VARCHAR || '#' || v::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([2, 3]) AS v)
+         WHERE doc_id % 23 = 0
+         UNION ALL SELECT 'doc-race', 1::BIGINT, md5('race')""",
+
+    // only a restored maxVersions=2 leaves exactly v2 and v3 per key
+    "q209_cells_backup_preserves_ddl" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 8 + v)::BIGINT AS version,
+              md5(doc_id::VARCHAR || '%' || v::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([2, 3]) AS v)
+         WHERE doc_id % 29 = 0"""
   )
 }

@@ -88,20 +88,24 @@ final case class CellsKeyPred(
     lo: Option[Array[Byte]], loInc: Boolean,
     hi: Option[Array[Byte]], hiInc: Boolean) {
 
-  /** can this shard directory (hex of the first key byte) hold a match? */
-  def shardOk(name: String): Boolean = {
-    val b = try Integer.parseInt(name, 16) catch { case _: NumberFormatException => return false }
+  /** can a shard covering the key range [start, end) hold a match?
+    * The FIRST listed shard also owns every key below its start (the
+    * HBase first-region rule), so its lower edge is treated as -inf;
+    * a missing `end` (last listed shard) is +inf. Ends derived from
+    * SIBLING listings only ever WIDEN a shard's range (absent siblings
+    * widen, never shrink), so pruning is always sound. */
+  def shardRangeOk(name: String, start: Array[Byte], end: Option[Array[Byte]],
+                   isFirst: Boolean): Boolean =
     pointShards.forall(_.contains(name)) &&
-      lo.forall(k => k.isEmpty || b >= (k(0) & 0xff)) &&
+      // all shard keys < end: a match needs some key >= lo, so end <= lo prunes
+      lo.forall(k => end.forall(e => CellsKeyPred.cmp(e, k) > 0)) &&
+      // all shard keys >= start (except the first shard: >= -inf):
+      // a match needs some key <=/< hi
       hi.forall { k =>
-        if (k.isEmpty) hiInc && b == 0
-        // exclusive 1-byte bound: every key in shard k(0) is >= [k(0)]
-        // as a prefix, so the bound's own shard cannot match — the
-        // common `rowkey < [P+1]` prefix-scan shape prunes to P exactly
-        else if (k.length == 1 && !hiInc) b < (k(0) & 0xff)
-        else b <= (k(0) & 0xff)
+        val s = if (isFirst) Array.emptyByteArray else start
+        val c = CellsKeyPred.cmp(s, k)
+        if (hiInc) c <= 0 else c < 0
       }
-  }
 
   /** can this cell file (digest filename) hold a match? (point tier) */
   def fileOk(digestHex: String): Boolean = digests.forall(_.contains(digestHex))
@@ -112,6 +116,32 @@ final case class CellsKeyPred(
   def keyOk(key: Array[Byte]): Boolean =
     lo.forall { k => val c = CellsKeyPred.cmp(key, k); if (loInc) c >= 0 else c > 0 } &&
       hi.forall { k => val c = CellsKeyPred.cmp(key, k); if (hiInc) c <= 0 else c < 0 }
+}
+
+/** Shard-directory listing + pruning shared by every read face. A
+  * shard dir name IS its region's start key in hex ([[graft.ingest.
+  * FileStore.Splits]]) and hex name order ≡ key order, so sorting the
+  * LISTED names yields each shard's range: [own start, next listed
+  * start). Names that don't decode (temp files, foreign dirs) are
+  * never treated as shards. */
+object CellsShards {
+  def prune(tableDir: Path, keys: CellsKeyPred): Seq[Path] = {
+    if (!Files.isDirectory(tableDir)) return Seq.empty
+    val s = Files.list(tableDir)
+    val named =
+      try s.iterator().asScala.flatMap { p =>
+        if (!Files.isDirectory(p)) None
+        else {
+          val n = p.getFileName.toString
+          graft.ingest.FileStore.Splits.startOf(n).map(st => (n, st, p))
+        }
+      }.toVector.sortBy(_._1)
+      finally s.close()
+    named.zipWithIndex.collect {
+      case ((n, st, p), i) if keys.shardRangeOk(n, st,
+        if (i + 1 < named.size) Some(named(i + 1)._2) else None, i == 0) => p
+    }
+  }
 }
 
 object CellsKeyPred {
@@ -238,9 +268,14 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
     case _ => None
   }
 
+  // the table's split layout, read once at planning time — point
+  // probes must route to the same shard the writer placed them in,
+  // whatever the region boundaries are
+  private lazy val tableSplits = graft.ingest.FileStore(root).splitsOf(table)
+
   private def intersectPoints(keys: Seq[Array[Byte]]): Unit = {
     val ds = keys.map(graft.ingest.FileStore.keyDigest).toSet
-    val ss = keys.map(graft.ingest.FileStore.shardOf).toSet
+    val ss = keys.map(tableSplits.shardNameOf).toSet
     keyDigests = Some(keyDigests.fold(ds)(_ intersect ds))
     pointShards = Some(pointShards.fold(ss)(_ intersect ss))
   }
@@ -350,9 +385,7 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
       var n = 0L
       var b = 0L
       if (Files.isDirectory(dir)) {
-        val shards = Files.list(dir)
-        try shards.iterator().asScala
-          .filter(p => Files.isDirectory(p) && keys.shardOk(p.getFileName.toString))
+        CellsShards.prune(dir, keys)
           .foreach { shard =>
             val s = Files.list(shard)
             try s.iterator().asScala.foreach { p =>
@@ -376,7 +409,7 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
                   if (v >= lo && v <= hi) { n += 1; b += Files.size(p) }
                 }
             } finally s.close()
-          } finally shards.close()
+          }
       }
       (n, b)
     }
@@ -386,17 +419,14 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = Paths.get(root, table.replace(':', '~'))
-    if (!Files.isDirectory(dir)) return Array.empty
     // a rowkey point lookup plans ONLY its shard — 1 input partition
-    // instead of 256 (a region-server point read, not a table scan);
-    // a range/prefix scan plans the contiguous shard span it covers
-    val shards = Files.list(dir)
-    try shards.iterator().asScala
-      .filter(Files.isDirectory(_))
-      .filter(p => keys.shardOk(p.getFileName.toString))
+    // out of the table's whole region set (a region-server point read,
+    // not a table scan); a range/prefix scan plans the contiguous
+    // shard span it covers. Parallelism = region count (256 default,
+    // finer under a custom split layout).
+    CellsShards.prune(dir, keys)
       .map(p => CellsShard(p.toString): InputPartition)
       .toArray
-    finally shards.close()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -481,9 +511,7 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
   private def maxVersionOnDisk: Long = {
     var mx = Long.MinValue
     if (Files.isDirectory(dir)) {
-      val shards = Files.list(dir)
-      try shards.iterator().asScala
-        .filter(p => Files.isDirectory(p) && keys.shardOk(p.getFileName.toString))
+      CellsShards.prune(dir, keys)
         .foreach { shard =>
           val s = Files.list(shard)
           try s.iterator().asScala.foreach { p =>
@@ -511,7 +539,7 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
                 if (v >= lo && v <= hi && v > mx) mx = v
               }
           } finally s.close()
-        } finally shards.close()
+        }
     }
     mx
   }
@@ -530,12 +558,9 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
     // saturating guard — s = Long.MinValue means "from the beginning"
     val bLo = math.max(lo, if (s == Long.MinValue) Long.MinValue else s + 1)
     val bHi = math.min(hi, e)
-    val shards = Files.list(dir)
-    try shards.iterator().asScala
-      .filter(p => Files.isDirectory(p) && keys.shardOk(p.getFileName.toString))
+    CellsShards.prune(dir, keys)
       .map(p => CellsStreamShard(p.toString, bLo, bHi): InputPartition)
       .toArray
-    finally shards.close()
   }
 
   override def createReaderFactory(): PartitionReaderFactory = CellsStreamReaderFactory(keys, cols)

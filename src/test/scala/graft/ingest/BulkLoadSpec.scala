@@ -8,6 +8,7 @@ import graft.sources.CellsSource
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
+import scala.jdk.CollectionConverters._
 
 /** The HFile-style bulk-load path: segment format round-trip,
   * bulk-written state ≡ push-written state on identical input, replay
@@ -206,6 +207,112 @@ class BulkLoadSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bRange = table.filter(col("rowkey") >= lit(k("B")) && col("rowkey") < lit(k("C")))
     assert(bRange.rdd.getNumPartitions == 1, "range scan plans only the B shard")
     assert(bRange.count() == 30L)
+  }
+
+  // ---- custom split layouts (finer-than-first-byte regions) ----
+
+  test("a skewed load shards past the first-byte ceiling under a custom split layout") {
+    val sp = spark; import sp.implicits._
+    // every key opens with 'Z' — the default layout would funnel the
+    // whole table through ONE shard directory
+    val cells = (0 until 200).map { i =>
+      ("db:c", k(f"Z-key-$i%03d"), i.toLong, k(s"body-$i"))
+    }.toDF("tableName", "rowkey", "version", "body")
+    val points = (1 to 9).map(i => k(f"Z-key-${i * 20}%03d"))
+    val root = Files.createTempDirectory("bulk-split").toString
+    val report = BulkLoad.writeCells(cells, root, BulkLoad.Config(splitPoints = points))
+    assert(report.cells == 200L)
+    // layout: 10 populated regions inside the single 'Z' first byte
+    val shardDirs = Files.list(Paths.get(root, "db~c")).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toVector.sorted
+    assert(shardDirs.size == 10, s"custom layout must fan out: $shardDirs")
+    // read-back identical through the connector
+    val table = spark.read.format("graft-cells").option("root", root).option("table", "db:c").load()
+    assert(table.count() == 200L)
+    assert(table.select(col("rowkey").cast("string")).as[String].collect().sorted.toSeq ==
+      (0 until 200).map(i => f"Z-key-$i%03d").sorted)
+    // point GET plans exactly one region; range scan plans its span
+    val point = table.filter(col("rowkey") === lit(k("Z-key-137")))
+    assert(point.rdd.getNumPartitions == 1 && point.count() == 1L)
+    val range = table.filter(col("rowkey") >= lit(k("Z-key-040")) && col("rowkey") < lit(k("Z-key-080")))
+    assert(range.rdd.getNumPartitions <= 3, s"range must prune regions: ${range.rdd.getNumPartitions}")
+    assert(range.count() == 40L)
+    // F5 and the push path respect the custom placement
+    val store = FileStore(root)
+    assert(store.exists("db:c", Seq(CellPut("db:c", k("Z-key-137"), 137L, Array.empty))).head)
+    assert(!store.exists("db:c", Seq(CellPut("db:c", k("Z-key-137"), 999L, Array.empty))).head)
+    store.putBatch("db:c", Seq(CellPut("db:c", k("Z-key-500"), 500L, k("late"))))
+    assert(table.filter(col("rowkey") === lit(k("Z-key-500"))).count() == 1L)
+  }
+
+  test("a split layout can exceed 256 regions (the old per-table parallelism ceiling)") {
+    val sp = spark; import sp.implicits._
+    // 511 split points → 512 regions: every first byte halved at 0x80
+    val points = (0 until 256).map(b => Array(b.toByte, 0x80.toByte)) ++
+      (1 until 256).map(b => Array(b.toByte))
+    val cells = (0 until 256).flatMap { b =>
+      Seq(("db:c", Array(b.toByte, 0x10.toByte), 1L, k(s"lo-$b")),
+          ("db:c", Array(b.toByte, 0x90.toByte), 1L, k(s"hi-$b")))
+    }.toDF("tableName", "rowkey", "version", "body")
+    val root = Files.createTempDirectory("bulk-512").toString
+    BulkLoad.writeCells(cells, root, BulkLoad.Config(splitPoints = points))
+    val table = spark.read.format("graft-cells").option("root", root).option("table", "db:c").load()
+    assert(table.rdd.getNumPartitions == 512, "512 populated regions → 512 scan partitions")
+    assert(table.count() == 512L)
+    // replay converges under the custom layout too
+    BulkLoad.writeCells(cells, root, BulkLoad.Config(splitPoints = points))
+    assert(table.count() == 512L)
+  }
+
+  test("a conflicting duplicate straddling a segment roll still fails the job") {
+    val sp = spark; import sp.implicits._
+    // maxSegmentBytes=1 → every entry rolls its own segment, so the
+    // two same-(key,version) cells land in DIFFERENT chunks; the dedup
+    // above the roll must still see them adjacent
+    val conflict = Seq(
+      ("db:c", k("Z-dup"), 1L, k("body-A")),
+      ("db:c", k("Z-dup"), 1L, k("body-B")),
+      ("db:c", k("Z-zz"), 2L, k("x"))).toDF("tableName", "rowkey", "version", "body")
+    val root = Files.createTempDirectory("bulk-rolldup").toString
+    val ex = intercept[org.apache.spark.SparkException] {
+      BulkLoad.writeCells(conflict.coalesce(1), root, BulkLoad.Config(maxSegmentBytes = 1))
+    }
+    assert(ex.getMessage.contains("two bodies") ||
+      Option(ex.getCause).exists(_.getMessage.contains("two bodies")))
+    // the benign twin: identical bodies collapse to ONE cell across rolls
+    val dup = Seq(
+      ("db:c", k("Z-dup"), 1L, k("same")),
+      ("db:c", k("Z-dup"), 1L, k("same")),
+      ("db:c", k("Z-zz"), 2L, k("x"))).toDF("tableName", "rowkey", "version", "body")
+    val root2 = Files.createTempDirectory("bulk-rolldup2").toString
+    val r = BulkLoad.writeCells(dup.coalesce(1), root2, BulkLoad.Config(maxSegmentBytes = 1))
+    assert(r.cells == 2L)
+    assert(FileStore(root2).scanTable("db:c").size == 2)
+  }
+
+  // ---- bounded index cache (the BlockCache analog) ----
+
+  test("segment-index cache honors a tiny cap with identical answers") {
+    val sp = spark; import sp.implicits._
+    val root = Files.createTempDirectory("bulk-cache").toString
+    // many single-shard segments: maxSegmentBytes small → one segment
+    // per few cells, spread over ~23 shards
+    BulkLoad.write(spark.createDataset(spreadKeys(80).map(row(_, 1L))), root,
+      BulkLoad.Config(maxSegmentBytes = 128))
+    val table = spark.read.format("graft-cells").option("root", root).option("table", "db:c").load()
+    val uncapped = table.select(col("rowkey").cast("string")).as[String].collect().sorted.toSeq
+    val prevCap = CellSegment.setIndexCacheMaxBytes(2048) // a few indexes at most
+    try {
+      // touch every segment's index through point GETs and scans
+      spreadKeys(80).foreach { key =>
+        assert(table.filter(col("rowkey") === lit(k(key))).count() == 1L)
+      }
+      val capped = table.select(col("rowkey").cast("string")).as[String].collect().sorted.toSeq
+      assert(capped == uncapped, "eviction must never change answers")
+      val (entries, bytes) = CellSegment.indexCacheStats
+      assert(bytes <= 2048, s"cache bytes $bytes exceed the cap")
+      assert(entries < 23, s"a 2 KB cap cannot hold every index: $entries resident")
+    } finally CellSegment.setIndexCacheMaxBytes(prevCap)
   }
 
   test("streaming face tails bulk-loaded versions") {

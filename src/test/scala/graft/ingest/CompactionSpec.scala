@@ -85,6 +85,36 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state == Seq(("fresh", 150L), ("fresh", 200L), ("stale", 20L)))
   }
 
+  test("a put racing the sweep survives: only snapshot files are deletable") {
+    val sp = spark; import sp.implicits._
+    val root = Files.createTempDirectory("compact-race").toString
+    val spec = TableSpec(maxVersions = 2)
+    BulkLoad.write(spark.createDataset(keys(40).flatMap(k => Seq(row(k, 1), row(k, 2), row(k, 3)))),
+      root, BulkLoad.Config(tableSpec = spec))
+    val store = FileStore(root)
+    // the racing writer lands in the MOST exposed window: fresh
+    // segments already flipped in, sweep not yet run — one brand-new
+    // key and one new version of an existing key
+    val racingNew = PushTableSink.CellPut("db:c", "RACE-new".getBytes("UTF-8"), 7L, "r1".getBytes)
+    val racingVer = PushTableSink.CellPut("db:c", keys(1).head.getBytes("UTF-8"), 9L, "r2".getBytes)
+    val report = Compaction.major(spark, root, "db:c",
+      beforeSweep = () => store.putBatch("db:c", Seq(racingNew, racingVer)))
+    assert(report.keptCells == 80, "retention still applies to the snapshot cells")
+    val state = FileStore(root).scanTable("db:c")
+    assert(state.size == 82, s"80 retained + 2 racing cells, got ${state.size}")
+    def keyHex(s: String) = s.getBytes("UTF-8").map(b => f"$b%02x").mkString
+    assert(state.exists(t => t._1 == keyHex("RACE-new") && t._2 == 7L),
+      "racing new-key cell present")
+    assert(state.exists(t => t._1 == keyHex(keys(1).head) && t._2 == 9L),
+      "racing new-version cell present")
+    // the connector face agrees, and the racing put files were NOT
+    // swept even though they are not fresh segments
+    val table = spark.read.format("graft-cells").option("root", root).option("table", "db:c").load()
+    assert(table.count() == 82L)
+    val nonSegment = listFiles(root).filterNot(CellSegment.isSegment)
+    assert(nonSegment.size == 2, s"exactly the two racing put files survive: $nonSegment")
+  }
+
   test("re-compacting a compacted table is a no-op (idempotent maintenance)") {
     val sp = spark; import sp.implicits._
     val root = Files.createTempDirectory("compact-idem").toString
