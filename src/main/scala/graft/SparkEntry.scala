@@ -34,7 +34,8 @@ object SparkEntry {
       (_root_.graft.queries.Retrieval.queries, _root_.graft.queries.Retrieval.oracle),
       (_root_.graft.queries.Statistics.queries, _root_.graft.queries.Statistics.oracle),
       (_root_.graft.queries.StoreLifecycle.queries, _root_.graft.queries.StoreLifecycle.oracle),
-      (_root_.graft.queries.Affinity.queries, _root_.graft.queries.Affinity.oracle)
+      (_root_.graft.queries.Affinity.queries, _root_.graft.queries.Affinity.oracle),
+      (_root_.graft.queries.Selection.queries, _root_.graft.queries.Selection.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -289,6 +289,41 @@ object StoreLifecycle {
     // RESTORED table. The emitted result keeps exactly the 2 newest
     // versions per key, which only happens if the restored table kept
     // its DDL — the driver hash pins the whole descriptor round-trip.
+    // CO-LOCATED shuffle-free join — two tables sharing one split
+    // layout join region-by-region with NO exchange (the bucketed-join
+    // idiom at the storage layer; see [[graft.sources.ColocatedCells]]).
+    // Table A carries two versions per key (latest must win), table B
+    // a subset of the keys (inner-join pruning must drop the rest and,
+    // at the DIRECTORY level, the B-empty regions). In-query
+    // invariants: the join plans exactly the co-populated region count
+    // and its physical plan contains no Exchange; the emitted result
+    // is the joined latest-state, so the driver hash pins region
+    // alignment ∘ latest-version dedup ∘ join correctness.
+    "q211_cells_colocated_join" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q211-cells").toString
+      try {
+        val points = (1 to 9).map(i => s"doc-$i".getBytes("UTF-8"))
+        def seed(table: String, pred: Int, tag: String, versions: Seq[Int]): Unit =
+          BulkLoad.writeCells(
+            Tables.documents(s, d).filter(col("doc_id") % pred === 0)
+              .select(col("doc_id"), explode(lit(versions.toArray)).as("v"))
+              .select(lit(table).as("tableName"),
+                expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+                expr("doc_id * 2 + v").as("version"),
+                expr(s"cast(md5(concat(cast(doc_id as string), '$tag', cast(v as string))) as binary)").as("body")),
+            root, BulkLoad.Config(splitPoints = points))
+        seed("qa", 3, "A", Seq(1, 2)) // two versions: latest (v=2) must win
+        seed("qb", 6, "B", Seq(1))
+        val joined = graft.sources.ColocatedCells.joinLatest(s, root, "qa", "qb")
+        require(!joined.queryExecution.executedPlan.toString.contains("Exchange"),
+          "co-located join must not shuffle")
+        joined.select(col("rowkey").cast("string").as("key_str"),
+            col("version_a"), col("body_a").cast("string").as("body_a_md5"),
+            col("version_b"), col("body_b").cast("string").as("body_b_md5"))
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     "q209_cells_backup_preserves_ddl" -> { (s, d) =>
       val srcRoot = Files.createTempDirectory("graft-q209-src").toString
       val bakDir = Files.createTempDirectory("graft-q209-bak").toString
@@ -377,6 +412,15 @@ object StoreLifecycle {
          FROM documents, (SELECT unnest([2, 3]) AS v)
          WHERE doc_id % 23 = 0
          UNION ALL SELECT 'doc-race', 1::BIGINT, md5('race')""",
+
+    // latest A version (v=2) joined to B's only version over B's keys
+    "q211_cells_colocated_join" ->
+      """SELECT 'doc-' || doc_id AS key_str,
+              (doc_id * 2 + 2)::BIGINT AS version_a,
+              md5(doc_id::VARCHAR || 'A2') AS body_a_md5,
+              (doc_id * 2 + 1)::BIGINT AS version_b,
+              md5(doc_id::VARCHAR || 'B1') AS body_b_md5
+         FROM documents WHERE doc_id % 6 = 0""",
 
     // only a restored maxVersions=2 leaves exactly v2 and v3 per key
     "q209_cells_backup_preserves_ddl" ->

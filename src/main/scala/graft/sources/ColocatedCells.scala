@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Region-aligned, SHUFFLE-FREE equi-join of two cell tables — the
+  * storage-side analog of Spark's bucketed join, and the join shape an
+  * HBase deployment gets from co-located region scans: when two tables
+  * share a [[graft.ingest.FileStore.Splits]] layout, the shard named N
+  * in table A holds EXACTLY the key range of the shard named N in
+  * table B, so a rowkey equi-join decomposes into independent
+  * per-region joins with no exchange anywhere — each task reads two
+  * aligned shard directories through the connector's own read face
+  * ([[CellsReaders]]: filename pruning, segment merge, (key, version)
+  * dedup) and hash-joins them in memory.
+  *
+  * Why not a DataFrame join: the DSv2 connector cannot report a
+  * key-range partitioning Catalyst can exploit (KeyGroupedPartitioning
+  * wants discrete partition VALUES, not ranges), so `dfA.join(dfB,
+  * "rowkey")` always pays a full shuffle of both sides. This operator
+  * is the storage-aligned plan Catalyst cannot currently discover —
+  * the documented "genuine per-partition imperative logic" case.
+  *
+  * Semantics: INNER join of each table's LATEST version per rowkey
+  * (the HBase read-your-current-state view). Only regions populated on
+  * BOTH sides are planned (inner-join pruning at the DIRECTORY level).
+  *
+  * 100 TB: memory per task is two REGION-sized maps — bounded by the
+  * split layout, the same knob that bounds an HBase region; a hot
+  * range splits finer ([[graft.ingest.BulkLoad.Config.splitPoints]],
+  * q204's planner) and task memory follows. Parallelism = populated
+  * region count.
+  */
+object ColocatedCells {
+
+  val OutSchema: StructType = StructType(Seq(
+    StructField("rowkey", BinaryType, nullable = false),
+    StructField("version_a", LongType, nullable = false),
+    StructField("body_a", BinaryType, nullable = false),
+    StructField("version_b", LongType, nullable = false),
+    StructField("body_b", BinaryType, nullable = false)))
+
+  def joinLatest(spark: SparkSession, root: String, tableA: String, tableB: String): DataFrame = {
+    val store = graft.ingest.FileStore(root)
+    require(store.splitsOf(tableA).toJson == store.splitsOf(tableB).toJson,
+      s"co-located join requires identical split layouts: $tableA vs $tableB")
+
+    def shardNames(t: String): Set[String] = {
+      val dir = Paths.get(root, t.replace(':', '~'))
+      if (!Files.isDirectory(dir)) Set.empty
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.filter(Files.isDirectory(_)).map(_.getFileName.toString)
+          .filter(n => graft.ingest.FileStore.Splits.startOf(n).isDefined).toSet
+        finally s.close()
+      }
+    }
+    val shards = (shardNames(tableA) intersect shardNames(tableB)).toSeq.sorted
+    if (shards.isEmpty) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], OutSchema)
+
+    val cols = Array("rowkey", "version", "body")
+    val rdd = spark.sparkContext.parallelize(shards, shards.size).flatMap { shard =>
+      def latest(t: String): collection.mutable.HashMap[Seq[Byte], (Array[Byte], Long, Array[Byte])] = {
+        val m = collection.mutable.HashMap.empty[Seq[Byte], (Array[Byte], Long, Array[Byte])]
+        val dir = Paths.get(root, t.replace(':', '~'), shard)
+        if (Files.isDirectory(dir)) {
+          val r = CellsReaders.reader(dir.toString, Long.MinValue, Long.MaxValue,
+            CellsKeyPred.All, cols)
+          while (r.next()) {
+            val row = r.get()
+            val k = row.getBinary(0)
+            val v = row.getLong(1)
+            val key: Seq[Byte] = k.toIndexedSeq
+            val cur = m.get(key)
+            if (cur.isEmpty || cur.get._2 < v) m(key) = (k, v, row.getBinary(2))
+          }
+        }
+        m
+      }
+      val a = latest(tableA)
+      val b = latest(tableB)
+      // probe the smaller side into the larger — classic hash join
+      val (probe, build, probeIsA) =
+        if (a.size <= b.size) (a, b, true) else (b, a, false)
+      probe.iterator.flatMap { case (key, p) =>
+        build.get(key).map { q =>
+          val (av, bv) = if (probeIsA) (p, q) else (q, p)
+          Row(av._1, av._2, av._3, bv._2, bv._3)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, OutSchema)
+  }
+}
