@@ -248,7 +248,37 @@ final case class FileStore(rootDir: String) extends Store {
       buf.putInt(c.rowkey.length).put(c.rowkey).put(c.body)
       Files.write(tmp, buf.array())
       Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      pruneVersions(target.getParent, keyDigest(c.rowkey), spec)
+    }
+    // retention AFTER the batch lands, ONE directory listing per
+    // touched shard: pruning per put re-listed the whole shard per
+    // cell — O(cells × files-in-shard), measured as the dominant cost
+    // of a version-capped heavy put load at sf1/sf10. The final state
+    // is identical (keep the newest maxVersions of each touched key
+    // among all files present), which is all W2/F5 promise.
+    if (spec != Int.MaxValue) {
+      cells.groupBy(c => cellPath(c).getParent).foreach { case (shardDir, shardCells) =>
+        val touched = shardCells.map(c => keyDigest(c.rowkey)).toSet
+        val byKey = {
+          val s = Files.list(shardDir)
+          try s.iterator().asScala.map(_.getFileName.toString)
+            .filterNot(_.endsWith(".tmp"))
+            .flatMap { n =>
+              val dot = n.lastIndexOf('.')
+              if (dot <= 0) None
+              else {
+                val key = n.take(dot)
+                if (!touched.contains(key)) None
+                else n.drop(dot + 1).toLongOption.map(v => (key, v))
+              }
+            }.toSeq.groupBy(_._1)
+          finally s.close()
+        }
+        byKey.foreach { case (key, versions) =>
+          versions.map(_._2).sorted.dropRight(spec).foreach { v =>
+            Files.deleteIfExists(shardDir.resolve(s"$key.$v"))
+          }
+        }
+      }
     }
   }
 
@@ -263,22 +293,6 @@ final case class FileStore(rootDir: String) extends Store {
       Int.box(readSpecJson(tableName).flatMap { json =>
         """"maxVersions":(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
       }.getOrElse(Int.MaxValue))).intValue()
-
-  private def pruneVersions(shardDir: Path, keyHex: String, maxVersions: Int): Unit = {
-    if (maxVersions == Int.MaxValue) return
-    val prefix = keyHex + "."
-    val versions = {
-      val s = Files.list(shardDir)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .collect { case n if n.startsWith(prefix) && !n.endsWith(".tmp") =>
-          n.drop(prefix.length).toLong }
-        .toSeq
-      finally s.close()
-    }
-    versions.sorted.dropRight(maxVersions).foreach { v =>
-      Files.deleteIfExists(shardDir.resolve(prefix + v))
-    }
-  }
 
   /** All stored cells of a table as (rowkeyHex, version, body) — test /
     * inspection surface, driver-sized use only. Merges per-cell put

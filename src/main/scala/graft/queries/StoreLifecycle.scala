@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ingest.{BulkLoad, CellSegment, Compaction, FileStore, PushTableSink}
+import graft.ingest.{BulkLoad, CellSegment, Compaction, FileStore, PushTableSink, Resplit}
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -324,6 +324,59 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // RESPLIT migration — the q204 planner driving an actual layout
+    // change: a DEFAULT-layout table whose keys all share one first
+    // byte (every cell in ONE region) is measured with GlobalRank's
+    // equi-depth boundaries, then rewritten under the planned 8-region
+    // layout via Resplit (connector scan → one bulk shuffle keyed on
+    // the NEW regions; DDL carried). In-query invariants: the source
+    // really was single-region, the destination populates all 8
+    // planned regions, a point GET on the new layout plans exactly 1
+    // partition, and source ≡ destination cell-for-cell; the emitted
+    // result reads the RESPLIT store, so the driver hash pins
+    // plan ∘ migrate ∘ re-read.
+    "q212_cells_resplit" -> { (s, d) =>
+      import graft.operators.GlobalRank
+      val srcRoot = Files.createTempDirectory("graft-q212-src").toString
+      val dstRoot = Files.createTempDirectory("graft-q212-dst").toString
+      try {
+        val cells = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+          .select(lit("q212").as("tableName"),
+            expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            col("doc_id").cast("long").as("version"),
+            expr("cast(md5(concat(cast(doc_id as string), 'R')) as binary)").as("body"))
+        BulkLoad.writeCells(cells, srcRoot) // default layout: 1 populated region
+        require(segShardDirs(srcRoot, "q212").size == 1,
+          "skewed keys under the default layout land in one region")
+        // the q204 planner: 7 equi-depth boundaries off the live keys
+        val keys = s.read.format("graft-cells")
+          .option("root", srcRoot).option("table", "q212").load()
+          .select(col("rowkey")).distinct()
+        val n = keys.count()
+        val targets = (1 to 7).map(i => i * n / 8)
+        val points = GlobalRank.rank(keys, Seq(col("rowkey").asc), numParts = 8, rankCol = "rk")
+          .filter(col("rk").isin(targets: _*))
+          .select(col("rowkey")).collect().map(_.getAs[Array[Byte]](0)).toSeq
+        Resplit.to(s, srcRoot, "q212", dstRoot, FileStore.Splits.ofSplitPoints(points))
+        require(segShardDirs(dstRoot, "q212").size == 8,
+          s"equi-depth boundaries must populate all 8 regions: ${segShardDirs(dstRoot, "q212")}")
+        def readTable(root: String) = s.read.format("graft-cells")
+          .option("root", root).option("table", "q212").load()
+        val src = readTable(srcRoot)
+        val dst = readTable(dstRoot)
+        require(src.exceptAll(dst).count() == 0 && dst.exceptAll(src).count() == 0,
+          "resplit must preserve the table cell-for-cell")
+        val probe = dst.filter(col("rowkey") === lit("doc-5".getBytes("UTF-8")))
+        require(probe.rdd.getNumPartitions == 1, "point GET plans one region on the new layout")
+        dst.select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcRoot))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dstRoot))
+      }
+    },
+
     "q209_cells_backup_preserves_ddl" -> { (s, d) =>
       val srcRoot = Files.createTempDirectory("graft-q209-src").toString
       val bakDir = Files.createTempDirectory("graft-q209-bak").toString
@@ -421,6 +474,12 @@ object StoreLifecycle {
               (doc_id * 2 + 1)::BIGINT AS version_b,
               md5(doc_id::VARCHAR || 'B1') AS body_b_md5
          FROM documents WHERE doc_id % 6 = 0""",
+
+    // resplit preserves content exactly — the slice is the seed
+    "q212_cells_resplit" ->
+      """SELECT 'doc-' || doc_id AS key_str, doc_id::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'R') AS body_md5
+         FROM documents WHERE doc_id % 5 = 0""",
 
     // only a restored maxVersions=2 leaves exactly v2 and v3 per key
     "q209_cells_backup_preserves_ddl" ->

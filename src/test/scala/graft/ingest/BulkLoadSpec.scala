@@ -290,6 +290,31 @@ class BulkLoadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(FileStore(root2).scanTable("db:c").size == 2)
   }
 
+  test("resplit migrates a table onto a new layout, carrying content and DDL") {
+    val sp = spark; import sp.implicits._
+    val src = Files.createTempDirectory("resplit-src").toString
+    val dst = Files.createTempDirectory("resplit-dst").toString
+    val cells = (0 until 60).map(i => ("db:c", k(f"Z-k-$i%02d"), i.toLong, k(s"b$i")))
+      .toDF("tableName", "rowkey", "version", "body")
+    BulkLoad.writeCells(cells, src,
+      BulkLoad.Config(tableSpec = TableSpec(maxVersions = 2))) // default layout: one 'Z' shard
+    val newSplits = FileStore.Splits.ofSplitPoints(Seq(k("Z-k-20"), k("Z-k-40")))
+    Resplit.to(spark, src, "db:c", dst, newSplits)
+    assert(FileStore(dst).splitsOf("db:c").toJson == newSplits.toJson)
+    assert(FileStore(dst).readSpecJson("db:c") == FileStore(src).readSpecJson("db:c"),
+      "DDL travels with the migration")
+    val table = spark.read.format("graft-cells").option("root", dst).option("table", "db:c").load()
+    assert(table.rdd.getNumPartitions == 3, "3 populated regions on the new layout")
+    assert(table.count() == 60L)
+    assert(FileStore(dst).scanTable("db:c").map(t => (t._1, t._2)).sorted ==
+      FileStore(src).scanTable("db:c").map(t => (t._1, t._2)).sorted)
+    // the destination refuses a THIRD layout — resharding is a migration
+    val ex = intercept[IllegalArgumentException] {
+      Resplit.to(spark, src, "db:c", dst, FileStore.Splits.ofSplitPoints(Seq(k("Z-k-30"))))
+    }
+    assert(ex.getMessage.contains("different split layout"))
+  }
+
   // ---- bounded index cache (the BlockCache analog) ----
 
   test("segment-index cache honors a tiny cap with identical answers") {
