@@ -114,6 +114,44 @@ object Curation {
     // rank column is a row_number over the ALREADY-LIMITED k rows —
     // bounded by construction, like every "small side" window in this
     // repo.
+    // VOCABULARY GROWTH (Heaps'-law measurement) — the corpus-stats
+    // curve a tokenizer/dedup team reads before sizing a vocab: at 4
+    // doc-id checkpoints (quartiles of max id), how many docs, token
+    // instances, and DISTINCT token types the prefix corpus holds. The
+    // scalable decomposition is FIRST-APPEARANCE, not 4 re-scans:
+    // vocab(T) = |{tokens whose min(doc_id) ≤ T}|, so the corpus is
+    // exploded ONCE into two partial-aggregable shuffles (token →
+    // first appearance; doc → token count) and every checkpoint after
+    // that is algebra on the term table and a 4-row broadcast —
+    // adding checkpoints costs nothing corpus-sized. Tokens are the
+    // q103 regexp classes.
+    "q214_vocab_growth" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val ts = (1 to 4).map(i => i * maxId / 4)
+      // bucket = FIRST checkpoint that admits the row (a narrow CASE
+      // over 4 literal thresholds — no range join, no nested loop);
+      // each checkpoint's cumulative totals then fold over ≤4 rows
+      val bucket = when(col("k") <= ts(0), 1L).when(col("k") <= ts(1), 2L)
+        .when(col("k") <= ts(2), 3L).otherwise(4L)
+      val toks = docs.select(col("doc_id"),
+        explode(expr(
+          raw"""regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)""")).as("token"))
+      def byBucket(df: org.apache.spark.sql.DataFrame, value: org.apache.spark.sql.Column) =
+        df.groupBy(bucket.as("b")).agg(sum(value).as("v"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val vocabB = byBucket(
+        toks.groupBy(col("token")).agg(min(col("doc_id")).as("k")), lit(1L))
+      val tokB = byBucket(
+        toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+          .withColumnRenamed("doc_id", "k"), col("n_tok"))
+      val docB = byBucket(docs.select(col("doc_id").as("k")), lit(1L))
+      def cum(m: Map[Long, Long], i: Int): Long = (1 to i).map(j => m.getOrElse(j.toLong, 0L)).sum
+      val sp = s; import sp.implicits._
+      (1 to 4).map(i => (i.toLong, cum(docB, i), cum(tokB, i), cum(vocabB, i)))
+        .toDF("checkpoint", "docs", "tokens", "vocab")
+    },
+
     "q103_vocab_build" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val counts = Tables.documents(s, d)
@@ -802,6 +840,24 @@ object Curation {
           SELECT a.doc_id, a.cluster_id, s.cluster_size,
                  a.doc_id = a.cluster_id AS keeper
           FROM assigned a JOIN sizes s USING (cluster_id)""",
+    "q214_vocab_growth" ->
+      raw"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+          thr AS (SELECT i::BIGINT AS checkpoint, (i * (SELECT m FROM mx)) // 4 AS t
+                  FROM (SELECT unnest(range(1, 5)) AS i)),
+          toks AS (SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token
+                   FROM documents),
+          fa AS (SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+          pd AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1),
+          v AS (SELECT thr.checkpoint, count(*)::BIGINT AS vocab
+                FROM fa, thr WHERE fa.first_doc <= thr.t GROUP BY 1),
+          tk AS (SELECT thr.checkpoint, sum(pd.n_tok)::BIGINT AS tokens
+                 FROM pd, thr WHERE pd.doc_id <= thr.t GROUP BY 1),
+          dc AS (SELECT thr.checkpoint, count(*)::BIGINT AS docs
+                 FROM documents, thr WHERE documents.doc_id <= thr.t GROUP BY 1)
+          SELECT dc.checkpoint, dc.docs, tk.tokens, v.vocab
+          FROM dc JOIN tk USING (checkpoint) JOIN v USING (checkpoint)""",
+
     "q103_vocab_build" ->
       raw"""SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt
             FROM (

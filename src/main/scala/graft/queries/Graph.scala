@@ -28,6 +28,53 @@ object Graph {
       PageRank.ranks(e, 3).select(col("id").as("node_id"), col("rank"))
     },
 
+    // HITS hubs/authorities over the user→event_type bipartite graph —
+    // the OTHER classic eigenvector ranking next to q92's PageRank,
+    // with its natural asymmetry intact: hubs live on the CORPUS-sized
+    // side (users), authorities on the VALUE-DOMAIN side (types). Two
+    // full mutual-reinforcement rounds in fixed-point integers
+    // (authorities L1-normalized to 10¹² each round by truncating
+    // division — the q197 discipline; the oracle unrolls the identical
+    // HUGEINT chain). Scale shape: the edge list shuffles ONCE
+    // (distinct); each round is an edge⋈broadcast(|types| authorities)
+    // narrow pass + a partial-aggregable per-user sum, then an
+    // edge⋈hub shuffle join + per-type sum that collapses to ≤|types|
+    // rows — the hub vector NEVER reaches the driver; only the
+    // |types|-bounded authority vector does (the q197 bounded-fold
+    // class). Sums cross Long range at cluster scale, so every
+    // corpus-sized sum runs in DECIMAL(38,0).
+    "q213_hits" -> { (s, d) =>
+      val Scale = BigInt("1000000000000")
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"))
+        .distinct().localCheckpoint() // reused by all rounds
+      // round 1 folds a0(t) = SCALE into the algebra: h1(u) = SCALE·deg(u),
+      // so a1'(t) = SCALE · Σ_{u∈N(t)} deg(u)
+      val deg = e.groupBy(col("user_id")).agg(count(lit(1)).as("h"))
+      def authOf(hubs: DataFrame): Seq[(String, BigInt)] =
+        e.join(hubs, "user_id")
+          .groupBy(col("event_type"))
+          .agg(sum(col("h").cast("decimal(38,0)")).as("ap"))
+          .collect()
+          .map(r => (r.getString(0), BigInt(r.getDecimal(1).toBigInteger)))
+          .toSeq
+      def normalize(ap: Seq[(String, BigInt)]): Seq[(String, Long)] = {
+        val total = ap.map(_._2).sum
+        // a(t) = ap(t)·SCALE // Σap — truncating, non-negative: the
+        // same chain as the oracle's HUGEINT //
+        ap.map { case (t, v) => (t, (v * Scale / total).toLong) }.sortBy(_._1)
+      }
+      val a1 = normalize(authOf(deg))
+      val sp = s; import sp.implicits._
+      val a1Df = a1.toDF("event_type", "a")
+      val h2 = e.join(broadcast(a1Df), "event_type")
+        .groupBy(col("user_id")).agg(sum(col("a")).as("h"))
+      val a2 = normalize(authOf(h2))
+      val nUsers = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+        .as[(String, Long)].collect().toMap
+      s.createDataFrame(a2.map { case (t, a) => (t, a, nUsers(t)) })
+        .toDF("event_type", "auth_x1e12", "n_users")
+    },
+
     // Hierarchical SUBTREE rollup — the org-chart/BOM aggregation
     // pattern over the implicit binary tree parent(v) = v div 2 on doc
     // ids (dense ids ⇒ every parent exists; depth = bit length). The
@@ -196,6 +243,26 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "q92_pagerank" -> prOracle,
+
+    // two unrolled HITS rounds; every sum and truncating quotient in
+    // HUGEINT, the exact chain the driver-side BigInt fold runs
+    "q213_hits" ->
+      """WITH e AS (SELECT DISTINCT user_id, event_type FROM events),
+         deg AS (SELECT user_id, count(*)::HUGEINT AS h FROM e GROUP BY 1),
+         a1p AS (SELECT e.event_type, sum(deg.h)::HUGEINT AS ap
+                 FROM e JOIN deg USING (user_id) GROUP BY 1),
+         s1 AS (SELECT sum(ap) AS s FROM a1p),
+         a1 AS (SELECT event_type, (ap * 1000000000000 // (SELECT s FROM s1)) AS a FROM a1p),
+         h2 AS (SELECT e.user_id, sum(a1.a)::HUGEINT AS h
+                FROM e JOIN a1 USING (event_type) GROUP BY 1),
+         a2p AS (SELECT e.event_type, sum(h2.h)::HUGEINT AS ap
+                 FROM e JOIN h2 USING (user_id) GROUP BY 1),
+         s2 AS (SELECT sum(ap) AS s FROM a2p),
+         nu AS (SELECT event_type, count(*)::BIGINT AS n_users FROM e GROUP BY 1)
+         SELECT a2p.event_type,
+                (a2p.ap * 1000000000000 // (SELECT s FROM s2))::BIGINT AS auth_x1e12,
+                nu.n_users
+         FROM a2p JOIN nu USING (event_type)""",
 
     // recursive ancestor walk: (ancestor, descendant) pairs from each
     // doc up to the root, then one aggregate per ancestor — the

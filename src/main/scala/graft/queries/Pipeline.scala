@@ -857,6 +857,51 @@ object Pipeline {
           col("n_langs"), col("top_n"), col("top_share_x100"), col("released"))
     },
 
+    // T-CLOSENESS — the third leg of the privacy-release triad (q146
+    // k-anonymity bounds group SIZE, q150 l-diversity bounds sensitive
+    // VARIETY, t-closeness bounds sensitive DISTRIBUTION SKEW): a QI
+    // group leaks if its sensitive-value distribution sits far from
+    // the corpus-wide one. Categorical sensitive attribute (lang) ⇒
+    // the distance is total variation, computed as an EXACT scaled
+    // rational: tvd·10⁶ = Σ_v |n_gv·N − N_v·n_g| · 10⁶ div (2·n_g·N) —
+    // cross-multiplied so no ratio is ever materialized; products run
+    // in DECIMAL(38,0) (corpus² crosses Long at cluster scale) and the
+    // truncating div mirrors the oracle's HUGEINT //. Absent langs
+    // must still charge their |0 − p| mass — handled by identity, not
+    // by a dense grid (see below). Scale: two partial-aggregable
+    // counts and two equi-joins over the PRESENT cells; nothing is
+    // ever |groups|·|langs|-materialized.
+    "q215_t_closeness" -> { (s, d) =>
+      val t = 250000L
+      val base = Tables.documents(s, d)
+        .select(col("source"), expr("n_chars div 100").as("len_bucket"), col("lang"))
+      val cell = base.groupBy(col("source"), col("len_bucket"), col("lang"))
+        .agg(count(lit(1)).as("n_gv"))
+      val grp = cell.groupBy(col("source"), col("len_bucket")).agg(sum(col("n_gv")).as("grp_n"))
+      val glob = base.groupBy(col("lang")).agg(count(lit(1)).as("n_v"))
+      val nTotal = base.count()
+      // no dense grid, no cross join: langs ABSENT from a group
+      // contribute |0 − N_v·n_g| = N_v·n_g each, and Σ_v N_v = N, so
+      // their total is n_g·(N − Σ_{v present} N_v) — an identity that
+      // turns the grid into two sums over the PRESENT cells, reached
+      // by pure equi-joins (group totals back onto cells, broadcast
+      // lang globals onto cells)
+      cell.join(grp, Seq("source", "len_bucket"))
+        .join(broadcast(glob), "lang")
+        .select(col("source"), col("len_bucket"), col("grp_n"), col("n_v"),
+          expr(s"abs(CAST(n_gv AS DECIMAL(38,0)) * $nTotal - CAST(n_v AS DECIMAL(38,0)) * grp_n)")
+            .as("term"))
+        .groupBy(col("source"), col("len_bucket"), col("grp_n"))
+        .agg(sum(col("term")).as("num_present"),
+          sum(col("n_v").cast("decimal(38,0)")).as("sum_nv"))
+        .select(col("source"), col("len_bucket"), col("grp_n"),
+          expr(s"num_present + CAST(grp_n AS DECIMAL(38,0)) * ($nTotal - sum_nv)").as("num"))
+        .select(col("source"), col("len_bucket"), col("grp_n"),
+          expr(s"CAST((num * 1000000) div (CAST(2 AS DECIMAL(38,0)) * grp_n * $nTotal) AS BIGINT)")
+            .as("tvd_x1e6"))
+        .withColumn("released", col("tvd_x1e6") <= t)
+    },
+
     // DIFFERENTIAL-PRIVACY-SHAPED histogram release: the (event_type,
     // day) activity histogram with additive integer noise and a
     // small-count suppression threshold — the release shape a DP
@@ -1312,6 +1357,27 @@ object Pipeline {
                 (max(n_sl) * 100 // sum(n_sl))::BIGINT AS top_share_x100,
                 count(*) >= 3 AS released
          FROM c GROUP BY 1, 2""",
+
+    "q215_t_closeness" ->
+      """WITH base AS (SELECT source, n_chars // 100 AS len_bucket, lang FROM documents),
+          cell AS (SELECT source, len_bucket, lang, count(*)::HUGEINT AS n_gv
+                   FROM base GROUP BY 1, 2, 3),
+          grp AS (SELECT source, len_bucket, sum(n_gv)::HUGEINT AS grp_n
+                  FROM cell GROUP BY 1, 2),
+          lg AS (SELECT lang, count(*)::HUGEINT AS n_v FROM base GROUP BY 1),
+          tot AS (SELECT count(*)::HUGEINT AS n FROM base),
+          grid AS (SELECT g.source, g.len_bucket, g.grp_n, gl.lang, gl.n_v,
+                     coalesce(c.n_gv, 0) AS n_gv
+                   FROM grp g CROSS JOIN lg gl
+                   LEFT JOIN cell c ON c.source = g.source
+                     AND c.len_bucket = g.len_bucket AND c.lang = gl.lang),
+          agg AS (SELECT source, len_bucket, grp_n,
+                    sum(abs(n_gv * (SELECT n FROM tot) - n_v * grp_n)) AS num
+                  FROM grid GROUP BY 1, 2, 3)
+         SELECT source, len_bucket, grp_n::BIGINT AS grp_n,
+                (num * 1000000 // (2 * grp_n * (SELECT n FROM tot)))::BIGINT AS tvd_x1e6,
+                (num * 1000000 // (2 * grp_n * (SELECT n FROM tot))) <= 250000 AS released
+         FROM agg""",
 
     "q151_dp_release" ->
       """WITH h AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

@@ -33,6 +33,31 @@ object Retrieval {
     // sort). At index scale the dl table is the stored doc-length
     // column every search engine keeps — here it is derived in the
     // same job for self-containment.
+    // PHRASE SEARCH via POSITIONAL postings — the retrieval face BM25
+    // (q154) can't serve: "table hash" must match only where the terms
+    // are ADJACENT. The index shape is the real one (term → (doc,
+    // position) postings); the phrase resolves as a positional
+    // self-join between the two terms' postings with pos₂ = pos₁ + 1.
+    // Scale: the corpus is position-exploded once, but the join sides
+    // are FILTERED TO THE QUERY TERMS before any shuffle — join input
+    // is |postings("table")| + |postings("hash")|, never corpus-sized,
+    // and the doc-grouped counts collapse into a TakeOrdered top-20
+    // (the q154/q178 posture; a longer phrase chains one positional
+    // join per extra term).
+    "q216_phrase_search" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      val t1 = toks.filter(col("token") === "table").select(col("doc_id"), col("pos").as("p1"))
+      val t2 = toks.filter(col("token") === "hash").select(col("doc_id"), col("pos").as("p2"))
+      val hits = t1.join(t2, Seq("doc_id")).filter(col("p2") === col("p1") + 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+        .orderBy(col("hits").desc, col("doc_id").asc).limit(20)
+      hits.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("hits").desc, col("doc_id").asc))
+        .cast("long"))
+        .select(col("rank"), col("doc_id"), col("hits"))
+    },
+
     "q154_bm25" -> { (s, d) =>
       bm25Scored(s, d).orderBy(col("score").desc, col("doc_id").asc).limit(20)
         .withColumn("rank", row_number().over(
@@ -116,6 +141,22 @@ object Retrieval {
   }
 
   val oracle: Map[String, String] = Map(
+
+    // parallel unnest zips token and position (the q127-oracle shape);
+    // bases differ across engines (0- vs 1-based) but only ADJACENCY
+    // enters the result
+    "q216_phrase_search" ->
+      """WITH toks AS (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS token,
+                 unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+               FROM documents),
+          t1 AS (SELECT doc_id, pos FROM toks WHERE token = 'table'),
+          t2 AS (SELECT doc_id, pos FROM toks WHERE token = 'hash'),
+          h AS (SELECT t1.doc_id, count(*)::BIGINT AS hits
+                FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+                GROUP BY 1)
+         SELECT row_number() OVER (ORDER BY hits DESC, doc_id) AS rank, doc_id, hits
+         FROM h ORDER BY hits DESC, doc_id LIMIT 20""",
 
     "q154_bm25" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
