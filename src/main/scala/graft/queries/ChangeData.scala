@@ -46,6 +46,47 @@ object ChangeData {
           col("w.cents").as("cents"))
     },
 
+    // INCREMENTAL JOIN-VIEW maintenance — the delta-join algebra q80's
+    // single-table view doesn't cover: a materialized aggregate over
+    // A ⋈ B absorbs deltas on BOTH sides as
+    // Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, and an additive aggregate
+    // view merges the four pieces by union + re-aggregate (partial-agg
+    // friendly — the same merge a streaming sink would run). The gate
+    // REQUIRES incremental ≡ full recompute via two-way exceptAll, so
+    // the driver hash pins the delta algebra, not just the final
+    // numbers. Scale: maintenance cost is |Δ|-sized joins (delta sides
+    // broadcast when small); the base fact is never rescanned — the
+    // difference between an overnight rebuild and a minute of catch-up
+    // at 100 TB. Money accumulates in DECIMAL(18,2) (the float
+    // sum-order rule) and surfaces as DOUBLE, the q01 discipline.
+    "q218_delta_join_mv" -> { (s, d) =>
+      def viewOf(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.join(b, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"), col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).as("revenue"))
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      val line = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_extendedprice"))
+      val a0 = orders.filter(col("o_orderkey") % 4 < 2)
+      val dA = orders.filter(col("o_orderkey") % 4 >= 2)
+      val b0 = line.filter(col("l_linenumber") <= 3)
+      val dB = line.filter(col("l_linenumber") > 3)
+      val v0 = viewOf(a0, b0) // the standing view
+      // catch-up: three delta-sized joins, then one additive merge
+      val merged = v0.unionAll(viewOf(dA, b0)).unionAll(viewOf(a0, dB)).unionAll(viewOf(dA, dB))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(sum(col("n")).as("n"), sum(col("revenue")).as("revenue"))
+        .select(col("o_orderpriority"), col("l_returnflag"), col("n"),
+          col("revenue").cast("double").as("revenue"))
+      val full = viewOf(orders, line)
+        .select(col("o_orderpriority"), col("l_returnflag"), col("n"),
+          col("revenue").cast("double").as("revenue"))
+      require(merged.exceptAll(full).count() == 0 && full.exceptAll(merged).count() == 0,
+        "delta maintenance must reproduce the full recompute exactly")
+      merged
+    },
+
     // Incremental aggregate-view maintenance: the daily (event_type,
     // day) stats view refreshed by merging yesterday's materialized
     // partials with the delta scan — count/sum re-added, min/max
@@ -160,6 +201,14 @@ object ChangeData {
          SELECT k AS o_orderkey, status, cents FROM chg WHERE op <> 'D'""",
 
     // Full recompute — the invariant incremental maintenance must hit.
+    // the oracle is the FULL recompute — the in-query exceptAll gate
+    // already pins incremental ≡ recompute engine-side
+    "q218_delta_join_mv" ->
+      """SELECT o_orderpriority, l_returnflag, count(*)::BIGINT AS n,
+              CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1, 2""",
+
     "q80_incremental_agg" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
            count(*) AS n,

@@ -28,6 +28,40 @@ object Graph {
       PageRank.ranks(e, 3).select(col("id").as("node_id"), col("rank"))
     },
 
+    // BFS HOP HISTOGRAM — frontier-expansion shortest paths, the graph
+    // family (q92 ranks, q153 counts, q179 peels) still lacked a
+    // TRAVERSAL: unweighted distances from a deterministic source over
+    // the symmetrized part↔supplier graph, 4 bounded rounds. The
+    // distributed shape is frontier-sized, not graph-sized: each round
+    // joins ONLY the newest frontier against the edge list (shuffle
+    // hash join on the edge key), then folds min-distance with a
+    // partial-aggregable groupBy; localCheckpoint truncates the
+    // iterative lineage (the q179 BSP discipline). Output is the
+    // per-distance histogram with an id-sum checksum, so the driver
+    // hash pins every node's exact hop count. The oracle walks the
+    // same frontier with a recursive UNION CTE — (id, d) rows dedup
+    // per step, so it traverses states, never paths.
+    "q217_bfs_hops" -> { (s, d) =>
+      val e0 = Tables.lineitem(s, d)
+        .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v")).distinct()
+      val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"))).localCheckpoint()
+      val srcId = Tables.lineitem(s, d).agg(min(col("l_partkey") * 2)).collect()(0).getLong(0)
+      val sp = s; import sp.implicits._
+      var dist = Seq((srcId, 0L)).toDF("id", "dist").localCheckpoint()
+      var frontier = dist
+      for (r <- 1 to 4) {
+        val next = frontier.join(e, col("id") === col("u"))
+          .select(col("v").as("id"), lit(r.toLong).as("dist"))
+          .distinct()
+        // new frontier = reached-this-round minus already-settled
+        frontier = next.join(dist.select(col("id").as("seen")),
+            col("id") === col("seen"), "left_anti")
+          .localCheckpoint()
+        dist = dist.unionAll(frontier).localCheckpoint()
+      }
+      dist.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("id_sum"))
+    },
+
     // HITS hubs/authorities over the user→event_type bipartite graph —
     // the OTHER classic eigenvector ranking next to q92's PageRank,
     // with its natural asymmetry intact: hubs live on the CORPUS-sized
@@ -243,6 +277,22 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "q92_pagerank" -> prOracle,
+
+    // recursive UNION walks (id, d) STATES — duplicates collapse per
+    // step, so the CTE grows by nodes×hops, never by path count; the
+    // final min(d) per id matches the engine's settled-frontier rule
+    "q217_bfs_hops" ->
+      """WITH RECURSIVE
+         li AS (SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v FROM lineitem),
+         e AS (SELECT u, v FROM li UNION SELECT v, u FROM li),
+         walk(id, d) AS (
+           SELECT (SELECT min(l_partkey) * 2 FROM lineitem), 0
+           UNION
+           SELECT e.v, w.d + 1 FROM walk w JOIN e ON e.u = w.id WHERE w.d < 4
+         )
+         SELECT d::BIGINT AS dist, count(*)::BIGINT AS n_nodes, sum(id)::BIGINT AS id_sum
+         FROM (SELECT id, min(d) AS d FROM walk GROUP BY 1)
+         GROUP BY 1""",
 
     // two unrolled HITS rounds; every sum and truncating quotient in
     // HUGEINT, the exact chain the driver-side BigInt fold runs
