@@ -42,6 +42,17 @@ import scala.jdk.CollectionConverters._
   * the NEXT compaction. No writer pause, no generation counter: the
   * snapshot IS the generation.
   *
+  * [[minor]] is the OTHER half of the HBase compaction model: a
+  * region-LOCAL merge of the small store files (per-cell puts and
+  * segments under a size threshold) into one fresh segment per shard —
+  * no Spark shuffle anywhere, no retention applied (HBase minor
+  * compactions never GC versions; only majors do), large segments left
+  * untouched. Each shard's merge is an independent task over
+  * size-bounded inputs, so the operation is embarrassingly parallel
+  * and its memory is capped by the threshold — the knob that keeps a
+  * read face from degrading under accumulated put files without
+  * paying a major's full rewrite.
+  *
   * Reference contract: maxVersions/minVersions DDL at
   * HbaseClient.kt:83-92; the reference relies on HBase itself to GC
   * versions at compaction time — this operator IS that compactor for
@@ -50,6 +61,80 @@ import scala.jdk.CollectionConverters._
 object Compaction {
 
   final case class Report(keptCells: Long, removedFiles: Long, segments: Seq[BulkLoad.SegDesc])
+
+  /** Region-local minor compaction: per shard, merge every per-cell
+    * put file plus every segment whose DATA REGION is under
+    * `maxInputBytes` into one fresh sorted segment; inputs are then
+    * deleted (snapshot-bounded — the same racing-writer contract as
+    * [[major]]: only the files read are deletable). Returns the cells
+    * merged and files removed. Idempotent: a shard with ≤1 input and
+    * no puts is untouched. */
+  def minor(spark: SparkSession, root: String, table: String,
+            maxInputBytes: Long = 32L << 20): Report = {
+    val tableDir = Paths.get(root, table.replace(':', '~'))
+    val shards =
+      if (!Files.isDirectory(tableDir)) Seq.empty[String]
+      else {
+        val s = Files.list(tableDir)
+        try s.iterator().asScala.filter(Files.isDirectory(_)).map(_.toString).toSeq.sorted
+        finally s.close()
+      }
+    if (shards.isEmpty) return Report(0L, 0L, Seq.empty)
+    val results = spark.sparkContext
+      .parallelize(shards, shards.size)
+      .map { shardPath =>
+        val shard = Paths.get(shardPath)
+        val shardName = shard.getFileName.toString
+        // snapshot the merge inputs NOW: puts + small segments
+        val (puts, segs) = {
+          val l = Files.list(shard)
+          try {
+            val names = l.iterator().asScala.map(_.getFileName.toString)
+              .filterNot(_.endsWith(".tmp")).toVector
+            val p = names.filter { n =>
+              val dot = n.lastIndexOf('.')
+              dot > 0 && !CellSegment.isSegment(n) && n.drop(dot + 1).toLongOption.isDefined
+            }
+            val g = names.filter(n => CellSegment.isSegment(n) &&
+              CellSegment.readTrailer(shard.resolve(n)).indexOffset <= maxInputBytes)
+            (p, g)
+          } finally l.close()
+        }
+        if (puts.isEmpty && segs.size <= 1) (0L, 0L, Seq.empty[BulkLoad.SegDesc])
+        else {
+          // inputs are size-bounded by construction: load, sort by the
+          // segment order, collapse exact (key, version) duplicates
+          val cells = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Long, Array[Byte])]
+          puts.foreach { n =>
+            val bytes = Files.readAllBytes(shard.resolve(n))
+            val buf = java.nio.ByteBuffer.wrap(bytes)
+            val keyLen = buf.getInt()
+            val key = new Array[Byte](keyLen); buf.get(key)
+            val body = new Array[Byte](buf.remaining()); buf.get(body)
+            cells += ((key, n.drop(n.lastIndexOf('.') + 1).toLong, body))
+          }
+          segs.foreach { n =>
+            CellSegment.entries(shard.resolve(n), needBody = true).foreach(cells += _)
+          }
+          val sorted = cells.sortWith { (a, b) =>
+            val c = java.util.Arrays.compareUnsigned(a._1, b._1)
+            c < 0 || (c == 0 && a._2 < b._2)
+          }
+          val meta = CellSegment.write(shard, BulkLoad.dedupSorted(sorted.iterator))
+          var removed = 0L
+          (puts ++ segs).foreach { n =>
+            // the fresh segment may REUSE an input's content-hash name
+            // (single-input merge) — never delete what was just written
+            if (n != meta.fileName && Files.deleteIfExists(shard.resolve(n))) removed += 1
+          }
+          (meta.entryCount.toLong, removed,
+            Seq(BulkLoad.SegDesc(table, shardName, meta.fileName,
+              meta.entryCount.toLong, meta.minVersion, meta.maxVersion)))
+        }
+      }
+      .collect()
+    Report(results.map(_._1).sum, results.map(_._2).sum, results.flatMap(_._3).toSeq)
+  }
 
   def major(spark: SparkSession, root: String, table: String,
             ttlCutoff: Option[Long] = None,

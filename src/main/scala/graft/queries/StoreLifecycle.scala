@@ -324,6 +324,46 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // MINOR compaction — the region-LOCAL half of the HBase compaction
+    // model q194's major doesn't cover: per shard, the accumulated
+    // per-cell put files and small segments merge into ONE fresh
+    // sorted segment with NO Spark shuffle and NO retention (minor
+    // compactions never GC versions — all 3 versions per key must
+    // survive even under the maxVersions=2 DDL), while segments above
+    // the size threshold are left untouched. In-query invariants: the
+    // big first-generation segments survive by name, no put files
+    // remain, and the cell population is EXACTLY the seeded one —
+    // the driver hash pins merge ∘ no-GC ∘ threshold selection.
+    "q219_cells_minor_compact" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q219-cells").toString
+      try {
+        val spec = PushTableSink.TableSpec(maxVersions = 2)
+        def seed(vLo: Int, vHi: Int) = Tables.documents(s, d).filter(col("doc_id") % 31 === 0)
+          .select(col("doc_id"), explode(sequence(lit(vLo), lit(vHi))).as("v"))
+          .select(lit("q219").as("tableName"),
+            expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 8 + v").as("version"),
+            expr("cast(md5(concat(cast(doc_id as string), '@', cast(v as string))) as binary)").as("body"))
+        // generation 1: one BIG segment per shard (bulk, above threshold)
+        BulkLoad.writeCells(seed(1, 1), root, BulkLoad.Config(tableSpec = spec))
+        // generation 2: per-cell put files through the connector face
+        seed(2, 3).drop("tableName").write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q219").save()
+        val bigSegs = segFiles(root, "q219").filter(CellSegment.isSegment).toSet
+        val report = Compaction.minor(s, root, "q219", maxInputBytes = 512)
+        require(report.keptCells > 0 && report.removedFiles > 0, "minor must merge the put files")
+        val after = segFiles(root, "q219")
+        require(after.forall(CellSegment.isSegment), "no put files survive a minor compaction")
+        require(bigSegs.subsetOf(after.toSet),
+          "segments above the threshold are untouched by a minor compaction")
+        s.read.format("graft-cells")
+          .option("root", root).option("table", "q219").load()
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // RESPLIT migration — the q204 planner driving an actual layout
     // change: a DEFAULT-layout table whose keys all share one first
     // byte (every cell in ONE region) is measured with GlobalRank's
@@ -474,6 +514,13 @@ object StoreLifecycle {
               (doc_id * 2 + 1)::BIGINT AS version_b,
               md5(doc_id::VARCHAR || 'B1') AS body_b_md5
          FROM documents WHERE doc_id % 6 = 0""",
+
+    // minor compaction never GCs: every seeded version survives
+    "q219_cells_minor_compact" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 8 + v)::BIGINT AS version,
+              md5(doc_id::VARCHAR || '@' || v::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([1, 2, 3]) AS v)
+         WHERE doc_id % 31 = 0""",
 
     // resplit preserves content exactly — the slice is the seed
     "q212_cells_resplit" ->

@@ -115,6 +115,33 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nonSegment.size == 2, s"exactly the two racing put files survive: $nonSegment")
   }
 
+  test("minor compaction merges puts + small segments locally, keeps all versions, skips big segments") {
+    val sp = spark; import sp.implicits._
+    val root = Files.createTempDirectory("compact-minor").toString
+    val spec = TableSpec(maxVersions = 2)
+    // big segment generation (50 keys over many shards), then two
+    // small bulk generations and a put generation per key
+    BulkLoad.write(spark.createDataset(keys(50).map(row(_, 1))), root,
+      BulkLoad.Config(tableSpec = spec))
+    BulkLoad.write(spark.createDataset(keys(50).map(row(_, 2))), root,
+      BulkLoad.Config(tableSpec = spec, maxSegmentBytes = 64)) // tiny segments
+    PushTableSink.write(spark.createDataset(keys(50).map(row(_, 3))), () => FileStore(root),
+      PushTableSink.Config(tableSpec = spec))
+    val before = FileStore(root).scanTable("db:c").map(t => (t._1, t._2)).sorted
+    val report = Compaction.minor(spark, root, "db:c", maxInputBytes = 256)
+    assert(report.removedFiles > 0 && report.keptCells > 0)
+    // NO retention: all 3 versions of every key survive (minor never GCs)
+    val after = FileStore(root).scanTable("db:c").map(t => (t._1, t._2)).sorted
+    assert(after == before, "minor compaction must preserve the cell population exactly")
+    // no put files remain; every file is a segment
+    val filesAfter = listFiles(root)
+    assert(filesAfter.forall(CellSegment.isSegment),
+      s"puts must be folded into segments: ${filesAfter.filterNot(CellSegment.isSegment).take(3)}")
+    // idempotent: a second minor pass merges nothing further
+    val report2 = Compaction.minor(spark, root, "db:c", maxInputBytes = 256)
+    assert(report2.removedFiles == 0, "second minor pass must be a no-op on merged shards")
+  }
+
   test("re-compacting a compacted table is a no-op (idempotent maintenance)") {
     val sp = spark; import sp.implicits._
     val root = Files.createTempDirectory("compact-idem").toString
