@@ -62,6 +62,36 @@ object Graph {
       dist.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("id_sum"))
     },
 
+    // WEIGHTED shortest paths — q217's unweighted BFS can't price an
+    // edge, so this is 4 rounds of Bellman–Ford relaxation over the
+    // part↔supplier graph weighted by each pair's MIN shipped
+    // quantity: dist_{r}(v) = min(dist_{r-1}(v), min over edges (u,v)
+    // of dist_{r-1}(u) + w). Unlike BFS, a settled node can improve in
+    // a later round (a longer-hop but lighter path), so every round
+    // relaxes the FULL distance table: one shuffle join against the
+    // edge list + one partial-aggregable min, lineage checkpointed —
+    // the distributed Bellman–Ford shape, R bounded. Quantities are
+    // integral doubles, so the Long cast is exact in both engines and
+    // every distance is an exact integer.
+    "q220_sssp" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .groupBy((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+        .agg(min(col("l_quantity")).cast("long").as("w"))
+      val e = li.unionAll(li.select(col("v").as("u"), col("u").as("v"), col("w")))
+        .localCheckpoint()
+      val srcId = Tables.lineitem(s, d).agg(min(col("l_partkey") * 2)).collect()(0).getLong(0)
+      val sp = s; import sp.implicits._
+      var dist = Seq((srcId, 0L)).toDF("id", "dist").localCheckpoint()
+      for (_ <- 1 to 4) {
+        val relaxed = dist.join(e, col("id") === col("u"))
+          .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
+        dist = dist.unionAll(relaxed)
+          .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+      }
+      dist.select(col("id").as("node_id"), col("dist"))
+    },
+
     // HITS hubs/authorities over the user→event_type bipartite graph —
     // the OTHER classic eigenvector ranking next to q92's PageRank,
     // with its natural asymmetry intact: hubs live on the CORPUS-sized
@@ -277,6 +307,23 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "q92_pagerank" -> prOracle,
+
+    // four unrolled relaxation rounds, each the same union + min fold
+    "q220_sssp" -> {
+      def round(i: Int): String =
+        s"""r$i AS (SELECT id, min(dist) AS dist FROM (
+              SELECT id, dist FROM r${i - 1}
+              UNION ALL
+              SELECT e.v AS id, r${i - 1}.dist + e.w AS dist
+              FROM r${i - 1} JOIN e ON e.u = r${i - 1}.id) GROUP BY 1)"""
+      s"""WITH li AS (SELECT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v,
+                min(l_quantity)::BIGINT AS w
+              FROM lineitem GROUP BY 1, 2),
+          e AS (SELECT u, v, w FROM li UNION ALL SELECT v, u, w FROM li),
+          r0 AS (SELECT (SELECT min(l_partkey) * 2 FROM lineitem) AS id, 0::BIGINT AS dist),
+          ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
+         SELECT id AS node_id, dist::BIGINT AS dist FROM r4"""
+    },
 
     // recursive UNION walks (id, d) STATES — duplicates collapse per
     // step, so the CTE grows by nodes×hops, never by path count; the
