@@ -173,8 +173,17 @@ object CellSegment {
   // (trailer + index readFully), identical answers either way.
   private val IndexEntryWeight = 144L // 48 B payload + digest String + Vector boxing
   private val EntryOverhead = 256L
-  @volatile private var cacheMaxBytes: Long =
-    sys.props.get("graft.segment.index.cache.bytes").flatMap(_.toLongOption).getOrElse(64L << 20)
+  private def configuredMaxBytes: Long =
+    // deploy knob: spark.graft.segment.index.cache.bytes reaches every
+    // executor through SparkConf (no extraJavaOptions needed); the
+    // system property remains the non-Spark/test override
+    sys.props.get("graft.segment.index.cache.bytes").flatMap(_.toLongOption)
+      .orElse(
+        try Option(org.apache.spark.SparkEnv.get)
+          .map(_.conf.getLong("spark.graft.segment.index.cache.bytes", 64L << 20))
+        catch { case _: Throwable => None })
+      .getOrElse(64L << 20)
+  @volatile private var cacheMaxBytes: Long = configuredMaxBytes
   // accessOrder=true: iteration order is least-recently-USED first,
   // which is exactly the eviction order; all access synchronized (get
   // mutates the order links)

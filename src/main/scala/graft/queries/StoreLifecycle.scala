@@ -324,6 +324,55 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // STREAM-STATIC enrichment FROM the cell store — the composition a
+    // serving pipeline runs: a live event stream joins the store's
+    // current state as its dimension side, read through the graft-cells
+    // connector (so the static side re-lists the store per micro-batch —
+    // a put landing between batches is visible to the next one, the
+    // stream-static contract). The stream face is the q56 lifecycle
+    // (AvailableNow, memory sink); the dimension is seeded per
+    // customer key and the oracle re-derives the same enrichment from
+    // the base tables. 100 TB: the static side is a pushdown-capable
+    // scan; a selective stream filter on the join key would prune it
+    // to point lookups.
+    "q221_cells_stream_enrich" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q221-cells").toString
+      val ck = Files.createTempDirectory("graft-q221-ck")
+      val sinkName = "q221_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      try {
+        Tables.customer(s, d)
+          .select(expr("cast(concat('u-', c_custkey) as binary)").as("rowkey"),
+            col("c_custkey").cast("long").as("version"),
+            expr("cast(md5(concat(cast(c_custkey as string), 'S')) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q221").save()
+        val state = s.read.format("graft-cells")
+          .option("root", root).option("table", "q221").load()
+          .select(col("rowkey").cast("string").as("ukey"),
+            col("body").cast("string").as("state_md5"))
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val raw0 = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+        val enriched = raw0
+          .select(col("user_id").cast("long").as("user_id"),
+            Tables.tsAsMillis(raw0).as("ts_ms"), col("event_type"))
+          .join(state, concat(lit("u-"), col("user_id")) === col("ukey"))
+          .select(col("user_id"), col("ts_ms"), col("event_type"), col("state_md5"))
+        val q = enriched.writeStream
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation", ck.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = s.table(sinkName).localCheckpoint()
+        s.catalog.dropTempView(sinkName)
+        out
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+      }
+    },
+
     // MINOR compaction — the region-LOCAL half of the HBase compaction
     // model q194's major doesn't cover: per shard, the accumulated
     // per-cell put files and small segments merge into ONE fresh
@@ -514,6 +563,11 @@ object StoreLifecycle {
               (doc_id * 2 + 1)::BIGINT AS version_b,
               md5(doc_id::VARCHAR || 'B1') AS body_b_md5
          FROM documents WHERE doc_id % 6 = 0""",
+
+    "q221_cells_stream_enrich" ->
+      """SELECT e.user_id::BIGINT AS user_id, epoch_ms(e.ts)::BIGINT AS ts_ms,
+              e.event_type, md5(e.user_id::VARCHAR || 'S') AS state_md5
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
 
     // minor compaction never GCs: every seeded version survives
     "q219_cells_minor_compact" ->
