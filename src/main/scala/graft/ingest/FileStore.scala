@@ -41,6 +41,40 @@ object FileStore {
     java.security.MessageDigest.getInstance("SHA-256").digest(rowkey)
       .map(b => f"$b%02x").mkString
 
+  /** Parse a DELETE-TOMBSTONE file name `<digest>.<version>.d` →
+    * (key digest, masked-through version). Tombstones are the HBase
+    * Delete-marker analog: a marker at version T masks every cell of
+    * its rowkey with version ≤ T on the BATCH read faces (the marker
+    * itself is never surfaced), is purged together with the cells it
+    * masks by the next major compaction, and — exactly as in HBase —
+    * masks even a put that lands AFTER it at a version ≤ T, until that
+    * compaction removes the marker. The `.d` suffix makes every
+    * existing filename parse (`toLongOption` on the last dot segment)
+    * skip markers without change. */
+  def tombstoneOf(name: String): Option[(String, Long)] =
+    if (!name.endsWith(".d")) None
+    else {
+      val core = name.dropRight(2) // <digest>.<version>
+      val dot = core.lastIndexOf('.')
+      if (dot <= 0) None else core.drop(dot + 1).toLongOption.map(v => (core.take(dot), v))
+    }
+
+  /** One shard's delete-mask: key digest → HIGHEST tombstone version
+    * (a cell (digest, v) is masked iff v ≤ that bound). Filenames
+    * only — building the mask costs the directory listing the reader
+    * already pays, zero file-content I/O. */
+  def maskMap(shardDir: Path): Map[String, Long] =
+    if (!Files.isDirectory(shardDir)) Map.empty
+    else {
+      val s = Files.list(shardDir)
+      try s.iterator().asScala
+        .flatMap(p => tombstoneOf(p.getFileName.toString))
+        .foldLeft(Map.empty[String, Long]) { case (m, (d, v)) =>
+          if (m.getOrElse(d, Long.MinValue) >= v) m else m.updated(d, v)
+        }
+      finally s.close()
+    }
+
   /** Shard directory of a rowkey under the DEFAULT split layout: hex
     * of its first byte — a RANGE shard (region analog), shared by
     * writer placement and the read face's point/prefix/range pruning.
@@ -209,22 +243,53 @@ final case class FileStore(rootDir: String) extends Store {
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8")) else None
   }
 
+  /** Write DELETE TOMBSTONES — the HBase `Table.delete` analog. Each
+    * (rowkey, version) pair lands as a marker file
+    * `<digest>.<version>.d` (content: the length-prefixed rowkey, so
+    * the true key is recoverable like any cell file) by tmp + atomic
+    * rename: replayed deletes converge exactly like replayed puts.
+    * Semantics (see [[FileStore.tombstoneOf]]): the marker masks every
+    * version ≤ its own on the batch read faces until a major
+    * compaction purges masked cells and marker together. */
+  def deleteCells(tableName: String, cells: Seq[(Array[Byte], Long)]): Unit =
+    cells.foreach { case (rowkey, version) =>
+      val shardDir = tableDir(tableName).resolve(splitsOf(tableName).shardNameOf(rowkey))
+      Files.createDirectories(shardDir)
+      val target = shardDir.resolve(s"${keyDigest(rowkey)}.$version.d")
+      val tmp = Files.createTempFile(shardDir, "del", ".tmp")
+      val buf = java.nio.ByteBuffer.allocate(4 + rowkey.length)
+      buf.putInt(rowkey.length).put(rowkey)
+      Files.write(tmp, buf.array())
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+
   /** F5 consults BOTH store-file kinds: a cell exists if its per-cell
     * put file is present OR any bulk [[CellSegment]] in its shard
     * indexes its (key digest, version) — the HBase semantics where an
     * existence check sees every store file regardless of how it
     * arrived. Segment indexes are digest-only reads (no data-region
-    * I/O) and memoize per JVM because segments are immutable. */
-  override def exists(tableName: String, cells: Seq[CellPut]): Seq[Boolean] =
+    * I/O) and memoize per JVM because segments are immutable.
+    * Delete tombstones MASK here exactly as on the read faces (HBase
+    * existsAll runs the same masked read path): a masked cell reads as
+    * absent, so an ingest replay re-puts it — and the re-put stays
+    * masked until the marker compacts away, the HBase contract. */
+  override def exists(tableName: String, cells: Seq[CellPut]): Seq[Boolean] = {
+    val masks = scala.collection.mutable.HashMap.empty[Path, Map[String, Long]]
     cells.map { c =>
-      Files.exists(cellPath(c)) || {
-        val shardDir = tableDir(c.tableName).resolve(splitsOf(c.tableName).shardNameOf(c.rowkey))
+      val shardDir = tableDir(c.tableName).resolve(splitsOf(c.tableName).shardNameOf(c.rowkey))
+      val d = keyDigest(c.rowkey)
+      val raw = Files.exists(cellPath(c)) ||
         segmentFiles(shardDir).exists { seg =>
-          val d = keyDigest(c.rowkey)
           CellSegment.indexOf(seg).exists(e => e.version == c.version && e.digestHex == d)
         }
-      }
+      // mask consulted only for raw hits (an absent cell can't be
+      // masked INTO existence), so a fresh-cell probe — the common
+      // ingest case — pays no extra listing; one listing per touched
+      // shard per batch otherwise
+      raw && !masks.getOrElseUpdate(shardDir, FileStore.maskMap(shardDir))
+        .get(d).exists(_ >= c.version)
     }
+  }
 
   private def segmentFiles(shardDir: Path): Seq[Path] =
     if (!Files.isDirectory(shardDir)) Seq.empty
@@ -309,26 +374,37 @@ final case class FileStore(rootDir: String) extends Store {
     try {
       shards.iterator().forEachRemaining { shard =>
         if (Files.isDirectory(shard)) {
+          // the LOGICAL view: delete tombstones mask here as on the
+          // connector's batch face
+          val mask = FileStore.maskMap(shard)
+          def masked(digestHex: String, v: Long): Boolean =
+            mask.get(digestHex).exists(_ >= v)
           val cells = Files.list(shard)
           try cells.iterator().forEachRemaining { p =>
             val n = p.getFileName.toString
             val dot = n.lastIndexOf('.')
             if (dot > 0 && !n.endsWith(".tmp") && !CellSegment.isSegment(n)) {
-              val bytes = Files.readAllBytes(p)
-              val buf = java.nio.ByteBuffer.wrap(bytes)
-              val keyLen = buf.getInt()
-              val rowkey = new Array[Byte](keyLen); buf.get(rowkey)
-              val body = new Array[Byte](buf.remaining()); buf.get(body)
-              val keyHex = hex(rowkey)
-              val version = n.drop(dot + 1).toLong
-              if (seen.add((keyHex, version))) out += ((keyHex, version, body))
+              n.drop(dot + 1).toLongOption.foreach { version => // skips .d markers
+                if (!masked(n.take(dot), version)) {
+                  val bytes = Files.readAllBytes(p)
+                  val buf = java.nio.ByteBuffer.wrap(bytes)
+                  val keyLen = buf.getInt()
+                  val rowkey = new Array[Byte](keyLen); buf.get(rowkey)
+                  val body = new Array[Byte](buf.remaining()); buf.get(body)
+                  val keyHex = hex(rowkey)
+                  if (seen.add((keyHex, version))) out += ((keyHex, version, body))
+                }
+              }
             }
           } finally cells.close()
           segmentFiles(shard).foreach { seg =>
-            CellSegment.entries(seg, needBody = true).foreach { case (k, v, b) =>
-              val keyHex = hex(k)
-              if (seen.add((keyHex, v))) out += ((keyHex, v, b))
-            }
+            CellSegment.entries(seg, needBody = true).zip(CellSegment.indexOf(seg).iterator)
+              .foreach { case ((k, v, b), e) =>
+                if (!masked(e.digestHex, v)) {
+                  val keyHex = hex(k)
+                  if (seen.add((keyHex, v))) out += ((keyHex, v, b))
+                }
+              }
           }
         }
       }

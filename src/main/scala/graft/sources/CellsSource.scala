@@ -55,6 +55,16 @@ import scala.jdk.CollectionConverters._
   * Parallelism: one [[InputPartition]] per shard directory. Shards are
   * 256 uniform buckets (CRC32 leading byte), so partition work is
   * balanced by construction and scales the scan to the cluster.
+  *
+  * DELETES (HBase Delete-marker model): a tombstone file
+  * `<digest>.<version>.d` masks every cell of its rowkey with
+  * version ≤ T on this batch face — dropped at FILENAME level before
+  * any content I/O — until a major compaction purges masked cells and
+  * marker together. Writes issue deletes distributed via
+  * `option("tombstone", "true")`. The STREAMING face does not mask
+  * (an edit feed's replayed batches must regenerate identical rows);
+  * statistics count masked cells (overestimate only — a too-big side
+  * never broadcasts).
   */
 class CellsSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-cells"
@@ -171,7 +181,8 @@ case class CellsTable(root: String, table: String) extends Table
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     CellsScanBuilder(root, table, options.getBoolean("stableOffsets", false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    CellsWriteBuilder(root, table, info.schema())
+    CellsWriteBuilder(root, table, info.schema(),
+      info.options().getBoolean("tombstone", false))
 }
 
 /** Write face: append rows as versioned cells through the SAME
@@ -182,30 +193,41 @@ case class CellsTable(root: String, table: String) extends Table
   * with no commit coordinator needed (commit/abort are no-ops by
   * design, not omission). The driver ensures the table DDL once;
   * executors batch puts by the W1 byte cap. */
-case class CellsWriteBuilder(root: String, table: String, schema: StructType) extends WriteBuilder {
+case class CellsWriteBuilder(root: String, table: String, schema: StructType,
+                             tombstone: Boolean = false) extends WriteBuilder {
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = CellsBatchWrite(root, table, schema)
+    override def toBatch: BatchWrite = CellsBatchWrite(root, table, schema, tombstone)
   }
 }
 
-case class CellsBatchWrite(root: String, table: String, schema: StructType) extends BatchWrite {
+case class CellsBatchWrite(root: String, table: String, schema: StructType,
+                           tombstone: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // names AND types, driver-side: a STRING rowkey or INT version
     // would otherwise surface as an opaque executor ClassCastException
-    // from r.getBinary/getLong mid-write
+    // from r.getBinary/getLong mid-write. `option("tombstone","true")`
+    // turns the write into a DISTRIBUTED DELETE (HBase Table.delete):
+    // each (rowkey, version) row lands a delete marker masking that
+    // key's versions ≤ version on the batch read faces — body not
+    // required (a 2-column frame deletes; a 3-column frame's body is
+    // ignored).
+    val cols = schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val putShape = Seq(("rowkey", BinaryType), ("version", LongType), ("body", BinaryType))
     require(
-      schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-        Seq(("rowkey", BinaryType), ("version", LongType), ("body", BinaryType)),
-      s"graft-cells writes (rowkey BINARY, version BIGINT, body BINARY); got ${schema.simpleString}")
+      if (tombstone) cols == putShape || cols == putShape.take(2)
+      else cols == putShape,
+      s"graft-cells writes (rowkey BINARY, version BIGINT, body BINARY)" +
+        s"${if (tombstone) " — or (rowkey, version) for tombstones" else ""}; got ${schema.simpleString}")
     // driver-side, once: the DDL write (W3) — executors only put cells
     graft.ingest.FileStore(root).ensureTable(table, graft.ingest.PushTableSink.TableSpec())
-    CellsWriterFactory(root, table)
+    CellsWriterFactory(root, table, tombstone)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-case class CellsWriterFactory(root: String, table: String) extends DataWriterFactory {
+case class CellsWriterFactory(root: String, table: String,
+                              tombstone: Boolean = false) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val store = graft.ingest.FileStore(root)
@@ -217,16 +239,20 @@ case class CellsWriterFactory(root: String, table: String) extends DataWriterFac
         // nullable input passes the driver-side schema check (Spark
         // marks most derived columns nullable); a null CELL must fail
         // with a named error, not an NPE from getBinary
-        require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+        require(!r.isNullAt(0) && !r.isNullAt(1) && (tombstone || !r.isNullAt(2)),
           "graft-cells: null rowkey/version/body cell — cells are non-nullable")
-        val cell = graft.ingest.PushTableSink.CellPut(
-          table, r.getBinary(0), r.getLong(1), r.getBinary(2))
+        val body =
+          if (!tombstone) r.getBinary(2)
+          else Array.emptyByteArray // marker writes carry no body
+        val cell = graft.ingest.PushTableSink.CellPut(table, r.getBinary(0), r.getLong(1), body)
         buf += cell
         bufBytes += cell.rowkey.length + cell.body.length
         if (bufBytes >= MaxBatchBytes) flush()
       }
       private def flush(): Unit = if (buf.nonEmpty) {
-        store.putBatch(table, buf.toSeq); buf.clear(); bufBytes = 0
+        if (tombstone) store.deleteCells(table, buf.toSeq.map(c => (c.rowkey, c.version)))
+        else store.putBatch(table, buf.toSeq)
+        buf.clear(); bufBytes = 0
       }
       override def commit(): WriterCommitMessage = { flush(); CellsCommit }
       override def abort(): Unit = () // idempotent re-put on retry
@@ -574,7 +600,9 @@ case class CellsStreamReaderFactory(keys: CellsKeyPred, cols: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CellsStreamShard]
-    CellsReaders.reader(p.dir, p.lo, p.hi, keys, cols)
+    // the change feed is an EDIT log: tombstones never rewrite already
+    // -committed batch windows (replay determinism) — maskDeletes=false
+    CellsReaders.reader(p.dir, p.lo, p.hi, keys, cols, maskDeletes = false)
   }
 }
 
@@ -613,25 +641,39 @@ case class CellsReaderFactory(lo: Long, hi: Long, keys: CellsKeyPred,
   */
 object CellsReaders {
   def reader(shardDir: String, lo: Long, hi: Long, keys: CellsKeyPred,
-             cols: Array[String]): PartitionReader[InternalRow] =
+             cols: Array[String], maskDeletes: Boolean = true): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val needKey = cols.contains("rowkey")
       private val needBody = cols.contains("body")
       private val readsContent = needKey || needBody || keys.hasRange
       private val seen = scala.collection.mutable.HashSet.empty[(String, Long)]
+      // delete-tombstone mask (digest → masked-through version), built
+      // from the SAME directory listing the file prune pays — a masked
+      // cell is dropped at FILENAME level, before any content I/O. The
+      // streaming face passes maskDeletes=false: the change feed is a
+      // WAL-style PUT-edit log whose replayed batches must regenerate
+      // identical rows, so a later tombstone never rewrites history —
+      // deletes surface through the batch face (and compaction), the
+      // same split HBase makes between its WAL and its read path.
+      private val masks = scala.collection.mutable.HashMap.empty[String, Long]
+      private def masked(digestHex: String, v: Long): Boolean =
+        maskDeletes && masks.get(digestHex).exists(_ >= v)
       private val files: Iterator[(Path, Long)] = {
         val shard = Paths.get(shardDir)
         val s = Files.list(shard)
         val listed =
           try s.iterator().asScala.flatMap { p =>
             val n = p.getFileName.toString
+            if (maskDeletes) graft.ingest.FileStore.tombstoneOf(n).foreach { case (d, v) =>
+              if (masks.getOrElse(d, Long.MinValue) < v) masks(d) = v
+            }
             val dot = n.lastIndexOf('.')
             if (dot <= 0 || n.endsWith(".tmp") || graft.ingest.CellSegment.isSegment(n)) None
             else if (!keys.fileOk(n.take(dot))) None // point lookup: only the probed key's cells
             else n.drop(dot + 1).toLongOption.collect {
               case v if v >= lo && v <= hi => (p, v) // filename prune — not opened
             }
-          }.toVector
+          }.toVector // materialized before `masks` is read: the tombstone sweep completes first
           finally s.close()
         listed.iterator
       }
@@ -655,6 +697,7 @@ object CellsReaders {
                 // point lookup: seek straight to the probed entries
                 index.iterator
                   .filter(e => ds.contains(e.digestHex) && e.version >= lo && e.version <= hi &&
+                    !masked(e.digestHex, e.version) &&
                     !seen.contains((e.digestHex, e.version)))
                   .flatMap { e =>
                     if (!readsContent) {
@@ -670,7 +713,8 @@ object CellsReaders {
                 // version-only projection: the index IS the result —
                 // the data region is never read
                 index.iterator
-                  .filter(e => e.version >= lo && e.version <= hi && seen.add((e.digestHex, e.version)))
+                  .filter(e => e.version >= lo && e.version <= hi &&
+                    !masked(e.digestHex, e.version) && seen.add((e.digestHex, e.version)))
                   .map(e => mkRow(null, e.version, null))
               case None =>
                 // scan: stream the data region zipped with the cached
@@ -678,7 +722,7 @@ object CellsReaders {
                 CellsSource.filesOpened.incrementAndGet()
                 graft.ingest.CellSegment.entries(seg, needBody).zip(index.iterator).flatMap {
                   case ((k, v, b), e) =>
-                    if (v < lo || v > hi || !keys.keyOk(k)) None
+                    if (v < lo || v > hi || !keys.keyOk(k) || masked(e.digestHex, v)) None
                     else if (!seen.add((e.digestHex, v))) None
                     else Some(mkRow(k, v, b))
                 }
@@ -693,33 +737,37 @@ object CellsReaders {
           val (p, version) = files.next()
           val n = p.getFileName.toString
           val digestHex = n.take(n.lastIndexOf('.'))
+          if (masked(digestHex, version)) {
+            // delete-masked: dropped at filename level, never opened
+          }
           // version-only projection with no range bound: the version is
           // in the filename — emit without any content I/O
-          if (!readsContent) {
+          else if (!readsContent) {
             seen.add((digestHex, version))
             row = mkRow(null, version, null)
             return true
-          }
-          CellsSource.filesOpened.incrementAndGet()
-          val in = Files.newInputStream(p)
-          val cell =
-            try {
-              val lenBytes = in.readNBytes(4)
-              val keyLen = java.nio.ByteBuffer.wrap(lenBytes).getInt
-              val k = in.readNBytes(keyLen)
-              // range re-check on the PARSED key, before body I/O: a
-              // non-matching cell costs a key read, never a body read
-              if (!keys.keyOk(k)) None
-              else {
-                val b = if (needBody) in.readAllBytes() else null // key-only: stop early
-                Some((k, b))
-              }
-            } finally in.close()
-          cell match {
-            case Some((k, b)) =>
-              seen.add((digestHex, version))
-              row = mkRow(k, version, b); return true
-            case None => // out of key range — skip to the next cell file
+          } else {
+            CellsSource.filesOpened.incrementAndGet()
+            val in = Files.newInputStream(p)
+            val cell =
+              try {
+                val lenBytes = in.readNBytes(4)
+                val keyLen = java.nio.ByteBuffer.wrap(lenBytes).getInt
+                val k = in.readNBytes(keyLen)
+                // range re-check on the PARSED key, before body I/O: a
+                // non-matching cell costs a key read, never a body read
+                if (!keys.keyOk(k)) None
+                else {
+                  val b = if (needBody) in.readAllBytes() else null // key-only: stop early
+                  Some((k, b))
+                }
+              } finally in.close()
+            cell match {
+              case Some((k, b)) =>
+                seen.add((digestHex, version))
+                row = mkRow(k, version, b); return true
+              case None => // out of key range — skip to the next cell file
+            }
           }
         }
         if (segmentRows.hasNext) { row = segmentRows.next(); return true }
