@@ -373,6 +373,75 @@ object StoreLifecycle {
       }
     },
 
+    // DELETE TOMBSTONES — the HBase Delete-marker model end to end:
+    // every key carries versions 1-3 split across BOTH store-file
+    // kinds (v1-v2 bulk segments, v3 per-cell puts), then every other
+    // key takes a distributed delete at its v2 version through the
+    // connector write face (option("tombstone","true")), masking that
+    // key's v1 AND v2 at FILENAME level on the batch read face. The
+    // emitted result is the masked view. In-query invariants beyond
+    // the hash: major compaction PURGES masked cells and markers
+    // without changing the logical view (exceptAll both ways), no
+    // marker file survives it, and a re-put at a masked version is
+    // visible AFTER the purge (the HBase resurrection semantics) while
+    // the same re-put before it stays masked. 100 TB: deletes are
+    // marker writes — no read-modify-write, no segment rewrite until
+    // the next scheduled major.
+    "q222_cells_delete_tombstones" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q222-cells").toString
+      try {
+        def seed(vLo: Int, vHi: Int) = Tables.documents(s, d).filter(col("doc_id") % 19 === 0)
+          .select(col("doc_id"), explode(sequence(lit(vLo), lit(vHi))).as("v"))
+          .select(lit("q222").as("tableName"),
+            expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 8 + v").as("version"),
+            expr("cast(md5(concat(cast(doc_id as string), '!', cast(v as string))) as binary)").as("body"))
+        BulkLoad.writeCells(seed(1, 2), root)
+        seed(3, 3).drop("tableName").write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q222").save()
+        // distributed delete: mask versions <= v2 for every other key
+        Tables.documents(s, d).filter(col("doc_id") % 38 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 8 + 2").as("version"),
+            lit(Array.emptyByteArray).as("body")) // ignored by marker writes
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q222")
+          .option("tombstone", "true").save()
+        def readTable = s.read.format("graft-cells")
+          .option("root", root).option("table", "q222").load()
+        val res = readTable
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+        // a re-put under a live marker stays masked (HBase: markers
+        // mask later puts at covered versions until compacted away)
+        val store = FileStore(root)
+        val deletedKeys = Tables.documents(s, d).filter(col("doc_id") % 38 === 0)
+          .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+        require(deletedKeys.nonEmpty, "fixture must delete at least one key")
+        val probe = deletedKeys.head
+        def rePut(): Unit = store.putBatch("q222", Seq(PushTableSink.CellPut("q222",
+          s"doc-$probe".getBytes("UTF-8"), probe * 8 + 1,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$probe!1").getBytes("UTF-8"))))
+        rePut()
+        require(readTable.filter(col("version") === lit(probe * 8 + 1)).count() == 0,
+          "a re-put at a masked version must stay masked while the marker lives")
+        // major compaction: logical view unchanged, markers + masked
+        // cells physically gone
+        Compaction.major(s, root, "q222")
+        val after = readTable.select(col("rowkey").cast("string").as("key_str"),
+          col("version"), col("body").cast("string").as("body_md5"))
+        require(after.exceptAll(res).count() == 0 && res.exceptAll(after).count() == 0,
+          "major compaction must not change the logical view")
+        require(!segFiles(root, "q222").exists(n => FileStore.tombstoneOf(n).isDefined),
+          "no delete marker survives a major compaction")
+        rePut() // marker purged -> the old version resurrects
+        require(readTable.filter(col("version") === lit(probe * 8 + 1)).count() == 1,
+          "a re-put after the purge must be visible (resurrection)")
+        res
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // MINOR compaction — the region-LOCAL half of the HBase compaction
     // model q194's major doesn't cover: per shard, the accumulated
     // per-cell put files and small segments merge into ONE fresh
@@ -568,6 +637,14 @@ object StoreLifecycle {
       """SELECT e.user_id::BIGINT AS user_id, epoch_ms(e.ts)::BIGINT AS ts_ms,
               e.event_type, md5(e.user_id::VARCHAR || 'S') AS state_md5
          FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+
+    // masked view: deleted keys (doc_id % 38 = 0) keep only v3; the
+    // marker at v2 masks v1 and v2
+    "q222_cells_delete_tombstones" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 8 + v)::BIGINT AS version,
+              md5(doc_id::VARCHAR || '!' || v::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([1, 2, 3]) AS v)
+         WHERE doc_id % 19 = 0 AND (doc_id % 38 != 0 OR v = 3)""",
 
     // minor compaction never GCs: every seeded version survives
     "q219_cells_minor_compact" ->
