@@ -16,7 +16,9 @@ import java.security.MessageDigest
   * {{{
   *   data  : entry*            entry  = [keyLen:4][key][version:8][bodyLen:4][body]
   *   index : ientry*           ientry = [sha256(key):32][version:8][entryOffset:8]
-  *   trailer (32 bytes)        [indexOffset:8][entryCount:4][minVersion:8][maxVersion:8][magic:4]
+  *   bloom : [bitCount:8][word:8 × bitCount/64]
+  *   trailer (40 bytes)        [indexOffset:8][bloomOffset:8][entryCount:4]
+  *                             [minVersion:8][maxVersion:8][magic:4]
   * }}}
   *
   * All integers big-endian. The index carries the SAME key digest the
@@ -29,6 +31,17 @@ import java.security.MessageDigest
   * Segments are immutable once placed (rename-only lifecycle), so
   * loaded indexes are cacheable per JVM forever.
   *
+  * The bloom block is a ROW bloom over the segment's DISTINCT key
+  * digests (~10 bits/key, 7 probes ⇒ ≈1% false positives) — the HBase
+  * ROW BloomFilter: a point GET or existence probe tests ~1.25 B/key
+  * of bloom before paying the 48 B/entry index load, so at 100 TB —
+  * where a shard accumulates many segments between majors and the
+  * index cache can't hold them all — an absent-key probe (the common
+  * ingest-F5 case) touches NO index at all on ~99% of segments. The
+  * bloom hashes the sha256 digest itself (two of its words,
+  * Kirsch-Mitzenmacher double hashing), so no extra hashing of keys
+  * anywhere.
+  *
   * Reference analog: the bulk-load posture of HbaseClient.kt:31-36
   * (SKIP_WAL heavy ingest) — HBase's real answer to that posture is
   * writing HFiles directly and handing them to the region server,
@@ -36,16 +49,52 @@ import java.security.MessageDigest
   */
 object CellSegment {
 
-  val Magic: Int = 0x47534531 // "GSE1"
-  val TrailerLen: Int = 32 // indexOffset:8 + entryCount:4 + minV:8 + maxV:8 + magic:4
+  val Magic: Int = 0x47534532 // "GSE2" (v2: v1 + the bloom block)
+  val TrailerLen: Int = 40 // indexOffset:8 + bloomOffset:8 + entryCount:4 + minV:8 + maxV:8 + magic:4
   private val IndexEntryLen = 48
+  private val BloomBitsPerKey = 10
+  private val BloomProbes = 7
 
   final case class Meta(fileName: String, entryCount: Int, minVersion: Long,
                         maxVersion: Long, dataBytes: Long)
 
   final case class IndexEntry(digestHex: String, version: Long, offset: Long)
 
-  final case class Trailer(indexOffset: Long, entryCount: Int, minVersion: Long, maxVersion: Long)
+  final case class Trailer(indexOffset: Long, bloomOffset: Long, entryCount: Int,
+                           minVersion: Long, maxVersion: Long)
+
+  /** ROW bloom over key digests. `words` is the bit array; probes are
+    * the Kirsch-Mitzenmacher composite h1 + i·h2 of the digest's own
+    * first two big-endian words — sha256 output is uniform, so no
+    * further mixing is needed. */
+  final case class Bloom(words: Array[Long]) {
+    private val bits = words.length.toLong * 64
+    private def h(digestHex: String, i: Int): Long = {
+      val h1 = java.lang.Long.parseUnsignedLong(digestHex.substring(0, 16), 16)
+      val h2 = java.lang.Long.parseUnsignedLong(digestHex.substring(16, 32), 16)
+      java.lang.Long.remainderUnsigned(h1 + i * h2, bits)
+    }
+    def add(digestHex: String): Unit = {
+      var i = 0
+      while (i < BloomProbes) {
+        val b = h(digestHex, i)
+        words((b >>> 6).toInt) |= 1L << (b & 63)
+        i += 1
+      }
+    }
+    def mightContain(digestHex: String): Boolean = {
+      var i = 0
+      while (i < BloomProbes) {
+        val b = h(digestHex, i)
+        if ((words((b >>> 6).toInt) & (1L << (b & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  private def emptyBloom(distinctKeys: Int): Bloom =
+    Bloom(new Array[Long](math.max(1, (distinctKeys.toLong * BloomBitsPerKey + 63) / 64).toInt))
 
   /** Write one segment from (key, version, body) triples ALREADY sorted
     * by (key, version). The file is staged under `dir` with a temp name,
@@ -65,6 +114,10 @@ object CellSegment {
     val tmp = Files.createTempFile(dir, "bulkstage", ".tmp")
     val digest = MessageDigest.getInstance("SHA-256")
     val index = Vector.newBuilder[IndexEntry]
+    // distinct key digests for the ROW bloom — input is key-sorted, so
+    // a key's digest repeats only consecutively (one entry per key)
+    val bloomKeys = Vector.newBuilder[String]
+    var bloomKeyCount = 0
     var count = 0
     var minV = Long.MaxValue
     var maxV = Long.MinValue
@@ -87,7 +140,11 @@ object CellSegment {
           // the running content hash that names the file
           digest.update(java.nio.ByteBuffer.allocate(16).putInt(key.length).putLong(version).putInt(body.length).array())
           digest.update(key); digest.update(body)
-          index += IndexEntry(FileStore.keyDigest(key), version, offset)
+          val keyHex = FileStore.keyDigest(key)
+          if (prevKey == null || !java.util.Arrays.equals(prevKey, key)) {
+            bloomKeys += keyHex; bloomKeyCount += 1
+          }
+          index += IndexEntry(keyHex, version, offset)
           offset += entryLen
           count += 1
           if (version < minV) minV = version
@@ -101,7 +158,13 @@ object CellSegment {
         out.writeLong(e.version)
         out.writeLong(e.offset)
       }
+      val bloomOffset = indexOffset + count.toLong * IndexEntryLen
+      val bloom = emptyBloom(bloomKeyCount)
+      bloomKeys.result().foreach(bloom.add)
+      out.writeLong(bloom.words.length.toLong * 64)
+      bloom.words.foreach(out.writeLong)
       out.writeLong(indexOffset)
+      out.writeLong(bloomOffset)
       out.writeInt(count)
       out.writeLong(if (count == 0) 0L else minV)
       out.writeLong(if (count == 0) 0L else maxV)
@@ -137,9 +200,9 @@ object CellSegment {
       val buf = java.nio.ByteBuffer.allocate(TrailerLen)
       readFully(ch, buf, ch.size() - TrailerLen)
       buf.flip()
-      val t = Trailer(buf.getLong, buf.getInt, buf.getLong, buf.getLong)
+      val t = Trailer(buf.getLong, buf.getLong, buf.getInt, buf.getLong, buf.getLong)
       val magic = buf.getInt
-      require(magic == Magic, s"not a cell segment (bad magic 0x${magic.toHexString}): $path")
+      require(magic == Magic, s"not a GSE2 cell segment (bad magic 0x${magic.toHexString}): $path")
       t
     } finally ch.close()
   }
@@ -147,7 +210,12 @@ object CellSegment {
   /** Full index read (48 B/entry) — still no data-region I/O. Cached
     * per JVM in [[indexOf]]; segments are immutable so the cache never
     * invalidates. */
+  /** Index I/O counter — the spec/gate seam proving the ROW bloom
+    * short-circuits absent-key probes before any index load. */
+  private[graft] val indexReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   def readIndex(path: Path): Vector[IndexEntry] = {
+    indexReads.incrementAndGet()
     val t = readTrailer(path)
     val ch = java.nio.channels.FileChannel.open(path)
     try {
@@ -232,6 +300,61 @@ object CellSegment {
       v
     }
   }
+
+  // Per-JVM bloom cache — same lifecycle argument as the index cache
+  // (immutable segments ⇒ never stale; bounded ⇒ never heap-fatal),
+  // but ~40× smaller entries (1.25 B/key vs 48 B/cell), so its default
+  // cap holds the blooms of far more segments than the index cache
+  // holds indexes — which is the point: the bloom answers "definitely
+  // absent" for segments whose index was long evicted.
+  private val BloomOverhead = 128L
+  private def bloomCacheMax: Long =
+    sys.props.get("graft.segment.bloom.cache.bytes").flatMap(_.toLongOption)
+      .orElse(
+        try Option(org.apache.spark.SparkEnv.get)
+          .map(_.conf.getLong("spark.graft.segment.bloom.cache.bytes", 8L << 20))
+        catch { case _: Throwable => None })
+      .getOrElse(8L << 20)
+  private val bloomCache = new java.util.LinkedHashMap[String, Bloom](64, 0.75f, true)
+  private var bloomCacheBytes = 0L
+
+  /** Bloom read: [bitCount:8][words] at trailer.bloomOffset — a few
+    * hundred bytes for a typical segment, cached per JVM. */
+  def bloomOf(path: Path): Bloom = {
+    val key = path.toAbsolutePath.toString
+    val hit = bloomCache.synchronized(bloomCache.get(key))
+    if (hit != null) hit
+    else {
+      val t = readTrailer(path)
+      val ch = java.nio.channels.FileChannel.open(path)
+      val b =
+        try {
+          val head = java.nio.ByteBuffer.allocate(8)
+          readFully(ch, head, t.bloomOffset); head.flip()
+          val bits = head.getLong
+          val words = java.nio.ByteBuffer.allocate((bits / 8).toInt)
+          readFully(ch, words, t.bloomOffset + 8); words.flip()
+          Bloom(Array.fill((bits / 64).toInt)(words.getLong))
+        } finally ch.close()
+      bloomCache.synchronized {
+        if (!bloomCache.containsKey(key)) {
+          bloomCache.put(key, b)
+          bloomCacheBytes += BloomOverhead + b.words.length * 8L
+          val it = bloomCache.entrySet().iterator()
+          while (bloomCacheBytes > bloomCacheMax && it.hasNext) {
+            bloomCacheBytes -= BloomOverhead + it.next().getValue.words.length * 8L
+            it.remove()
+          }
+        }
+      }
+      b
+    }
+  }
+
+  /** ROW-bloom membership probe: false ⇒ the segment DEFINITELY holds
+    * no cell of this key, with no index I/O spent to learn it. */
+  def mightContain(path: Path, digestHex: String): Boolean =
+    bloomOf(path).mightContain(digestHex)
 
   /** Stream the data region in (key, version) order. `needBody = false`
     * skips every body's bytes (the column-pruned key-only scan). */

@@ -280,7 +280,10 @@ final case class FileStore(rootDir: String) extends Store {
       val d = keyDigest(c.rowkey)
       val raw = Files.exists(cellPath(c)) ||
         segmentFiles(shardDir).exists { seg =>
-          CellSegment.indexOf(seg).exists(e => e.version == c.version && e.digestHex == d)
+          // ROW bloom first: an absent key — the common ingest probe —
+          // answers off ~1.25 B/key with no index load at all
+          CellSegment.mightContain(seg, d) &&
+            CellSegment.indexOf(seg).exists(e => e.version == c.version && e.digestHex == d)
         }
       // mask consulted only for raw hits (an absent cell can't be
       // masked INTO existence), so a fresh-cell probe — the common

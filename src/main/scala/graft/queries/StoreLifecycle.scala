@@ -373,6 +373,49 @@ object StoreLifecycle {
       }
     },
 
+    // SEGMENT ROW BLOOM — the HBase BloomFilter analog in the driver
+    // gate: every bulk segment carries a bloom over its distinct key
+    // digests, and point reads consult it BEFORE any index load. The
+    // in-query invariants count actual index I/O: a sweep of absent-key
+    // probes (connector point GETs AND F5 existence checks) completes
+    // with ZERO segment-index reads — the bloom answers off ~1.25 B/key
+    // — while a present-key GET still returns its cell. The emitted
+    // result is the full read-back, so the driver hash pins that the
+    // bloom never drops a real cell. 100 TB: absent-key probes are the
+    // common ingest-F5 case; without the bloom each one pays a 48 B/cell
+    // index load per segment the cache has evicted.
+    "q223_cells_bloom_point_get" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q223-cells").toString
+      try {
+        BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 21 === 0)
+            .select(lit("q223").as("tableName"),
+              expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+              col("doc_id").cast("long").as("version"),
+              expr("cast(md5(concat(cast(doc_id as string), 'B')) as binary)").as("body")),
+          root)
+        def readTable = s.read.format("graft-cells")
+          .option("root", root).option("table", "q223").load()
+        val store = FileStore(root)
+        val before = CellSegment.indexReads.get()
+        (1 to 20).foreach { i =>
+          require(readTable.filter(col("rowkey") === lit(s"absent-$i".getBytes("UTF-8")))
+            .count() == 0, "absent key must read empty")
+        }
+        require(store.exists("q223", (1 to 20).map(i => PushTableSink.CellPut("q223",
+          s"missing-$i".getBytes("UTF-8"), 1L, Array.emptyByteArray))).forall(_ == false),
+          "absent cells must not exist")
+        require(CellSegment.indexReads.get() == before,
+          "absent-key probes must resolve off the ROW bloom with zero index reads")
+        val hit = readTable.filter(col("rowkey") === lit("doc-21".getBytes("UTF-8"))).count()
+        require(hit == 1, s"present-key point GET must pass the bloom: $hit")
+        readTable
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // DELETE TOMBSTONES — the HBase Delete-marker model end to end:
     // every key carries versions 1-3 split across BOTH store-file
     // kinds (v1-v2 bulk segments, v3 per-cell puts), then every other
@@ -637,6 +680,12 @@ object StoreLifecycle {
       """SELECT e.user_id::BIGINT AS user_id, epoch_ms(e.ts)::BIGINT AS ts_ms,
               e.event_type, md5(e.user_id::VARCHAR || 'S') AS state_md5
          FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+
+    // the bloom never drops a real cell: read-back = the seeded slice
+    "q223_cells_bloom_point_get" ->
+      """SELECT 'doc-' || doc_id AS key_str, doc_id::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'B') AS body_md5
+         FROM documents WHERE doc_id % 21 = 0""",
 
     // masked view: deleted keys (doc_id % 38 = 0) keep only v3; the
     // marker at v2 masks v1 and v2

@@ -554,6 +554,10 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
                   case None => graft.ingest.CellSegment.indexOf(p).iterator
                     .filter(e => e.version >= lo && e.version <= hi)
                     .foldLeft(Long.MinValue)((m, e) => math.max(m, e.version))
+                  // ROW bloom: a segment none of the probed keys can
+                  // be in never advances the watermark — skip its index
+                  case Some(ds) if !ds.exists(graft.ingest.CellSegment.mightContain(p, _)) =>
+                    Long.MinValue
                   case Some(ds) => graft.ingest.CellSegment.indexOf(p).iterator
                     .filter(e => ds.contains(e.digestHex) && e.version >= lo && e.version <= hi)
                     .foldLeft(Long.MinValue)((m, e) => math.max(m, e.version))
@@ -691,11 +695,14 @@ object CellsReaders {
           val t = graft.ingest.CellSegment.readTrailer(seg)
           if (t.entryCount == 0 || t.minVersion > hi || t.maxVersion < lo) Iterator.empty
           else {
-            val index = graft.ingest.CellSegment.indexOf(seg)
             keys.digests match {
+              // ROW bloom rejects every probed key: definitely no
+              // match in this segment — its index is never loaded
+              case Some(ds) if !ds.exists(graft.ingest.CellSegment.mightContain(seg, _)) =>
+                Iterator.empty
               case Some(ds) =>
                 // point lookup: seek straight to the probed entries
-                index.iterator
+                graft.ingest.CellSegment.indexOf(seg).iterator
                   .filter(e => ds.contains(e.digestHex) && e.version >= lo && e.version <= hi &&
                     !masked(e.digestHex, e.version) &&
                     !seen.contains((e.digestHex, e.version)))
@@ -712,7 +719,7 @@ object CellsReaders {
               case None if !readsContent =>
                 // version-only projection: the index IS the result —
                 // the data region is never read
-                index.iterator
+                graft.ingest.CellSegment.indexOf(seg).iterator
                   .filter(e => e.version >= lo && e.version <= hi &&
                     !masked(e.digestHex, e.version) && seen.add((e.digestHex, e.version)))
                   .map(e => mkRow(null, e.version, null))
@@ -720,7 +727,8 @@ object CellsReaders {
                 // scan: stream the data region zipped with the cached
                 // index (same order), so dedup needs no re-hashing
                 CellsSource.filesOpened.incrementAndGet()
-                graft.ingest.CellSegment.entries(seg, needBody).zip(index.iterator).flatMap {
+                graft.ingest.CellSegment.entries(seg, needBody)
+                  .zip(graft.ingest.CellSegment.indexOf(seg).iterator).flatMap {
                   case ((k, v, b), e) =>
                     if (v < lo || v > hi || !keys.keyOk(k) || masked(e.digestHex, v)) None
                     else if (!seen.add((e.digestHex, v))) None
