@@ -356,6 +356,47 @@ object TimeSeries {
         .withColumn("span_ms", col("island_end") - col("island_start"))
         .select(col("event_type"), col("island"), col("island_start"),
           col("island_end"), col("n_merged"), col("span_ms"))
+    },
+
+    // HOLT LINEAR-TREND FORECAST — the family's missing face: q174
+    // detects a shift, q175/q177 decompose; this EXTRAPOLATES. Double
+    // exponential smoothing (α=1/5, β=1/10) over the q174 gap-filled
+    // hourly series, entirely in ×10⁶ fixed point with truncating
+    // integer division so both engines run the identical chain:
+    //   l_t = (2·y_t·10⁶ + 8·(l_{t−1}+b_{t−1})) div 10
+    //   b_t = ((l_t − l_{t−1}) + 9·b_{t−1}) div 10,  l_1 = y_1·10⁶, b_1 = 0
+    //   ŷ_{T+h} = l_T + h·b_T,  h = 1..6
+    // Distribution: the corpus-sized work is ONE partial-aggregable
+    // hourly count; the recurrence is inherently sequential, so it
+    // folds driver-side over the CALENDAR-BOUNDED dense series
+    // (|types|·|hours| rows — the q189/q197 bounded-fold class, never
+    // corpus-sized). The oracle unrolls the same chain with a
+    // recursive CTE.
+    "q224_holt_forecast" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val counts = ev.select(col("event_type"), Tables.tsAsMillis(ev).as("ms"))
+        .withColumn("e", expr("ms div 3600000"))
+        .groupBy(col("event_type"), col("e")).agg(count(lit(1)).as("x"))
+      val dense = counts.groupBy(col("event_type"))
+        .agg(min(col("e")).as("lo"), max(col("e")).as("hi"))
+        .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("e"))
+        .join(counts, Seq("event_type", "e"), "left")
+        .withColumn("x", coalesce(col("x"), lit(0L)))
+      val series = dense.select(col("event_type"), col("e"), col("x"))
+        .collect().groupBy(_.getString(0))
+      val out = series.toSeq.flatMap { case (et, rows) =>
+        val xs = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+        var l = xs.head * 1000000L
+        var b = 0L
+        xs.tail.foreach { y =>
+          val lNew = (2L * y * 1000000L + 8L * (l + b)) / 10L
+          b = ((lNew - l) + 9L * b) / 10L // Long / = div: trunc toward 0, both engines
+          l = lNew
+        }
+        (1 to 6).map(h => (et, xs.length.toLong, h.toLong, l + h * b))
+      }
+      val sp = s; import sp.implicits._
+      out.toDF("event_type", "n_hours", "h", "yhat_x1e6")
     }
   )
 
@@ -514,6 +555,39 @@ object TimeSeries {
                 max(en)::BIGINT AS island_end, count(*)::BIGINT AS n_merged,
                 (max(en) - min(st))::BIGINT AS span_ms
          FROM g GROUP BY 1, 2""",
+
+    // the oracle UNROLLS the identical ×10⁶ truncating chain with a
+    // recursive CTE over the same gap-filled hourly series
+    "q224_holt_forecast" ->
+      """WITH RECURSIVE
+          cnt AS (SELECT event_type, epoch_ms(ts) // 3600000 AS e,
+             count(*)::BIGINT AS x
+           FROM events GROUP BY 1, 2),
+          b AS (SELECT event_type, min(e) AS lo, max(e) AS hi FROM cnt GROUP BY 1),
+          dense0 AS (SELECT b.event_type, b.lo,
+                       unnest(generate_series(b.lo, b.hi)) AS e
+                     FROM b),
+          dense AS (SELECT d.event_type, (d.e - d.lo + 1)::BIGINT AS rn,
+                      coalesce(c.x, 0)::BIGINT AS x
+                    FROM dense0 d LEFT JOIN cnt c
+                      ON c.event_type = d.event_type AND c.e = d.e),
+          rec AS (
+            SELECT event_type, rn, (x * 1000000)::BIGINT AS l, 0::BIGINT AS bb
+            FROM dense WHERE rn = 1
+            UNION ALL
+            SELECT d.event_type, d.rn,
+              ((2 * d.x * 1000000 + 8 * (r.l + r.bb)) // 10)::BIGINT,
+              ((((2 * d.x * 1000000 + 8 * (r.l + r.bb)) // 10) - r.l
+                 + 9 * r.bb) // 10)::BIGINT
+            FROM rec r JOIN dense d
+              ON d.event_type = r.event_type AND d.rn = r.rn + 1),
+          last AS (SELECT r.event_type, r.rn, r.l, r.bb
+                   FROM rec r JOIN (SELECT event_type, max(rn) AS m
+                                    FROM rec GROUP BY 1) t
+                     ON r.event_type = t.event_type AND r.rn = t.m)
+         SELECT l.event_type, l.rn AS n_hours, h.h::BIGINT AS h,
+                (l.l + h.h * l.bb)::BIGINT AS yhat_x1e6
+         FROM last l, (SELECT unnest([1, 2, 3, 4, 5, 6]) AS h) h""",
 
     "q180_ccf" ->
       """WITH cnt AS (SELECT event_type, epoch_ms(ts) // 3600000 AS e,
