@@ -351,10 +351,18 @@ object CellSegment {
     }
   }
 
+  // A/B seam (IngestBench + diagnostics): disabling the bloom makes
+  // every probe fall through to the index — the pre-bloom read path.
+  @volatile private var bloomDisabled: Boolean =
+    sys.props.get("graft.segment.bloom.disable").contains("true")
+  private[graft] def setBloomDisabled(v: Boolean): Boolean = {
+    val prev = bloomDisabled; bloomDisabled = v; prev
+  }
+
   /** ROW-bloom membership probe: false ⇒ the segment DEFINITELY holds
     * no cell of this key, with no index I/O spent to learn it. */
   def mightContain(path: Path, digestHex: String): Boolean =
-    bloomOf(path).mightContain(digestHex)
+    bloomDisabled || bloomOf(path).mightContain(digestHex)
 
   /** Stream the data region in (key, version) order. `needBody = false`
     * skips every body's bytes (the column-pruned key-only scan). */

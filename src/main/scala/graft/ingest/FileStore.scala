@@ -275,11 +275,16 @@ final case class FileStore(rootDir: String) extends Store {
     * masked until the marker compacts away, the HBase contract. */
   override def exists(tableName: String, cells: Seq[CellPut]): Seq[Boolean] = {
     val masks = scala.collection.mutable.HashMap.empty[Path, Map[String, Long]]
+    // segment listings memoize per BATCH (segments are immutable, and
+    // a put landing mid-batch is invisible to a snapshot check anyway)
+    // — a 10k-cell probe batch pays one directory listing per touched
+    // shard, not one per cell
+    val segLists = scala.collection.mutable.HashMap.empty[Path, Seq[Path]]
     cells.map { c =>
       val shardDir = tableDir(c.tableName).resolve(splitsOf(c.tableName).shardNameOf(c.rowkey))
       val d = keyDigest(c.rowkey)
       val raw = Files.exists(cellPath(c)) ||
-        segmentFiles(shardDir).exists { seg =>
+        segLists.getOrElseUpdate(shardDir, segmentFiles(shardDir)).exists { seg =>
           // ROW bloom first: an absent key — the common ingest probe —
           // answers off ~1.25 B/key with no index load at all
           CellSegment.mightContain(seg, d) &&

@@ -73,6 +73,35 @@ object IngestBench {
     val t5 = System.nanoTime()
     rows.unpersist()
     require(pushed == bulk.cells, s"push/bulk cell counts diverge: $pushed vs ${bulk.cells}")
+    // phase 4: the F5 absent-key existence sweep against the bulk
+    // store — the common ingest probe — with the per-segment ROW bloom
+    // on vs off, in the AT-SCALE regime: the index cache is pinched to
+    // hold (near) nothing, which is what a 100 TB table does to a
+    // 64 MB cache. Without the bloom every absent probe re-reads its
+    // shard's segment index from disk; with it, zero index I/O — the
+    // reported index-read counters are the direct evidence.
+    val store = FileStore(tmp.resolve("store_bulk").toString)
+    val bulkTable = rows.select("tableName").distinct().collect().map(_.getString(0)).head
+    val absent = (0 until 20000).map(i =>
+      PushTableSink.CellPut(bulkTable, s"absent-$i".getBytes("UTF-8"), 1L, Array.emptyByteArray))
+    val prevCap = CellSegment.setIndexCacheMaxBytes(1024)
+    CellSegment.setBloomDisabled(true)
+    require(store.exists(bulkTable, absent).forall(_ == false)) // warm page cache + blooms
+    val ir0 = CellSegment.indexReads.get()
+    val t6 = System.nanoTime()
+    require(store.exists(bulkTable, absent).forall(_ == false))
+    val t7 = System.nanoTime()
+    val indexReadsOff = CellSegment.indexReads.get() - ir0
+    CellSegment.setBloomDisabled(false)
+    require(store.exists(bulkTable, absent).forall(_ == false)) // warm blooms
+    val ir1 = CellSegment.indexReads.get()
+    val t8 = System.nanoTime()
+    require(store.exists(bulkTable, absent).forall(_ == false))
+    val t9 = System.nanoTime()
+    val indexReadsOn = CellSegment.indexReads.get() - ir1
+    CellSegment.setIndexCacheMaxBytes(prevCap)
+    val probeOffSec = (t7 - t6) / 1e9
+    val probeOnSec = (t9 - t8) / 1e9
     val total = nFiles.toLong * recordsPerFile
     val decodeSec = (t1 - t0) / 1e9
     val allSec = (t3 - t0) / 1e9
@@ -82,7 +111,10 @@ object IngestBench {
       s""""records":$total,"files":$nFiles,"decoded":$decoded,"put":$put,""" +
       s""""decode_sec":$decodeSec,"table_sink_sec":${(t2 - t1) / 1e9},"manifest_sec":${(t3 - t2) / 1e9},"total_sec":$allSec,""" +
       s""""push_store_sec":$pushSec,"bulk_load_sec":$bulkSec,"bulk_segments":${bulk.segments.size},""" +
-      s""""push_cells_per_sec":${(pushed / pushSec).round},"bulk_cells_per_sec":${(bulk.cells / bulkSec).round}}""")
+      s""""push_cells_per_sec":${(pushed / pushSec).round},"bulk_cells_per_sec":${(bulk.cells / bulkSec).round},""" +
+      s""""absent_probes":${absent.size},"absent_probe_bloom_off_sec":$probeOffSec,""" +
+      s""""absent_probe_bloom_on_sec":$probeOnSec,"bloom_probe_speedup":${(probeOffSec / probeOnSec * 100).round / 100.0},""" +
+      s""""index_reads_bloom_off":$indexReadsOff,"index_reads_bloom_on":$indexReadsOn}""")
     spark.stop()
   }
 }
