@@ -381,6 +381,51 @@ object StoreLifecycle {
       }
     },
 
+    // RUNTIME (join-driven) rowkey filtering — DSv2
+    // SupportsRuntimeFiltering in the driver gate: joining a SELECTIVE
+    // dimension against the cell table hands the dimension's key set
+    // to the scan at run time (Spark's DPP machinery over the reused
+    // broadcast), re-planning the scan to the probed keys' regions and
+    // digests — the HBase batched-GET idiom, where a join against the
+    // store is point reads, never a table scan. In-query invariants:
+    // the physical plan carries `dynamicpruning` on the BatchScan, and
+    // the join opens no more cell content than the dimension's key
+    // count (+FP slack) — counted, not asserted from the plan alone.
+    // 100 TB: this is the difference between scanning a 100 TB table
+    // to join 10k keys and issuing 10k GETs.
+    "q225_cells_runtime_filter_join" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q225-cells").toString
+      try {
+        BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 12 === 0)
+            .select(lit("q225").as("tableName"),
+              expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+              col("doc_id").cast("long").as("version"),
+              expr("cast(md5(concat(cast(doc_id as string), 'J')) as binary)").as("body")),
+          root)
+        val cells = s.read.format("graft-cells")
+          .option("root", root).option("table", "q225").load()
+        // selective dimension straight off the parquet scan, so its
+        // Filter survives into the optimized plan (the DPP trigger)
+        val dim = Tables.documents(s, d).filter(col("doc_id") % 120 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("k"),
+            col("source").as("dim_source"))
+        val joined = cells.join(broadcast(dim), col("rowkey") === col("k"))
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"), col("dim_source"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("dynamicpruning"),
+          s"the cells scan must carry a join-driven runtime filter:\n$plan")
+        val dimCount = dim.count()
+        graft.sources.CellsSource.filesOpened.set(0)
+        val res = joined.localCheckpoint()
+        val opened = graft.sources.CellsSource.filesOpened.get()
+        require(opened <= dimCount + 8,
+          s"runtime-filtered join must read ~|dim| cells, opened=$opened dim=$dimCount")
+        res
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // SEGMENT ROW BLOOM — the HBase BloomFilter analog in the driver
     // gate: every bulk segment carries a bloom over its distinct key
     // digests, and point reads consult it BEFORE any index load. The
@@ -688,6 +733,12 @@ object StoreLifecycle {
       """SELECT e.user_id::BIGINT AS user_id, epoch_ms(e.ts)::BIGINT AS ts_ms,
               e.event_type, md5(e.user_id::VARCHAR || 'S') AS state_md5
          FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+
+    // the joined latest-state over the dimension's keys (%120 ⊂ %12)
+    "q225_cells_runtime_filter_join" ->
+      """SELECT 'doc-' || doc_id AS key_str, doc_id::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'J') AS body_md5, source AS dim_source
+         FROM documents WHERE doc_id % 120 = 0""",
 
     // the bloom never drops a real cell: read-back = the seeded slice
     "q223_cells_bloom_point_get" ->

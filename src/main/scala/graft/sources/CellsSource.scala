@@ -388,9 +388,43 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
 case class CellsScan(root: String, table: String, lo: Long, hi: Long,
                      keys: CellsKeyPred, required: StructType,
                      stable: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // RUNTIME (join-driven) rowkey filtering — the HBase batched-GET
+  // idiom through Spark's own DPP machinery: when this scan is the
+  // probe side of an equi-join on rowkey, Spark materializes the
+  // build side first and hands its key set here BEFORE partitions are
+  // (re)planned, so `fact JOIN keys` degrades from a full table scan
+  // to the keys' regions and, within them, the keys' digests — the
+  // same pruning a literal IN gets at compile time, driven by data
+  // only known at run time. Narrowing is sound for ANY superset (the
+  // join re-checks equality on the bytes), so unsupported runtime
+  // predicates are simply ignored.
+  @transient private var runtimeKeys: CellsKeyPred = keys
+  private def effKeys: CellsKeyPred = if (runtimeKeys == null) keys else runtimeKeys
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("rowkey"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    lazy val splits = graft.ingest.FileStore(root).splitsOf(table)
+    def narrow(ks: Seq[Array[Byte]]): Unit = {
+      val ds = ks.map(graft.ingest.FileStore.keyDigest).toSet
+      val ss = ks.map(splits.shardNameOf).toSet
+      val cur = effKeys
+      runtimeKeys = cur.copy(
+        digests = Some(cur.digests.fold(ds)(_ intersect ds)),
+        pointShards = Some(cur.pointShards.fold(ss)(_ intersect ss)))
+    }
+    filters.foreach {
+      case In("rowkey", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]]) =>
+        narrow(vs.toSeq.map(_.asInstanceOf[Array[Byte]]))
+      case EqualTo("rowkey", v: Array[Byte]) => narrow(Seq(v))
+      case _ => () // superset scan stays correct; the join re-filters
+    }
+  }
   override def description(): String =
     s"graft-cells table=$table version=[$lo,$hi]" +
       keys.digests.fold("")(d => s" keys=${d.size}") +
@@ -450,13 +484,13 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
     // not a table scan); a range/prefix scan plans the contiguous
     // shard span it covers. Parallelism = region count (256 default,
     // finer under a custom split layout).
-    CellsShards.prune(dir, keys)
+    CellsShards.prune(dir, effKeys)
       .map(p => CellsShard(p.toString): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CellsReaderFactory(lo, hi, keys, required.fieldNames)
+    CellsReaderFactory(lo, hi, effKeys, required.fieldNames)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
