@@ -36,6 +36,13 @@ import org.apache.spark.sql.functions._
   * streaming face documents; the ingest pipeline's per-table
   * epoch-millis versions satisfy it for a single writer.
   *
+  * Delete tombstones: the export is the connector's MASKED view, so a
+  * backup applies pending deletes exactly as a major compaction would
+  * — masked cells are not exported and no markers land in the
+  * restored store (an old-version re-put there resurrects, while the
+  * source keeps masking until its own major). TombstoneSpec pins both
+  * sides.
+  *
   * Reference posture: the reference relies on HBase itself for
   * snapshot/export (its store is operated, not embedded) — these
   * operators ARE that machinery for the sandbox store, re-derived from

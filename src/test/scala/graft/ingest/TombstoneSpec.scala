@@ -179,6 +179,40 @@ class TombstoneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(markers.size == 1, "minor compaction must not drop delete markers")
   }
 
+  test("a delete racing the compaction sweep survives (same snapshot contract as puts)") {
+    val root = Files.createTempDirectory("tomb-race").toString
+    val store = FileStore(root)
+    store.ensureTable("t", PushTableSink.TableSpec())
+    put(store, "t", "mu", 1L, 2L)
+    // the racing delete lands in the most exposed window: fresh
+    // segments flipped in, sweep not yet run — it is OUTSIDE the
+    // pre-scan snapshot, so the sweep must leave the marker alone
+    Compaction.major(spark, root, "t",
+      beforeSweep = () => store.deleteCells("t", Seq((k("mu"), 1L))))
+    assert(readBack(root, "t") == Set(("mu", 2L)),
+      "the racing delete's mask must hold after the sweep")
+  }
+
+  test("backup/restore exports the MASKED view; restored store has no markers (majors' semantics)") {
+    val root = Files.createTempDirectory("tomb-bak-src").toString
+    val bak = Files.createTempDirectory("tomb-bak-dir").toString
+    val dst = Files.createTempDirectory("tomb-bak-dst").toString
+    val store = FileStore(root)
+    store.ensureTable("t", PushTableSink.TableSpec())
+    put(store, "t", "nu", 1L, 2L)
+    store.deleteCells("t", Seq((k("nu"), 1L)))
+    Backup.full(spark, root, "t", bak)
+    Backup.restore(spark, bak, dst)
+    assert(readBack(dst, "t") == Set(("nu", 2L)), "restore carries the masked view")
+    // like a major, the move applies pending deletes: no marker in the
+    // restored store, so an old-version re-put there resurrects
+    put(FileStore(dst), "t", "nu", 1L)
+    assert(readBack(dst, "t") == Set(("nu", 1L), ("nu", 2L)))
+    // ... while the SOURCE still masks (its marker is untouched)
+    put(store, "t", "nu", 1L)
+    assert(readBack(root, "t") == Set(("nu", 2L)))
+  }
+
   test("distributed deletes through the connector write face (tombstone option); replay converges") {
     val root = Files.createTempDirectory("tomb-dsv2").toString
     val s = spark; import s.implicits._
