@@ -45,6 +45,40 @@ object Bench {
       case None => _ => true
     }
     val sorted = SparkEntry.queries.toSeq.filter(kv => only(kv._1)).sortBy(_._1)
+    // Page-cache protocol (round 12): the 125→139 s run-to-run envelope
+    // was traced to cold file I/O after a scale probe churned the page
+    // cache — so the bench now (a) PRE-WARMS the input parquet with two
+    // sequential sweeps before any timing, and (b) RECORDS the sweep
+    // throughputs: a first pass far slower than the second means this
+    // run STARTED cold (the label makes round-over-round totals
+    // comparable; the pre-warm itself removes most of the effect for
+    // the timed passes, which re-read these same files).
+    val (inputMb, firstMbS, secondMbS, cacheLabel) = {
+      def sweep(): (Double, Double) = {
+        val t0 = System.nanoTime()
+        var bytes = 0L
+        val dir = java.nio.file.Paths.get(sfDir)
+        if (java.nio.file.Files.isDirectory(dir)) {
+          val l = java.nio.file.Files.list(dir)
+          try l.iterator().forEachRemaining { p =>
+            if (p.getFileName.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p)) {
+              val in = java.nio.file.Files.newInputStream(p)
+              val buf = new Array[Byte](1 << 20)
+              try {
+                var n = in.read(buf)
+                while (n >= 0) { bytes += n; n = in.read(buf) }
+              } finally in.close()
+            }
+          } finally l.close()
+        }
+        (bytes / 1e6, (System.nanoTime() - t0) / 1e9)
+      }
+      val (mb, t1) = sweep()
+      val (_, t2) = sweep()
+      val s1 = if (t1 > 0) mb / t1 else 0.0
+      val s2 = if (t2 > 0) mb / t2 else 0.0
+      (mb, s1, s2, if (s2 > 0 && s1 < 0.7 * s2) "cold-start" else "warm-start")
+    }
     sorted.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
@@ -108,8 +142,10 @@ object Bench {
     val raw = results.map { case (k, ts, _) =>
       jstr(k) + ":" + ts.map(t => r4(t._1)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val cache =
+      s"""{"label":${jstr(cacheLabel)},"input_mb":${r4(inputMb)},"first_sweep_mb_s":${r4(firstMbS)},"second_sweep_mb_s":${r4(secondMbS)}}"""
     val detail =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"passes":$raw,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","cache":$cache,"queries":$qs,"passes":$raw,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -120,7 +156,7 @@ object Bench {
     // per-query number is the minimum over that many timed passes after
     // a full warmup pass, so round-over-round diffs aren't chasing
     // ambient-load ghosts (the r8 verdict's bench-protocol note)
-    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","protocol":"min-of-$passes-passes-after-warmup","queries":$qs,"failed":$nFailed$errField,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","protocol":"min-of-$passes-passes-after-warmup","cache":${jstr(cacheLabel)},"queries":$qs,"failed":$nFailed$errField,"sf":"$sfDir"}"""
     // Safety valve for query-count growth: the driver captures only the
     // last ~2000 chars of stdout, so when the full per-query map no
     // longer fits, keep the SLOWEST queries (the ones a grader needs)
@@ -132,7 +168,7 @@ object Bench {
         .sortBy(-_._2)
         .map { case (k, t) => jstr(k) + ":" + f.format(t) }
       val head =
-        s"""{"metric":"total","value":${f.format(total)},"unit":"sec","protocol":"min-of-$passes-passes-after-warmup","failed":$nFailed,"sf":"$sfDir""""
+        s"""{"metric":"total","value":${f.format(total)},"unit":"sec","protocol":"min-of-$passes-passes-after-warmup","cache":${jstr(cacheLabel)},"failed":$nFailed,"sf":"$sfDir""""
       val fixedTail = ""","queries_omitted":00,"queries":{}}"""
       var used = head.length + fixedTail.length
       val kept = entries.takeWhile { e => used += e.length + 1; used <= budget }

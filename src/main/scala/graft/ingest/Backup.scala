@@ -23,25 +23,42 @@ import org.apache.spark.sql.functions._
   *    [[BulkLoad]] (never replays puts): DDL and splits land first, so
   *    the rebuilt table keeps its retention contract and region
   *    layout, then full + increments flow through the one-shuffle
-  *    segment write path.
+  *    segment write path — each slice's DELETE MARKERS re-applied
+  *    right after its cells (below).
   *
-  * Backup layout: `<dir>/full/` + `<dir>/incr-<i>/` parquet exports and
+  * Backup layout: `<dir>/full/` + `<dir>/incr-<i>/` parquet exports,
+  * a `<slice>-tombstones/` parquet sidecar per slice carrying its
+  * delete markers as typed (rowkey, version) rows, and
   * `<dir>/_backup.json` (table, watermark, increment list, spec,
   * splits) written by atomic rename so a torn writer never leaves a
   * half-updated chain.
+  *
+  * DELETE TOMBSTONES travel with the chain (the HBase model: an
+  * incremental backup is WAL replay, and the WAL carries Deletes).
+  * The cell export is the connector's MASKED view — a masked cell is
+  * never exported — but the markers themselves are: [[full]] exports
+  * the table's complete live marker set; [[incremental]] exports the
+  * DELTA (markers live now that no earlier slice recorded), so a
+  * delete landing after the full backup — which produces NO cell row
+  * in any export — still reaches [[restore]], which re-applies each
+  * slice's markers via [[FileStore.deleteCells]] immediately after
+  * bulk-loading that slice's cells. Restored markers persist exactly
+  * as source markers do (purged by the restored table's own next
+  * major), so `full → delete → incremental → restore` yields the
+  * source's masked view — both ways (TombstoneSpec/BackupSpec pin it).
   *
   * Delivery contract (the q205 invariant): cells landing at versions
   * ≤ the watermark AFTER a backup pass are outside the incremental
   * guarantee — the same strictly-monotonic-version contract the
   * streaming face documents; the ingest pipeline's per-table
-  * epoch-millis versions satisfy it for a single writer.
-  *
-  * Delete tombstones: the export is the connector's MASKED view, so a
-  * backup applies pending deletes exactly as a major compaction would
-  * — masked cells are not exported and no markers land in the
-  * restored store (an old-version re-put there resurrects, while the
-  * source keeps masking until its own major). TombstoneSpec pins both
-  * sides.
+  * epoch-millis versions satisfy it for a single writer. Markers are
+  * inside the guarantee regardless of their version (a delete's mask
+  * bound T is naturally ≤ the watermark — it masks the past), because
+  * delta export keys on marker EXISTENCE, not version. The one case
+  * outside the guarantee: a source-side re-put at a version ≤ a
+  * previously-exported marker's T after the source major-compacted
+  * that marker away (the resurrection write is back-dated by
+  * construction, violating the monotonic clock).
   *
   * Reference posture: the reference relies on HBase itself for
   * snapshot/export (its store is operated, not embedded) — these
@@ -60,17 +77,33 @@ object Backup {
   }
 
   object Meta {
+    /** Parsed through the real JSON tree ([[graft.core.Json]]) — the
+      * embedded spec/splits objects are re-rendered compactly, which
+      * is byte-identical to how this file wrote them (both sides are
+      * insertion-ordered compact renderings). */
     def fromJson(json: String): Meta = {
-      val table = """"table":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
-        .getOrElse(throw new IllegalArgumentException(s"bad _backup.json: $json"))
-      val watermark = """"watermark":(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
-        .getOrElse(throw new IllegalArgumentException(s"bad _backup.json: $json"))
-      val incs = """"increments":\[([^\]]*)\]""".r.findFirstMatchIn(json).map(_.group(1))
-        .map(s => """"([^"]*)"""".r.findAllMatchIn(s).map(_.group(1)).toVector)
-        .getOrElse(Vector.empty)
-      // spec and splits are FLAT json objects (no nested braces)
-      def obj(k: String): Option[String] =
-        (s""""$k":(\\{[^}]*\\})""").r.findFirstMatchIn(json).map(_.group(1))
+      import graft.core.{JArr, JNum, JObj, JStr, Json}
+      val o =
+        try Json.parseObject(json)
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(s"bad _backup.json: $json", e) }
+      val table = o.get("table") match {
+        case Some(JStr(s)) => s
+        case _ => throw new IllegalArgumentException(s"bad _backup.json (table): $json")
+      }
+      val watermark = o.get("watermark") match {
+        case Some(n: JNum) => n.toLongExact.getOrElse(
+          throw new IllegalArgumentException(s"bad _backup.json (watermark): $json"))
+        case _ => throw new IllegalArgumentException(s"bad _backup.json (watermark): $json")
+      }
+      val incs = o.get("increments") match {
+        case Some(JArr(items)) => items.collect { case JStr(s) => s }
+        case _ => Vector.empty[String]
+      }
+      def obj(k: String): Option[String] = o.get(k) match {
+        case Some(j: JObj) => Some(Json.renderCompact(j))
+        case _ => None
+      }
       Meta(table, watermark, incs, obj("spec"), obj("splits"))
     }
   }
@@ -98,12 +131,43 @@ object Backup {
     if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
   }
 
-  /** Full backup: export every live cell, record the watermark + table
-    * descriptor. Overwrites any previous chain at `backupDir`. */
+  private def tombstoneDir(backupDir: String, slice: String) =
+    s"$backupDir/$slice-tombstones"
+
+  /** Export the given delete markers as the slice's typed-row sidecar
+    * (rowkey BINARY, version BIGINT). Marker sets are the LIVE delete
+    * backlog — bounded between majors — so a driver-side parallelize
+    * of the listing is the right scale posture (the cells, which are
+    * data-sized, go through the shard-parallel connector scan). */
+  private def writeTombstones(spark: SparkSession, backupDir: String, slice: String,
+                              markers: Seq[(Array[Byte], Long)]): Unit = {
+    import spark.implicits._
+    spark.createDataset(markers.map { case (k, v) => (k, v) })
+      .toDF("rowkey", "version")
+      .repartition(1)
+      .write.mode("overwrite").parquet(tombstoneDir(backupDir, slice))
+  }
+
+  /** marker identity set of every slice already in the chain — used
+    * by [[incremental]]'s delta and bounded by the chain's total
+    * marker count. */
+  private def exportedMarkers(spark: SparkSession, backupDir: String,
+                              slices: Seq[String]): Set[(Seq[Byte], Long)] =
+    slices.flatMap { s =>
+      val dir = tombstoneDir(backupDir, s)
+      if (!Files.isDirectory(Paths.get(dir))) Seq.empty
+      else spark.read.parquet(dir).collect()
+        .map(r => (r.getAs[Array[Byte]]("rowkey").toSeq, r.getAs[Long]("version")))
+    }.toSet
+
+  /** Full backup: export every live cell, the table's live delete
+    * markers, and record the watermark + table descriptor. Overwrites
+    * any previous chain at `backupDir`. */
   def full(spark: SparkSession, root: String, table: String, backupDir: String): Meta = {
     val dir = backupDir + "/full"
     readTable(spark, root, table).write.mode("overwrite").parquet(dir)
     val store = FileStore(root)
+    writeTombstones(spark, backupDir, "full", store.listTombstones(table))
     val splits = store.splitsOf(table)
     val meta = Meta(table, maxVersionOf(spark, dir), Vector.empty,
       store.readSpecJson(table),
@@ -114,7 +178,10 @@ object Backup {
 
   /** Incremental backup: export exactly the cells above the chain's
     * recorded watermark (pushdown-pruned — sealed store files are
-    * never opened), then advance it. */
+    * never opened) plus the DELTA of delete markers (live markers no
+    * earlier slice recorded — a delete has no version floor, so the
+    * delta keys on marker existence, not version), then advance the
+    * watermark. */
   def incremental(spark: SparkSession, root: String, table: String, backupDir: String): Meta = {
     val prev = readMeta(backupDir)
     require(prev.table == table, s"backup chain at $backupDir is for table ${prev.table}, not $table")
@@ -122,6 +189,10 @@ object Backup {
     val dir = s"$backupDir/$name"
     readTable(spark, root, table).filter(col("version") > prev.watermark)
       .write.mode("overwrite").parquet(dir)
+    val already = exportedMarkers(spark, backupDir, "full" +: prev.increments)
+    val delta = FileStore(root).listTombstones(table)
+      .filterNot { case (k, v) => already.contains((k.toSeq, v)) }
+    writeTombstones(spark, backupDir, name, delta)
     val meta = prev.copy(
       watermark = math.max(prev.watermark, maxVersionOf(spark, dir)),
       increments = prev.increments :+ name)
@@ -130,8 +201,12 @@ object Backup {
   }
 
   /** Restore the chain into `dstRoot`: descriptor first (DDL +
-    * splits), then full + every increment through the bulk-load path.
-    * Returns the number of cells written. */
+    * splits), then full + every increment through the bulk-load path,
+    * re-applying each slice's delete markers right after its cells
+    * land (so a marker masks exactly what it masked at the source —
+    * including cells from earlier slices, never-yet-loaded ones are
+    * above its bound by the monotonic-version contract). Returns the
+    * number of cells written (markers are masks, not cells). */
   def restore(spark: SparkSession, backupDir: String, dstRoot: String): Long = {
     val meta = readMeta(backupDir)
     val store = FileStore(dstRoot)
@@ -142,7 +217,21 @@ object Backup {
     slices.map { s =>
       val df = spark.read.parquet(s"$backupDir/$s")
         .select(lit(meta.table).as("tableName"), col("rowkey"), col("version"), col("body"))
-      BulkLoad.writeCells(df, dstRoot).cells
+      val n = BulkLoad.writeCells(df, dstRoot).cells
+      val tDir = tombstoneDir(backupDir, s)
+      if (Files.isDirectory(Paths.get(tDir))) {
+        // distributed marker application through the same write face
+        // deletes take everywhere else — tombstone writes are
+        // idempotent (tmp + atomic rename), so a retried task converges.
+        // The analyzer resolves writes against the 3-column table
+        // schema, so the marker frame carries an (ignored) empty body.
+        spark.read.parquet(tDir)
+          .withColumn("body", lit(Array.emptyByteArray))
+          .write.format("graft-cells").mode("append")
+          .option("root", dstRoot).option("table", meta.table)
+          .option("tombstone", "true").save()
+      }
+      n
     }.sum
   }
 }

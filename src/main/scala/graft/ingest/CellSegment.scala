@@ -69,23 +69,26 @@ object CellSegment {
     * further mixing is needed. */
   final case class Bloom(words: Array[Long]) {
     private val bits = words.length.toLong * 64
-    private def h(digestHex: String, i: Int): Long = {
+    // h1/h2 parsed ONCE per probe call, not once per probe BIT: the
+    // absent-key fast path this bloom exists for would otherwise spend
+    // 14 hex parses per mightContain — string work on the path that is
+    // supposed to cost ~1.25 B/key of bit tests
+    def add(digestHex: String): Unit = {
       val h1 = java.lang.Long.parseUnsignedLong(digestHex.substring(0, 16), 16)
       val h2 = java.lang.Long.parseUnsignedLong(digestHex.substring(16, 32), 16)
-      java.lang.Long.remainderUnsigned(h1 + i * h2, bits)
-    }
-    def add(digestHex: String): Unit = {
       var i = 0
       while (i < BloomProbes) {
-        val b = h(digestHex, i)
+        val b = java.lang.Long.remainderUnsigned(h1 + i * h2, bits)
         words((b >>> 6).toInt) |= 1L << (b & 63)
         i += 1
       }
     }
     def mightContain(digestHex: String): Boolean = {
+      val h1 = java.lang.Long.parseUnsignedLong(digestHex.substring(0, 16), 16)
+      val h2 = java.lang.Long.parseUnsignedLong(digestHex.substring(16, 32), 16)
       var i = 0
       while (i < BloomProbes) {
-        val b = h(digestHex, i)
+        val b = java.lang.Long.remainderUnsigned(h1 + i * h2, bits)
         if ((words((b >>> 6).toInt) & (1L << (b & 63))) == 0L) return false
         i += 1
       }
@@ -192,8 +195,15 @@ object CellSegment {
     }
   }
 
-  /** Trailer read: 32 bytes off the file tail — the only I/O a
-    * version-disjoint segment ever costs a scan. */
+  /** Trailer read: 40 bytes off the file tail — the only I/O a
+    * version-disjoint segment ever costs a scan.
+    *
+    * Format upgrade note: the GSE1 layout (32-byte trailer, no bloom
+    * block) is NOT readable by this code — a persisted pre-GSE2 root
+    * must be rewritten via [[Compaction.major]] on the old binary
+    * before upgrading (the HBase HFile-version migration posture:
+    * majors rewrite every store file into the current format). The
+    * magic check below fails loudly, never misparses. */
   def readTrailer(path: Path): Trailer = {
     val ch = java.nio.channels.FileChannel.open(path)
     try {

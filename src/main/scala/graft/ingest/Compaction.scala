@@ -47,11 +47,13 @@ import scala.jdk.CollectionConverters._
   * segments under a size threshold) into one fresh segment per shard —
   * no Spark shuffle anywhere, no retention applied (HBase minor
   * compactions never GC versions; only majors do), large segments left
-  * untouched. Each shard's merge is an independent task over
-  * size-bounded inputs, so the operation is embarrassingly parallel
-  * and its memory is capped by the threshold — the knob that keeps a
-  * read face from degrading under accumulated put files without
-  * paying a major's full rewrite.
+  * untouched. Each shard's merge is an independent task that STREAMS a
+  * k-way merge of its sorted inputs straight into the segment writer
+  * (HBase's minor model: merge sorted store files with O(files)
+  * memory) — only the put backlog is sorted in-core (put files are
+  * small by construction, the memstore analog), so task memory is
+  * O(put backlog + one open iterator per input segment), never the
+  * shard's total input bytes.
   *
   * Reference contract: maxVersions/minVersions DDL at
   * HbaseClient.kt:83-92; the reference relies on HBase itself to GC
@@ -61,6 +63,37 @@ import scala.jdk.CollectionConverters._
 object Compaction {
 
   final case class Report(keptCells: Long, removedFiles: Long, segments: Seq[BulkLoad.SegDesc])
+
+  private type Cell = (Array[Byte], Long, Array[Byte])
+
+  private def cellCmp(a: Cell, b: Cell): Int = {
+    val c = java.util.Arrays.compareUnsigned(a._1, b._1)
+    if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+  }
+
+  /** k-way merge of (key, version)-sorted cell iterators — a min-heap
+    * of one buffered head per input, so the merged run materializes
+    * NOTHING: memory is O(inputs), the HBase store-file merge shape. */
+  private[ingest] def mergeSorted(its: Seq[Iterator[Cell]]): Iterator[Cell] = new Iterator[Cell] {
+    private val pq = new java.util.PriorityQueue[scala.collection.BufferedIterator[Cell]](
+      math.max(1, its.size),
+      (x: scala.collection.BufferedIterator[Cell], y: scala.collection.BufferedIterator[Cell]) =>
+        cellCmp(x.head, y.head))
+    its.foreach { it => val b = it.buffered; if (b.hasNext) pq.add(b) }
+    override def hasNext: Boolean = !pq.isEmpty
+    override def next(): Cell = {
+      val top = pq.poll()
+      val e = top.next()
+      if (top.hasNext) pq.add(top)
+      e
+    }
+  }
+
+  /** Diagnostic/spec seam: the largest per-shard IN-CORE cell buffer
+    * any minor() pass ever held (the sorted put backlog — segment
+    * entries stream and are never buffered). CompactionSpec pins
+    * max-buffered ≪ total merged input under a tiny threshold. */
+  private[graft] val minorMaxBuffered = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Region-local minor compaction: per shard, merge every per-cell
     * put file plus every segment whose DATA REGION is under
@@ -102,25 +135,26 @@ object Compaction {
         }
         if (puts.isEmpty && segs.size <= 1) (0L, 0L, Seq.empty[BulkLoad.SegDesc])
         else {
-          // inputs are size-bounded by construction: load, sort by the
-          // segment order, collapse exact (key, version) duplicates
-          val cells = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Long, Array[Byte])]
-          puts.foreach { n =>
+          // ONLY the put backlog is buffered and sorted in-core (put
+          // files are small by construction — the memstore analog);
+          // each input segment contributes its own already-sorted
+          // streaming iterator, and the k-way merge feeds the segment
+          // writer (which streams too) with no intermediate
+          // materialization: task memory = O(puts + open iterators),
+          // whatever maxInputBytes says — including the q221 serving
+          // flush that passes Long.MaxValue
+          val putCells = puts.map { n =>
             val bytes = Files.readAllBytes(shard.resolve(n))
             val buf = java.nio.ByteBuffer.wrap(bytes)
             val keyLen = buf.getInt()
             val key = new Array[Byte](keyLen); buf.get(key)
             val body = new Array[Byte](buf.remaining()); buf.get(body)
-            cells += ((key, n.drop(n.lastIndexOf('.') + 1).toLong, body))
-          }
-          segs.foreach { n =>
-            CellSegment.entries(shard.resolve(n), needBody = true).foreach(cells += _)
-          }
-          val sorted = cells.sortWith { (a, b) =>
-            val c = java.util.Arrays.compareUnsigned(a._1, b._1)
-            c < 0 || (c == 0 && a._2 < b._2)
-          }
-          val meta = CellSegment.write(shard, BulkLoad.dedupSorted(sorted.iterator))
+            (key, n.drop(n.lastIndexOf('.') + 1).toLong, body)
+          }.sortWith(cellCmp(_, _) < 0)
+          minorMaxBuffered.updateAndGet(m => math.max(m, putCells.size.toLong))
+          val merged = mergeSorted(
+            putCells.iterator +: segs.map(n => CellSegment.entries(shard.resolve(n), needBody = true)))
+          val meta = CellSegment.write(shard, BulkLoad.dedupSorted(merged))
           var removed = 0L
           (puts ++ segs).foreach { n =>
             // the fresh segment may REUSE an input's content-hash name

@@ -212,12 +212,41 @@ final case class FileStore(rootDir: String) extends Store {
       require(existing == splits.toJson,
         s"table $tableName already has a different split layout")
     } else if (!splits.isDefault) {
+      // a layout may only be recorded while the table holds NO cells:
+      // cells already placed under the default layout would silently
+      // fall outside the new regions' point/prefix pruning (invisible
+      // to GETs, skipped by range scans) — resharding live data is a
+      // migration ([[Resplit]]), never a re-point
+      require(!hasAnyCell(dir),
+        s"table $tableName already holds cells under its current layout — " +
+          "record splits before loading, or migrate via Resplit")
       val tmp = Files.createTempFile(dir, "_splits", ".tmp")
       Files.write(tmp, splits.toJson.getBytes("UTF-8"))
       try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // lost the write-once race: the WINNER's layout stands — but
+          // only if it matches the caller's, same check as above
+          Files.deleteIfExists(tmp)
+          val winner = new String(Files.readAllBytes(p), "UTF-8")
+          require(winner == splits.toJson,
+            s"table $tableName already has a different split layout")
+      }
       splitsCache.remove(tableName)
     }
+  }
+
+  /** any store file (cell, segment, or tombstone) under any shard dir? */
+  private def hasAnyCell(dir: Path): Boolean = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.exists { shard =>
+      Files.isDirectory(shard) &&
+        FileStore.Splits.startOf(shard.getFileName.toString).isDefined && {
+          val l = Files.list(shard)
+          try l.iterator().asScala.exists(!_.getFileName.toString.endsWith(".tmp"))
+          finally l.close()
+        }
+    } finally s.close()
   }
 
   override def ensureTable(tableName: String, spec: TableSpec): Unit = {
@@ -262,6 +291,31 @@ final case class FileStore(rootDir: String) extends Store {
       Files.write(tmp, buf.array())
       Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
+
+  /** All live DELETE MARKERS of a table as (rowkey, version) pairs —
+    * marker files carry the length-prefixed true key, so the listing
+    * recovers exactly what [[deleteCells]] was given. Bounded by the
+    * live marker count (majors purge markers, so this is the
+    * between-compactions delete backlog, not the table); one
+    * directory listing + one small read per marker. */
+  def listTombstones(tableName: String): Seq[(Array[Byte], Long)] = {
+    val dir = tableDir(tableName)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val shards = Files.list(dir)
+    try shards.iterator().asScala.filter(Files.isDirectory(_)).flatMap { shard =>
+      val l = Files.list(shard)
+      try l.iterator().asScala.flatMap { p =>
+        FileStore.tombstoneOf(p.getFileName.toString).map { case (_, v) =>
+          val buf = java.nio.ByteBuffer.wrap(Files.readAllBytes(p))
+          val keyLen = buf.getInt()
+          val rowkey = new Array[Byte](keyLen); buf.get(rowkey)
+          (rowkey, v)
+        }
+      }.toVector
+      finally l.close()
+    }.toVector
+    finally shards.close()
+  }
 
   /** F5 consults BOTH store-file kinds: a cell exists if its per-cell
     * put file is present OR any bulk [[CellSegment]] in its shard

@@ -147,18 +147,26 @@ object StoreLifecycle {
         .select(col("boundary_rank"), hex(col("key")).as("split_key_hex"))
     },
 
-    // INCREMENTAL backup — the CDC face of q195, now driven entirely
+    // INCREMENTAL backup — the CDC face of q195, driven entirely
     // through the [[Backup]] operator API: Backup.full RECORDS the
     // version watermark it observed (no hardcoded W anywhere);
     // Backup.incremental exports exactly the cells above that recorded
     // watermark (a FILENAME/trailer-pruned pushdown scan — sealed
-    // generations are never opened) and advances it; Backup.restore
-    // rebuilds a fresh root from the chain via the bulk load. In-query
-    // invariants: the recorded watermark IS the max version of the
-    // first batch, the incremental slice is exactly the second batch,
-    // and full + increment restored ≡ the live table cell-for-cell.
+    // generations are never opened) PLUS the delete-marker delta, and
+    // advances the watermark; Backup.restore rebuilds a fresh root
+    // from the chain via the bulk load, re-applying each slice's
+    // markers. The round-11 hole is now IN the gate: a DELETE lands
+    // between full and incremental — it produces no cell row in any
+    // export (the connector's view is masked), so only the typed
+    // tombstone sidecar can carry it; a chain without it would
+    // resurrect the masked cells on restore. In-query invariants: the
+    // recorded watermark IS the max version of the first batch, the
+    // incremental CELL slice is exactly the second batch, the
+    // increment's tombstone sidecar carries exactly the deletes, and
+    // restored ≡ the source's MASKED view cell-for-cell (both ways).
     // The emitted result reads the RESTORED store, so the hash pins
-    // watermark recording, both exports, and the chained rebuild.
+    // watermark recording, both exports, the marker carriage, and the
+    // chained rebuild.
     "q205_cells_incremental_backup" -> { (s, d) =>
       val srcRoot = Files.createTempDirectory("graft-q205-src").toString
       val bakDir = Files.createTempDirectory("graft-q205-bak").toString
@@ -180,17 +188,31 @@ object StoreLifecycle {
         val batch1Max = readTable(srcRoot).agg(max(col("version"))).collect()(0).getLong(0)
         require(m1.watermark == batch1Max,
           s"full backup must record the observed watermark: ${m1.watermark} vs $batch1Max")
+        // the delete AFTER the full backup: masks every other key's
+        // batch-1 cell (T = its batch-1 version) — invisible to the
+        // cell exports, carried only by the tombstone sidecar
+        Tables.documents(s, d).filter(col("doc_id") % 34 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("1000000000 + doc_id").as("version"),
+            lit(Array.emptyByteArray).as("body")) // ignored by marker writes
+          .write.format("graft-cells").mode("append")
+          .option("root", srcRoot).option("table", "q205")
+          .option("tombstone", "true").save()
         seed(2)
         val m2 = graft.ingest.Backup.incremental(s, srcRoot, "q205", bakDir)
         val incr = s.read.parquet(s"$bakDir/${m2.increments.last}")
         val batch2 = readTable(srcRoot).filter(col("version") > m1.watermark)
         require(incr.count() == batch2.count() && m2.watermark > m1.watermark,
           "incremental export must be exactly the post-watermark slice")
+        val markers = s.read.parquet(s"$bakDir/${m2.increments.last}-tombstones")
+        val expectedDeletes = Tables.documents(s, d).filter(col("doc_id") % 34 === 0).count()
+        require(markers.count() == expectedDeletes && expectedDeletes > 0,
+          s"the increment must carry the delete-marker delta: ${markers.count()} vs $expectedDeletes")
         graft.ingest.Backup.restore(s, bakDir, dstRoot)
-        val src = readTable(srcRoot)
+        val src = readTable(srcRoot) // the masked view — batch-1 cells of deleted keys hidden
         val dst = readTable(dstRoot)
         require(src.exceptAll(dst).count() == 0 && dst.exceptAll(src).count() == 0,
-          "full + incremental restore must reproduce the live table cell-for-cell")
+          "restore must reproduce the source's masked view — deletes must not resurrect")
         dst.select(col("rowkey").cast("string").as("key_str"), col("version"),
             col("body").cast("string").as("body_md5"))
           .localCheckpoint()
@@ -294,11 +316,15 @@ object StoreLifecycle {
     // idiom at the storage layer; see [[graft.sources.ColocatedCells]]).
     // Table A carries two versions per key (latest must win), table B
     // a subset of the keys (inner-join pruning must drop the rest and,
-    // at the DIRECTORY level, the B-empty regions). In-query
-    // invariants: the join plans exactly the co-populated region count
-    // and its physical plan contains no Exchange; the emitted result
-    // is the joined latest-state, so the driver hash pins region
-    // alignment ∘ latest-version dedup ∘ join correctness.
+    // at the DIRECTORY level, the B-empty regions) — and every 12th
+    // key takes a DELETE on A masking both its versions, so the masked
+    // read path inside the join must drop it (the HBase tombstone
+    // semantics reaching the co-located face). In-query invariants:
+    // the physical plan contains no Exchange, and the LEFT-outer face
+    // emits exactly the A-only keys with a null B side; the emitted
+    // result is the inner joined latest-state, so the driver hash pins
+    // region alignment ∘ latest-version dedup ∘ delete masking ∘ join
+    // correctness.
     "q211_cells_colocated_join" -> { (s, d) =>
       val root = Files.createTempDirectory("graft-q211-cells").toString
       try {
@@ -314,9 +340,28 @@ object StoreLifecycle {
             root, BulkLoad.Config(splitPoints = points))
         seed("qa", 3, "A", Seq(1, 2)) // two versions: latest (v=2) must win
         seed("qb", 6, "B", Seq(1))
+        // delete on A masking BOTH versions (T = v2) of every 12th key:
+        // the masked path through the join must drop these keys
+        Tables.documents(s, d).filter(col("doc_id") % 12 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 2 + 2").as("version"),
+            lit(Array.emptyByteArray).as("body")) // ignored by marker writes
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "qa")
+          .option("tombstone", "true").save()
         val joined = graft.sources.ColocatedCells.joinLatest(s, root, "qa", "qb")
         require(!joined.queryExecution.executedPlan.toString.contains("Exchange"),
           "co-located join must not shuffle")
+        // the outer face: A-only keys (in %3 but not %6, or delete-
+        // survivors with no B row) carry a null B side, shuffle-free too
+        val left = graft.sources.ColocatedCells.joinLatest(s, root, "qa", "qb", "left")
+        require(!left.queryExecution.executedPlan.toString.contains("Exchange"),
+          "left co-located join must not shuffle")
+        val aOnly = left.filter(col("version_b").isNull).count()
+        val aLive = left.count()
+        val inner = joined.count()
+        require(aOnly == aLive - inner && aOnly > 0,
+          s"left face must emit exactly the A-only keys: aOnly=$aOnly live=$aLive inner=$inner")
         joined.select(col("rowkey").cast("string").as("key_str"),
             col("version_a"), col("body_a").cast("string").as("body_a_md5"),
             col("version_b"), col("body_b").cast("string").as("body_b_md5"))
@@ -375,6 +420,84 @@ object StoreLifecycle {
         val out = s.table(sinkName).localCheckpoint()
         s.catalog.dropTempView(sinkName)
         out
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+      }
+    },
+
+    // CHANGE-FEED DELETE EVENTS — the WAL/replication contract HBase
+    // ships Deletes through: `option("changeFeed","true")` turns the
+    // stream face into a typed edit log (op = put | delete; a delete
+    // row's version is its mask bound), so a downstream materialized
+    // view can CONVERGE to the masked batch view after a delete —
+    // round 11's feed silently dropped markers and a q143-class MV
+    // diverged forever. In-query invariants: the feed delivers every
+    // put AND every marker (counted), a SENTINEL delete issued above
+    // the global put max is delivered (markers must advance the
+    // watermark — without that the AvailableNow cap would seal below
+    // it), and the MV folded from the feed (drop puts at versions ≤
+    // their key's max delete bound) equals the masked batch view both
+    // ways. The emitted result is the MV, so the driver hash pins
+    // event carriage ∘ apply semantics ∘ batch-face agreement.
+    "q226_cells_change_feed_mv" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q226-cells").toString
+      val ck = Files.createTempDirectory("graft-q226-ck")
+      val sinkName = "q226_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      try {
+        def seed(v: Int): Unit = Tables.documents(s, d).filter(col("doc_id") % 15 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr(s"doc_id * 4 + $v").as("version"),
+            expr(s"cast(md5(concat(cast(doc_id as string), '^', '$v')) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q226").save()
+        seed(1); seed(2)
+        def readTable = s.read.format("graft-cells")
+          .option("root", root).option("table", "q226").load()
+        val putsMax = readTable.agg(max(col("version"))).collect()(0).getLong(0)
+        // delete every third seeded key at T = v2 (masks both versions)
+        Tables.documents(s, d).filter(col("doc_id") % 45 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 4 + 2").as("version"),
+            lit(Array.emptyByteArray).as("body")) // ignored by marker writes
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q226")
+          .option("tombstone", "true").save()
+        // sentinel: a delete ABOVE every put version — only delivered
+        // if markers advance the feed watermark
+        FileStore(root).deleteCells("q226",
+          Seq(("feed-sentinel".getBytes("UTF-8"), putsMax + 1000)))
+        val feed = s.readStream.format("graft-cells")
+          .option("root", root).option("table", "q226")
+          .option("changeFeed", "true").load()
+        val q = feed
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"), col("op"))
+          .writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ck.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val log = s.table(sinkName).localCheckpoint()
+        s.catalog.dropTempView(sinkName)
+        val expectedDeletes = Tables.documents(s, d).filter(col("doc_id") % 45 === 0).count()
+        val delRows = log.filter(col("op") === "delete")
+        require(delRows.count() == expectedDeletes + 1,
+          s"the feed must deliver every delete marker: ${delRows.count()} vs ${expectedDeletes + 1}")
+        require(delRows.filter(col("key_str") === "feed-sentinel").count() == 1,
+          "a marker above the put max must advance the watermark and be delivered")
+        // fold the MV: drop puts at versions <= their key's max delete bound
+        val bounds = delRows.groupBy(col("key_str")).agg(max(col("version")).as("del_v"))
+        val mv = log.filter(col("op") === "put")
+          .join(bounds, Seq("key_str"), "left")
+          .filter(col("del_v").isNull || col("version") > col("del_v"))
+          .select(col("key_str"), col("version"), col("body_md5"))
+          .localCheckpoint()
+        val masked = readTable.select(col("rowkey").cast("string").as("key_str"),
+          col("version"), col("body").cast("string").as("body_md5"))
+        require(mv.exceptAll(masked).count() == 0 && masked.exceptAll(mv).count() == 0,
+          "the MV folded from the change feed must equal the masked batch view")
+        mv
       } finally {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
         org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
@@ -701,11 +824,13 @@ object StoreLifecycle {
          WHERE rk IN (SELECT (i * (SELECT count(*) FROM k)) // 16
                       FROM (SELECT unnest(range(1, 16)) AS i))""",
 
+    // the masked view: every other key's batch-1 cell is deleted
+    // between full and incremental — the restore must NOT resurrect it
     "q205_cells_incremental_backup" ->
       """SELECT 'doc-' || doc_id AS key_str, (v * 1000000000 + doc_id)::BIGINT AS version,
               md5(doc_id::VARCHAR || '+' || v::VARCHAR) AS body_md5
          FROM documents, (SELECT unnest([1, 2]) AS v)
-         WHERE doc_id % 17 = 0""",
+         WHERE doc_id % 17 = 0 AND NOT (doc_id % 34 = 0 AND v = 1)""",
 
     "q207_cells_split_bulk_load" ->
       """SELECT 'doc-' || doc_id AS key_str, doc_id::BIGINT AS version,
@@ -720,19 +845,28 @@ object StoreLifecycle {
          WHERE doc_id % 23 = 0
          UNION ALL SELECT 'doc-race', 1::BIGINT, md5('race')""",
 
-    // latest A version (v=2) joined to B's only version over B's keys
+    // latest A version (v=2) joined to B's only version over B's keys;
+    // every 12th key is fully delete-masked on A and drops out
     "q211_cells_colocated_join" ->
       """SELECT 'doc-' || doc_id AS key_str,
               (doc_id * 2 + 2)::BIGINT AS version_a,
               md5(doc_id::VARCHAR || 'A2') AS body_a_md5,
               (doc_id * 2 + 1)::BIGINT AS version_b,
               md5(doc_id::VARCHAR || 'B1') AS body_b_md5
-         FROM documents WHERE doc_id % 6 = 0""",
+         FROM documents WHERE doc_id % 6 = 0 AND doc_id % 12 != 0""",
 
     "q221_cells_stream_enrich" ->
       """SELECT e.user_id::BIGINT AS user_id, epoch_ms(e.ts)::BIGINT AS ts_ms,
               e.event_type, md5(e.user_id::VARCHAR || 'S') AS state_md5
          FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+
+    // the MV after applying the feed's deletes: every third seeded key
+    // (%45) is fully masked; survivors keep both versions
+    "q226_cells_change_feed_mv" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + v)::BIGINT AS version,
+              md5(doc_id::VARCHAR || '^' || v::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([1, 2]) AS v)
+         WHERE doc_id % 15 = 0 AND doc_id % 45 != 0""",
 
     // the joined latest-state over the dimension's keys (%120 ⊂ %12)
     "q225_cells_runtime_filter_join" ->

@@ -68,10 +68,16 @@ import scala.jdk.CollectionConverters._
   */
 class CellsSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-cells"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = CellsSource.Schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    if (options.getBoolean("changeFeed", false)) CellsSource.ChangeFeedSchema
+    else CellsSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    CellsTable(properties.get("root"), properties.get("table"))
+                        properties: java.util.Map[String, String]): Table = {
+    // properties arrive with the caller's original key case — wrap
+    // case-insensitively so option("changeFeed", ...) resolves
+    val opts = new CaseInsensitiveStringMap(properties)
+    CellsTable(opts.get("root"), opts.get("table"), opts.getBoolean("changeFeed", false))
+  }
 }
 
 object CellsSource {
@@ -79,6 +85,21 @@ object CellsSource {
     StructField("rowkey", BinaryType, nullable = false),
     StructField("version", LongType, nullable = false),
     StructField("body", BinaryType, nullable = false)))
+
+  /** `option("changeFeed","true")` — the WAL/replication face: every
+    * edit is a typed row, PUTS with their body and DELETE MARKERS as
+    * `op = 'delete'` rows (body null, version = the mask bound), so a
+    * downstream materialized view can converge to the masked batch
+    * view after a delete — the contract HBase replication ships
+    * Deletes through the WAL to fulfill. No masking is applied in this
+    * face (an edit log reports edits, it doesn't interpret them), and
+    * replay stays deterministic: markers are versioned feed rows
+    * inside the same (start, end] offset windows as puts. */
+  val ChangeFeedSchema: StructType = StructType(Seq(
+    StructField("rowkey", BinaryType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("body", BinaryType, nullable = true), // delete rows carry no body
+    StructField("op", StringType, nullable = false)))
 
   /** files actually OPENED by readers — the spec's proof that version
     * pushdown and column pruning skip I/O (single-JVM local mode). */
@@ -170,16 +191,17 @@ object CellsKeyPred {
   }
 }
 
-case class CellsTable(root: String, table: String) extends Table
+case class CellsTable(root: String, table: String, changeFeed: Boolean = false) extends Table
     with SupportsRead with SupportsWrite {
   require(root != null && table != null, "graft-cells requires options: root, table")
   override def name(): String = s"graft-cells:$table"
-  override def schema(): StructType = CellsSource.Schema
+  override def schema(): StructType =
+    if (changeFeed) CellsSource.ChangeFeedSchema else CellsSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    CellsScanBuilder(root, table, options.getBoolean("stableOffsets", false))
+    CellsScanBuilder(root, table, options.getBoolean("stableOffsets", false), changeFeed)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     CellsWriteBuilder(root, table, info.schema(),
       info.options().getBoolean("tombstone", false))
@@ -262,7 +284,8 @@ case class CellsWriterFactory(root: String, table: String,
 
 case object CellsCommit extends WriterCommitMessage
 
-case class CellsScanBuilder(root: String, table: String, stable: Boolean = false) extends ScanBuilder
+case class CellsScanBuilder(root: String, table: String, stable: Boolean = false,
+                            changeFeed: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = Long.MinValue
@@ -279,7 +302,8 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
   private var keyHi: Option[Array[Byte]] = None
   private var keyHiInc = true
   private var pushed = Array.empty[Filter]
-  private var required: StructType = CellsSource.Schema
+  private var required: StructType =
+    if (changeFeed) CellsSource.ChangeFeedSchema else CellsSource.Schema
 
   private def longOf(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -382,12 +406,13 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan =
     CellsScan(root, table, lo, hi,
-      CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), required, stable)
+      CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), required,
+      stable, changeFeed)
 }
 
 case class CellsScan(root: String, table: String, lo: Long, hi: Long,
                      keys: CellsKeyPred, required: StructType,
-                     stable: Boolean = false)
+                     stable: Boolean = false, changeFeed: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -490,11 +515,11 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CellsReaderFactory(lo, hi, effKeys, required.fieldNames)
+    CellsReaderFactory(lo, hi, effKeys, required.fieldNames, changeFeed)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    CellsMicroBatch(root, table, lo, hi, keys, required.fieldNames, stable)
+    CellsMicroBatch(root, table, lo, hi, keys, required.fieldNames, stable, changeFeed)
 }
 
 /** Streaming read face: tail the cell store by VERSION watermark —
@@ -532,7 +557,7 @@ case class CellsOffset(v: Long) extends org.apache.spark.sql.connector.read.stre
 
 case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
                            keys: CellsKeyPred, cols: Array[String],
-                           stable: Boolean = false)
+                           stable: Boolean = false, changeFeed: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -602,6 +627,12 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
               n.drop(dot + 1).toLongOption.foreach { v =>
                 if (v >= lo && v <= hi && v > mx) mx = v
               }
+            // delete markers are feed rows on the change-feed face, so
+            // they advance the watermark like any other edit (a delete
+            // with no subsequent put must still get delivered)
+            if (changeFeed) graft.ingest.FileStore.tombstoneOf(n).foreach { case (d, v) =>
+              if (keys.fileOk(d) && v >= lo && v <= hi && v > mx) mx = v
+            }
           } finally s.close()
         }
     }
@@ -627,31 +658,39 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = CellsStreamReaderFactory(keys, cols)
+  override def createReaderFactory(): PartitionReaderFactory =
+    CellsStreamReaderFactory(keys, cols, changeFeed)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 case class CellsStreamShard(dir: String, lo: Long, hi: Long) extends InputPartition
 
-case class CellsStreamReaderFactory(keys: CellsKeyPred, cols: Array[String])
+case class CellsStreamReaderFactory(keys: CellsKeyPred, cols: Array[String],
+                                    changeFeed: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CellsStreamShard]
-    // the change feed is an EDIT log: tombstones never rewrite already
-    // -committed batch windows (replay determinism) — maskDeletes=false
-    CellsReaders.reader(p.dir, p.lo, p.hi, keys, cols, maskDeletes = false)
+    // the feed is an EDIT log: tombstones never rewrite already
+    // -committed batch windows (replay determinism) — maskDeletes=false.
+    // With changeFeed the markers THEMSELVES are versioned feed rows
+    // (op='delete'), so a downstream view can apply the delete.
+    CellsReaders.reader(p.dir, p.lo, p.hi, keys, cols,
+      maskDeletes = false, emitOps = changeFeed)
   }
 }
 
 case class CellsShard(dir: String) extends InputPartition
 
 case class CellsReaderFactory(lo: Long, hi: Long, keys: CellsKeyPred,
-                              cols: Array[String])
+                              cols: Array[String], changeFeed: Boolean = false)
     extends PartitionReaderFactory {
 
+  // the change-feed BATCH face is the same edit log at rest: unmasked
+  // puts + delete rows (scan-the-WAL), vs the default masked view
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    CellsReaders.reader(partition.asInstanceOf[CellsShard].dir, lo, hi, keys, cols)
+    CellsReaders.reader(partition.asInstanceOf[CellsShard].dir, lo, hi, keys, cols,
+      maskDeletes = !changeFeed, emitOps = changeFeed)
 }
 
 /** The shard reader shared by the batch scan and the micro-batch
@@ -678,8 +717,12 @@ case class CellsReaderFactory(lo: Long, hi: Long, keys: CellsKeyPred,
   * store-file block indexes per region, and kept flat by compaction.
   */
 object CellsReaders {
+  private val OpPut = org.apache.spark.unsafe.types.UTF8String.fromString("put")
+  private val OpDelete = org.apache.spark.unsafe.types.UTF8String.fromString("delete")
+
   def reader(shardDir: String, lo: Long, hi: Long, keys: CellsKeyPred,
-             cols: Array[String], maskDeletes: Boolean = true): PartitionReader[InternalRow] =
+             cols: Array[String], maskDeletes: Boolean = true,
+             emitOps: Boolean = false): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val needKey = cols.contains("rowkey")
       private val needBody = cols.contains("body")
@@ -696,20 +739,28 @@ object CellsReaders {
       private val masks = scala.collection.mutable.HashMap.empty[String, Long]
       private def masked(digestHex: String, v: Long): Boolean =
         maskDeletes && masks.get(digestHex).exists(_ >= v)
-      private val files: Iterator[(Path, Long)] = {
+      // (path, version, isMarker) — markers enter the listing only on
+      // the change-feed face (emitOps), as op='delete' rows
+      private val files: Iterator[(Path, Long, Boolean)] = {
         val shard = Paths.get(shardDir)
         val s = Files.list(shard)
         val listed =
           try s.iterator().asScala.flatMap { p =>
             val n = p.getFileName.toString
-            if (maskDeletes) graft.ingest.FileStore.tombstoneOf(n).foreach { case (d, v) =>
+            val marker = graft.ingest.FileStore.tombstoneOf(n)
+            if (maskDeletes) marker.foreach { case (d, v) =>
               if (masks.getOrElse(d, Long.MinValue) < v) masks(d) = v
             }
-            val dot = n.lastIndexOf('.')
-            if (dot <= 0 || n.endsWith(".tmp") || graft.ingest.CellSegment.isSegment(n)) None
-            else if (!keys.fileOk(n.take(dot))) None // point lookup: only the probed key's cells
-            else n.drop(dot + 1).toLongOption.collect {
-              case v if v >= lo && v <= hi => (p, v) // filename prune — not opened
+            if (emitOps && marker.isDefined) {
+              val (d, v) = marker.get
+              if (keys.fileOk(d) && v >= lo && v <= hi) Some((p, v, true)) else None
+            } else {
+              val dot = n.lastIndexOf('.')
+              if (dot <= 0 || n.endsWith(".tmp") || graft.ingest.CellSegment.isSegment(n)) None
+              else if (!keys.fileOk(n.take(dot))) None // point lookup: only the probed key's cells
+              else n.drop(dot + 1).toLongOption.collect {
+                case v if v >= lo && v <= hi => (p, v, false) // filename prune — not opened
+              }
             }
           }.toVector // materialized before `masks` is read: the tombstone sweep completes first
           finally s.close()
@@ -776,10 +827,26 @@ object CellsReaders {
 
       override def next(): Boolean = {
         while (files.hasNext) {
-          val (p, version) = files.next()
+          val (p, version, isMarker) = files.next()
           val n = p.getFileName.toString
-          val digestHex = n.take(n.lastIndexOf('.'))
-          if (masked(digestHex, version)) {
+          val digestHex =
+            if (isMarker) n.take(n.dropRight(2).lastIndexOf('.'))
+            else n.take(n.lastIndexOf('.'))
+          if (isMarker) {
+            // op='delete' feed row; markers are never (digest, version)
+            // -deduped against puts — a put and a delete at one cell
+            // identity are two distinct edits
+            if (!readsContent) { row = mkRow(null, version, null, delete = true); return true }
+            else {
+              CellsSource.filesOpened.incrementAndGet()
+              // marker files carry the length-prefixed true key
+              val buf = java.nio.ByteBuffer.wrap(Files.readAllBytes(p))
+              val keyLen = buf.getInt()
+              val k = new Array[Byte](keyLen); buf.get(k)
+              if (keys.keyOk(k)) { row = mkRow(k, version, null, delete = true); return true }
+            }
+          }
+          else if (masked(digestHex, version)) {
             // delete-masked: dropped at filename level, never opened
           }
           // version-only projection with no range bound: the version is
@@ -816,11 +883,13 @@ object CellsReaders {
         false
       }
 
-      private def mkRow(key: Array[Byte], version: Long, body: Array[Byte]): InternalRow = {
+      private def mkRow(key: Array[Byte], version: Long, body: Array[Byte],
+                        delete: Boolean = false): InternalRow = {
         val values = cols.map {
           case "rowkey" => key
           case "version" => version
           case "body" => body
+          case "op" => if (delete) OpDelete else OpPut
         }
         new GenericInternalRow(values.asInstanceOf[Array[Any]])
       }

@@ -23,9 +23,18 @@ import scala.jdk.CollectionConverters._
   * is the storage-aligned plan Catalyst cannot currently discover —
   * the documented "genuine per-partition imperative logic" case.
   *
-  * Semantics: INNER join of each table's LATEST version per rowkey
-  * (the HBase read-your-current-state view). Only regions populated on
-  * BOTH sides are planned (inner-join pruning at the DIRECTORY level).
+  * Semantics: join of each table's LATEST version per rowkey (the
+  * HBase read-your-current-state view), through the MASKED read path —
+  * a delete tombstone removes its key's covered versions from the
+  * latest-state map exactly as it does from the batch face
+  * ([[CellsReaders.reader]] defaults `maskDeletes = true`;
+  * ColocatedCellsSpec pins a key whose latest version is masked back
+  * to an older one AND a fully-masked key dropping out). `joinType`
+  * extends the face to `left`/`full` outer — the reconciliation shapes
+  * (which keys exist only on one side?) — with the absent side's
+  * columns null. Region planning follows the join type: inner plans
+  * only co-populated regions, left plans A's, full plans the union
+  * (directory-level join pruning either way).
   *
   * 100 TB: memory per task is two REGION-sized maps — bounded by the
   * split layout, the same knob that bounds an HBase region; a hot
@@ -35,14 +44,18 @@ import scala.jdk.CollectionConverters._
   */
 object ColocatedCells {
 
+  // a/b columns nullable: the outer faces emit null for an absent side
   val OutSchema: StructType = StructType(Seq(
     StructField("rowkey", BinaryType, nullable = false),
-    StructField("version_a", LongType, nullable = false),
-    StructField("body_a", BinaryType, nullable = false),
-    StructField("version_b", LongType, nullable = false),
-    StructField("body_b", BinaryType, nullable = false)))
+    StructField("version_a", LongType, nullable = true),
+    StructField("body_a", BinaryType, nullable = true),
+    StructField("version_b", LongType, nullable = true),
+    StructField("body_b", BinaryType, nullable = true)))
 
-  def joinLatest(spark: SparkSession, root: String, tableA: String, tableB: String): DataFrame = {
+  def joinLatest(spark: SparkSession, root: String, tableA: String, tableB: String,
+                 joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "full").contains(joinType),
+      s"joinType must be inner | left | full, got $joinType")
     val store = graft.ingest.FileStore(root)
     require(store.splitsOf(tableA).toJson == store.splitsOf(tableB).toJson,
       s"co-located join requires identical split layouts: $tableA vs $tableB")
@@ -57,7 +70,14 @@ object ColocatedCells {
         finally s.close()
       }
     }
-    val shards = (shardNames(tableA) intersect shardNames(tableB)).toSeq.sorted
+    // directory-level join pruning per join type: a region empty on a
+    // REQUIRED side can contribute no row
+    val (aShards, bShards) = (shardNames(tableA), shardNames(tableB))
+    val shards = (joinType match {
+      case "inner" => aShards intersect bShards
+      case "left" => aShards
+      case "full" => aShards union bShards
+    }).toSeq.sorted
     if (shards.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], OutSchema)
 
@@ -82,14 +102,33 @@ object ColocatedCells {
       }
       val a = latest(tableA)
       val b = latest(tableB)
-      // probe the smaller side into the larger — classic hash join
-      val (probe, build, probeIsA) =
-        if (a.size <= b.size) (a, b, true) else (b, a, false)
-      probe.iterator.flatMap { case (key, p) =>
-        build.get(key).map { q =>
-          val (av, bv) = if (probeIsA) (p, q) else (q, p)
-          Row(av._1, av._2, av._3, bv._2, bv._3)
-        }
+      joinType match {
+        case "inner" =>
+          // probe the smaller side into the larger — classic hash join
+          val (probe, build, probeIsA) =
+            if (a.size <= b.size) (a, b, true) else (b, a, false)
+          probe.iterator.flatMap { case (key, p) =>
+            build.get(key).map { q =>
+              val (av, bv) = if (probeIsA) (p, q) else (q, p)
+              Row(av._1, av._2, av._3, bv._2, bv._3)
+            }
+          }
+        case "left" =>
+          a.iterator.map { case (key, av) =>
+            b.get(key) match {
+              case Some(bv) => Row(av._1, av._2, av._3, bv._2, bv._3)
+              case None => Row(av._1, av._2, av._3, null, null)
+            }
+          }
+        case "full" =>
+          a.iterator.map { case (key, av) =>
+            b.get(key) match {
+              case Some(bv) => Row(av._1, av._2, av._3, bv._2, bv._3)
+              case None => Row(av._1, av._2, av._3, null, null)
+            }
+          } ++ b.iterator.collect {
+            case (key, bv) if !a.contains(key) => Row(bv._1, null, null, bv._2, bv._3)
+          }
       }
     }
     spark.createDataFrame(rdd, OutSchema)

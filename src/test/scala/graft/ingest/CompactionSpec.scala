@@ -142,6 +142,32 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(report2.removedFiles == 0, "second minor pass must be a no-op on merged shards")
   }
 
+  test("minor compaction STREAMS: in-core buffer is the put backlog, never the merged input") {
+    val sp = spark; import sp.implicits._
+    val root = Files.createTempDirectory("compact-stream").toString
+    // one shard (every key opens with 'Z'), two big bulk generations —
+    // 800 segment-resident cells — plus a 5-cell put backlog
+    val zkeys = (0 until 400).map(i => f"Z-key-$i%03d")
+    BulkLoad.write(spark.createDataset(zkeys.map(row(_, 1))), root)
+    BulkLoad.write(spark.createDataset(zkeys.map(row(_, 2))), root)
+    PushTableSink.write(spark.createDataset(zkeys.take(5).map(row(_, 3))), () => FileStore(root),
+      PushTableSink.Config())
+    val before = FileStore(root).scanTable("db:c").map(t => (t._1, t._2)).sorted
+    assert(before.size == 805)
+    Compaction.minorMaxBuffered.set(0)
+    // Long.MaxValue selects EVERY segment (the q221 serving-flush
+    // call): the round-11 implementation buffered all 805 cells here
+    val report = Compaction.minor(spark, root, "db:c", maxInputBytes = Long.MaxValue)
+    assert(report.keptCells == 805 && report.removedFiles > 0)
+    assert(Compaction.minorMaxBuffered.get() == 5,
+      s"only the put backlog may be buffered in-core, got ${Compaction.minorMaxBuffered.get()}")
+    val after = FileStore(root).scanTable("db:c").map(t => (t._1, t._2)).sorted
+    assert(after == before, "streamed merge must preserve the cell population exactly")
+    val filesAfter = listFiles(root)
+    assert(filesAfter.size == 1 && filesAfter.forall(CellSegment.isSegment),
+      s"one fresh segment replaces the whole shard population: $filesAfter")
+  }
+
   test("re-compacting a compacted table is a no-op (idempotent maintenance)") {
     val sp = spark; import sp.implicits._
     val root = Files.createTempDirectory("compact-idem").toString

@@ -40,6 +40,37 @@ class FileStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(json.contains(""""regionReplication":3"""))
   }
 
+  test("ensureSplits: refused on a populated table, idempotent on a recorded one, race-checked") {
+    val root = Files.createTempDirectory("fs-splits").toString
+    val store = FileStore(root)
+    val layout = FileStore.Splits.ofSplitPoints(Seq("m".getBytes("UTF-8")))
+    // cells already placed under the default layout: re-pointing the
+    // regions would make them invisible to point GETs — must throw
+    store.ensureTable("pop", TableSpec())
+    store.putBatch("pop", Seq(cell("pop", "a-key", 1L, "b")))
+    val ex = intercept[IllegalArgumentException] {
+      store.ensureSplits("pop", layout)
+    }
+    assert(ex.getMessage.contains("already holds cells"))
+    // a lone tombstone counts as state too (it must keep masking)
+    store.ensureTable("tomb", TableSpec())
+    store.deleteCells("tomb", Seq(("a-key".getBytes("UTF-8"), 1L)))
+    assert(intercept[IllegalArgumentException] {
+      store.ensureSplits("tomb", layout)
+    }.getMessage.contains("already holds cells"))
+    // empty table: records once; identical re-ensure is a no-op even
+    // after cells land; a DIFFERENT layout still throws
+    store.ensureTable("fresh", TableSpec())
+    store.ensureSplits("fresh", layout)
+    store.putBatch("fresh", Seq(cell("fresh", "a-key", 1L, "b")))
+    store.ensureSplits("fresh", layout) // recorded + identical: fine
+    assert(intercept[IllegalArgumentException] {
+      store.ensureSplits("fresh", FileStore.Splits.ofSplitPoints(Seq("x".getBytes("UTF-8"))))
+    }.getMessage.contains("different split layout"))
+    // the default layout is never materialized and never checked
+    FileStore(root).ensureSplits("pop", FileStore.Splits.Default)
+  }
+
   test("put / exists are read-your-writes; bodies round-trip; re-put replaces") {
     val root = Files.createTempDirectory("fs-rw").toString
     val store = FileStore(root)

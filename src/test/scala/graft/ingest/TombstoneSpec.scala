@@ -13,11 +13,13 @@ import scala.jdk.CollectionConverters._
   * slice, scanTable, F5 exists) including cells living in bulk
   * segments; masks even puts that land AFTER it at a version ≤ T;
   * never masks versions > T; is invisible itself; is ignored by the
-  * streaming edit feed (replay determinism); and is PURGED — together
-  * with the cells it masks — by major compaction, after which a
-  * re-put at an old version is visible again (the HBase resurrection
-  * semantics). Minor compaction leaves markers in place (HBase minors
-  * never drop deletes). */
+  * default streaming edit feed (replay determinism) but DELIVERED as
+  * a typed op='delete' row on the change-feed face; travels with
+  * backups (exported as typed marker rows, re-applied on restore);
+  * and is PURGED — together with the cells it masks — by major
+  * compaction, after which a re-put at an old version is visible
+  * again (the HBase resurrection semantics). Minor compaction leaves
+  * markers in place (HBase minors never drop deletes). */
 class TombstoneSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
@@ -193,7 +195,7 @@ class TombstoneSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the racing delete's mask must hold after the sweep")
   }
 
-  test("backup/restore exports the MASKED view; restored store has no markers (majors' semantics)") {
+  test("backup/restore exports the MASKED view AND the markers (the snapshot carries Deletes)") {
     val root = Files.createTempDirectory("tomb-bak-src").toString
     val bak = Files.createTempDirectory("tomb-bak-dir").toString
     val dst = Files.createTempDirectory("tomb-bak-dst").toString
@@ -204,13 +206,50 @@ class TombstoneSpec extends AnyFunSuite with BeforeAndAfterAll {
     Backup.full(spark, root, "t", bak)
     Backup.restore(spark, bak, dst)
     assert(readBack(dst, "t") == Set(("nu", 2L)), "restore carries the masked view")
-    // like a major, the move applies pending deletes: no marker in the
-    // restored store, so an old-version re-put there resurrects
+    // the marker travels with the export (HBase snapshots carry
+    // Deletes in their HFiles): a re-put at the masked version stays
+    // masked in the RESTORED store exactly as it does in the source
     put(FileStore(dst), "t", "nu", 1L)
-    assert(readBack(dst, "t") == Set(("nu", 1L), ("nu", 2L)))
-    // ... while the SOURCE still masks (its marker is untouched)
+    assert(readBack(dst, "t") == Set(("nu", 2L)),
+      "the restored marker must keep masking, like the source's")
     put(store, "t", "nu", 1L)
     assert(readBack(root, "t") == Set(("nu", 2L)))
+    // and like the source, the restored table's own major purges it
+    Compaction.major(spark, dst, "t")
+    put(FileStore(dst), "t", "nu", 1L)
+    assert(readBack(dst, "t") == Set(("nu", 1L), ("nu", 2L)),
+      "post-major resurrection works in the restored store too")
+  }
+
+  test("a delete AFTER the full backup reaches restore through the incremental chain") {
+    val root = Files.createTempDirectory("tomb-incr-src").toString
+    val bak = Files.createTempDirectory("tomb-incr-dir").toString
+    val dst = Files.createTempDirectory("tomb-incr-dst").toString
+    val store = FileStore(root)
+    store.ensureTable("t", PushTableSink.TableSpec())
+    put(store, "t", "xi", 1L, 2L)
+    put(store, "t", "omi", 1L)
+    Backup.full(spark, root, "t", bak)
+    // the round-11 hole: this delete produces NO cell row in any
+    // export — only the typed tombstone sidecar can carry it
+    store.deleteCells("t", Seq((k("xi"), 2L)))
+    put(store, "t", "omi", 10L) // a put above the watermark chains too
+    Backup.incremental(spark, root, "t", bak)
+    Backup.restore(spark, bak, dst)
+    assert(readBack(root, "t") == Set(("omi", 1L), ("omi", 10L)), "source masks xi entirely")
+    assert(readBack(dst, "t") == readBack(root, "t"),
+      "restore must NOT resurrect cells the source masks")
+    // two-way: nothing extra, nothing missing (cell-for-cell)
+    val src = spark.read.format("graft-cells").option("root", root).option("table", "t").load()
+    val got = spark.read.format("graft-cells").option("root", dst).option("table", "t").load()
+    assert(src.exceptAll(got).count() == 0 && got.exceptAll(src).count() == 0)
+    // a delete-only increment (no puts at all) also carries
+    store.deleteCells("t", Seq((k("omi"), 1L)))
+    Backup.incremental(spark, root, "t", bak)
+    val dst2 = Files.createTempDirectory("tomb-incr-dst2").toString
+    Backup.restore(spark, bak, dst2)
+    assert(readBack(dst2, "t") == Set(("omi", 10L)),
+      "a cell-less increment must still deliver its delete")
   }
 
   test("distributed deletes through the connector write face (tombstone option); replay converges") {

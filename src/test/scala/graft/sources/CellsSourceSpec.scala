@@ -450,6 +450,85 @@ class CellsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("change feed: delete markers arrive as op='delete' rows, advance the watermark, never replay") {
+    val t = "ns:cells_feed_ops"
+    val store = FileStore(root)
+    store.ensureTable(t, TableSpec())
+    store.putBatch(t, (0 until 5).map(i =>
+      CellPut(t, s"fk-$i".getBytes("UTF-8"), 10L + i, s"fb-$i".getBytes("UTF-8"))))
+    // two deletes: one ABOVE every put version (only a marker-aware
+    // watermark delivers it), one at exactly its put's version
+    store.deleteCells(t, Seq(("fk-1".getBytes("UTF-8"), 100L), ("fk-2".getBytes("UTF-8"), 12L)))
+    val ck = java.nio.file.Files.createTempDirectory("graft-feed-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-feed-out").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-cells")
+        .option("root", root).option("table", t).option("changeFeed", "true").load()
+        .select(col("rowkey").cast("string").as("k"), col("version"), col("op"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val first = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(first.count(_._3 == "put") == 5 && first.count(_._3 == "delete") == 2,
+      s"every edit is a typed feed row: $first")
+    assert(first.filter(_._3 == "delete").map(e => (e._1, e._2)) ==
+      Set(("fk-1", 100L), ("fk-2", 12L)))
+    // restart with new edits of both kinds: only the delta is delivered
+    // (markers are versioned feed rows inside committed offset windows)
+    store.putBatch(t, Seq(CellPut(t, "fk-9".getBytes("UTF-8"), 200L, "fb-9".getBytes("UTF-8"))))
+    store.deleteCells(t, Seq(("fk-0".getBytes("UTF-8"), 300L)))
+    runOnce()
+    val all = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(all.length == 9, s"no edit replays, both new edits arrive once: $all")
+    assert(all.toSet -- first == Set(("fk-9", 200L, "put"), ("fk-0", 300L, "delete")))
+    // the MV folded from the feed (drop puts <= their key's max delete
+    // bound) equals the masked batch face — convergence after deletes
+    val feed = spark.read.parquet(out)
+    val bounds = feed.filter(col("op") === "delete")
+      .groupBy(col("k")).agg(max(col("version")).as("dv"))
+    val mv = feed.filter(col("op") === "put").join(bounds, Seq("k"), "left")
+      .filter(col("dv").isNull || col("version") > col("dv"))
+      .select(col("k"), col("version"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val masked = spark.read.format("graft-cells").option("root", root).option("table", t).load()
+      .select(col("rowkey").cast("string"), col("version"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(mv == masked && masked == Set(("fk-3", 13L), ("fk-4", 14L), ("fk-9", 200L)),
+      s"MV $mv must converge to the masked view $masked")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("change-feed batch face is the unmasked edit log; default batch face stays masked, op-free") {
+    val t = "ns:cells_feed_batch"
+    val store = FileStore(root)
+    store.ensureTable(t, TableSpec())
+    store.putBatch(t, Seq(
+      CellPut(t, "ek-1".getBytes("UTF-8"), 1L, "eb-1".getBytes("UTF-8")),
+      CellPut(t, "ek-1".getBytes("UTF-8"), 2L, "eb-2".getBytes("UTF-8"))))
+    store.deleteCells(t, Seq(("ek-1".getBytes("UTF-8"), 2L)))
+    val masked = spark.read.format("graft-cells")
+      .option("root", root).option("table", t).load()
+    assert(masked.count() == 0L, "default face masks both versions")
+    assert(!masked.schema.fieldNames.contains("op"))
+    val log = spark.read.format("graft-cells")
+      .option("root", root).option("table", t).option("changeFeed", "true").load()
+      .select(col("rowkey").cast("string").as("k"), col("version"), col("op"),
+        col("body").cast("string").as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(log == Set(
+      ("ek-1", 1L, "put", "eb-1"),
+      ("ek-1", 2L, "put", "eb-2"),
+      ("ek-1", 2L, "delete", null)),
+      s"the edit log reports every edit, masked or not: $log")
+  }
+
   private def hexToBytes(h: String): Array[Byte] =
     h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 }

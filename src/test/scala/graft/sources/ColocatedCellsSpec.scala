@@ -95,6 +95,53 @@ class ColocatedCellsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ColocatedCells.joinLatest(spark, root2, "a", "b").count() == 0L)
   }
 
+  test("delete tombstones mask inside the join: rollback to older version, full-mask dropout") {
+    val root = Files.createTempDirectory("coloc-tomb").toString
+    seed(root, "a", (0 until 20).flatMap(i =>
+      Seq((f"K-$i%02d", 1L, s"a1-$i"), (f"K-$i%02d", 2L, s"a2-$i"))))
+    seed(root, "b", (0 until 20).map(i => (f"K-$i%02d", 5L, s"b-$i")))
+    val store = FileStore(root)
+    // K-03: delete at T=1 masks only v1 — latest stays v2 (no effect on
+    // the join row); K-05: delete at T=2 masks BOTH — the key drops out;
+    // K-07 on B: the B side vanishes, so the inner row disappears
+    store.deleteCells("a", Seq((k("K-03"), 1L), (k("K-05"), 2L)))
+    store.deleteCells("b", Seq((k("K-07"), 5L)))
+    val got = ColocatedCells.joinLatest(spark, root, "a", "b")
+      .select(col("rowkey").cast("string"), col("version_a"), col("body_a").cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(!got.exists(_._1 == "K-05"), "a fully-masked A key must drop out")
+    assert(!got.exists(_._1 == "K-07"), "a fully-masked B key must drop its inner row")
+    assert(got.size == 18 && got.forall { case (_, v, b) => v == 2L && b.startsWith("a2-") },
+      s"unmasked keys keep their latest version: ${got.take(3)}")
+  }
+
+  test("left and full outer faces emit null absent sides, shuffle-free, masked") {
+    val root = Files.createTempDirectory("coloc-outer").toString
+    seed(root, "a", Seq(("K-1", 1L, "a-1"), ("K-2", 1L, "a-2"), ("K-3", 1L, "a-3")))
+    seed(root, "b", Seq(("K-2", 5L, "b-2"), ("K-4", 5L, "b-4")))
+    FileStore(root).deleteCells("a", Seq((k("K-3"), 1L))) // masked A key
+    def rows(j: org.apache.spark.sql.DataFrame) = j.collect().map { r =>
+      (new String(r.getAs[Array[Byte]]("rowkey"), "UTF-8"),
+        Option(r.getAs[java.lang.Long]("version_a")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("version_b")).map(_.longValue))
+    }.sortBy(_._1).toSeq
+    val left = ColocatedCells.joinLatest(spark, root, "a", "b", "left")
+    assert(!left.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(rows(left) == Seq(
+      ("K-1", Some(1L), None), // A-only: null B side
+      ("K-2", Some(1L), Some(5L))), "left face: A's live keys, B nullable — masked K-3 gone")
+    val full = ColocatedCells.joinLatest(spark, root, "a", "b", "full")
+    assert(!full.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(rows(full) == Seq(
+      ("K-1", Some(1L), None),
+      ("K-2", Some(1L), Some(5L)),
+      ("K-4", None, Some(5L))), "full face adds B-only keys with a null A side")
+    val ex = intercept[IllegalArgumentException] {
+      ColocatedCells.joinLatest(spark, root, "a", "b", "right")
+    }
+    assert(ex.getMessage.contains("joinType"))
+  }
+
   test("q204-style planner output drives the split layout end-to-end") {
     val sp = spark; import sp.implicits._
     // equi-depth split points computed FROM the data (the q204
