@@ -504,6 +504,80 @@ object StoreLifecycle {
       }
     },
 
+    // CDC STATE VIEW — the delete-aware closure of the q143-class
+    // materialized view as a FIRST-CLASS stateful streaming operator
+    // ([[graft.streaming.CellStateView]]): the change feed's typed
+    // edit log flows through flatMapGroupsWithState keyed on rowkey,
+    // whose per-key state (live cells + delete bound, retention-
+    // capped) IS the store's masked view maintained incrementally —
+    // the HBase replication-consumer shape. In-query invariants: the
+    // view's visible rows equal the masked batch face both ways, every
+    // fully-deleted key emits exactly one retraction row
+    // (deleted=true), and no visible row survives for a deleted key.
+    // The emitted result is the view's visible set, so the driver hash
+    // pins feed carriage ∘ state fold ∘ mask semantics ∘ retraction.
+    // 100 TB: per-key state is bounded by maxVersions; the only
+    // shuffle is keyed-state's hash exchange on rowkey; edits per
+    // trigger are the watermark window, never the table.
+    "q227_cells_cdc_state_view" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q227-cells").toString
+      val ck = Files.createTempDirectory("graft-q227-ck")
+      val sinkName = "q227_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      try {
+        def seed(v: Int): Unit = Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr(s"doc_id * 8 + $v").as("version"),
+            expr(s"cast(md5(concat(cast(doc_id as string), '&', '$v')) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q227").save()
+        seed(1); seed(2); seed(3)
+        // delete every third seeded key ABOVE all its versions: the
+        // view must retract it entirely
+        Tables.documents(s, d).filter(col("doc_id") % 75 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 8 + 4").as("version"),
+            lit(Array.emptyByteArray).as("body")) // ignored by marker writes
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q227")
+          .option("tombstone", "true").save()
+        val feed = s.readStream.format("graft-cells")
+          .option("root", root).option("table", "q227")
+          .option("changeFeed", "true").load()
+        val q = graft.streaming.CellStateView.view(feed)
+          .toDF()
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("update")
+          .option("checkpointLocation", ck.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = s.table(sinkName)
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"), col("deleted"))
+          .localCheckpoint()
+        s.catalog.dropTempView(sinkName)
+        val deletedKeys = Tables.documents(s, d).filter(col("doc_id") % 75 === 0).count()
+        val retractions = out.filter(col("deleted"))
+        require(retractions.count() == deletedKeys && deletedKeys > 0,
+          s"every fully-deleted key retracts exactly once: ${retractions.count()} vs $deletedKeys")
+        val visible = out.filter(!col("deleted"))
+          .select(col("key_str"), col("version"), col("body_md5"))
+          .localCheckpoint()
+        require(visible.join(retractions, Seq("key_str"), "left_semi").count() == 0,
+          "no visible row survives for a retracted key")
+        val masked = s.read.format("graft-cells")
+          .option("root", root).option("table", "q227").load()
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+        require(visible.exceptAll(masked).count() == 0 && masked.exceptAll(visible).count() == 0,
+          "the state view must equal the masked batch view")
+        visible
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+      }
+    },
+
     // RUNTIME (join-driven) rowkey filtering — DSv2
     // SupportsRuntimeFiltering in the driver gate: joining a SELECTIVE
     // dimension against the cell table hands the dimension's key set
@@ -543,7 +617,14 @@ object StoreLifecycle {
         graft.sources.CellsSource.filesOpened.set(0)
         val res = joined.localCheckpoint()
         val opened = graft.sources.CellsSource.filesOpened.get()
-        require(opened <= dimCount + 8,
+        // two-sided: ≥ |dim| pins the BATCHED-GET plan itself (every
+        // probed key costs one index-entry seek — a whole-segment
+        // stream would count 1 open and pass a ≤-only bound
+        // vacuously, which round 12 caught masking a real bug: the
+        // reader factory captured pre-filter keys, so digest
+        // narrowing never reached the executors); ≤ |dim|+8 bounds
+        // the bloom false-positive slack
+        require(opened >= dimCount && opened <= dimCount + 8,
           s"runtime-filtered join must read ~|dim| cells, opened=$opened dim=$dimCount")
         res
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -867,6 +948,14 @@ object StoreLifecycle {
               md5(doc_id::VARCHAR || '^' || v::VARCHAR) AS body_md5
          FROM documents, (SELECT unnest([1, 2]) AS v)
          WHERE doc_id % 15 = 0 AND doc_id % 45 != 0""",
+
+    // the state view's visible set = the masked view: deleted keys
+    // (%75) gone entirely, survivors keep all three versions
+    "q227_cells_cdc_state_view" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 8 + v)::BIGINT AS version,
+              md5(doc_id::VARCHAR || '&' || v::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([1, 2, 3]) AS v)
+         WHERE doc_id % 25 = 0 AND doc_id % 75 != 0""",
 
     // the joined latest-state over the dimension's keys (%120 ⊂ %12)
     "q225_cells_runtime_filter_join" ->

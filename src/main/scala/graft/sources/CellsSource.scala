@@ -104,6 +104,13 @@ object CellsSource {
   /** files actually OPENED by readers — the spec's proof that version
     * pushdown and column pruning skip I/O (single-JVM local mode). */
   val filesOpened = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** rowkeys actually NARROWED by runtime (join-driven) filtering —
+    * counts the keys [[CellsScan.filter]] received, so specs/probes can
+    * tell "the runtime filter reached the scan" apart from "the scan
+    * was cheap anyway" (a one-segment shard satisfies a file-open
+    * bound vacuously). */
+  val runtimeFilteredKeys = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 /** Rowkey predicates resolved at planning time into three pruning
@@ -436,6 +443,7 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
   override def filter(filters: Array[Filter]): Unit = {
     lazy val splits = graft.ingest.FileStore(root).splitsOf(table)
     def narrow(ks: Seq[Array[Byte]]): Unit = {
+      CellsSource.runtimeFilteredKeys.addAndGet(ks.size)
       val ds = ks.map(graft.ingest.FileStore.keyDigest).toSet
       val ss = ks.map(splits.shardNameOf).toSet
       val cur = effKeys
@@ -509,13 +517,21 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
     // not a table scan); a range/prefix scan plans the contiguous
     // shard span it covers. Parallelism = region count (256 default,
     // finer under a custom split layout).
+    //
+    // The key predicate rides IN each partition, not in the reader
+    // factory: Spark may create the factory during planning — BEFORE
+    // runtime filtering delivers the join keys — while partitions are
+    // always (re)planned AFTER scan.filter(), so this is the only
+    // placement where join-driven digest narrowing actually reaches
+    // the executors (caught by a probe where the factory-captured keys
+    // made a filtered read stream whole segments).
     CellsShards.prune(dir, effKeys)
-      .map(p => CellsShard(p.toString): InputPartition)
+      .map(p => CellsShard(p.toString, effKeys): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CellsReaderFactory(lo, hi, effKeys, required.fieldNames, changeFeed)
+    CellsReaderFactory(lo, hi, required.fieldNames, changeFeed)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -680,17 +696,19 @@ case class CellsStreamReaderFactory(keys: CellsKeyPred, cols: Array[String],
   }
 }
 
-case class CellsShard(dir: String) extends InputPartition
+case class CellsShard(dir: String, keys: CellsKeyPred) extends InputPartition
 
-case class CellsReaderFactory(lo: Long, hi: Long, keys: CellsKeyPred,
+case class CellsReaderFactory(lo: Long, hi: Long,
                               cols: Array[String], changeFeed: Boolean = false)
     extends PartitionReaderFactory {
 
   // the change-feed BATCH face is the same edit log at rest: unmasked
   // puts + delete rows (scan-the-WAL), vs the default masked view
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    CellsReaders.reader(partition.asInstanceOf[CellsShard].dir, lo, hi, keys, cols,
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CellsShard]
+    CellsReaders.reader(p.dir, lo, hi, p.keys, cols,
       maskDeletes = !changeFeed, emitOps = changeFeed)
+  }
 }
 
 /** The shard reader shared by the batch scan and the micro-batch
