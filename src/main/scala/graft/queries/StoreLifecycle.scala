@@ -504,6 +504,71 @@ object StoreLifecycle {
       }
     },
 
+    // STORAGE-PARTITIONED JOIN through the CATALOG face — the q211
+    // co-located join discovered by CATALYST ITSELF: the store's
+    // tables are exposed as a named TableCatalog+FunctionCatalog
+    // ([[graft.sources.CellsCatalog]]); a catalog-loaded scan reports
+    // KeyGroupedPartitioning over graft_shard_<layout>(rowkey) with
+    // each partition's region index as its value, so under
+    // spark.sql.sources.v2.bucketing.enabled EnsureRequirements plans
+    // `a JOIN b ON rowkey` with NO exchange on either side — no
+    // imperative RDD code anywhere, pure DataFrame API. In-query
+    // invariants: the physical plan contains no Exchange, and the
+    // emitted result is the joined state, so the driver hash pins
+    // catalog resolution ∘ partition-value alignment ∘ join
+    // correctness. 100 TB: the SPJ declines (and shuffles, correctly)
+    // exactly when layouts differ — the function's canonical name IS
+    // the layout fingerprint.
+    "q228_cells_storage_partitioned_join" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q228-cells").toString
+      // catalog instances memoize per NAME in the session's
+      // CatalogManager — a per-run unique name keeps re-runs (bench
+      // passes, verify) pointing at THIS run's temp root
+      val cat = "g228_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val prevBucketing = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val prevPush = s.conf.getOption("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      val prevBroadcast = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        val points = (1 to 9).map(i => s"doc-$i".getBytes("UTF-8"))
+        def seed(table: String, pred: Int, tag: String, vOff: Int): Unit =
+          BulkLoad.writeCells(
+            Tables.documents(s, d).filter(col("doc_id") % pred === 0)
+              .select(lit(table).as("tableName"),
+                expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+                expr(s"doc_id + $vOff").as("version"),
+                expr(s"cast(md5(concat(cast(doc_id as string), '$tag')) as binary)").as("body")),
+            root, BulkLoad.Config(splitPoints = points))
+        seed("spja", 14, "SA", 1)
+        seed("spjb", 28, "SB", 2)
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        // broadcast would sidestep co-partitioning; force the sort-merge
+        // path the property is about (restored below — the bench shares
+        // this session across queries)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = s.table(s"$cat.spja").as("a")
+          .join(s.table(s"$cat.spjb").as("b"), col("a.rowkey") === col("b.rowkey"))
+          .select(col("a.rowkey").cast("string").as("key_str"),
+            col("a.version").as("version_a"),
+            col("a.body").cast("string").as("body_a_md5"),
+            col("b.version").as("version_b"),
+            col("b.body").cast("string").as("body_b_md5"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"same-layout catalog tables must storage-partition-join with no exchange:\n$plan")
+        joined.localCheckpoint()
+      } finally {
+        def restore(key: String, prev: Option[String]): Unit =
+          prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+        restore("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+        restore("spark.sql.sources.v2.bucketing.pushPartValues.enabled", prevPush)
+        restore("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      }
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -948,6 +1013,15 @@ object StoreLifecycle {
               md5(doc_id::VARCHAR || '^' || v::VARCHAR) AS body_md5
          FROM documents, (SELECT unnest([1, 2]) AS v)
          WHERE doc_id % 15 = 0 AND doc_id % 45 != 0""",
+
+    // the Catalyst-planned co-located join over the %28 ⊂ %14 keys
+    "q228_cells_storage_partitioned_join" ->
+      """SELECT 'doc-' || doc_id AS key_str,
+              (doc_id + 1)::BIGINT AS version_a,
+              md5(doc_id::VARCHAR || 'SA') AS body_a_md5,
+              (doc_id + 2)::BIGINT AS version_b,
+              md5(doc_id::VARCHAR || 'SB') AS body_b_md5
+         FROM documents WHERE doc_id % 28 = 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

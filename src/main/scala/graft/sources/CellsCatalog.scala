@@ -1,0 +1,202 @@
+package graft.sources
+
+import graft.ingest.{FileStore, PushTableSink}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** CATALOG face of the cell store — the store's tables as a named
+  * Spark catalog, the surface a SQL user works against:
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.sources.CellsCatalog
+  *   spark.sql.catalog.graft.root = /path/to/store
+  *
+  *   CREATE TABLE graft.ns.tbl (rowkey BINARY, version BIGINT, body BINARY)
+  *   INSERT INTO graft.ns.tbl SELECT ...
+  *   SELECT * FROM graft.ns.tbl WHERE rowkey = X'...'   -- point GET
+  * }}}
+  *
+  * Identifiers map to HBase-style names: `graft.ns.tbl` → store table
+  * `ns:tbl` (the namespace levels join with ':'), so the catalog
+  * addresses exactly what [[graft.ingest.FileStore]] stores. All the
+  * connector's pushdown (version-by-filename, point GET, prefix/range
+  * shard pruning, column-pruned I/O, runtime join filtering) applies
+  * unchanged — the catalog wraps the same [[CellsTable]].
+  *
+  * STORAGE-PARTITIONED JOINS (the reason this is a FunctionCatalog
+  * too): a catalog-loaded scan reports `KeyGroupedPartitioning` over
+  * `graft_shard_<layout>(rowkey)` — the table's own region assignment
+  * as a V2 function — and every input partition carries its region
+  * index as its partition key. Two tables sharing a split layout
+  * report the SAME function (the canonical name embeds the layout
+  * fingerprint) over compatible partition values, so under
+  * `spark.sql.sources.v2.bucketing.enabled` Catalyst's
+  * EnsureRequirements plans `a JOIN b ON a.rowkey = b.rowkey` with NO
+  * exchange on either side — the co-located region join
+  * ([[ColocatedCells]]'s hand-built plan) discovered by the optimizer
+  * itself. Different layouts get different function names, so SPJ
+  * correctly declines and shuffles. At 100 TB this is the difference
+  * between shuffling two store-sized tables and joining region-by-
+  * region where the data already lives.
+  *
+  * The function resolves layouts from the store root on demand (the
+  * recorded `_splits.json`, or the default 256 first-byte layout), so
+  * function resolution needs no session state beyond the catalog.
+  */
+class CellsCatalog extends TableCatalog with FunctionCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null, s"catalog $name requires option root (spark.sql.catalog.$name.root)")
+  }
+
+  override def name(): String = catalogName
+
+  /** `graft.ns.tbl` → store name `ns:tbl`; `graft.tbl` → `tbl`. */
+  private def tableNameOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(":")
+
+  private def dirOf(storeName: String) = Paths.get(root, storeName.replace(':', '~'))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Array.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString.replace('~', ':'))
+      .filterNot(_.startsWith("_")) // staging/meta dirs are not tables
+      .map { full =>
+        val parts = full.split(':')
+        Identifier.of(parts.init, parts.last)
+      }
+      .filter(_.namespace().sameElements(namespace))
+      .toArray
+    finally s.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = tableNameOf(ident)
+    if (!Files.isDirectory(dirOf(t))) throw new NoSuchTableException(ident)
+    CellsTable(root, t, changeFeed = false, fromCatalog = true)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    require(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      CellsSource.Schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"graft tables have the fixed schema ${CellsSource.Schema.simpleString}; got ${schema.simpleString}")
+    require(partitions.isEmpty, "graft tables partition by their split layout, not PARTITIONED BY")
+    val t = tableNameOf(ident)
+    val maxVersions = Option(properties.get("maxVersions")).flatMap(_.toIntOption)
+      .getOrElse(Int.MaxValue)
+    FileStore(root).ensureTable(t, PushTableSink.TableSpec(maxVersions = maxVersions))
+    CellsTable(root, t, changeFeed = false, fromCatalog = true)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft tables carry write-once DDL")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(tableNameOf(ident))
+    Files.isDirectory(dir) && org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft tables do not rename (rowkeys embed no table name, but readers may hold segment paths)")
+
+  // ------------------------------------------------------ functions
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    // every listed name must loadFunction: the default layout's
+    // fingerprinted instance stands for the family
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty,
+        s"graft_shard_${CellsCatalog.fingerprintOf(FileStore.Splits.Default)}"))
+    else Array.empty
+
+  /** Resolve `graft_shard_<fingerprint>` back to its split layout by
+    * scanning the root's recorded layouts (plus the default) — the
+    * fingerprint is content-derived, so resolution is deterministic
+    * from disk and needs no session registry. */
+  override def loadFunction(ident: Identifier): UnboundFunction = {
+    val n = ident.name()
+    if (!n.startsWith("graft_shard_"))
+      throw new NoSuchFunctionException(ident)
+    val fp = n.stripPrefix("graft_shard_")
+    CellsCatalog.layoutByFingerprint(root, fp) match {
+      case Some(splits) => CellsCatalog.ShardUnbound(splits, fp)
+      case None => throw new NoSuchFunctionException(ident)
+    }
+  }
+}
+
+object CellsCatalog {
+
+  /** content fingerprint of a split layout — embedded in the shard
+    * function's name so SPJ compatibility (canonicalName equality) is
+    * exactly layout equality. */
+  def fingerprintOf(splits: FileStore.Splits): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(splits.toJson.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+
+  /** find a layout with the given fingerprint: the default layout or
+    * any table's recorded `_splits.json` under the root. */
+  private[sources] def layoutByFingerprint(root: String, fp: String): Option[FileStore.Splits] = {
+    if (fingerprintOf(FileStore.Splits.Default) == fp) return Some(FileStore.Splits.Default)
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return None
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(Files.isDirectory(_))
+      .flatMap { t =>
+        val p = t.resolve("_splits.json")
+        if (!Files.isRegularFile(p)) None
+        else
+          try Some(FileStore.Splits.fromJson(new String(Files.readAllBytes(p), "UTF-8")))
+          catch { case _: Exception => None }
+      }
+      .find(sp => fingerprintOf(sp) == fp)
+    finally s.close()
+  }
+
+  final case class ShardUnbound(splits: FileStore.Splits, fp: String) extends UnboundFunction {
+    override def name(): String = s"graft_shard_$fp"
+    override def description(): String =
+      s"region index of a rowkey under split layout $fp (${splits.size} regions)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1 && inputType.fields(0).dataType == BinaryType,
+        s"graft_shard binds to one BINARY rowkey, got ${inputType.simpleString}")
+      ShardFunction(splits.starts.map(_.clone()).toArray, fp)
+    }
+  }
+
+  /** rowkey → region index under a fixed layout. Deterministic and
+    * layout-fingerprinted: two scans report the SAME canonical
+    * function iff their tables share a split layout — the SPJ
+    * compatibility rule. */
+  final case class ShardFunction(starts: Array[Array[Byte]], fp: String)
+      extends ScalarFunction[Integer] {
+    @transient private lazy val splits = FileStore.Splits(starts.toVector)
+    override def inputTypes(): Array[DataType] = Array(BinaryType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = s"graft_shard_$fp"
+    override def canonicalName(): String = s"graft.$name"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer =
+      Int.box(splits.shardIdxOf(input.getBinary(0)))
+  }
+}

@@ -198,7 +198,8 @@ object CellsKeyPred {
   }
 }
 
-case class CellsTable(root: String, table: String, changeFeed: Boolean = false) extends Table
+case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
+                      fromCatalog: Boolean = false) extends Table
     with SupportsRead with SupportsWrite {
   require(root != null && table != null, "graft-cells requires options: root, table")
   override def name(): String = s"graft-cells:$table"
@@ -208,7 +209,8 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false) 
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    CellsScanBuilder(root, table, options.getBoolean("stableOffsets", false), changeFeed)
+    CellsScanBuilder(root, table, options.getBoolean("stableOffsets", false), changeFeed,
+      fromCatalog)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     CellsWriteBuilder(root, table, info.schema(),
       info.options().getBoolean("tombstone", false))
@@ -292,7 +294,8 @@ case class CellsWriterFactory(root: String, table: String,
 case object CellsCommit extends WriterCommitMessage
 
 case class CellsScanBuilder(root: String, table: String, stable: Boolean = false,
-                            changeFeed: Boolean = false) extends ScanBuilder
+                            changeFeed: Boolean = false,
+                            fromCatalog: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = Long.MinValue
@@ -414,13 +417,15 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
   override def build(): Scan =
     CellsScan(root, table, lo, hi,
       CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), required,
-      stable, changeFeed)
+      stable, changeFeed, fromCatalog)
 }
 
 case class CellsScan(root: String, table: String, lo: Long, hi: Long,
                      keys: CellsKeyPred, required: StructType,
-                     stable: Boolean = false, changeFeed: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+                     stable: Boolean = false, changeFeed: Boolean = false,
+                     fromCatalog: Boolean = false)
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -525,9 +530,42 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
     // placement where join-driven digest narrowing actually reaches
     // the executors (caught by a probe where the factory-captured keys
     // made a filtered read stream whole segments).
+    //
+    // Each partition also carries its REGION INDEX as its partition
+    // key (HasPartitionKey) — the value side of the KeyGroupedPartitioning
+    // this scan reports for storage-partitioned joins.
+    val splits = tableSplits
     CellsShards.prune(dir, effKeys)
-      .map(p => CellsShard(p.toString, effKeys): InputPartition)
+      .map { p =>
+        val idx = splits.names.indexOf(p.getFileName.toString)
+        CellsShard(p.toString, effKeys, idx): InputPartition
+      }
       .toArray
+  }
+
+  @transient private lazy val tableSplits = graft.ingest.FileStore(root).splitsOf(table)
+
+  /** STORAGE-PARTITIONED JOIN face (catalog reads only): the scan's
+    * rows are key-grouped by `graft_shard_<layout>(rowkey)` — the
+    * table's own region assignment as a V2 function resolvable through
+    * [[CellsCatalog]], with each partition's region index as its
+    * partition value. Two same-layout tables report the SAME canonical
+    * function over compatible values, so EnsureRequirements plans a
+    * rowkey equi-join with no exchange on either side (the co-located
+    * region join, discovered by Catalyst itself under
+    * spark.sql.sources.v2.bucketing.enabled). Format-based reads have
+    * no function catalog to resolve against and report unknown. */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    lazy val n = planInputPartitions().length
+    if (!fromCatalog) new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    else {
+      val fp = CellsCatalog.fingerprintOf(tableSplits)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.apply(
+          s"graft_shard_$fp",
+          org.apache.spark.sql.connector.expressions.Expressions.column("rowkey"))),
+        n)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -696,7 +734,14 @@ case class CellsStreamReaderFactory(keys: CellsKeyPred, cols: Array[String],
   }
 }
 
-case class CellsShard(dir: String, keys: CellsKeyPred) extends InputPartition
+case class CellsShard(dir: String, keys: CellsKeyPred, shardIdx: Int = -1)
+    extends InputPartition with HasPartitionKey {
+  // the region index IS the partition value of the scan's reported
+  // KeyGroupedPartitioning; -1 (a dir outside the recorded layout)
+  // never coexists with a catalog read's partitioning report
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](shardIdx))
+}
 
 case class CellsReaderFactory(lo: Long, hi: Long,
                               cols: Array[String], changeFeed: Boolean = false)

@@ -1,0 +1,99 @@
+package graft.sources
+
+import graft.ingest.{BulkLoad, FileStore}
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The catalog face: named SQL access to the store (DDL, INSERT,
+  * SELECT with the connector's pushdown intact) and STORAGE-PARTITIONED
+  * JOINS — two same-layout tables joined by Catalyst with no exchange
+  * on either side, via the KeyGroupedPartitioning the catalog-loaded
+  * scan reports over its graft_shard function. */
+class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var root: String = _
+
+  override def beforeAll(): Unit = {
+    root = Files.createTempDirectory("cells-catalog").toString
+    spark = SparkSession.builder().master("local[4]")
+      .appName("cells-catalog-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.catalog.gtest", classOf[CellsCatalog].getName)
+      .config("spark.sql.catalog.gtest.root", root)
+      // the SPJ prerequisites: v2 bucketing on, partition-value
+      // push for one-sided region population, and no broadcast
+      // short-circuit (a broadcast join needs no co-partitioning and
+      // would mask the property under test)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  private def k(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  private def seed(table: String, cells: Seq[(String, Long, String)],
+                   points: Seq[Array[Byte]] = Nil): Unit = {
+    val sp = spark; import sp.implicits._
+    BulkLoad.writeCells(
+      cells.map { case (key, v, b) => (table, k(key), v, k(b)) }
+        .toDF("tableName", "rowkey", "version", "body"),
+      root, BulkLoad.Config(splitPoints = points))
+  }
+
+  test("SQL DDL + INSERT + SELECT round-trip through the catalog; namespaces map to ':'") {
+    spark.sql("CREATE TABLE gtest.ns.sqlt (rowkey BINARY, version BIGINT, body BINARY)")
+    assert(FileStore(root).readSpecJson("ns:sqlt").isDefined,
+      "CREATE TABLE records the store DDL under the ':'-joined name")
+    spark.sql("INSERT INTO gtest.ns.sqlt " +
+      "SELECT cast(concat('k-', id) as binary), id + 100, cast(md5(cast(id as string)) as binary) " +
+      "FROM range(0, 30)")
+    val got = spark.sql("SELECT count(*) AS n, sum(version) AS sv FROM gtest.ns.sqlt").collect()(0)
+    assert(got.getLong(0) == 30 && got.getLong(1) == (0 until 30).map(_ + 100L).sum)
+    // catalog reads keep the connector's point-GET pushdown
+    CellsSource.filesOpened.set(0)
+    val one = spark.table("gtest.ns.sqlt").filter(col("rowkey") === lit(k("k-7"))).collect()
+    assert(one.length == 1 && CellsSource.filesOpened.get() == 1,
+      s"point GET through the catalog opens exactly its cell: ${CellsSource.filesOpened.get()}")
+    assert(spark.sql("SHOW TABLES IN gtest.ns").collect().map(_.getString(1)).contains("sqlt"))
+    spark.sql("DROP TABLE gtest.ns.sqlt")
+    assert(!Files.isDirectory(java.nio.file.Paths.get(root, "ns~sqlt")))
+  }
+
+  test("storage-partitioned join: same-layout tables join with NO exchange, Catalyst-planned") {
+    val points = (1 to 7).map(i => k(s"K-${i}0"))
+    seed("spja", (0 until 80).map(i => (f"K-$i%02d", 1L, s"a-$i")), points)
+    seed("spjb", (0 until 80 by 2).map(i => (f"K-$i%02d", 5L, s"b-$i")), points)
+    val joined = spark.table("gtest.spja").as("a")
+      .join(spark.table("gtest.spjb").as("b"), col("a.rowkey") === col("b.rowkey"))
+      .select(col("a.rowkey").cast("string").as("key"),
+        col("a.body").cast("string").as("ba"), col("b.body").cast("string").as("bb"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"same split layout must storage-partition-join with no exchange:\n$plan")
+    val got = joined.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == (0 until 80 by 2).map(i => (f"K-$i%02d", s"a-$i", s"b-$i")).sorted.toSeq)
+  }
+
+  test("different layouts decline SPJ: the join shuffles (and still answers correctly)") {
+    seed("spjc", (0 until 40).map(i => (f"K-$i%02d", 1L, s"c-$i")),
+      (1 to 7).map(i => k(s"K-${i}0")))
+    seed("spjd", (0 until 40 by 2).map(i => (f"K-$i%02d", 5L, s"d-$i")),
+      (1 to 3).map(i => k(s"K-${i * 2}0")))
+    val joined = spark.table("gtest.spjc").as("c")
+      .join(spark.table("gtest.spjd").as("d"), col("c.rowkey") === col("d.rowkey"))
+    assert(joined.queryExecution.executedPlan.toString.contains("Exchange"),
+      "mismatched layouts must fall back to a shuffle join")
+    assert(joined.count() == 20)
+  }
+}
