@@ -85,6 +85,23 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == (0 until 80 by 2).map(i => (f"K-$i%02d", s"a-$i", s"b-$i")).sorted.toSeq)
   }
 
+  test("per-rowkey aggregation over a catalog table plans with NO exchange (key-grouped)") {
+    seed("aggt", (0 until 60).flatMap(i =>
+      Seq((f"K-$i%02d", 1L, s"v1-$i"), (f"K-$i%02d", 2L, s"v2-$i"))))
+    // the scan's KeyGroupedPartitioning over graft_shard(rowkey)
+    // satisfies the aggregate's per-rowkey clustering (same key ⇒ same
+    // region ⇒ same partition), so latest-version-per-key — the HBase
+    // read-current-state reduction — runs region-local, no shuffle
+    val agg = spark.table("gtest.aggt").groupBy(col("rowkey"))
+      .agg(max(col("version")).as("latest"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-rowkey aggregate must stay region-local:\n$plan")
+    val got = agg.collect().map(r =>
+      (new String(r.getAs[Array[Byte]](0), "UTF-8"), r.getLong(1))).sorted.toSeq
+    assert(got == (0 until 60).map(i => (f"K-$i%02d", 2L)).sorted.toSeq)
+  }
+
   test("different layouts decline SPJ: the join shuffles (and still answers correctly)") {
     seed("spjc", (0 until 40).map(i => (f"K-$i%02d", 1L, s"c-$i")),
       (1 to 7).map(i => k(s"K-${i}0")))
