@@ -569,6 +569,88 @@ object StoreLifecycle {
       }
     },
 
+    // SQL TIME TRAVEL through the catalog — `VERSION AS OF` as a
+    // first-class snapshot read: the catalog's loadTable(ident,
+    // version) seeds the scan's version upper bound, so the snapshot
+    // is the store's native filename-pruned time-travel slice (sealed
+    // newer generations never open). In-query invariants: the full
+    // read sees both batches, the snapshot exactly batch 1; the
+    // emitted result IS the snapshot, so the driver hash pins bound
+    // seeding ∘ filename pruning ∘ the SQL surface. 100 TB: a
+    // snapshot read costs the slice, never the table.
+    "q229_cells_sql_time_travel" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q229-cells").toString
+      val cat = "g229_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        def seed(v: Int): Unit = BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 16 === 0)
+            .select(lit("q229").as("tableName"),
+              expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+              expr(s"$v * 1000000000 + doc_id").as("version"),
+              expr(s"cast(md5(concat(cast(doc_id as string), 'T', '$v')) as binary)").as("body")),
+          root)
+        seed(1); seed(2)
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val full = s.table(s"$cat.q229").count()
+        val snap = s.sql(
+          s"""SELECT cast(rowkey as string) AS key_str, version,
+                     cast(body as string) AS body_md5
+              FROM $cat.q229 VERSION AS OF 1999999999""")
+          .localCheckpoint()
+        require(full == 2 * snap.count() && snap.count() > 0,
+          s"the snapshot is exactly the first batch: full=$full snap=${snap.count()}")
+        snap
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
+    // THE EDIT LOG IN SQL — the `$changes` metadata-table suffix
+    // (Iceberg's metadata-table idiom over this store's WAL face):
+    // `SELECT … FROM cat.tbl$changes` reads the UNMASKED edit log —
+    // puts with bodies, delete markers as op='delete' rows — while the
+    // base table stays the masked view; both are plain catalog reads,
+    // no options anywhere. In-query invariants: the log carries
+    // exactly |puts| + |deletes| rows, the masked base face hides
+    // exactly what the markers cover, and the emitted result is the
+    // full typed log, so the driver hash pins the op column, marker
+    // versions, and unmasked carriage end to end.
+    "q230_cells_sql_changes" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q230-cells").toString
+      val cat = "g230_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        def seedPut(v: Int): Unit = Tables.documents(s, d).filter(col("doc_id") % 22 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr(s"doc_id * 4 + $v").as("version"),
+            expr(s"cast(md5(concat(cast(doc_id as string), ';', '$v')) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q230").save()
+        seedPut(1); seedPut(2)
+        Tables.documents(s, d).filter(col("doc_id") % 44 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 4 + 3").as("version"),
+            lit(Array.emptyByteArray).as("body")) // ignored by marker writes
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q230")
+          .option("tombstone", "true").save()
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val puts = Tables.documents(s, d).filter(col("doc_id") % 22 === 0).count() * 2
+        val dels = Tables.documents(s, d).filter(col("doc_id") % 44 === 0).count()
+        val log = s.sql(
+          "SELECT cast(rowkey as string) AS key_str, version, op " +
+            s"FROM $cat.`q230$$changes`")
+          .localCheckpoint()
+        require(log.count() == puts + dels && dels > 0,
+          s"the edit log reports every edit: ${log.count()} vs ${puts + dels}")
+        // the masked BASE face hides exactly the marker-covered puts
+        // (every %44 key's v1+v2 — the marker at v3 covers both)
+        val masked = s.table(s"$cat.q230").count()
+        require(masked == puts - 2 * dels,
+          s"the base table is the masked view: $masked vs ${puts - 2 * dels}")
+        log
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -1022,6 +1104,22 @@ object StoreLifecycle {
               (doc_id + 2)::BIGINT AS version_b,
               md5(doc_id::VARCHAR || 'SB') AS body_b_md5
          FROM documents WHERE doc_id % 28 = 0""",
+
+    // the VERSION AS OF snapshot = exactly the first batch
+    "q229_cells_sql_time_travel" ->
+      """SELECT 'doc-' || doc_id AS key_str, (1000000000 + doc_id)::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'T' || '1') AS body_md5
+         FROM documents WHERE doc_id % 16 = 0""",
+
+    // the typed edit log: both put generations plus the delete markers
+    "q230_cells_sql_changes" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + v)::BIGINT AS version,
+              'put' AS op
+         FROM documents, (SELECT unnest([1, 2]) AS v)
+         WHERE doc_id % 22 = 0
+         UNION ALL
+         SELECT 'doc-' || doc_id, (doc_id * 4 + 3)::BIGINT, 'delete'
+         FROM documents WHERE doc_id % 44 = 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

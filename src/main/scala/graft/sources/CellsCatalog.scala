@@ -86,10 +86,36 @@ class CellsCatalog extends TableCatalog with FunctionCatalog {
     finally s.close()
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    val t = tableNameOf(ident)
+  override def loadTable(ident: Identifier): Table = load(ident, asOf = None)
+
+  /** SQL time travel — `SELECT … FROM cat.tbl VERSION AS OF <v>`:
+    * the snapshot at version `v` is the filename-pruned slice
+    * `version <= v`, the store's native time-travel read path (sealed
+    * newer generations are never opened). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, asOf = Some(version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF over a graft table takes a numeric cell version, got '$version'"))))
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROS; store versions
+    * are the ingest pipeline's epoch MILLIS, so the snapshot bound is
+    * micros/1000. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    load(ident, asOf = Some(timestampMicros / 1000L))
+
+  private def load(ident: Identifier, asOf: Option[Long]): Table = {
+    // `tbl$changes` is the VIRTUAL edit-log face of `tbl` (the
+    // Iceberg-style metadata-table suffix): unmasked puts + op='delete'
+    // marker rows — the change feed, queryable in SQL. Composes with
+    // time travel: `tbl$changes VERSION AS OF v` is the edit log up to
+    // and including version v (a bounded WAL replay).
+    val changes = ident.name().endsWith("$changes")
+    val baseIdent =
+      if (changes) Identifier.of(ident.namespace(), ident.name().stripSuffix("$changes"))
+      else ident
+    val t = tableNameOf(baseIdent)
     if (!Files.isDirectory(dirOf(t))) throw new NoSuchTableException(ident)
-    CellsTable(root, t, changeFeed = false, fromCatalog = true)
+    CellsTable(root, t, changeFeed = changes, fromCatalog = true, asOf = asOf)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

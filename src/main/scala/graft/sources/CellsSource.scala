@@ -199,10 +199,12 @@ object CellsKeyPred {
 }
 
 case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
-                      fromCatalog: Boolean = false) extends Table
+                      fromCatalog: Boolean = false,
+                      asOf: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite {
   require(root != null && table != null, "graft-cells requires options: root, table")
-  override def name(): String = s"graft-cells:$table"
+  override def name(): String =
+    s"graft-cells:$table" + asOf.fold("")(v => s"@$v") + (if (changeFeed) "$changes" else "")
   override def schema(): StructType =
     if (changeFeed) CellsSource.ChangeFeedSchema else CellsSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -210,10 +212,12 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     CellsScanBuilder(root, table, options.getBoolean("stableOffsets", false), changeFeed,
-      fromCatalog)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      fromCatalog, asOf)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty, s"cannot write to time-travel snapshot ${name()}")
     CellsWriteBuilder(root, table, info.schema(),
       info.options().getBoolean("tombstone", false))
+  }
 }
 
 /** Write face: append rows as versioned cells through the SAME
@@ -295,11 +299,14 @@ case object CellsCommit extends WriterCommitMessage
 
 case class CellsScanBuilder(root: String, table: String, stable: Boolean = false,
                             changeFeed: Boolean = false,
-                            fromCatalog: Boolean = false) extends ScanBuilder
+                            fromCatalog: Boolean = false,
+                            asOf: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = Long.MinValue
-  private var hi = Long.MaxValue
+  // a time-travel snapshot is a pre-seeded version upper bound — the
+  // same filename prune every pushed `version <= v` predicate takes
+  private var hi = asOf.getOrElse(Long.MaxValue)
   // rowkey point predicates, resolved to cell-file digests AND range
   // shards: None = no point predicate, Some(set) = only these can
   // match (an empty set is a provably-empty scan)

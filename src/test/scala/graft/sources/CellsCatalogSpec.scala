@@ -31,6 +31,7 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.session.timeZone", "UTC") // TIMESTAMP AS OF literals
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
   }
@@ -100,6 +101,53 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = agg.collect().map(r =>
       (new String(r.getAs[Array[Byte]](0), "UTF-8"), r.getLong(1))).sorted.toSeq
     assert(got == (0 until 60).map(i => (f"K-$i%02d", 2L)).sorted.toSeq)
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF read the snapshot slice") {
+    seed("tt", (0 until 20).map(i => (f"T-$i%02d", 100L + i, s"g1-$i")))
+    seed("tt", (0 until 20).map(i => (f"T-$i%02d", 200L + i, s"g2-$i")))
+    assert(spark.table("gtest.tt").count() == 40)
+    val snap = spark.sql("SELECT * FROM gtest.tt VERSION AS OF 150")
+    assert(snap.count() == 20 &&
+      snap.agg(max(col("version"))).collect()(0).getLong(0) == 119L,
+      "the snapshot is exactly the <= 150 slice")
+    // store versions are epoch millis; 150 ms after the epoch in UTC
+    val snapTs = spark.sql("SELECT * FROM gtest.tt TIMESTAMP AS OF '1970-01-01 00:00:00.15'")
+    assert(snapTs.count() == 20)
+    // the bound composes with further pushed predicates
+    assert(spark.sql("SELECT * FROM gtest.tt VERSION AS OF 150 WHERE version >= 110")
+      .count() == 10)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM gtest.tt VERSION AS OF 'not-a-version'").collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("$changes metadata table: the edit log in SQL, composing with time travel") {
+    seed("ch", (0 until 10).flatMap(i =>
+      Seq((f"C-$i%02d", 10L + i, s"v1-$i"), (f"C-$i%02d", 30L + i, s"v2-$i"))))
+    FileStore(root).deleteCells("ch",
+      Seq(("C-03".getBytes("UTF-8"), 50L), ("C-04".getBytes("UTF-8"), 14L)))
+    // the masked default face: C-03 fully masked (both <= 50), C-04
+    // loses only v1 (14 >= 10+4, < 30+4)
+    assert(spark.table("gtest.ch").count() == 20 - 2 - 1)
+    val log = spark.sql("SELECT cast(rowkey as string) AS k, version, op " +
+      "FROM gtest.`ch$changes`")
+    assert(log.count() == 22, "the edit log reports every edit, masked or not")
+    assert(log.filter(col("op") === "delete").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == Set(("C-03", 50L), ("C-04", 14L)))
+    // time travel bounds the log: edits at versions <= 25 are the v1
+    // puts (10..19) plus the C-04 marker at 14
+    val bounded = spark.sql("SELECT op, count(*) AS n " +
+      "FROM gtest.`ch$changes` VERSION AS OF 25 GROUP BY op")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bounded == Map("put" -> 10L, "delete" -> 1L), s"$bounded")
+    // snapshots refuse writes
+    val ex = intercept[Exception] {
+      CellsTable(root, "ch", asOf = Some(25L))
+        .newWriteBuilder(null)
+    }
+    assert(ex.getMessage.contains("time-travel"))
   }
 
   test("different layouts decline SPJ: the join shuffles (and still answers correctly)") {
