@@ -317,6 +317,31 @@ final case class FileStore(rootDir: String) extends Store {
     finally shards.close()
   }
 
+  /** Highest version PRESENT for a rowkey, across both store-file
+    * kinds (per-cell filenames + segment indexes, bloom-gated) —
+    * masking ignored: this is the stamp a bare SQL DELETE takes (the
+    * HBase deleteRow idiom stamps the row's current time; re-stamping
+    * an already-masked version is an idempotent wider mask). None for
+    * a key with no cells at all. */
+  def latestVersionOf(tableName: String, rowkey: Array[Byte]): Option[Long] = {
+    val d = keyDigest(rowkey)
+    val shardDir = tableDir(tableName).resolve(splitsOf(tableName).shardNameOf(rowkey))
+    if (!Files.isDirectory(shardDir)) return None
+    var mx = Long.MinValue
+    val s = Files.list(shardDir)
+    try s.iterator().asScala.foreach { p =>
+      val n = p.getFileName.toString
+      val dot = n.lastIndexOf('.')
+      if (dot > 0 && n.take(dot) == d) // cell files only: a marker's name never splits to (digest, long)
+        n.drop(dot + 1).toLongOption.foreach(v => if (v > mx) mx = v)
+    } finally s.close()
+    segmentFiles(shardDir).foreach { seg =>
+      if (CellSegment.mightContain(seg, d))
+        CellSegment.indexOf(seg).foreach(e => if (e.digestHex == d && e.version > mx) mx = e.version)
+    }
+    if (mx == Long.MinValue) None else Some(mx)
+  }
+
   /** F5 consults BOTH store-file kinds: a cell exists if its per-cell
     * put file is present OR any bulk [[CellSegment]] in its shard
     * indexes its (key digest, version) — the HBase semantics where an

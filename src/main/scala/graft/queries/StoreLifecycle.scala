@@ -651,6 +651,61 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // SQL DELETE — the last DML face: `DELETE FROM cat.tbl WHERE
+    // rowkey IN (…) [AND version <= T]` writes tombstone MARKERS
+    // through DSv2 SupportsDelete (no cell rewritten; majors purge
+    // later) — the HBase Delete idiom as a SQL statement. A version
+    // bound stamps the markers at T (addColumns-up-to-T); a bare key
+    // delete stamps each key's CURRENT latest version (deleteRow).
+    // In-query invariants: the $changes log carries exactly the
+    // expected markers at the expected versions (the shared bound for
+    // the bounded statement, per-key latest for the bare one), and
+    // the emitted result is the masked view after both deletes — the
+    // driver hash pins predicate decomposition ∘ marker stamping ∘
+    // masking. Unsupported shapes (version =, ranges, non-key
+    // columns) are DECLINED at canDeleteWhere so Spark fails loudly
+    // instead of over-deleting.
+    "q231_cells_sql_delete" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q231-cells").toString
+      val cat = "g231_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        def seed(v: Int) = Tables.documents(s, d).filter(col("doc_id") % 26 === 0)
+          .select(lit("q231").as("tableName"),
+            expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr(s"$v * 1000000000 + doc_id").as("version"),
+            expr(s"cast(md5(concat(cast(doc_id as string), '/', '$v')) as binary)").as("body"))
+        BulkLoad.writeCells(seed(1), root)
+        BulkLoad.writeCells(seed(2), root)
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        def inList(pred: Int): String = Tables.documents(s, d)
+          .filter(col("doc_id") % pred === 0).select(col("doc_id").cast("long"))
+          .collect().map(_.getLong(0)).sorted
+          .map(id => "X'" + s"doc-$id".getBytes("UTF-8").map(b => f"$b%02x").mkString + "'")
+          .mkString("(", ", ", ")")
+        // bounded: mask batch 1 of every %52 key (marker at the bound)
+        s.sql(s"DELETE FROM $cat.q231 WHERE rowkey IN ${inList(52)} AND version <= 1999999999")
+        // bare: mask EVERYTHING of every %104 key (marker at its latest)
+        s.sql(s"DELETE FROM $cat.q231 WHERE rowkey IN ${inList(104)}")
+        val n52 = Tables.documents(s, d).filter(col("doc_id") % 52 === 0).count()
+        val n104 = Tables.documents(s, d).filter(col("doc_id") % 104 === 0).count()
+        val markers = s.sql(
+          s"SELECT cast(rowkey as string) AS k, version FROM $cat.`q231$$changes` " +
+            "WHERE op = 'delete'").collect().map(r => (r.getString(0), r.getLong(1)))
+        require(markers.length == n52 + n104 && n104 > 0,
+          s"one marker per bounded key + one per bare key: ${markers.length} vs ${n52 + n104}")
+        require(markers.count(_._2 == 1999999999L) == n52,
+          "bounded deletes stamp the statement's bound")
+        require(markers.filter(_._2 != 1999999999L).forall { case (k, v) =>
+          v == 2000000000L + k.stripPrefix("doc-").toLong },
+          "bare deletes stamp each key's current latest version")
+        s.table(s"$cat.q231")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -1120,6 +1175,16 @@ object StoreLifecycle {
          UNION ALL
          SELECT 'doc-' || doc_id, (doc_id * 4 + 3)::BIGINT, 'delete'
          FROM documents WHERE doc_id % 44 = 0""",
+
+    // the masked view after both DELETE statements: %52 keys lose
+    // batch 1 (bounded delete), %104 keys vanish entirely (bare)
+    "q231_cells_sql_delete" ->
+      """SELECT 'doc-' || doc_id AS key_str, (v * 1000000000 + doc_id)::BIGINT AS version,
+              md5(doc_id::VARCHAR || '/' || v::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([1, 2]) AS v)
+         WHERE doc_id % 26 = 0
+           AND NOT (doc_id % 52 = 0 AND v = 1)
+           AND doc_id % 104 != 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

@@ -201,7 +201,8 @@ object CellsKeyPred {
 case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
                       fromCatalog: Boolean = false,
                       asOf: Option[Long] = None) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(root != null && table != null, "graft-cells requires options: root, table")
   override def name(): String =
     s"graft-cells:$table" + asOf.fold("")(v => s"@$v") + (if (changeFeed) "$changes" else "")
@@ -217,6 +218,46 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
     require(asOf.isEmpty, s"cannot write to time-travel snapshot ${name()}")
     CellsWriteBuilder(root, table, info.schema(),
       info.options().getBoolean("tombstone", false))
+  }
+
+  /** SQL `DELETE FROM cat.tbl WHERE rowkey = … [AND version <= T]` —
+    * the HBase Delete idiom as DML: each matched key takes a tombstone
+    * MARKER (no cell is rewritten; majors purge marker + covered cells
+    * later). A version bound stamps the marker at T (Delete.addColumns
+    * up-to-T); a bare key delete stamps the key's CURRENT latest
+    * version (deleteRow at now). Supported shapes: a conjunction of
+    * rowkey `=`/`IN` (required) and at most one version `<=`/`<`/`=`
+    * bound — anything else is declined at canDeleteWhere, so Spark
+    * fails the statement instead of silently over-deleting. */
+  private def deletePlan(filters: Array[Filter]): Option[(Seq[Array[Byte]], Option[Long])] = {
+    var keys: Option[Seq[Array[Byte]]] = None
+    var bound: Option[Long] = None
+    val ok = filters.forall {
+      case EqualTo("rowkey", k: Array[Byte]) if keys.isEmpty => keys = Some(Seq(k)); true
+      case In("rowkey", vs) if keys.isEmpty && vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]]) =>
+        keys = Some(vs.toSeq.map(_.asInstanceOf[Array[Byte]])); true
+      case LessThanOrEqual("version", v: java.lang.Long) if bound.isEmpty => bound = Some(v); true
+      case LessThan("version", v: java.lang.Long) if bound.isEmpty && v != Long.MinValue =>
+        bound = Some(v - 1); true
+      // version = T is NOT supported: a marker masks <= T, so honoring
+      // equality would silently over-delete older versions — declined
+      case _ => false
+    }
+    if (ok && keys.isDefined) Some((keys.get, bound)) else None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && !changeFeed && deletePlan(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (keys, bound) = deletePlan(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft DELETE needs rowkey =/IN plus at most one version upper bound; got ${filters.mkString(", ")}"))
+    val store = graft.ingest.FileStore(root)
+    val markers = keys.flatMap { k =>
+      bound.orElse(store.latestVersionOf(table, k)).map(t => (k, t))
+    } // a bare delete of an absent key is a no-op, like HBase's
+    if (markers.nonEmpty) store.deleteCells(table, markers)
   }
 }
 

@@ -150,6 +150,40 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("time-travel"))
   }
 
+  test("SQL DELETE writes tombstone markers: bounded, bare-latest, and declined shapes") {
+    seed("del", (0 until 8).flatMap(i =>
+      Seq((f"D-$i", 10L + i, s"v1-$i"), (f"D-$i", 30L + i, s"v2-$i"))))
+    def hexOf(s0: String) = "X'" + s0.getBytes("UTF-8").map(b => f"$b%02x").mkString + "'"
+    // bounded: masks only v1 of D-2
+    spark.sql(s"DELETE FROM gtest.del WHERE rowkey = ${hexOf("D-2")} AND version <= 20")
+    // bare: stamps D-3's latest (33) — the whole key vanishes
+    spark.sql(s"DELETE FROM gtest.del WHERE rowkey IN (${hexOf("D-3")}, ${hexOf("D-9")})")
+    val left = spark.table("gtest.del")
+      .select(col("rowkey").cast("string"), col("version"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(!left.contains(("D-2", 12L)) && left.contains(("D-2", 32L)),
+      "bounded delete masks only the covered version")
+    assert(!left.exists(_._1 == "D-3"), "bare delete masks the whole key")
+    assert(left.size == 16 - 1 - 2)
+    // D-9 never existed: the bare delete of an absent key is a no-op —
+    // no marker lands for it
+    val markers = spark.sql("SELECT cast(rowkey as string) AS k, version " +
+      "FROM gtest.`del$changes` WHERE op = 'delete'")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(markers == Set(("D-2", 20L), ("D-3", 33L)), s"$markers")
+    // unsupported shapes are DECLINED, not over-deleted: version
+    // equality would mask <= T, a rowkey range isn't a key set
+    val e1 = intercept[Exception] {
+      spark.sql(s"DELETE FROM gtest.del WHERE rowkey = ${hexOf("D-1")} AND version = 11")
+    }
+    assert(e1.getMessage != null)
+    val e2 = intercept[Exception] {
+      spark.sql(s"DELETE FROM gtest.del WHERE rowkey >= ${hexOf("D-0")}")
+    }
+    assert(e2.getMessage != null)
+    assert(spark.table("gtest.del").count() == 13, "declined statements deleted nothing")
+  }
+
   test("different layouts decline SPJ: the join shuffles (and still answers correctly)") {
     seed("spjc", (0 until 40).map(i => (f"K-$i%02d", 1L, s"c-$i")),
       (1 to 7).map(i => k(s"K-${i}0")))
