@@ -317,30 +317,51 @@ final case class FileStore(rootDir: String) extends Store {
     finally shards.close()
   }
 
-  /** Highest version PRESENT for a rowkey, across both store-file
-    * kinds (per-cell filenames + segment indexes, bloom-gated) —
-    * masking ignored: this is the stamp a bare SQL DELETE takes (the
-    * HBase deleteRow idiom stamps the row's current time; re-stamping
-    * an already-masked version is an idempotent wider mask). None for
-    * a key with no cells at all. */
-  def latestVersionOf(tableName: String, rowkey: Array[Byte]): Option[Long] = {
-    val d = keyDigest(rowkey)
-    val shardDir = tableDir(tableName).resolve(splitsOf(tableName).shardNameOf(rowkey))
-    if (!Files.isDirectory(shardDir)) return None
-    var mx = Long.MinValue
-    val s = Files.list(shardDir)
-    try s.iterator().asScala.foreach { p =>
-      val n = p.getFileName.toString
-      val dot = n.lastIndexOf('.')
-      if (dot > 0 && n.take(dot) == d) // cell files only: a marker's name never splits to (digest, long)
-        n.drop(dot + 1).toLongOption.foreach(v => if (v > mx) mx = v)
-    } finally s.close()
-    segmentFiles(shardDir).foreach { seg =>
-      if (CellSegment.mightContain(seg, d))
-        CellSegment.indexOf(seg).foreach(e => if (e.digestHex == d && e.version > mx) mx = e.version)
+  /** Highest version PRESENT for each rowkey, across both store-file
+    * kinds (per-cell filenames + segment indexes) — masking ignored:
+    * this is the stamp a bare SQL DELETE takes (the HBase deleteRow
+    * idiom stamps the row's current time; re-stamping an
+    * already-masked version is an idempotent wider mask). None for a
+    * key with no cells at all.
+    *
+    * BATCHED by shard: one directory listing and ONE pass over each
+    * touched segment's index answers every probed key — a per-key
+    * index scan would be O(keys × entries), measured 22× super-linear
+    * on a 4.8k-key bare DELETE against a 38k-cell shard at sf10. */
+  def latestVersionsOf(tableName: String, rowkeys: Seq[Array[Byte]]): Seq[Option[Long]] = {
+    val splits = splitsOf(tableName)
+    val byShard = rowkeys.zipWithIndex.groupBy { case (k, _) => splits.shardNameOf(k) }
+    val out = new Array[Option[Long]](rowkeys.size)
+    byShard.foreach { case (shardName, keyed) =>
+      val shardDir = tableDir(tableName).resolve(shardName)
+      val wanted: Map[String, Seq[Int]] =
+        keyed.groupBy { case (k, _) => keyDigest(k) }.map { case (d, ks) => d -> ks.map(_._2) }
+      val best = scala.collection.mutable.HashMap.empty[String, Long]
+      def bump(d: String, v: Long): Unit =
+        if (wanted.contains(d) && best.getOrElse(d, Long.MinValue) < v) best(d) = v
+      if (Files.isDirectory(shardDir)) {
+        val s = Files.list(shardDir)
+        try s.iterator().asScala.foreach { p =>
+          val n = p.getFileName.toString
+          val dot = n.lastIndexOf('.')
+          if (dot > 0) // cell files only: a marker's name never splits to (digest, long)
+            n.drop(dot + 1).toLongOption.foreach(v => bump(n.take(dot), v))
+        } finally s.close()
+        segmentFiles(shardDir).foreach { seg =>
+          if (wanted.keysIterator.exists(CellSegment.mightContain(seg, _)))
+            CellSegment.indexOf(seg).foreach(e => bump(e.digestHex, e.version))
+        }
+      }
+      wanted.foreach { case (d, idxs) =>
+        val v = best.get(d)
+        idxs.foreach(i => out(i) = v)
+      }
     }
-    if (mx == Long.MinValue) None else Some(mx)
+    out.toSeq
   }
+
+  def latestVersionOf(tableName: String, rowkey: Array[Byte]): Option[Long] =
+    latestVersionsOf(tableName, Seq(rowkey)).head
 
   /** F5 consults BOTH store-file kinds: a cell exists if its per-cell
     * put file is present OR any bulk [[CellSegment]] in its shard

@@ -254,9 +254,15 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
       throw new UnsupportedOperationException(
         s"graft DELETE needs rowkey =/IN plus at most one version upper bound; got ${filters.mkString(", ")}"))
     val store = graft.ingest.FileStore(root)
-    val markers = keys.flatMap { k =>
-      bound.orElse(store.latestVersionOf(table, k)).map(t => (k, t))
-    } // a bare delete of an absent key is a no-op, like HBase's
+    val markers = bound match {
+      case Some(t) => keys.map(k => (k, t))
+      case None =>
+        // bare deletes stamp each key's current latest — batched: one
+        // listing + one index pass per touched shard, not per key
+        keys.zip(store.latestVersionsOf(table, keys)).collect {
+          case (k, Some(t)) => (k, t) // an absent key is a no-op, like HBase's
+        }
+    }
     if (markers.nonEmpty) store.deleteCells(table, markers)
   }
 }
