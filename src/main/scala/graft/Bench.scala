@@ -59,8 +59,11 @@ object Bench {
         var bytes = 0L
         val dir = java.nio.file.Paths.get(sfDir)
         if (java.nio.file.Files.isDirectory(dir)) {
-          val l = java.nio.file.Files.list(dir)
-          try l.iterator().forEachRemaining { p =>
+          // RECURSIVE walk: a Spark-written dataset is a DIRECTORY of
+          // part files — a top-level-only listing swept 0 bytes there,
+          // so every run self-labeled "warm-start" even when cold
+          val w = java.nio.file.Files.walk(dir)
+          try w.iterator().forEachRemaining { p =>
             if (p.getFileName.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p)) {
               val in = java.nio.file.Files.newInputStream(p)
               val buf = new Array[Byte](1 << 20)
@@ -69,7 +72,7 @@ object Bench {
                 while (n >= 0) { bytes += n; n = in.read(buf) }
               } finally in.close()
             }
-          } finally l.close()
+          } finally w.close()
         }
         (bytes / 1e6, (System.nanoTime() - t0) / 1e9)
       }
@@ -77,7 +80,13 @@ object Bench {
       val (_, t2) = sweep()
       val s1 = if (t1 > 0) mb / t1 else 0.0
       val s2 = if (t2 > 0) mb / t2 else 0.0
-      (mb, s1, s2, if (s2 > 0 && s1 < 0.7 * s2) "cold-start" else "warm-start")
+      // zero bytes swept = the label is meaningless; say so instead of
+      // silently claiming warm
+      val label =
+        if (mb == 0.0) "no-input"
+        else if (s2 > 0 && s1 < 0.7 * s2) "cold-start"
+        else "warm-start"
+      (mb, s1, s2, label)
     }
     sorted.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }

@@ -374,17 +374,25 @@ object CellSegment {
   def mightContain(path: Path, digestHex: String): Boolean =
     bloomDisabled || bloomOf(path).mightContain(digestHex)
 
+  /** Data-region iterator whose underlying stream can be released
+    * EARLY: exhaustion closes it (the common scan), and `close()` lets
+    * an abandoning consumer (a mid-merge failure in [[Compaction]], a
+    * short-circuited read) release the stream without draining — both
+    * idempotent. */
+  trait EntryIterator extends Iterator[(Array[Byte], Long, Array[Byte])] with AutoCloseable
+
   /** Stream the data region in (key, version) order. `needBody = false`
     * skips every body's bytes (the column-pruned key-only scan). */
-  def entries(path: Path, needBody: Boolean): Iterator[(Array[Byte], Long, Array[Byte])] = {
+  def entries(path: Path, needBody: Boolean): EntryIterator = {
     val t = readTrailer(path)
     val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(path), 1 << 16))
     var read = 0L
-    new Iterator[(Array[Byte], Long, Array[Byte])] {
+    new EntryIterator {
       private var closed = false
+      override def close(): Unit = if (!closed) { closed = true; in.close() }
       override def hasNext: Boolean = {
         val h = !closed && read < t.indexOffset
-        if (!h && !closed) { in.close(); closed = true }
+        if (!h) close()
         h
       }
       override def next(): (Array[Byte], Long, Array[Byte]) = {

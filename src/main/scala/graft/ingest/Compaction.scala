@@ -152,9 +152,14 @@ object Compaction {
             (key, n.drop(n.lastIndexOf('.') + 1).toLong, body)
           }.sortWith(cellCmp(_, _) < 0)
           minorMaxBuffered.updateAndGet(m => math.max(m, putCells.size.toLong))
-          val merged = mergeSorted(
-            putCells.iterator +: segs.map(n => CellSegment.entries(shard.resolve(n), needBody = true)))
-          val meta = CellSegment.write(shard, BulkLoad.dedupSorted(merged))
+          // inputs close on exhaustion in the happy path; the finally
+          // releases every NON-exhausted input's stream if the merge or
+          // the segment write throws mid-way (close is idempotent)
+          val segIts = segs.map(n => CellSegment.entries(shard.resolve(n), needBody = true))
+          val meta =
+            try CellSegment.write(shard,
+              BulkLoad.dedupSorted(mergeSorted(putCells.iterator +: segIts)))
+            finally segIts.foreach(it => try it.close() catch { case _: Exception => () })
           var removed = 0L
           (puts ++ segs).foreach { n =>
             // the fresh segment may REUSE an input's content-hash name
@@ -177,9 +182,11 @@ object Compaction {
             // the sweep — the window a racing writer is most exposed in
             beforeSweep: () => Unit = () => ()): Report = {
     val store = FileStore(root)
-    val maxVersions = store.readSpecJson(table).flatMap { json =>
-      """"maxVersions":(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
-    }.getOrElse(Int.MaxValue)
+    // the recorded DDL through the one JSON parser (TableSpec.fromJson
+    // ∘ core/Json) — the same descriptor read restore takes
+    val maxVersions = store.readSpecJson(table)
+      .map(PushTableSink.TableSpec.fromJson(_).maxVersions)
+      .getOrElse(Int.MaxValue)
 
     // the sweep's upper bound: only files that exist NOW — before the
     // rewrite scan plans — may be deleted, so anything a concurrent

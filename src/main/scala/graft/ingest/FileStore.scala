@@ -208,8 +208,12 @@ final case class FileStore(rootDir: String) extends Store {
     Files.createDirectories(dir)
     val p = dir.resolve("_splits.json")
     if (Files.exists(p)) {
+      // STRUCTURAL compare (parsed region starts, not rendered bytes):
+      // a restore replays a layout parsed from an older chain's
+      // _backup.json, so equality must not hinge on two renderers
+      // staying byte-identical forever
       val existing = new String(Files.readAllBytes(p), "UTF-8")
-      require(existing == splits.toJson,
+      require(FileStore.Splits.fromJson(existing).names == splits.names,
         s"table $tableName already has a different split layout")
     } else if (!splits.isDefault) {
       // a layout may only be recorded while the table holds NO cells:
@@ -229,7 +233,7 @@ final case class FileStore(rootDir: String) extends Store {
           // only if it matches the caller's, same check as above
           Files.deleteIfExists(tmp)
           val winner = new String(Files.readAllBytes(p), "UTF-8")
-          require(winner == splits.toJson,
+          require(FileStore.Splits.fromJson(winner).names == splits.names,
             s"table $tableName already has a different split layout")
       }
       splitsCache.remove(tableName)
@@ -463,9 +467,9 @@ final case class FileStore(rootDir: String) extends Store {
 
   private def maxVersionsOf(tableName: String): Int =
     maxVersionsCache.computeIfAbsent(tableName, _ =>
-      Int.box(readSpecJson(tableName).flatMap { json =>
-        """"maxVersions":(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
-      }.getOrElse(Int.MaxValue))).intValue()
+      Int.box(readSpecJson(tableName)
+        .map(PushTableSink.TableSpec.fromJson(_).maxVersions)
+        .getOrElse(Int.MaxValue))).intValue()
 
   /** All stored cells of a table as (rowkeyHex, version, body) — test /
     * inspection surface, driver-sized use only. Merges per-cell put

@@ -37,10 +37,15 @@ object PushTableSink {
       * across a restore would silently turn retention off). Absent
       * fields fall back to the defaults, matching the writer. */
     def fromJson(json: String): TableSpec = {
+      import graft.core.{JNum, JStr, Json}
+      val o = Json.parseObject(json)
       def str(k: String, d: String): String =
-        (s""""$k":"([^"]*)"""").r.findFirstMatchIn(json).map(_.group(1)).getOrElse(d)
+        o.get(k) match { case Some(JStr(s)) => s; case _ => d }
       def int(k: String, d: Int): Int =
-        (s""""$k":(-?\\d+)""").r.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(d)
+        o.get(k) match {
+          case Some(n: JNum) => n.toLongExact.map(_.toInt).getOrElse(d)
+          case _ => d
+        }
       TableSpec(
         dataFamily = str("dataFamily", "cf"),
         dataQualifier = str("dataQualifier", "record"),

@@ -179,24 +179,38 @@ object CellsCatalog {
       .digest(splits.toJson.getBytes("UTF-8"))
       .take(8).map(b => f"$b%02x").mkString
 
+  // fingerprint → layout memo, per (root, fp). Layouts are WRITE-ONCE
+  // (ensureSplits), so a positive hit can never go stale; only misses
+  // re-scan the root (a table recorded after the miss must resolve).
+  // Without this, every function resolution re-read every table's
+  // _splits.json — planning-time-only cost, but quadratic-feeling on a
+  // thousand-table root.
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), FileStore.Splits]()
+
   /** find a layout with the given fingerprint: the default layout or
     * any table's recorded `_splits.json` under the root. */
   private[sources] def layoutByFingerprint(root: String, fp: String): Option[FileStore.Splits] = {
     if (fingerprintOf(FileStore.Splits.Default) == fp) return Some(FileStore.Splits.Default)
+    val hit = layoutCache.get((root, fp))
+    if (hit != null) return Some(hit)
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) return None
     val s = Files.list(dir)
-    try s.iterator().asScala
-      .filter(Files.isDirectory(_))
-      .flatMap { t =>
-        val p = t.resolve("_splits.json")
-        if (!Files.isRegularFile(p)) None
-        else
-          try Some(FileStore.Splits.fromJson(new String(Files.readAllBytes(p), "UTF-8")))
-          catch { case _: Exception => None }
-      }
-      .find(sp => fingerprintOf(sp) == fp)
-    finally s.close()
+    val found =
+      try s.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .flatMap { t =>
+          val p = t.resolve("_splits.json")
+          if (!Files.isRegularFile(p)) None
+          else
+            try Some(FileStore.Splits.fromJson(new String(Files.readAllBytes(p), "UTF-8")))
+            catch { case _: Exception => None }
+        }
+        .find(sp => fingerprintOf(sp) == fp)
+      finally s.close()
+    found.foreach(sp => layoutCache.put((root, fp), sp))
+    found
   }
 
   final case class ShardUnbound(splits: FileStore.Splits, fp: String) extends UnboundFunction {

@@ -589,13 +589,25 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
     // key (HasPartitionKey) — the value side of the KeyGroupedPartitioning
     // this scan reports for storage-partitioned joins.
     val splits = tableSplits
-    CellsShards.prune(dir, effKeys)
+    // ONE listing per plan state: Spark asks for partitions from
+    // outputPartitioning AND from the exec's own planning; memoize per
+    // effective key predicate (same instance ⇒ same listing) so the
+    // directory walk happens once — re-planned after a runtime filter
+    // narrows the keys, because effKeys is then a NEW instance
+    val k = effKeys
+    val cached = plannedPartitions
+    if (cached != null && (cached._1 eq k)) return cached._2
+    val planned: Array[InputPartition] = CellsShards.prune(dir, k)
       .map { p =>
         val idx = splits.names.indexOf(p.getFileName.toString)
-        CellsShard(p.toString, effKeys, idx): InputPartition
+        CellsShard(p.toString, k, idx): InputPartition
       }
       .toArray
+    plannedPartitions = (k, planned)
+    planned
   }
+
+  @transient private var plannedPartitions: (CellsKeyPred, Array[InputPartition]) = _
 
   @transient private lazy val tableSplits = graft.ingest.FileStore(root).splitsOf(table)
 

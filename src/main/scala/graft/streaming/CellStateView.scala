@@ -45,9 +45,15 @@ object CellStateView {
   private[streaming] final case class Edit(rowkey: Array[Byte], version: Long,
                                            body: Array[Byte], op: String)
 
-  /** keyed state: live cells (newest-first, capped) + delete bound */
+  /** keyed state: live cells (newest-first, capped) + delete bound +
+    * whether the key's current deletion was already retracted —
+    * retraction is AT-MOST-ONCE PER DELETION (a later batch delivering
+    * only covered puts or further markers for an already-empty key must
+    * not re-emit; a key that comes back visible and is deleted again
+    * retracts again). */
   private[streaming] final case class KeyState(cells: List[(Long, Array[Byte])],
-                                               delBound: Long)
+                                               delBound: Long,
+                                               retracted: Boolean = false)
 
   /** emitted row: a key's visible cell, or its deletion retraction */
   final case class ViewRow(rowkey: Array[Byte], version: Long,
@@ -85,9 +91,12 @@ object CellStateView {
                 .sortBy(-_._1).take(maxVersions) // retention keeps state bounded
             }
           }
-          state.update(KeyState(cells, delBound))
+          val retractNow = cells.isEmpty && rowkey != null && !st0.retracted
+          state.update(KeyState(cells, delBound,
+            retracted = cells.isEmpty && (st0.retracted || retractNow)))
           if (rowkey == null) Iterator.empty // state-only trigger (no edits)
-          else if (cells.isEmpty) Iterator.single(ViewRow(rowkey, delBound, null, deleted = true))
+          else if (retractNow) Iterator.single(ViewRow(rowkey, delBound, null, deleted = true))
+          else if (cells.isEmpty) Iterator.empty // already retracted — downstream counts stay exact
           else cells.iterator.map { case (v, b) => ViewRow(rowkey, v, b, deleted = false) }
       }
   }

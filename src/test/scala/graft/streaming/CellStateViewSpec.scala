@@ -103,6 +103,33 @@ class CellStateViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSet == Set(("x", 50L, "x-50", false), ("y", 99L, null, true)), s"$rows")
   }
 
+  test("retraction is at-most-once per deletion: covered edits after the retraction stay silent") {
+    val root = Files.createTempDirectory("csview-once").toString
+    val ck = Files.createTempDirectory("csview-once-ck").toString
+    val store = FileStore(root)
+    store.ensureTable("t", TableSpec())
+    store.putBatch("t", Seq(CellPut("t", k("z"), 10L, k("z-10"))))
+    store.deleteCells("t", Seq((k("z"), 50L)))
+    val run1 = drain(root, "t", ck)
+    assert(run1 == Seq(("z", 50L, null, true)), s"first deletion retracts once: $run1")
+    // a LATER batch delivering only covered edits for the already-empty
+    // key — a wider marker and a put under the bound — must NOT re-emit
+    // the retraction (a downstream sink counting retractions would
+    // double-count a single deletion)
+    store.deleteCells("t", Seq((k("z"), 60L)))
+    store.putBatch("t", Seq(CellPut("t", k("z"), 55L, k("z-55"))))
+    val run2 = drain(root, "t", ck)
+    assert(run2.isEmpty, s"no second retraction for one deletion: $run2")
+    // a re-emergence then a NEW deletion retracts again — per deletion,
+    // not per key-lifetime
+    store.putBatch("t", Seq(CellPut("t", k("z"), 100L, k("z-100"))))
+    val run3 = drain(root, "t", ck)
+    assert(run3 == Seq(("z", 100L, "z-100", false)), s"re-emergence: $run3")
+    store.deleteCells("t", Seq((k("z"), 150L)))
+    val run4 = drain(root, "t", ck)
+    assert(run4 == Seq(("z", 150L, null, true)), s"a new deletion retracts anew: $run4")
+  }
+
   test("maxVersions caps per-key state: only the newest cells are held and emitted") {
     val root = Files.createTempDirectory("csview-ret").toString
     val ck = Files.createTempDirectory("csview-ret-ck").toString
