@@ -706,6 +706,121 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // THE SERVING VIEW IN SQL — the `$latest` metadata table: every
+    // SELECT against a multi-version catalog table returns ALL
+    // versions (the history face); `tbl$latest` resolves to each key's
+    // MAX-VERSION LIVE cell — HBase's read-your-current-state contract
+    // (Get/Scan serve the newest version; HbaseClient.kt:83-92) as a
+    // plain catalog read. The fold is computed per REGION from
+    // filenames + segment indexes alone, so only winning cells ever
+    // open. In-query invariants: the face equals the base-table max_by
+    // fold both ways, a fully-masked key is absent from both, and the
+    // opened-file count equals the surviving key count exactly (history
+    // and masked cells pruned at metadata level — the I/O shape that
+    // holds when each key carries thousands of versions at 100 TB).
+    "q232_cells_sql_latest" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q232-cells").toString
+      val cat = "g232_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        def seed(v: Int): Unit = Tables.documents(s, d).filter(col("doc_id") % 18 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr(s"doc_id * 4 + $v").as("version"),
+            expr(s"cast(md5(concat(cast(doc_id as string), '~', '$v')) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q232").save()
+        seed(1); seed(2)
+        // every third seeded key vanishes entirely (marker above both)
+        Tables.documents(s, d).filter(col("doc_id") % 54 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 4 + 2").as("version"),
+            lit(Array.emptyByteArray).as("body")) // ignored by marker writes
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q232")
+          .option("tombstone", "true").save()
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        graft.sources.CellsSource.filesOpened.set(0)
+        val latest = s.sql(
+          s"""SELECT cast(rowkey as string) AS key_str, version,
+                     cast(body as string) AS body_md5
+              FROM $cat.`q232$$latest`""").localCheckpoint()
+        val opened = graft.sources.CellsSource.filesOpened.get()
+        val expectKeys = Tables.documents(s, d)
+          .filter(col("doc_id") % 18 === 0 && col("doc_id") % 54 =!= 0).count()
+        require(latest.count() == expectKeys,
+          s"one row per surviving key: ${latest.count()} vs $expectKeys")
+        require(opened == expectKeys,
+          s"the latest fold opens ONLY winners ($expectKeys), never history: $opened")
+        // ≡ the base face's max_by fold, both ways
+        val folded = s.table(s"$cat.q232").groupBy(col("rowkey"))
+          .agg(max_by(struct(col("version"), col("body")), col("version")).as("m"))
+          .select(col("rowkey").cast("string").as("key_str"),
+            col("m.version").as("version"), col("m.body").cast("string").as("body_md5"))
+        require(latest.exceptAll(folded).count() == 0 && folded.exceptAll(latest).count() == 0,
+          "tbl$latest must equal the base-face max_by fold")
+        latest
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
+    // CURRENT-STATE JOIN, CATALYST-PLANNED, ZERO-EXCHANGE — `a$latest
+    // JOIN b$latest`: the q228 storage-partitioned join lifted to the
+    // serving view. Each side seeds TWO versions per key, so the gate
+    // discriminates three properties at once: the fold happens BEFORE
+    // the join (one row per key, never a version cross-product), the
+    // $latest face preserves KeyGroupedPartitioning (latest-per-key is
+    // region-local — a key lives in exactly one region), and the plan
+    // carries NO Exchange on either side. At 100 TB this is the join a
+    // serving user actually writes — current state against current
+    // state, region-by-region where the data lives.
+    "q233_cells_latest_spj_join" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q233-cells").toString
+      val cat = "g233_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val prevBucketing = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val prevPush = s.conf.getOption("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      val prevBroadcast = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        val points = (1 to 9).map(i => s"doc-$i".getBytes("UTF-8"))
+        def seed(table: String, pred: Int, tag: String, vOff: Int): Unit =
+          BulkLoad.writeCells(
+            Tables.documents(s, d).filter(col("doc_id") % pred === 0)
+              .select(col("doc_id"), explode(array(lit(0), lit(1))).as("g"))
+              .select(lit(table).as("tableName"),
+                expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+                expr(s"doc_id * 4 + $vOff + g").as("version"),
+                expr(s"cast(md5(concat(cast(doc_id as string), '$tag', cast(g as string))) as binary)").as("body")),
+            root, BulkLoad.Config(splitPoints = points))
+        seed("lspja", 16, "LA", 1) // versions *4+1, *4+2 — latest body tag LA1
+        seed("lspjb", 32, "LB", 5) // versions *4+5, *4+6 — latest body tag LB1
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = s.table(s"$cat.`lspja$$latest`").as("a")
+          .join(s.table(s"$cat.`lspjb$$latest`").as("b"), col("a.rowkey") === col("b.rowkey"))
+          .select(col("a.rowkey").cast("string").as("key_str"),
+            col("a.version").as("version_a"),
+            col("a.body").cast("string").as("body_a_md5"),
+            col("b.version").as("version_b"),
+            col("b.body").cast("string").as("body_b_md5"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"same-layout $$latest faces must storage-partition-join with no exchange:\n$plan")
+        val out = joined.localCheckpoint()
+        val bKeys = Tables.documents(s, d).filter(col("doc_id") % 32 === 0).count()
+        require(out.count() == bKeys,
+          s"one row per co-populated key (fold BEFORE join, no cross-product): ${out.count()} vs $bKeys")
+        out
+      } finally {
+        def restore(key: String, prev: Option[String]): Unit =
+          prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+        restore("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+        restore("spark.sql.sources.v2.bucketing.pushPartValues.enabled", prevPush)
+        restore("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      }
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -1185,6 +1300,23 @@ object StoreLifecycle {
          WHERE doc_id % 26 = 0
            AND NOT (doc_id % 52 = 0 AND v = 1)
            AND doc_id % 104 != 0""",
+
+    // the serving view: one row per surviving key (%54 keys fully
+    // masked), at its LATEST version (v=2)
+    "q232_cells_sql_latest" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + 2)::BIGINT AS version,
+              md5(doc_id::VARCHAR || '~' || '2') AS body_md5
+         FROM documents WHERE doc_id % 18 = 0 AND doc_id % 54 != 0""",
+
+    // current-state ⋈ current-state over the %32 ⊂ %16 keys: each
+    // side's latest (g=1) body, one row per key
+    "q233_cells_latest_spj_join" ->
+      """SELECT 'doc-' || doc_id AS key_str,
+              (doc_id * 4 + 2)::BIGINT AS version_a,
+              md5(doc_id::VARCHAR || 'LA' || '1') AS body_a_md5,
+              (doc_id * 4 + 6)::BIGINT AS version_b,
+              md5(doc_id::VARCHAR || 'LB' || '1') AS body_b_md5
+         FROM documents WHERE doc_id % 32 = 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

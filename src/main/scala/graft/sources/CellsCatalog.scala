@@ -109,13 +109,27 @@ class CellsCatalog extends TableCatalog with FunctionCatalog {
     // marker rows — the change feed, queryable in SQL. Composes with
     // time travel: `tbl$changes VERSION AS OF v` is the edit log up to
     // and including version v (a bounded WAL replay).
+    //
+    // `tbl$latest` is the CURRENT-STATE face: each key's max-version
+    // LIVE cell — the HBase serving read (Get/Scan return the newest
+    // version by default; reference contract HbaseClient.kt:83-92) as
+    // a SQL table, where the base table is the full version history.
+    // Composes with time travel: `tbl$latest VERSION AS OF v` is the
+    // as-of-v serving view (the snapshot applies BEFORE the metadata
+    // face). Latest-per-key is shard-local (a key lives in exactly one
+    // region), so the face keeps KeyGroupedPartitioning and
+    // `a$latest JOIN b$latest` storage-partition-joins with no
+    // exchange.
     val changes = ident.name().endsWith("$changes")
+    val latest = ident.name().endsWith("$latest")
     val baseIdent =
       if (changes) Identifier.of(ident.namespace(), ident.name().stripSuffix("$changes"))
+      else if (latest) Identifier.of(ident.namespace(), ident.name().stripSuffix("$latest"))
       else ident
     val t = tableNameOf(baseIdent)
     if (!Files.isDirectory(dirOf(t))) throw new NoSuchTableException(ident)
-    CellsTable(root, t, changeFeed = changes, fromCatalog = true, asOf = asOf)
+    CellsTable(root, t, changeFeed = changes, fromCatalog = true, asOf = asOf,
+      latest = latest)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

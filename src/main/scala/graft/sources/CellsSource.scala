@@ -76,7 +76,8 @@ class CellsSource extends TableProvider with org.apache.spark.sql.sources.DataSo
     // properties arrive with the caller's original key case — wrap
     // case-insensitively so option("changeFeed", ...) resolves
     val opts = new CaseInsensitiveStringMap(properties)
-    CellsTable(opts.get("root"), opts.get("table"), opts.getBoolean("changeFeed", false))
+    CellsTable(opts.get("root"), opts.get("table"), opts.getBoolean("changeFeed", false),
+      latest = opts.getBoolean("latest", false))
   }
 }
 
@@ -200,22 +201,29 @@ object CellsKeyPred {
 
 case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
                       fromCatalog: Boolean = false,
-                      asOf: Option[Long] = None) extends Table
+                      asOf: Option[Long] = None,
+                      latest: Boolean = false) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(root != null && table != null, "graft-cells requires options: root, table")
+  require(!(latest && changeFeed), "a table face is $latest or $changes, never both")
   override def name(): String =
-    s"graft-cells:$table" + asOf.fold("")(v => s"@$v") + (if (changeFeed) "$changes" else "")
+    s"graft-cells:$table" + asOf.fold("")(v => s"@$v") +
+      (if (changeFeed) "$changes" else if (latest) "$latest" else "")
   override def schema(): StructType =
     if (changeFeed) CellsSource.ChangeFeedSchema else CellsSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    // the $latest face is the SERVING read — batch-only (the stream
+    // face is an edit feed; "latest" has no incremental meaning there)
+    if (latest) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     CellsScanBuilder(root, table, options.getBoolean("stableOffsets", false), changeFeed,
-      fromCatalog, asOf)
+      fromCatalog, asOf, latest)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to time-travel snapshot ${name()}")
+    require(!latest, s"the $$latest face is read-only — write to the base table")
     CellsWriteBuilder(root, table, info.schema(),
       info.options().getBoolean("tombstone", false))
   }
@@ -247,7 +255,7 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    asOf.isEmpty && !changeFeed && deletePlan(filters).isDefined
+    asOf.isEmpty && !changeFeed && !latest && deletePlan(filters).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val (keys, bound) = deletePlan(filters).getOrElse(
@@ -347,7 +355,8 @@ case object CellsCommit extends WriterCommitMessage
 case class CellsScanBuilder(root: String, table: String, stable: Boolean = false,
                             changeFeed: Boolean = false,
                             fromCatalog: Boolean = false,
-                            asOf: Option[Long] = None) extends ScanBuilder
+                            asOf: Option[Long] = None,
+                            latest: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = Long.MinValue
@@ -423,8 +432,16 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
     val residual = Array.newBuilder[Filter]
     val accepted = Array.newBuilder[Filter]
     filters.foreach {
+      // VERSION predicates on the $latest face: the face folds to each
+      // key's max live version FIRST, then SQL filters the fold — so an
+      // UPPER bound (or equality) must NOT prune the scan window (a cap
+      // would change winners: `latest WHERE version <= T` is not
+      // `as-of-T latest`; only time travel's asOf seeds hi, because a
+      // snapshot applies BEFORE the metadata face). LOWER bounds stay
+      // prunable: max{v} ≥ T ⟺ max{v ≥ T} exists and equals it.
       case f @ EqualTo("version", v) if longOf(v).isDefined =>
-        val x = longOf(v).get; lo = math.max(lo, x); hi = math.min(hi, x); accepted += f
+        if (latest) residual += f
+        else { val x = longOf(v).get; lo = math.max(lo, x); hi = math.min(hi, x); accepted += f }
       case f @ GreaterThan("version", v) if longOf(v).isDefined =>
         val x = longOf(v).get
         if (x == Long.MaxValue) markEmpty() else lo = math.max(lo, x + 1)
@@ -432,11 +449,15 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
       case f @ GreaterThanOrEqual("version", v) if longOf(v).isDefined =>
         lo = math.max(lo, longOf(v).get); accepted += f
       case f @ LessThan("version", v) if longOf(v).isDefined =>
-        val x = longOf(v).get
-        if (x == Long.MinValue) markEmpty() else hi = math.min(hi, x - 1)
-        accepted += f
+        if (latest) residual += f
+        else {
+          val x = longOf(v).get
+          if (x == Long.MinValue) markEmpty() else hi = math.min(hi, x - 1)
+          accepted += f
+        }
       case f @ LessThanOrEqual("version", v) if longOf(v).isDefined =>
-        hi = math.min(hi, longOf(v).get); accepted += f
+        if (latest) residual += f
+        else { hi = math.min(hi, longOf(v).get); accepted += f }
       // rowkey point lookups route to their range shard AND cell files:
       // the same FileStore placement the writer used, so an equality/IN
       // probe opens 1 shard directory and only the probed key's cells.
@@ -471,13 +492,13 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
   override def build(): Scan =
     CellsScan(root, table, lo, hi,
       CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), required,
-      stable, changeFeed, fromCatalog)
+      stable, changeFeed, fromCatalog, latest)
 }
 
 case class CellsScan(root: String, table: String, lo: Long, hi: Long,
                      keys: CellsKeyPred, required: StructType,
                      stable: Boolean = false, changeFeed: Boolean = false,
-                     fromCatalog: Boolean = false)
+                     fromCatalog: Boolean = false, latest: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -521,6 +542,7 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
     s"graft-cells table=$table version=[$lo,$hi]" +
       keys.digests.fold("")(d => s" keys=${d.size}") +
       (if (keys.hasRange) " keyrange" else "") +
+      (if (latest) " latest" else "") +
       s" cols=[${required.fieldNames.mkString(",")}]"
 
   /** Exact post-pruning statistics from the directory listing alone
@@ -635,11 +657,13 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CellsReaderFactory(lo, hi, required.fieldNames, changeFeed)
+    CellsReaderFactory(lo, hi, required.fieldNames, changeFeed, latest)
 
   override def toMicroBatchStream(checkpointLocation: String):
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!latest, "the $latest face has no stream form — stream the base table or $changes")
     CellsMicroBatch(root, table, lo, hi, keys, required.fieldNames, stable, changeFeed)
+  }
 }
 
 /** Streaming read face: tail the cell store by VERSION watermark —
@@ -810,15 +834,17 @@ case class CellsShard(dir: String, keys: CellsKeyPred, shardIdx: Int = -1)
 }
 
 case class CellsReaderFactory(lo: Long, hi: Long,
-                              cols: Array[String], changeFeed: Boolean = false)
+                              cols: Array[String], changeFeed: Boolean = false,
+                              latest: Boolean = false)
     extends PartitionReaderFactory {
 
   // the change-feed BATCH face is the same edit log at rest: unmasked
-  // puts + delete rows (scan-the-WAL), vs the default masked view
+  // puts + delete rows (scan-the-WAL), vs the default masked view;
+  // the $latest face folds each key to its max live version
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CellsShard]
     CellsReaders.reader(p.dir, lo, hi, p.keys, cols,
-      maskDeletes = !changeFeed, emitOps = changeFeed)
+      maskDeletes = !changeFeed, emitOps = changeFeed, latestOnly = latest)
   }
 }
 
@@ -851,8 +877,10 @@ object CellsReaders {
 
   def reader(shardDir: String, lo: Long, hi: Long, keys: CellsKeyPred,
              cols: Array[String], maskDeletes: Boolean = true,
-             emitOps: Boolean = false): PartitionReader[InternalRow] =
+             emitOps: Boolean = false,
+             latestOnly: Boolean = false): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
+      require(!(latestOnly && emitOps), "the edit log has no latest fold")
       private val needKey = cols.contains("rowkey")
       private val needBody = cols.contains("body")
       private val readsContent = needKey || needBody || keys.hasRange
@@ -869,43 +897,78 @@ object CellsReaders {
       private def masked(digestHex: String, v: Long): Boolean =
         maskDeletes && masks.get(digestHex).exists(_ >= v)
       // (path, version, isMarker) — markers enter the listing only on
-      // the change-feed face (emitOps), as op='delete' rows
-      private val files: Iterator[(Path, Long, Boolean)] = {
+      // the change-feed face (emitOps), as op='delete' rows. Kept as a
+      // vector (not just an iterator) so the $latest winner sweep can
+      // re-walk it without a second directory listing; materialized
+      // before `masks` is read — the tombstone sweep completes first.
+      private val listed: Vector[(Path, Long, Boolean)] = {
         val shard = Paths.get(shardDir)
         val s = Files.list(shard)
-        val listed =
-          try s.iterator().asScala.flatMap { p =>
-            val n = p.getFileName.toString
-            val marker = graft.ingest.FileStore.tombstoneOf(n)
-            if (maskDeletes) marker.foreach { case (d, v) =>
-              if (masks.getOrElse(d, Long.MinValue) < v) masks(d) = v
+        try s.iterator().asScala.flatMap { p =>
+          val n = p.getFileName.toString
+          val marker = graft.ingest.FileStore.tombstoneOf(n)
+          if (maskDeletes) marker.foreach { case (d, v) =>
+            if (masks.getOrElse(d, Long.MinValue) < v) masks(d) = v
+          }
+          if (emitOps && marker.isDefined) {
+            val (d, v) = marker.get
+            if (keys.fileOk(d) && v >= lo && v <= hi) Some((p, v, true)) else None
+          } else {
+            val dot = n.lastIndexOf('.')
+            if (dot <= 0 || n.endsWith(".tmp") || graft.ingest.CellSegment.isSegment(n)) None
+            else if (!keys.fileOk(n.take(dot))) None // point lookup: only the probed key's cells
+            else n.drop(dot + 1).toLongOption.collect {
+              case v if v >= lo && v <= hi => (p, v, false) // filename prune — not opened
             }
-            if (emitOps && marker.isDefined) {
-              val (d, v) = marker.get
-              if (keys.fileOk(d) && v >= lo && v <= hi) Some((p, v, true)) else None
-            } else {
-              val dot = n.lastIndexOf('.')
-              if (dot <= 0 || n.endsWith(".tmp") || graft.ingest.CellSegment.isSegment(n)) None
-              else if (!keys.fileOk(n.take(dot))) None // point lookup: only the probed key's cells
-              else n.drop(dot + 1).toLongOption.collect {
-                case v if v >= lo && v <= hi => (p, v, false) // filename prune — not opened
-              }
-            }
-          }.toVector // materialized before `masks` is read: the tombstone sweep completes first
-          finally s.close()
-        listed.iterator
+          }
+        }.toVector
+        finally s.close()
       }
+      private val files: Iterator[(Path, Long, Boolean)] = listed.iterator
+      // the shard's segments, shared by the segment read phase and the
+      // $latest winner sweep (one listing)
+      private lazy val segPaths: Vector[Path] = {
+        val shard = Paths.get(shardDir)
+        val s = Files.list(shard)
+        try s.iterator().asScala
+          .filter(p => graft.ingest.CellSegment.isSegment(p.getFileName.toString))
+          .toVector.sortBy(_.getFileName.toString)
+        finally s.close()
+      }
+      // $LATEST winner per key digest — each key's max LIVE in-window
+      // version, from FILENAMES and SEGMENT INDEXES alone (no data
+      // I/O): the serving fold costs metadata, and only winning cells
+      // ever open. Latest-per-key is shard-local (a key lives in one
+      // region), so the fold needs no cross-partition state.
+      private lazy val winners: scala.collection.Map[String, Long] = {
+        val best = scala.collection.mutable.HashMap.empty[String, Long]
+        def bump(d: String, v: Long): Unit =
+          if (!masked(d, v) && best.getOrElse(d, Long.MinValue) < v) best(d) = v
+        listed.foreach { case (p, v, isMarker) =>
+          if (!isMarker) {
+            val n = p.getFileName.toString
+            bump(n.take(n.lastIndexOf('.')), v)
+          }
+        }
+        segPaths.foreach { seg =>
+          val t = graft.ingest.CellSegment.readTrailer(seg)
+          if (t.entryCount > 0 && t.minVersion <= hi && t.maxVersion >= lo) {
+            val skip = keys.digests.exists(ds =>
+              !ds.exists(graft.ingest.CellSegment.mightContain(seg, _))) // ROW bloom, as everywhere
+            if (!skip) graft.ingest.CellSegment.indexOf(seg).foreach { e =>
+              if (e.version >= lo && e.version <= hi && keys.fileOk(e.digestHex))
+                bump(e.digestHex, e.version)
+            }
+          }
+        }
+        best
+      }
+      private def isWinner(digestHex: String, v: Long): Boolean =
+        !latestOnly || winners.get(digestHex).contains(v)
       // segment phase, built lazily AFTER the per-cell phase drains so
       // the dedup set is complete; one iterator of ready rows per cell
       private lazy val segmentRows: Iterator[InternalRow] = {
-        val shard = Paths.get(shardDir)
-        val s = Files.list(shard)
-        val segs =
-          try s.iterator().asScala
-            .filter(p => graft.ingest.CellSegment.isSegment(p.getFileName.toString))
-            .toVector.sortBy(_.getFileName.toString)
-          finally s.close()
-        segs.iterator.flatMap { seg =>
+        segPaths.iterator.flatMap { seg =>
           val t = graft.ingest.CellSegment.readTrailer(seg)
           if (t.entryCount == 0 || t.minVersion > hi || t.maxVersion < lo) Iterator.empty
           else {
@@ -919,6 +982,7 @@ object CellsReaders {
                 graft.ingest.CellSegment.indexOf(seg).iterator
                   .filter(e => ds.contains(e.digestHex) && e.version >= lo && e.version <= hi &&
                     !masked(e.digestHex, e.version) &&
+                    isWinner(e.digestHex, e.version) &&
                     !seen.contains((e.digestHex, e.version)))
                   .flatMap { e =>
                     if (!readsContent) {
@@ -935,18 +999,41 @@ object CellsReaders {
                 // the data region is never read
                 graft.ingest.CellSegment.indexOf(seg).iterator
                   .filter(e => e.version >= lo && e.version <= hi &&
-                    !masked(e.digestHex, e.version) && seen.add((e.digestHex, e.version)))
+                    !masked(e.digestHex, e.version) &&
+                    isWinner(e.digestHex, e.version) && seen.add((e.digestHex, e.version)))
                   .map(e => mkRow(null, e.version, null))
               case None =>
                 // scan: stream the data region zipped with the cached
-                // index (same order), so dedup needs no re-hashing
-                CellsSource.filesOpened.incrementAndGet()
-                graft.ingest.CellSegment.entries(seg, needBody)
-                  .zip(graft.ingest.CellSegment.indexOf(seg).iterator).flatMap {
-                  case ((k, v, b), e) =>
-                    if (v < lo || v > hi || !keys.keyOk(k) || masked(e.digestHex, v)) None
+                // index (same order), so dedup needs no re-hashing. On
+                // the $latest face, when winners are SPARSE in this
+                // segment (a multi-version backlog), seek to each
+                // winning entry instead of streaming every loser's
+                // bytes; post-major segments (~1 version/key) stay on
+                // the stream path — seeks would cost more than the
+                // sequential read they replace.
+                lazy val winnersHere =
+                  graft.ingest.CellSegment.indexOf(seg).filter(e =>
+                    e.version >= lo && e.version <= hi &&
+                      isWinner(e.digestHex, e.version) &&
+                      !seen.contains((e.digestHex, e.version)))
+                if (latestOnly && winnersHere.size.toLong * 4 < t.entryCount.toLong) {
+                  CellsSource.filesOpened.incrementAndGet()
+                  winnersHere.iterator.flatMap { e =>
+                    val (k, v, b) = graft.ingest.CellSegment.entryAt(seg, e.offset, needBody)
+                    if (!keys.keyOk(k)) None
                     else if (!seen.add((e.digestHex, v))) None
                     else Some(mkRow(k, v, b))
+                  }
+                } else {
+                  CellsSource.filesOpened.incrementAndGet()
+                  graft.ingest.CellSegment.entries(seg, needBody)
+                    .zip(graft.ingest.CellSegment.indexOf(seg).iterator).flatMap {
+                    case ((k, v, b), e) =>
+                      if (v < lo || v > hi || !keys.keyOk(k) || masked(e.digestHex, v) ||
+                        !isWinner(e.digestHex, v)) None
+                      else if (!seen.add((e.digestHex, v))) None
+                      else Some(mkRow(k, v, b))
+                  }
                 }
             }
           }
@@ -977,6 +1064,10 @@ object CellsReaders {
           }
           else if (masked(digestHex, version)) {
             // delete-masked: dropped at filename level, never opened
+          }
+          else if (!isWinner(digestHex, version)) {
+            // $latest: a superseded version — dropped at filename
+            // level, never opened (a fresher live cell exists)
           }
           // version-only projection with no range bound: the version is
           // in the filename — emit without any content I/O

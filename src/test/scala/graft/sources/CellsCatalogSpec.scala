@@ -184,6 +184,116 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("gtest.del").count() == 13, "declined statements deleted nothing")
   }
 
+  test("$latest metadata table: max live version per key, masked, winners-only I/O") {
+    // the PUT path (INSERT) lands per-cell files, so opened-file counts
+    // discriminate winners from history
+    spark.sql("CREATE TABLE gtest.lt (rowkey BINARY, version BIGINT, body BINARY)")
+    spark.sql("INSERT INTO gtest.lt " +
+      "SELECT cast(concat('L-', id) as binary), 100 + id, cast(concat('v1-', id) as binary) " +
+      "FROM range(0, 12)")
+    spark.sql("INSERT INTO gtest.lt " +
+      "SELECT cast(concat('L-', id) as binary), 200 + id, cast(concat('v2-', id) as binary) " +
+      "FROM range(0, 12)")
+    // L-3: delete masks EVERYTHING (bound above both); L-4: a marker at
+    // v1's version — the latest face serves v2 unchanged
+    FileStore(root).deleteCells("lt", Seq((k("L-3"), 999L), (k("L-4"), 104L)))
+    CellsSource.filesOpened.set(0)
+    val got = spark.sql("SELECT cast(rowkey as string) AS key, version, " +
+      "cast(body as string) AS body FROM gtest.`lt$latest`")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val opened = CellsSource.filesOpened.get()
+    assert(got == (0 until 12).filter(_ != 3)
+      .map(i => (s"L-$i", 200L + i, s"v2-$i")).toSet, s"$got")
+    assert(opened == 11,
+      s"the $$latest fold opens ONLY winning cells (history pruned at filename level): $opened")
+    // the base face still serves full history: 24 cells − L-3's 2
+    // (fully masked) − L-4's v1 (the marker at 104 masks ≤ 104)
+    assert(spark.table("gtest.lt").count() == 21)
+    // equivalence with the DataFrame-side fold (the q27 max_by shape)
+    val folded = spark.table("gtest.lt").groupBy(col("rowkey"))
+      .agg(max_by(struct(col("version"), col("body")), col("version")).as("m"))
+      .select(col("rowkey").cast("string"), col("m.version"), col("m.body").cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(folded == got, "tbl$latest ≡ max_by fold over the base face")
+    // the face is read-only
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO gtest.`lt$latest` SELECT cast('x' as binary), 1L, cast('y' as binary)")
+    }
+    assert(e1.getMessage != null)
+  }
+
+  test("$latest version-predicate semantics: filter AFTER the fold; lower bounds still push") {
+    seed("ltv", (0 until 10).flatMap(i =>
+      Seq((f"V-$i", 10L + i, s"old-$i"), (f"V-$i", 30L + i, s"new-$i"))))
+    // WHERE version <= T on the latest face: keys whose latest exceeds
+    // T DISAPPEAR — the superseded old version must NOT resurface
+    // (that would be as-of semantics, which is what VERSION AS OF is for)
+    val capped = spark.sql("SELECT cast(rowkey as string) AS key, version " +
+      "FROM gtest.`ltv$latest` WHERE version <= 33")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(capped == (0 to 3).map(i => (s"V-$i", 30L + i)).toSet,
+      s"filter-after-fold, never resurrection: $capped")
+    // VERSION AS OF composes: the as-of serving view DOES fold within
+    // the snapshot
+    val asOf = spark.sql("SELECT cast(rowkey as string) AS key, version " +
+      "FROM gtest.`ltv$latest` VERSION AS OF 33")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(asOf == ((0 to 3).map(i => (s"V-$i", 30L + i)) ++
+      (4 until 10).map(i => (s"V-$i", 10L + i))).toSet,
+      s"as-of latest folds within the snapshot: $asOf")
+    // a LOWER bound prunes and agrees with filter-after-fold
+    val floor = spark.sql("SELECT cast(rowkey as string) AS key, version " +
+      "FROM gtest.`ltv$latest` WHERE version >= 35")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(floor == (5 until 10).map(i => (s"V-$i", 30L + i)).toSet, s"$floor")
+    // point GET on the latest face
+    val one = spark.table("gtest.`ltv$latest`").filter(col("rowkey") === lit(k("V-7"))).collect()
+    assert(one.length == 1 && one(0).getLong(1) == 37L)
+  }
+
+  test("$latest SPJ: a$latest JOIN b$latest joins current state with NO exchange") {
+    val points = (1 to 7).map(i => k(s"S-${i}0"))
+    // TWO versions per key on each side: the latest faces must join
+    // one-row-per-key (no version cross-product), still exchange-free
+    seed("lspja", (0 until 80).flatMap(i =>
+      Seq((f"S-$i%02d", 1L, s"a1-$i"), (f"S-$i%02d", 2L, s"a2-$i"))), points)
+    seed("lspjb", (0 until 80 by 2).flatMap(i =>
+      Seq((f"S-$i%02d", 5L, s"b5-$i"), (f"S-$i%02d", 6L, s"b6-$i"))), points)
+    val joined = spark.table("gtest.`lspja$latest`").as("a")
+      .join(spark.table("gtest.`lspjb$latest`").as("b"), col("a.rowkey") === col("b.rowkey"))
+      .select(col("a.rowkey").cast("string").as("key"),
+        col("a.body").cast("string").as("ba"), col("b.body").cast("string").as("bb"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"same-layout $$latest faces storage-partition-join with no exchange:\n$plan")
+    val got = joined.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == (0 until 80 by 2).map(i => (f"S-$i%02d", s"a2-$i", s"b6-$i")).sorted.toSeq,
+      "one row per key: each side's current state")
+  }
+
+  test("$latest ≡ ColocatedCells.joinLatest: the SQL join and the hand-built region join agree") {
+    val points = (1 to 3).map(i => k(s"E-${i}0"))
+    seed("eqa", (0 until 40).flatMap(i =>
+      Seq((f"E-$i%02d", 1L, s"a1-$i"), (f"E-$i%02d", 2L, s"a2-$i"))), points)
+    seed("eqb", (0 until 40 by 2).map(i => (f"E-$i%02d", 7L, s"b-$i")), points)
+    // a key fully masked on A must drop from BOTH join faces
+    FileStore(root).deleteCells("eqa", Seq((k("E-06"), 99L)))
+    val sql = spark.table("gtest.`eqa$latest`").as("a")
+      .join(spark.table("gtest.`eqb$latest`").as("b"), col("a.rowkey") === col("b.rowkey"))
+      .select(col("a.rowkey"), col("a.version").as("version_a"), col("a.body").as("body_a"),
+        col("b.version").as("version_b"), col("b.body").as("body_b"))
+    val handBuilt = ColocatedCells.joinLatest(spark, root, "eqa", "eqb")
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("rowkey").cast("string"), col("version_a"),
+        col("body_a").cast("string"), col("version_b"), col("body_b").cast("string"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getString(4))).toSet
+    assert(render(sql) == render(handBuilt),
+      "inner joinLatest ≡ the SQL $latest join")
+    assert(render(sql) == (0 until 40 by 2).filter(_ != 6)
+      .map(i => (f"E-$i%02d", 2L, s"a2-$i", 7L, s"b-$i")).toSet)
+  }
+
   test("different layouts decline SPJ: the join shuffles (and still answers correctly)") {
     seed("spjc", (0 until 40).map(i => (f"K-$i%02d", 1L, s"c-$i")),
       (1 to 7).map(i => k(s"K-${i}0")))
