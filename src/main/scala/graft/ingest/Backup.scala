@@ -135,30 +135,37 @@ object Backup {
     s"$backupDir/$slice-tombstones"
 
   /** Export the given delete markers as the slice's typed-row sidecar
-    * (rowkey BINARY, version BIGINT). Marker sets are the LIVE delete
-    * backlog — bounded between majors — so a driver-side parallelize
-    * of the listing is the right scale posture (the cells, which are
-    * data-sized, go through the shard-parallel connector scan). */
+    * (rowkey BINARY, version BIGINT, exact BOOLEAN — `.dv`
+    * exact-version markers travel in the same sidecar, kind-tagged).
+    * Marker sets are the LIVE delete backlog — bounded between
+    * majors — so a driver-side parallelize of the listing is the right
+    * scale posture (the cells, which are data-sized, go through the
+    * shard-parallel connector scan). */
   private def writeTombstones(spark: SparkSession, backupDir: String, slice: String,
-                              markers: Seq[(Array[Byte], Long)]): Unit = {
+                              markers: Seq[(Array[Byte], Long, Boolean)]): Unit = {
     import spark.implicits._
-    spark.createDataset(markers.map { case (k, v) => (k, v) })
-      .toDF("rowkey", "version")
+    spark.createDataset(markers)
+      .toDF("rowkey", "version", "exact")
       .repartition(1)
       .write.mode("overwrite").parquet(tombstoneDir(backupDir, slice))
   }
 
   /** marker identity set of every slice already in the chain — used
     * by [[incremental]]'s delta and bounded by the chain's total
-    * marker count. */
+    * marker count. Sidecars from chains written before exact markers
+    * existed lack the `exact` column — read as false. */
   private def exportedMarkers(spark: SparkSession, backupDir: String,
-                              slices: Seq[String]): Set[(Seq[Byte], Long)] =
+                              slices: Seq[String]): Set[(Seq[Byte], Long, Boolean)] =
     slices.flatMap { s =>
       val dir = tombstoneDir(backupDir, s)
       if (!Files.isDirectory(Paths.get(dir))) Seq.empty
-      else spark.read.parquet(dir).collect()
-        .map(r => (r.getAs[Array[Byte]]("rowkey").toSeq, r.getAs[Long]("version")))
+      else withExactColumn(spark.read.parquet(dir)).collect()
+        .map(r => (r.getAs[Array[Byte]]("rowkey").toSeq, r.getAs[Long]("version"),
+          r.getAs[Boolean]("exact")))
     }.toSet
+
+  private def withExactColumn(df: DataFrame): DataFrame =
+    if (df.columns.contains("exact")) df else df.withColumn("exact", lit(false))
 
   /** Full backup: export every live cell, the table's live delete
     * markers, and record the watermark + table descriptor. Overwrites
@@ -167,7 +174,7 @@ object Backup {
     val dir = backupDir + "/full"
     readTable(spark, root, table).write.mode("overwrite").parquet(dir)
     val store = FileStore(root)
-    writeTombstones(spark, backupDir, "full", store.listTombstones(table))
+    writeTombstones(spark, backupDir, "full", store.listMarkers(table))
     val splits = store.splitsOf(table)
     val meta = Meta(table, maxVersionOf(spark, dir), Vector.empty,
       store.readSpecJson(table),
@@ -190,8 +197,8 @@ object Backup {
     readTable(spark, root, table).filter(col("version") > prev.watermark)
       .write.mode("overwrite").parquet(dir)
     val already = exportedMarkers(spark, backupDir, "full" +: prev.increments)
-    val delta = FileStore(root).listTombstones(table)
-      .filterNot { case (k, v) => already.contains((k.toSeq, v)) }
+    val delta = FileStore(root).listMarkers(table)
+      .filterNot { case (k, v, e) => already.contains((k.toSeq, v, e)) }
     writeTombstones(spark, backupDir, name, delta)
     val meta = prev.copy(
       watermark = math.max(prev.watermark, maxVersionOf(spark, dir)),
@@ -225,11 +232,18 @@ object Backup {
         // idempotent (tmp + atomic rename), so a retried task converges.
         // The analyzer resolves writes against the 3-column table
         // schema, so the marker frame carries an (ignored) empty body.
-        spark.read.parquet(tDir)
+        // Bound and exact markers re-apply through their own write
+        // faces (one pass each — kind is a write option, not a column).
+        val markers = withExactColumn(spark.read.parquet(tDir))
           .withColumn("body", lit(Array.emptyByteArray))
-          .write.format("graft-cells").mode("append")
-          .option("root", dstRoot).option("table", meta.table)
-          .option("tombstone", "true").save()
+        Seq(false, true).foreach { exact =>
+          val slice = markers.filter(col("exact") === exact).drop("exact")
+          if (!slice.isEmpty)
+            slice.write.format("graft-cells").mode("append")
+              .option("root", dstRoot).option("table", meta.table)
+              .option("tombstone", "true")
+              .option("tombstoneExact", exact.toString).save()
+        }
       }
       n
     }.sum

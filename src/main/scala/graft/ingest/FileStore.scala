@@ -59,20 +59,53 @@ object FileStore {
       if (dot <= 0) None else core.drop(dot + 1).toLongOption.map(v => (core.take(dot), v))
     }
 
-  /** One shard's delete-mask: key digest → HIGHEST tombstone version
-    * (a cell (digest, v) is masked iff v ≤ that bound). Filenames
+  /** Parse an EXACT-VERSION tombstone `<digest>.<version>.dv` →
+    * (key digest, the one masked version) — the HBase
+    * `Delete.addColumn(family, qualifier, ts)` idiom: the marker masks
+    * ONLY the cell at exactly its version (including a put landing
+    * later at that version, until a major purges both), never older
+    * ones. This is the precise per-row delete SQL row-level operations
+    * (MERGE/UPDATE, predicate DELETE) need — a ≤-bound marker would
+    * over-delete sibling versions. Every existing filename parse skips
+    * `.dv` (the last dot segment is not a long), so the two marker
+    * kinds and cell files coexist in one listing. */
+  def exactTombstoneOf(name: String): Option[(String, Long)] =
+    if (!name.endsWith(".dv")) None
+    else {
+      val core = name.dropRight(3) // <digest>.<version>
+      val dot = core.lastIndexOf('.')
+      if (dot <= 0) None else core.drop(dot + 1).toLongOption.map(v => (core.take(dot), v))
+    }
+
+  /** One shard's combined delete-mask: a ≤-BOUND per digest (`.d`
+    * markers) plus the EXACT-version set (`.dv`). A cell (d, v) is
+    * masked iff v ≤ bound(d) OR (d, v) is exactly deleted. Filenames
     * only — building the mask costs the directory listing the reader
     * already pays, zero file-content I/O. */
-  def maskMap(shardDir: Path): Map[String, Long] =
-    if (!Files.isDirectory(shardDir)) Map.empty
+  final case class ShardMask(bound: Map[String, Long], exact: Set[(String, Long)]) {
+    def masked(digestHex: String, v: Long): Boolean =
+      bound.get(digestHex).exists(_ >= v) || exact((digestHex, v))
+    def isEmpty: Boolean = bound.isEmpty && exact.isEmpty
+  }
+
+  object ShardMask { val Empty: ShardMask = ShardMask(Map.empty, Set.empty) }
+
+  def maskOf(shardDir: Path): ShardMask =
+    if (!Files.isDirectory(shardDir)) ShardMask.Empty
     else {
       val s = Files.list(shardDir)
-      try s.iterator().asScala
-        .flatMap(p => tombstoneOf(p.getFileName.toString))
-        .foldLeft(Map.empty[String, Long]) { case (m, (d, v)) =>
-          if (m.getOrElse(d, Long.MinValue) >= v) m else m.updated(d, v)
+      try {
+        var bound = Map.empty[String, Long]
+        val exact = Set.newBuilder[(String, Long)]
+        s.iterator().asScala.foreach { p =>
+          val n = p.getFileName.toString
+          tombstoneOf(n).foreach { case (d, v) =>
+            if (bound.getOrElse(d, Long.MinValue) < v) bound = bound.updated(d, v)
+          }
+          exactTombstoneOf(n).foreach(exact += _)
         }
-      finally s.close()
+        ShardMask(bound, exact.result())
+      } finally s.close()
     }
 
   /** Shard directory of a rowkey under the DEFAULT split layout: hex
@@ -285,10 +318,21 @@ final case class FileStore(rootDir: String) extends Store {
     * version ≤ its own on the batch read faces until a major
     * compaction purges masked cells and marker together. */
   def deleteCells(tableName: String, cells: Seq[(Array[Byte], Long)]): Unit =
+    writeMarkers(tableName, cells, suffix = "d")
+
+  /** Write EXACT-VERSION tombstones — the HBase `Delete.addColumn(ts)`
+    * analog: each marker masks ONLY the cell at exactly its version
+    * (see [[FileStore.exactTombstoneOf]]). The precise per-row delete
+    * behind SQL MERGE/UPDATE and predicate DELETE. */
+  def deleteCellsExact(tableName: String, cells: Seq[(Array[Byte], Long)]): Unit =
+    writeMarkers(tableName, cells, suffix = "dv")
+
+  private def writeMarkers(tableName: String, cells: Seq[(Array[Byte], Long)],
+                           suffix: String): Unit =
     cells.foreach { case (rowkey, version) =>
       val shardDir = tableDir(tableName).resolve(splitsOf(tableName).shardNameOf(rowkey))
       Files.createDirectories(shardDir)
-      val target = shardDir.resolve(s"${keyDigest(rowkey)}.$version.d")
+      val target = shardDir.resolve(s"${keyDigest(rowkey)}.$version.$suffix")
       val tmp = Files.createTempFile(shardDir, "del", ".tmp")
       val buf = java.nio.ByteBuffer.allocate(4 + rowkey.length)
       buf.putInt(rowkey.length).put(rowkey)
@@ -302,18 +346,28 @@ final case class FileStore(rootDir: String) extends Store {
     * live marker count (majors purge markers, so this is the
     * between-compactions delete backlog, not the table); one
     * directory listing + one small read per marker. */
-  def listTombstones(tableName: String): Seq[(Array[Byte], Long)] = {
+  def listTombstones(tableName: String): Seq[(Array[Byte], Long)] =
+    listMarkers(tableName).collect { case (k, v, false) => (k, v) }
+
+  /** All live markers of BOTH kinds as (rowkey, version, exact) — the
+    * backup export face (a chain must carry exact deletes exactly as it
+    * carries bound ones). Same boundedness as [[listTombstones]]: the
+    * between-majors delete backlog. */
+  def listMarkers(tableName: String): Seq[(Array[Byte], Long, Boolean)] = {
     val dir = tableDir(tableName)
     if (!Files.isDirectory(dir)) return Seq.empty
     val shards = Files.list(dir)
     try shards.iterator().asScala.filter(Files.isDirectory(_)).flatMap { shard =>
       val l = Files.list(shard)
       try l.iterator().asScala.flatMap { p =>
-        FileStore.tombstoneOf(p.getFileName.toString).map { case (_, v) =>
+        val n = p.getFileName.toString
+        val kinded = FileStore.tombstoneOf(n).map(t => (t, false))
+          .orElse(FileStore.exactTombstoneOf(n).map(t => (t, true)))
+        kinded.map { case ((_, v), exact) =>
           val buf = java.nio.ByteBuffer.wrap(Files.readAllBytes(p))
           val keyLen = buf.getInt()
           val rowkey = new Array[Byte](keyLen); buf.get(rowkey)
-          (rowkey, v)
+          (rowkey, v, exact)
         }
       }.toVector
       finally l.close()
@@ -378,7 +432,7 @@ final case class FileStore(rootDir: String) extends Store {
     * absent, so an ingest replay re-puts it — and the re-put stays
     * masked until the marker compacts away, the HBase contract. */
   override def exists(tableName: String, cells: Seq[CellPut]): Seq[Boolean] = {
-    val masks = scala.collection.mutable.HashMap.empty[Path, Map[String, Long]]
+    val masks = scala.collection.mutable.HashMap.empty[Path, FileStore.ShardMask]
     // segment listings memoize per BATCH (segments are immutable, and
     // a put landing mid-batch is invisible to a snapshot check anyway)
     // — a 10k-cell probe batch pays one directory listing per touched
@@ -398,8 +452,8 @@ final case class FileStore(rootDir: String) extends Store {
       // masked INTO existence), so a fresh-cell probe — the common
       // ingest case — pays no extra listing; one listing per touched
       // shard per batch otherwise
-      raw && !masks.getOrElseUpdate(shardDir, FileStore.maskMap(shardDir))
-        .get(d).exists(_ >= c.version)
+      raw && !masks.getOrElseUpdate(shardDir, FileStore.maskOf(shardDir))
+        .masked(d, c.version)
     }
   }
 
@@ -488,9 +542,8 @@ final case class FileStore(rootDir: String) extends Store {
         if (Files.isDirectory(shard)) {
           // the LOGICAL view: delete tombstones mask here as on the
           // connector's batch face
-          val mask = FileStore.maskMap(shard)
-          def masked(digestHex: String, v: Long): Boolean =
-            mask.get(digestHex).exists(_ >= v)
+          val mask = FileStore.maskOf(shard)
+          def masked(digestHex: String, v: Long): Boolean = mask.masked(digestHex, v)
           val cells = Files.list(shard)
           try cells.iterator().forEachRemaining { p =>
             val n = p.getFileName.toString

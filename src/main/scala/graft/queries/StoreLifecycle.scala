@@ -662,9 +662,10 @@ object StoreLifecycle {
     // the bounded statement, per-key latest for the bare one), and
     // the emitted result is the masked view after both deletes — the
     // driver hash pins predicate decomposition ∘ marker stamping ∘
-    // masking. Unsupported shapes (version =, ranges, non-key
-    // columns) are DECLINED at canDeleteWhere so Spark fails loudly
-    // instead of over-deleting.
+    // masking. `version = T` takes an exact `.dv` marker (q234-family
+    // semantics); still-unsupported shapes (ranges, non-key columns)
+    // are DECLINED at canDeleteWhere so Spark fails loudly instead of
+    // over-deleting.
     "q231_cells_sql_delete" -> { (s, d) =>
       val root = Files.createTempDirectory("graft-q231-cells").toString
       val cat = "g231_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)

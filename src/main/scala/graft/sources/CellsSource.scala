@@ -89,13 +89,16 @@ object CellsSource {
 
   /** `option("changeFeed","true")` — the WAL/replication face: every
     * edit is a typed row, PUTS with their body and DELETE MARKERS as
-    * `op = 'delete'` rows (body null, version = the mask bound), so a
-    * downstream materialized view can converge to the masked batch
-    * view after a delete — the contract HBase replication ships
-    * Deletes through the WAL to fulfill. No masking is applied in this
-    * face (an edit log reports edits, it doesn't interpret them), and
-    * replay stays deterministic: markers are versioned feed rows
-    * inside the same (start, end] offset windows as puts. */
+    * `op = 'delete'` rows (body null, version = the mask bound — drop
+    * everything ≤ it) or `op = 'delete_version'` rows (exact-version
+    * markers — drop exactly that version), so a downstream
+    * materialized view can converge to the masked batch view after a
+    * delete — the contract HBase replication ships Deletes through the
+    * WAL to fulfill (HBase WALs carry both Delete types). No masking
+    * is applied in this face (an edit log reports edits, it doesn't
+    * interpret them), and replay stays deterministic: markers are
+    * versioned feed rows inside the same (start, end] offset windows
+    * as puts. */
   val ChangeFeedSchema: StructType = StructType(Seq(
     StructField("rowkey", BinaryType, nullable = false),
     StructField("version", LongType, nullable = false),
@@ -225,53 +228,69 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
     require(asOf.isEmpty, s"cannot write to time-travel snapshot ${name()}")
     require(!latest, s"the $$latest face is read-only — write to the base table")
     CellsWriteBuilder(root, table, info.schema(),
-      info.options().getBoolean("tombstone", false))
+      info.options().getBoolean("tombstone", false),
+      info.options().getBoolean("tombstoneExact", false))
   }
 
-  /** SQL `DELETE FROM cat.tbl WHERE rowkey = … [AND version <= T]` —
-    * the HBase Delete idiom as DML: each matched key takes a tombstone
-    * MARKER (no cell is rewritten; majors purge marker + covered cells
-    * later). A version bound stamps the marker at T (Delete.addColumns
-    * up-to-T); a bare key delete stamps the key's CURRENT latest
-    * version (deleteRow at now). Supported shapes: a conjunction of
-    * rowkey `=`/`IN` (required) and at most one version `<=`/`<`/`=`
-    * bound — anything else is declined at canDeleteWhere, so Spark
-    * fails the statement instead of silently over-deleting. */
-  private def deletePlan(filters: Array[Filter]): Option[(Seq[Array[Byte]], Option[Long])] = {
+  /** SQL `DELETE FROM cat.tbl WHERE rowkey = … [AND version <= T |
+    * version = T]` — the HBase Delete idiom as DML: each matched key
+    * takes a tombstone MARKER (no cell is rewritten; majors purge
+    * marker + covered cells later). A version upper bound stamps a
+    * `.d` marker at T (Delete.addColumns up-to-T); `version = T`
+    * stamps a `.dv` EXACT marker (Delete.addColumn at exactly ts,
+    * masking only that version); a bare key delete stamps the key's
+    * CURRENT latest version (deleteRow at now). Supported shapes: a
+    * conjunction of rowkey `=`/`IN` (required) and at most one version
+    * `<=`/`<`/`=` — anything else is declined at canDeleteWhere, so
+    * Spark fails the statement (or rewrites it through the row-level
+    * path) instead of silently over-deleting. */
+  private def deletePlan(filters: Array[Filter])
+      : Option[(Seq[Array[Byte]], Option[Long], Option[Long])] = {
     var keys: Option[Seq[Array[Byte]]] = None
     var bound: Option[Long] = None
+    var exact: Option[Long] = None
     val ok = filters.forall {
       case EqualTo("rowkey", k: Array[Byte]) if keys.isEmpty => keys = Some(Seq(k)); true
       case In("rowkey", vs) if keys.isEmpty && vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]]) =>
         keys = Some(vs.toSeq.map(_.asInstanceOf[Array[Byte]])); true
-      case LessThanOrEqual("version", v: java.lang.Long) if bound.isEmpty => bound = Some(v); true
-      case LessThan("version", v: java.lang.Long) if bound.isEmpty && v != Long.MinValue =>
+      case LessThanOrEqual("version", v: java.lang.Long) if bound.isEmpty && exact.isEmpty =>
+        bound = Some(v); true
+      case LessThan("version", v: java.lang.Long)
+        if bound.isEmpty && exact.isEmpty && v != Long.MinValue =>
         bound = Some(v - 1); true
-      // version = T is NOT supported: a marker masks <= T, so honoring
-      // equality would silently over-delete older versions — declined
+      case EqualTo("version", v: java.lang.Long) if bound.isEmpty && exact.isEmpty =>
+        exact = Some(v); true
       case _ => false
     }
-    if (ok && keys.isDefined) Some((keys.get, bound)) else None
+    if (ok && keys.isDefined) Some((keys.get, bound, exact)) else None
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     asOf.isEmpty && !changeFeed && !latest && deletePlan(filters).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val (keys, bound) = deletePlan(filters).getOrElse(
+    val (keys, bound, exact) = deletePlan(filters).getOrElse(
       throw new UnsupportedOperationException(
-        s"graft DELETE needs rowkey =/IN plus at most one version upper bound; got ${filters.mkString(", ")}"))
+        s"graft DELETE needs rowkey =/IN plus at most one version bound; got ${filters.mkString(", ")}"))
     val store = graft.ingest.FileStore(root)
-    val markers = bound match {
-      case Some(t) => keys.map(k => (k, t))
+    exact match {
+      case Some(t) =>
+        // exact-version delete: marker lands whether or not a cell
+        // exists at T (HBase Delete.addColumn(ts) semantics — it also
+        // masks a put arriving later at exactly T)
+        store.deleteCellsExact(table, keys.map(k => (k, t)))
       case None =>
-        // bare deletes stamp each key's current latest — batched: one
-        // listing + one index pass per touched shard, not per key
-        keys.zip(store.latestVersionsOf(table, keys)).collect {
-          case (k, Some(t)) => (k, t) // an absent key is a no-op, like HBase's
+        val markers = bound match {
+          case Some(t) => keys.map(k => (k, t))
+          case None =>
+            // bare deletes stamp each key's current latest — batched: one
+            // listing + one index pass per touched shard, not per key
+            keys.zip(store.latestVersionsOf(table, keys)).collect {
+              case (k, Some(t)) => (k, t) // an absent key is a no-op, like HBase's
+            }
         }
+        if (markers.nonEmpty) store.deleteCells(table, markers)
     }
-    if (markers.nonEmpty) store.deleteCells(table, markers)
   }
 }
 
@@ -284,14 +303,17 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
   * design, not omission). The driver ensures the table DDL once;
   * executors batch puts by the W1 byte cap. */
 case class CellsWriteBuilder(root: String, table: String, schema: StructType,
-                             tombstone: Boolean = false) extends WriteBuilder {
+                             tombstone: Boolean = false,
+                             tombstoneExact: Boolean = false) extends WriteBuilder {
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = CellsBatchWrite(root, table, schema, tombstone)
+    override def toBatch: BatchWrite = CellsBatchWrite(root, table, schema, tombstone,
+      tombstoneExact)
   }
 }
 
 case class CellsBatchWrite(root: String, table: String, schema: StructType,
-                           tombstone: Boolean = false) extends BatchWrite {
+                           tombstone: Boolean = false,
+                           tombstoneExact: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // names AND types, driver-side: a STRING rowkey or INT version
     // would otherwise surface as an opaque executor ClassCastException
@@ -310,14 +332,15 @@ case class CellsBatchWrite(root: String, table: String, schema: StructType,
         s"${if (tombstone) " — or (rowkey, version) for tombstones" else ""}; got ${schema.simpleString}")
     // driver-side, once: the DDL write (W3) — executors only put cells
     graft.ingest.FileStore(root).ensureTable(table, graft.ingest.PushTableSink.TableSpec())
-    CellsWriterFactory(root, table, tombstone)
+    CellsWriterFactory(root, table, tombstone, tombstoneExact)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 case class CellsWriterFactory(root: String, table: String,
-                              tombstone: Boolean = false) extends DataWriterFactory {
+                              tombstone: Boolean = false,
+                              tombstoneExact: Boolean = false) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val store = graft.ingest.FileStore(root)
@@ -340,7 +363,13 @@ case class CellsWriterFactory(root: String, table: String,
         if (bufBytes >= MaxBatchBytes) flush()
       }
       private def flush(): Unit = if (buf.nonEmpty) {
-        if (tombstone) store.deleteCells(table, buf.toSeq.map(c => (c.rowkey, c.version)))
+        if (tombstone) {
+          val markers = buf.toSeq.map(c => (c.rowkey, c.version))
+          // option("tombstoneExact","true") lands `.dv` exact-version
+          // markers (Delete.addColumn(ts)); default `.d` bounds
+          if (tombstoneExact) store.deleteCellsExact(table, markers)
+          else store.deleteCells(table, markers)
+        }
         else store.putBatch(table, buf.toSeq)
         buf.clear(); bufBytes = 0
       }
@@ -771,11 +800,15 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
               n.drop(dot + 1).toLongOption.foreach { v =>
                 if (v >= lo && v <= hi && v > mx) mx = v
               }
-            // delete markers are feed rows on the change-feed face, so
-            // they advance the watermark like any other edit (a delete
-            // with no subsequent put must still get delivered)
-            if (changeFeed) graft.ingest.FileStore.tombstoneOf(n).foreach { case (d, v) =>
-              if (keys.fileOk(d) && v >= lo && v <= hi && v > mx) mx = v
+            // delete markers (BOTH kinds) are feed rows on the
+            // change-feed face, so they advance the watermark like any
+            // other edit (a delete with no subsequent put must still
+            // get delivered)
+            if (changeFeed) {
+              graft.ingest.FileStore.tombstoneOf(n)
+                .orElse(graft.ingest.FileStore.exactTombstoneOf(n)).foreach { case (d, v) =>
+                  if (keys.fileOk(d) && v >= lo && v <= hi && v > mx) mx = v
+                }
             }
           } finally s.close()
         }
@@ -874,6 +907,10 @@ case class CellsReaderFactory(lo: Long, hi: Long,
 object CellsReaders {
   private val OpPut = org.apache.spark.unsafe.types.UTF8String.fromString("put")
   private val OpDelete = org.apache.spark.unsafe.types.UTF8String.fromString("delete")
+  // exact-version markers (`.dv`, Delete.addColumn(ts)) are their own
+  // edit type: a consumer folding the feed must drop exactly ONE
+  // version, where op='delete' drops everything ≤ the bound
+  private val OpDeleteVersion = org.apache.spark.unsafe.types.UTF8String.fromString("delete_version")
 
   def reader(shardDir: String, lo: Long, hi: Long, keys: CellsKeyPred,
              cols: Array[String], maskDeletes: Boolean = true,
@@ -885,46 +922,57 @@ object CellsReaders {
       private val needBody = cols.contains("body")
       private val readsContent = needKey || needBody || keys.hasRange
       private val seen = scala.collection.mutable.HashSet.empty[(String, Long)]
-      // delete-tombstone mask (digest → masked-through version), built
-      // from the SAME directory listing the file prune pays — a masked
-      // cell is dropped at FILENAME level, before any content I/O. The
-      // streaming face passes maskDeletes=false: the change feed is a
-      // WAL-style PUT-edit log whose replayed batches must regenerate
-      // identical rows, so a later tombstone never rewrites history —
-      // deletes surface through the batch face (and compaction), the
-      // same split HBase makes between its WAL and its read path.
+      // delete-tombstone mask, built from the SAME directory listing
+      // the file prune pays — a masked cell is dropped at FILENAME
+      // level, before any content I/O. Two marker kinds (the HBase
+      // Delete type split): `.d` = digest → masked-THROUGH version
+      // (everything ≤ bound), `.dv` = one exactly-masked (digest,
+      // version). The streaming face passes maskDeletes=false: the
+      // change feed is a WAL-style PUT-edit log whose replayed batches
+      // must regenerate identical rows, so a later tombstone never
+      // rewrites history — deletes surface through the batch face (and
+      // compaction), the same split HBase makes between its WAL and
+      // its read path.
       private val masks = scala.collection.mutable.HashMap.empty[String, Long]
+      private val exactMasks = scala.collection.mutable.HashSet.empty[(String, Long)]
       private def masked(digestHex: String, v: Long): Boolean =
-        maskDeletes && masks.get(digestHex).exists(_ >= v)
-      // (path, version, isMarker) — markers enter the listing only on
-      // the change-feed face (emitOps), as op='delete' rows. Kept as a
+        maskDeletes &&
+          (masks.get(digestHex).exists(_ >= v) || exactMasks.contains((digestHex, v)))
+      // (path, version, kind: 0=cell, 1=bound marker, 2=exact marker) —
+      // markers enter the listing only on the change-feed face
+      // (emitOps), as op='delete' / op='delete_version' rows. Kept as a
       // vector (not just an iterator) so the $latest winner sweep can
       // re-walk it without a second directory listing; materialized
       // before `masks` is read — the tombstone sweep completes first.
-      private val listed: Vector[(Path, Long, Boolean)] = {
+      private val listed: Vector[(Path, Long, Int)] = {
         val shard = Paths.get(shardDir)
         val s = Files.list(shard)
         try s.iterator().asScala.flatMap { p =>
           val n = p.getFileName.toString
-          val marker = graft.ingest.FileStore.tombstoneOf(n)
-          if (maskDeletes) marker.foreach { case (d, v) =>
-            if (masks.getOrElse(d, Long.MinValue) < v) masks(d) = v
+          val bound = graft.ingest.FileStore.tombstoneOf(n)
+          val exact = graft.ingest.FileStore.exactTombstoneOf(n)
+          if (maskDeletes) {
+            bound.foreach { case (d, v) =>
+              if (masks.getOrElse(d, Long.MinValue) < v) masks(d) = v
+            }
+            exact.foreach(exactMasks += _)
           }
-          if (emitOps && marker.isDefined) {
-            val (d, v) = marker.get
-            if (keys.fileOk(d) && v >= lo && v <= hi) Some((p, v, true)) else None
+          if (emitOps && (bound.isDefined || exact.isDefined)) {
+            val (d, v) = bound.getOrElse(exact.get)
+            val kind = if (bound.isDefined) 1 else 2
+            if (keys.fileOk(d) && v >= lo && v <= hi) Some((p, v, kind)) else None
           } else {
             val dot = n.lastIndexOf('.')
             if (dot <= 0 || n.endsWith(".tmp") || graft.ingest.CellSegment.isSegment(n)) None
             else if (!keys.fileOk(n.take(dot))) None // point lookup: only the probed key's cells
             else n.drop(dot + 1).toLongOption.collect {
-              case v if v >= lo && v <= hi => (p, v, false) // filename prune — not opened
+              case v if v >= lo && v <= hi => (p, v, 0) // filename prune — not opened
             }
           }
         }.toVector
         finally s.close()
       }
-      private val files: Iterator[(Path, Long, Boolean)] = listed.iterator
+      private val files: Iterator[(Path, Long, Int)] = listed.iterator
       // the shard's segments, shared by the segment read phase and the
       // $latest winner sweep (one listing)
       private lazy val segPaths: Vector[Path] = {
@@ -944,8 +992,8 @@ object CellsReaders {
         val best = scala.collection.mutable.HashMap.empty[String, Long]
         def bump(d: String, v: Long): Unit =
           if (!masked(d, v) && best.getOrElse(d, Long.MinValue) < v) best(d) = v
-        listed.foreach { case (p, v, isMarker) =>
-          if (!isMarker) {
+        listed.foreach { case (p, v, kind) =>
+          if (kind == 0) {
             val n = p.getFileName.toString
             bump(n.take(n.lastIndexOf('.')), v)
           }
@@ -1043,23 +1091,24 @@ object CellsReaders {
 
       override def next(): Boolean = {
         while (files.hasNext) {
-          val (p, version, isMarker) = files.next()
+          val (p, version, kind) = files.next()
           val n = p.getFileName.toString
           val digestHex =
-            if (isMarker) n.take(n.dropRight(2).lastIndexOf('.'))
+            if (kind == 1) n.take(n.dropRight(2).lastIndexOf('.'))
+            else if (kind == 2) n.take(n.dropRight(3).lastIndexOf('.'))
             else n.take(n.lastIndexOf('.'))
-          if (isMarker) {
-            // op='delete' feed row; markers are never (digest, version)
-            // -deduped against puts — a put and a delete at one cell
-            // identity are two distinct edits
-            if (!readsContent) { row = mkRow(null, version, null, delete = true); return true }
+          if (kind != 0) {
+            // op='delete' / op='delete_version' feed row; markers are
+            // never (digest, version)-deduped against puts — a put and
+            // a delete at one cell identity are two distinct edits
+            if (!readsContent) { row = mkRow(null, version, null, markerKind = kind); return true }
             else {
               CellsSource.filesOpened.incrementAndGet()
               // marker files carry the length-prefixed true key
               val buf = java.nio.ByteBuffer.wrap(Files.readAllBytes(p))
               val keyLen = buf.getInt()
               val k = new Array[Byte](keyLen); buf.get(k)
-              if (keys.keyOk(k)) { row = mkRow(k, version, null, delete = true); return true }
+              if (keys.keyOk(k)) { row = mkRow(k, version, null, markerKind = kind); return true }
             }
           }
           else if (masked(digestHex, version)) {
@@ -1104,12 +1153,15 @@ object CellsReaders {
       }
 
       private def mkRow(key: Array[Byte], version: Long, body: Array[Byte],
-                        delete: Boolean = false): InternalRow = {
+                        markerKind: Int = 0): InternalRow = {
         val values = cols.map {
           case "rowkey" => key
           case "version" => version
           case "body" => body
-          case "op" => if (delete) OpDelete else OpPut
+          case "op" =>
+            if (markerKind == 1) OpDelete
+            else if (markerKind == 2) OpDeleteVersion
+            else OpPut
         }
         new GenericInternalRow(values.asInstanceOf[Array[Any]])
       }

@@ -80,13 +80,25 @@ object CellStateView {
           var rowkey: Array[Byte] = null
           // apply the batch's edits in version order — the feed's
           // closed windows guarantee no earlier-versioned edit arrives
-          // in a later batch, so per-batch ordering is total ordering
+          // in a later batch, so per-batch ordering is total ordering.
+          // Exact-version deletes (op='delete_version') are resolved
+          // WITHIN the batch: every edit at version v arrives in the
+          // window containing v (the same closed-window contract), so
+          // the masked set needs no cross-batch state — order-
+          // independent either way (marker first masks the put on
+          // arrival; put first is dropped by the marker).
+          val exactDel = scala.collection.mutable.HashSet.empty[Long]
           edits.toSeq.sortBy(_.version).foreach { e =>
             rowkey = e.rowkey
             if (e.op == "delete") {
               if (e.version > delBound) delBound = e.version
               cells = cells.filter(_._1 > delBound)
-            } else if (e.version > delBound) { // a put at ≤ delBound is masked on arrival
+            } else if (e.op == "delete_version") {
+              exactDel += e.version
+              cells = cells.filterNot(_._1 == e.version)
+            } else if (e.version > delBound && !exactDel.contains(e.version)) {
+              // a put at ≤ delBound or at an exactly-deleted version is
+              // masked on arrival
               cells = ((e.version, e.body) :: cells.filterNot(_._1 == e.version))
                 .sortBy(-_._1).take(maxVersions) // retention keeps state bounded
             }

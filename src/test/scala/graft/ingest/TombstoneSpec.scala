@@ -271,4 +271,76 @@ class TombstoneSpec extends AnyFunSuite with BeforeAndAfterAll {
     delete() // replayed delete: same marker, same state
     assert(readBack(root, "t") == Set(("kappa", 1L)))
   }
+
+  test("exact-version marker (.dv) masks ONLY its version — older and newer stay live") {
+    val root = Files.createTempDirectory("tomb-exact").toString
+    val store = FileStore(root)
+    store.ensureTable("t", PushTableSink.TableSpec())
+    put(store, "t", "ex", 1L, 2L, 3L)
+    // and the same key shape inside a bulk segment
+    val s = spark; import s.implicits._
+    BulkLoad.writeCells(
+      Seq(("t", k("seg"), 1L, k("s1")), ("t", k("seg"), 2L, k("s2")), ("t", k("seg"), 3L, k("s3")))
+        .toDF("tableName", "rowkey", "version", "body"), root)
+    store.deleteCellsExact("t", Seq((k("ex"), 2L), (k("seg"), 2L)))
+    assert(readBack(root, "t") ==
+      Set(("ex", 1L), ("ex", 3L), ("seg", 1L), ("seg", 3L)),
+      "exactly version 2 vanishes on both store-file kinds")
+    // name parses: the two marker kinds never collide
+    assert(FileStore.exactTombstoneOf("abc.42.dv").contains(("abc", 42L)))
+    assert(FileStore.exactTombstoneOf("abc.42.d").isEmpty)
+    assert(FileStore.tombstoneOf("abc.42.dv").isEmpty)
+    // F5: the exactly-deleted cell reads as absent; siblings exist
+    val probes = Seq(1L, 2L, 3L).map(v => PushTableSink.CellPut("t", k("ex"), v, k("b")))
+    assert(store.exists("t", probes) == Seq(true, false, true))
+    // a put landing AFTER the marker at exactly its version stays
+    // masked until compaction (the HBase rule) — then resurrects
+    put(store, "t", "ex", 2L)
+    assert(!readBack(root, "t").contains(("ex", 2L)), "late put at the exact version is masked")
+    Compaction.major(spark, root, "t")
+    assert(!readBack(root, "t").contains(("ex", 2L)), "major purges masked cell + marker")
+    put(store, "t", "ex", 2L)
+    assert(readBack(root, "t").contains(("ex", 2L)), "post-compaction re-put resurrects")
+  }
+
+  test("$latest falls back to an older live version when the top is exactly deleted") {
+    val root = Files.createTempDirectory("tomb-exact-latest").toString
+    val store = FileStore(root)
+    store.ensureTable("t", PushTableSink.TableSpec())
+    put(store, "t", "fb", 10L, 20L)
+    put(store, "t", "other", 10L, 20L)
+    // the case a <=-bound marker CANNOT express: kill only the top
+    store.deleteCellsExact("t", Seq((k("fb"), 20L)))
+    val latest = spark.read.format("graft-cells")
+      .option("root", root).option("table", "t").option("latest", "true").load()
+      .collect().map(r => (new String(r.getAs[Array[Byte]]("rowkey"), "UTF-8"),
+        r.getAs[Long]("version"))).toSet
+    assert(latest == Set(("fb", 10L), ("other", 20L)),
+      s"the serving view falls back to the newest LIVE version: $latest")
+  }
+
+  test("exact markers travel with the backup chain and replay as delete_version feed rows") {
+    val root = Files.createTempDirectory("tomb-exact-bak-src").toString
+    val bak = Files.createTempDirectory("tomb-exact-bak-dir").toString
+    val dst = Files.createTempDirectory("tomb-exact-bak-dst").toString
+    val store = FileStore(root)
+    store.ensureTable("t", PushTableSink.TableSpec())
+    put(store, "t", "cx", 1L, 2L, 3L)
+    Backup.full(spark, root, "t", bak)
+    // lands AFTER the full export, at a version <= the watermark: only
+    // the kind-tagged sidecar can carry it
+    store.deleteCellsExact("t", Seq((k("cx"), 2L)))
+    Backup.incremental(spark, root, "t", bak)
+    Backup.restore(spark, bak, dst)
+    assert(readBack(dst, "t") == readBack(root, "t"),
+      "restore re-applies exact markers: no resurrection, no over-delete")
+    assert(readBack(dst, "t") == Set(("cx", 1L), ("cx", 3L)))
+    // the change feed types the marker kinds apart
+    val ops = spark.read.format("graft-cells")
+      .option("root", root).option("table", "t").option("changeFeed", "true").load()
+      .filter(col("op") =!= "put")
+      .collect().map(r => (new String(r.getAs[Array[Byte]]("rowkey"), "UTF-8"),
+        r.getAs[Long]("version"), r.getAs[String]("op"))).toSet
+    assert(ops == Set(("cx", 2L, "delete_version")), s"$ops")
+  }
 }

@@ -171,17 +171,25 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "FROM gtest.`del$changes` WHERE op = 'delete'")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(markers == Set(("D-2", 20L), ("D-3", 33L)), s"$markers")
-    // unsupported shapes are DECLINED, not over-deleted: version
-    // equality would mask <= T, a rowkey range isn't a key set
-    val e1 = intercept[Exception] {
-      spark.sql(s"DELETE FROM gtest.del WHERE rowkey = ${hexOf("D-1")} AND version = 11")
-    }
-    assert(e1.getMessage != null)
+    // version EQUALITY is the exact-version delete (a `.dv` marker,
+    // HBase Delete.addColumn(ts)): only D-1's v1 vanishes — v2 stays
+    spark.sql(s"DELETE FROM gtest.del WHERE rowkey = ${hexOf("D-1")} AND version = 11")
+    val afterExact = spark.table("gtest.del")
+      .select(col("rowkey").cast("string"), col("version"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(!afterExact.contains(("D-1", 11L)) && afterExact.contains(("D-1", 31L)),
+      "exact delete masks exactly its version, never older or newer")
+    assert(spark.sql("SELECT cast(rowkey as string) AS k, version " +
+      "FROM gtest.`del$changes` WHERE op = 'delete_version'")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet == Set(("D-1", 11L)),
+      "exact markers are their own edit type in the log")
+    // still-unsupported shapes are DECLINED, not over-deleted: a rowkey
+    // range isn't a key set
     val e2 = intercept[Exception] {
       spark.sql(s"DELETE FROM gtest.del WHERE rowkey >= ${hexOf("D-0")}")
     }
     assert(e2.getMessage != null)
-    assert(spark.table("gtest.del").count() == 13, "declined statements deleted nothing")
+    assert(spark.table("gtest.del").count() == 12, "declined statements deleted nothing more")
   }
 
   test("$latest metadata table: max live version per key, masked, winners-only I/O") {
