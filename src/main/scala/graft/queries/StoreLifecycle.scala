@@ -822,6 +822,130 @@ object StoreLifecycle {
       }
     },
 
+    // SQL MERGE INTO — the DML face of the q73 upsert: DSv2 row-level
+    // operations ([[graft.sources.CellsRowLevelOperation]], delta /
+    // merge-on-read — the store's natural shape: nothing rewrites in
+    // place; MERGE = puts + exact-version markers, applied by the read
+    // faces and purged by majors, exactly HBase's batch Put/Delete
+    // idiom). One statement exercises all three actions: matched keys
+    // UPDATE (put the new version + exact-delete the old coordinate),
+    // a matched subset DELETEs (exact marker), unmatched source keys
+    // INSERT (plain puts). In-query invariants: the post-merge view
+    // equals the union+argmax DataFrame upsert over the same inputs
+    // (MERGE ≡ the q73 operator) both ways, and $changes carries
+    // EXACTLY one delete_version marker per replaced/deleted cell —
+    // never a bound marker, so multi-version siblings could never be
+    // collateral. The emitted result is the merged table; the driver
+    // hash pins action routing ∘ marker physics ∘ masking end to end.
+    // 100 TB: the target scan is region-parallel and runtime-
+    // filterable; writes are per-task batched idempotent renames, no
+    // commit coordinator.
+    "q234_cells_sql_merge" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q234-cells").toString
+      val cat = "g234_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        // target: %24 keys at v1 ('O' bodies)
+        BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 24 === 0)
+            .select(lit("q234").as("tableName"),
+              expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+              expr("doc_id * 4 + 1").as("version"),
+              expr("cast(md5(concat(cast(doc_id as string), 'O')) as binary)").as("body")),
+          root)
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // source: %16 keys at v2 ('N' bodies); %96 keys are deletions
+        s.sql(
+          s"""MERGE INTO $cat.q234 t
+              USING (SELECT cast(concat('doc-', doc_id) as binary) AS rowkey,
+                            cast(doc_id * 4 + 2 as bigint) AS version,
+                            cast(md5(concat(cast(doc_id as string), 'N')) as binary) AS body,
+                            doc_id % 96 = 0 AS del
+                     FROM parquet.`$d/documents.parquet`
+                     WHERE doc_id % 16 = 0) s
+              ON t.rowkey = s.rowkey
+              WHEN MATCHED AND s.del THEN DELETE
+              WHEN MATCHED THEN UPDATE SET version = s.version, body = s.body
+              WHEN NOT MATCHED AND NOT s.del THEN
+                INSERT (rowkey, version, body) VALUES (s.rowkey, s.version, s.body)""")
+        val merged = s.table(s"$cat.q234")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+        // ≡ the q73 union+argmax upsert over the same logical inputs
+        val docs = Tables.documents(s, d)
+        val target0 = docs.filter(col("doc_id") % 24 === 0)
+          .select(expr("concat('doc-', doc_id)").as("key_str"),
+            expr("cast(doc_id * 4 + 1 as bigint)").as("version"),
+            expr("md5(concat(cast(doc_id as string), 'O'))").as("body_md5"))
+        val source0 = docs.filter(col("doc_id") % 16 === 0)
+          .select(expr("concat('doc-', doc_id)").as("key_str"),
+            expr("cast(doc_id * 4 + 2 as bigint)").as("version"),
+            expr("md5(concat(cast(doc_id as string), 'N'))").as("body_md5"),
+            (col("doc_id") % 96 === 0).as("del"))
+        val upsert = target0.withColumn("del", lit(false)).unionByName(source0)
+          .groupBy(col("key_str"))
+          .agg(max_by(struct(col("version"), col("body_md5"), col("del")), col("version")).as("m"))
+          .filter(!col("m.del"))
+          .select(col("key_str"), col("m.version").as("version"), col("m.body_md5").as("body_md5"))
+        require(merged.exceptAll(upsert).count() == 0 && upsert.exceptAll(merged).count() == 0,
+          "MERGE must equal the union+argmax upsert (the q73 operator) both ways")
+        // marker physics: exactly one EXACT marker per replaced/deleted
+        // old cell (every matched %48 key's v1), no bound markers
+        val n48 = docs.filter(col("doc_id") % 48 === 0).count()
+        val markers = s.sql(s"SELECT version, op FROM $cat.`q234$$changes` WHERE op != 'put'")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        require(markers.length == n48 && markers.forall(_._2 == "delete_version"),
+          s"one exact marker per replaced cell, never a bound: ${markers.length} vs $n48")
+        merged
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
+    // SQL UPDATE — both physical shapes of the row-level operation in
+    // one gate: an IN-PLACE update (body rewritten, coordinate kept)
+    // must be a pure overwrite put — a marker at the same coordinate
+    // would mask the new value, so the gate requires ZERO markers from
+    // it — while a VERSION-MOVING update (SET version = version + Δ)
+    // must exact-delete every old coordinate (one delete_version
+    // marker per moved cell) and keep the cell count constant. The
+    // emitted result is the full post-update table; the driver hash
+    // pins predicate routing ∘ in-place-vs-move discrimination ∘
+    // marker physics. 100 TB: same scan/write posture as q234.
+    "q235_cells_sql_update" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q235-cells").toString
+      val cat = "g235_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        def seed(v: Int) = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+          .select(lit("q235").as("tableName"),
+            expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr(s"doc_id * 4 + $v").as("version"),
+            expr(s"cast(md5(concat(cast(doc_id as string), 'W', '$v')) as binary)").as("body"))
+        BulkLoad.writeCells(seed(1), root)
+        BulkLoad.writeCells(seed(2), root)
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val n20 = Tables.documents(s, d).filter(col("doc_id") % 20 === 0).count()
+        // IN-PLACE: rewrite every v1 body, coordinates unchanged
+        s.sql(s"UPDATE $cat.q235 SET body = cast(md5(concat(cast(rowkey as string), 'P')) as binary) " +
+          "WHERE version % 4 = 1")
+        require(s.sql(s"SELECT count(*) FROM $cat.`q235$$changes` WHERE op != 'put'")
+          .collect()(0).getLong(0) == 0,
+          "in-place updates are overwrite puts — no markers may land")
+        // MOVE: shift every v2 cell up; old coordinates exact-deleted
+        s.sql(s"UPDATE $cat.q235 SET version = version + 1000000000 WHERE version % 4 = 2")
+        val moveMarkers = s.sql(
+          s"SELECT count(*) FROM $cat.`q235$$changes` WHERE op = 'delete_version'")
+          .collect()(0).getLong(0)
+        require(moveMarkers == n20, s"one exact marker per moved cell: $moveMarkers vs $n20")
+        val out = s.table(s"$cat.q235")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+        require(out.count() == 2 * n20, "updates never change the cell count")
+        out
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -1318,6 +1442,28 @@ object StoreLifecycle {
               (doc_id * 4 + 6)::BIGINT AS version_b,
               md5(doc_id::VARCHAR || 'LB' || '1') AS body_b_md5
          FROM documents WHERE doc_id % 32 = 0""",
+
+    // the merged table: untouched target keys (%24 ∧ ¬%48) keep v1/'O';
+    // updated ∪ inserted (%16 ∧ ¬%96) carry v2/'N'; %96 keys deleted
+    "q234_cells_sql_merge" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + 1)::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'O') AS body_md5
+         FROM documents WHERE doc_id % 24 = 0 AND doc_id % 48 != 0
+         UNION ALL
+         SELECT 'doc-' || doc_id, (doc_id * 4 + 2)::BIGINT,
+              md5(doc_id::VARCHAR || 'N')
+         FROM documents WHERE doc_id % 16 = 0 AND doc_id % 96 != 0""",
+
+    // after both updates: v1 cells keep their coordinate with patched
+    // bodies; v2 cells moved up 1e9 with bodies unchanged
+    "q235_cells_sql_update" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + 1)::BIGINT AS version,
+              md5('doc-' || doc_id::VARCHAR || 'P') AS body_md5
+         FROM documents WHERE doc_id % 20 = 0
+         UNION ALL
+         SELECT 'doc-' || doc_id, (doc_id * 4 + 2 + 1000000000)::BIGINT,
+              md5(doc_id::VARCHAR || 'W' || '2')
+         FROM documents WHERE doc_id % 20 = 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

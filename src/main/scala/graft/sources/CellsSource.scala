@@ -207,7 +207,8 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
                       asOf: Option[Long] = None,
                       latest: Boolean = false) extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(root != null && table != null, "graft-cells requires options: root, table")
   require(!(latest && changeFeed), "a table face is $latest or $changes, never both")
   override def name(): String =
@@ -263,6 +264,19 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
       case _ => false
     }
     if (ok && keys.isDefined) Some((keys.get, bound, exact)) else None
+  }
+
+  /** MERGE INTO / UPDATE / predicate DELETE — the delta (merge-on-read)
+    * row-level operation: see [[CellsRowLevelOperation]]. Mutations
+    * target the base table only; the metadata faces and snapshots
+    * decline loudly. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty, s"cannot mutate time-travel snapshot ${name()}")
+    require(!changeFeed && !latest,
+      s"${name()} is a read-only metadata face — MERGE/UPDATE/DELETE target the base table")
+    () => CellsRowLevelOperation(root, table, info.command())
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =

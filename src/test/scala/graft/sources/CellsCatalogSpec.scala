@@ -183,13 +183,80 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "FROM gtest.`del$changes` WHERE op = 'delete_version'")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet == Set(("D-1", 11L)),
       "exact markers are their own edit type in the log")
-    // still-unsupported shapes are DECLINED, not over-deleted: a rowkey
-    // range isn't a key set
+    // a shape the metadata path can't take (rowkey RANGE) falls back to
+    // the ROW-LEVEL rewrite: scan the matched cells, exact-delete each —
+    // every predicate shape works, none over-deletes
+    spark.sql(s"DELETE FROM gtest.del WHERE rowkey >= ${hexOf("D-6")}")
+    val afterRange = spark.table("gtest.del")
+      .select(col("rowkey").cast("string")).collect().map(_.getString(0)).toSet
+    assert(!afterRange.exists(_ >= "D-6"), "range delete removes exactly the matched keys")
+    assert(spark.table("gtest.del").count() == 12 - 4,
+      "D-6 and D-7 (2 versions each) gone, nothing else")
+  }
+
+  test("MERGE INTO: update puts a new version + exact-deletes the old; insert puts; delete masks") {
+    seed("mrg", (0 until 10).map(i => (f"M-$i", 100L + i, s"old-$i")))
+    spark.sql("SELECT cast(concat('M-', id) as binary) AS rowkey, 200 + id AS version, " +
+      "cast(concat('new-', id) as binary) AS body FROM range(0, 15)")
+      .createOrReplaceTempView("mrg_src")
+    spark.sql(
+      """MERGE INTO gtest.mrg t USING mrg_src s ON t.rowkey = s.rowkey
+         WHEN MATCHED AND t.version = 103 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET version = s.version, body = s.body
+         WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.table("gtest.mrg")
+      .select(col("rowkey").cast("string"), col("version"), col("body").cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val expect =
+      ((0 until 10).filter(_ != 3).map(i => (s"M-$i", 200L + i, s"new-$i")) ++ // updated
+        (10 until 15).map(i => (s"M-$i", 200L + i, s"new-$i"))).toSet          // inserted
+    assert(got == expect, s"upserted state: $got")
+    // the physics: updates exact-deleted their old coordinate, the
+    // matched-DELETE exact-deleted M-3's cell — all visible in the log
+    val markers = spark.sql("SELECT cast(rowkey as string) AS k, version, op " +
+      "FROM gtest.`mrg$changes` WHERE op != 'put'")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(markers == (0 until 10).map(i => (s"M-$i", 100L + i, "delete_version")).toSet,
+      s"one exact marker per replaced/deleted cell, never a bound: $markers")
+  }
+
+  test("UPDATE: in-place body rewrite is a pure overwrite put; moving the version exact-deletes") {
+    seed("upd", (0 until 6).flatMap(i =>
+      Seq((f"U-$i", 10L + i, s"a-$i"), (f"U-$i", 30L + i, s"b-$i"))))
+    // in-place: same coordinate, new body — NO marker may land (a
+    // marker at the same coordinate would mask the new value)
+    spark.sql("UPDATE gtest.upd SET body = cast('patched' as binary) WHERE version <= 15")
+    val afterInPlace = spark.table("gtest.upd")
+      .select(col("rowkey").cast("string"), col("version"), col("body").cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(afterInPlace == (0 until 6).flatMap(i =>
+      Seq((s"U-$i", 10L + i, "patched"), (s"U-$i", 30L + i, s"b-$i"))).toSet,
+      s"in-place rewrite: $afterInPlace")
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.`upd$changes` WHERE op != 'put'")
+      .collect()(0).getLong(0) == 0, "in-place updates land no markers")
+    // version-moving: the old coordinate must vanish (exact marker),
+    // the cell count stays constant
+    spark.sql("UPDATE gtest.upd SET version = version + 1000 WHERE version >= 30")
+    val afterMove = spark.table("gtest.upd")
+      .select(col("rowkey").cast("string"), col("version"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(afterMove == (0 until 6).flatMap(i =>
+      Seq((s"U-$i", 10L + i), (s"U-$i", 1030L + i))).toSet, s"moved: $afterMove")
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.`upd$changes` WHERE op = 'delete_version'")
+      .collect()(0).getLong(0) == 6, "one exact marker per moved cell")
+  }
+
+  test("row-level mutations decline the metadata faces and snapshots loudly") {
+    seed("rof", (0 until 4).map(i => (f"R-$i", 10L + i, s"r-$i")))
+    val e1 = intercept[Exception] {
+      spark.sql("UPDATE gtest.`rof$latest` SET body = cast('x' as binary) WHERE version = 10")
+    }
+    assert(e1.getMessage != null)
     val e2 = intercept[Exception] {
-      spark.sql(s"DELETE FROM gtest.del WHERE rowkey >= ${hexOf("D-0")}")
+      spark.sql("DELETE FROM gtest.`rof$changes` WHERE version = 10")
     }
     assert(e2.getMessage != null)
-    assert(spark.table("gtest.del").count() == 12, "declined statements deleted nothing more")
+    assert(spark.table("gtest.rof").count() == 4, "declined statements mutated nothing")
   }
 
   test("$latest metadata table: max live version per key, masked, winners-only I/O") {
