@@ -286,21 +286,44 @@ final case class FileStore(rootDir: String) extends Store {
     } finally s.close()
   }
 
+  private def renderSpec(spec: TableSpec): String =
+    s"""{"dataFamily":"${spec.dataFamily}","dataQualifier":"${spec.dataQualifier}",""" +
+      s""""maxVersions":${spec.maxVersions},"minVersions":${spec.minVersions},""" +
+      s""""compression":"${spec.compression}","compactionCompression":"${spec.compactionCompression}",""" +
+      s""""regionReplication":${spec.regionReplication}}"""
+
   override def ensureTable(tableName: String, spec: TableSpec): Unit = {
     val dir = tableDir(tableName)
     Files.createDirectories(dir)
     val specPath = dir.resolve("_spec.json")
     if (!Files.exists(specPath)) {
-      val json =
-        s"""{"dataFamily":"${spec.dataFamily}","dataQualifier":"${spec.dataQualifier}",""" +
-          s""""maxVersions":${spec.maxVersions},"minVersions":${spec.minVersions},""" +
-          s""""compression":"${spec.compression}","compactionCompression":"${spec.compactionCompression}",""" +
-          s""""regionReplication":${spec.regionReplication}}"""
       val tmp = Files.createTempFile(dir, "_spec", ".tmp")
-      Files.write(tmp, json.getBytes("UTF-8"))
+      Files.write(tmp, renderSpec(spec).getBytes("UTF-8"))
       try Files.move(tmp, specPath, StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
     }
+  }
+
+  /** ALTER the table's retention DDL — the HBase `alter 'maxVersions'`
+    * idiom: the descriptor changes NOW (new puts prune to the new cap
+    * as they land), and existing over-cap history is collected by the
+    * NEXT major compaction, exactly HBase's eventually-applied
+    * retention. Split layouts stay write-once (region boundaries are
+    * not retention). Atomic replace; the per-instance DDL memo is
+    * invalidated so this store sees the change immediately (other
+    * JVM-resident instances re-read on their next construction — the
+    * same freshness contract HBase gives region servers via the master,
+    * here served by the descriptor file). */
+  def alterMaxVersions(tableName: String, maxVersions: Int): Unit = {
+    require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
+    val dir = tableDir(tableName)
+    val specPath = dir.resolve("_spec.json")
+    require(Files.exists(specPath), s"table $tableName has no recorded DDL to alter")
+    val cur = TableSpec.fromJson(new String(Files.readAllBytes(specPath), "UTF-8"))
+    val tmp = Files.createTempFile(dir, "_spec", ".tmp")
+    Files.write(tmp, renderSpec(cur.copy(maxVersions = maxVersions)).getBytes("UTF-8"))
+    Files.move(tmp, specPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    maxVersionsCache.remove(tableName)
   }
 
   /** The recorded DDL, or None if the table was never ensured. */

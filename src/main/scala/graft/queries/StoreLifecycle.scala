@@ -946,6 +946,115 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // ALTER TABLE RETENTION — the HBase `alter 'maxVersions'` lifecycle
+    // as SQL DDL: the descriptor changes now, new puts prune to the new
+    // cap as they land, existing history goes with the NEXT major
+    // (eventually-applied retention; split layouts stay write-once).
+    // In-query invariants: the full history is intact right after the
+    // ALTER (descriptor-only change), and after the major exactly the
+    // newest cell per key survives. The emitted result is the
+    // post-major table; the driver hash pins DDL routing ∘ descriptor
+    // rewrite ∘ the major's version GC under the ALTERED cap.
+    "q236_cells_sql_alter_retention" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q236-cells").toString
+      val cat = "g236_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.q236 (rowkey BINARY, version BIGINT, body BINARY) " +
+          "TBLPROPERTIES('maxVersions'='5')")
+        def seed(v: Int): Unit = Tables.documents(s, d).filter(col("doc_id") % 21 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr(s"doc_id * 4 + $v").as("version"),
+            expr(s"cast(md5(concat(cast(doc_id as string), '|', '$v')) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q236").save()
+        seed(1); seed(2); seed(3)
+        val n21 = Tables.documents(s, d).filter(col("doc_id") % 21 === 0).count()
+        s.sql(s"ALTER TABLE $cat.q236 SET TBLPROPERTIES('maxVersions' = '1')")
+        require(s.table(s"$cat.q236").count() == 3 * n21,
+          "ALTER changes the descriptor, not the data — retention is eventually-applied")
+        Compaction.major(s, root, "q236")
+        val out = s.table(s"$cat.q236")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+        require(out.count() == n21, s"the major applies the altered cap: ${out.count()} vs $n21")
+        out
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
+    // CDC THROUGH PURE SQL SURFACE — `spark.readStream.table(
+    // "cat.tbl$changes")`: the change feed consumed with a TABLE NAME,
+    // no format strings or options anywhere (q227's consumer shape,
+    // fully catalog-resolved). Two AvailableNow drains over ONE
+    // checkpoint: the first delivers the seed puts; more puts and a
+    // DELETE land between drains; the second delivers EXACTLY the new
+    // window (offset-window exactly-once across restart) including the
+    // typed marker row. The emitted result is everything both drains
+    // delivered; the driver hash pins catalog stream resolution ∘
+    // window replay ∘ marker typing.
+    "q237_cells_catalog_stream" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q237-cells").toString
+      val ck = Files.createTempDirectory("graft-q237-ck").toString
+      val out = Files.createTempDirectory("graft-q237-out").toString + "/rows"
+      val cat = "g237_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // generation DOMINATES the version (v*1e9 + id): the feed's
+        // offset is a global version watermark, so a second generation
+        // must land strictly above the first window's max everywhere —
+        // interleaved versions would be back-dated writes, outside the
+        // delivery guarantee (the documented producer contract)
+        def seed(pred: Int, v: Int): Unit = Tables.documents(s, d)
+          .filter(col("doc_id") % pred === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr(s"$v * 1000000000 + doc_id").as("version"),
+            expr(s"cast(md5(concat(cast(doc_id as string), '>', '$v')) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q237").save()
+        def drain(): Unit = {
+          val q = s.readStream.table(s"$cat.`q237$$changes`")
+            .select(col("rowkey").cast("string").as("key_str"), col("version"),
+              col("body").cast("string").as("body_md5"), col("op"))
+            .writeStream
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.write.mode("append").parquet(out)
+            }
+            .option("checkpointLocation", ck.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        seed(17, 1)
+        drain()
+        val n17 = Tables.documents(s, d).filter(col("doc_id") % 17 === 0).count()
+        require(s.read.parquet(out).count() == n17, "first drain = the seed window")
+        // between drains: a second put generation and a SQL DELETE of
+        // every third seeded key (marker above both versions)
+        seed(17, 2)
+        val delKeys = Tables.documents(s, d).filter(col("doc_id") % 51 === 0)
+          .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).sorted
+        val inList = delKeys
+          .map(id => "X'" + s"doc-$id".getBytes("UTF-8").map(b => f"$b%02x").mkString + "'")
+          .mkString("(", ", ", ")")
+        s.sql(s"DELETE FROM $cat.q237 WHERE rowkey IN $inList") // bare: stamps latest (v2)
+        drain()
+        val log = s.read.parquet(out).localCheckpoint()
+        require(log.count() == 2 * n17 + delKeys.length,
+          s"the second drain delivers exactly the new window once: ${log.count()}")
+        require(log.filter(col("op") === "delete").count() == delKeys.length,
+          "markers arrive typed through the catalog stream")
+        log
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(out).getParentFile)
+      }
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -1464,6 +1573,24 @@ object StoreLifecycle {
          SELECT 'doc-' || doc_id, (doc_id * 4 + 2 + 1000000000)::BIGINT,
               md5(doc_id::VARCHAR || 'W' || '2')
          FROM documents WHERE doc_id % 20 = 0""",
+
+    // after ALTER maxVersions=1 + major: exactly the newest (v=3) cell
+    // per seeded key
+    "q236_cells_sql_alter_retention" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + 3)::BIGINT AS version,
+              md5(doc_id::VARCHAR || '|' || '3') AS body_md5
+         FROM documents WHERE doc_id % 21 = 0""",
+
+    // both drained windows: two put generations plus the bare-delete
+    // markers stamped at each %51 key's latest (v=2)
+    "q237_cells_catalog_stream" ->
+      """SELECT 'doc-' || doc_id AS key_str, (v * 1000000000 + doc_id)::BIGINT AS version,
+              md5(doc_id::VARCHAR || '>' || v::VARCHAR) AS body_md5, 'put' AS op
+         FROM documents, (SELECT unnest([1, 2]) AS v)
+         WHERE doc_id % 17 = 0
+         UNION ALL
+         SELECT 'doc-' || doc_id, (2000000000 + doc_id)::BIGINT, NULL, 'delete'
+         FROM documents WHERE doc_id % 51 = 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

@@ -146,8 +146,28 @@ class CellsCatalog extends TableCatalog with FunctionCatalog {
     CellsTable(root, t, changeFeed = false, fromCatalog = true)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft tables carry write-once DDL")
+  /** `ALTER TABLE cat.tbl SET TBLPROPERTIES('maxVersions' = N)` — the
+    * HBase `alter` retention change: the descriptor updates now, new
+    * puts prune to the new cap as they land, and existing over-cap
+    * history goes with the NEXT major compaction (eventually-applied
+    * retention). Everything else about the DDL — and the split layout
+    * in particular — stays write-once, so any other change declines
+    * loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = tableNameOf(ident)
+    if (!Files.isDirectory(dirOf(t))) throw new NoSuchTableException(ident)
+    val store = FileStore(root)
+    changes.foreach {
+      case sp: TableChange.SetProperty if sp.property() == "maxVersions" =>
+        store.alterMaxVersions(t, sp.value().toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"maxVersions takes an integer, got '${sp.value()}'")))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft tables support ALTER TABLE SET TBLPROPERTIES('maxVersions'=N) only; got $other")
+    }
+    CellsTable(root, t, changeFeed = false, fromCatalog = true)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(tableNameOf(ident))

@@ -369,6 +369,122 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(i => (f"E-$i%02d", 2L, s"a2-$i", 7L, s"b-$i")).toSet)
   }
 
+  test("ALTER TABLE retention: new puts prune to the new cap; the next major GCs the rest") {
+    spark.sql("CREATE TABLE gtest.alt (rowkey BINARY, version BIGINT, body BINARY) " +
+      "TBLPROPERTIES('maxVersions'='5')")
+    spark.sql("INSERT INTO gtest.alt " +
+      "SELECT cast(concat('A-', id % 10) as binary), id, cast(concat('b-', id) as binary) " +
+      "FROM range(0, 30)") // 3 versions per key, under the cap of 5
+    assert(spark.table("gtest.alt").count() == 30)
+    spark.sql("ALTER TABLE gtest.alt SET TBLPROPERTIES('maxVersions' = '1')")
+    // eventually-applied: existing history is untouched until a major
+    assert(spark.table("gtest.alt").count() == 30,
+      "ALTER changes the descriptor, not the data")
+    // a NEW put applies the new cap eagerly to ITS key (the put-path
+    // retention), leaving other keys for the major
+    spark.sql("INSERT INTO gtest.alt " +
+      "SELECT cast('A-3' as binary), 100L, cast('fresh' as binary)")
+    val a3 = spark.table("gtest.alt").filter(col("rowkey") === lit(k("A-3"))).collect()
+    assert(a3.length == 1 && a3(0).getLong(1) == 100L,
+      "the touched key prunes to the new cap on write")
+    graft.ingest.Compaction.major(spark, root, "alt")
+    val after = spark.table("gtest.alt")
+      .select(col("rowkey").cast("string"), col("version"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == ((0 until 10).filterNot(_ == 3).map(i => (s"A-$i", 20L + i)) :+
+      ("A-3", 100L)).toSet,
+      s"the major applies the altered cap: newest version per key only: $after")
+    // anything but maxVersions declines loudly — DDL stays write-once
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.alt SET TBLPROPERTIES('compression' = 'NONE')")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("streaming reads through the catalog: readStream.table over $changes, exactly-once across restart") {
+    val ck = Files.createTempDirectory("cat-stream-ck").toString
+    val out = Files.createTempDirectory("cat-stream-out").toString
+    spark.sql("CREATE TABLE gtest.str (rowkey BINARY, version BIGINT, body BINARY)")
+    def drain(): Unit = {
+      val q = spark.readStream.table("gtest.`str$changes`")
+        .selectExpr("cast(rowkey as string) AS k", "version", "op")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def rows(): Set[(String, Long, String)] =
+      try spark.read.parquet(out).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
+    spark.sql("INSERT INTO gtest.str " +
+      "SELECT cast(concat('S-', id) as binary), 10 + id, cast('x' as binary) FROM range(0, 5)")
+    drain()
+    assert(rows() == (0 until 5).map(i => (s"S-$i", 10L + i, "put")).toSet)
+    // restart from the SAME checkpoint: only the new window arrives —
+    // a later put batch AND a typed delete marker (pure SQL surface)
+    spark.sql("INSERT INTO gtest.str " +
+      "SELECT cast(concat('S-', id) as binary), 20 + id, cast('y' as binary) FROM range(0, 3)")
+    spark.sql("DELETE FROM gtest.str WHERE rowkey = X'532d30' AND version <= 30") // S-0
+    drain()
+    val expect2 = (0 until 5).map(i => (s"S-$i", 10L + i, "put")).toSet ++
+      (0 until 3).map(i => (s"S-$i", 20L + i, "put")).toSet + (("S-0", 30L, "delete"))
+    assert(rows() == expect2, s"exactly-once across restart, deletes typed: ${rows()}")
+  }
+
+  test("SPJ on multi-version base tables: the version cross-product per key, still no exchange") {
+    val points = (1 to 3).map(i => k(s"X-${i}0"))
+    seed("mva", (0 until 40).flatMap(i =>
+      Seq((f"X-$i%02d", 1L, s"a1-$i"), (f"X-$i%02d", 2L, s"a2-$i"))), points)
+    seed("mvb", (0 until 40 by 4).flatMap(i =>
+      Seq((f"X-$i%02d", 5L, s"b5-$i"), (f"X-$i%02d", 6L, s"b6-$i"))), points)
+    val joined = spark.table("gtest.mva").as("a")
+      .join(spark.table("gtest.mvb").as("b"), col("a.rowkey") === col("b.rowkey"))
+      .select(col("a.rowkey").cast("string").as("key"),
+        col("a.version").as("va"), col("b.version").as("vb"))
+    assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = joined.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // SQL semantics against the HISTORY face: every (versionA, versionB)
+    // pair per key — 2×2 rows; a user wanting latest⋈latest writes
+    // a$latest JOIN b$latest (the spec above)
+    val expect = (0 until 40 by 4).flatMap(i =>
+      for (va <- Seq(1L, 2L); vb <- Seq(5L, 6L)) yield (f"X-$i%02d", va, vb)).sorted
+    assert(got == expect, "the base-table join is the version cross-product — by design")
+  }
+
+  test("SPJ under a skewed layout with partiallyClusteredDistribution: correct, and exchange-free") {
+    // ONE region holds 3/4 of the keys (keys K-00..K-59 below the first
+    // split point) — the partially-clustered knob lets Spark replicate
+    // the small side's matching partitions instead of declining
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+    try {
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      val points = Seq(k("K-60"), k("K-70"), k("K-80"))
+      seed("ska", (0 until 80).map(i => (f"K-$i%02d", 1L, s"a-$i")), points)
+      seed("skb", (0 until 80 by 2).map(i => (f"K-$i%02d", 5L, s"b-$i")), points)
+      val joined = spark.table("gtest.ska").as("a")
+        .join(spark.table("gtest.skb").as("b"), col("a.rowkey") === col("b.rowkey"))
+        .select(col("a.rowkey").cast("string").as("key"),
+          col("b.body").cast("string").as("bb"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"skewed same-layout tables still storage-partition-join:\n$plan")
+      val got = joined.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(got == (0 until 80 by 2).map(i => (f"K-$i%02d", s"b-$i")).sorted.toSeq)
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", v)
+      case None => spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+    }
+  }
+
   test("different layouts decline SPJ: the join shuffles (and still answers correctly)") {
     seed("spjc", (0 until 40).map(i => (f"K-$i%02d", 1L, s"c-$i")),
       (1 to 7).map(i => k(s"K-${i}0")))
