@@ -216,6 +216,21 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
       (if (changeFeed) "$changes" else if (latest) "$latest" else "")
   override def schema(): StructType =
     if (changeFeed) CellsSource.ChangeFeedSchema else CellsSource.Schema
+  /** the recorded DDL as table properties — `SHOW TBLPROPERTIES`
+    * reflects `CREATE … TBLPROPERTIES` and later `ALTER TABLE SET`
+    * (read from the descriptor file, so always current). */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    graft.ingest.FileStore(root).readSpecJson(table).foreach { json =>
+      val spec = graft.ingest.PushTableSink.TableSpec.fromJson(json)
+      m.put("maxVersions", spec.maxVersions.toString)
+      m.put("minVersions", spec.minVersions.toString)
+      m.put("dataFamily", spec.dataFamily)
+      m.put("dataQualifier", spec.dataQualifier)
+      m.put("compression", spec.compression)
+    }
+    m
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     // the $latest face is the SERVING read — batch-only (the stream
     // face is an edit feed; "latest" has no incremental meaning there)

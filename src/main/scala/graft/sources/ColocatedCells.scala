@@ -16,12 +16,16 @@ import scala.jdk.CollectionConverters._
   * ([[CellsReaders]]: filename pruning, segment merge, (key, version)
   * dedup) and hash-joins them in memory.
   *
-  * Why not a DataFrame join: the DSv2 connector cannot report a
-  * key-range partitioning Catalyst can exploit (KeyGroupedPartitioning
-  * wants discrete partition VALUES, not ranges), so `dfA.join(dfB,
-  * "rowkey")` always pays a full shuffle of both sides. This operator
-  * is the storage-aligned plan Catalyst cannot currently discover —
-  * the documented "genuine per-partition imperative logic" case.
+  * Why not a DataFrame join: a FORMAT-based read (`spark.read.format
+  * ("graft-cells")`) has no FunctionCatalog to resolve a partition
+  * transform against, so its scan reports unknown partitioning and
+  * `dfA.join(dfB, "rowkey")` pays a full shuffle of both sides. The
+  * CATALOG face closes that gap declaratively — [[CellsCatalog]]'s
+  * scans report KeyGroupedPartitioning and Catalyst plans the
+  * zero-exchange join itself (q228/q233), which is the preferred path;
+  * this operator remains the imperative analog for non-catalog reads
+  * and as the latest⋈latest reference implementation
+  * (CellsCatalogSpec pins `joinLatest` ≡ the SQL `$latest` join).
   *
   * Semantics: join of each table's LATEST version per rowkey (the
   * HBase read-your-current-state view), through the MASKED read path —

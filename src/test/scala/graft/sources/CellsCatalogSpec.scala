@@ -394,6 +394,10 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after == ((0 until 10).filterNot(_ == 3).map(i => (s"A-$i", 20L + i)) :+
       ("A-3", 100L)).toSet,
       s"the major applies the altered cap: newest version per key only: $after")
+    // SHOW TBLPROPERTIES reflects the altered descriptor
+    val props = spark.sql("SHOW TBLPROPERTIES gtest.alt")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("maxVersions").contains("1"), s"$props")
     // anything but maxVersions declines loudly — DDL stays write-once
     val e = intercept[Exception] {
       spark.sql("ALTER TABLE gtest.alt SET TBLPROPERTIES('compression' = 'NONE')")
