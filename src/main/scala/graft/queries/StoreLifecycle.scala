@@ -1055,6 +1055,100 @@ object StoreLifecycle {
       }
     },
 
+    // CDC REPLICATION — the HBase cross-cluster replication consumer
+    // composed ENTIRELY from this round's SQL surface: stream the
+    // source's `$changes` through the catalog (q237), apply each
+    // window to a REPLICA table with MERGE INTO for puts (q234 —
+    // idempotent on (rowkey, version), so window replay converges) and
+    // the distributed tombstone write faces for both marker kinds.
+    // Two AvailableNow drains over one checkpoint; puts, a second
+    // generation, and a bare SQL DELETE land between them. In-query
+    // invariants: after the first drain the replica carries exactly
+    // the seed window; after the second the replica's MASKED view
+    // equals the source's both ways — the replication contract (a
+    // delete shipped through the feed masks the same cells on the far
+    // cluster). The emitted result is the converged replica; the
+    // driver hash pins feed carriage ∘ MERGE apply ∘ marker apply ∘
+    // mask agreement end to end. 100 TB: each window is offset-bounded
+    // edits (never the table), MERGE probes the replica's regions via
+    // runtime filtering, and every apply is idempotent renames — a
+    // crashed consumer replays its window into the same state.
+    "q238_cells_cdc_replication" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q238-cells").toString
+      val ck = Files.createTempDirectory("graft-q238-ck").toString
+      val cat = "g238_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.q238r (rowkey BINARY, version BIGINT, body BINARY)")
+        def seed(v: Int): Unit = Tables.documents(s, d).filter(col("doc_id") % 19 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr(s"$v * 1000000000 + doc_id").as("version"),
+            expr(s"cast(md5(concat(cast(doc_id as string), '*', '$v')) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q238s").save()
+        def drain(): Unit = {
+          val q = s.readStream.table(s"$cat.`q238s$$changes`")
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              // the batch frame lives in the STREAM'S cloned session —
+              // views and statements must resolve through it, not the
+              // outer session (same conf, so the catalog resolves)
+              val bs = batch.sparkSession
+              // puts apply as an idempotent MERGE on the cell identity
+              val v = s"q238_win_$id"
+              batch.filter(col("op") === "put")
+                .select("rowkey", "version", "body").createOrReplaceTempView(v)
+              bs.sql(
+                s"""MERGE INTO $cat.q238r t USING $v e
+                    ON t.rowkey = e.rowkey AND t.version = e.version
+                    WHEN MATCHED THEN UPDATE SET body = e.body
+                    WHEN NOT MATCHED THEN
+                      INSERT (rowkey, version, body) VALUES (e.rowkey, e.version, e.body)""")
+              bs.catalog.dropTempView(v)
+              // markers apply through their own write faces, kind-typed
+              Seq(("delete", "false"), ("delete_version", "true")).foreach { case (op, exact) =>
+                val dels = batch.filter(col("op") === op).select("rowkey", "version")
+                  .withColumn("body", lit(Array.emptyByteArray))
+                if (!dels.isEmpty)
+                  dels.write.format("graft-cells").mode("append")
+                    .option("root", root).option("table", "q238r")
+                    .option("tombstone", "true").option("tombstoneExact", exact).save()
+              }
+            }
+            .option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        seed(1)
+        drain()
+        val n19 = Tables.documents(s, d).filter(col("doc_id") % 19 === 0).count()
+        require(s.table(s"$cat.q238r").count() == n19,
+          "after the first drain the replica carries exactly the seed window")
+        // between drains: a second generation and a bare SQL DELETE of
+        // every third seeded key (stamps its latest — masks everything)
+        seed(2)
+        val inList = Tables.documents(s, d).filter(col("doc_id") % 57 === 0)
+          .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).sorted
+          .map(id => "X'" + s"doc-$id".getBytes("UTF-8").map(b => f"$b%02x").mkString + "'")
+          .mkString("(", ", ", ")")
+        s.sql(s"DELETE FROM $cat.q238s WHERE rowkey IN $inList")
+        drain()
+        def view(t: String) = s.table(s"$cat.$t")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+        val src = view("q238s")
+        val rep = view("q238r").localCheckpoint()
+        require(rep.exceptAll(src).count() == 0 && src.exceptAll(rep).count() == 0,
+          "the replica's masked view must equal the source's — the replication contract")
+        rep
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      }
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -1591,6 +1685,14 @@ object StoreLifecycle {
          UNION ALL
          SELECT 'doc-' || doc_id, (2000000000 + doc_id)::BIGINT, NULL, 'delete'
          FROM documents WHERE doc_id % 51 = 0""",
+
+    // the converged replica = the source's masked view: %57 keys fully
+    // masked (bare delete at their latest), survivors keep both gens
+    "q238_cells_cdc_replication" ->
+      """SELECT 'doc-' || doc_id AS key_str, (v * 1000000000 + doc_id)::BIGINT AS version,
+              md5(doc_id::VARCHAR || '*' || v::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([1, 2]) AS v)
+         WHERE doc_id % 19 = 0 AND doc_id % 57 != 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

@@ -63,8 +63,8 @@ import scala.jdk.CollectionConverters._
   * marker together. Writes issue deletes distributed via
   * `option("tombstone", "true")`. The STREAMING face does not mask
   * (an edit feed's replayed batches must regenerate identical rows);
-  * statistics count masked cells (overestimate only — a too-big side
-  * never broadcasts).
+  * statistics apply the masks — they report LIVE cells, so a
+  * heavily-deleted table sizes as what a scan actually emits.
   */
 class CellsSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-cells"
@@ -603,14 +603,20 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
       (if (latest) " latest" else "") +
       s" cols=[${required.fieldNames.mkString(",")}]"
 
-  /** Exact post-pruning statistics from the directory listing alone
-    * (cell count and byte size are filename/metadata reads — no file
-    * contents), so Catalyst can size joins over cell tables: a small
-    * as-of slice becomes a broadcast candidate instead of an
-    * unknown-size shuffle side. A rowkey RANGE is only pruned to its
-    * shard span here (the exact bound needs the key bytes, which live
-    * inside the file) — statistics may overestimate a range scan, never
-    * underestimate it, so a too-big side never broadcasts. */
+  /** Exact post-pruning LIVE statistics from the directory listing +
+    * segment indexes alone (no file contents), so Catalyst can size
+    * joins over cell tables: a small as-of slice or a compact `$latest`
+    * dimension becomes a broadcast candidate instead of an unknown-size
+    * shuffle side. Delete markers (both kinds) are applied — a
+    * heavily-deleted table sizes as what a scan will actually emit —
+    * and the `$latest` face counts DISTINCT live keys (one winner per
+    * key), which is what makes `fact JOIN dim$latest` broadcast when
+    * the dimension is small. Rowkey RANGES are only pruned to their
+    * shard span here (exact bounds need the key bytes, which live
+    * inside the file), and segment bytes are attributed as the whole
+    * data region when any entry contributes — statistics may
+    * overestimate, never underestimate, so a too-big side never
+    * broadcasts. */
   override def estimateStatistics(): Statistics = new Statistics {
     private lazy val (rows, bytes) = {
       val dir = Paths.get(root, table.replace(':', '~'))
@@ -619,28 +625,53 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
       if (Files.isDirectory(dir)) {
         CellsShards.prune(dir, keys)
           .foreach { shard =>
+            val mask = graft.ingest.FileStore.maskOf(shard)
+            def live(d: String, v: Long): Boolean =
+              changeFeed || !mask.masked(d, v) // the edit log counts everything
+            // (digest, version, per-cell size or -1 for segment entries):
+            // deduped on cell identity across file kinds, like the reader
+            val cells = scala.collection.mutable.HashMap.empty[(String, Long), Long]
+            val segTouched = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
             val s = Files.list(shard)
             try s.iterator().asScala.foreach { p =>
               val name = p.getFileName.toString
               val dot = name.lastIndexOf('.')
               if (graft.ingest.CellSegment.isSegment(name)) {
-                // segment stats from the index alone: exact in-range
-                // entry count; bytes attributed as the whole data
-                // region when anything matches — may overestimate a
-                // slice, never underestimates it (same posture as the
-                // rowkey-range caveat below)
                 val t = graft.ingest.CellSegment.readTrailer(p)
                 if (t.entryCount > 0 && t.minVersion <= hi && t.maxVersion >= lo) {
-                  val inRange = graft.ingest.CellSegment.indexOf(p)
-                    .count(e => e.version >= lo && e.version <= hi &&
-                      keys.digests.forall(_.contains(e.digestHex)))
-                  if (inRange > 0) { n += inRange; b += t.indexOffset }
+                  var any = false
+                  graft.ingest.CellSegment.indexOf(p).foreach { e =>
+                    if (e.version >= lo && e.version <= hi && keys.fileOk(e.digestHex) &&
+                      live(e.digestHex, e.version)) {
+                      cells.getOrElseUpdate((e.digestHex, e.version), -1L)
+                      any = true
+                    }
+                  }
+                  if (any) segTouched += ((p, t.indexOffset))
                 }
               } else if (dot > 0 && !name.endsWith(".tmp") && keys.fileOk(name.take(dot)))
                 name.drop(dot + 1).toLongOption.foreach { v =>
-                  if (v >= lo && v <= hi) { n += 1; b += Files.size(p) }
+                  val d = name.take(dot)
+                  if (v >= lo && v <= hi && live(d, v))
+                    cells((d, v)) = Files.size(p) // per-cell size wins over a segment copy
                 }
             } finally s.close()
+            if (latest) {
+              // one winner per key: the serving face's true cardinality
+              val winners = scala.collection.mutable.HashMap.empty[String, Long]
+              cells.keysIterator.foreach { case (d, v) =>
+                if (winners.getOrElse(d, Long.MinValue) < v) winners(d) = v
+              }
+              n += winners.size
+              b += winners.iterator.map { case (d, v) => cells((d, v)) }.filter(_ >= 0).sum
+              // a segment holding at least one winner contributes its
+              // data region (overestimate, never under)
+              val segWinner = winners.exists { case (d, v) => cells((d, v)) < 0 }
+              if (segWinner) b += segTouched.map(_._2).sum
+            } else {
+              n += cells.size
+              b += cells.valuesIterator.filter(_ >= 0).sum + segTouched.map(_._2).sum
+            }
           }
       }
       (n, b)

@@ -96,6 +96,36 @@ class CellsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CellsSource.filesOpened.get() == 0, "statistics opened cell files")
   }
 
+  test("statistics are mask-aware and latest-aware: live cells, live keys — still no content reads") {
+    val r2 = java.nio.file.Files.createTempDirectory("graft-cells-stats").toString
+    try {
+      val store = FileStore(r2)
+      store.ensureTable("t", TableSpec())
+      store.putBatch("t", for (k <- 0 until 10; v <- 1 to 3) yield CellPut(
+        "t", s"sk-$k".getBytes("UTF-8"), 10L * k + v, s"b-$k-$v".getBytes("UTF-8")))
+      // sk-0 fully masked (bound above all); sk-1 loses exactly v2
+      store.deleteCells("t", Seq(("sk-0".getBytes("UTF-8"), 99L)))
+      store.deleteCellsExact("t", Seq(("sk-1".getBytes("UTF-8"), 12L)))
+      CellsSource.filesOpened.set(0)
+      val base = CellsScan(r2, "t", Long.MinValue, Long.MaxValue,
+        CellsKeyPred.All, CellsSource.Schema).estimateStatistics()
+      assert(base.numRows().getAsLong == 30 - 3 - 1,
+        s"live cells only: ${base.numRows()}")
+      val latest = CellsScan(r2, "t", Long.MinValue, Long.MaxValue,
+        CellsKeyPred.All, CellsSource.Schema, latest = true).estimateStatistics()
+      assert(latest.numRows().getAsLong == 9,
+        s"one winner per LIVE key — the serving cardinality: ${latest.numRows()}")
+      assert(latest.sizeInBytes().getAsLong > 0 &&
+        latest.sizeInBytes().getAsLong < base.sizeInBytes().getAsLong,
+        "the latest face sizes below the history face")
+      // the edit-log face counts everything (it reports edits)
+      val feed = CellsScan(r2, "t", Long.MinValue, Long.MaxValue,
+        CellsKeyPred.All, CellsSource.ChangeFeedSchema, changeFeed = true).estimateStatistics()
+      assert(feed.numRows().getAsLong == 30, s"unmasked puts in the log: ${feed.numRows()}")
+      assert(CellsSource.filesOpened.get() == 0, "statistics opened cell files")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r2))
+  }
+
   test("scan parallelism is one partition per shard directory") {
     val scan = CellsScan(root, table, Long.MinValue, Long.MaxValue, CellsKeyPred.All, CellsSource.Schema)
     val parts = scan.planInputPartitions()
