@@ -489,6 +489,36 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("$latest statistics unlock broadcast: a history-heavy dim broadcasts as its winners") {
+    // 100 keys × 40 versions × 2 KB ≈ 8 MB of history; the serving
+    // face is 100 winners ≈ 200 KB. Under a 1 MB broadcast threshold
+    // the BASE face is too big to broadcast while the $latest face —
+    // sized by the new live-winner statistics — broadcasts.
+    val store = FileStore(root)
+    store.ensureTable("bd", graft.ingest.PushTableSink.TableSpec())
+    val body = Array.fill(2048)('x'.toByte)
+    store.putBatch("bd", for (i <- 0 until 100; v <- 1 to 40) yield
+      graft.ingest.PushTableSink.CellPut("bd", k(f"B-$i%03d"), v.toLong, body))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1 << 20).toString)
+      val baseStats = spark.table("gtest.bd").queryExecution.optimizedPlan.stats.sizeInBytes
+      val latestStats = spark.table("gtest.`bd$latest`")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(latestStats * 20 <= baseStats,
+        s"the serving face sizes as its winners: latest=$latestStats base=$baseStats")
+      val latestJoin = spark.table("gtest.bd").as("f")
+        .join(spark.table("gtest.`bd$latest`").as("d"), col("f.rowkey") === col("d.rowkey"))
+      assert(latestJoin.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "a sub-threshold $latest dimension must broadcast")
+      assert(latestJoin.count() == 100 * 40, "every history cell joins its key's winner")
+      val baseJoin = spark.table("gtest.bd").as("f")
+        .join(spark.table("gtest.bd").as("d2"), col("f.rowkey") === col("d2.rowkey"))
+      assert(!baseJoin.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "the over-threshold history face must not broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("different layouts decline SPJ: the join shuffles (and still answers correctly)") {
     seed("spjc", (0 until 40).map(i => (f"K-$i%02d", 1L, s"c-$i")),
       (1 to 7).map(i => k(s"K-${i}0")))

@@ -130,6 +130,31 @@ class CellStateViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run4 == Seq(("z", 150L, null, true)), s"a new deletion retracts anew: $run4")
   }
 
+  test("exact-version deletes (op='delete_version') drop exactly their version in the fold") {
+    val root = Files.createTempDirectory("csview-exact").toString
+    val ck = Files.createTempDirectory("csview-exact-ck").toString
+    val store = FileStore(root)
+    store.ensureTable("t", TableSpec())
+    // one window carries puts at 10/20/30 plus an exact delete of 20:
+    // the view must serve 10 and 30 (a bound marker would kill 10 too)
+    store.putBatch("t", Seq(
+      CellPut("t", k("e"), 10L, k("e-10")),
+      CellPut("t", k("e"), 20L, k("e-20")),
+      CellPut("t", k("e"), 30L, k("e-30"))))
+    store.deleteCellsExact("t", Seq((k("e"), 20L)))
+    val rows = drain(root, "t", ck)
+    assert(rows.toSet == Set(("e", 10L, "e-10", false), ("e", 30L, "e-30", false)),
+      s"exactly version 20 vanishes, siblings survive: $rows")
+    // an exact delete of the TOP version in the same window as its put:
+    // the view falls back to the older survivor (order-independent
+    // within the batch)
+    store.putBatch("t", Seq(CellPut("t", k("e"), 40L, k("e-40"))))
+    store.deleteCellsExact("t", Seq((k("e"), 40L)))
+    val run2 = drain(root, "t", ck)
+    assert(run2.toSet == Set(("e", 10L, "e-10", false), ("e", 30L, "e-30", false)),
+      s"a same-window put+exact-delete annihilates, survivors re-emit: $run2")
+  }
+
   test("maxVersions caps per-key state: only the newest cells are held and emitted") {
     val root = Files.createTempDirectory("csview-ret").toString
     val ck = Files.createTempDirectory("csview-ret-ck").toString
