@@ -837,9 +837,10 @@ object StoreLifecycle {
     // never a bound marker, so multi-version siblings could never be
     // collateral. The emitted result is the merged table; the driver
     // hash pins action routing ∘ marker physics ∘ masking end to end.
-    // 100 TB: the target scan is region-parallel and runtime-
-    // filterable; writes are per-task batched idempotent renames, no
-    // commit coordinator.
+    // 100 TB: one region-parallel scan of the target per statement
+    // (tools/MergeProbe measured the rewrite's outer join never
+    // narrows to the source's keys — the honest merge-on-read class);
+    // writes are per-task batched idempotent renames, no coordinator.
     "q234_cells_sql_merge" -> { (s, d) =>
       val root = Files.createTempDirectory("graft-q234-cells").toString
       val cat = "g234_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)

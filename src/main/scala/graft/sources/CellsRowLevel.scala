@@ -50,12 +50,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * version-offset feed's delivery guarantee (the documented
   * back-dated-write contract in [[CellsMicroBatch]]).
   *
-  * 100 TB: the target scan is the connector's own (region-parallel,
-  * filename-pruned, runtime-filterable — a MERGE against a small
-  * source probes regions, never table-scans); writes batch under the
-  * W1 byte cap per task; no coordinator (puts and markers are
-  * idempotent renames, so retried tasks converge — commit/abort are
-  * no-ops by design).
+  * 100 TB: the target scan is the connector's own region-parallel
+  * scan, and it IS a table scan — `tools/MergeProbe` measured that the
+  * MERGE rewrite's outer join never narrows the target to the source's
+  * keys (the source side of a right-outer join cannot be the broadcast
+  * build side, so the q225 runtime-filter machinery has nothing to
+  * ride; probed at sf0.1/sf1, opened files == populated regions in
+  * every variant including update-only). That is the honest
+  * merge-on-read cost class: one region-parallel pass per statement,
+  * linear in the target — right for batch mutation; a point mutation
+  * should take the metadata DELETE path or the put/tombstone write
+  * faces, which cost only their keys. Writes batch under the W1 byte
+  * cap per task; no coordinator (puts and markers are idempotent
+  * renames, so retried tasks converge — commit/abort are no-ops by
+  * design).
   */
 final case class CellsRowLevelOperation(root: String, table: String,
                                         cmd: RowLevelOperation.Command)
@@ -65,10 +73,10 @@ final case class CellsRowLevelOperation(root: String, table: String,
 
   override def description(): String = s"graft-cells $cmd table=$table"
 
-  // the target read is the ordinary connector scan: region-parallel,
-  // filename-pruned, with rowkey point/range pushdown and runtime
-  // (join-driven) filtering — a MERGE whose source is small reads only
-  // the probed regions
+  // the target read is the ordinary connector scan: region-parallel
+  // and filename-pruned. It scans the whole table once per statement —
+  // measured, not assumed (tools/MergeProbe): the MERGE rewrite's
+  // outer join gives the runtime filter nothing to ride.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     CellsScanBuilder(root, table)
 
