@@ -1125,12 +1125,17 @@ object CellsReaders {
                       isWinner(e.digestHex, e.version) &&
                       !seen.contains((e.digestHex, e.version)))
                 if (latestOnly && winnersHere.size.toLong * 4 < t.entryCount.toLong) {
-                  CellsSource.filesOpened.incrementAndGet()
-                  winnersHere.iterator.flatMap { e =>
-                    val (k, v, b) = graft.ingest.CellSegment.entryAt(seg, e.offset, needBody)
-                    if (!keys.keyOk(k)) None
-                    else if (!seen.add((e.digestHex, v))) None
-                    else Some(mkRow(k, v, b))
+                  // a segment with NO winners is never opened at all —
+                  // the index (cached) already proved it has nothing
+                  if (winnersHere.isEmpty) Iterator.empty
+                  else {
+                    CellsSource.filesOpened.incrementAndGet()
+                    winnersHere.iterator.flatMap { e =>
+                      val (k, v, b) = graft.ingest.CellSegment.entryAt(seg, e.offset, needBody)
+                      if (!keys.keyOk(k)) None
+                      else if (!seen.add((e.digestHex, v))) None
+                      else Some(mkRow(k, v, b))
+                    }
                   }
                 } else {
                   CellsSource.filesOpened.incrementAndGet()

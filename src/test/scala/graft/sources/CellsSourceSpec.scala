@@ -126,6 +126,30 @@ class CellsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r2))
   }
 
+  test("$latest segment reads: zero-winner segments are never opened; winner segments stream") {
+    val r2 = java.nio.file.Files.createTempDirectory("graft-cells-lseg").toString
+    try {
+      val sp = spark; import sp.implicits._
+      // two generations bulk-loaded separately → two segments per
+      // populated shard; every winner lives in generation 2
+      def gen(g: Int) = graft.ingest.BulkLoad.writeCells(
+        (0 until 30).map(i => ("t", s"L-$i".getBytes("UTF-8"),
+          g * 100L + i, s"g$g-$i".getBytes("UTF-8")))
+          .toDF("tableName", "rowkey", "version", "body"), r2)
+      gen(1)
+      val shards = gen(2).segments.map(_.shard).distinct.size
+      CellsSource.filesOpened.set(0)
+      val got = spark.read.format("graft-cells")
+        .option("root", r2).option("table", "t").option("latest", "true").load()
+        .collect().map(r => (new String(r.getAs[Array[Byte]]("rowkey"), "UTF-8"),
+          r.getAs[Long]("version"))).toSet
+      assert(got == (0 until 30).map(i => (s"L-$i", 200L + i)).toSet)
+      assert(CellsSource.filesOpened.get() == shards,
+        s"only generation-2 segments open (${CellsSource.filesOpened.get()} vs $shards): " +
+          "a segment the index proves winner-free costs nothing")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r2))
+  }
+
   test("scan parallelism is one partition per shard directory") {
     val scan = CellsScan(root, table, Long.MinValue, Long.MaxValue, CellsKeyPred.All, CellsSource.Schema)
     val parts = scan.planInputPartitions()
