@@ -273,6 +273,28 @@ final case class FileStore(rootDir: String) extends Store {
     }
   }
 
+  /** TRUNCATE the table's DATA — every cell file, segment, and delete
+    * marker in every shard — while PRESERVING the descriptor and the
+    * split layout (HBase `truncate_preserve`: drop + recreate with the
+    * same schema and region boundaries). Backs `INSERT OVERWRITE`.
+    * Returns the number of files removed. */
+  def truncateTable(tableName: String): Long = {
+    val dir = tableDir(tableName)
+    if (!Files.isDirectory(dir)) return 0L
+    var removed = 0L
+    val shards = Files.list(dir)
+    try shards.iterator().asScala.foreach { shard =>
+      if (Files.isDirectory(shard) &&
+        FileStore.Splits.startOf(shard.getFileName.toString).isDefined) {
+        val l = Files.list(shard)
+        try l.iterator().asScala.foreach { p =>
+          if (Files.deleteIfExists(p)) removed += 1
+        } finally l.close()
+      }
+    } finally shards.close()
+    removed
+  }
+
   /** any store file (cell, segment, or tombstone) under any shard dir? */
   private def hasAnyCell(dir: Path): Boolean = {
     val s = Files.list(dir)

@@ -1150,6 +1150,62 @@ object StoreLifecycle {
       }
     },
 
+    // INSERT OVERWRITE — the HBase `truncate_preserve` + load lifecycle
+    // as one SQL statement (DSv2 SupportsTruncate): every cell, segment
+    // AND delete marker goes before the fresh load lands — a surviving
+    // marker would silently mask the new data — while the descriptor
+    // and split layout survive. In-query invariants: keys the OLD
+    // markers covered are visible in the new generation at versions
+    // BELOW the old mask bounds (markers provably cleared), $changes
+    // shows zero markers, and the row count is exactly the new
+    // generation. The emitted result is the overwritten table; the
+    // driver hash pins truncate ∘ reload ∘ marker clearance.
+    "q239_cells_sql_insert_overwrite" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q239-cells").toString
+      val cat = "g239_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.q239 (rowkey BINARY, version BIGINT, body BINARY)")
+        s.sql(
+          s"""INSERT INTO $cat.q239
+              SELECT cast(concat('doc-', doc_id) as binary),
+                     cast(doc_id * 4 + 2 as bigint),
+                     cast(md5(concat(cast(doc_id as string), 'OLD')) as binary)
+              FROM parquet.`$d/documents.parquet` WHERE doc_id % 22 = 0""")
+        // bare-delete every second seeded key: markers at *4+2
+        val inList = Tables.documents(s, d).filter(col("doc_id") % 44 === 0)
+          .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).sorted
+          .map(id => "X'" + s"doc-$id".getBytes("UTF-8").map(b => f"$b%02x").mkString + "'")
+          .mkString("(", ", ", ")")
+        s.sql(s"DELETE FROM $cat.q239 WHERE rowkey IN $inList")
+        // overwrite with a generation at versions BELOW the old marker
+        // bounds: only a real truncate (markers included) makes the
+        // %132 keys (44∩33) visible
+        s.sql(
+          s"""INSERT OVERWRITE $cat.q239
+              SELECT cast(concat('doc-', doc_id) as binary),
+                     cast(doc_id * 4 + 1 as bigint),
+                     cast(md5(concat(cast(doc_id as string), 'NEW')) as binary)
+              FROM parquet.`$d/documents.parquet` WHERE doc_id % 33 = 0""")
+        val n33 = Tables.documents(s, d).filter(col("doc_id") % 33 === 0).count()
+        val out = s.table(s"$cat.q239")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+        require(out.count() == n33, s"exactly the new generation: ${out.count()} vs $n33")
+        val overlap = Tables.documents(s, d).filter(col("doc_id") % 132 === 0).count()
+        require(overlap > 0 && out.filter(col("key_str").isin(
+          Tables.documents(s, d).filter(col("doc_id") % 132 === 0)
+            .select(expr("concat('doc-', doc_id)")).collect().map(_.getString(0)).toSeq: _*))
+          .count() == overlap,
+          "keys the old markers covered are visible below the old bounds — markers cleared")
+        require(s.sql(s"SELECT count(*) FROM $cat.`q239$$changes` WHERE op != 'put'")
+          .collect()(0).getLong(0) == 0, "no marker survives an overwrite")
+        out
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -1694,6 +1750,12 @@ object StoreLifecycle {
               md5(doc_id::VARCHAR || '*' || v::VARCHAR) AS body_md5
          FROM documents, (SELECT unnest([1, 2]) AS v)
          WHERE doc_id % 19 = 0 AND doc_id % 57 != 0""",
+
+    // after the overwrite: exactly the new generation, old markers gone
+    "q239_cells_sql_insert_overwrite" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + 1)::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'NEW') AS body_md5
+         FROM documents WHERE doc_id % 33 = 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

@@ -236,7 +236,7 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
     // face is an edit feed; "latest" has no incremental meaning there)
     if (latest) java.util.EnumSet.of(TableCapability.BATCH_READ)
     else java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     CellsScanBuilder(root, table, options.getBoolean("stableOffsets", false), changeFeed,
       fromCatalog, asOf, latest)
@@ -333,17 +333,32 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
   * executors batch puts by the W1 byte cap. */
 case class CellsWriteBuilder(root: String, table: String, schema: StructType,
                              tombstone: Boolean = false,
-                             tombstoneExact: Boolean = false) extends WriteBuilder {
+                             tombstoneExact: Boolean = false) extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var truncateFirst = false
+  /** `INSERT OVERWRITE` — HBase `truncate_preserve` then load: every
+    * cell, segment, AND delete marker goes (a marker must not mask the
+    * fresh load); descriptor and split layout survive. */
+  override def truncate(): WriteBuilder = {
+    require(!tombstone, "an overwrite is a data write, not a delete")
+    truncateFirst = true
+    this
+  }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = CellsBatchWrite(root, table, schema, tombstone,
-      tombstoneExact)
+      tombstoneExact, truncateFirst)
   }
 }
 
 case class CellsBatchWrite(root: String, table: String, schema: StructType,
                            tombstone: Boolean = false,
-                           tombstoneExact: Boolean = false) extends BatchWrite {
+                           tombstoneExact: Boolean = false,
+                           truncateFirst: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // driver-side, before any task writes: the HBase truncate. Not
+    // transactional mid-job (neither is HBase's) — a crashed overwrite
+    // leaves a partially-loaded truncated table a re-run converges.
+    if (truncateFirst) graft.ingest.FileStore(root).truncateTable(table)
     // names AND types, driver-side: a STRING rowkey or INT version
     // would otherwise surface as an opaque executor ClassCastException
     // from r.getBinary/getLong mid-write. `option("tombstone","true")`

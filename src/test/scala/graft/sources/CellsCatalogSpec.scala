@@ -519,6 +519,30 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("INSERT OVERWRITE truncates data AND markers but preserves descriptor and splits") {
+    val points = (1 to 3).map(i => k(s"O-${i}0"))
+    seed("ovw", (0 until 40).map(i => (f"O-$i%02d", 100L + i, s"old-$i")), points)
+    FileStore(root).deleteCells("ovw", Seq((k("O-05"), 999L)))
+    val splitsBefore = FileStore(root).splitsOf("ovw").toJson
+    spark.sql("INSERT OVERWRITE gtest.ovw " +
+      "SELECT cast(concat('O-0', id) as binary), cast(10 + id as bigint), cast('new' as binary) " +
+      "FROM range(0, 8)")
+    val got = spark.table("gtest.ovw")
+      .select(col("rowkey").cast("string"), col("version"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // O-05 reappears at version 15 < the old marker's 999: a surviving
+    // marker would have masked it — truncate cleared the markers
+    assert(got == (0 until 8).map(i => (s"O-0$i", 10L + i)).toSet, s"$got")
+    assert(FileStore(root).splitsOf("ovw").toJson == splitsBefore,
+      "the split layout survives an overwrite (truncate_preserve)")
+    assert(FileStore(root).readSpecJson("ovw").isDefined, "the descriptor survives")
+    // truncating through a marker write face is nonsense and declines
+    val e = intercept[Exception] {
+      CellsWriteBuilder(root, "ovw", CellsSource.Schema, tombstone = true).truncate()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("different layouts decline SPJ: the join shuffles (and still answers correctly)") {
     seed("spjc", (0 until 40).map(i => (f"K-$i%02d", 1L, s"c-$i")),
       (1 to 7).map(i => k(s"K-${i}0")))
