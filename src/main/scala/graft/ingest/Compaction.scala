@@ -180,13 +180,24 @@ object Compaction {
             config: BulkLoad.Config = BulkLoad.Config(),
             // test seam: runs after the fresh segments flip in, before
             // the sweep — the window a racing writer is most exposed in
-            beforeSweep: () => Unit = () => ()): Report = {
+            beforeSweep: () => Unit = () => (),
+            // the compaction's clock, for the DDL-TTL cutoff —
+            // injectable so gates/specs expire deterministically
+            nowMillis: () => Long = () => System.currentTimeMillis()): Report = {
     val store = FileStore(root)
     // the recorded DDL through the one JSON parser (TableSpec.fromJson
     // ∘ core/Json) — the same descriptor read restore takes
-    val maxVersions = store.readSpecJson(table)
-      .map(PushTableSink.TableSpec.fromJson(_).maxVersions)
-      .getOrElse(Int.MaxValue)
+    val spec = store.readSpecJson(table)
+      .map(PushTableSink.TableSpec.fromJson)
+      .getOrElse(PushTableSink.TableSpec())
+    val maxVersions = spec.maxVersions
+    // TTL precedence: an explicit cutoff wins (the operational
+    // override); otherwise the DDL's ttlMillis derives one from the
+    // compaction clock — HBase's model, where TTL lives in the
+    // column-family descriptor and majors enforce it
+    val effCutoff = ttlCutoff.orElse(
+      if (spec.ttlMillis == Long.MaxValue) None
+      else Some(nowMillis() - spec.ttlMillis))
 
     // the sweep's upper bound: only files that exist NOW — before the
     // rewrite scan plans — may be deleted, so anything a concurrent
@@ -216,7 +227,7 @@ object Compaction {
       row_number().over(Window.partitionBy(col("rowkey")).orderBy(col("version").desc)))
     val kept = ranked
       .filter(col("rk") <= maxVersions &&
-        ttlCutoff.fold(lit(true))(c => col("version") >= c || col("rk") === 1))
+        effCutoff.fold(lit(true))(c => col("version") >= c || col("rk") === 1))
       .select(lit(table).as("tableName"), col("rowkey"), col("version"), col("body"))
 
     val report = BulkLoad.writeCells(kept, root, config)

@@ -311,6 +311,7 @@ final case class FileStore(rootDir: String) extends Store {
   private def renderSpec(spec: TableSpec): String =
     s"""{"dataFamily":"${spec.dataFamily}","dataQualifier":"${spec.dataQualifier}",""" +
       s""""maxVersions":${spec.maxVersions},"minVersions":${spec.minVersions},""" +
+      s""""ttlMillis":${spec.ttlMillis},""" +
       s""""compression":"${spec.compression}","compactionCompression":"${spec.compactionCompression}",""" +
       s""""regionReplication":${spec.regionReplication}}"""
 
@@ -338,12 +339,23 @@ final case class FileStore(rootDir: String) extends Store {
     * here served by the descriptor file). */
   def alterMaxVersions(tableName: String, maxVersions: Int): Unit = {
     require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
+    alterSpec(tableName)(_.copy(maxVersions = maxVersions))
+  }
+
+  /** ALTER the table's TTL — same lifecycle as [[alterMaxVersions]]:
+    * the descriptor changes now, expiry applies at the next major. */
+  def alterTtlMillis(tableName: String, ttlMillis: Long): Unit = {
+    require(ttlMillis >= 1, s"ttlMillis must be >= 1, got $ttlMillis")
+    alterSpec(tableName)(_.copy(ttlMillis = ttlMillis))
+  }
+
+  private def alterSpec(tableName: String)(f: TableSpec => TableSpec): Unit = {
     val dir = tableDir(tableName)
     val specPath = dir.resolve("_spec.json")
     require(Files.exists(specPath), s"table $tableName has no recorded DDL to alter")
     val cur = TableSpec.fromJson(new String(Files.readAllBytes(specPath), "UTF-8"))
     val tmp = Files.createTempFile(dir, "_spec", ".tmp")
-    Files.write(tmp, renderSpec(cur.copy(maxVersions = maxVersions)).getBytes("UTF-8"))
+    Files.write(tmp, renderSpec(f(cur)).getBytes("UTF-8"))
     Files.move(tmp, specPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     maxVersionsCache.remove(tableName)
   }

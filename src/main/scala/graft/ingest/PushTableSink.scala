@@ -28,7 +28,12 @@ object PushTableSink {
                              minVersions: Int = 1,
                              compression: String = "GZ",
                              compactionCompression: String = "GZ",
-                             regionReplication: Int = 3)
+                             regionReplication: Int = 3,
+                             // HBase column-family TTL: versions older
+                             // than now − ttl expire at the next major
+                             // (minVersions=1 semantics — every key
+                             // keeps its latest). MaxValue = FOREVER.
+                             ttlMillis: Long = Long.MaxValue)
 
   object TableSpec {
     /** Parse the `_spec.json` [[graft.ingest.FileStore.ensureTable]]
@@ -46,11 +51,17 @@ object PushTableSink {
           case Some(n: JNum) => n.toLongExact.map(_.toInt).getOrElse(d)
           case _ => d
         }
+      def long(k: String, d: Long): Long =
+        o.get(k) match {
+          case Some(n: JNum) => n.toLongExact.getOrElse(d)
+          case _ => d
+        }
       TableSpec(
         dataFamily = str("dataFamily", "cf"),
         dataQualifier = str("dataQualifier", "record"),
         maxVersions = int("maxVersions", Int.MaxValue),
         minVersions = int("minVersions", 1),
+        ttlMillis = long("ttlMillis", Long.MaxValue),
         compression = str("compression", "GZ"),
         compactionCompression = str("compactionCompression", "GZ"),
         regionReplication = int("regionReplication", 3))

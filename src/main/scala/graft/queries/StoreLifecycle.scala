@@ -1206,6 +1206,57 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // TTL AS DDL — HBase's column-family TTL: the expiry lives in the
+    // table descriptor (`TBLPROPERTIES('ttlMillis'=T)`, CREATE or
+    // ALTER) and MAJORS enforce it (cutoff = compaction clock − TTL,
+    // clock injectable for determinism), with minVersions=1 semantics —
+    // a key whose every version expired keeps its latest. In-query
+    // invariants: a major BEFORE the ALTER expires nothing (FOREVER
+    // default), the post-ALTER major drops exactly the expired
+    // non-latest versions, keys with ONLY expired versions survive at
+    // their newest, and SHOW TBLPROPERTIES reflects the ALTER. The
+    // emitted result is the post-major table; the driver hash pins
+    // descriptor carriage ∘ cutoff derivation ∘ the GC.
+    "q240_cells_sql_ttl_ddl" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q240-cells").toString
+      val cat = "g240_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.q240 (rowkey BINARY, version BIGINT, body BINARY)")
+        // versions are epoch-millis-like stamps: an OLD generation for
+        // every %13 key, a RECENT one for every %26 key — so %13∧¬%26
+        // keys hold ONLY expired versions (the minVersions=1 case)
+        def seed(pred: Int, base: Long, tag: String): Unit =
+          s.sql(s"""INSERT INTO $cat.q240
+              SELECT cast(concat('doc-', doc_id) as binary),
+                     cast($base + doc_id as bigint),
+                     cast(md5(concat(cast(doc_id as string), '$tag')) as binary)
+              FROM parquet.`$d/documents.parquet` WHERE doc_id % $pred = 0""")
+        seed(13, 0L, "T1")
+        seed(26, 5000000L, "T2")
+        val n13 = Tables.documents(s, d).filter(col("doc_id") % 13 === 0).count()
+        val n26 = Tables.documents(s, d).filter(col("doc_id") % 26 === 0).count()
+        // no TTL yet: a major expires nothing
+        Compaction.major(s, root, "q240", nowMillis = () => 5600000L)
+        require(s.table(s"$cat.q240").count() == n13 + n26,
+          "the FOREVER default expires nothing")
+        s.sql(s"ALTER TABLE $cat.q240 SET TBLPROPERTIES('ttlMillis' = '1000000')")
+        val props = s.sql(s"SHOW TBLPROPERTIES $cat.q240")
+          .collect().map(r => (r.getString(0), r.getString(1))).toMap
+        require(props.get("ttlMillis").contains("1000000"), s"$props")
+        // cutoff = 5,600,000 − 1,000,000: the old generation expires
+        // EXCEPT where it is a key's only (latest) version
+        Compaction.major(s, root, "q240", nowMillis = () => 5600000L)
+        val out = s.table(s"$cat.q240")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+        require(out.count() == n13, s"one survivor per key: ${out.count()} vs $n13")
+        out
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -1756,6 +1807,17 @@ object StoreLifecycle {
       """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + 1)::BIGINT AS version,
               md5(doc_id::VARCHAR || 'NEW') AS body_md5
          FROM documents WHERE doc_id % 33 = 0""",
+
+    // post-TTL-major: recent (%26) keys keep the recent version; keys
+    // with only the expired generation (%13 ∧ ¬%26) keep their latest
+    "q240_cells_sql_ttl_ddl" ->
+      """SELECT 'doc-' || doc_id AS key_str, doc_id::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'T1') AS body_md5
+         FROM documents WHERE doc_id % 13 = 0 AND doc_id % 26 != 0
+         UNION ALL
+         SELECT 'doc-' || doc_id, (5000000 + doc_id)::BIGINT,
+              md5(doc_id::VARCHAR || 'T2')
+         FROM documents WHERE doc_id % 26 = 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

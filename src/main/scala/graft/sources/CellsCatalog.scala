@@ -142,17 +142,21 @@ class CellsCatalog extends TableCatalog with FunctionCatalog {
     val t = tableNameOf(ident)
     val maxVersions = Option(properties.get("maxVersions")).flatMap(_.toIntOption)
       .getOrElse(Int.MaxValue)
-    FileStore(root).ensureTable(t, PushTableSink.TableSpec(maxVersions = maxVersions))
+    val ttlMillis = Option(properties.get("ttlMillis")).flatMap(_.toLongOption)
+      .getOrElse(Long.MaxValue)
+    FileStore(root).ensureTable(t,
+      PushTableSink.TableSpec(maxVersions = maxVersions, ttlMillis = ttlMillis))
     CellsTable(root, t, changeFeed = false, fromCatalog = true)
   }
 
-  /** `ALTER TABLE cat.tbl SET TBLPROPERTIES('maxVersions' = N)` — the
-    * HBase `alter` retention change: the descriptor updates now, new
-    * puts prune to the new cap as they land, and existing over-cap
-    * history goes with the NEXT major compaction (eventually-applied
-    * retention). Everything else about the DDL — and the split layout
-    * in particular — stays write-once, so any other change declines
-    * loudly. */
+  /** `ALTER TABLE cat.tbl SET TBLPROPERTIES('maxVersions' = N |
+    * 'ttlMillis' = T)` — the HBase `alter` retention change: the
+    * descriptor updates now, new puts prune to the new version cap as
+    * they land, and existing over-cap/expired history goes with the
+    * NEXT major compaction (eventually-applied retention; the major's
+    * TTL cutoff derives from the descriptor). Everything else about
+    * the DDL — and the split layout in particular — stays write-once,
+    * so any other change declines loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = tableNameOf(ident)
     if (!Files.isDirectory(dirOf(t))) throw new NoSuchTableException(ident)
@@ -162,9 +166,14 @@ class CellsCatalog extends TableCatalog with FunctionCatalog {
         store.alterMaxVersions(t, sp.value().toIntOption.getOrElse(
           throw new IllegalArgumentException(
             s"maxVersions takes an integer, got '${sp.value()}'")))
+      case sp: TableChange.SetProperty if sp.property() == "ttlMillis" =>
+        store.alterTtlMillis(t, sp.value().toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"ttlMillis takes a long, got '${sp.value()}'")))
       case other =>
         throw new UnsupportedOperationException(
-          s"graft tables support ALTER TABLE SET TBLPROPERTIES('maxVersions'=N) only; got $other")
+          "graft tables support ALTER TABLE SET TBLPROPERTIES" +
+            s"('maxVersions'=N | 'ttlMillis'=T) only; got $other")
     }
     CellsTable(root, t, changeFeed = false, fromCatalog = true)
   }

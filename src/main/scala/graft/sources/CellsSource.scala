@@ -225,6 +225,7 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
       val spec = graft.ingest.PushTableSink.TableSpec.fromJson(json)
       m.put("maxVersions", spec.maxVersions.toString)
       m.put("minVersions", spec.minVersions.toString)
+      m.put("ttlMillis", spec.ttlMillis.toString)
       m.put("dataFamily", spec.dataFamily)
       m.put("dataQualifier", spec.dataQualifier)
       m.put("compression", spec.compression)

@@ -543,6 +543,38 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage != null)
   }
 
+  test("row-level writes converge under task retry: re-applied delta actions are idempotent") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val store = FileStore(root)
+    store.ensureTable("rty", graft.ingest.PushTableSink.TableSpec())
+    store.putBatch("rty", Seq(
+      graft.ingest.PushTableSink.CellPut("rty", k("R-0"), 10L, k("a")),
+      graft.ingest.PushTableSink.CellPut("rty", k("R-1"), 11L, k("b")),
+      graft.ingest.PushTableSink.CellPut("rty", k("R-2"), 12L, k("c"))))
+    def row(key: String, v: Long, b: String) =
+      new GenericInternalRow(Array[Any](k(key), v, k(b)))
+    def id(key: String, v: Long) = new GenericInternalRow(Array[Any](k(key), v))
+    // the same action batch applied twice — an at-least-once retry —
+    // must land the identical store state (no coordinator anywhere)
+    def applyAll(): Unit = {
+      val w = CellsDeltaWriterFactory(root, "rty").createWriter(0, 0L)
+      w.insert(row("R-new", 50L, "n"))
+      w.update(null, id("R-0", 10L), row("R-0", 10L, "patched")) // in place
+      w.update(null, id("R-1", 11L), row("R-1", 99L, "moved"))   // coordinate move
+      w.delete(null, id("R-2", 12L))
+      w.commit()
+    }
+    def state(): Set[(String, Long, String)] = spark.table("gtest.rty")
+      .select(col("rowkey").cast("string"), col("version"), col("body").cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    applyAll()
+    val once = state()
+    assert(once == Set(("R-new", 50L, "n"), ("R-0", 10L, "patched"), ("R-1", 99L, "moved")),
+      s"$once")
+    applyAll() // the retry
+    assert(state() == once, "a replayed action batch converges to the same state")
+  }
+
   test("different layouts decline SPJ: the join shuffles (and still answers correctly)") {
     seed("spjc", (0 until 40).map(i => (f"K-$i%02d", 1L, s"c-$i")),
       (1 to 7).map(i => k(s"K-${i}0")))
