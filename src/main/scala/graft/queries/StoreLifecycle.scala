@@ -1257,6 +1257,72 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // PRE-SPLIT FROM SQL — HBase `create 'tbl', SPLITS => […]` as DDL:
+    // TBLPROPERTIES('splitPoints'='<hex>,…') records the region
+    // boundaries write-once BEFORE any cell lands, so the whole q228
+    // storage-partitioned-join story becomes reachable with ZERO
+    // programmatic seams — two tables created by identical DDL,
+    // INSERT INTO both, and Catalyst plans their rowkey join with no
+    // exchange on either side (the layout fingerprint in the shard
+    // function's name makes DDL equality = SPJ compatibility).
+    // In-query invariants: SHOW TBLPROPERTIES echoes the declared
+    // points, both tables landed cells across >1 region (the split
+    // actually routed writes), and the executed plan carries no
+    // Exchange. The emitted result is the joined current state; the
+    // driver hash pins DDL split routing ∘ catalog SPJ ∘ join rows.
+    "q241_cells_sql_presplit_join" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q241-cells").toString
+      val cat = "g241_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val prevBucketing = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val prevPush = s.conf.getOption("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      val prevBroadcast = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val points = (1 to 9).map(i => s"doc-$i".getBytes("UTF-8").map(b => f"$b%02x").mkString)
+          .mkString(",")
+        def create(tbl: String): Unit = s.sql(
+          s"CREATE TABLE $cat.$tbl (rowkey BINARY, version BIGINT, body BINARY) " +
+            s"TBLPROPERTIES('splitPoints' = '$points')")
+        create("pja"); create("pjb")
+        def load(tbl: String, pred: Int, tag: String, v: Int): Unit = s.sql(
+          s"""INSERT INTO $cat.$tbl
+              SELECT cast(concat('doc-', doc_id) as binary),
+                     cast(doc_id * 2 + $v as bigint),
+                     cast(md5(concat(cast(doc_id as string), '$tag')) as binary)
+              FROM parquet.`$d/documents.parquet` WHERE doc_id % $pred = 0""")
+        load("pja", 14, "PA", 1)
+        load("pjb", 28, "PB", 2)
+        val props = s.sql(s"SHOW TBLPROPERTIES $cat.pja")
+          .collect().map(r => (r.getString(0), r.getString(1))).toMap
+        require(props.get("splitPoints").contains(points),
+          s"the declared boundaries echo back: $props")
+        require(segShardDirs(root, "pja").size > 1 && segShardDirs(root, "pjb").size > 1,
+          "the declared split actually routed writes across regions")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = s.table(s"$cat.pja").as("a")
+          .join(s.table(s"$cat.pjb").as("b"), col("a.rowkey") === col("b.rowkey"))
+          .select(col("a.rowkey").cast("string").as("key_str"),
+            col("a.version").as("version_a"),
+            col("a.body").cast("string").as("body_a_md5"),
+            col("b.version").as("version_b"),
+            col("b.body").cast("string").as("body_b_md5"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"identical DDL must storage-partition-join with no exchange:\n$plan")
+        joined.localCheckpoint()
+      } finally {
+        def restore(key: String, prev: Option[String]): Unit =
+          prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+        restore("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+        restore("spark.sql.sources.v2.bucketing.pushPartValues.enabled", prevPush)
+        restore("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      }
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -1818,6 +1884,15 @@ object StoreLifecycle {
          SELECT 'doc-' || doc_id, (5000000 + doc_id)::BIGINT,
               md5(doc_id::VARCHAR || 'T2')
          FROM documents WHERE doc_id % 26 = 0""",
+
+    // the DDL-presplit join over the %28 ⊂ %14 keys
+    "q241_cells_sql_presplit_join" ->
+      """SELECT 'doc-' || doc_id AS key_str,
+              (doc_id * 2 + 1)::BIGINT AS version_a,
+              md5(doc_id::VARCHAR || 'PA') AS body_a_md5,
+              (doc_id * 2 + 2)::BIGINT AS version_b,
+              md5(doc_id::VARCHAR || 'PB') AS body_b_md5
+         FROM documents WHERE doc_id % 28 = 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

@@ -144,8 +144,23 @@ class CellsCatalog extends TableCatalog with FunctionCatalog {
       .getOrElse(Int.MaxValue)
     val ttlMillis = Option(properties.get("ttlMillis")).flatMap(_.toLongOption)
       .getOrElse(Long.MaxValue)
-    FileStore(root).ensureTable(t,
+    val store = FileStore(root)
+    store.ensureTable(t,
       PushTableSink.TableSpec(maxVersions = maxVersions, ttlMillis = ttlMillis))
+    // PRE-SPLIT from SQL — HBase `create 'tbl', SPLITS => [...]`:
+    // TBLPROPERTIES('splitPoints'='<hex>,<hex>,…') records N split
+    // points → N+1 regions BEFORE any cell lands (write-once, the same
+    // ensureSplits contract as the programmatic path), so two tables
+    // created with the same DDL storage-partition-join and a known-hot
+    // keyspace splits finer with no code anywhere
+    Option(properties.get("splitPoints")).filter(_.nonEmpty).foreach { csv =>
+      val points = csv.split(',').toSeq.map { hex =>
+        FileStore.Splits.startOf(hex.trim).getOrElse(
+          throw new IllegalArgumentException(
+            s"splitPoints takes comma-separated lowercase-hex keys, got '$hex'"))
+      }
+      store.ensureSplits(t, FileStore.Splits.ofSplitPoints(points))
+    }
     CellsTable(root, t, changeFeed = false, fromCatalog = true)
   }
 

@@ -230,6 +230,9 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
       m.put("dataQualifier", spec.dataQualifier)
       m.put("compression", spec.compression)
     }
+    val splits = graft.ingest.FileStore(root).splitsOf(table)
+    if (!splits.isDefault) // region boundaries as declared (hex split points)
+      m.put("splitPoints", splits.names.drop(1).mkString(","))
     m
   }
   override def capabilities(): java.util.Set[TableCapability] =
