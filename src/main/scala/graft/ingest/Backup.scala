@@ -233,16 +233,19 @@ object Backup {
         // The analyzer resolves writes against the 3-column table
         // schema, so the marker frame carries an (ignored) empty body.
         // Bound and exact markers re-apply through their own write
-        // faces (one pass each — kind is a write option, not a column).
+        // faces (kind is a write option, not a column). ONE aggregation
+        // decides which kinds are present, so an all-bound sidecar (the
+        // common chain) costs one write pass, not two emptiness probes.
         val markers = withExactColumn(spark.read.parquet(tDir))
           .withColumn("body", lit(Array.emptyByteArray))
-        Seq(false, true).foreach { exact =>
-          val slice = markers.filter(col("exact") === exact).drop("exact")
-          if (!slice.isEmpty)
-            slice.write.format("graft-cells").mode("append")
-              .option("root", dstRoot).option("table", meta.table)
-              .option("tombstone", "true")
-              .option("tombstoneExact", exact.toString).save()
+        val present = markers.groupBy(col("exact")).count()
+          .collect().map(_.getBoolean(0)).toSet
+        present.toSeq.sorted.foreach { exact =>
+          markers.filter(col("exact") === exact).drop("exact")
+            .write.format("graft-cells").mode("append")
+            .option("root", dstRoot).option("table", meta.table)
+            .option("tombstone", "true")
+            .option("tombstoneExact", exact.toString).save()
         }
       }
       n

@@ -575,6 +575,34 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state() == once, "a replayed action batch converges to the same state")
   }
 
+  test("splitPoints DDL: declared regions route writes; bad hex and layout conflicts decline") {
+    val pts = Seq("P-3", "P-6").map(_.getBytes("UTF-8").map(b => f"$b%02x").mkString)
+    spark.sql("CREATE TABLE gtest.spt (rowkey BINARY, version BIGINT, body BINARY) " +
+      s"TBLPROPERTIES('splitPoints' = '${pts.mkString(",")}')")
+    spark.sql("INSERT INTO gtest.spt " +
+      "SELECT cast(concat('P-', id) as binary), cast(id as bigint), cast('x' as binary) " +
+      "FROM range(0, 9)")
+    assert(FileStore(root).splitsOf("spt").size == 3, "2 split points = 3 regions")
+    assert(spark.table("gtest.spt").count() == 9)
+    // point GET routes through the DECLARED layout
+    CellsSource.filesOpened.set(0)
+    assert(spark.table("gtest.spt").filter(col("rowkey") === lit(k("P-7"))).count() == 1)
+    assert(CellsSource.filesOpened.get() == 1, "the declared split routes point reads")
+    // bad hex declines at CREATE
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.sptbad (rowkey BINARY, version BIGINT, body BINARY) " +
+        "TBLPROPERTIES('splitPoints' = 'not-hex!')")
+    }
+    assert(e1.getMessage != null)
+    // a recorded layout is write-once: re-declaring DIFFERENT points on
+    // the same store table declines (FileStore.ensureSplits contract)
+    val e2 = intercept[Exception] {
+      FileStore(root).ensureSplits("spt",
+        FileStore.Splits.ofSplitPoints(Seq(k("Q-1"))))
+    }
+    assert(e2.getMessage.contains("different split layout"))
+  }
+
   test("different layouts decline SPJ: the join shuffles (and still answers correctly)") {
     seed("spjc", (0 until 40).map(i => (f"K-$i%02d", 1L, s"c-$i")),
       (1 to 7).map(i => k(s"K-${i}0")))
