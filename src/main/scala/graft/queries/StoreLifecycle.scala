@@ -1323,6 +1323,51 @@ object StoreLifecycle {
       }
     },
 
+    // MAINTENANCE AS SQL — Spark 4 ProcedureCatalog: `CALL
+    // cat.compact_major(table => 't')` runs the store's major
+    // compaction from a SQL shell (the hbase-shell `major_compact`
+    // verb; Iceberg's CALL idiom), returning the operator's report as
+    // the statement's one-row result. In-query invariants: the CALL
+    // result reports exactly the retained cell count, the post-compact
+    // store holds ONLY fresh segments (every put file swept — checked
+    // via the store listing), and the surviving content is the newest
+    // maxVersions per key under the DDL the table was CREATED with.
+    // The emitted result is the post-compact table; the driver hash
+    // pins procedure resolution ∘ argument binding ∘ the GC.
+    "q242_cells_sql_call_maintenance" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q242-cells").toString
+      val cat = "g242_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.q242 (rowkey BINARY, version BIGINT, body BINARY) " +
+          "TBLPROPERTIES('maxVersions'='2')")
+        // three generations through BULK segments (bulk loads bypass
+        // the put path's eager prune, so the major has real GC to do)
+        (1 to 3).foreach { v =>
+          BulkLoad.writeCells(
+            Tables.documents(s, d).filter(col("doc_id") % 15 === 0)
+              .select(lit("q242").as("tableName"),
+                expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+                expr(s"doc_id * 8 + $v").as("version"),
+                expr(s"cast(md5(concat(cast(doc_id as string), '=', '$v')) as binary)").as("body")),
+            root)
+        }
+        val n15 = Tables.documents(s, d).filter(col("doc_id") % 15 === 0).count()
+        require(s.table(s"$cat.q242").count() == 3 * n15, "bulk loads kept all 3 generations")
+        val rep = s.sql(s"CALL $cat.compact_major(`table` => 'q242')").collect()(0)
+        require(rep.getLong(0) == 2 * n15,
+          s"the CALL reports the retained count: ${rep.getLong(0)} vs ${2 * n15}")
+        require(segFiles(root, "q242").forall(n =>
+          CellSegment.isSegment(n) || n.startsWith("_")),
+          "post-compact the store holds only fresh segments")
+        s.table(s"$cat.q242")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -1893,6 +1938,13 @@ object StoreLifecycle {
               (doc_id * 2 + 2)::BIGINT AS version_b,
               md5(doc_id::VARCHAR || 'PB') AS body_b_md5
          FROM documents WHERE doc_id % 28 = 0""",
+
+    // after CALL compact_major under maxVersions=2: newest 2 of 3 per key
+    "q242_cells_sql_call_maintenance" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 8 + v)::BIGINT AS version,
+              md5(doc_id::VARCHAR || '=' || v::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([2, 3]) AS v)
+         WHERE doc_id % 15 = 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

@@ -50,7 +50,8 @@ import scala.jdk.CollectionConverters._
   * recorded `_splits.json`, or the default 256 first-byte layout), so
   * function resolution needs no session state beyond the catalog.
   */
-class CellsCatalog extends TableCatalog with FunctionCatalog {
+class CellsCatalog extends TableCatalog with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -200,6 +201,25 @@ class CellsCatalog extends TableCatalog with FunctionCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft tables do not rename (rowkeys embed no table name, but readers may hold segment paths)")
+
+  // ----------------------------------------------------- procedures
+
+  /** `CALL cat.compact_major(table => 't')` etc — maintenance as SQL
+    * ([[CellsProcedures]]): compactions, backups, restore, all against
+    * THIS catalog's root. Accepted under the empty namespace and the
+    * conventional `system` one. */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ok = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
+    if (!ok) throw new RuntimeException(s"no such procedure: $ident")
+    CellsProcedures.all(root).getOrElse(ident.name(),
+      throw new RuntimeException(s"no such procedure: $ident — " +
+        s"available: ${CellsProcedures.all(root).keys.toSeq.sorted.mkString(", ")}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      CellsProcedures.all(root).keys.toArray.sorted.map(Identifier.of(namespace, _))
+    else Array.empty
 
   // ------------------------------------------------------ functions
 

@@ -1,0 +1,114 @@
+package graft.sources
+
+import graft.ingest.{Backup, Compaction}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MAINTENANCE as SQL — the store's lifecycle operators surfaced
+  * through Spark 4's ProcedureCatalog (`CALL cat.compact_major(table
+  * => 'tbl')`), the Iceberg-procedures idiom an operations user
+  * expects: compactions, backups, and restores runnable from a SQL
+  * shell with no Scala anywhere. Each procedure executes DRIVER-side
+  * and delegates to the existing operators (the Spark jobs inside them
+  * are the distributed part); the one-row result surfaces the
+  * operator's report, so a `CALL` is auditable in-query.
+  *
+  * Reference posture: the reference relies on operated HBase, where
+  * these are hbase-shell verbs (`major_compact`, snapshot/export) —
+  * this is that shell surface for the sandbox store.
+  */
+object CellsProcedures {
+
+  private def param(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
+  private def paramD(name: String, dt: DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def resultScan(schema: StructType, values: Array[Any]): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(new GenericInternalRow(values))
+    }).iterator()
+
+  private abstract class Proc(procName: String,
+                              params: Array[ProcedureParameter],
+                              resultSchema: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    protected def run(spark: SparkSession, input: InternalRow): Array[Any]
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      resultScan(resultSchema, run(SparkSession.active, input))
+  }
+
+  private val CompactResult = StructType(Seq(
+    StructField("kept_cells", LongType, nullable = false),
+    StructField("removed_files", LongType, nullable = false),
+    StructField("segments", LongType, nullable = false)))
+
+  def all(root: String): Map[String, UnboundProcedure] = Map(
+    // CALL cat.compact_major(table => 't' [, ttl_cutoff => v]):
+    // maxVersions/TTL GC off the table's own DDL; an explicit
+    // ttl_cutoff overrides the descriptor-derived one
+    "compact_major" -> new Proc("compact_major",
+      Array(param("table", StringType), paramD("ttl_cutoff", LongType, "NULL")),
+      CompactResult) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] = {
+        val cutoff = if (in.numFields > 1 && !in.isNullAt(1)) Some(in.getLong(1)) else None
+        val r = Compaction.major(spark, root, in.getUTF8String(0).toString, ttlCutoff = cutoff)
+        Array(r.keptCells, r.removedFiles, r.segments.size.toLong)
+      }
+    },
+    // CALL cat.compact_minor(table => 't' [, max_input_bytes => b]):
+    // the region-local small-file merge, no GC, no shuffle
+    "compact_minor" -> new Proc("compact_minor",
+      Array(param("table", StringType),
+        paramD("max_input_bytes", LongType, (32L << 20).toString)),
+      CompactResult) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] = {
+        val cap = if (in.numFields > 1 && !in.isNullAt(1)) in.getLong(1) else 32L << 20
+        val r = Compaction.minor(spark, root, in.getUTF8String(0).toString, cap)
+        Array(r.keptCells, r.removedFiles, r.segments.size.toLong)
+      }
+    },
+    // CALL cat.backup_full(table => 't', dir => '/path')
+    "backup_full" -> new Proc("backup_full",
+      Array(param("table", StringType), param("dir", StringType)),
+      StructType(Seq(StructField("watermark", LongType, nullable = false),
+        StructField("increments", LongType, nullable = false)))) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] = {
+        val m = Backup.full(spark, root, in.getUTF8String(0).toString,
+          in.getUTF8String(1).toString)
+        Array(m.watermark, m.increments.size.toLong)
+      }
+    },
+    // CALL cat.backup_incremental(table => 't', dir => '/path')
+    "backup_incremental" -> new Proc("backup_incremental",
+      Array(param("table", StringType), param("dir", StringType)),
+      StructType(Seq(StructField("watermark", LongType, nullable = false),
+        StructField("increments", LongType, nullable = false)))) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] = {
+        val m = Backup.incremental(spark, root, in.getUTF8String(0).toString,
+          in.getUTF8String(1).toString)
+        Array(m.watermark, m.increments.size.toLong)
+      }
+    },
+    // CALL cat.restore_backup(dir => '/path'): rebuilds the chain's
+    // table into THIS catalog's root (descriptor + splits + markers)
+    "restore_backup" -> new Proc("restore_backup",
+      Array(param("dir", StringType)),
+      StructType(Seq(StructField("cells", LongType, nullable = false)))) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] =
+        Array(Backup.restore(spark, in.getUTF8String(0).toString, root))
+    })
+
+  /** marker type for result strings, kept here for symmetry if a
+    * procedure ever returns text. */
+  private[sources] def utf8(s: String): UTF8String = UTF8String.fromString(s)
+}

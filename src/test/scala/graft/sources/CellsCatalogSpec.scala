@@ -603,6 +603,47 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("different split layout"))
   }
 
+  test("CALL procedures: compaction and the backup/restore chain as SQL maintenance verbs") {
+    spark.sql("CREATE TABLE gtest.proc (rowkey BINARY, version BIGINT, body BINARY) " +
+      "TBLPROPERTIES('maxVersions'='2')")
+    (1 to 4).foreach { v =>
+      spark.sql("INSERT INTO gtest.proc " +
+        s"SELECT cast(concat('C-', id) as binary), cast(${v}00 + id as bigint), " +
+        s"cast(concat('v$v-', id) as binary) FROM range(0, 12)")
+    }
+    // the put path already pruned to the cap eagerly; a major then
+    // rewrites into fresh segments and reports through the CALL result
+    val rep = spark.sql("CALL gtest.compact_major(`table` => 'proc')").collect()(0)
+    assert(rep.getLong(0) == 24, s"kept = 12 keys x 2 retained versions: $rep")
+    val after = spark.table("gtest.proc")
+      .select(col("rowkey").cast("string"), col("version"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == (0 until 12).flatMap(i => Seq((s"C-$i", 300L + i), (s"C-$i", 400L + i))).toSet)
+    // backup → mutate → incremental → restore, all through CALL
+    val bak = Files.createTempDirectory("proc-bak").toString
+    spark.sql(s"CALL gtest.backup_full(`table` => 'proc', dir => '$bak')")
+    spark.sql("DELETE FROM gtest.proc WHERE rowkey = X'432d33'") // C-3, bare
+    val incr = spark.sql(
+      s"CALL gtest.backup_incremental(`table` => 'proc', dir => '$bak')").collect()(0)
+    assert(incr.getLong(1) == 1, s"one increment recorded: $incr")
+    // restore into a SECOND catalog root via ITS procedure
+    val root2 = Files.createTempDirectory("proc-restore").toString
+    val cat2 = "gtest2_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat2", classOf[CellsCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat2.root", root2)
+    spark.sql(s"CALL $cat2.restore_backup(dir => '$bak')")
+    val restored = spark.table(s"$cat2.proc")
+      .select(col("rowkey").cast("string"), col("version"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(restored == after.filterNot(_._1 == "C-3"),
+      "the restored replica carries the post-delete masked view")
+    // unknown procedures decline with the available list
+    val e = intercept[Exception] { spark.sql("CALL gtest.nope()") }
+    assert(e.getMessage != null)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bak))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root2))
+  }
+
   test("different layouts decline SPJ: the join shuffles (and still answers correctly)") {
     seed("spjc", (0 until 40).map(i => (f"K-$i%02d", 1L, s"c-$i")),
       (1 to 7).map(i => k(s"K-${i}0")))
