@@ -106,6 +106,26 @@ object CellsProcedures {
       StructType(Seq(StructField("cells", LongType, nullable = false)))) {
       override def run(spark: SparkSession, in: InternalRow): Array[Any] =
         Array(Backup.restore(spark, in.getUTF8String(0).toString, root))
+    },
+    // CALL cat.resplit(table => 't', dst_root => '/path',
+    //                  split_points => '<hex>,…'): the layout MIGRATION
+    // (resharding live data is a rewrite into a new root, never a
+    // re-point — the write-once layout contract)
+    "resplit" -> new Proc("resplit",
+      Array(param("table", StringType), param("dst_root", StringType),
+        param("split_points", StringType)),
+      StructType(Seq(StructField("cells", LongType, nullable = false),
+        StructField("segments", LongType, nullable = false)))) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] = {
+        val points = in.getUTF8String(2).toString.split(',').toSeq.map { hex =>
+          graft.ingest.FileStore.Splits.startOf(hex.trim).getOrElse(
+            throw new IllegalArgumentException(
+              s"split_points takes comma-separated lowercase-hex keys, got '$hex'"))
+        }
+        val r = graft.ingest.Resplit.to(spark, root, in.getUTF8String(0).toString,
+          in.getUTF8String(1).toString, graft.ingest.FileStore.Splits.ofSplitPoints(points))
+        Array(r.cells, r.segments.size.toLong)
+      }
     })
 
   /** marker type for result strings, kept here for symmetry if a

@@ -637,11 +637,25 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(restored == after.filterNot(_._1 == "C-3"),
       "the restored replica carries the post-delete masked view")
+    // CALL resplit migrates the restored table to a finer layout in a
+    // third root — the layout-migration verb
+    val root3 = Files.createTempDirectory("proc-resplit").toString
+    val pts = Seq("C-4", "C-8").map(_.getBytes("UTF-8").map(b => f"$b%02x").mkString)
+    val rs = spark.sql(s"CALL $cat2.resplit(`table` => 'proc', dst_root => '$root3', " +
+      s"split_points => '${pts.mkString(",")}')").collect()(0)
+    assert(rs.getLong(0) == restored.size, s"every live cell migrated: $rs")
+    assert(FileStore(root3).splitsOf("proc").size == 3, "2 points = 3 regions at the destination")
+    val migrated = spark.read.format("graft-cells")
+      .option("root", root3).option("table", "proc").load()
+      .select(col("rowkey").cast("string"), col("version"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(migrated == restored, "resplit preserves content exactly")
     // unknown procedures decline with the available list
     val e = intercept[Exception] { spark.sql("CALL gtest.nope()") }
     assert(e.getMessage != null)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bak))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root2))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root3))
   }
 
   test("different layouts decline SPJ: the join shuffles (and still answers correctly)") {
