@@ -319,6 +319,40 @@ class TombstoneSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the serving view falls back to the newest LIVE version: $latest")
   }
 
+  test("a MIXED increment (bound + exact markers) restores both kinds faithfully") {
+    val root = Files.createTempDirectory("tomb-mixed-src").toString
+    val bak = Files.createTempDirectory("tomb-mixed-dir").toString
+    val dst = Files.createTempDirectory("tomb-mixed-dst").toString
+    val store = FileStore(root)
+    store.ensureTable("t", PushTableSink.TableSpec())
+    put(store, "t", "mx", 1L, 2L, 3L)
+    put(store, "t", "my", 1L, 2L, 3L)
+    Backup.full(spark, root, "t", bak)
+    // ONE increment carries a bound marker (my <= 2) AND an exact
+    // marker (mx == 2): the sidecar must keep the kinds apart — a
+    // kind-confused restore would either resurrect my-1 or kill mx-1
+    store.deleteCells("t", Seq((k("my"), 2L)))
+    store.deleteCellsExact("t", Seq((k("mx"), 2L)))
+    Backup.incremental(spark, root, "t", bak)
+    Backup.restore(spark, bak, dst)
+    val want = Set(("mx", 1L), ("mx", 3L), ("my", 3L))
+    assert(readBack(root, "t") == want)
+    assert(readBack(dst, "t") == want,
+      "bound masks <= its version, exact masks only its own — both restored")
+  }
+
+  test("minor compaction keeps EXACT markers: the one-version mask holds after the merge") {
+    val root = Files.createTempDirectory("tomb-minor-exact").toString
+    val store = FileStore(root)
+    store.ensureTable("t", PushTableSink.TableSpec())
+    put(store, "t", "me", 1L, 2L, 3L)
+    store.deleteCellsExact("t", Seq((k("me"), 2L)))
+    val rep = Compaction.minor(spark, root, "t")
+    assert(rep.keptCells == 3, "minors never GC — all three versions merge")
+    assert(readBack(root, "t") == Set(("me", 1L), ("me", 3L)),
+      "the exact mask holds over the merged segment (minors keep markers)")
+  }
+
   test("exact markers travel with the backup chain and replay as delete_version feed rows") {
     val root = Files.createTempDirectory("tomb-exact-bak-src").toString
     val bak = Files.createTempDirectory("tomb-exact-bak-dir").toString
