@@ -140,6 +140,8 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
       CellsSource.Schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"graft tables have the fixed schema ${CellsSource.Schema.simpleString}; got ${schema.simpleString}")
     require(partitions.isEmpty, "graft tables partition by their split layout, not PARTITIONED BY")
+    require(!ident.name().endsWith("$latest") && !ident.name().endsWith("$changes"),
+      "the $latest/$changes suffixes are reserved metadata faces — a literal table would shadow them")
     val t = tableNameOf(ident)
     val maxVersions = Option(properties.get("maxVersions")).flatMap(_.toIntOption)
       .getOrElse(Int.MaxValue)
@@ -195,6 +197,8 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    require(!ident.name().endsWith("$latest") && !ident.name().endsWith("$changes"),
+      "metadata faces cannot be dropped — drop the base table")
     val dir = dirOf(tableNameOf(ident))
     Files.isDirectory(dir) && org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }

@@ -246,6 +246,17 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) == 6, "one exact marker per moved cell")
   }
 
+  test("the metadata suffixes are reserved: CREATE and DROP on $latest/$changes decline") {
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.`shadow$latest` (rowkey BINARY, version BIGINT, body BINARY)")
+    }
+    assert(e1.getMessage != null)
+    seed("sfc", (0 until 3).map(i => (s"F-$i", 1L, s"f-$i")))
+    val e2 = intercept[Exception] { spark.sql("DROP TABLE gtest.`sfc$changes`") }
+    assert(e2.getMessage != null)
+    assert(spark.table("gtest.sfc").count() == 3, "the base table survives the declined drop")
+  }
+
   test("row-level mutations decline the metadata faces and snapshots loudly") {
     seed("rof", (0 until 4).map(i => (f"R-$i", 10L + i, s"r-$i")))
     val e1 = intercept[Exception] {
