@@ -56,12 +56,15 @@ import scala.jdk.CollectionConverters._
   * 256 uniform buckets (CRC32 leading byte), so partition work is
   * balanced by construction and scales the scan to the cluster.
   *
-  * DELETES (HBase Delete-marker model): a tombstone file
-  * `<digest>.<version>.d` masks every cell of its rowkey with
-  * version ≤ T on this batch face — dropped at FILENAME level before
-  * any content I/O — until a major compaction purges masked cells and
-  * marker together. Writes issue deletes distributed via
-  * `option("tombstone", "true")`. The STREAMING face does not mask
+  * DELETES (HBase Delete-marker model, both Delete types): a tombstone
+  * file `<digest>.<version>.d` masks every cell of its rowkey with
+  * version ≤ T (Delete.addColumns up-to-T), and `<digest>.<version>.dv`
+  * masks ONLY the cell at exactly its version (Delete.addColumn(ts) —
+  * the per-row delete behind SQL MERGE/UPDATE) — both dropped at
+  * FILENAME level before any content I/O, until a major compaction
+  * purges masked cells and markers together. Writes issue deletes
+  * distributed via `option("tombstone", "true")` (+
+  * `option("tombstoneExact", "true")` for the exact kind). The STREAMING face does not mask
   * (an edit feed's replayed batches must regenerate identical rows);
   * statistics apply the masks — they report LIVE cells, so a
   * heavily-deleted table sizes as what a scan actually emits.
