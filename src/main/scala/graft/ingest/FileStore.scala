@@ -85,7 +85,6 @@ object FileStore {
   final case class ShardMask(bound: Map[String, Long], exact: Set[(String, Long)]) {
     def masked(digestHex: String, v: Long): Boolean =
       bound.get(digestHex).exists(_ >= v) || exact((digestHex, v))
-    def isEmpty: Boolean = bound.isEmpty && exact.isEmpty
   }
 
   object ShardMask { val Empty: ShardMask = ShardMask(Map.empty, Set.empty) }

@@ -7,7 +7,6 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** MAINTENANCE as SQL — the store's lifecycle operators surfaced
   * through Spark 4's ProcedureCatalog (`CALL cat.compact_major(table
@@ -127,8 +126,4 @@ object CellsProcedures {
         Array(r.cells, r.segments.size.toLong)
       }
     })
-
-  /** marker type for result strings, kept here for symmetry if a
-    * procedure ever returns text. */
-  private[sources] def utf8(s: String): UTF8String = UTF8String.fromString(s)
 }
