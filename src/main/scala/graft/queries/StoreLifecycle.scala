@@ -1368,6 +1368,58 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // CURRENT-STATE ENRICHMENT, BROADCAST-PLANNED — the user-shaped
+    // serving join: a parquet FACT table enriched from a store
+    // dimension's `$latest` face, where Catalyst picks the broadcast
+    // join BECAUSE the connector's statistics are live-winner-aware
+    // (each key's one surviving cell, masks applied) — the history
+    // face would size 2× bigger and a heavily-masked one bigger still.
+    // In-query invariants: the executed plan carries a
+    // BroadcastHashJoin and NO SortMergeJoin under the DEFAULT
+    // broadcast threshold (no conf touched — the stats alone earn the
+    // plan), and the result is the enriched fact. The driver hash pins
+    // stats ∘ plan choice ∘ latest fold ∘ join rows end to end. At
+    // 100 TB this is the difference between shuffling the fact table
+    // and shipping a winner-sized dimension to it.
+    "q243_cells_latest_broadcast_enrich" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q243-cells").toString
+      val cat = "g243_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        def seed(v: Int): Unit = Tables.documents(s, d).filter(col("doc_id") % 21 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr(s"doc_id * 4 + $v").as("version"),
+            expr(s"cast(md5(concat(cast(doc_id as string), '$$', '$v')) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q243").save()
+        seed(1); seed(2)
+        // every third dimension key is fully masked — live stats must
+        // exclude it, and the join must not resurrect it
+        Tables.documents(s, d).filter(col("doc_id") % 63 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 4 + 2").as("version"),
+            lit(Array.emptyByteArray).as("body")) // ignored by marker writes
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q243")
+          .option("tombstone", "true").save()
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val fact = Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            expr("concat('doc-', doc_id)").as("key_str"))
+        val enriched = fact.join(
+          s.table(s"$cat.`q243$$latest`")
+            .select(col("rowkey").cast("string").as("key_str"),
+              col("version").as("state_version"),
+              col("body").cast("string").as("state_md5")),
+          Seq("key_str"))
+          .select(col("key_str"), col("doc_id"), col("state_version"), col("state_md5"))
+        val plan = enriched.queryExecution.executedPlan.toString
+        require(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+          s"the live-winner statistics must earn the broadcast under the default threshold:\n$plan")
+        enriched.localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -1945,6 +1997,14 @@ object StoreLifecycle {
               md5(doc_id::VARCHAR || '=' || v::VARCHAR) AS body_md5
          FROM documents, (SELECT unnest([2, 3]) AS v)
          WHERE doc_id % 15 = 0""",
+
+    // the fact (%7) enriched with each surviving (%21 ∧ ¬%63) key's
+    // current state (v=2)
+    "q243_cells_latest_broadcast_enrich" ->
+      """SELECT 'doc-' || doc_id AS key_str, doc_id::BIGINT AS doc_id,
+              (doc_id * 4 + 2)::BIGINT AS state_version,
+              md5(doc_id::VARCHAR || '$' || '2') AS state_md5
+         FROM documents WHERE doc_id % 21 = 0 AND doc_id % 63 != 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions
