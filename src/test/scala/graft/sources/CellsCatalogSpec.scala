@@ -661,6 +661,26 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("rowkey").cast("string"), col("version"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(migrated == restored, "resplit preserves content exactly")
+    // CALL compact_minor merges a fresh put backlog into the restored
+    // root's segments, region-locally (no GC — cell count only grows
+    // by the inserts)
+    val before = spark.table(s"$cat2.proc").count()
+    spark.sql(s"INSERT INTO $cat2.proc " +
+      "SELECT cast(concat('N-', id) as binary), cast(900 + id as bigint), " +
+      "cast('fresh' as binary) FROM range(0, 5)")
+    val mn = spark.sql(s"CALL $cat2.compact_minor(`table` => 'proc')").collect()(0)
+    assert(mn.getLong(0) >= 5, s"the minor merged the put backlog: $mn")
+    assert(spark.table(s"$cat2.proc").count() == before + 5, "minors never drop cells")
+    // discovery: every advertised verb resolves
+    val cat = spark.sessionState.catalogManager.catalog("gtest")
+      .asInstanceOf[CellsCatalog]
+    val listed = cat.listProcedures(Array.empty).map(_.name()).toSet
+    assert(listed == Set("compact_major", "compact_minor", "backup_full",
+      "backup_incremental", "restore_backup", "resplit"), s"$listed")
+    listed.foreach { n =>
+      assert(cat.loadProcedure(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, n)) != null)
+    }
     // unknown procedures decline with the available list
     val e = intercept[Exception] { spark.sql("CALL gtest.nope()") }
     assert(e.getMessage != null)
