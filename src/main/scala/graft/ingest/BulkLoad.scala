@@ -101,6 +101,13 @@ object BulkLoad {
     }
     val splitsByTable: Map[String, FileStore.Splits] =
       tables.map(t => t -> store.splitsOf(t)).toMap
+    // the load's GENERATION: one seqNo per table, above every resident
+    // segment's, so this load's bodies win any colliding identity on
+    // the read faces (a task retry re-stamps the same number — the
+    // replayed file differs only in a trailer field the content-hash
+    // name ignores, and the REPLACE_EXISTING flip still converges)
+    val seqNoByTable: Map[String, Long] =
+      tables.map(t => t -> (store.maxSeqNo(t) + 1L)).toMap
 
     val staging = Files.createDirectories(
       Paths.get(rootDir, "_bulk_staging", java.util.UUID.randomUUID().toString))
@@ -172,7 +179,7 @@ object BulkLoad {
                 e
               }
             }
-            val meta = CellSegment.write(dir, chunk)
+            val meta = CellSegment.write(dir, chunk, seqNoByTable(table))
             out += SegDesc(table, shard, meta.fileName, meta.entryCount.toLong,
               meta.minVersion, meta.maxVersion)
           }

@@ -17,7 +17,8 @@ import java.security.MessageDigest
   *   data  : entry*            entry  = [keyLen:4][key][version:8][bodyLen:4][body]
   *   index : ientry*           ientry = [sha256(key):32][version:8][entryOffset:8]
   *   bloom : [bitCount:8][word:8 × bitCount/64]
-  *   trailer (40 bytes)        [indexOffset:8][bloomOffset:8][entryCount:4]
+  *   trailer (52 bytes)        [indexOffset:8][bloomOffset:8][entryCount:4]
+  *                             [distinctKeys:4][seqNo:8]
   *                             [minVersion:8][maxVersion:8][magic:4]
   * }}}
   *
@@ -49,19 +50,31 @@ import java.security.MessageDigest
   */
 object CellSegment {
 
-  val Magic: Int = 0x47534532 // "GSE2" (v2: v1 + the bloom block)
-  val TrailerLen: Int = 40 // indexOffset:8 + bloomOffset:8 + entryCount:4 + minV:8 + maxV:8 + magic:4
+  val Magic: Int = 0x47534533 // "GSE3" (v3: v2 + trailer stats and sequence number)
+  private val MagicV2: Int = 0x47534532 // "GSE2" — recognized only to fail loudly
+  val TrailerLen: Int = 52 // indexOffset:8 + bloomOffset:8 + entryCount:4 + distinctKeys:4 + seqNo:8 + minV:8 + maxV:8 + magic:4
   private val IndexEntryLen = 48
   private val BloomBitsPerKey = 10
   private val BloomProbes = 7
 
   final case class Meta(fileName: String, entryCount: Int, minVersion: Long,
-                        maxVersion: Long, dataBytes: Long)
+                        maxVersion: Long, dataBytes: Long, distinctKeys: Int = 0,
+                        seqNo: Long = 0L)
 
   final case class IndexEntry(digestHex: String, version: Long, offset: Long)
 
+  /** GSE3 trailer: alongside the v2 prune bounds it carries the
+    * STATISTICS the planner wants without an index walk —
+    * `distinctKeys` (the segment's key cardinality, the $latest face's
+    * row-count unit) and `indexOffset` (the data-region byte size) —
+    * plus `seqNo`, the HBase max-sequence-id analog: segments of one
+    * shard are totally ordered by (seqNo, name), and read faces give a
+    * NEWER segment's body precedence at a colliding (rowkey, version)
+    * identity (in-place SQL UPDATE is what makes collisions with
+    * different bodies legal across store files). */
   final case class Trailer(indexOffset: Long, bloomOffset: Long, entryCount: Int,
-                           minVersion: Long, maxVersion: Long)
+                           minVersion: Long, maxVersion: Long,
+                           distinctKeys: Int = 0, seqNo: Long = 0L)
 
   /** ROW bloom over key digests. `words` is the bit array; probes are
     * the Kirsch-Mitzenmacher composite h1 + i·h2 of the digest's own
@@ -112,7 +125,14 @@ object CellSegment {
     * input and throws, because silently picking one would be a
     * nondeterministic store.
     */
-  def write(dir: Path, entries: Iterator[(Array[Byte], Long, Array[Byte])]): Meta = {
+  /** `seqNo` is the segment's shard-local sequence number (precedence
+    * rank for colliding identities — see [[Trailer]]); it lives in the
+    * TRAILER, outside the content hash that names the file, so a
+    * replayed load regenerates the same NAME and data region and the
+    * REPLACE_EXISTING flip still converges (a replay can only advance
+    * the precedence of identical content). */
+  def write(dir: Path, entries: Iterator[(Array[Byte], Long, Array[Byte])],
+            seqNo: Long = 0L): Meta = {
     Files.createDirectories(dir)
     val tmp = Files.createTempFile(dir, "bulkstage", ".tmp")
     val digest = MessageDigest.getInstance("SHA-256")
@@ -169,13 +189,16 @@ object CellSegment {
       out.writeLong(indexOffset)
       out.writeLong(bloomOffset)
       out.writeInt(count)
+      out.writeInt(bloomKeyCount)
+      out.writeLong(seqNo)
       out.writeLong(if (count == 0) 0L else minV)
       out.writeLong(if (count == 0) 0L else maxV)
       out.writeInt(Magic)
     } finally out.close()
     val name = "bulk-" + digest.digest().take(8).map(b => f"$b%02x").mkString + ".seg"
     Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    Meta(name, count, if (count == 0) 0L else minV, if (count == 0) 0L else maxV, offset)
+    Meta(name, count, if (count == 0) 0L else minV, if (count == 0) 0L else maxV, offset,
+      bloomKeyCount, seqNo)
   }
 
   def isSegment(fileName: String): Boolean =
@@ -195,24 +218,33 @@ object CellSegment {
     }
   }
 
-  /** Trailer read: 40 bytes off the file tail — the only I/O a
+  /** Trailer read: 52 bytes off the file tail — the only I/O a
     * version-disjoint segment ever costs a scan.
     *
-    * Format upgrade note: the GSE1 layout (32-byte trailer, no bloom
-    * block) is NOT readable by this code — a persisted pre-GSE2 root
-    * must be rewritten via [[Compaction.major]] on the old binary
-    * before upgrading (the HBase HFile-version migration posture:
-    * majors rewrite every store file into the current format). The
-    * magic check below fails loudly, never misparses. */
+    * Format upgrade note: earlier layouts (GSE1: 32-byte trailer, no
+    * bloom; GSE2: 40-byte trailer, no stats/seqNo) are NOT readable by
+    * this code — a persisted pre-GSE3 root must be rewritten via
+    * [[Compaction.major]] on the old binary before upgrading (the
+    * HBase HFile-version migration posture: majors rewrite every store
+    * file into the current format). The magic check below fails
+    * loudly — with the version named for GSE2 — and never misparses. */
   def readTrailer(path: Path): Trailer = {
     val ch = java.nio.channels.FileChannel.open(path)
     try {
       val buf = java.nio.ByteBuffer.allocate(TrailerLen)
       readFully(ch, buf, ch.size() - TrailerLen)
       buf.flip()
-      val t = Trailer(buf.getLong, buf.getLong, buf.getInt, buf.getLong, buf.getLong)
+      val t = Trailer(buf.getLong, buf.getLong, buf.getInt,
+        distinctKeys = buf.getInt, seqNo = buf.getLong,
+        minVersion = buf.getLong, maxVersion = buf.getLong)
       val magic = buf.getInt
-      require(magic == Magic, s"not a GSE2 cell segment (bad magic 0x${magic.toHexString}): $path")
+      // the 52-byte tail read ends at EOF, so `magic` IS the file's
+      // last word whatever the format — a GSE2 file is named, not
+      // misparsed
+      require(magic != MagicV2,
+        s"GSE2 cell segment (pre-stats format): rewrite via Compaction.major on the old binary before upgrading: $path")
+      require(magic == Magic,
+        s"not a GSE3 cell segment (bad magic 0x${magic.toHexString}): $path")
       t
     } finally ch.close()
   }

@@ -11,9 +11,9 @@ import scala.jdk.CollectionConverters._
   * bulk-loaded [[CellSegment]]s accumulate per shard; compaction
   * rewrites the whole set into fresh sorted segments, applying the
   * retention the write paths only promise (the table DDL's
-  * `maxVersions`, plus an optional TTL cutoff with the q140
-  * minVersions=1 semantics: expired versions go, but every key keeps
-  * its latest cell), then deletes the superseded files.
+  * `maxVersions`, plus an optional TTL cutoff honoring the DDL's
+  * `minVersions` floor: expired versions go, but every key keeps its
+  * newest minVersions cells), then deletes the superseded files.
   *
   * Plan shape: one shard-parallel connector scan, one per-key
   * retention ranking (hash exchange on rowkey — groups are
@@ -47,7 +47,12 @@ import scala.jdk.CollectionConverters._
   * segments under a size threshold) into one fresh segment per shard —
   * no Spark shuffle anywhere, no retention applied (HBase minor
   * compactions never GC versions; only majors do), large segments left
-  * untouched. Each shard's merge is an independent task that STREAMS a
+  * untouched. Colliding (rowkey, version) identities with different
+  * bodies — legal once an in-place SQL UPDATE has re-put a
+  * segment-resident cell — resolve by the READ faces' precedence (put
+  * beats segment, newer segment beats older; [[resolveSorted]]), and
+  * the output segment's trailer seqNo preserves that standing against
+  * the shard's unmerged files. Each shard's merge is an independent task that STREAMS a
   * k-way merge of its sorted inputs straight into the segment writer
   * (HBase's minor model: merge sorted store files with O(files)
   * memory) — only the put backlog is sorted in-core (put files are
@@ -64,7 +69,13 @@ object Compaction {
 
   final case class Report(keptCells: Long, removedFiles: Long, segments: Seq[BulkLoad.SegDesc])
 
-  private type Cell = (Array[Byte], Long, Array[Byte])
+  /** (key, version, body, precedence): merge inputs are TAGGED with
+    * their source rank — puts carry Long.MaxValue (the memstore analog:
+    * an in-place re-put atomically replaced the put FILE, so a put is
+    * by construction the newest edit at its coordinate), segments carry
+    * their trailer seqNo (newer generation outranks older). Precedence
+    * is not part of the sort key — identity order is (key, version). */
+  private type Cell = (Array[Byte], Long, Array[Byte], Long)
 
   private def cellCmp(a: Cell, b: Cell): Int = {
     val c = java.util.Arrays.compareUnsigned(a._1, b._1)
@@ -88,6 +99,35 @@ object Compaction {
       e
     }
   }
+
+  /** Collapse same-identity duplicates of a (key, version)-sorted
+    * tagged run by PRECEDENCE — the highest-ranked body wins, exactly
+    * the winner every read face surfaces (put over segment, newer
+    * segment over older). Colliding identities with DIFFERENT bodies
+    * are legal across source ranks (an in-place SQL UPDATE puts a new
+    * body at a segment-resident coordinate); a tie at the TOP rank is
+    * two copies of one source class and must be byte-identical (the F5
+    * invariant) — differing bodies there are a corrupt input and
+    * throw, as in [[BulkLoad.dedupSorted]]. */
+  private[ingest] def resolveSorted(it: Iterator[Cell]): Iterator[(Array[Byte], Long, Array[Byte])] =
+    new Iterator[(Array[Byte], Long, Array[Byte])] {
+      private val in = it.buffered
+      override def hasNext: Boolean = in.hasNext
+      override def next(): (Array[Byte], Long, Array[Byte]) = {
+        val first = in.next()
+        val (key, v) = (first._1, first._2)
+        var bestBody = first._3
+        var bestPrio = first._4
+        while (in.hasNext && in.head._2 == v && java.util.Arrays.equals(in.head._1, key)) {
+          val e = in.next()
+          if (e._4 > bestPrio) { bestPrio = e._4; bestBody = e._3 }
+          else if (e._4 == bestPrio)
+            require(java.util.Arrays.equals(e._3, bestBody),
+              s"minor compaction: two same-precedence bodies for one (rowkey, version) cell at version $v")
+        }
+        (key, v, bestBody)
+      }
+    }
 
   /** Diagnostic/spec seam: the largest per-shard IN-CORE cell buffer
     * any minor() pass ever held (the sorted put backlog — segment
@@ -118,8 +158,10 @@ object Compaction {
       .map { shardPath =>
         val shard = Paths.get(shardPath)
         val shardName = shard.getFileName.toString
-        // snapshot the merge inputs NOW: puts + small segments
-        val (puts, segs) = {
+        // snapshot the merge inputs NOW: puts + small segments (every
+        // segment's trailer is read anyway for the size filter, so the
+        // shard's max seqNo — the precedence ceiling — is free)
+        val (puts, segInfo, shardMaxSeq) = {
           val l = Files.list(shard)
           try {
             val names = l.iterator().asScala.map(_.getFileName.toString)
@@ -128,11 +170,13 @@ object Compaction {
               val dot = n.lastIndexOf('.')
               dot > 0 && !CellSegment.isSegment(n) && n.drop(dot + 1).toLongOption.isDefined
             }
-            val g = names.filter(n => CellSegment.isSegment(n) &&
-              CellSegment.readTrailer(shard.resolve(n)).indexOffset <= maxInputBytes)
-            (p, g)
+            val all = names.filter(CellSegment.isSegment)
+              .map(n => (n, CellSegment.readTrailer(shard.resolve(n))))
+            val g = all.filter(_._2.indexOffset <= maxInputBytes)
+            (p, g, all.map(_._2.seqNo).foldLeft(0L)(math.max))
           } finally l.close()
         }
+        val segs = segInfo.map(_._1)
         if (puts.isEmpty && segs.size <= 1) (0L, 0L, Seq.empty[BulkLoad.SegDesc])
         else {
           // ONLY the put backlog is buffered and sorted in-core (put
@@ -149,16 +193,28 @@ object Compaction {
             val keyLen = buf.getInt()
             val key = new Array[Byte](keyLen); buf.get(key)
             val body = new Array[Byte](buf.remaining()); buf.get(body)
-            (key, n.drop(n.lastIndexOf('.') + 1).toLong, body)
+            (key, n.drop(n.lastIndexOf('.') + 1).toLong, body, Long.MaxValue)
           }.sortWith(cellCmp(_, _) < 0)
           minorMaxBuffered.updateAndGet(m => math.max(m, putCells.size.toLong))
           // inputs close on exhaustion in the happy path; the finally
           // releases every NON-exhausted input's stream if the merge or
           // the segment write throws mid-way (close is idempotent)
-          val segIts = segs.map(n => CellSegment.entries(shard.resolve(n), needBody = true))
+          val segIts = segInfo.map(i => CellSegment.entries(shard.resolve(i._1), needBody = true))
+          val tagged = segIts.zip(segInfo).map { case (it, (_, t)) =>
+            it.map { case (k, v, b) => (k, v, b, t.seqNo) }
+          }
+          // the fresh segment's precedence: absorbed puts must keep
+          // outranking every segment in the SHARD (including large ones
+          // outside this merge — they could hold a stale body the put
+          // superseded), so puts lift the output above the shard's max;
+          // a put-free merge is exactly as new as its newest input —
+          // its standing against unmerged segments is unchanged
+          val segSeq =
+            if (puts.nonEmpty) shardMaxSeq + 1
+            else segInfo.map(_._2.seqNo).foldLeft(0L)(math.max)
           val meta =
             try CellSegment.write(shard,
-              BulkLoad.dedupSorted(mergeSorted(putCells.iterator +: segIts)))
+              resolveSorted(mergeSorted(putCells.iterator +: tagged)), segSeq)
             finally segIts.foreach(it => try it.close() catch { case _: Exception => () })
           var removed = 0L
           (puts ++ segs).foreach { n =>
@@ -222,12 +278,16 @@ object Compaction {
       .option("root", root).option("table", table).load()
 
     // retention: newest-first rank per key; keep rank <= maxVersions,
-    // and under TTL keep {version >= cutoff} ∪ {rank 1} (minVersions=1)
+    // and under TTL keep {version >= cutoff} ∪ {rank <= minVersions} —
+    // the HBase MIN_VERSIONS contract: TTL may never take a key below
+    // its declared floor (the descriptor records it, restore
+    // round-trips it, and this is where it binds)
+    val minVersions = math.max(1, spec.minVersions)
     val ranked = cells.withColumn("rk",
       row_number().over(Window.partitionBy(col("rowkey")).orderBy(col("version").desc)))
     val kept = ranked
       .filter(col("rk") <= maxVersions &&
-        effCutoff.fold(lit(true))(c => col("version") >= c || col("rk") === 1))
+        effCutoff.fold(lit(true))(c => col("version") >= c || col("rk") <= minVersions))
       .select(lit(table).as("tableName"), col("rowkey"), col("version"), col("body"))
 
     val report = BulkLoad.writeCells(kept, root, config)

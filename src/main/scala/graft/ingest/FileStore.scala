@@ -523,6 +523,31 @@ final case class FileStore(rootDir: String) extends Store {
       finally s.close()
     }
 
+  /** A shard's segments NEWEST-FIRST — (seqNo desc, name) — the read
+    * precedence order: at a colliding (rowkey, version) identity the
+    * newer segment's body wins (legal collisions exist once an
+    * in-place SQL UPDATE has been minor-compacted while a stale copy
+    * stayed in an unmerged segment). One trailer read per segment. */
+  private[graft] def segmentsNewestFirst(shardDir: Path): Seq[Path] =
+    segmentFiles(shardDir)
+      .map(p => (CellSegment.readTrailer(p).seqNo, p))
+      .sortBy { case (sq, p) => (-sq, p.getFileName.toString) }
+      .map(_._2)
+
+  /** Highest segment sequence number anywhere in the table (0 if
+    * none) — the next bulk generation stamps maxSeqNo+1 so its bodies
+    * outrank every resident segment at any colliding identity.
+    * Driver-side, one trailer read per segment. */
+  def maxSeqNo(tableName: String): Long = {
+    val dir = tableDir(tableName)
+    if (!Files.isDirectory(dir)) return 0L
+    val shards = Files.list(dir)
+    try shards.iterator().asScala.filter(Files.isDirectory(_)).flatMap { shard =>
+      segmentFiles(shard).map(CellSegment.readTrailer(_).seqNo)
+    }.foldLeft(0L)(math.max)
+    finally shards.close()
+  }
+
   override def putBatch(tableName: String, cells: Seq[CellPut]): Unit = {
     val spec = maxVersionsOf(tableName)
     cells.foreach { c =>
@@ -584,9 +609,11 @@ final case class FileStore(rootDir: String) extends Store {
   /** All stored cells of a table as (rowkeyHex, version, body) — test /
     * inspection surface, driver-sized use only. Merges per-cell put
     * files with bulk [[CellSegment]]s, deduping on the cell identity
-    * (rowkey, version) — a cell reachable through both write paths is
-    * ONE cell (bodies are identical by the F5 invariant; the segment
-    * writer enforces it within a load). */
+    * (rowkey, version) in READ-PRECEDENCE order: the put file (the
+    * memstore analog — an in-place re-put replaced it atomically, so
+    * it is by construction the newest edit at its coordinate) shadows
+    * any segment copy, and among segments the higher trailer seqNo
+    * wins — the same winner every read face picks. */
   def scanTable(tableName: String): Seq[(String, Long, Array[Byte])] = {
     val dir = tableDir(tableName)
     if (!Files.exists(dir)) return Seq.empty
@@ -618,7 +645,10 @@ final case class FileStore(rootDir: String) extends Store {
               }
             }
           } finally cells.close()
-          segmentFiles(shard).foreach { seg =>
+          // newest-first so a colliding identity surfaces its NEWEST
+          // segment body (put files already drained and hold overall
+          // precedence via `seen`)
+          segmentsNewestFirst(shard).foreach { seg =>
             CellSegment.entries(seg, needBody = true).zip(CellSegment.indexOf(seg).iterator)
               .foreach { case ((k, v, b), e) =>
                 if (!masked(e.digestHex, v)) {

@@ -837,10 +837,15 @@ object StoreLifecycle {
     // never a bound marker, so multi-version siblings could never be
     // collateral. The emitted result is the merged table; the driver
     // hash pins action routing ∘ marker physics ∘ masking end to end.
-    // 100 TB: one region-parallel scan of the target per statement
-    // (tools/MergeProbe measured the rewrite's outer join never
-    // narrows to the source's keys — the honest merge-on-read class);
-    // writes are per-task batched idempotent renames, no coordinator.
+    // 100 TB: with [[graft.sources.MergeSourcePruning]] installed the
+    // target scan narrows to the SOURCE'S rowkeys through the q225
+    // InputPartition key-set predicate (the HBase batched-GET idiom —
+    // the rewrite's outer join alone never narrows, measured by
+    // tools/MergeProbe in r13), opening ~|matched keys| files instead
+    // of every populated region; the gate pins opens == |matched|
+    // two-sidedly. Above the key cap the pre-pass declines loudly to
+    // the honest region-parallel scan. Writes are per-task batched
+    // idempotent renames, no coordinator.
     "q234_cells_sql_merge" -> { (s, d) =>
       val root = Files.createTempDirectory("graft-q234-cells").toString
       val cat = "g234_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -855,6 +860,9 @@ object StoreLifecycle {
           root)
         s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
         s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        graft.sources.MergeSourcePruning.install(s)
+        graft.sources.CellsSource.filesOpened.set(0)
+        graft.sources.CellsSource.runtimeFilteredKeys.set(0)
         // source: %16 keys at v2 ('N' bodies); %96 keys are deletions
         s.sql(
           s"""MERGE INTO $cat.q234 t
@@ -869,6 +877,12 @@ object StoreLifecycle {
               WHEN MATCHED THEN UPDATE SET version = s.version, body = s.body
               WHEN NOT MATCHED AND NOT s.del THEN
                 INSERT (rowkey, version, body) VALUES (s.rowkey, s.version, s.body)""")
+        // the I/O shape, captured BEFORE any further read touches the
+        // counters: the pre-pass delivered the source's keys to the
+        // scan, and the scan opened exactly the MATCHED cells (%48 —
+        // target %24 ∩ source %16), not the whole target
+        val mergeOpens = graft.sources.CellsSource.filesOpened.get()
+        val mergeNarrowedKeys = graft.sources.CellsSource.runtimeFilteredKeys.get()
         val merged = s.table(s"$cat.q234")
           .select(col("rowkey").cast("string").as("key_str"), col("version"),
             col("body").cast("string").as("body_md5"))
@@ -898,6 +912,11 @@ object StoreLifecycle {
           .collect().map(r => (r.getLong(0), r.getString(1)))
         require(markers.length == n48 && markers.forall(_._2 == "delete_version"),
           s"one exact marker per replaced cell, never a bound: ${markers.length} vs $n48")
+        val n16 = docs.filter(col("doc_id") % 16 === 0).count()
+        require(mergeNarrowedKeys == n16,
+          s"the source-key pre-pass must reach the target scan: $mergeNarrowedKeys vs $n16 source keys")
+        require(mergeOpens == n48,
+          s"a narrowed MERGE opens exactly the matched cells (two-sided): $mergeOpens vs $n48")
         merged
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },

@@ -51,19 +51,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * back-dated-write contract in [[CellsMicroBatch]]).
   *
   * 100 TB: the target scan is the connector's own region-parallel
-  * scan, and it IS a table scan — `tools/MergeProbe` measured that the
-  * MERGE rewrite's outer join never narrows the target to the source's
-  * keys (the source side of a right-outer join cannot be the broadcast
-  * build side, so the q225 runtime-filter machinery has nothing to
-  * ride; probed at sf0.1/sf1, opened files == populated regions in
-  * every variant including update-only). That is the honest
-  * merge-on-read cost class: one region-parallel pass per statement,
-  * linear in the target — right for batch mutation; a point mutation
-  * should take the metadata DELETE path or the put/tombstone write
-  * faces, which cost only their keys. Writes batch under the W1 byte
-  * cap per task; no coordinator (puts and markers are idempotent
-  * renames, so retried tasks converge — commit/abort are no-ops by
-  * design).
+  * scan. LEFT ALONE it is a table scan — `tools/MergeProbe` measured
+  * (r13) that the MERGE rewrite's outer join never narrows the target
+  * to the source's keys (the preserved side of a right-outer join
+  * cannot be the broadcast build side, so the q225 runtime-filter
+  * machinery has nothing to ride). [[MergeSourcePruning]] (install per
+  * session) closes that gap with a bounded SOURCE-KEY PRE-PASS: the
+  * source's distinct join rowkeys, collected once and capped, narrow
+  * this scan through the same InputPartition key-set predicate — a
+  * selective MERGE opens ~|source keys| files (the HBase batched-GET
+  * idiom, reference HbaseClient.kt:43-52), and above the cap it
+  * declines loudly back to the honest region-parallel pass. Writes
+  * batch under the W1 byte cap per task; no coordinator (puts and
+  * markers are idempotent renames, so retried tasks converge —
+  * commit/abort are no-ops by design).
   */
 final case class CellsRowLevelOperation(root: String, table: String,
                                         cmd: RowLevelOperation.Command)

@@ -252,7 +252,8 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
     require(!latest, s"the $$latest face is read-only — write to the base table")
     CellsWriteBuilder(root, table, info.schema(),
       info.options().getBoolean("tombstone", false),
-      info.options().getBoolean("tombstoneExact", false))
+      info.options().getBoolean("tombstoneExact", false),
+      writeId = info.queryId())
   }
 
   /** SQL `DELETE FROM cat.tbl WHERE rowkey = … [AND version <= T |
@@ -340,12 +341,14 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
   * executors batch puts by the W1 byte cap. */
 case class CellsWriteBuilder(root: String, table: String, schema: StructType,
                              tombstone: Boolean = false,
-                             tombstoneExact: Boolean = false) extends WriteBuilder
+                             tombstoneExact: Boolean = false,
+                             writeId: String = "") extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var truncateFirst = false
   /** `INSERT OVERWRITE` — HBase `truncate_preserve` then load: every
     * cell, segment, AND delete marker goes (a marker must not mask the
-    * fresh load); descriptor and split layout survive. */
+    * fresh load); descriptor and split layout survive. Staged as a NEW
+    * GENERATION and swapped at commit — see [[CellsBatchWrite]]. */
   override def truncate(): WriteBuilder = {
     require(!tombstone, "an overwrite is a data write, not a delete")
     truncateFirst = true
@@ -353,19 +356,40 @@ case class CellsWriteBuilder(root: String, table: String, schema: StructType,
   }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = CellsBatchWrite(root, table, schema, tombstone,
-      tombstoneExact, truncateFirst)
+      tombstoneExact, truncateFirst, writeId)
   }
 }
 
+/** Batch write face. Plain INSERTs append live (puts are idempotent
+  * atomic renames; commit/abort are no-ops by design). `INSERT
+  * OVERWRITE` instead STAGES a whole new generation under
+  * `_overwrite_staging/<queryId>/` — invisible to every read face —
+  * and SWAPS it in at commit with two directory renames (live → trash,
+  * staged → live). Consequences, vs truncating up front:
+  *
+  *  - a self-referential `INSERT OVERWRITE t SELECT … FROM t` is
+  *    CORRECT: the source scan reads the old generation for the whole
+  *    job (it cannot observe the staging dir), and the swap happens
+  *    only after every task committed;
+  *  - a crashed or aborted overwrite leaves the table UNTOUCHED — the
+  *    orphaned staging dir is dead weight, not damage (underscore
+  *    roots are invisible to listTables and all read faces);
+  *  - the only non-atomic window left is between the two commit-time
+  *    renames (a reader lists no table dir for an instant — the HBase
+  *    truncate analog's own visibility), rather than the entire job.
+  *
+  * The staged generation carries the live `_spec.json`/`_splits.json`
+  * as of the write's start, so put placement and retention match and
+  * the descriptor + split layout survive the swap (truncate_preserve). */
 case class CellsBatchWrite(root: String, table: String, schema: StructType,
                            tombstone: Boolean = false,
                            tombstoneExact: Boolean = false,
-                           truncateFirst: Boolean = false) extends BatchWrite {
+                           truncateFirst: Boolean = false,
+                           writeId: String = "") extends BatchWrite {
+  private def mangled = table.replace(':', '~')
+  private def stagingRoot = Paths.get(root, "_overwrite_staging", writeId)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // driver-side, before any task writes: the HBase truncate. Not
-    // transactional mid-job (neither is HBase's) — a crashed overwrite
-    // leaves a partially-loaded truncated table a re-run converges.
-    if (truncateFirst) graft.ingest.FileStore(root).truncateTable(table)
     // names AND types, driver-side: a STRING rowkey or INT version
     // would otherwise surface as an opaque executor ClassCastException
     // from r.getBinary/getLong mid-write. `option("tombstone","true")`
@@ -383,10 +407,32 @@ case class CellsBatchWrite(root: String, table: String, schema: StructType,
         s"${if (tombstone) " — or (rowkey, version) for tombstones" else ""}; got ${schema.simpleString}")
     // driver-side, once: the DDL write (W3) — executors only put cells
     graft.ingest.FileStore(root).ensureTable(table, graft.ingest.PushTableSink.TableSpec())
-    CellsWriterFactory(root, table, tombstone, tombstoneExact)
+    if (truncateFirst) {
+      val staged = Files.createDirectories(stagingRoot.resolve(mangled))
+      // generation DDL snapshot: same shard routing, same retention
+      Seq("_spec.json", "_splits.json").foreach { f =>
+        val src = Paths.get(root, mangled, f)
+        if (Files.exists(src))
+          Files.copy(src, staged.resolve(f),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      CellsWriterFactory(stagingRoot.toString, table, tombstone, tombstoneExact)
+    } else CellsWriterFactory(root, table, tombstone, tombstoneExact)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = if (truncateFirst) {
+    val live = Paths.get(root, mangled)
+    val staged = stagingRoot.resolve(mangled)
+    val trash = Paths.get(root, "_overwrite_trash", writeId, mangled)
+    Files.createDirectories(trash.getParent)
+    if (Files.isDirectory(live))
+      Files.move(live, trash, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staged, live, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      Paths.get(root, "_overwrite_trash", writeId).toFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(stagingRoot.toFile)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = if (truncateFirst)
+    org.apache.commons.io.FileUtils.deleteQuietly(stagingRoot.toFile)
 }
 
 case class CellsWriterFactory(root: String, table: String,
@@ -600,21 +646,32 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("rowkey"))
 
+  /** Narrow this scan to exactly `ks`' regions and digests — shared by
+    * DPP-delivered runtime filters ([[filter]]) and the MERGE/UPDATE
+    * source-key pre-pass ([[graft.plans.MergeSourcePruning]]). Sound
+    * for any superset consumer (joins re-check equality on the bytes);
+    * an EMPTY key set is a provably-empty scan (zero partitions). */
+  private[graft] def narrowToRowkeys(ks: Seq[Array[Byte]]): Unit = {
+    CellsSource.runtimeFilteredKeys.addAndGet(ks.size)
+    val splits = graft.ingest.FileStore(root).splitsOf(table)
+    val ds = ks.map(graft.ingest.FileStore.keyDigest).toSet
+    val ss = ks.map(splits.shardNameOf).toSet
+    val cur = effKeys
+    runtimeKeys = cur.copy(
+      digests = Some(cur.digests.fold(ds)(_ intersect ds)),
+      pointShards = Some(cur.pointShards.fold(ss)(_ intersect ss)))
+  }
+
+  /** true once a point-key predicate bounds this scan (compile-time
+    * `=`/`IN`, a DPP runtime filter, or a prior source-key pre-pass) —
+    * the pre-pass skips scans that are already narrow. */
+  private[graft] def alreadyPointNarrowed: Boolean = effKeys.digests.isDefined
+
   override def filter(filters: Array[Filter]): Unit = {
-    lazy val splits = graft.ingest.FileStore(root).splitsOf(table)
-    def narrow(ks: Seq[Array[Byte]]): Unit = {
-      CellsSource.runtimeFilteredKeys.addAndGet(ks.size)
-      val ds = ks.map(graft.ingest.FileStore.keyDigest).toSet
-      val ss = ks.map(splits.shardNameOf).toSet
-      val cur = effKeys
-      runtimeKeys = cur.copy(
-        digests = Some(cur.digests.fold(ds)(_ intersect ds)),
-        pointShards = Some(cur.pointShards.fold(ss)(_ intersect ss)))
-    }
     filters.foreach {
       case In("rowkey", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]]) =>
-        narrow(vs.toSeq.map(_.asInstanceOf[Array[Byte]]))
-      case EqualTo("rowkey", v: Array[Byte]) => narrow(Seq(v))
+        narrowToRowkeys(vs.toSeq.map(_.asInstanceOf[Array[Byte]]))
+      case EqualTo("rowkey", v: Array[Byte]) => narrowToRowkeys(Seq(v))
       case _ => () // superset scan stays correct; the join re-filters
     }
   }
@@ -639,6 +696,22 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
     * data region when any entry contributes — statistics may
     * overestimate, never underestimate, so a too-big side never
     * broadcasts. */
+  /** Planning-cost tiers (cheapest first), chosen PER SHARD:
+    *
+    *  1. **Trailer-only** — no put backlog, no masking markers (or the
+    *     feed face, which never masks), no point predicate, segment
+    *     fully inside the version window: the GSE3 trailer's
+    *     entryCount / distinctKeys / indexOffset answer rows and bytes
+    *     with 52 bytes of I/O per segment — planning cost ∝ SEGMENTS,
+    *     not cells, the steady post-compaction state of a 100 TB table.
+    *  2. **Index fold, no identity set** — file-only shards (nothing
+    *     to dedup against) and put-free shards (cross-segment
+    *     duplicate identities can only OVERcount, which statistics are
+    *     allowed to do) count while streaming.
+    *  3. **Identity-set dedup** — only where both file kinds coexist
+    *     (exact, the reader's winner) or on the `$latest` face, whose
+    *     winner fold holds O(keys) state, never O(cells).
+    */
   override def estimateStatistics(): Statistics = new Statistics {
     private lazy val (rows, bytes) = {
       val dir = Paths.get(root, table.replace(':', '~'))
@@ -650,49 +723,112 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
             val mask = graft.ingest.FileStore.maskOf(shard)
             def live(d: String, v: Long): Boolean =
               changeFeed || !mask.masked(d, v) // the edit log counts everything
-            // (digest, version, per-cell size or -1 for segment entries):
-            // deduped on cell identity across file kinds, like the reader
-            val cells = scala.collection.mutable.HashMap.empty[(String, Long), Long]
-            val segTouched = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
+            val noMasks = changeFeed || (mask.bound.isEmpty && mask.exact.isEmpty)
+            // one listing: per-cell puts, segments, and (feed) markers
+            val puts = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+            val segs = scala.collection.mutable.ArrayBuffer.empty[Path]
             val s = Files.list(shard)
             try s.iterator().asScala.foreach { p =>
               val name = p.getFileName.toString
               val dot = name.lastIndexOf('.')
-              if (graft.ingest.CellSegment.isSegment(name)) {
-                val t = graft.ingest.CellSegment.readTrailer(p)
-                if (t.entryCount > 0 && t.minVersion <= hi && t.maxVersion >= lo) {
-                  var any = false
-                  graft.ingest.CellSegment.indexOf(p).foreach { e =>
-                    if (e.version >= lo && e.version <= hi && keys.fileOk(e.digestHex) &&
-                      live(e.digestHex, e.version)) {
-                      cells.getOrElseUpdate((e.digestHex, e.version), -1L)
-                      any = true
-                    }
-                  }
-                  if (any) segTouched += ((p, t.indexOffset))
-                }
-              } else if (dot > 0 && !name.endsWith(".tmp") && keys.fileOk(name.take(dot)))
+              lazy val marker = graft.ingest.FileStore.tombstoneOf(name)
+                .orElse(graft.ingest.FileStore.exactTombstoneOf(name))
+              if (graft.ingest.CellSegment.isSegment(name)) segs += p
+              else if (changeFeed && marker.isDefined) {
+                // markers are feed rows (op='delete'/'delete_version')
+                // — uncounted, the feed face would UNDERestimate
+                val (d, v) = marker.get
+                if (keys.fileOk(d) && v >= lo && v <= hi) { n += 1; b += Files.size(p) }
+              } else if (dot > 0 && !name.endsWith(".tmp") && marker.isEmpty &&
+                keys.fileOk(name.take(dot)))
                 name.drop(dot + 1).toLongOption.foreach { v =>
                   val d = name.take(dot)
-                  if (v >= lo && v <= hi && live(d, v))
-                    cells((d, v)) = Files.size(p) // per-cell size wins over a segment copy
+                  if (v >= lo && v <= hi && live(d, v)) puts += ((d, v, Files.size(p)))
                 }
             } finally s.close()
-            if (latest) {
-              // one winner per key: the serving face's true cardinality
-              val winners = scala.collection.mutable.HashMap.empty[String, Long]
-              cells.keysIterator.foreach { case (d, v) =>
-                if (winners.getOrElse(d, Long.MinValue) < v) winners(d) = v
+
+            // stream a segment's live in-window index entries; None if
+            // the trailer excludes the segment outright, else
+            // Some(dataRegionBytes) with f applied to each entry
+            def foldSeg(p: Path)(f: graft.ingest.CellSegment.IndexEntry => Unit): Option[Long] = {
+              val t = graft.ingest.CellSegment.readTrailer(p)
+              if (t.entryCount == 0 || t.minVersion > hi || t.maxVersion < lo) None
+              else {
+                var any = false
+                graft.ingest.CellSegment.indexOf(p).foreach { e =>
+                  if (e.version >= lo && e.version <= hi && keys.fileOk(e.digestHex) &&
+                    live(e.digestHex, e.version)) { f(e); any = true }
+                }
+                if (any) Some(t.indexOffset) else None
               }
-              n += winners.size
-              b += winners.iterator.map { case (d, v) => cells((d, v)) }.filter(_ >= 0).sum
-              // a segment holding at least one winner contributes its
-              // data region (overestimate, never under)
-              val segWinner = winners.exists { case (d, v) => cells((d, v)) < 0 }
-              if (segWinner) b += segTouched.map(_._2).sum
+            }
+            // tier-1 eligibility (whole-segment trailer answer)
+            def wholeWindow(t: graft.ingest.CellSegment.Trailer): Boolean =
+              noMasks && keys.digests.isEmpty && t.entryCount > 0 &&
+                t.minVersion >= lo && t.maxVersion <= hi
+
+            if (latest) {
+              // one winner per key — O(keys) planner state: puts carry
+              // their size; a segment holding any winner contributes
+              // its whole data region (overestimate, never under).
+              // Put-free shard with no masks: the trailer's
+              // distinctKeys bounds the winner count from above with
+              // no index I/O at all.
+              if (puts.isEmpty && noMasks && keys.digests.isEmpty &&
+                segs.forall(p => wholeWindow(graft.ingest.CellSegment.readTrailer(p)))) {
+                segs.foreach { p =>
+                  val t = graft.ingest.CellSegment.readTrailer(p)
+                  n += t.distinctKeys
+                  b += t.indexOffset
+                }
+              } else {
+                // digest -> (winning version, put size or -1)
+                val winners = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+                puts.foreach { case (d, v, sz) =>
+                  if (winners.getOrElse(d, (Long.MinValue, -1L))._1 < v) winners(d) = (v, sz)
+                }
+                var segBytes = 0L
+                segs.foreach { p =>
+                  foldSeg(p) { e =>
+                    if (winners.getOrElse(e.digestHex, (Long.MinValue, -1L))._1 < e.version)
+                      winners(e.digestHex) = (e.version, -1L)
+                  }.foreach(segBytes += _)
+                }
+                n += winners.size
+                b += winners.valuesIterator.map(_._2).filter(_ >= 0).sum
+                if (winners.valuesIterator.exists(_._2 < 0)) b += segBytes
+              }
+            } else if (segs.isEmpty) {
+              // file-only shard: identities are filenames — unique
+              n += puts.size
+              b += puts.iterator.map(_._3).sum
+            } else if (puts.isEmpty) {
+              // put-free shard: count per segment — trailer-only when
+              // the whole segment is in-window and unmasked, index
+              // fold otherwise; cross-segment duplicate identities
+              // (bulk replay) only overcount, never under
+              segs.foreach { p =>
+                val t = graft.ingest.CellSegment.readTrailer(p)
+                if (wholeWindow(t)) { n += t.entryCount.toLong; b += t.indexOffset }
+                else {
+                  var cnt = 0L
+                  foldSeg(p)(_ => cnt += 1).foreach { db => n += cnt; b += db }
+                }
+              }
             } else {
+              // both kinds present: exact identity dedup, the reader's
+              // winner — bounded by the shard's cell count and kept
+              // flat by compaction (which empties the put backlog and
+              // returns the shard to the cheap tiers above)
+              val cells = scala.collection.mutable.HashMap.empty[(String, Long), Long]
+              puts.foreach { case (d, v, sz) => cells((d, v)) = sz }
+              var segBytes = 0L
+              segs.foreach { p =>
+                foldSeg(p)(e => cells.getOrElseUpdate((e.digestHex, e.version), -1L))
+                  .foreach(segBytes += _)
+              }
               n += cells.size
-              b += cells.valuesIterator.filter(_ >= 0).sum + segTouched.map(_._2).sum
+              b += cells.valuesIterator.filter(_ >= 0).sum + segBytes
             }
           }
       }
@@ -980,8 +1116,12 @@ case class CellsReaderFactory(lo: Long, hi: Long,
   *    re-check before any body is surfaced.
   *
   * A (key, version) present in several store files (bulk replay, bulk
-  * after push) is emitted ONCE; bodies are identical by the F5
-  * invariant so any winner is the cell. The dedup set holds one
+  * after push, an in-place UPDATE over a segment-resident cell) is
+  * emitted ONCE, in READ-PRECEDENCE order: the per-cell put file (the
+  * memstore analog — always the newest edit at its coordinate, since a
+  * re-put atomically replaces the file) shadows every segment copy,
+  * and among segments the higher trailer seqNo (the HBase
+  * max-sequence-id analog) wins. The dedup set holds one
   * (digest, version) pair per emitted cell of ONE shard — bounded by
   * shard cardinality, the same order of memory HBase spends on
   * store-file block indexes per region, and kept flat by compaction.
@@ -1056,13 +1196,21 @@ object CellsReaders {
       }
       private val files: Iterator[(Path, Long, Int)] = listed.iterator
       // the shard's segments, shared by the segment read phase and the
-      // $latest winner sweep (one listing)
+      // $latest winner sweep (one listing), NEWEST-FIRST (trailer
+      // seqNo desc, then name): the dedup set keeps the first-seen
+      // body per identity, so listing order IS body precedence — a
+      // newer generation's body wins a colliding (rowkey, version)
+      // (legal once an in-place UPDATE was minor-compacted while a
+      // stale copy stayed in an unmerged segment)
       private lazy val segPaths: Vector[Path] = {
         val shard = Paths.get(shardDir)
         val s = Files.list(shard)
         try s.iterator().asScala
           .filter(p => graft.ingest.CellSegment.isSegment(p.getFileName.toString))
-          .toVector.sortBy(_.getFileName.toString)
+          .map(p => (graft.ingest.CellSegment.readTrailer(p).seqNo, p))
+          .toVector
+          .sortBy { case (sq, p) => (-sq, p.getFileName.toString) }
+          .map(_._2)
         finally s.close()
       }
       // $LATEST winner per key digest — each key's max LIVE in-window

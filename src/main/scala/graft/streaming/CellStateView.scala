@@ -88,8 +88,10 @@ object CellStateView {
           // independent either way (marker first masks the put on
           // arrival; put first is dropped by the marker).
           val exactDel = scala.collection.mutable.HashSet.empty[Long]
+          var maxEdit = Long.MinValue // retraction stamp when no bound marker set delBound
           edits.toSeq.sortBy(_.version).foreach { e =>
             rowkey = e.rowkey
+            if (e.version > maxEdit) maxEdit = e.version
             if (e.op == "delete") {
               if (e.version > delBound) delBound = e.version
               cells = cells.filter(_._1 > delBound)
@@ -107,7 +109,12 @@ object CellStateView {
           state.update(KeyState(cells, delBound,
             retracted = cells.isEmpty && (st0.retracted || retractNow)))
           if (rowkey == null) Iterator.empty // state-only trigger (no edits)
-          else if (retractNow) Iterator.single(ViewRow(rowkey, delBound, null, deleted = true))
+          // the retraction's version must cover everything it retracts:
+          // a key emptied purely by exact-version deletes never set
+          // delBound, so stamp the batch's max edit version (the
+          // newest deleted cell / marker) — never Long.MinValue
+          else if (retractNow)
+            Iterator.single(ViewRow(rowkey, math.max(delBound, maxEdit), null, deleted = true))
           else if (cells.isEmpty) Iterator.empty // already retracted — downstream counts stay exact
           else cells.iterator.map { case (v, b) => ViewRow(rowkey, v, b, deleted = false) }
       }

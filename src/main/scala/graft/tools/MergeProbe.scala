@@ -1,21 +1,33 @@
 package graft.tools
 
 import graft.ingest.BulkLoad
+import graft.sources.{CellsSource, MergeSourcePruning}
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scale probe for the q234 MERGE I/O shape: what does the TARGET scan
-  * of a row-level MERGE actually cost when the source is small? The
-  * runtime-filter machinery that turns a q225 broadcast join into
-  * batched GETs requires a reusable broadcast of the source keys — a
-  * delta MERGE plans target RIGHT OUTER source, whose preserved side
-  * cannot be the broadcast build side, so the honest expectation is a
-  * region-parallel TABLE SCAN of the target regardless of source size.
-  * This probe measures instead of assuming. Prints one JSON line:
+  * of a row-level MERGE actually cost when the source is small?
+  *
+  * Two regimes, both measured (never assumed):
+  *
+  *  - WITHOUT the source-key pre-pass, the delta MERGE plans target
+  *    RIGHT OUTER source, whose preserved side cannot be a broadcast
+  *    build side — no q225 runtime filter ever fires and the target
+  *    pays a region-parallel table scan regardless of source size
+  *    (this probe's r13 finding).
+  *  - WITH [[MergeSourcePruning]] installed, a bounded pre-pass
+  *    collects the source's distinct rowkeys and narrows the target
+  *    scan through the q225 InputPartition key-set predicate: opens
+  *    should track |source keys| (two-sided check), and pushing the
+  *    cap below |source| must DECLINE back to the full scan.
+  *
+  * Prints one JSON line:
   *
   *   {"probe":"merge_scan","sf":…,"store_cells":N,"source_keys":K,
-  *    "files_opened_merge":F,"files_opened_full_scan":U,"merge_s":…}
+  *    "files_opened_merge":F,"files_opened_update_only":F2,
+  *    "files_opened_merge_declined":F3,"files_opened_full_scan":U,
+  *    "narrowed_keys":…,"merge_s":…,"update_only_s":…}
   *
   * Usage:
   *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.MergeProbe <sfDir>"
@@ -37,6 +49,7 @@ object MergeProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    MergeSourcePruning.install(spark)
     try {
       // digest-spread keys over all 256 regions — the discriminating
       // keyspace (a prefix keyspace would make any result look cheap)
@@ -51,8 +64,9 @@ object MergeProbe {
       val storeCells = cells.count()
       val srcKeys = graft.queries.Tables.documents(spark, sfDir)
         .filter(col("doc_id") % 120 === 0).count()
-      def mergeOnce(tag: String): (Long, Double) = {
-        graft.sources.CellsSource.filesOpened.set(0)
+      def mergeOnce(tag: String): (Long, Long, Double) = {
+        CellsSource.filesOpened.set(0)
+        CellsSource.runtimeFilteredKeys.set(0)
         val t0 = System.nanoTime()
         spark.sql(
           s"""MERGE INTO $cat.probe t
@@ -65,14 +79,13 @@ object MergeProbe {
               WHEN MATCHED THEN UPDATE SET body = s.body
               WHEN NOT MATCHED THEN
                 INSERT (rowkey, version, body) VALUES (s.rowkey, s.version, s.body)""")
-        (graft.sources.CellsSource.filesOpened.get(), (System.nanoTime() - t0) / 1e9)
+        (CellsSource.filesOpened.get(), CellsSource.runtimeFilteredKeys.get(),
+          (System.nanoTime() - t0) / 1e9)
       }
-      val (openedMerge, mergeS) = mergeOnce("M2")
-      // an UPDATE-ONLY merge has no NOT MATCHED arm: the rewrite can
-      // plan an INNER join, whose broadcast carries the q225 runtime
-      // filter — measure whether the target scan narrows to the
-      // source's keys there
-      graft.sources.CellsSource.filesOpened.set(0)
+      val (openedMerge, narrowedKeys, mergeS) = mergeOnce("M2")
+      // update-only merge (no NOT MATCHED arm → inner-join rewrite):
+      // the pre-pass must narrow this shape too
+      CellsSource.filesOpened.set(0)
       val t1 = System.nanoTime()
       spark.sql(
         s"""MERGE INTO $cat.probe t
@@ -83,13 +96,28 @@ object MergeProbe {
             ON t.rowkey = s.rowkey
             WHEN MATCHED THEN UPDATE SET body = s.body""")
       val updS = (System.nanoTime() - t1) / 1e9
-      val openedUpd = graft.sources.CellsSource.filesOpened.get()
-      graft.sources.CellsSource.filesOpened.set(0)
+      val openedUpd = CellsSource.filesOpened.get()
+      // decline path: cap below |source| → the warn-and-full-scan plan
+      spark.conf.set(MergeSourcePruning.MaxKeysConf, "1")
+      CellsSource.filesOpened.set(0)
+      spark.sql(
+        s"""MERGE INTO $cat.probe t
+            USING (SELECT unhex(md5(concat('doc-', doc_id))) AS rowkey,
+                          cast(md5(concat(cast(doc_id as string), 'M4')) as binary) AS body
+                   FROM parquet.`$sfDir/documents.parquet`
+                   WHERE doc_id % 120 = 0) s
+            ON t.rowkey = s.rowkey
+            WHEN MATCHED THEN UPDATE SET body = s.body""")
+      val openedDeclined = CellsSource.filesOpened.get()
+      spark.conf.unset(MergeSourcePruning.MaxKeysConf)
+      CellsSource.filesOpened.set(0)
       cells.localCheckpoint().count() // the full-scan baseline
-      val openedFull = graft.sources.CellsSource.filesOpened.get()
+      val openedFull = CellsSource.filesOpened.get()
       println(s"""{"probe":"merge_scan","sf":"$sfDir","store_cells":$storeCells,""" +
         s""""source_keys":$srcKeys,"files_opened_merge":$openedMerge,""" +
+        s""""narrowed_keys":$narrowedKeys,""" +
         s""""files_opened_update_only":$openedUpd,"update_only_s":${"%.3f".format(updS)},""" +
+        s""""files_opened_merge_declined":$openedDeclined,""" +
         s""""files_opened_full_scan":$openedFull,"merge_s":${"%.3f".format(mergeS)}}""")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     spark.stop()

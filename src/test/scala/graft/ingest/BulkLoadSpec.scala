@@ -47,11 +47,17 @@ class BulkLoadSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = Files.createTempDirectory("seg-rt")
     val entries = Seq(
       (k("aa"), 5L, k("b1")), (k("aa"), 9L, k("b2")), (k("ab"), 1L, k("b3")))
-    val meta = CellSegment.write(dir, entries.iterator)
+    val meta = CellSegment.write(dir, entries.iterator, seqNo = 7L)
     assert(meta.entryCount == 3 && meta.minVersion == 1L && meta.maxVersion == 9L)
+    assert(meta.distinctKeys == 2 && meta.seqNo == 7L)
     val path = dir.resolve(meta.fileName)
     val t = CellSegment.readTrailer(path)
     assert(t.entryCount == 3 && t.minVersion == 1L && t.maxVersion == 9L)
+    // GSE3 trailer stats: planner inputs without an index walk
+    assert(t.distinctKeys == 2, "distinct-key count rides in the trailer")
+    assert(t.seqNo == 7L, "the precedence sequence number rides in the trailer")
+    assert(t.indexOffset == entries.map(e => 16L + e._1.length + e._3.length).sum,
+      "indexOffset IS the data-region byte size")
     val idx = CellSegment.readIndex(path)
     assert(idx.map(_.version) == Vector(5L, 9L, 1L))
     assert(idx.map(_.digestHex) ==
@@ -86,6 +92,22 @@ class BulkLoadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CellSegment.write(d1, es.iterator).fileName == CellSegment.write(d2, es.iterator).fileName)
     assert(CellSegment.write(d1, Seq((k("a"), 1L, k("CHANGED")), (k("c"), 2L, k("b2"))).iterator).fileName
       != CellSegment.write(d2, es.iterator).fileName)
+    // seqNo lives OUTSIDE the content hash: a replayed load with a
+    // fresher generation number converges on the same file name
+    assert(CellSegment.write(d1, es.iterator, seqNo = 42L).fileName
+      == CellSegment.write(d2, es.iterator, seqNo = 1L).fileName)
+  }
+
+  test("each bulk generation outranks resident segments (seqNo advances per load)") {
+    val sp = spark; import sp.implicits._
+    val root = Files.createTempDirectory("bulk-seq").toString
+    BulkLoad.write(spark.createDataset(Seq(row("A-seq", 1))), root)
+    BulkLoad.write(spark.createDataset(Seq(row("A-seq", 2))), root)
+    val shard = Paths.get(root, "db~c").toFile.listFiles().filter(_.isDirectory).head.toPath
+    val seqs = shard.toFile.listFiles()
+      .filter(f => CellSegment.isSegment(f.getName))
+      .map(f => CellSegment.readTrailer(f.toPath).seqNo).toSeq.sorted
+    assert(seqs == Seq(1L, 2L), s"generations must be 1 then 2, got $seqs")
   }
 
   // ---- bulk job vs push path ----

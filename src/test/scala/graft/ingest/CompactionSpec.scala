@@ -168,6 +168,70 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"one fresh segment replaces the whole shard population: $filesAfter")
   }
 
+  test("minor compaction resolves an in-place UPDATE collision by put precedence") {
+    val sp = spark; import sp.implicits._
+    val root = Files.createTempDirectory("compact-inplace").toString
+    // a segment-resident cell…
+    BulkLoad.write(spark.createDataset(Seq(row("A-key-0", 1), row("A-key-0", 2))), root)
+    // …re-put IN PLACE with a different body (what SQL UPDATE does):
+    // one identity, two bodies across store-file kinds — the read path
+    // already prefers the put; the minor merge must pick the same
+    // winner instead of throwing "two bodies for one cell"
+    FileStore(root).putBatch("db:c",
+      Seq(PushTableSink.CellPut("db:c", "A-key-0".getBytes("UTF-8"), 2L, "UPDATED".getBytes("UTF-8"))))
+    val rep = Compaction.minor(spark, root, "db:c", maxInputBytes = Long.MaxValue)
+    assert(rep.keptCells == 2, s"collision collapses to one cell per identity: $rep")
+    val bodies = FileStore(root).scanTable("db:c").map(t => (t._2, new String(t._3, "UTF-8"))).toMap
+    assert(bodies(2L) == "UPDATED", "the put body must win the merged segment")
+    assert(bodies(1L) == "body-A-key-0-1", "untouched sibling version keeps its body")
+    val files = listFiles(root)
+    assert(files.size == 1 && files.forall(CellSegment.isSegment), s"one merged segment: $files")
+  }
+
+  test("a minor-merged update outranks the stale copy left in an unmerged segment") {
+    val sp = spark; import sp.implicits._
+    val root = Files.createTempDirectory("compact-prec").toString
+    // one key → one shard; 40 versions make the segment's data region
+    // far larger than the 256-byte minor threshold below
+    BulkLoad.write(spark.createDataset((1 to 40).map(v => row("A-key-0", v.toLong))), root)
+    FileStore(root).putBatch("db:c",
+      Seq(PushTableSink.CellPut("db:c", "A-key-0".getBytes("UTF-8"), 40L, "UPDATED".getBytes("UTF-8"))))
+    // the minor merges ONLY the put backlog (the big segment is over
+    // the threshold): the collision now spans TWO SEGMENTS, and the
+    // fresh one's trailer seqNo must outrank the stale copy
+    Compaction.minor(spark, root, "db:c", maxInputBytes = 256)
+    val files = listFiles(root)
+    assert(files.count(CellSegment.isSegment) == 2 && files.size == 2,
+      s"put folded into a fresh segment beside the big one: $files")
+    def bodyAt40(): String = {
+      val m = FileStore(root).scanTable("db:c").map(t => (t._2, new String(t._3, "UTF-8"))).toMap
+      assert(m.size == 40); m(40L)
+    }
+    assert(bodyAt40() == "UPDATED", "newer segment generation wins the identity")
+    // the connector face picks the same winner
+    val viaScan = spark.read.format("graft-cells").option("root", root).option("table", "db:c")
+      .load().where("version = 40").select("body").as[Array[Byte]].collect()
+    assert(viaScan.map(new String(_, "UTF-8")).toSeq == Seq("UPDATED"))
+    // a later full merge (both segments now inputs) keeps the winner
+    Compaction.minor(spark, root, "db:c", maxInputBytes = Long.MaxValue)
+    assert(bodyAt40() == "UPDATED", "segment-vs-segment merge honors seqNo precedence")
+  }
+
+  test("TTL major honors the DDL's minVersions floor, not a hardcoded 1") {
+    val sp = spark; import sp.implicits._
+    val root = Files.createTempDirectory("compact-minv").toString
+    val spec = TableSpec(minVersions = 2)
+    BulkLoad.write(spark.createDataset(keys(20).flatMap(k => Seq(row(k, 1), row(k, 2), row(k, 3)))),
+      root, BulkLoad.Config(tableSpec = spec))
+    // everything is past the cutoff: TTL alone would drop all three
+    // versions, the declared floor keeps the newest TWO per key
+    Compaction.major(spark, root, "db:c", ttlCutoff = Some(100L))
+    val byKey = FileStore(root).scanTable("db:c").groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    assert(byKey.size == 20)
+    assert(byKey.values.forall(_ == Seq(2L, 3L)),
+      s"minVersions=2 keeps the two newest expired versions, got ${byKey.values.take(3)}")
+  }
+
   test("re-compacting a compacted table is a no-op (idempotent maintenance)") {
     val sp = spark; import sp.implicits._
     val root = Files.createTempDirectory("compact-idem").toString

@@ -552,6 +552,26 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       CellsWriteBuilder(root, "ovw", CellsSource.Schema, tombstone = true).truncate()
     }
     assert(e.getMessage != null)
+    // nothing of the staged generation lingers beside the table
+    assert(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "_overwrite_staging")) ||
+      java.nio.file.Paths.get(root, "_overwrite_staging").toFile.listFiles().isEmpty,
+      "the overwrite's staging generation is reaped at commit")
+  }
+
+  test("a self-referential INSERT OVERWRITE reads the OLD generation (stage-and-swap)") {
+    seed("ovwself", (0 until 30).map(i => (f"S-$i%02d", 100L + i, s"gen1-$i")))
+    // `INSERT OVERWRITE t SELECT … FROM t` — under an up-front truncate
+    // the source scan would see an emptied (or half-loaded) store and
+    // the statement would silently eat itself; the staged generation
+    // keeps the old store readable until every task commits
+    spark.sql("INSERT OVERWRITE gtest.ovwself " +
+      "SELECT rowkey, version + 1000, cast(concat(cast(body as string), '+') as binary) " +
+      "FROM gtest.ovwself WHERE version < 115")
+    val got = spark.table("gtest.ovwself")
+      .select(col("rowkey").cast("string"), col("version"), col("body").cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == (0 until 15).map(i => (f"S-$i%02d", 1100L + i, s"gen1-$i+")).toSet,
+      s"the overwrite must transform the FULL old generation: $got")
   }
 
   test("row-level writes converge under task retry: re-applied delta actions are idempotent") {

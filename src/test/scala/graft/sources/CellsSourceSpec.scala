@@ -118,11 +118,47 @@ class CellsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(latest.sizeInBytes().getAsLong > 0 &&
         latest.sizeInBytes().getAsLong < base.sizeInBytes().getAsLong,
         "the latest face sizes below the history face")
-      // the edit-log face counts everything (it reports edits)
+      // the edit-log face counts everything it EMITS: 30 unmasked puts
+      // plus the 2 markers (op='delete'/'delete_version' are feed rows
+      // — leaving them out understated the face)
       val feed = CellsScan(r2, "t", Long.MinValue, Long.MaxValue,
         CellsKeyPred.All, CellsSource.ChangeFeedSchema, changeFeed = true).estimateStatistics()
-      assert(feed.numRows().getAsLong == 30, s"unmasked puts in the log: ${feed.numRows()}")
+      assert(feed.numRows().getAsLong == 32, s"puts + marker rows in the log: ${feed.numRows()}")
       assert(CellsSource.filesOpened.get() == 0, "statistics opened cell files")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r2))
+  }
+
+  test("post-compaction statistics are trailer-only: zero index loads, zero content reads") {
+    val r2 = java.nio.file.Files.createTempDirectory("graft-cells-tstats").toString
+    try {
+      val sp = spark; import sp.implicits._
+      // a put-free, marker-free store — the steady state majors leave —
+      // whose stats must come from 52-byte trailers alone: planning
+      // I/O ∝ segments, not cells (the index walk is the fallback for
+      // put backlogs, markers, and point predicates, not the default)
+      graft.ingest.BulkLoad.writeCells(
+        (for (k <- 0 until 40; v <- 1 to 3)
+          yield ("t", s"tk-$k".getBytes("UTF-8"), 10L * k + v, s"b-$k-$v".getBytes("UTF-8")))
+          .toDF("tableName", "rowkey", "version", "body"), r2)
+      CellsSource.filesOpened.set(0)
+      val ir0 = graft.ingest.CellSegment.indexReads.get()
+      val base = CellsScan(r2, "t", Long.MinValue, Long.MaxValue,
+        CellsKeyPred.All, CellsSource.Schema).estimateStatistics()
+      assert(base.numRows().getAsLong == 120, s"${base.numRows()}")
+      val latest = CellsScan(r2, "t", Long.MinValue, Long.MaxValue,
+        CellsKeyPred.All, CellsSource.Schema, latest = true).estimateStatistics()
+      assert(latest.numRows().getAsLong == 40,
+        s"trailer distinctKeys IS the serving cardinality here: ${latest.numRows()}")
+      assert(graft.ingest.CellSegment.indexReads.get() == ir0,
+        "trailer-tier statistics must load no segment index")
+      assert(CellsSource.filesOpened.get() == 0, "statistics opened cell files")
+      // a version bound that CUTS a segment forces that segment onto
+      // the index walk — and only then
+      val sliced = CellsScan(r2, "t", Long.MinValue, 200L,
+        CellsKeyPred.All, CellsSource.Schema).estimateStatistics()
+      assert(sliced.numRows().getAsLong == (0 until 40).map(k => (1 to 3).count(v => 10L * k + v <= 200L)).sum)
+      assert(graft.ingest.CellSegment.indexReads.get() > ir0,
+        "a partial window legitimately walks indexes")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r2))
   }
 

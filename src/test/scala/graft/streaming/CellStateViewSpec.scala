@@ -155,6 +155,25 @@ class CellStateViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a same-window put+exact-delete annihilates, survivors re-emit: $run2")
   }
 
+  test("a key emptied purely by exact-version deletes retracts at the max deleted version") {
+    val root = Files.createTempDirectory("csview-exact-empty").toString
+    val ck = Files.createTempDirectory("csview-exact-empty-ck").toString
+    val store = FileStore(root)
+    store.ensureTable("t", TableSpec())
+    // puts AND their exact deletes inside ONE feed window (exact
+    // markers stamp the puts' own versions, so a later window would
+    // fall under the back-dated-write exclusion): the key's visible
+    // set is empty, no bound marker ever set delBound — the retraction
+    // must stamp the newest edit version (20), never Long.MinValue
+    store.putBatch("t", Seq(
+      CellPut("t", k("z"), 10L, k("z-10")),
+      CellPut("t", k("z"), 20L, k("z-20"))))
+    store.deleteCellsExact("t", Seq((k("z"), 10L), (k("z"), 20L)))
+    val run = drain(root, "t", ck)
+    assert(run == Seq(("z", 20L, null, true)),
+      s"retraction carries the max deleted version, got $run")
+  }
+
   test("maxVersions caps per-key state: only the newest cells are held and emitted") {
     val root = Files.createTempDirectory("csview-ret").toString
     val ck = Files.createTempDirectory("csview-ret-ck").toString
