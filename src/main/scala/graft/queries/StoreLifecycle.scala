@@ -1439,6 +1439,201 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // AGGREGATE PUSHDOWN — the HBase coprocessor-aggregation analog
+    // (AggregationClient: count/min/max computed region-side, only
+    // scalars travel): ungrouped count(*)/min/max(version) over the
+    // base AND $latest faces answered from FILENAMES + SEGMENT INDEXES
+    // ([[graft.sources.CellsAggScan]]), one partial row per region,
+    // with masks and cross-kind identity dedup applied. In-query
+    // invariants: both plans carry the pushed agg scan, and ZERO file
+    // contents are opened across both queries (the open counter stays
+    // 0 — a count over the store costs metadata, not bodies). Grouped
+    // or rowkey-filtered shapes decline to the row scan (spec-pinned).
+    // The emitted scalars hash against DuckDB computing the same live
+    // set relationally. 100 TB: count(*) touches ~48 B/cell of index
+    // (one 52 B trailer per compacted segment via the stats tiers),
+    // never the bodies that dominate bytes.
+    "q244_cells_agg_pushdown" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q244-cells").toString
+      val cat = "g244_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        // segments: %8 keys at two versions
+        BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 8 === 0)
+            .select(col("doc_id"), explode(array(lit(1), lit(2))).as("g"))
+            .select(lit("q244").as("tableName"),
+              expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+              expr("doc_id * 10 + g").as("version"),
+              expr("cast(md5(concat(cast(doc_id as string), 'G', cast(g as string))) as binary)").as("body")),
+          root)
+        // put backlog: %30 keys at a third version (cross-kind dedup in play)
+        Tables.documents(s, d).filter(col("doc_id") % 30 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 10 + 3").as("version"),
+            expr("cast(md5(concat(cast(doc_id as string), 'P3')) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q244").save()
+        // bound markers: each %40 key loses its v1
+        Tables.documents(s, d).filter(col("doc_id") % 40 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 10 + 1").as("version"), lit(Array.emptyByteArray).as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q244")
+          .option("tombstone", "true").save()
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        def pushed(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.collectFirst {
+            case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              if r.scan.isInstanceOf[graft.sources.CellsAggScan] => r
+          }.isDefined
+        graft.sources.CellsSource.filesOpened.set(0)
+        val base = s.sql(
+          s"SELECT count(*) AS n_cells, min(version) AS min_v, max(version) AS max_v FROM $cat.q244")
+        val latest = s.sql(s"SELECT count(*) AS n_latest FROM $cat.`q244$$latest`")
+        require(pushed(base) && pushed(latest),
+          "both aggregates must push into the metadata scan")
+        val out = base.crossJoin(latest).localCheckpoint()
+        require(graft.sources.CellsSource.filesOpened.get() == 0,
+          s"pushed aggregates must read ZERO file contents, opened ${graft.sources.CellsSource.filesOpened.get()}")
+        out
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
+    // REPORTED ORDERING → SORT-FREE CO-LOCATED MERGE JOIN — segments
+    // are (rowkey, version)-sorted and a compacted table reports that
+    // per-partition order (SupportsReportOrdering), so two same-layout
+    // tables storage-partition-join with NO Exchange (q233's SPJ) and
+    // now NO Sort either: Catalyst's sort-merge join consumes the
+    // scans' own order — the HBase co-located region merge join, with
+    // every operator between scan and join output gone. In-query
+    // invariants: the executed plan is a SortMergeJoin with zero
+    // Exchange and zero Sort nodes (walked through AQE). The emitted
+    // join hashes against DuckDB. A put backlog withdraws the report
+    // (the Sort returns) — spec-pinned in CellsOrderingSpec. 100 TB:
+    // scan → join with no shuffle and no sort is the cheapest join
+    // shape that exists; compaction is what buys it.
+    "q245_cells_sorted_merge_join" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q245-cells").toString
+      val cat = "g245_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val prevBucketing = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val prevPush = s.conf.getOption("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      val prevBroadcast = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        val points = (1 to 9).map(i => s"doc-$i".getBytes("UTF-8"))
+        def seed(table: String, pred: Int, tag: String): Unit =
+          BulkLoad.writeCells(
+            Tables.documents(s, d).filter(col("doc_id") % pred === 0)
+              .select(lit(table).as("tableName"),
+                expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+                expr("doc_id * 2 + 1").as("version"),
+                expr(s"cast(md5(concat(cast(doc_id as string), '$tag')) as binary)").as("body")),
+            root, BulkLoad.Config(splitPoints = points))
+        seed("smja", 16, "SA")
+        seed("smjb", 32, "SB")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = s.table(s"$cat.smja").as("a")
+          .join(s.table(s"$cat.smjb").as("b"), col("a.rowkey") === col("b.rowkey"))
+          .select(col("a.rowkey").cast("string").as("key_str"),
+            col("a.version").as("version"),
+            col("a.body").cast("string").as("body_a_md5"),
+            col("b.body").cast("string").as("body_b_md5"))
+        val out = joined.localCheckpoint()
+        var sorts = 0
+        var smj = 0
+        var exchanges = 0
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+          p match {
+            case _: org.apache.spark.sql.execution.SortExec => sorts += 1
+            case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => smj += 1
+            case _: org.apache.spark.sql.execution.exchange.Exchange => exchanges += 1
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              walk(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              walk(q.plan) // stages hang their subtree off .plan, not children
+            case _ => ()
+          }
+          p.children.foreach(walk)
+        }
+        walk(joined.queryExecution.executedPlan)
+        require(smj == 1 && exchanges == 0 && sorts == 0,
+          s"co-located merge join must be exchange-free AND sort-free: smj=$smj ex=$exchanges sorts=$sorts\n" +
+            joined.queryExecution.executedPlan)
+        out
+      } finally {
+        def restore(key: String, prev: Option[String]): Unit =
+          prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+        restore("spark.sql.sources.v2.bucketing.enabled", prevBucketing)
+        restore("spark.sql.sources.v2.bucketing.pushPartValues.enabled", prevPush)
+        restore("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      }
+    },
+
+    // $VERSIONS STORE-FILE INVENTORY — the DESCRIBE HISTORY face
+    // ([[graft.sources.CellsVersionsTable]]): one row per store file
+    // from listings + GSE3 trailers alone (no index loads, no body
+    // I/O), folding the store's physical state — segment generations,
+    // put/marker backlog, version watermarks — into SQL. In-query
+    // invariants: `max(max_version)` IS the table watermark, proven by
+    // running `VERSION AS OF <watermark>` and matching the full count
+    // (the q229 time-travel surface gains its discoverable version
+    // list); zero file contents opened. The emitted per-kind fold
+    // hashes against DuckDB deriving file/cell counts from the same
+    // md5 keyspace — including the SEGMENT-PER-SHARD count
+    // (distinct first bytes of the key digests = populated regions).
+    "q246_cells_versions_inventory" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q246-cells").toString
+      val cat = "g246_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        // one bulk generation of %6 keys, md5-spread over the regions
+        BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 6 === 0)
+            .select(lit("q246").as("tableName"),
+              expr("unhex(md5(concat('doc-', doc_id)))").as("rowkey"),
+              expr("doc_id * 2 + 1").as("version"),
+              expr("cast(md5(concat(cast(doc_id as string), 'V')) as binary)").as("body")),
+          root)
+        // a put backlog (%30) and both marker kinds (%60 bound, %90 exact)
+        def face(pred: Int, vOff: Int, opts: Map[String, String]): Unit = {
+          val w = Tables.documents(s, d).filter(col("doc_id") % pred === 0)
+            .select(expr("unhex(md5(concat('doc-', doc_id)))").as("rowkey"),
+              expr(s"doc_id * 2 + $vOff").as("version"),
+              lit("x".getBytes("UTF-8")).as("body"))
+            .write.format("graft-cells").mode("append")
+            .option("root", root).option("table", "q246")
+          opts.foldLeft(w) { case (b, (k, v)) => b.option(k, v) }.save()
+        }
+        face(30, 2, Map.empty)
+        face(60, 1, Map("tombstone" -> "true"))
+        face(90, 2, Map("tombstone" -> "true", "tombstoneExact" -> "true"))
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        graft.sources.CellsSource.filesOpened.set(0)
+        val inv = s.sql(
+          s"""SELECT kind, count(*) AS files, sum(cells) AS cells,
+                     sum(distinct_keys) AS dkeys, min(min_version) AS min_v,
+                     max(max_version) AS max_v, max(seq_no) AS max_seq
+              FROM $cat.`q246$$versions` GROUP BY kind""")
+          .localCheckpoint()
+        // the watermark is discoverable: VERSION AS OF it sees everything
+        val watermark = s.sql(s"SELECT max(max_version) FROM $cat.`q246$$versions`")
+          .collect()(0).getLong(0)
+        val full = s.table(s"$cat.q246").count()
+        val asOf = s.sql(s"SELECT count(*) FROM $cat.q246 VERSION AS OF $watermark")
+          .collect()(0).getLong(0)
+        require(asOf == full,
+          s"max(max_version) must be the usable time-travel watermark: $asOf vs $full")
+        require(graft.sources.CellsSource.filesOpened.get() == 0,
+          "the inventory face must read zero file contents")
+        inv
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -2024,6 +2219,50 @@ object StoreLifecycle {
               (doc_id * 4 + 2)::BIGINT AS state_version,
               md5(doc_id::VARCHAR || '$' || '2') AS state_md5
          FROM documents WHERE doc_id % 21 = 0 AND doc_id % 63 != 0""",
+
+    // the live-cell fold the pushed aggregates computed from metadata:
+    // %8 keys keep v2 always and v1 unless %40-masked; %30 puts add v3
+    "q244_cells_agg_pushdown" ->
+      """WITH live AS (
+           SELECT doc_id, (doc_id*10+1)::BIGINT AS v FROM documents
+            WHERE doc_id % 8 = 0 AND doc_id % 40 <> 0
+           UNION ALL SELECT doc_id, (doc_id*10+2)::BIGINT FROM documents WHERE doc_id % 8 = 0
+           UNION ALL SELECT doc_id, (doc_id*10+3)::BIGINT FROM documents WHERE doc_id % 30 = 0)
+         SELECT count(*)::BIGINT AS n_cells, min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v,
+                (SELECT count(DISTINCT doc_id) FROM live)::BIGINT AS n_latest
+         FROM live""",
+
+    // the sort-free co-located merge join: %32 ⊂ %16, one version each
+    "q245_cells_sorted_merge_join" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id*2+1)::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'SA') AS body_a_md5,
+              md5(doc_id::VARCHAR || 'SB') AS body_b_md5
+         FROM documents WHERE doc_id % 32 = 0""",
+
+    // the store-file inventory per kind: segment files = populated
+    // regions (distinct first digest bytes), puts/markers one file per
+    // (key, version); empty kinds emit no group on either side
+    "q246_cells_versions_inventory" ->
+      """WITH base AS (SELECT doc_id, md5('doc-' || doc_id::VARCHAR) AS h FROM documents)
+         SELECT * FROM (
+           SELECT 'segment' AS kind, count(DISTINCT substr(h,1,2))::BIGINT AS files,
+                  count(*)::BIGINT AS cells, count(*)::BIGINT AS dkeys,
+                  min(doc_id*2+1)::BIGINT AS min_v, max(doc_id*2+1)::BIGINT AS max_v,
+                  1::BIGINT AS max_seq
+           FROM base WHERE doc_id % 6 = 0
+           UNION ALL
+           SELECT 'put', count(*)::BIGINT, count(*)::BIGINT, NULL::BIGINT,
+                  min(doc_id*2+2)::BIGINT, max(doc_id*2+2)::BIGINT, NULL::BIGINT
+           FROM base WHERE doc_id % 30 = 0
+           UNION ALL
+           SELECT 'marker_bound', count(*)::BIGINT, 0::BIGINT, NULL::BIGINT,
+                  min(doc_id*2+1)::BIGINT, max(doc_id*2+1)::BIGINT, NULL::BIGINT
+           FROM base WHERE doc_id % 60 = 0
+           UNION ALL
+           SELECT 'marker_exact', count(*)::BIGINT, 0::BIGINT, NULL::BIGINT,
+                  min(doc_id*2+2)::BIGINT, max(doc_id*2+2)::BIGINT, NULL::BIGINT
+           FROM base WHERE doc_id % 90 = 0)
+         WHERE files > 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

@@ -121,16 +121,26 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
     // region), so the face keeps KeyGroupedPartitioning and
     // `a$latest JOIN b$latest` storage-partition-joins with no
     // exchange.
+    // `tbl$versions` is the STORE-FILE INVENTORY face (one row per
+    // store file from listings + trailers — see [[CellsVersionsTable]]):
+    // `max(max_version)` IS the table's version watermark, the
+    // discoverable version list for `VERSION AS OF`.
     val changes = ident.name().endsWith("$changes")
     val latest = ident.name().endsWith("$latest")
+    val versions = ident.name().endsWith("$versions")
     val baseIdent =
       if (changes) Identifier.of(ident.namespace(), ident.name().stripSuffix("$changes"))
       else if (latest) Identifier.of(ident.namespace(), ident.name().stripSuffix("$latest"))
+      else if (versions) Identifier.of(ident.namespace(), ident.name().stripSuffix("$versions"))
       else ident
     val t = tableNameOf(baseIdent)
     if (!Files.isDirectory(dirOf(t))) throw new NoSuchTableException(ident)
-    CellsTable(root, t, changeFeed = changes, fromCatalog = true, asOf = asOf,
-      latest = latest)
+    if (versions) {
+      require(asOf.isEmpty, "the $versions inventory has no snapshot form — it lists the store NOW")
+      CellsVersionsTable(root, t)
+    } else
+      CellsTable(root, t, changeFeed = changes, fromCatalog = true, asOf = asOf,
+        latest = latest)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -140,8 +150,9 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
       CellsSource.Schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"graft tables have the fixed schema ${CellsSource.Schema.simpleString}; got ${schema.simpleString}")
     require(partitions.isEmpty, "graft tables partition by their split layout, not PARTITIONED BY")
-    require(!ident.name().endsWith("$latest") && !ident.name().endsWith("$changes"),
-      "the $latest/$changes suffixes are reserved metadata faces — a literal table would shadow them")
+    require(!ident.name().endsWith("$latest") && !ident.name().endsWith("$changes") &&
+      !ident.name().endsWith("$versions"),
+      "the $latest/$changes/$versions suffixes are reserved metadata faces — a literal table would shadow them")
     val t = tableNameOf(ident)
     val maxVersions = Option(properties.get("maxVersions")).flatMap(_.toIntOption)
       .getOrElse(Int.MaxValue)
@@ -197,7 +208,8 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    require(!ident.name().endsWith("$latest") && !ident.name().endsWith("$changes"),
+    require(!ident.name().endsWith("$latest") && !ident.name().endsWith("$changes") &&
+      !ident.name().endsWith("$versions"),
       "metadata faces cannot be dropped — drop the base table")
     val dir = dirOf(tableNameOf(ident))
     Files.isDirectory(dir) && org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)

@@ -483,7 +483,8 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
                             fromCatalog: Boolean = false,
                             asOf: Option[Long] = None,
                             latest: Boolean = false) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = Long.MinValue
   // a time-travel snapshot is a pre-seeded version upper bound — the
@@ -615,10 +616,49 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
 
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan =
-    CellsScan(root, table, lo, hi,
-      CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), required,
-      stable, changeFeed, fromCatalog, latest)
+
+  // ---- aggregate pushdown (see [[CellsAggScan]]) ----
+  private var aggSpecs: Option[Seq[CellsAggSpec]] = None
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    false // one partial row per region; Spark folds the ≤regions rows
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    // edit-log rows are typed edits, not cells; grouped aggregates and
+    // any rowkey predicate (range OR point: upstream blocks pushdown
+    // on residual filters anyway — this is the defensive mirror) need
+    // the row scan
+    if (changeFeed || agg.groupByExpressions.nonEmpty ||
+      keyDigests.isDefined || keyLo.isDefined || keyHi.isDefined) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+        if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0).toLowerCase)
+      case _ => None
+    }
+    val schemaCols = Set("rowkey", "version", "body") // all non-null ⇒ COUNT(col) ≡ COUNT(*)
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(CellsAggSpec.CountAll)
+      case c: Count if !c.isDistinct && colOf(c.column).exists(schemaCols) =>
+        Some(CellsAggSpec.CountAll)
+      case m: Min if colOf(m.column).contains("version") => Some(CellsAggSpec.MinV)
+      case m: Max if colOf(m.column).contains("version") => Some(CellsAggSpec.MaxV)
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) false
+    else { aggSpecs = Some(specs.map(_.get)); true }
+  }
+
+  override def build(): Scan = aggSpecs match {
+    case Some(specs) =>
+      CellsAggScan(root, table, lo, hi,
+        CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), specs, latest)
+    case None =>
+      CellsScan(root, table, lo, hi,
+        CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), required,
+        stable, changeFeed, fromCatalog, latest)
+  }
 }
 
 case class CellsScan(root: String, table: String, lo: Long, hi: Long,
@@ -626,9 +666,62 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
                      stable: Boolean = false, changeFeed: Boolean = false,
                      fromCatalog: Boolean = false, latest: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** PER-PARTITION ORDERING report ([[SupportsReportOrdering]]):
+    * segments are (rowkey, version)-sorted and each partition is one
+    * shard, so a COMPACTED table's scan already streams in sort order
+    * — reporting it lets Catalyst drop local Sorts (`
+    * sortWithinPartitions`, the sort under a storage-partitioned
+    * merge join, window ORDER BY rowkey). The guarantee holds ONLY
+    * when each scanned shard is a single segment with no put backlog:
+    * put files drain before segments in listing order, and a second
+    * segment restarts the key sequence — so the report is made
+    * exactly when a driver-side listing proves every shard has ≤1
+    * segment and 0 put files (the steady state a major leaves;
+    * markers only DROP rows, which preserves sortedness, and the
+    * $latest winner fold is an order-preserving subset). The listing
+    * costs one directory walk at planning time and is memoized per
+    * scan. The change-feed face interleaves marker rows and never
+    * reports. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val names = required.fieldNames
+    if (changeFeed || !names.contains("rowkey")) return Array.empty
+    val sortedLayout = {
+      if (orderedState == 0) {
+        val dir = Paths.get(root, table.replace(':', '~'))
+        val ok = Files.isDirectory(dir) && CellsShards.prune(dir, effKeys).forall { shard =>
+          var puts = 0
+          var segs = 0
+          val s = Files.list(shard)
+          try s.iterator().asScala.foreach { p =>
+            val n = p.getFileName.toString
+            if (graft.ingest.CellSegment.isSegment(n)) segs += 1
+            else {
+              val dot = n.lastIndexOf('.')
+              if (dot > 0 && !n.endsWith(".tmp") && n.drop(dot + 1).toLongOption.isDefined)
+                puts += 1
+            }
+          } finally s.close()
+          puts == 0 && segs <= 1
+        }
+        orderedState = if (ok) 1 else -1
+      }
+      orderedState == 1
+    }
+    if (!sortedLayout) Array.empty
+    else {
+      val rk = Expressions.sort(Expressions.column("rowkey"), SortDirection.ASCENDING)
+      if (names.contains("version"))
+        Array(rk, Expressions.sort(Expressions.column("version"), SortDirection.ASCENDING))
+      else Array(rk)
+    }
+  }
+  @transient private var orderedState: Int = 0 // 0 unknown, 1 sorted, -1 not
 
   // RUNTIME (join-driven) rowkey filtering — the HBase batched-GET
   // idiom through Spark's own DPP machinery: when this scan is the
