@@ -1,0 +1,101 @@
+package graft.ingest
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** VACUUM — the store's orphan-artifact sweeper (the HBase
+  * CleanerChore / Iceberg `remove_orphan_files` analog). The write
+  * protocols are crash-safe by construction — every visible artifact
+  * lands via atomic rename — but a crash BEFORE the rename leaves
+  * invisible debris that no read face ever touches and no compaction
+  * ever reclaims:
+  *
+  *  - `_overwrite_staging/<writeId>/` — a staged INSERT OVERWRITE
+  *    generation whose job died before commit (the table itself is
+  *    untouched; the staging dir is pure dead weight);
+  *  - `_overwrite_trash/<writeId>/` — the displaced old generation if
+  *    the commit crashed between its two renames (the swap itself
+  *    completed — trash is a deletion that never finished);
+  *  - `*.tmp` files inside shard directories — torn put/marker/segment
+  *    writer tasks (`Files.createTempFile` + rename protocol; every
+  *    reader already skips the suffix).
+  *
+  * SAFETY: an ACTIVE job's staging dir must survive, so the sweep is
+  * age-gated — a candidate goes only when its NEWEST recursive mtime
+  * is older than `olderThanMs` (a live writer keeps touching its
+  * files). `olderThanMs = 0` sweeps everything, the test/operator
+  * override after a known crash.
+  *
+  * Scale: the sweep is driver-side directory metadata — candidates
+  * are bounded by crashed-job count and torn-task count, never by
+  * cell count; at 100 TB this is the same nightly chore HBase runs,
+  * I/O ∝ listings + orphan bytes deleted.
+  */
+object Vacuum {
+
+  final case class Report(stagingSwept: Long, trashSwept: Long,
+                          tmpFiles: Long, bytesReclaimed: Long)
+
+  def sweep(root: String, olderThanMs: Long,
+            nowMs: Long = System.currentTimeMillis()): Report = {
+    val rootDir = Paths.get(root)
+    val cutoff = nowMs - math.max(0L, olderThanMs)
+    var staging = 0L
+    var trash = 0L
+    var tmps = 0L
+    var bytes = 0L
+
+    def newestMtime(dir: Path): Long = {
+      val w = Files.walk(dir)
+      try w.iterator().asScala.foldLeft(Long.MinValue) { (mx, p) =>
+        math.max(mx, Files.getLastModifiedTime(p).toMillis)
+      } finally w.close()
+    }
+    def sizeOf(dir: Path): Long = {
+      val w = Files.walk(dir)
+      try w.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally w.close()
+    }
+    def sweepGenerations(kind: Path): Long = {
+      var swept = 0L
+      if (Files.isDirectory(kind)) {
+        val l = Files.list(kind)
+        val candidates = try l.iterator().asScala.filter(Files.isDirectory(_)).toVector
+                         finally l.close()
+        candidates.foreach { gen =>
+          if (newestMtime(gen) <= cutoff) {
+            bytes += sizeOf(gen)
+            org.apache.commons.io.FileUtils.deleteQuietly(gen.toFile)
+            swept += 1
+          }
+        }
+      }
+      swept
+    }
+
+    staging = sweepGenerations(rootDir.resolve("_overwrite_staging"))
+    trash = sweepGenerations(rootDir.resolve("_overwrite_trash"))
+
+    // torn-task .tmp files: every table dir, every shard dir — one
+    // bounded walk; visible store files are never candidates
+    if (Files.isDirectory(rootDir)) {
+      val tables = Files.list(rootDir)
+      val tableDirs = try tables.iterator().asScala
+        .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("_"))
+        .toVector finally tables.close()
+      tableDirs.foreach { t =>
+        val w = Files.walk(t)
+        val victims = try w.iterator().asScala.filter { p =>
+          p.getFileName.toString.endsWith(".tmp") && Files.isRegularFile(p) &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff
+        }.toVector finally w.close()
+        victims.foreach { p =>
+          bytes += Files.size(p)
+          Files.deleteIfExists(p)
+          tmps += 1
+        }
+      }
+    }
+    Report(staging, trash, tmps, bytes)
+  }
+}

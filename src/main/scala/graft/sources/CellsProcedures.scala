@@ -106,6 +106,24 @@ object CellsProcedures {
       override def run(spark: SparkSession, in: InternalRow): Array[Any] =
         Array(Backup.restore(spark, in.getUTF8String(0).toString, root))
     },
+    // CALL cat.vacuum([older_than_ms => 86400000]): sweep orphaned
+    // overwrite-staging/trash generations and torn-task .tmp files —
+    // the CleanerChore / remove_orphan_files verb. Age-gated so an
+    // ACTIVE overwrite's staging dir survives; 0 sweeps everything.
+    "vacuum" -> new Proc("vacuum",
+      Array(paramD("older_than_ms", LongType, (24L * 3600 * 1000).toString)),
+      StructType(Seq(
+        StructField("staging_swept", LongType, nullable = false),
+        StructField("trash_swept", LongType, nullable = false),
+        StructField("tmp_files", LongType, nullable = false),
+        StructField("bytes_reclaimed", LongType, nullable = false)))) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] = {
+        val age = if (in.numFields > 0 && !in.isNullAt(0)) in.getLong(0)
+                  else 24L * 3600 * 1000
+        val r = graft.ingest.Vacuum.sweep(root, age)
+        Array(r.stagingSwept, r.trashSwept, r.tmpFiles, r.bytesReclaimed)
+      }
+    },
     // CALL cat.resplit(table => 't', dst_root => '/path',
     //                  split_points => '<hex>,…'): the layout MIGRATION
     // (resharding live data is a rewrite into a new root, never a

@@ -6,6 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
+import scala.jdk.CollectionConverters._
 
 /** The catalog face: named SQL access to the store (DDL, INSERT,
   * SELECT with the connector's pushdown intact) and STORAGE-PARTITIONED
@@ -696,7 +697,7 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .asInstanceOf[CellsCatalog]
     val listed = cat.listProcedures(Array.empty).map(_.name()).toSet
     assert(listed == Set("compact_major", "compact_minor", "backup_full",
-      "backup_incremental", "restore_backup", "resplit"), s"$listed")
+      "backup_incremental", "restore_backup", "resplit", "vacuum"), s"$listed")
     listed.foreach { n =>
       assert(cat.loadProcedure(
         org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, n)) != null)
@@ -707,6 +708,40 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bak))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root2))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root3))
+  }
+
+  test("CALL vacuum: orphaned staging/trash generations and torn .tmp files swept, age-gated, live data untouched") {
+    import java.nio.file.Paths
+    spark.sql("CREATE TABLE gtest.vac (rowkey BINARY, version BIGINT, body BINARY)")
+    spark.sql("INSERT INTO gtest.vac " +
+      "SELECT cast(concat('V-', id) as binary), cast(id as bigint), " +
+      "cast('live' as binary) FROM range(0, 8)")
+    // a crashed overwrite's staging generation, a torn commit's trash
+    val staging = Paths.get(root, "_overwrite_staging", "dead-q1", "vac")
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("junk.bin"), Array.fill[Byte](64)(1))
+    val trash = Paths.get(root, "_overwrite_trash", "dead-q2", "vac")
+    Files.createDirectories(trash)
+    Files.write(trash.resolve("old.bin"), Array.fill[Byte](32)(2))
+    // a torn put task's .tmp inside a real shard directory
+    val shard = {
+      val l = Files.list(Paths.get(root, "vac"))
+      try l.iterator().asScala.filter(Files.isDirectory(_)).next() finally l.close()
+    }
+    val torn = Files.write(shard.resolve("put-torn.tmp"), Array.fill[Byte](16)(3))
+    // default age gate (24h): everything here is seconds old — NOTHING sweeps
+    val r0 = spark.sql("CALL gtest.vacuum()").collect()(0)
+    assert((0 to 3).map(r0.getLong).sum == 0L, s"fresh artifacts survive the age gate: $r0")
+    assert(Files.exists(staging) && Files.exists(torn))
+    // explicit 0: the known-crash override sweeps all three classes
+    val r = spark.sql("CALL gtest.vacuum(older_than_ms => 0)").collect()(0)
+    assert(r.getLong(0) == 1 && r.getLong(1) == 1 && r.getLong(2) == 1, s"$r")
+    assert(r.getLong(3) >= 64 + 32 + 16, s"bytes reclaimed accounted: $r")
+    assert(!Files.exists(staging) && !Files.exists(trash) && !Files.exists(torn))
+    // live data and DDL untouched; a second vacuum finds nothing
+    assert(spark.table("gtest.vac").count() == 8, "live cells survive")
+    val r2 = spark.sql("CALL gtest.vacuum(older_than_ms => 0)").collect()(0)
+    assert((0 to 3).map(r2.getLong).sum == 0L, s"idempotent: $r2")
   }
 
   test("different layouts decline SPJ: the join shuffles (and still answers correctly)") {
