@@ -1650,6 +1650,50 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // LIMIT / TOP-N PUSHDOWN — the HBase Scan#setLimit analog:
+    // `ORDER BY rowkey LIMIT k` pushes as a partial top-N
+    // (SupportsPushDownTopN); each COMPACTED region stops after its
+    // local k rows (the store's native (rowkey, version) sort makes
+    // the first k the top k), Spark's retained TakeOrdered folds the
+    // ≤regions×k survivors. Truncation is decided PER SHARD at read
+    // time — a put backlog silently falls back to full rows, so
+    // correctness never rests on layout. In-query invariants: the
+    // scan carries topK=20, and the capped readers emitted ≤ 20 per
+    // region and STRICTLY fewer rows than the table holds (the
+    // truncation is real I/O savings, not a no-op). At 100 TB this is
+    // "read ~k rows per region" versus "read the table, then sort".
+    "q247_cells_limit_pushdown" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q247-cells").toString
+      val cat = "g247_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
+            .select(lit("q247").as("tableName"),
+              expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+              expr("doc_id * 2 + 1").as("version"),
+              expr("cast(md5(concat(cast(doc_id as string), 'L')) as binary)").as("body")),
+          root)
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val total = Tables.documents(s, d).filter(col("doc_id") % 4 === 0).count()
+        graft.sources.CellsSource.cappedRowsEmitted.set(0)
+        val top = s.sql(
+          s"""SELECT cast(rowkey as string) AS key_str, version
+              FROM $cat.q247 ORDER BY rowkey LIMIT 20""")
+        val pushed = top.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.getOrElse("")
+        require(pushed.contains("topK=20"), s"top-N must reach the scan: $pushed")
+        val out = top.localCheckpoint()
+        val emitted = graft.sources.CellsSource.cappedRowsEmitted.get()
+        val regions = graft.ingest.FileStore(root).splitsOf("q247").size
+        require(emitted > 0 && emitted <= 20L * regions && emitted < total,
+          s"per-region truncation must be real: emitted $emitted, regions $regions, total $total")
+        out
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -2279,6 +2323,13 @@ object StoreLifecycle {
                   min(doc_id*2+2)::BIGINT, max(doc_id*2+2)::BIGINT, NULL::BIGINT
            FROM base WHERE doc_id % 90 = 0)
          WHERE files > 0""",
+
+    // the deterministic top-20 under the store's binary key order
+    // (ASCII 'doc-<id>' bytes order exactly like the varchar)
+    "q247_cells_limit_pushdown" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id*2+1)::BIGINT AS version
+         FROM documents WHERE doc_id % 4 = 0
+         ORDER BY key_str LIMIT 20""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

@@ -118,6 +118,11 @@ object CellsSource {
     * was cheap anyway" (a one-segment shard satisfies a file-open
     * bound vacuously). */
   val runtimeFilteredKeys = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** rows emitted by CAPPED readers (pushed LIMIT / top-N) — the
+    * spec's proof that per-shard truncation actually stopped the
+    * stream (≈ shards × N) instead of draining the table. */
+  val cappedRowsEmitted = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 /** Rowkey predicates resolved at planning time into three pruning
@@ -484,7 +489,8 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
                             asOf: Option[Long] = None,
                             latest: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo = Long.MinValue
   // a time-travel snapshot is a pre-seeded version upper bound — the
@@ -650,6 +656,52 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
     else { aggSpecs = Some(specs.map(_.get)); true }
   }
 
+  // ---- limit / top-N pushdown (the HBase Scan#setLimit analog) ----
+  // LIMIT is ALWAYS safe to push partially: each region stops after N
+  // rows and Spark's GlobalLimit folds the ≤regions×N survivors — any
+  // N rows are a correct LIMIT answer. TOP-N additionally needs the
+  // rows to arrive in the requested order, which only a compacted
+  // shard guarantees (≤1 segment, 0 puts — the outputOrdering
+  // condition), and layout is a RUNTIME property — so the planning-
+  // time accept is ORDER-SHAPE only ((rowkey [, version]) ASC, the
+  // store's native sort) and each shard reader decides AT READ TIME
+  // whether its own file set streams sorted: a compacted shard stops
+  // after its local top-N, a backlogged shard returns everything and
+  // Spark's TakeOrdered does the work. Both pushes are PARTIAL
+  // (isPartiallyPushed = true), so Spark always keeps its final
+  // limit/sort — per-shard truncation is pure I/O savings, never a
+  // correctness dependency. At 100 TB `ORDER BY rowkey LIMIT 100`
+  // reads ~100 rows per region instead of the table.
+  private var pushedLimit: Option[Int] = None
+  private var pushedTopK: Option[Int] = None
+
+  override def pushLimit(limit: Int): Boolean = {
+    if (aggSpecs.isDefined) false
+    else { pushedLimit = Some(limit); true }
+  }
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    // the change-feed face interleaves marker rows and never streams
+    // key-sorted; the agg scan has no rows to truncate
+    if (changeFeed || aggSpecs.isDefined) return false
+    def colOf(o: org.apache.spark.sql.connector.expressions.SortOrder): Option[String] =
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames()(0).toLowerCase)
+        case _ => None
+      }
+    val shapeOk = orders.nonEmpty && orders.length <= 2 &&
+      orders.forall(_.direction() == SortDirection.ASCENDING) &&
+      colOf(orders(0)).contains("rowkey") &&
+      (orders.length == 1 || colOf(orders(1)).contains("version"))
+    if (shapeOk) { pushedTopK = Some(limit); true } else false
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan = aggSpecs match {
     case Some(specs) =>
       CellsAggScan(root, table, lo, hi,
@@ -657,14 +709,16 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
     case None =>
       CellsScan(root, table, lo, hi,
         CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), required,
-        stable, changeFeed, fromCatalog, latest)
+        stable, changeFeed, fromCatalog, latest,
+        limitN = pushedLimit.getOrElse(-1), topK = pushedTopK.getOrElse(-1))
   }
 }
 
 case class CellsScan(root: String, table: String, lo: Long, hi: Long,
                      keys: CellsKeyPred, required: StructType,
                      stable: Boolean = false, changeFeed: Boolean = false,
-                     fromCatalog: Boolean = false, latest: Boolean = false)
+                     fromCatalog: Boolean = false, latest: Boolean = false,
+                     limitN: Int = -1, topK: Int = -1)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -773,6 +827,8 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
       keys.digests.fold("")(d => s" keys=${d.size}") +
       (if (keys.hasRange) " keyrange" else "") +
       (if (latest) " latest" else "") +
+      (if (limitN >= 0) s" limit=$limitN" else "") +
+      (if (topK >= 0) s" topK=$topK" else "") +
       s" cols=[${required.fieldNames.mkString(",")}]"
 
   /** Exact post-pruning LIVE statistics from the directory listing +
@@ -997,7 +1053,7 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CellsReaderFactory(lo, hi, required.fieldNames, changeFeed, latest)
+    CellsReaderFactory(lo, hi, required.fieldNames, changeFeed, latest, limitN, topK)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1179,16 +1235,58 @@ case class CellsShard(dir: String, keys: CellsKeyPred, shardIdx: Int = -1)
 
 case class CellsReaderFactory(lo: Long, hi: Long,
                               cols: Array[String], changeFeed: Boolean = false,
-                              latest: Boolean = false)
+                              latest: Boolean = false,
+                              limitN: Int = -1, topK: Int = -1)
     extends PartitionReaderFactory {
+
+  /** pushed-TopN truncation is sound only when THIS shard streams in
+    * (rowkey, version) order — ≤1 segment, no put backlog (markers
+    * only drop rows, which preserves order; the $latest fold is an
+    * order-preserving subset). One listing per task, same test as
+    * [[CellsScan.outputOrdering]] but at the shard the task owns. */
+  private def shardSorted(dir: String): Boolean = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return true
+    var puts = 0
+    var segs = 0
+    val s = Files.list(d)
+    try s.iterator().asScala.foreach { p =>
+      val n = p.getFileName.toString
+      if (graft.ingest.CellSegment.isSegment(n)) segs += 1
+      else {
+        val dot = n.lastIndexOf('.')
+        if (dot > 0 && !n.endsWith(".tmp") && n.drop(dot + 1).toLongOption.isDefined)
+          puts += 1
+      }
+    } finally s.close()
+    puts == 0 && segs <= 1
+  }
 
   // the change-feed BATCH face is the same edit log at rest: unmasked
   // puts + delete rows (scan-the-WAL), vs the default masked view;
   // the $latest face folds each key to its max live version
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CellsShard]
-    CellsReaders.reader(p.dir, lo, hi, p.keys, cols,
+    val base = CellsReaders.reader(p.dir, lo, hi, p.keys, cols,
       maskDeletes = !changeFeed, emitOps = changeFeed, latestOnly = latest)
+    // per-shard row cap: LIMIT truncates unconditionally (any N rows
+    // are a correct answer under the retained GlobalLimit); TopN only
+    // when this shard provably streams sorted — otherwise every row
+    // flows and Spark's TakeOrdered decides
+    val cap = math.min(
+      if (limitN >= 0) limitN else Int.MaxValue,
+      if (topK >= 0 && shardSorted(p.dir)) topK else Int.MaxValue)
+    if (cap == Int.MaxValue) base
+    else new PartitionReader[InternalRow] {
+      private var emitted = 0
+      override def next(): Boolean =
+        emitted < cap && base.next() && { emitted += 1; true }
+      override def get(): InternalRow = base.get()
+      override def close(): Unit = {
+        CellsSource.cappedRowsEmitted.addAndGet(emitted.toLong)
+        base.close()
+      }
+    }
   }
 }
 
