@@ -1694,6 +1694,97 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // NATIVE STREAMING SINK — q238's CDC replication loop with ZERO
+    // foreachBatch and zero MERGE: three declarative streams tail the
+    // source's `$changes` feed and write the replica through the
+    // connector's own StreamingWrite face — puts as appends, bound
+    // markers via option("tombstone"), exact markers via
+    // option("tombstoneExact") — the HBase replication consumer as
+    // pure `readStream → filter → writeStream` plumbing. Exactly-once
+    // cell STATE with no epoch ledger: every edit is an idempotent
+    // rename keyed on (rowkey, version), so epoch replay after a
+    // restart converges (spec-pinned in CellsStreamingSinkSpec).
+    // In-query invariants: after drain 1 the replica carries exactly
+    // the seed window; after a second generation + a bare SQL DELETE
+    // (bound marker) + an exact-version DELETE land in the feed and
+    // drain 2 applies them, the replica's masked view equals the
+    // source's BOTH ways. At 100 TB each trigger moves one feed
+    // window per region — never the table.
+    "q248_cells_streaming_sink_replication" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q248-cells").toString
+      val cks = (1 to 3).map(_ => Files.createTempDirectory("graft-q248-ck").toString)
+      val cat = "g248_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.q248r (rowkey BINARY, version BIGINT, body BINARY)")
+        def seed(v: Int): Unit = BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 23 === 0)
+            .select(lit("q248s").as("tableName"),
+              expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+              lit(v.toLong * 1000000000L).as("version"),
+              expr(s"cast(md5(concat(cast(doc_id as string), '~', '$v')) as binary)").as("body")),
+          root)
+        // the replication consumer: three persistent streams, one per
+        // edit kind — no driver code touches a row
+        def drain(): Unit = {
+          val feed = () => s.readStream.table(s"$cat.`q248s$$changes`")
+          val streams = Seq(
+            feed().filter(col("op") === "put").select("rowkey", "version", "body")
+              .writeStream.format("graft-cells")
+              .option("root", root).option("table", "q248r")
+              .option("checkpointLocation", cks(0)),
+            feed().filter(col("op") === "delete").select("rowkey", "version")
+              .writeStream.format("graft-cells")
+              .option("root", root).option("table", "q248r")
+              .option("tombstone", "true")
+              .option("checkpointLocation", cks(1)),
+            feed().filter(col("op") === "delete_version").select("rowkey", "version")
+              .writeStream.format("graft-cells")
+              .option("root", root).option("table", "q248r")
+              .option("tombstone", "true").option("tombstoneExact", "true")
+              .option("checkpointLocation", cks(2)))
+          streams.foreach { w =>
+            val q = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+            q.awaitTermination()
+          }
+        }
+        seed(1)
+        drain()
+        val n23 = Tables.documents(s, d).filter(col("doc_id") % 23 === 0).count()
+        require(s.table(s"$cat.q248r").count() == n23,
+          "after the first drain the replica carries exactly the seed window")
+        seed(2)
+        def keyList(m: Int): String = Tables.documents(s, d)
+          .filter(col("doc_id") % m === 0)
+          .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).sorted
+          .map(id => "X'" + s"doc-$id".getBytes("UTF-8").map(b => f"$b%02x").mkString + "'")
+          .mkString("(", ", ", ")")
+        // a bare delete (stamps the current latest → bound marker) and
+        // an exact-version delete masking ONLY generation 2. Both land
+        // at version 2e9 — ABOVE drain 1's committed watermark (1e9),
+        // per the feed's delivery contract (q237: edits at or below a
+        // committed offset are outside the incremental window — an
+        // exact delete of an already-streamed old version is a batch
+        // repair, not a feed event)
+        s.sql(s"DELETE FROM $cat.q248s WHERE rowkey IN ${keyList(69)}")
+        s.sql(s"DELETE FROM $cat.q248s WHERE rowkey IN ${keyList(115)} " +
+          "AND version = 2000000000")
+        drain()
+        def view(t: String) = s.table(s"$cat.$t")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+        val src = view("q248s")
+        val rep = view("q248r").localCheckpoint()
+        require(rep.exceptAll(src).count() == 0 && src.exceptAll(rep).count() == 0,
+          "the replica's masked view must equal the source's — with zero foreachBatch")
+        rep
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        cks.foreach(ck => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck)))
+      }
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -2330,6 +2421,16 @@ object StoreLifecycle {
       """SELECT 'doc-' || doc_id AS key_str, (doc_id*2+1)::BIGINT AS version
          FROM documents WHERE doc_id % 4 = 0
          ORDER BY key_str LIMIT 20""",
+
+    // replica ≡ source after the declarative replication loop: %69
+    // keys fully deleted (bound marker at the gen-2 latest), %115
+    // keys lose only generation 2 (exact marker)
+    "q248_cells_streaming_sink_replication" ->
+      """SELECT 'doc-' || doc_id AS key_str, (v * 1000000000)::BIGINT AS version,
+              md5(doc_id::VARCHAR || '~' || v::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([1, 2]) AS v)
+         WHERE doc_id % 23 = 0 AND doc_id % 69 != 0
+           AND NOT (doc_id % 115 = 0 AND v = 2)""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

@@ -248,7 +248,8 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
     // face is an edit feed; "latest" has no incremental meaning there)
     if (latest) java.util.EnumSet.of(TableCapability.BATCH_READ)
     else java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     CellsScanBuilder(root, table, options.getBoolean("stableOffsets", false), changeFeed,
       fromCatalog, asOf, latest)
@@ -348,7 +349,12 @@ case class CellsWriteBuilder(root: String, table: String, schema: StructType,
                              tombstone: Boolean = false,
                              tombstoneExact: Boolean = false,
                              writeId: String = "") extends WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsTruncate
+    // update-mode streaming queries (stateful aggs emitting revisions)
+    // are append-safe here BY THE STORE'S NATURE: a put at (rowkey,
+    // version) atomically replaces that coordinate, so "update" IS an
+    // idempotent upsert append — the Kafka-sink idiom
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   private var truncateFirst = false
   /** `INSERT OVERWRITE` — HBase `truncate_preserve` then load: every
     * cell, segment, AND delete marker goes (a marker must not mask the
@@ -362,6 +368,13 @@ case class CellsWriteBuilder(root: String, table: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = CellsBatchWrite(root, table, schema, tombstone,
       tombstoneExact, truncateFirst, writeId)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!truncateFirst,
+        "a streaming write appends (complete mode needs a truncating sink); " +
+          "INSERT OVERWRITE is a batch statement")
+      CellsStreamingWrite(root, table, schema, tombstone, tombstoneExact)
+    }
   }
 }
 
@@ -395,21 +408,7 @@ case class CellsBatchWrite(root: String, table: String, schema: StructType,
   private def stagingRoot = Paths.get(root, "_overwrite_staging", writeId)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // names AND types, driver-side: a STRING rowkey or INT version
-    // would otherwise surface as an opaque executor ClassCastException
-    // from r.getBinary/getLong mid-write. `option("tombstone","true")`
-    // turns the write into a DISTRIBUTED DELETE (HBase Table.delete):
-    // each (rowkey, version) row lands a delete marker masking that
-    // key's versions ≤ version on the batch read faces — body not
-    // required (a 2-column frame deletes; a 3-column frame's body is
-    // ignored).
-    val cols = schema.fields.map(f => (f.name, f.dataType)).toSeq
-    val putShape = Seq(("rowkey", BinaryType), ("version", LongType), ("body", BinaryType))
-    require(
-      if (tombstone) cols == putShape || cols == putShape.take(2)
-      else cols == putShape,
-      s"graft-cells writes (rowkey BINARY, version BIGINT, body BINARY)" +
-        s"${if (tombstone) " — or (rowkey, version) for tombstones" else ""}; got ${schema.simpleString}")
+    CellsWrites.validateShape(schema, tombstone)
     // driver-side, once: the DDL write (W3) — executors only put cells
     graft.ingest.FileStore(root).ensureTable(table, graft.ingest.PushTableSink.TableSpec())
     if (truncateFirst) {
@@ -438,6 +437,64 @@ case class CellsBatchWrite(root: String, table: String, schema: StructType,
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = if (truncateFirst)
     org.apache.commons.io.FileUtils.deleteQuietly(stagingRoot.toFile)
+}
+
+private[sources] object CellsWrites {
+  /** names AND types, driver-side: a STRING rowkey or INT version
+    * would otherwise surface as an opaque executor ClassCastException
+    * from r.getBinary/getLong mid-write. `option("tombstone","true")`
+    * turns the write into a DISTRIBUTED DELETE (HBase Table.delete):
+    * each (rowkey, version) row lands a delete marker masking that
+    * key's versions ≤ version on the batch read faces — body not
+    * required (a 2-column frame deletes; a 3-column frame's body is
+    * ignored). */
+  def validateShape(schema: StructType, tombstone: Boolean): Unit = {
+    val cols = schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val putShape = Seq(("rowkey", BinaryType), ("version", LongType), ("body", BinaryType))
+    require(
+      if (tombstone) cols == putShape || cols == putShape.take(2)
+      else cols == putShape,
+      s"graft-cells writes (rowkey BINARY, version BIGINT, body BINARY)" +
+        s"${if (tombstone) " — or (rowkey, version) for tombstones" else ""}; got ${schema.simpleString}")
+  }
+}
+
+/** Streaming write face — `df.writeStream.format("graft-cells")` /
+  * `.toTable("cat.tbl")`: the HBase replication-consumer sink as a
+  * FIRST-CLASS Structured Streaming sink (q238's foreachBatch loop,
+  * declarative). Exactly-once STATE with at-least-once execution: a
+  * cell is an atomic rename keyed on (rowkey, version), so a replayed
+  * epoch (restart before the checkpoint advanced) re-puts byte-
+  * identical files and the store converges — no epoch ledger, no
+  * commit coordinator, the same W2/F5 posture as the batch face.
+  * Epoch commit/abort are therefore no-ops BY DESIGN: visibility is
+  * per-rename, and the watermark contract the stream READ face
+  * documents (versions land strictly above the committed offset)
+  * is the producer's to honor, exactly as for batch appends.
+  * `option("tombstone", "true")` streams DELETES (bound markers;
+  * `tombstoneExact` for single-version masks) — the two-stream
+  * replication pair. Update output mode is accepted as append
+  * (upsert-by-coordinate); complete mode declines at toStreaming. */
+case class CellsStreamingWrite(root: String, table: String, schema: StructType,
+                               tombstone: Boolean, tombstoneExact: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    CellsWrites.validateShape(schema, tombstone)
+    graft.ingest.FileStore(root).ensureTable(table, graft.ingest.PushTableSink.TableSpec())
+    CellsStreamingWriterFactory(root, table, tombstone, tombstoneExact)
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class CellsStreamingWriterFactory(root: String, table: String,
+                                       tombstone: Boolean, tombstoneExact: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    CellsWriterFactory(root, table, tombstone, tombstoneExact)
+      .createWriter(partitionId, taskId)
 }
 
 case class CellsWriterFactory(root: String, table: String,
