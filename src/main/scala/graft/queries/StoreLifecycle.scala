@@ -1785,6 +1785,66 @@ object StoreLifecycle {
       }
     },
 
+    // CALL VACUUM — the CleanerChore / remove_orphan_files verb: the
+    // store's write protocols are crash-safe (atomic renames), but a
+    // crashed INSERT OVERWRITE leaves its invisible staging
+    // generation, a commit torn between the two swap renames leaves
+    // trash, and a torn writer task leaves a `.tmp` — all dead weight
+    // no read face touches and no compaction reclaims. In-query
+    // invariants: the age gate protects fresh (= possibly live)
+    // artifacts; `older_than_ms => 0` sweeps exactly the three planted
+    // orphan classes with bytes accounted; a second vacuum finds
+    // nothing; and the LIVE table is untouched — the returned frame is
+    // the table's masked view, hash-checked against the oracle. At
+    // 100 TB this is the nightly chore: I/O ∝ listings + orphan bytes,
+    // never cell count.
+    "q249_cells_vacuum" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q249-cells").toString
+      val cat = "g249_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 11 === 0)
+            .select(lit("q249").as("tableName"),
+              expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+              expr("doc_id * 3 + 1").as("version"),
+              expr("cast(md5(concat(cast(doc_id as string), 'VAC')) as binary)").as("body")),
+          root)
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // the three orphan classes a crash leaves behind
+        val staging = java.nio.file.Paths.get(root, "_overwrite_staging", "crashed", "q249")
+        Files.createDirectories(staging)
+        Files.write(staging.resolve("junk.bin"), Array.fill[Byte](128)(1))
+        val trash = java.nio.file.Paths.get(root, "_overwrite_trash", "torn", "q249")
+        Files.createDirectories(trash)
+        Files.write(trash.resolve("old.bin"), Array.fill[Byte](64)(2))
+        val shard = {
+          val l = Files.list(java.nio.file.Paths.get(root, "q249"))
+          try {
+            val it = l.iterator()
+            var p: java.nio.file.Path = null
+            while (p == null && it.hasNext) { val c = it.next(); if (Files.isDirectory(c)) p = c }
+            p
+          } finally l.close()
+        }
+        Files.write(shard.resolve("put-torn.tmp"), Array.fill[Byte](32)(3))
+        // fresh artifacts survive the default 24h age gate
+        val r0 = s.sql(s"CALL $cat.vacuum()").collect()(0)
+        require((0 to 3).map(r0.getLong).sum == 0L,
+          s"the age gate must protect fresh (possibly-live) artifacts: $r0")
+        // the known-crash override sweeps all three classes, bytes accounted
+        val r1 = s.sql(s"CALL $cat.vacuum(older_than_ms => 0)").collect()(0)
+        require(r1.getLong(0) == 1 && r1.getLong(1) == 1 && r1.getLong(2) == 1 &&
+          r1.getLong(3) >= 128 + 64 + 32, s"sweep exactly the planted orphans: $r1")
+        val r2 = s.sql(s"CALL $cat.vacuum(older_than_ms => 0)").collect()(0)
+        require((0 to 3).map(r2.getLong).sum == 0L, s"vacuum is idempotent: $r2")
+        s.table(s"$cat.q249")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -2431,6 +2491,13 @@ object StoreLifecycle {
          FROM documents, (SELECT unnest([1, 2]) AS v)
          WHERE doc_id % 23 = 0 AND doc_id % 69 != 0
            AND NOT (doc_id % 115 = 0 AND v = 2)""",
+
+    // vacuum never touches live data: the table's masked view is the
+    // untouched fixture
+    "q249_cells_vacuum" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 3 + 1)::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'VAC') AS body_md5
+         FROM documents WHERE doc_id % 11 = 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions
