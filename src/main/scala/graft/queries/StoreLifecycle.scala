@@ -1845,6 +1845,60 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // SQL TRUNCATE TABLE — HBase `truncate_preserve` as the standalone
+    // statement (DSv2 TruncatableTable): every cell, segment AND
+    // delete marker goes in place (no staged generation — there is no
+    // new data to protect), the descriptor and split layout survive,
+    // and a reload lands UNMASKED — the in-query invariant plants a
+    // marker before the truncate and proves the reloaded key is
+    // visible at a version the old marker would have masked. At
+    // 100 TB the sweep is one listing pass per region, in parallel at
+    // the FS layer, no cell rewrite.
+    "q250_cells_sql_truncate" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q250-cells").toString
+      val cat = "g250_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.q250 (rowkey BINARY, version BIGINT, body BINARY) " +
+          "TBLPROPERTIES('maxVersions'='4')")
+        // generation 1 (%13 keys) + a marker on every %39 key at a HIGH
+        // version — if truncate left it, the reload below would be masked
+        BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 13 === 0)
+            .select(lit("q250").as("tableName"),
+              expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+              expr("doc_id * 5 + 1").as("version"),
+              expr("cast(md5(concat(cast(doc_id as string), 'OLD')) as binary)").as("body")),
+          root)
+        val marked = Tables.documents(s, d).filter(col("doc_id") % 39 === 0)
+          .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).sorted
+          .map(id => "X'" + s"doc-$id".getBytes("UTF-8").map(b => f"$b%02x").mkString + "'")
+          .mkString("(", ", ", ")")
+        s.sql(s"DELETE FROM $cat.q250 WHERE rowkey IN $marked AND version <= 9000000000")
+        val n13 = Tables.documents(s, d).filter(col("doc_id") % 13 === 0).count()
+        val n39 = Tables.documents(s, d).filter(col("doc_id") % 39 === 0).count()
+        require(s.table(s"$cat.q250").count() == n13 - n39, "markers mask before the truncate")
+        s.sql(s"TRUNCATE TABLE $cat.q250")
+        require(s.table(s"$cat.q250").count() == 0, "truncate empties the table")
+        val props = s.sql(s"SHOW TBLPROPERTIES $cat.q250")
+          .collect().map(r => (r.getString(0), r.getString(1))).toMap
+        require(props("maxVersions") == "4", "truncate_preserve keeps the descriptor")
+        // generation 2 reloads at versions the old markers covered —
+        // visible only because the truncate swept the markers too
+        Tables.documents(s, d).filter(col("doc_id") % 13 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 5 + 2").as("version"),
+            expr("cast(md5(concat(cast(doc_id as string), 'NEW')) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q250").save()
+        s.table(s"$cat.q250")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -2498,6 +2552,12 @@ object StoreLifecycle {
       """SELECT 'doc-' || doc_id AS key_str, (doc_id * 3 + 1)::BIGINT AS version,
               md5(doc_id::VARCHAR || 'VAC') AS body_md5
          FROM documents WHERE doc_id % 11 = 0""",
+
+    // post-truncate reload: exactly generation 2, the old markers gone
+    "q250_cells_sql_truncate" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 5 + 2)::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'NEW') AS body_md5
+         FROM documents WHERE doc_id % 13 = 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

@@ -74,12 +74,12 @@ final case class CellsRowLevelOperation(root: String, table: String,
 
   override def description(): String = s"graft-cells $cmd table=$table"
 
-  // the target read is the ordinary connector scan: region-parallel
-  // and filename-pruned. It scans the whole table once per statement —
-  // measured, not assumed (tools/MergeProbe): the MERGE rewrite's
-  // outer join gives the runtime filter nothing to ride.
+  // the target read is the ordinary connector scan: region-parallel,
+  // filename-pruned, and — with [[MergeSourcePruning]] installed —
+  // narrowed to the source's key set (see the class doc); options
+  // thread through so a scan option can never be silently dropped
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    CellsScanBuilder(root, table)
+    CellsScanBuilder(root, table, options.getBoolean("stableOffsets", false))
 
   // a ROW of the SQL table is a CELL: (rowkey, version) is its identity
   override def rowId(): Array[NamedReference] =

@@ -216,7 +216,8 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
                       latest: Boolean = false) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   require(root != null && table != null, "graft-cells requires options: root, table")
   require(!(latest && changeFeed), "a table face is $latest or $changes, never both")
   override def name(): String =
@@ -260,6 +261,21 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
       info.options().getBoolean("tombstone", false),
       info.options().getBoolean("tombstoneExact", false),
       writeId = info.queryId())
+  }
+
+  /** SQL `TRUNCATE TABLE cat.tbl` — HBase `truncate_preserve` as the
+    * standalone statement (the same sweep INSERT OVERWRITE's batch
+    * path uses): every cell, segment, and delete marker goes — a
+    * surviving marker would mask a later reload — while the
+    * descriptor and split layout stay. Unlike the staged overwrite
+    * there is no new generation to protect, so the sweep runs in
+    * place. */
+  override def truncateTable(): Boolean = {
+    require(asOf.isEmpty, s"cannot truncate time-travel snapshot ${name()}")
+    require(!changeFeed && !latest,
+      s"${name()} is a read-only metadata face — TRUNCATE targets the base table")
+    graft.ingest.FileStore(root).truncateTable(table)
+    true
   }
 
   /** SQL `DELETE FROM cat.tbl WHERE rowkey = … [AND version <= T |

@@ -710,6 +710,31 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root3))
   }
 
+  test("TRUNCATE TABLE: truncate_preserve — data and markers go, descriptor and splits survive") {
+    val pts = Seq("T-4").map(_.getBytes("UTF-8").map(b => f"$b%02x").mkString)
+    spark.sql("CREATE TABLE gtest.trnc (rowkey BINARY, version BIGINT, body BINARY) " +
+      s"TBLPROPERTIES('maxVersions'='3', 'splitPoints' = '${pts.mkString(",")}')")
+    spark.sql("INSERT INTO gtest.trnc " +
+      "SELECT cast(concat('T-', id) as binary), cast(id as bigint), " +
+      "cast('x' as binary) FROM range(0, 9)")
+    spark.sql("DELETE FROM gtest.trnc WHERE rowkey = X'542d32'") // T-2: a marker too
+    assert(spark.table("gtest.trnc").count() == 8)
+    spark.sql("TRUNCATE TABLE gtest.trnc")
+    assert(spark.table("gtest.trnc").count() == 0, "every cell goes")
+    // descriptor and layout survive (truncate_preserve); a reload is
+    // NOT masked by any surviving marker — T-2 is visible again
+    val props = spark.sql("SHOW TBLPROPERTIES gtest.trnc")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props("maxVersions") == "3" && props("splitPoints") == pts.mkString(","))
+    spark.sql("INSERT INTO gtest.trnc " +
+      "SELECT cast(concat('T-', id) as binary), cast(100 + id as bigint), " +
+      "cast('y' as binary) FROM range(0, 9)")
+    assert(spark.table("gtest.trnc").count() == 9, "the reload lands unmasked")
+    // the metadata faces decline
+    val e = intercept[Exception] { spark.sql("TRUNCATE TABLE gtest.`trnc$latest`") }
+    assert(e.getMessage != null)
+  }
+
   test("CALL vacuum: orphaned staging/trash generations and torn .tmp files swept, age-gated, live data untouched") {
     import java.nio.file.Paths
     spark.sql("CREATE TABLE gtest.vac (rowkey BINARY, version BIGINT, body BINARY)")
