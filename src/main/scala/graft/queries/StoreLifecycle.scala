@@ -1899,6 +1899,56 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // ROWKEY DERIVATION AS A CATALOG SQL FUNCTION — `cat.rowkey_of(
+    // '<id json>')` computes the exact K2/K3 bytes every cell was
+    // written under (CRC32-BE prefix ++ key-sorted compact JSON), so
+    // a SERVING point GET by business id is pure SQL: the literal
+    // call CONSTANT-FOLDS, the folded bytes reach the connector as an
+    // ordinary point predicate, and the q225 pruning tiers fire
+    // (shard directory → digest/bloom → entry). In-query invariants:
+    // the scan description carries the probed key count, and file
+    // opens ≤ probed keys — a 35-key lookup must NOT walk the 150+
+    // segments the table holds. At 100 TB this is the difference
+    // between a batched GET and a table scan, driven from a SQL
+    // string a serving user can actually write.
+    "q251_cells_sql_rowkey_function" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q251-cells").toString
+      val cat = "g251_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        graft.functions.GraftFunctions.register(s)
+        BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 17 === 0)
+            .select(lit("q251").as("tableName"),
+              expr("""hdi_rowkey(concat('{"id":"doc-', cast(doc_id as string), '"}'))""")
+                .as("rowkey"),
+              expr("doc_id * 7 + 1").as("version"),
+              expr("cast(md5(concat(cast(doc_id as string), 'RK')) as binary)").as("body")),
+          root)
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val probeIds = Tables.documents(s, d).filter(col("doc_id") % 85 === 0)
+          .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).sorted
+        val inList = probeIds
+          .map(id => s"""$cat.rowkey_of('{"id":"doc-$id"}')""")
+          .mkString("(", ", ", ")")
+        graft.sources.CellsSource.filesOpened.set(0)
+        val got = s.sql(
+          s"""SELECT version, cast(body as string) AS body_md5
+              FROM $cat.q251 WHERE rowkey IN $inList""")
+        val desc = got.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.getOrElse("")
+        require(desc.contains(s"keys=${probeIds.length}"),
+          s"the folded rowkey_of literals must push as point keys: $desc")
+        val out = got.localCheckpoint()
+        val opened = graft.sources.CellsSource.filesOpened.get()
+        require(opened > 0 && opened <= probeIds.length,
+          s"a ${probeIds.length}-key batched GET must open at most that many files, opened $opened")
+        out
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -2558,6 +2608,14 @@ object StoreLifecycle {
       """SELECT 'doc-' || doc_id AS key_str, (doc_id * 5 + 2)::BIGINT AS version,
               md5(doc_id::VARCHAR || 'NEW') AS body_md5
          FROM documents WHERE doc_id % 13 = 0""",
+
+    // the batched point GET's payload: %85 ⊂ %17 (= 5·17), one
+    // version each — the rowkey itself is engine-derived and not
+    // echoed (DuckDB has no CRC32-BE ++ canonical-JSON)
+    "q251_cells_sql_rowkey_function" ->
+      """SELECT (doc_id * 7 + 1)::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'RK') AS body_md5
+         FROM documents WHERE doc_id % 85 = 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

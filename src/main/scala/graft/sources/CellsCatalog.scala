@@ -244,7 +244,8 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
     // fingerprinted instance stands for the family
     if (namespace.isEmpty)
       Array(Identifier.of(Array.empty,
-        s"graft_shard_${CellsCatalog.fingerprintOf(FileStore.Splits.Default)}"))
+        s"graft_shard_${CellsCatalog.fingerprintOf(FileStore.Splits.Default)}"),
+        Identifier.of(Array.empty, "rowkey_of"))
     else Array.empty
 
   /** Resolve `graft_shard_<fingerprint>` back to its split layout by
@@ -253,6 +254,7 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
     * from disk and needs no session registry. */
   override def loadFunction(ident: Identifier): UnboundFunction = {
     val n = ident.name()
+    if (n == "rowkey_of") return CellsCatalog.RowkeyOfUnbound
     if (!n.startsWith("graft_shard_"))
       throw new NoSuchFunctionException(ident)
     val fp = n.stripPrefix("graft_shard_")
@@ -305,6 +307,41 @@ object CellsCatalog {
       finally s.close()
     found.foreach(sp => layoutCache.put((root, fp), sp))
     found
+  }
+
+  /** `cat.rowkey_of('<id json>')` — the ingest engine's K2/K3 rowkey
+    * derivation (CRC32-BE prefix ++ key-sorted compact JSON, the exact
+    * [[graft.core.Rowkey]] bytes every cell was written under) as a
+    * CATALOG SQL FUNCTION, so a SERVING point GET needs no Scala:
+    * `SELECT … WHERE rowkey = cat.rowkey_of('{"id":"X"}')`. The
+    * function is deterministic over a literal, so Catalyst CONSTANT-
+    * FOLDS the call and the comparison reaches the connector as an
+    * ordinary point predicate — one shard directory, one probed
+    * digest, the full q225 pruning tier (gate-pinned by file opens).
+    * Reference contract: HBaseRecord key derivation
+    * (`reference:src/main/kotlin/app/batch/HBaseWriter.kt` via
+    * Rowkey/K3). */
+  case object RowkeyOfUnbound extends UnboundFunction {
+    override def name(): String = "rowkey_of"
+    override def description(): String =
+      "rowkey bytes of a record id (CRC32-BE prefix ++ canonical id JSON)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1 &&
+        inputType.fields(0).dataType == org.apache.spark.sql.types.StringType,
+        s"rowkey_of binds to one STRING id, got ${inputType.simpleString}")
+      RowkeyOfFunction
+    }
+  }
+
+  case object RowkeyOfFunction extends ScalarFunction[Array[Byte]] {
+    override def inputTypes(): Array[DataType] =
+      Array(org.apache.spark.sql.types.StringType)
+    override def resultType(): DataType = org.apache.spark.sql.types.BinaryType
+    override def name(): String = "rowkey_of"
+    override def canonicalName(): String = "graft.rowkey_of"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Array[Byte] =
+      graft.functions.HdiRowkey.compute(input.getUTF8String(0).toString)
   }
 
   final case class ShardUnbound(splits: FileStore.Splits, fp: String) extends UnboundFunction {

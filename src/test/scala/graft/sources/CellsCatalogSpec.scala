@@ -769,6 +769,35 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0 to 3).map(r2.getLong).sum == 0L, s"idempotent: $r2")
   }
 
+  test("rowkey_of: the engine's K3 derivation as a catalog SQL function; a literal call folds into a point GET") {
+    spark.sql("CREATE TABLE gtest.rkfn (rowkey BINARY, version BIGINT, body BINARY)")
+    val ids = (0 until 12).map(i => s"""{"id":"R-$i"}""")
+    val sp = spark; import sp.implicits._
+    graft.ingest.BulkLoad.writeCells(
+      ids.zipWithIndex.map { case (j, i) =>
+        ("rkfn", graft.functions.HdiRowkey.compute(j), 100L + i, s"v-$i".getBytes("UTF-8"))
+      }.toDF("tableName", "rowkey", "version", "body"), root)
+    // the function resolves, binds, and computes the engine's bytes
+    val viaSql = spark.sql("""SELECT gtest.rowkey_of('{"id":"R-3"}') AS rk""")
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(viaSql, graft.functions.HdiRowkey.compute(ids(3))))
+    // a literal call constant-folds, so the equality reaches the scan
+    // as a POINT predicate (digest + shard pruning, not a table scan)
+    CellsSource.filesOpened.set(0)
+    val got = spark.sql(
+      """SELECT version, cast(body as string) AS b FROM gtest.rkfn
+         WHERE rowkey = gtest.rowkey_of('{"id":"R-3"}')""").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((103L, "v-3")))
+    assert(CellsSource.filesOpened.get() <= 1,
+      s"the folded literal must prune to one probed file, opened ${CellsSource.filesOpened.get()}")
+    // discovery lists it; a bad input type declines at bind
+    val listed = spark.sessionState.catalogManager.catalog("gtest")
+      .asInstanceOf[CellsCatalog].listFunctions(Array.empty).map(_.name()).toSet
+    assert(listed.contains("rowkey_of"), s"$listed")
+    val e = intercept[Exception] { spark.sql("SELECT gtest.rowkey_of(42)").collect() }
+    assert(e.getMessage != null)
+  }
+
   test("different layouts decline SPJ: the join shuffles (and still answers correctly)") {
     seed("spjc", (0 until 40).map(i => (f"K-$i%02d", 1L, s"c-$i")),
       (1 to 7).map(i => k(s"K-${i}0")))
