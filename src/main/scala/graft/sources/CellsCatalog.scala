@@ -60,6 +60,12 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
     catalogName = name
     root = options.get("root")
     require(root != null, s"catalog $name requires option root (spark.sql.catalog.$name.root)")
+    // default-on MERGE/UPDATE source-key pruning: registering the
+    // catalog is the user's opt-in to this connector, so the session
+    // gets the batched-GET row-level plan without a manual install
+    // (idempotent; the rule no-ops on every non-row-level plan)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(MergeSourcePruning.install)
   }
 
   override def name(): String = catalogName

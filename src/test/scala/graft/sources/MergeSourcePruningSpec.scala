@@ -29,8 +29,12 @@ class MergeSourcePruningSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config(s"spark.sql.catalog.$cat.root", root)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    MergeSourcePruning.install(spark)
-    MergeSourcePruning.install(spark) // idempotent
+    // DEFAULT-ON: registering the catalog installs the rule at first
+    // catalog access — no manual install anywhere in this suite
+    spark.sql(s"SHOW TABLES IN $cat").collect()
+    assert(spark.experimental.extraOptimizations.count(_ eq MergeSourcePruning) == 1,
+      "catalog initialization must self-install the pre-pass")
+    MergeSourcePruning.install(spark) // explicit install stays idempotent
     assert(spark.experimental.extraOptimizations.count(_ eq MergeSourcePruning) == 1)
   }
 
