@@ -1949,6 +1949,51 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // PROVENANCE METADATA COLUMNS (SupportsMetadataColumns — the
+    // Iceberg `_file` idiom): `_shard`/`_file`/`_kind` name the store
+    // file whose copy WON read precedence for each emitted row,
+    // SELECT-only (`SELECT *` stays the 3-column cell schema). The
+    // gate runs the ops-shaped audit: rows per kind with distinct
+    // serving files — "how much of the table still sits in the put
+    // backlog vs compacted segments" — and pins every (_shard, _file)
+    // pair to a real row of the `$versions` inventory face. At 100 TB
+    // provenance costs nothing extra: the reader already knows its
+    // file; the column materializes only when named.
+    "q252_cells_metadata_columns" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q252-cells").toString
+      val cat = "g252_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        // segments: %6 keys (md5-spread digests → many regions);
+        // put backlog: %30 keys at a DISJOINT version (no shadowing)
+        BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 6 === 0)
+            .select(lit("q252").as("tableName"),
+              expr("unhex(md5(concat('doc-', doc_id)))").as("rowkey"),
+              expr("doc_id * 2 + 1").as("version"),
+              expr("cast(md5(concat(cast(doc_id as string), 'S')) as binary)").as("body")),
+          root)
+        Tables.documents(s, d).filter(col("doc_id") % 30 === 0)
+          .select(expr("unhex(md5(concat('doc-', doc_id)))").as("rowkey"),
+            expr("doc_id * 2 + 2").as("version"),
+            expr("cast(md5(concat(cast(doc_id as string), 'P')) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q252").save()
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // every provenance pair names a real inventory file
+        val orphan = s.sql(
+          s"""SELECT t._shard, t._file FROM $cat.q252 t
+              LEFT ANTI JOIN $cat.`q252$$versions` v
+              ON t._shard = v.shard AND t._file = v.file""").count()
+        require(orphan == 0, s"provenance must name real inventory files, $orphan orphans")
+        s.sql(
+          s"""SELECT _kind AS kind, count(*) AS n,
+                     count(DISTINCT _file) AS files
+              FROM $cat.q252 GROUP BY _kind""")
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -2616,6 +2661,18 @@ object StoreLifecycle {
       """SELECT (doc_id * 7 + 1)::BIGINT AS version,
               md5(doc_id::VARCHAR || 'RK') AS body_md5
          FROM documents WHERE doc_id % 85 = 0""",
+
+    // the provenance audit: segment rows = %6 cells over their
+    // populated regions (distinct first digest byte = one segment
+    // each); put rows = %30 cells, one file per cell
+    "q252_cells_metadata_columns" ->
+      """WITH base AS (SELECT doc_id, md5('doc-' || doc_id::VARCHAR) AS h FROM documents)
+         SELECT 'segment' AS kind, count(*)::BIGINT AS n,
+                count(DISTINCT substr(h,1,2))::BIGINT AS files
+         FROM base WHERE doc_id % 6 = 0
+         UNION ALL
+         SELECT 'put', count(*)::BIGINT, count(*)::BIGINT
+         FROM base WHERE doc_id % 30 = 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

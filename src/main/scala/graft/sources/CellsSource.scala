@@ -217,7 +217,8 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(root != null && table != null, "graft-cells requires options: root, table")
   require(!(latest && changeFeed), "a table face is $latest or $changes, never both")
   override def name(): String =
@@ -261,6 +262,30 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
       info.options().getBoolean("tombstone", false),
       info.options().getBoolean("tombstoneExact", false),
       writeId = info.queryId())
+  }
+
+  /** PROVENANCE metadata columns (the Iceberg `_file` idiom): where
+    * each emitted row physically lives — `_shard` (region directory),
+    * `_file` (the store file whose copy WON read precedence), `_kind`
+    * (`put` | `segment`; marker rows on the change-feed face report
+    * their marker kind). SELECT-only, never stored, resolved only when
+    * named — `SELECT *` stays the 3-column cell schema. The ops
+    * debugging face: "which file serves this cell", "how much of this
+    * key's history still sits in the put backlog" — joins directly
+    * against `tbl$versions` on (_shard, _file). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    import org.apache.spark.sql.connector.catalog.MetadataColumn
+    def m(n: String, c: String): MetadataColumn = new MetadataColumn {
+      override def name(): String = n
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = c
+    }
+    Array(
+      m("_shard", "region directory holding the cell"),
+      m("_file", "store file whose copy won read precedence"),
+      m("_kind", "put | segment | marker_bound | marker_exact"))
   }
 
   /** SQL `TRUNCATE TABLE cat.tbl` — HBase `truncate_preserve` as the
@@ -864,7 +889,10 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
   private def effKeys: CellsKeyPred = if (runtimeKeys == null) keys else runtimeKeys
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("rowkey"))
+    // a metadata-only projection has no rowkey attribute to resolve a
+    // runtime filter against — report none rather than fail analysis
+    if (!required.fieldNames.contains("rowkey")) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.column("rowkey"))
 
   /** Narrow this scan to exactly `ks`' regions and digests — shared by
     * DPP-delivered runtime filters ([[filter]]) and the MERGE/UPDATE
@@ -1114,7 +1142,11 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
     * no function catalog to resolve against and report unknown. */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     lazy val n = planInputPartitions().length
-    if (!fromCatalog) new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    // the key-grouped report references rowkey — a metadata-only
+    // projection (provenance columns without the key) cannot resolve
+    // it, so it reports unknown instead of failing analysis
+    if (!fromCatalog || !required.fieldNames.contains("rowkey"))
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     else {
       val fp = CellsCatalog.fingerprintOf(tableSplits)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
@@ -1528,12 +1560,12 @@ object CellsReaders {
                     !seen.contains((e.digestHex, e.version)))
                   .flatMap { e =>
                     if (!readsContent) {
-                      seen.add((e.digestHex, e.version)); Some(mkRow(null, e.version, null))
+                      seen.add((e.digestHex, e.version)); Some(mkRow(null, e.version, null, src = seg))
                     } else {
                       CellsSource.filesOpened.incrementAndGet()
                       val (k, v, b) = graft.ingest.CellSegment.entryAt(seg, e.offset, needBody)
                       if (!keys.keyOk(k)) None
-                      else { seen.add((e.digestHex, e.version)); Some(mkRow(k, v, b)) }
+                      else { seen.add((e.digestHex, e.version)); Some(mkRow(k, v, b, src = seg)) }
                     }
                   }
               case None if !readsContent =>
@@ -1543,7 +1575,7 @@ object CellsReaders {
                   .filter(e => e.version >= lo && e.version <= hi &&
                     !masked(e.digestHex, e.version) &&
                     isWinner(e.digestHex, e.version) && seen.add((e.digestHex, e.version)))
-                  .map(e => mkRow(null, e.version, null))
+                  .map(e => mkRow(null, e.version, null, src = seg))
               case None =>
                 // scan: stream the data region zipped with the cached
                 // index (same order), so dedup needs no re-hashing. On
@@ -1568,7 +1600,7 @@ object CellsReaders {
                       val (k, v, b) = graft.ingest.CellSegment.entryAt(seg, e.offset, needBody)
                       if (!keys.keyOk(k)) None
                       else if (!seen.add((e.digestHex, v))) None
-                      else Some(mkRow(k, v, b))
+                      else Some(mkRow(k, v, b, src = seg))
                     }
                   }
                 } else {
@@ -1579,7 +1611,7 @@ object CellsReaders {
                       if (v < lo || v > hi || !keys.keyOk(k) || masked(e.digestHex, v) ||
                         !isWinner(e.digestHex, v)) None
                       else if (!seen.add((e.digestHex, v))) None
-                      else Some(mkRow(k, v, b))
+                      else Some(mkRow(k, v, b, src = seg))
                   }
                 }
             }
@@ -1600,14 +1632,14 @@ object CellsReaders {
             // op='delete' / op='delete_version' feed row; markers are
             // never (digest, version)-deduped against puts — a put and
             // a delete at one cell identity are two distinct edits
-            if (!readsContent) { row = mkRow(null, version, null, markerKind = kind); return true }
+            if (!readsContent) { row = mkRow(null, version, null, markerKind = kind, src = p); return true }
             else {
               CellsSource.filesOpened.incrementAndGet()
               // marker files carry the length-prefixed true key
               val buf = java.nio.ByteBuffer.wrap(Files.readAllBytes(p))
               val keyLen = buf.getInt()
               val k = new Array[Byte](keyLen); buf.get(k)
-              if (keys.keyOk(k)) { row = mkRow(k, version, null, markerKind = kind); return true }
+              if (keys.keyOk(k)) { row = mkRow(k, version, null, markerKind = kind, src = p); return true }
             }
           }
           else if (masked(digestHex, version)) {
@@ -1621,7 +1653,7 @@ object CellsReaders {
           // in the filename — emit without any content I/O
           else if (!readsContent) {
             seen.add((digestHex, version))
-            row = mkRow(null, version, null)
+            row = mkRow(null, version, null, src = p)
             return true
           } else {
             CellsSource.filesOpened.incrementAndGet()
@@ -1642,7 +1674,7 @@ object CellsReaders {
             cell match {
               case Some((k, b)) =>
                 seen.add((digestHex, version))
-                row = mkRow(k, version, b); return true
+                row = mkRow(k, version, b, src = p); return true
               case None => // out of key range — skip to the next cell file
             }
           }
@@ -1651,8 +1683,13 @@ object CellsReaders {
         false
       }
 
+      // provenance metadata (SupportsMetadataColumns) — computed only
+      // when the projection names it; `src` is the file whose copy won
+      // read precedence for this row
+      private lazy val shardNameU8 = org.apache.spark.unsafe.types.UTF8String
+        .fromString(Paths.get(shardDir).getFileName.toString)
       private def mkRow(key: Array[Byte], version: Long, body: Array[Byte],
-                        markerKind: Int = 0): InternalRow = {
+                        markerKind: Int = 0, src: Path = null): InternalRow = {
         val values = cols.map {
           case "rowkey" => key
           case "version" => version
@@ -1661,6 +1698,15 @@ object CellsReaders {
             if (markerKind == 1) OpDelete
             else if (markerKind == 2) OpDeleteVersion
             else OpPut
+          case "_shard" => shardNameU8
+          case "_file" => org.apache.spark.unsafe.types.UTF8String.fromString(
+            if (src == null) "" else src.getFileName.toString)
+          case "_kind" => org.apache.spark.unsafe.types.UTF8String.fromString(
+            if (markerKind == 1) "marker_bound"
+            else if (markerKind == 2) "marker_exact"
+            else if (src != null &&
+              graft.ingest.CellSegment.isSegment(src.getFileName.toString)) "segment"
+            else "put")
         }
         new GenericInternalRow(values.asInstanceOf[Array[Any]])
       }
