@@ -125,6 +125,23 @@ object CellsSource {
   val cappedRowsEmitted = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
+/** NATIVE SQL-UI METRICS (DSv2 CustomMetric): the connector's own
+  * I/O counters surfaced per SCAN/WRITE node — `filesOpened` and
+  * `cellsEmitted` on reads, `cellsWritten`/`bytesWritten` on writes —
+  * so pruning quality is visible in `df.queryExecution` and the SQL
+  * tab without the global test counters (which stay, for specs). */
+private[sources] class GraftSumMetric(n: String, desc: String)
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = n
+  override def description(): String = desc
+}
+
+private[sources] case class GraftTaskMetric(name: String, value: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric
+
+/** per-reader I/O cells, reported through currentMetricsValues */
+private[sources] final class CellsReaderMetrics { var filesOpened: Long = 0L }
+
 /** Rowkey predicates resolved at planning time into three pruning
   * tiers: shard DIRECTORIES (point probes and first-byte range spans),
   * cell FILES (point-probe digests matched against the filename), and
@@ -416,6 +433,10 @@ case class CellsWriteBuilder(root: String, table: String, schema: StructType,
           "INSERT OVERWRITE is a batch statement")
       CellsStreamingWrite(root, table, schema, tombstone, tombstoneExact)
     }
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      Array(new GraftSumMetric("cellsWritten", "cells (or markers) landed"),
+        new GraftSumMetric("bytesWritten", "rowkey+body bytes landed"))
   }
 }
 
@@ -560,6 +581,8 @@ case class CellsWriterFactory(root: String, table: String,
         val cell = graft.ingest.PushTableSink.CellPut(table, r.getBinary(0), r.getLong(1), body)
         buf += cell
         bufBytes += cell.rowkey.length + cell.body.length
+        cellsWritten += 1
+        bytesWritten += cell.rowkey.length + cell.body.length
         if (bufBytes >= MaxBatchBytes) flush()
       }
       private def flush(): Unit = if (buf.nonEmpty) {
@@ -576,6 +599,12 @@ case class CellsWriterFactory(root: String, table: String,
       override def commit(): WriterCommitMessage = { flush(); CellsCommit }
       override def abort(): Unit = () // idempotent re-put on retry
       override def close(): Unit = ()
+      private var cellsWritten = 0L
+      private var bytesWritten = 0L
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(GraftTaskMetric("cellsWritten", cellsWritten),
+          GraftTaskMetric("bytesWritten", bytesWritten))
     }
 }
 
@@ -1160,6 +1189,13 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
   override def createReaderFactory(): PartitionReaderFactory =
     CellsReaderFactory(lo, hi, required.fieldNames, changeFeed, latest, limitN, topK)
 
+  /** SQL-UI metrics per scan node — pruning quality visible without
+    * the global test counters. */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new GraftSumMetric("filesOpened", "store files whose contents were read"),
+      new GraftSumMetric("cellsEmitted", "rows emitted after masks, pruning and caps"))
+
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(!latest, "the $latest face has no stream form — stream the base table or $changes")
@@ -1324,8 +1360,19 @@ case class CellsStreamReaderFactory(keys: CellsKeyPred, cols: Array[String],
     // -committed batch windows (replay determinism) — maskDeletes=false.
     // With changeFeed the markers THEMSELVES are versioned feed rows
     // (op='delete'), so a downstream view can apply the delete.
-    CellsReaders.reader(p.dir, p.lo, p.hi, keys, cols,
-      maskDeletes = false, emitOps = changeFeed)
+    val m = new CellsReaderMetrics
+    val base = CellsReaders.reader(p.dir, p.lo, p.hi, keys, cols,
+      maskDeletes = false, emitOps = changeFeed, taskMetrics = m)
+    new PartitionReader[InternalRow] {
+      private var emitted = 0L
+      override def next(): Boolean = base.next() && { emitted += 1; true }
+      override def get(): InternalRow = base.get()
+      override def close(): Unit = base.close()
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(GraftTaskMetric("filesOpened", m.filesOpened),
+          GraftTaskMetric("cellsEmitted", emitted))
+    }
   }
 }
 
@@ -1372,8 +1419,10 @@ case class CellsReaderFactory(lo: Long, hi: Long,
   // the $latest face folds each key to its max live version
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CellsShard]
+    val m = new CellsReaderMetrics
     val base = CellsReaders.reader(p.dir, lo, hi, p.keys, cols,
-      maskDeletes = !changeFeed, emitOps = changeFeed, latestOnly = latest)
+      maskDeletes = !changeFeed, emitOps = changeFeed, latestOnly = latest,
+      taskMetrics = m)
     // per-shard row cap: LIMIT truncates unconditionally (any N rows
     // are a correct answer under the retained GlobalLimit); TopN only
     // when this shard provably streams sorted — otherwise every row
@@ -1381,16 +1430,20 @@ case class CellsReaderFactory(lo: Long, hi: Long,
     val cap = math.min(
       if (limitN >= 0) limitN else Int.MaxValue,
       if (topK >= 0 && shardSorted(p.dir)) topK else Int.MaxValue)
-    if (cap == Int.MaxValue) base
-    else new PartitionReader[InternalRow] {
-      private var emitted = 0
+    val capped = cap != Int.MaxValue
+    new PartitionReader[InternalRow] {
+      private var emitted = 0L
       override def next(): Boolean =
-        emitted < cap && base.next() && { emitted += 1; true }
+        (!capped || emitted < cap) && base.next() && { emitted += 1; true }
       override def get(): InternalRow = base.get()
       override def close(): Unit = {
-        CellsSource.cappedRowsEmitted.addAndGet(emitted.toLong)
+        if (capped) CellsSource.cappedRowsEmitted.addAndGet(emitted)
         base.close()
       }
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(GraftTaskMetric("filesOpened", m.filesOpened),
+          GraftTaskMetric("cellsEmitted", emitted))
     }
   }
 }
@@ -1433,9 +1486,16 @@ object CellsReaders {
   def reader(shardDir: String, lo: Long, hi: Long, keys: CellsKeyPred,
              cols: Array[String], maskDeletes: Boolean = true,
              emitOps: Boolean = false,
-             latestOnly: Boolean = false): PartitionReader[InternalRow] =
+             latestOnly: Boolean = false,
+             taskMetrics: CellsReaderMetrics = null): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       require(!(latestOnly && emitOps), "the edit log has no latest fold")
+      // one content open: the spec-facing global AND this task's
+      // SQL-UI metric cell (when the scan wired one in)
+      private def openedOne(): Unit = {
+        CellsSource.filesOpened.incrementAndGet()
+        if (taskMetrics ne null) taskMetrics.filesOpened += 1
+      }
       private val needKey = cols.contains("rowkey")
       private val needBody = cols.contains("body")
       private val readsContent = needKey || needBody || keys.hasRange
@@ -1562,7 +1622,7 @@ object CellsReaders {
                     if (!readsContent) {
                       seen.add((e.digestHex, e.version)); Some(mkRow(null, e.version, null, src = seg))
                     } else {
-                      CellsSource.filesOpened.incrementAndGet()
+                      openedOne()
                       val (k, v, b) = graft.ingest.CellSegment.entryAt(seg, e.offset, needBody)
                       if (!keys.keyOk(k)) None
                       else { seen.add((e.digestHex, e.version)); Some(mkRow(k, v, b, src = seg)) }
@@ -1595,7 +1655,7 @@ object CellsReaders {
                   // the index (cached) already proved it has nothing
                   if (winnersHere.isEmpty) Iterator.empty
                   else {
-                    CellsSource.filesOpened.incrementAndGet()
+                    openedOne()
                     winnersHere.iterator.flatMap { e =>
                       val (k, v, b) = graft.ingest.CellSegment.entryAt(seg, e.offset, needBody)
                       if (!keys.keyOk(k)) None
@@ -1604,7 +1664,7 @@ object CellsReaders {
                     }
                   }
                 } else {
-                  CellsSource.filesOpened.incrementAndGet()
+                  openedOne()
                   graft.ingest.CellSegment.entries(seg, needBody)
                     .zip(graft.ingest.CellSegment.indexOf(seg).iterator).flatMap {
                     case ((k, v, b), e) =>
@@ -1634,7 +1694,7 @@ object CellsReaders {
             // a delete at one cell identity are two distinct edits
             if (!readsContent) { row = mkRow(null, version, null, markerKind = kind, src = p); return true }
             else {
-              CellsSource.filesOpened.incrementAndGet()
+              openedOne()
               // marker files carry the length-prefixed true key
               val buf = java.nio.ByteBuffer.wrap(Files.readAllBytes(p))
               val keyLen = buf.getInt()
@@ -1656,7 +1716,7 @@ object CellsReaders {
             row = mkRow(null, version, null, src = p)
             return true
           } else {
-            CellsSource.filesOpened.incrementAndGet()
+            openedOne()
             val in = Files.newInputStream(p)
             val cell =
               try {
