@@ -51,7 +51,8 @@ import scala.jdk.CollectionConverters._
   * function resolution needs no session state beyond the catalog.
   */
 class CellsCatalog extends TableCatalog with FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
@@ -91,6 +92,81 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
       .filter(_.namespace().sameElements(namespace))
       .toArray
     finally s.close()
+  }
+
+  // ---------------------------------------------------- namespaces
+  // The HBase namespace model: one level deep, `ns:tbl` store names.
+  // A namespace EXISTS if a table carries it or a `_ns~<name>` marker
+  // records an explicit CREATE NAMESPACE (so empty namespaces survive
+  // a restart, like hbase's create_namespace before any table).
+  private def nsMarker(ns: String) = Paths.get(root, s"_ns~$ns")
+  private def namespacesOnDisk: Set[String] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Set.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.flatMap { p =>
+      val n = p.getFileName.toString
+      if (!Files.isDirectory(p)) None
+      else if (n.startsWith("_ns~")) Some(n.stripPrefix("_ns~"))
+      else if (n.startsWith("_")) None
+      else {
+        val full = n.replace('~', ':')
+        if (full.contains(':')) Some(full.split(':').head) else None
+      }
+    }.toSet
+    finally s.close()
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    namespacesOnDisk.toArray.sorted.map(Array(_))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // one level deep
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      catalogName +: namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (namespace.length == 1 && namespacesOnDisk.contains(namespace(0)))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        catalogName +: namespace)
+    val m = new java.util.HashMap[String, String]()
+    if (namespace.length == 1)
+      m.put("tables", listTables(namespace).length.toString)
+    m
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"the store's namespace model is one level deep, got ${namespace.mkString(".")}")
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(
+        catalogName +: namespace)
+    Files.createDirectories(nsMarker(namespace(0)))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "store namespaces carry no alterable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.length != 1) return false
+    val tables = listTables(namespace)
+    if (tables.nonEmpty) {
+      if (!cascade)
+        throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+          catalogName +: namespace)
+      tables.foreach(dropTable)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(nsMarker(namespace(0)).toFile)
+    true
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, asOf = None)

@@ -130,10 +130,23 @@ object CellsSource {
   * `cellsEmitted` on reads, `cellsWritten`/`bytesWritten` on writes —
   * so pruning quality is visible in `df.queryExecution` and the SQL
   * tab without the global test counters (which stay, for specs). */
-private[sources] class GraftSumMetric(n: String, desc: String)
-    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-  override def name(): String = n
-  override def description(): String = desc
+/** zero-arg concrete classes: Spark's UI listener re-instantiates the
+  * metric class reflectively to aggregate task values */
+class FilesOpenedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "filesOpened"
+  override def description(): String = "store files whose contents were read"
+}
+class CellsEmittedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "cellsEmitted"
+  override def description(): String = "rows emitted after masks, pruning and caps"
+}
+class CellsWrittenMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "cellsWritten"
+  override def description(): String = "cells (or markers) landed"
+}
+class BytesWrittenMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "bytesWritten"
+  override def description(): String = "rowkey+body bytes landed"
 }
 
 private[sources] case class GraftTaskMetric(name: String, value: Long)
@@ -435,8 +448,7 @@ case class CellsWriteBuilder(root: String, table: String, schema: StructType,
     }
     override def supportedCustomMetrics()
         : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-      Array(new GraftSumMetric("cellsWritten", "cells (or markers) landed"),
-        new GraftSumMetric("bytesWritten", "rowkey+body bytes landed"))
+      Array(new CellsWrittenMetric, new BytesWrittenMetric)
   }
 }
 
@@ -1193,8 +1205,7 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
     * the global test counters. */
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new GraftSumMetric("filesOpened", "store files whose contents were read"),
-      new GraftSumMetric("cellsEmitted", "rows emitted after masks, pruning and caps"))
+    Array(new FilesOpenedMetric, new CellsEmittedMetric)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {

@@ -710,6 +710,34 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root3))
   }
 
+  test("namespaces: the HBase one-level ns model — CREATE/SHOW/USE/DROP, implicit from ns:tbl names") {
+    spark.sql("CREATE NAMESPACE gtest.reporting")
+    // implicit namespace from a namespaced table; explicit marker for the empty one
+    spark.sql("CREATE TABLE gtest.audit.ledger (rowkey BINARY, version BIGINT, body BINARY)")
+    val ns = spark.sql("SHOW NAMESPACES IN gtest").collect().map(_.getString(0)).toSet
+    assert(ns.contains("reporting") && ns.contains("audit"), s"$ns")
+    // USE + unqualified resolution
+    spark.sql("USE gtest.audit")
+    spark.sql("INSERT INTO ledger SELECT cast('k' as binary), 1L, cast('v' as binary)")
+    assert(spark.table("ledger").count() == 1)
+    spark.sql(s"USE spark_catalog.default")
+    // SHOW TABLES scoped to the namespace
+    val tbls = spark.sql("SHOW TABLES IN gtest.audit").collect().map(_.getString(1)).toSet
+    assert(tbls == Set("ledger"), s"$tbls")
+    // non-empty namespace refuses a bare drop; cascade removes table + ns
+    val e = intercept[Exception] { spark.sql("DROP NAMESPACE gtest.audit") }
+    assert(e.getMessage != null)
+    spark.sql("DROP NAMESPACE gtest.audit CASCADE")
+    spark.sql("DROP NAMESPACE gtest.reporting")
+    val after = spark.sql("SHOW NAMESPACES IN gtest").collect().map(_.getString(0)).toSet
+    assert(!after.contains("audit") && !after.contains("reporting"), s"$after")
+    // duplicate create declines
+    spark.sql("CREATE NAMESPACE gtest.dup")
+    val e2 = intercept[Exception] { spark.sql("CREATE NAMESPACE gtest.dup") }
+    assert(e2.getMessage != null)
+    spark.sql("DROP NAMESPACE gtest.dup")
+  }
+
   test("TRUNCATE TABLE: truncate_preserve — data and markers go, descriptor and splits survive") {
     val pts = Seq("T-4").map(_.getBytes("UTF-8").map(b => f"$b%02x").mkString)
     spark.sql("CREATE TABLE gtest.trnc (rowkey BINARY, version BIGINT, body BINARY) " +
