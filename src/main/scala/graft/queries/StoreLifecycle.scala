@@ -1994,6 +1994,44 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // NAMESPACES (SupportsNamespaces — the HBase one-level `ns:tbl`
+    // model): CREATE NAMESPACE, namespaced DDL + DML, SHOW scoping,
+    // and cascade DROP, driven end-to-end. In-query invariants: the
+    // namespace lists exactly its own tables, a second namespace's
+    // same-named table is a DIFFERENT store table (no cross-ns
+    // leakage), and DROP NAMESPACE refuses non-empty without CASCADE.
+    // The returned frame is the namespaced table's content.
+    "q253_cells_namespaces" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q253-cells").toString
+      val cat = "g253_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE $cat.prod")
+        s.sql(s"CREATE TABLE $cat.prod.docs (rowkey BINARY, version BIGINT, body BINARY)")
+        s.sql(s"CREATE TABLE $cat.stage.docs (rowkey BINARY, version BIGINT, body BINARY)")
+        Tables.documents(s, d).filter(col("doc_id") % 29 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("doc_id * 9 + 1").as("version"),
+            expr("cast(md5(concat(cast(doc_id as string), 'NS')) as binary)").as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "prod:docs").save()
+        val ns = s.sql(s"SHOW NAMESPACES IN $cat").collect().map(_.getString(0)).toSet
+        require(ns == Set("prod", "stage"), s"explicit + implicit namespaces list: $ns")
+        require(s.table(s"$cat.stage.docs").count() == 0,
+          "same table name in another namespace is a different store table")
+        require(scala.util.Try(s.sql(s"DROP NAMESPACE $cat.stage")).isFailure,
+          "non-empty drop must refuse without CASCADE")
+        s.sql(s"DROP NAMESPACE $cat.stage CASCADE")
+        require(s.sql(s"SHOW NAMESPACES IN $cat").collect().map(_.getString(0)).toSet
+          == Set("prod"), "cascade removes the namespace and its tables")
+        s.table(s"$cat.prod.docs")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -2673,6 +2711,13 @@ object StoreLifecycle {
          UNION ALL
          SELECT 'put', count(*)::BIGINT, count(*)::BIGINT
          FROM base WHERE doc_id % 30 = 0""",
+
+    // the namespaced table's content, untouched by the sibling
+    // namespace's lifecycle
+    "q253_cells_namespaces" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 9 + 1)::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'NS') AS body_md5
+         FROM documents WHERE doc_id % 29 = 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions
