@@ -55,8 +55,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (r13) that the MERGE rewrite's outer join never narrows the target
   * to the source's keys (the preserved side of a right-outer join
   * cannot be the broadcast build side, so the q225 runtime-filter
-  * machinery has nothing to ride). [[MergeSourcePruning]] (install per
-  * session) closes that gap with a bounded SOURCE-KEY PRE-PASS: the
+  * machinery has nothing to ride). [[MergeSourcePruning]] (installed
+  * automatically when a [[CellsCatalog]] initializes; `install` for
+  * path-based sessions) closes that gap with a bounded SOURCE-KEY
+  * PRE-PASS: the
   * source's distinct join rowkeys, collected once and capped, narrow
   * this scan through the same InputPartition key-set predicate — a
   * selective MERGE opens ~|source keys| files (the HBase batched-GET
@@ -98,6 +100,12 @@ final case class CellsRowLevelOperation(root: String, table: String,
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
         override def toBatch: DeltaBatchWrite = CellsDeltaBatchWrite(root, table)
+        // the same native SQL-UI counters the append face reports:
+        // MERGE/UPDATE/DELETE statements show their landed edit volume
+        override def supportedCustomMetrics()
+            : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+          Array(new CellsWrittenMetric, new BytesWrittenMetric,
+            new MarkersWrittenMetric)
       }
     }
   }
@@ -137,6 +145,8 @@ case class CellsDeltaWriterFactory(root: String, table: String) extends DeltaWri
         val cell = graft.ingest.PushTableSink.CellPut(
           table, row.getBinary(0), row.getLong(1), row.getBinary(2))
         puts += cell
+        cellsWritten += 1
+        bytesWritten += cell.rowkey.length + cell.body.length
         buffered(cell.rowkey.length + cell.body.length)
       }
 
@@ -144,6 +154,7 @@ case class CellsDeltaWriterFactory(root: String, table: String) extends DeltaWri
         require(!id.isNullAt(0) && !id.isNullAt(1), "graft-cells: null row id")
         val key = id.getBinary(0)
         markers += ((key, id.getLong(1)))
+        markersWritten += 1
         buffered(key.length + 8L)
       }
 
@@ -158,6 +169,7 @@ case class CellsDeltaWriterFactory(root: String, table: String) extends DeltaWri
         // at the same coordinate would mask the new value)
         if (moved) {
           markers += ((oldKey, oldVersion))
+          markersWritten += 1
           buffered(oldKey.length + 8L)
         }
         insert(row)
@@ -175,5 +187,13 @@ case class CellsDeltaWriterFactory(root: String, table: String) extends DeltaWri
       override def commit(): WriterCommitMessage = { flush(); CellsCommit }
       override def abort(): Unit = () // idempotent re-apply on retry
       override def close(): Unit = ()
+      private var cellsWritten = 0L
+      private var markersWritten = 0L
+      private var bytesWritten = 0L
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(GraftTaskMetric("cellsWritten", cellsWritten),
+          GraftTaskMetric("bytesWritten", bytesWritten),
+          GraftTaskMetric("markersWritten", markersWritten))
     }
 }

@@ -148,6 +148,10 @@ class BytesWrittenMetric extends org.apache.spark.sql.connector.metric.CustomSum
   override def name(): String = "bytesWritten"
   override def description(): String = "rowkey+body bytes landed"
 }
+class MarkersWrittenMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "markersWritten"
+  override def description(): String = "exact-version tombstones landed (deletes + moved updates)"
+}
 
 private[sources] case class GraftTaskMetric(name: String, value: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric

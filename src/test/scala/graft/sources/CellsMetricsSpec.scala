@@ -77,6 +77,27 @@ class CellsMetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-shard truncation must show up in the node metric: $m")
   }
 
+  test("row-level (MERGE) nodes report puts, markers and bytes") {
+    spark.sql("CREATE TABLE gmx.rl (rowkey BINARY, version BIGINT, body BINARY)")
+    spark.sql("INSERT INTO gmx.rl SELECT cast(concat('R-', id) as binary), " +
+      "cast(10 + id as bigint), cast('old' as binary) FROM range(0, 4)")
+    val sp = spark; import sp.implicits._
+    Seq(("R-0", 10L, "patched"), ("R-9", 90L, "new"), ("R-1", 99L, "moved"))
+      .toDF("k", "version", "b")
+      .selectExpr("cast(k as binary) as rowkey", "version", "cast(b as binary) as body")
+      .createOrReplaceTempView("rl_src")
+    val mrg = spark.sql(
+      """MERGE INTO gmx.rl t USING rl_src e ON t.rowkey = e.rowkey
+         WHEN MATCHED THEN UPDATE SET version = e.version, body = e.body
+         WHEN NOT MATCHED THEN INSERT (rowkey, version, body)
+           VALUES (e.rowkey, e.version, e.body)""")
+    val m = metricsOf(mrg.queryExecution.executedPlan,
+      p => p.metrics.contains("cellsWritten"))
+    // R-0 in-place put, R-9 insert put, R-1 moved: marker + put
+    assert(m("cellsWritten") == 3 && m("markersWritten") == 1, s"$m")
+    assert(m("bytesWritten") > 0, s"$m")
+  }
+
   test("write nodes report cellsWritten and bytesWritten") {
     val ins = spark.sql(
       "INSERT INTO gmx.mx SELECT cast(concat('Y-', id) as binary), " +
