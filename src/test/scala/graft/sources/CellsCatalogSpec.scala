@@ -738,6 +738,17 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP NAMESPACE gtest.dup")
   }
 
+  test("catalog verbs: SHOW CREATE TABLE, REFRESH TABLE, DESCRIBE EXTENDED all resolve") {
+    spark.sql("CREATE TABLE gtest.verbs (rowkey BINARY, version BIGINT, body BINARY) " +
+      "TBLPROPERTIES('maxVersions'='2')")
+    val ddl = spark.sql("SHOW CREATE TABLE gtest.verbs").collect()(0).getString(0)
+    assert(ddl.contains("rowkey") && ddl.contains("maxVersions"), ddl)
+    spark.sql("REFRESH TABLE gtest.verbs") // cache invalidation is a no-op but must resolve
+    val desc = spark.sql("DESCRIBE EXTENDED gtest.verbs").collect()
+      .map(r => r.getString(0)).toSet
+    assert(desc.contains("rowkey") && desc.contains("version") && desc.contains("body"))
+  }
+
   test("TRUNCATE TABLE: truncate_preserve — data and markers go, descriptor and splits survive") {
     val pts = Seq("T-4").map(_.getBytes("UTF-8").map(b => f"$b%02x").mkString)
     spark.sql("CREATE TABLE gtest.trnc (rowkey BINARY, version BIGINT, body BINARY) " +
