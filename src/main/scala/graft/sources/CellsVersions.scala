@@ -56,7 +56,8 @@ case class CellsVersionsTable(root: String, table: String) extends Table with Su
     new ScanBuilder { override def build(): Scan = CellsVersionsScan(root, table) }
 }
 
-case class CellsVersionsScan(root: String, table: String) extends Scan with Batch {
+case class CellsVersionsScan(root: String, table: String) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = CellsVersions.Schema
   override def toBatch: Batch = this
   override def description(): String = s"graft-cells-versions table=$table"
@@ -66,6 +67,28 @@ case class CellsVersionsScan(root: String, table: String) extends Scan with Batc
       .map(p => CellsVersionsShard(p.toString): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = CellsVersionsReaderFactory()
+
+  /** EXACT row stats from the same listings the scan pays: inventory
+    * rows = store files, so `cells JOIN inventory` sizes the inventory
+    * side as the (compaction-bounded) file count and earns a broadcast
+    * — without this the unknown-size side blocks the plan a q252-style
+    * provenance audit wants. ~120 B/row: 9 mostly-fixed columns + a
+    * file name. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val fileCount: Long = {
+      val dir = Paths.get(root, table.replace(':', '~'))
+      CellsShards.prune(dir, CellsKeyPred.All).map { shard =>
+        val s = Files.list(Paths.get(shard.toString))
+        try s.iterator().asScala.count { p =>
+          val n = p.getFileName.toString
+          !n.endsWith(".tmp") && !n.startsWith("_") && Files.isRegularFile(p)
+        } finally s.close()
+      }.sum.toLong
+    }
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(fileCount)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(fileCount * 120L)
+  }
 }
 
 case class CellsVersionsShard(dir: String) extends InputPartition

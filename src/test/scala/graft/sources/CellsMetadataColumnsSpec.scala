@@ -61,6 +61,21 @@ class CellsMetadataColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("gmc.mc").columns.toSeq == Seq("rowkey", "version", "body"))
   }
 
+  test("the $versions face reports exact file-count statistics; provenance joins broadcast it") {
+    val scan = CellsVersionsScan(root, "mc")
+    val stats = scan.estimateStatistics()
+    val rows = spark.sql("SELECT count(*) FROM gmc.`mc$versions`").collect()(0).getLong(0)
+    assert(stats.numRows().getAsLong == rows,
+      s"stats ${stats.numRows()} vs actual $rows")
+    // the inventory side is file-count-sized → broadcast under defaults
+    val joined = spark.sql(
+      """SELECT t._file, v.bytes FROM gmc.mc t
+         JOIN gmc.`mc$versions` v ON t._shard = v.shard AND t._file = v.file""")
+    joined.collect()
+    val hasBhj = joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+    assert(hasBhj, joined.queryExecution.executedPlan.toString.take(800))
+  }
+
   test("the change-feed face reports marker kinds") {
     val kinds = spark.sql(
       """SELECT op, _kind FROM gmc.`mc$changes`""").collect()
