@@ -76,6 +76,32 @@ class CellsMetadataColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hasBhj, joined.queryExecution.executedPlan.toString.take(800))
   }
 
+  test("metadata columns are a BATCH-face feature: the stream face without them stays healthy") {
+    // Spark's streaming exec does not thread DSv2 metadata columns
+    // (the analyzer resolves `_kind` but MicroBatchScanExec binds the
+    // relation's extra attributes past the reader's schema), so a
+    // stream selecting one fails inside Spark — pinned here so an
+    // upgrade that fixes it is noticed. Provenance on streams comes
+    // from the `$versions` face instead.
+    val cp = Files.createTempDirectory("mc-stream-cp").toString
+    val q = spark.readStream.table("gmc.mc")
+      .selectExpr("cast(rowkey as string) AS k", "_kind")
+      .writeStream.format("memory").queryName("mc_meta_stream")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val e = intercept[Exception] { q.awaitTermination() }
+    assert(e.getMessage != null)
+    // the same stream WITHOUT metadata columns is healthy
+    val cp2 = Files.createTempDirectory("mc-stream-cp2").toString
+    val q2 = spark.readStream.table("gmc.mc")
+      .selectExpr("cast(rowkey as string) AS k")
+      .writeStream.format("memory").queryName("mc_plain_stream")
+      .option("checkpointLocation", cp2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("mc_plain_stream").count() == 21) // WAL view: M-05 unmasked
+  }
+
   test("the change-feed face reports marker kinds") {
     val kinds = spark.sql(
       """SELECT op, _kind FROM gmc.`mc$changes`""").collect()
