@@ -306,7 +306,10 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
     * named — `SELECT *` stays the 3-column cell schema. The ops
     * debugging face: "which file serves this cell", "how much of this
     * key's history still sits in the put backlog" — joins directly
-    * against `tbl$versions` on (_shard, _file). */
+    * against `tbl$versions` on (_shard, _file). BATCH faces only:
+    * Spark's streaming exec does not thread DSv2 metadata columns
+    * (spec-pinned in CellsMetadataColumnsSpec) — stream provenance
+    * comes from `$versions`. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
     import org.apache.spark.sql.connector.catalog.MetadataColumn
