@@ -2032,6 +2032,107 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // TOP-N OVER THE SERVING FACE — q232's `$latest` fold composed
+    // with q247's pushed top-N: `SELECT … FROM tbl$latest ORDER BY
+    // rowkey LIMIT k`, the "first k live keys" console query. The
+    // winner fold is an order-preserving subset of the segment's sort,
+    // so a compacted shard stops after its local k WINNERS — history
+    // depth costs nothing (losers were already pruned at metadata
+    // level) and the cap bounds the rest. In-query invariants: the
+    // scan carries topK, and capped readers emitted k rows where the
+    // face holds 2× the keys in live winners alone.
+    "q254_cells_latest_topn" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q254-cells").toString
+      val cat = "g254_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id"), explode(array(lit(1), lit(2))).as("g"))
+            .select(lit("q254").as("tableName"),
+              expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+              expr("doc_id * 2 + g").as("version"),
+              expr("cast(md5(concat(cast(doc_id as string), 'T', cast(g as string))) as binary)").as("body")),
+          root)
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val keys = Tables.documents(s, d).filter(col("doc_id") % 7 === 0).count()
+        graft.sources.CellsSource.cappedRowsEmitted.set(0)
+        val top = s.sql(
+          s"""SELECT cast(rowkey as string) AS key_str, version
+              FROM $cat.`q254$$latest` ORDER BY rowkey LIMIT 25""")
+        val desc = top.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.getOrElse("")
+        require(desc.contains("topK=25") && desc.contains("latest"),
+          s"top-N must push into the serving face: $desc")
+        val out = top.localCheckpoint()
+        val emitted = graft.sources.CellsSource.cappedRowsEmitted.get()
+        require(emitted > 0 && emitted < keys,
+          s"the fold holds $keys winners (2x that in cells); emitted $emitted must be capped")
+        out
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
+    // STREAMING MATERIALIZED VIEW INTO THE SERVING STORE — the
+    // Flink/Storm-into-HBase idiom, fully declarative: a STATEFUL
+    // streaming aggregation (edits per key, state checkpoint-carried
+    // across restarts) in UPDATE output mode, written through the
+    // native sink's upsert-by-coordinate face (each revision is a put
+    // at (key, 0) that atomically REPLACES the previous value — the
+    // SupportsStreamingUpdateAsAppend contract made physical). Two
+    // drains with a second generation between them prove the
+    // replacement: counts move 1 → 2 for re-edited keys, and the MV
+    // table holds EXACTLY one row per key (no version litter). At
+    // 100 TB each trigger writes only the keys whose aggregate
+    // CHANGED — never the state, never the table.
+    "q255_cells_streaming_upsert_mv" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q255-cells").toString
+      val ck = Files.createTempDirectory("graft-q255-ck").toString
+      val cat = "g255_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.q255mv (rowkey BINARY, version BIGINT, body BINARY)")
+        def seed(pred: Int, g: Int): Unit = BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % pred === 0)
+            .select(lit("q255s").as("tableName"),
+              expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+              lit(g.toLong * 1000000000L).as("version"),
+              expr(s"cast(md5(concat(cast(doc_id as string), '#$g')) as binary)").as("body")),
+          root)
+        def drain(): Unit = {
+          val q = s.readStream.table(s"$cat.`q255s$$changes`")
+            .groupBy(col("rowkey"))
+            .agg(count(lit(1)).as("edits"))
+            .select(col("rowkey"), lit(0L).as("version"),
+              col("edits").cast("string").cast("binary").as("body"))
+            .writeStream.format("graft-cells")
+            .outputMode("update")
+            .option("root", root).option("table", "q255mv")
+            .option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        seed(27, 1)
+        drain()
+        val n27 = Tables.documents(s, d).filter(col("doc_id") % 27 === 0).count()
+        require(s.table(s"$cat.q255mv").count() == n27,
+          "after drain 1 the MV holds one row per key")
+        seed(54, 2) // a SUBSET re-edits — their counts must move to 2
+        drain()
+        require(s.table(s"$cat.q255mv").count() == n27,
+          "in-place upsert: re-edited keys REPLACED their row, no version litter")
+        s.table(s"$cat.q255mv")
+          .select(col("rowkey").cast("string").as("key_str"),
+            col("body").cast("string").as("edit_count"))
+          .localCheckpoint()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      }
+    },
+
     // CDC STATE VIEW — the delete-aware closure of the q143-class
     // materialized view as a FIRST-CLASS stateful streaming operator
     // ([[graft.streaming.CellStateView]]): the change feed's typed
@@ -2718,6 +2819,20 @@ object StoreLifecycle {
       """SELECT 'doc-' || doc_id AS key_str, (doc_id * 9 + 1)::BIGINT AS version,
               md5(doc_id::VARCHAR || 'NS') AS body_md5
          FROM documents WHERE doc_id % 29 = 0""",
+
+    // the first 25 live winners in key order (ASCII 'doc-<id>' binary
+    // order == varchar order), one winner per key (max version = g=2)
+    "q254_cells_latest_topn" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 2 + 2)::BIGINT AS version
+         FROM documents WHERE doc_id % 7 = 0
+         ORDER BY key_str LIMIT 25""",
+
+    // the MV's final state: one row per %27 key; %54 keys saw both
+    // generations (count 2), the rest one
+    "q255_cells_streaming_upsert_mv" ->
+      """SELECT 'doc-' || doc_id AS key_str,
+              (CASE WHEN doc_id % 54 = 0 THEN 2 ELSE 1 END)::VARCHAR AS edit_count
+         FROM documents WHERE doc_id % 27 = 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions
