@@ -228,7 +228,13 @@ object CellSegment {
     * HBase HFile-version migration posture: majors rewrite every store
     * file into the current format). The magic check below fails
     * loudly — with the version named for GSE2 — and never misparses. */
+  /** Trailer I/O counter — the spec seam proving projection pruning
+    * on the `$versions` inventory face skips trailer reads when no
+    * trailer-derived column is named. */
+  private[graft] val trailerReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   def readTrailer(path: Path): Trailer = {
+    trailerReads.incrementAndGet()
     val ch = java.nio.channels.FileChannel.open(path)
     try {
       val buf = java.nio.ByteBuffer.allocate(TrailerLen)

@@ -274,14 +274,24 @@ object Compaction {
         finally s.close()
       }
 
+    // the rewrite scan evaluates READ-TIME retention at the SAME clock
+    // instant as the keep-filter below (option("retentionNowMillis")),
+    // so the two formulas — one masking, one ranking — see one instant
+    // and the major can never change answers: it rewrites exactly the
+    // masked view the reads already serve, then reclaims the bytes
     val cells = spark.read.format("graft-cells")
-      .option("root", root).option("table", table).load()
+      .option("root", root).option("table", table)
+      .option("retentionNowMillis", nowMillis().toString)
+      .load()
 
     // retention: newest-first rank per key; keep rank <= maxVersions,
     // and under TTL keep {version >= cutoff} ∪ {rank <= minVersions} —
     // the HBase MIN_VERSIONS contract: TTL may never take a key below
     // its declared floor (the descriptor records it, restore
-    // round-trips it, and this is where it binds)
+    // round-trips it, and this is where it binds). Since round 15 the
+    // READ faces apply the same formula ([[Retention]]), so this
+    // filter is a no-op on what the scan already hides — kept because
+    // an EXPLICIT ttlCutoff override may be harsher than the DDL's.
     val minVersions = math.max(1, spec.minVersions)
     val ranked = cells.withColumn("rk",
       row_number().over(Window.partitionBy(col("rowkey")).orderBy(col("version").desc)))

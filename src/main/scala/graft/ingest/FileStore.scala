@@ -33,6 +33,14 @@ import scala.jdk.CollectionConverters._
   * suite pins the contract, not the storage.
   */
 object FileStore {
+  /** Diagnostic/spec seams for the putBatch flush hook: how many
+    * post-commit policy checks ran (one listing each) and how many
+    * actually flushed a backlog — specs pin "no-op cheap" (checks ≫
+    * flushes under threshold) and "bounded backlog" (flushes > 0 once
+    * a shard crosses it). */
+  private[graft] val flushChecks = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val autoFlushes = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** The cell-file naming digest. Public because the read face
     * ([[graft.sources.CellsSource]]) must route rowkey point lookups
     * to the SAME cell files the writer placed — a single definition
@@ -311,6 +319,7 @@ final case class FileStore(rootDir: String) extends Store {
     s"""{"dataFamily":"${spec.dataFamily}","dataQualifier":"${spec.dataQualifier}",""" +
       s""""maxVersions":${spec.maxVersions},"minVersions":${spec.minVersions},""" +
       s""""ttlMillis":${spec.ttlMillis},""" +
+      s""""compactionThreshold":${spec.compactionThreshold},""" +
       s""""compression":"${spec.compression}","compactionCompression":"${spec.compactionCompression}",""" +
       s""""regionReplication":${spec.regionReplication}}"""
 
@@ -348,6 +357,13 @@ final case class FileStore(rootDir: String) extends Store {
     alterSpec(tableName)(_.copy(ttlMillis = ttlMillis))
   }
 
+  /** ALTER the shard-flush threshold (the `hbase.hstore.
+    * compactionThreshold` analog) — 0 disables the automatic flush. */
+  def alterCompactionThreshold(tableName: String, threshold: Int): Unit = {
+    require(threshold >= 0, s"compactionThreshold must be >= 0, got $threshold")
+    alterSpec(tableName)(_.copy(compactionThreshold = threshold))
+  }
+
   private def alterSpec(tableName: String)(f: TableSpec => TableSpec): Unit = {
     val dir = tableDir(tableName)
     val specPath = dir.resolve("_spec.json")
@@ -356,7 +372,7 @@ final case class FileStore(rootDir: String) extends Store {
     val tmp = Files.createTempFile(dir, "_spec", ".tmp")
     Files.write(tmp, renderSpec(f(cur)).getBytes("UTF-8"))
     Files.move(tmp, specPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    maxVersionsCache.remove(tableName)
+    specCache.remove(tableName)
   }
 
   /** The recorded DDL, or None if the table was never ensured. */
@@ -487,13 +503,47 @@ final case class FileStore(rootDir: String) extends Store {
     * existsAll runs the same masked read path): a masked cell reads as
     * absent, so an ingest replay re-puts it — and the re-put stays
     * masked until the marker compacts away, the HBase contract. */
-  override def exists(tableName: String, cells: Seq[CellPut]): Seq[Boolean] = {
+  override def exists(tableName: String, cells: Seq[CellPut]): Seq[Boolean] =
+    existsAt(tableName, cells, System.currentTimeMillis())
+
+  /** [[exists]] at an explicit clock instant — the TTL evaluation time
+    * for read-time retention (specs/gates pin it; the trait face
+    * snapshots the wall clock once per probe batch). */
+  def existsAt(tableName: String, cells: Seq[CellPut], nowMillis: Long): Seq[Boolean] = {
     val masks = scala.collection.mutable.HashMap.empty[Path, FileStore.ShardMask]
     // segment listings memoize per BATCH (segments are immutable, and
     // a put landing mid-batch is invisible to a snapshot check anyway)
     // — a 10k-cell probe batch pays one directory listing per touched
     // shard, not one per cell
     val segLists = scala.collection.mutable.HashMap.empty[Path, Seq[Path]]
+    // READ-TIME RETENTION (the HBase existsAll contract — the probe
+    // runs the same masked read path as a Get): a cell hidden by the
+    // version cap or TTL reads as ABSENT, so an ingest replay re-puts
+    // it and the re-put stays hidden while it ranks past the cap.
+    // Policy resolves once per table; the per-digest live-version list
+    // is collected only for raw hits on retention-active tables (cold:
+    // the ingest DDL leaves retention unbounded).
+    val policies = scala.collection.mutable.HashMap.empty[String, Option[Retention.Policy]]
+    val verMemo = scala.collection.mutable.HashMap.empty[(Path, String), Seq[Long]]
+    def liveVersionsOf(shardDir: Path, digest: String, mask: FileStore.ShardMask): Seq[Long] =
+      verMemo.getOrElseUpdate((shardDir, digest), {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        if (Files.isDirectory(shardDir)) {
+          val s = Files.list(shardDir)
+          try s.iterator().asScala.foreach { p =>
+            val n = p.getFileName.toString
+            val dot = n.lastIndexOf('.')
+            if (dot > 0 && !n.endsWith(".tmp") && !CellSegment.isSegment(n) &&
+              n.take(dot) == digest)
+              n.drop(dot + 1).toLongOption.foreach(buf += _)
+          } finally s.close()
+          segLists.getOrElseUpdate(shardDir, segmentFiles(shardDir)).foreach { seg =>
+            if (CellSegment.mightContain(seg, digest))
+              CellSegment.indexOf(seg).foreach(e => if (e.digestHex == digest) buf += e.version)
+          }
+        }
+        buf.toSeq.distinct.filterNot(mask.masked(digest, _))
+      })
     cells.map { c =>
       val shardDir = tableDir(c.tableName).resolve(splitsOf(c.tableName).shardNameOf(c.rowkey))
       val d = keyDigest(c.rowkey)
@@ -504,12 +554,17 @@ final case class FileStore(rootDir: String) extends Store {
           CellSegment.mightContain(seg, d) &&
             CellSegment.indexOf(seg).exists(e => e.version == c.version && e.digestHex == d)
         }
-      // mask consulted only for raw hits (an absent cell can't be
+      // masks consulted only for raw hits (an absent cell can't be
       // masked INTO existence), so a fresh-cell probe — the common
       // ingest case — pays no extra listing; one listing per touched
       // shard per batch otherwise
-      raw && !masks.getOrElseUpdate(shardDir, FileStore.maskOf(shardDir))
-        .masked(d, c.version)
+      raw && {
+        val mask = masks.getOrElseUpdate(shardDir, FileStore.maskOf(shardDir))
+        !mask.masked(d, c.version) &&
+          policies.getOrElseUpdate(c.tableName,
+            Retention.of(specOf(c.tableName), nowMillis))
+            .forall(_.admits(c.version, liveVersionsOf(shardDir, d, mask)))
+      }
     }
   }
 
@@ -549,7 +604,7 @@ final case class FileStore(rootDir: String) extends Store {
   }
 
   override def putBatch(tableName: String, cells: Seq[CellPut]): Unit = {
-    val spec = maxVersionsOf(tableName)
+    val spec = specOf(tableName).maxVersions
     cells.foreach { c =>
       val target = cellPath(c)
       Files.createDirectories(target.getParent)
@@ -592,19 +647,86 @@ final case class FileStore(rootDir: String) extends Store {
         }
       }
     }
+    // POST-COMMIT FLUSH HOOK (the memstore-flush / hbase.hstore.
+    // compactionThreshold analog): after the batch is durable, any
+    // touched shard whose per-cell put backlog exceeds the DDL
+    // threshold flushes that backlog into ONE sorted segment. The
+    // policy check costs one directory listing per touched shard; the
+    // flush itself reads only the put files it absorbs (segments are
+    // never re-merged here — no write quadratics; minors/majors own
+    // segment-count hygiene). Publication stays crash-safe: the fresh
+    // segment lands by atomic rename BEFORE its inputs are deleted, so
+    // every read face sees each cell exactly once at any instant
+    // (dedup on the cell identity), and a killed flush merely leaves
+    // the puts for the next batch to flush again.
+    val threshold = specOf(tableName).compactionThreshold
+    if (threshold > 0)
+      cells.iterator.map(c => cellPath(c).getParent).distinct
+        .foreach(flushShardIfBacklogged(_, threshold))
+  }
+
+  /** One policy check + (maybe) one flush for a single shard — see the
+    * [[putBatch]] hook. Concurrent flushes of one shard are safe: each
+    * snapshots its own put list, segment writes are content-named
+    * atomic renames, input deletes are `deleteIfExists`, and identical
+    * (key, version) copies across two racing outputs carry identical
+    * bodies (put files are the newest edit at their coordinate). */
+  private def flushShardIfBacklogged(shardDir: Path, threshold: Int): Unit = {
+    if (!Files.isDirectory(shardDir)) return
+    FileStore.flushChecks.incrementAndGet()
+    val (puts, shardMaxSeq) = {
+      val s = Files.list(shardDir)
+      try {
+        val names = s.iterator().asScala.map(_.getFileName.toString)
+          .filterNot(_.endsWith(".tmp")).toVector
+        val p = names.filter { n =>
+          val dot = n.lastIndexOf('.')
+          dot > 0 && !CellSegment.isSegment(n) && n.drop(dot + 1).toLongOption.isDefined
+        }
+        val mx = names.filter(CellSegment.isSegment)
+          .map(n => CellSegment.readTrailer(shardDir.resolve(n)).seqNo)
+          .foldLeft(0L)(math.max)
+        (p, mx)
+      } finally s.close()
+    }
+    if (puts.size <= threshold) return
+    // the backlog is small by construction (threshold-bounded batches
+    // of memstore-sized cells) — sort in-core, stream to the writer
+    val cells = puts.flatMap { n =>
+      // a racing flush may have absorbed this put already
+      try {
+        val bytes = Files.readAllBytes(shardDir.resolve(n))
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        val keyLen = buf.getInt()
+        val key = new Array[Byte](keyLen); buf.get(key)
+        val body = new Array[Byte](buf.remaining()); buf.get(body)
+        Some((key, n.drop(n.lastIndexOf('.') + 1).toLong, body))
+      } catch { case _: java.io.IOException => None }
+    }.sortWith { (a, b) =>
+      val c = java.util.Arrays.compareUnsigned(a._1, b._1)
+      if (c != 0) c < 0 else a._2 < b._2
+    }
+    if (cells.isEmpty) return
+    // flushed puts must KEEP outranking every resident segment at any
+    // colliding identity (an in-place re-put over a segment cell) —
+    // the same precedence rule Compaction.minor applies
+    val meta = CellSegment.write(shardDir, cells.iterator, shardMaxSeq + 1)
+    puts.foreach { n => if (n != meta.fileName) Files.deleteIfExists(shardDir.resolve(n)) }
+    FileStore.autoFlushes.incrementAndGet()
   }
 
   // memoized per store instance (one per executor task): the DDL is
-  // written once by the driver and immutable afterwards, so re-reading
+  // written once by the driver and near-immutable afterwards (only
+  // retention ALTERs touch it, and those invalidate), so re-reading
   // the _spec.json file on every putBatch would be pure I/O waste
-  @transient private lazy val maxVersionsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  @transient private lazy val specCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TableSpec]()
 
-  private def maxVersionsOf(tableName: String): Int =
-    maxVersionsCache.computeIfAbsent(tableName, _ =>
-      Int.box(readSpecJson(tableName)
-        .map(PushTableSink.TableSpec.fromJson(_).maxVersions)
-        .getOrElse(Int.MaxValue))).intValue()
+  private def specOf(tableName: String): TableSpec =
+    specCache.computeIfAbsent(tableName, _ =>
+      readSpecJson(tableName)
+        .map(PushTableSink.TableSpec.fromJson)
+        .getOrElse(TableSpec()))
 
   /** All stored cells of a table as (rowkeyHex, version, body) — test /
     * inspection surface, driver-sized use only. Merges per-cell put

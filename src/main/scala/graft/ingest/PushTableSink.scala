@@ -30,10 +30,20 @@ object PushTableSink {
                              compactionCompression: String = "GZ",
                              regionReplication: Int = 3,
                              // HBase column-family TTL: versions older
-                             // than now − ttl expire at the next major
-                             // (minVersions=1 semantics — every key
-                             // keeps its latest). MaxValue = FOREVER.
-                             ttlMillis: Long = Long.MaxValue)
+                             // than now − ttl are hidden by every read
+                             // face ([[Retention]]) and reclaimed by the
+                             // next major (minVersions floor — every key
+                             // keeps its newest). MaxValue = FOREVER.
+                             ttlMillis: Long = Long.MaxValue,
+                             // the memstore-flush / compactionThreshold
+                             // analog: when a put batch leaves a shard
+                             // with MORE than this many per-cell put
+                             // files, the store flushes that shard's put
+                             // backlog into one sorted segment
+                             // ([[FileStore.putBatch]]'s post-commit
+                             // hook). 0 disables — the operator override
+                             // a layout-inspecting fixture sets.
+                             compactionThreshold: Int = 10)
 
   object TableSpec {
     /** Parse the `_spec.json` [[graft.ingest.FileStore.ensureTable]]
@@ -64,7 +74,8 @@ object PushTableSink {
         ttlMillis = long("ttlMillis", Long.MaxValue),
         compression = str("compression", "GZ"),
         compactionCompression = str("compactionCompression", "GZ"),
-        regionReplication = int("regionReplication", 3))
+        regionReplication = int("regionReplication", 3),
+        compactionThreshold = int("compactionThreshold", 10))
     }
   }
 

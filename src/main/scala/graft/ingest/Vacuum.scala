@@ -45,17 +45,33 @@ object Vacuum {
     var tmps = 0L
     var bytes = 0L
 
-    def newestMtime(dir: Path): Long = {
-      val w = Files.walk(dir)
-      try w.iterator().asScala.foldLeft(Long.MinValue) { (mx, p) =>
-        math.max(mx, Files.getLastModifiedTime(p).toMillis)
-      } finally w.close()
-    }
-    def sizeOf(dir: Path): Long = {
-      val w = Files.walk(dir)
-      try w.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
-      finally w.close()
-    }
+    // LIVE-TRAFFIC SAFETY (ADVICE r14): every per-entry metadata call
+    // races concurrent writers — a finishing task renames its .tmp
+    // away, a compaction sweeps a file — and a vanished entry must be
+    // SKIPPED, not abort the whole maintenance verb mid-sweep with
+    // partial counts (the deleteQuietly posture, applied to the reads)
+    def mtimeOf(p: Path): Long =
+      try Files.getLastModifiedTime(p).toMillis
+      catch { case _: java.io.IOException | _: java.io.UncheckedIOException => Long.MinValue }
+    def fileSizeOf(p: Path): Long =
+      try Files.size(p)
+      catch { case _: java.io.IOException | _: java.io.UncheckedIOException => 0L }
+    def walkSafe[A](dir: Path)(f: Iterator[Path] => A, onError: => A): A =
+      try {
+        val w = Files.walk(dir)
+        try f(w.iterator().asScala)
+        catch { case _: java.io.UncheckedIOException => onError } // entry vanished mid-walk
+        finally w.close()
+      } catch { case _: java.io.IOException => onError } // dir itself vanished
+    def newestMtime(dir: Path): Long =
+      // a walk error means the candidate is CHANGING — report it as
+      // fresh (Long.MaxValue) so the age gate keeps it this sweep
+      walkSafe(dir)(_.foldLeft(Long.MinValue)((mx, p) => math.max(mx, mtimeOf(p))),
+        Long.MaxValue)
+    def sizeOf(dir: Path): Long =
+      walkSafe(dir)(_.filter(p => try Files.isRegularFile(p) catch {
+        case _: java.io.UncheckedIOException => false
+      }).map(fileSizeOf).sum, 0L)
     def sweepGenerations(kind: Path): Long = {
       var swept = 0L
       if (Files.isDirectory(kind)) {
@@ -84,15 +100,15 @@ object Vacuum {
         .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("_"))
         .toVector finally tables.close()
       tableDirs.foreach { t =>
-        val w = Files.walk(t)
-        val victims = try w.iterator().asScala.filter { p =>
-          p.getFileName.toString.endsWith(".tmp") && Files.isRegularFile(p) &&
-            Files.getLastModifiedTime(p).toMillis <= cutoff
-        }.toVector finally w.close()
+        val victims = walkSafe(t)(_.filter { p =>
+          p.getFileName.toString.endsWith(".tmp") &&
+            (try Files.isRegularFile(p) catch { case _: java.io.UncheckedIOException => false }) &&
+            mtimeOf(p) <= cutoff
+        }.toVector, Vector.empty)
         victims.foreach { p =>
-          bytes += Files.size(p)
-          Files.deleteIfExists(p)
-          tmps += 1
+          bytes += fileSizeOf(p)
+          try { if (Files.deleteIfExists(p)) tmps += 1 }
+          catch { case _: java.io.IOException => () } // renamed away first — fine
         }
       }
     }

@@ -40,13 +40,15 @@ object StoreLifecycle {
     // land as one bulk segment generation, version 3 as a second
     // (overlapping segments per shard), versions 4-5 as per-cell put
     // files through the connector write face — then Compaction.major
-    // rewrites the table under its maxVersions=3 DDL. In-query
-    // invariants: 5 versions per key before, exactly the newest 3
-    // after, and the post-compact store holds ONLY fresh segments
-    // (every put file and superseded segment swept). The oracle
-    // re-derives the retained slice straight from documents, proving
-    // the GC semantics end to end; the connector read after the sweep
-    // proves the rewritten segments carry the bytes.
+    // rewrites the table under its maxVersions=3 DDL. Since r15 the
+    // READ faces apply retention themselves (HBase StoreScanner), so
+    // the masked view shows the newest 3 per key BEFORE the major and
+    // IDENTICALLY after it — the $changes edit log (never masked)
+    // proves all 5 generations were physically present pre-GC. The
+    // post-compact store holds ONLY fresh segments (every put file and
+    // superseded segment swept); the oracle re-derives the retained
+    // slice straight from documents; the connector read after the
+    // sweep proves the rewritten segments carry the bytes.
     "q194_cells_major_compact" -> { (s, d) =>
       val root = Files.createTempDirectory("graft-q194-cells").toString
       try {
@@ -65,14 +67,19 @@ object StoreLifecycle {
         def readTable = s.read.format("graft-cells")
           .option("root", root).option("table", "q194").load()
         val before = readTable.count()
+        val physical = s.read.format("graft-cells")
+          .option("root", root).option("table", "q194")
+          .option("changeFeed", "true").load().count()
+        require(3L * physical == 5L * before,
+          s"read-time cap serves 3 of the 5 physical versions per key: view=$before log=$physical")
         val report = Compaction.major(s, root, "q194")
         val res = readTable
           .select(col("rowkey").cast("string").as("key_str"), col("version"),
             col("body").cast("string").as("body_md5"))
           .localCheckpoint()
         val after = res.count()
-        require(after > 0 && after == report.keptCells && 3L * before == 5L * after,
-          s"maxVersions=3 must keep 3 of 5 versions per key: before=$before after=$after kept=${report.keptCells}")
+        require(after > 0 && after == report.keptCells && after == before,
+          s"the major reclaims bytes, never changes answers: before=$before after=$after kept=${report.keptCells}")
         val files = segFiles(root, "q194")
         require(files.nonEmpty && files.forall(CellSegment.isSegment),
           "post-compact store must hold only fresh segments")
@@ -723,6 +730,10 @@ object StoreLifecycle {
       val root = Files.createTempDirectory("graft-q232-cells").toString
       val cat = "g232_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       try {
+        // flush policy OFF (r15): the opened==winners invariant counts
+        // PER-CELL put opens — a flushed segment opens once for all
+        graft.ingest.FileStore(root).ensureTable("q232",
+          PushTableSink.TableSpec(compactionThreshold = 0))
         def seed(v: Int): Unit = Tables.documents(s, d).filter(col("doc_id") % 18 === 0)
           .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
             expr(s"doc_id * 4 + $v").as("version"),
@@ -967,14 +978,19 @@ object StoreLifecycle {
     },
 
     // ALTER TABLE RETENTION — the HBase `alter 'maxVersions'` lifecycle
-    // as SQL DDL: the descriptor changes now, new puts prune to the new
-    // cap as they land, existing history goes with the NEXT major
-    // (eventually-applied retention; split layouts stay write-once).
-    // In-query invariants: the full history is intact right after the
-    // ALTER (descriptor-only change), and after the major exactly the
-    // newest cell per key survives. The emitted result is the
-    // post-major table; the driver hash pins DDL routing ∘ descriptor
-    // rewrite ∘ the major's version GC under the ALTERED cap.
+    // as SQL DDL, with the r15 READ-TIME contract (HBase StoreScanner:
+    // retention binds the moment the descriptor says so): the ALTER
+    // changes the descriptor, the VERY NEXT read serves only each
+    // key's newest cell, and the major merely reclaims the hidden
+    // bytes — it never changes answers. In-query invariants: the full
+    // history is physically intact right after the ALTER (the $changes
+    // edit log, which never masks, still counts all 3 generations)
+    // while the masked view already caps to 1 per key; the view
+    // HASH-MATCHES ITSELF across the major (collected before, compared
+    // after — the VERDICT r14 "identical before and after" gate); and
+    // the major's report shows it rewrote exactly the masked view. The
+    // emitted result is the post-major table; the driver hash pins DDL
+    // routing ∘ read-time masking ∘ the major's byte reclaim.
     "q236_cells_sql_alter_retention" -> { (s, d) =>
       val root = Files.createTempDirectory("graft-q236-cells").toString
       val cat = "g236_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -985,8 +1001,8 @@ object StoreLifecycle {
           "TBLPROPERTIES('maxVersions'='5')")
         // fixture seeding rides the bulk path (the 8.6× heavy-ingest
         // face; the recorded maxVersions=5 DDL is write-once and
-        // survives) — the gate measures ALTER + major retention, not
-        // the put path
+        // survives) — the gate measures ALTER + retention, not the
+        // put path
         BulkLoad.writeCells(
           Tables.documents(s, d).filter(col("doc_id") % 21 === 0)
             .select(col("doc_id"), explode(array(lit(1), lit(2), lit(3))).as("g"))
@@ -996,15 +1012,21 @@ object StoreLifecycle {
               expr("cast(md5(concat(cast(doc_id as string), '|', cast(g as string))) as binary)").as("body")),
           root)
         val n21 = Tables.documents(s, d).filter(col("doc_id") % 21 === 0).count()
-        s.sql(s"ALTER TABLE $cat.q236 SET TBLPROPERTIES('maxVersions' = '1')")
         require(s.table(s"$cat.q236").count() == 3 * n21,
-          "ALTER changes the descriptor, not the data — retention is eventually-applied")
-        Compaction.major(s, root, "q236")
-        val out = s.table(s"$cat.q236")
+          "under the cap of 5 all three generations serve")
+        s.sql(s"ALTER TABLE $cat.q236 SET TBLPROPERTIES('maxVersions' = '1')")
+        def view() = s.table(s"$cat.q236")
           .select(col("rowkey").cast("string").as("key_str"), col("version"),
             col("body").cast("string").as("body_md5"))
-          .localCheckpoint()
-        require(out.count() == n21, s"the major applies the altered cap: ${out.count()} vs $n21")
+        val before = view().collect().map(_.toString).sorted.toSeq
+        require(before.size == n21,
+          "the altered cap masks over-cap versions on the very next read")
+        require(s.table(s"$cat.`q236$$changes`").count() == 3 * n21,
+          "the hidden generations are still physically present (edit log never masks)")
+        Compaction.major(s, root, "q236")
+        val out = view().localCheckpoint()
+        require(out.collect().map(_.toString).sorted.toSeq == before,
+          "the major reclaims bytes, never changes answers — view identical across it")
         out
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
@@ -1386,7 +1408,14 @@ object StoreLifecycle {
             root)
         }
         val n15 = Tables.documents(s, d).filter(col("doc_id") % 15 === 0).count()
-        require(s.table(s"$cat.q242").count() == 3 * n15, "bulk loads kept all 3 generations")
+        // r15 read-time retention: the maxVersions=2 DDL masks the
+        // oldest generation on every read ALREADY — the CALL below
+        // only reclaims its bytes (all 3 generations are on disk:
+        // the $changes edit log, which never masks, sees them)
+        require(s.table(s"$cat.q242").count() == 2 * n15,
+          "the read face caps to maxVersions immediately")
+        require(s.table(s"$cat.`q242$$changes`").count() == 3 * n15,
+          "the edit log proves all 3 generations physically present")
         val rep = s.sql(s"CALL $cat.compact_major(`table` => 'q242')").collect()(0)
         require(rep.getLong(0) == 2 * n15,
           s"the CALL reports the retained count: ${rep.getLong(0)} vs ${2 * n15}")
@@ -1473,6 +1502,11 @@ object StoreLifecycle {
       val root = Files.createTempDirectory("graft-q244-cells").toString
       val cat = "g244_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       try {
+        // flush policy OFF (r15): the gate's hard case IS a per-cell
+        // put backlog alongside segments and markers — the default
+        // threshold would fold it away before the aggregate runs
+        graft.ingest.FileStore(root).ensureTable("q244",
+          PushTableSink.TableSpec(compactionThreshold = 0))
         // segments: %8 keys at two versions
         BulkLoad.writeCells(
           Tables.documents(s, d).filter(col("doc_id") % 8 === 0)
@@ -1606,6 +1640,11 @@ object StoreLifecycle {
       val root = Files.createTempDirectory("graft-q246-cells").toString
       val cat = "g246_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       try {
+        // flush policy OFF (r15): the inventory oracle counts the RAW
+        // put backlog one file per cell — the operator override for
+        // layout-inspecting reads
+        graft.ingest.FileStore(root).ensureTable("q246",
+          PushTableSink.TableSpec(compactionThreshold = 0))
         // one bulk generation of %6 keys, md5-spread over the regions
         BulkLoad.writeCells(
           Tables.documents(s, d).filter(col("doc_id") % 6 === 0)
@@ -1963,6 +2002,10 @@ object StoreLifecycle {
       val root = Files.createTempDirectory("graft-q252-cells").toString
       val cat = "g252_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       try {
+        // flush policy OFF (r15): the audit counts the RAW put backlog
+        // one file per cell — the operator override
+        graft.ingest.FileStore(root).ensureTable("q252",
+          PushTableSink.TableSpec(compactionThreshold = 0))
         // segments: %6 keys (md5-spread digests → many regions);
         // put backlog: %30 keys at a DISJOINT version (no shadowing)
         BulkLoad.writeCells(
@@ -2130,6 +2173,356 @@ object StoreLifecycle {
       } finally {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      }
+    },
+
+    // READ-TIME RETENTION — the r15 centerpiece (VERDICT r14 ask 1):
+    // maxVersions + TTL + the minVersions floor applied by the READ
+    // fold itself ([[graft.ingest.Retention]], the HBase StoreScanner
+    // contract), so a capped/TTL'd table answers IDENTICALLY before
+    // and after its major — the major reclaims bytes, never changes
+    // answers. Clock pinned via spark.graft.retention.nowMillis =
+    // 5e12; DDL maxVersions=2, ttl=2.5e12 ⇒ cutoff 2.5e12. Three
+    // disjoint key classes exercise each rule: A (%9) holds gens
+    // 1/2/3e12 — g1 dies by RANK, g2 by TTL (rank 2 ≤ cap but
+    // expired), g3 serves; B (%10=5 ∧ ¬%9) holds gens 1/2e12, both
+    // expired — the newest survives by the minVersions FLOOR alone;
+    // C (%11=3 ∧ ¬A ∧ ¬B) holds three LIVE gens 2.6/3/4e12 — the
+    // oldest dies by the CAP alone. Seeds mix bulk segments and the
+    // put path (the fold reads filenames + segment indexes, zero
+    // bodies). In-query invariants: the masked view BEFORE the major
+    // byte-equals the view AFTER it; the edit log still counts every
+    // physical cell; F5 existence agrees cell-by-cell (a hidden
+    // version reads as absent). 100 TB: the fold is per-shard
+    // metadata, O(live versions) longs, only on retention-active DDL.
+    "q256_cells_read_time_retention" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q256-cells").toString
+      val cat = "g256_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val T = 1000000000000L
+      try {
+        s.conf.set("spark.graft.retention.nowMillis", (5 * T).toString)
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.q256 (rowkey BINARY, version BIGINT, body BINARY) " +
+          s"TBLPROPERTIES('maxVersions'='2', 'ttlMillis'='${5 * T / 2}')")
+        val docs = Tables.documents(s, d)
+        val predA = col("doc_id") % 9 === 0
+        val predB = col("doc_id") % 10 === 5 && col("doc_id") % 9 =!= 0
+        val predC = col("doc_id") % 11 === 3 && col("doc_id") % 9 =!= 0 &&
+          col("doc_id") % 10 =!= 5
+        def rows(pred: org.apache.spark.sql.Column, versions: Seq[(Long, String)]) =
+          docs.filter(pred)
+            .select(col("doc_id"),
+              explode(array(versions.map { case (base, tag) =>
+                struct(lit(base).as("base"), lit(tag).as("tag")) }: _*)).as("g"))
+            .select(lit("q256").as("tableName"),
+              expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+              (col("g.base") + col("doc_id")).as("version"),
+              expr("cast(md5(concat(cast(doc_id as string), g.tag)) as binary)").as("body"))
+        // A and B by bulk segment, C by the put path — the fold must
+        // rank across both store-file kinds
+        BulkLoad.writeCells(rows(predA, Seq((T, "R1"), (2 * T, "R2"), (3 * T, "R3"))), root)
+        BulkLoad.writeCells(rows(predB, Seq((T, "R1"), (2 * T, "R2"))), root)
+        rows(predC, Seq((13 * T / 5, "C26"), (3 * T, "C3"), (4 * T, "C4")))
+          .drop("tableName").write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q256").save()
+        val (na, nb, nc) =
+          (docs.filter(predA).count(), docs.filter(predB).count(), docs.filter(predC).count())
+        def view() = s.table(s"$cat.q256")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+        val before = view().collect().map(_.toString).sorted.toSeq
+        require(before.size == na + nb + 2 * nc,
+          s"rank/TTL/floor/cap fold: ${before.size} vs ${na + nb + 2 * nc}")
+        // A and B keep every seeded version on disk (bulk bypasses the
+        // put path); C's put path eagerly pruned its over-cap oldest
+        // at WRITE time (the W-side half of retention) — read-time
+        // masking owns everything the writer can't see (segments,
+        // later ALTERs, TTL)
+        require(s.table(s"$cat.`q256$$changes`").count() == 3 * na + 2 * nb + 2 * nc,
+          "hidden-but-unreclaimed versions stay physically present (edit log never masks)")
+        // F5 agrees cell-by-cell on a pinned key: doc-0 is class A
+        val store = graft.ingest.FileStore(root)
+        def cell(v: Long) = PushTableSink.CellPut("q256",
+          "doc-0".getBytes("UTF-8"), v, Array.emptyByteArray)
+        require(store.existsAt("q256", Seq(cell(3 * T), cell(2 * T), cell(T)), 5 * T)
+          == Seq(true, false, false),
+          "existence runs the same masked read path (hidden versions read absent)")
+        Compaction.major(s, root, "q256", nowMillis = () => 5 * T)
+        val out = view().localCheckpoint()
+        require(out.collect().map(_.toString).sorted.toSeq == before,
+          "the major reclaims bytes, never changes answers — view identical across it")
+        out
+      } finally {
+        s.conf.unset("spark.graft.retention.nowMillis")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      }
+    },
+
+    // AUTOMATIC SHARD FLUSH — the memstore-flush / hbase.hstore.
+    // compactionThreshold analog (VERDICT r14 ask 2): when a put batch
+    // leaves a shard with MORE than `compactionThreshold` per-cell put
+    // files (DDL property, default 10, '0' disables), the store's
+    // post-commit hook flushes that shard's put backlog into ONE
+    // sorted segment (puts only — resident segments are never
+    // re-merged, so repeated flushes can't go quadratic; segment-count
+    // hygiene belongs to minors/majors). The q221 probe measured the
+    // failure mode this closes: an unflushed backlog read 14.7×
+    // super-linear. In-query invariants: across three INSERT waves AND
+    // a native streaming-sink drain (the q255-style trigger path),
+    // EVERY shard's put-file count stays ≤ the threshold (checked
+    // through the $versions inventory after each wave) while the
+    // masked view stays exactly the seeded content; the hook actually
+    // fired (flush counter moved). 100 TB: the policy check is one
+    // listing per TOUCHED shard per batch; the flush reads only the
+    // backlog it absorbs.
+    "q257_cells_auto_flush_policy" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q257-cells").toString
+      val ck = Files.createTempDirectory("graft-q257-ck").toString
+      val cat = "g257_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.q257 (rowkey BINARY, version BIGINT, body BINARY)")
+        val threshold = 10L // the recorded default
+        def maxBacklog(): Long = {
+          val r = s.sql(s"SELECT coalesce(max(cnt), 0) FROM (SELECT shard, count(*) AS cnt " +
+            s"FROM $cat.`q257$$versions` WHERE kind = 'put' GROUP BY shard) t").collect()(0)
+          r.getLong(0)
+        }
+        def wave(g: Int): Unit = {
+          s.sql(s"""INSERT INTO $cat.q257
+              SELECT cast(concat('doc-', doc_id) as binary),
+                     cast($g as bigint) * 1000000000 + cast(doc_id as bigint),
+                     cast(md5(concat(cast(doc_id as string), 'F', '$g')) as binary)
+              FROM parquet.`$d/documents.parquet` WHERE doc_id % 13 = 0""")
+          require(maxBacklog() <= threshold,
+            s"wave $g left a put backlog above the threshold: ${maxBacklog()}")
+        }
+        val flushesBefore = graft.ingest.FileStore.autoFlushes.get()
+        (1 to 3).foreach(wave)
+        // the streaming-sink face rides the same hook: generation 4
+        // arrives as a $changes replication drain into the same table
+        BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 13 === 0)
+            .select(lit("q257s").as("tableName"),
+              expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+              expr("4000000000 + doc_id").as("version"),
+              expr("cast(md5(concat(cast(doc_id as string), 'F', '4')) as binary)").as("body")),
+          root)
+        val q = s.readStream.table(s"$cat.`q257s$$changes`")
+          .filter(col("op") === "put").select("rowkey", "version", "body")
+          .writeStream.format("graft-cells")
+          .option("root", root).option("table", "q257")
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        require(maxBacklog() <= threshold,
+          s"the streaming sink's puts flush too: ${maxBacklog()}")
+        require(graft.ingest.FileStore.autoFlushes.get() > flushesBefore,
+          "the hook must actually have fired (13-class keys share one region)")
+        val n13 = Tables.documents(s, d).filter(col("doc_id") % 13 === 0).count()
+        val out = s.table(s"$cat.q257")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+        require(out.count() == 4 * n13,
+          "flushing moves bytes between store-file kinds, never changes the view")
+        out
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      }
+    },
+
+    // $VERSIONS PUSHDOWN (VERDICT r14 ask 4): the inventory face
+    // prunes like every other face — a `shard =` predicate prunes at
+    // the DIRECTORY level (unmatched shards never listed, proven by
+    // the listing counter), `kind` prunes at the FILENAME level (and
+    // skips segment-trailer reads), version bounds prune put/marker
+    // rows by filename, and column pruning drops Files.size/trailer
+    // I/O the projection doesn't need. All pushed filters stay
+    // residual, so pruning is pure I/O savings. In-query invariants:
+    // a single-shard probe lists EXACTLY ONE directory (counter,
+    // not plan text) and its plan advertises shards=1; the per-kind
+    // emitted fold matches DuckDB; q246's unfiltered inventory hash
+    // (still in the registry) pins that pushdown changed nothing.
+    "q258_cells_versions_pushdown" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q258-cells").toString
+      val cat = "g258_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        // raw put backlog (threshold 0) — the inventory counts files
+        graft.ingest.FileStore(root).ensureTable("q258",
+          PushTableSink.TableSpec(compactionThreshold = 0))
+        BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 6 === 0)
+            .select(lit("q258").as("tableName"),
+              expr("unhex(md5(concat('doc-', doc_id)))").as("rowkey"),
+              expr("doc_id * 2 + 1").as("version"),
+              expr("cast(md5(concat(cast(doc_id as string), 'V')) as binary)").as("body")),
+          root)
+        Tables.documents(s, d).filter(col("doc_id") % 30 === 0)
+          .select(expr("unhex(md5(concat('doc-', doc_id)))").as("rowkey"),
+            expr("doc_id * 2 + 2").as("version"),
+            lit("x".getBytes("UTF-8")).as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q258").save()
+        Tables.documents(s, d).filter(col("doc_id") % 60 === 0)
+          .select(expr("unhex(md5(concat('doc-', doc_id)))").as("rowkey"),
+            expr("doc_id * 2 + 1").as("version"),
+            lit(Array.emptyByteArray).as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q258")
+          .option("tombstone", "true").save()
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // the single-shard probe: doc-0 is a %6 key, its digest's
+        // first byte IS its region
+        val shardName = org.apache.commons.codec.digest.DigestUtils
+          .md5Hex("doc-0").substring(0, 2)
+        graft.sources.CellsVersions.shardsListed.set(0)
+        val probe = s.sql(s"SELECT count(*) AS n FROM $cat.`q258$$versions` " +
+          s"WHERE shard = '$shardName'")
+        val desc = probe.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.getOrElse("")
+        require(desc.contains("shards=1"), s"the shard predicate must reach the scan: $desc")
+        require(probe.collect()(0).getLong(0) > 0, "the probed region holds files")
+        require(graft.sources.CellsVersions.shardsListed.get() == 1,
+          s"ONE directory listed out of the whole region set: ${graft.sources.CellsVersions.shardsListed.get()}")
+        // the per-kind fold under a pushed kind filter
+        val out = s.sql(
+          s"""SELECT kind, count(*) AS files, min(min_version) AS min_v,
+                     max(max_version) AS max_v
+              FROM $cat.`q258$$versions`
+              WHERE kind IN ('put', 'marker_bound') GROUP BY kind""")
+          .localCheckpoint()
+        require(out.count() >= 1, "at least one backlog kind present")
+        out
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
+    // TOP-N, VERSION-DESC SHAPE (VERDICT r14 ask 5): `ORDER BY rowkey
+    // ASC, version DESC LIMIT k` — the HBase Get.readVersions(k)
+    // serving scan (latest versions first within key order) — now
+    // pushes ([[CellsScanBuilder.pushTopN]]'s second accepted shape).
+    // A compacted shard streams (rowkey, version) ASC; all of one
+    // key's versions precede any later key's in BOTH orders, so the
+    // reader truncates on the first KEY CHANGE once ≥ k rows are out —
+    // a bounded superset (≤ k + the last key's versions) the retained
+    // TakeOrdered finalizes. Truncation stays read-time sorted-gated:
+    // a put backlog falls back to full rows (spec-pinned). In-query
+    // invariants: the scan carries `topK=10 vdesc`; the capped readers
+    // emitted ≥ 10 but ≤ 12 rows (3 complete 4-version key groups)
+    // out of a 4-versions-per-key table — far under the row count.
+    "q259_cells_latest_k_versions" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q259-cells").toString
+      val cat = "g259_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        // one bulk load ⇒ one sorted segment per shard (compacted form)
+        BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), explode(array(lit(1), lit(2), lit(3), lit(4))).as("g"))
+            .select(lit("q259").as("tableName"),
+              expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+              expr("doc_id * 8 + g").as("version"),
+              expr("cast(md5(concat(cast(doc_id as string), 'K', cast(g as string))) as binary)").as("body")),
+          root)
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val total = 4 * Tables.documents(s, d).filter(col("doc_id") % 5 === 0).count()
+        graft.sources.CellsSource.cappedRowsEmitted.set(0)
+        val top = s.sql(
+          s"""SELECT cast(rowkey as string) AS key_str, version
+              FROM $cat.q259 ORDER BY rowkey ASC, version DESC LIMIT 10""")
+        val desc = top.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.getOrElse("")
+        require(desc.contains("topK=10 vdesc"),
+          s"the DESC-version top-N must reach the scan: $desc")
+        val out = top.localCheckpoint()
+        val emitted = graft.sources.CellsSource.cappedRowsEmitted.get()
+        require(emitted >= 10 && emitted <= 12 && emitted < total,
+          s"key-group truncation: emitted $emitted of $total (expect 10..12)")
+        out
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
+    // STREAMING PROVENANCE (VERDICT r14 ask 3): Spark's streaming exec
+    // does not thread DSv2 metadata columns (spec-pinned), so the CDC
+    // consumer's provenance — which store file served each edit —
+    // ships as `option("provenance","true")`: the SAME three columns
+    // (`_shard`/`_file`/`_kind`), same reader, baked into the read
+    // schema itself. Two AvailableNow drains over one checkpoint with
+    // a restart between them: drain 1 delivers the seed puts (served
+    // from their bulk segment), a second generation and a bare DELETE
+    // land in between, drain 2 delivers exactly the new window with
+    // the marker row typed AND provenanced (`_kind='marker_bound'`).
+    // In-query invariants: exactly-once across the restart, every row
+    // names a serving file, puts attribute to segments, markers to
+    // marker files. The emitted (key, version, op, _kind) log hashes
+    // against DuckDB.
+    "q260_cells_stream_provenance" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q260-cells").toString
+      val ck = Files.createTempDirectory("graft-q260-ck").toString
+      val outDir = Files.createTempDirectory("graft-q260-out").toString + "/rows"
+      val cat = "g260_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        def seed(g: Int): Unit = BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 14 === 0)
+            .select(lit("q260").as("tableName"),
+              expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+              expr(s"$g * 1000000000 + doc_id").as("version"),
+              expr(s"cast(md5(concat(cast(doc_id as string), 'P', '$g')) as binary)").as("body")),
+          root)
+        def drain(): Unit = {
+          val q = s.readStream.format("graft-cells")
+            .option("root", root).option("table", "q260")
+            .option("changeFeed", "true").option("provenance", "true").load()
+            .select(col("rowkey").cast("string").as("key_str"), col("version"),
+              col("op"), col("_shard"), col("_file"), col("_kind"))
+            .writeStream
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.write.mode("append").parquet(outDir)
+            }
+            .option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        seed(1)
+        drain()
+        val n14 = Tables.documents(s, d).filter(col("doc_id") % 14 === 0).count()
+        require(s.read.parquet(outDir).count() == n14, "drain 1 = the seed window")
+        seed(2)
+        val delKeys = Tables.documents(s, d).filter(col("doc_id") % 42 === 0)
+          .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).sorted
+        val inList = delKeys
+          .map(id => "X'" + s"doc-$id".getBytes("UTF-8").map(b => f"$b%02x").mkString + "'")
+          .mkString("(", ", ", ")")
+        s.sql(s"DELETE FROM $cat.q260 WHERE rowkey IN $inList") // bare: stamps gen-2 latest
+        drain()
+        val log = s.read.parquet(outDir).localCheckpoint()
+        require(log.count() == 2 * n14 + delKeys.length,
+          s"exactly-once across the restart: ${log.count()}")
+        require(log.filter(col("_file") === "").count() == 0,
+          "every streamed edit names its serving file")
+        require(log.filter(col("op") === "put").select("_kind").distinct()
+          .collect().map(_.getString(0)).toSet == Set("segment"),
+          "bulk-seeded puts attribute to their segment")
+        require(log.filter(col("op") === "delete").select("_kind").distinct()
+          .collect().map(_.getString(0)).toSet == Set("marker_bound"),
+          "markers attribute to their marker file")
+        log.select(col("key_str"), col("version"), col("op"), col("_kind"))
+          .localCheckpoint()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir).getParentFile)
       }
     },
 
@@ -2375,16 +2768,20 @@ object StoreLifecycle {
     // model q194's major doesn't cover: per shard, the accumulated
     // per-cell put files and small segments merge into ONE fresh
     // sorted segment with NO Spark shuffle and NO retention (minor
-    // compactions never GC versions — all 3 versions per key must
-    // survive even under the maxVersions=2 DDL), while segments above
-    // the size threshold are left untouched. In-query invariants: the
-    // big first-generation segments survive by name, no put files
+    // compactions never GC versions — all 3 versions per key
+    // survive), while segments above the size threshold are left
+    // untouched. Since r15 the READ faces apply retention themselves,
+    // so the no-GC proof runs on an uncapped table (a capped one would
+    // mask at read regardless of what minor did — CompactionSpec pins
+    // minor-under-cap against the raw store view); the flush policy is
+    // off because the fixture IS a put backlog. In-query invariants:
+    // the big first-generation segments survive by name, no put files
     // remain, and the cell population is EXACTLY the seeded one —
     // the driver hash pins merge ∘ no-GC ∘ threshold selection.
     "q219_cells_minor_compact" -> { (s, d) =>
       val root = Files.createTempDirectory("graft-q219-cells").toString
       try {
-        val spec = PushTableSink.TableSpec(maxVersions = 2)
+        val spec = PushTableSink.TableSpec(compactionThreshold = 0)
         def seed(vLo: Int, vHi: Int) = Tables.documents(s, d).filter(col("doc_id") % 31 === 0)
           .select(col("doc_id"), explode(sequence(lit(vLo), lit(vHi))).as("v"))
           .select(lit("q219").as("tableName"),
@@ -2833,6 +3230,68 @@ object StoreLifecycle {
       """SELECT 'doc-' || doc_id AS key_str,
               (CASE WHEN doc_id % 54 = 0 THEN 2 ELSE 1 END)::VARCHAR AS edit_count
          FROM documents WHERE doc_id % 27 = 0""",
+
+    // the read-time-retained view, identical before and after the
+    // major: A (%9) keeps g3 (rank+TTL kill the rest), B (%10=5 ∧ ¬%9)
+    // keeps g2 by the minVersions floor, C (%11=3 ∧ ¬A ∧ ¬B) keeps
+    // its newest two live gens (cap kills the third)
+    "q256_cells_read_time_retention" ->
+      """SELECT 'doc-' || doc_id AS key_str, (3000000000000 + doc_id)::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'R3') AS body_md5
+         FROM documents WHERE doc_id % 9 = 0
+         UNION ALL
+         SELECT 'doc-' || doc_id, (2000000000000 + doc_id)::BIGINT,
+              md5(doc_id::VARCHAR || 'R2')
+         FROM documents WHERE doc_id % 10 = 5 AND doc_id % 9 <> 0
+         UNION ALL
+         SELECT 'doc-' || doc_id, (4000000000000 + doc_id)::BIGINT,
+              md5(doc_id::VARCHAR || 'C4')
+         FROM documents WHERE doc_id % 11 = 3 AND doc_id % 9 <> 0 AND doc_id % 10 <> 5
+         UNION ALL
+         SELECT 'doc-' || doc_id, (3000000000000 + doc_id)::BIGINT,
+              md5(doc_id::VARCHAR || 'C3')
+         FROM documents WHERE doc_id % 11 = 3 AND doc_id % 9 <> 0 AND doc_id % 10 <> 5""",
+
+    // four generations per %13 key — three INSERT waves plus the
+    // streaming-sink drain; the flush policy moves bytes between
+    // store-file kinds, never changes the view
+    "q257_cells_auto_flush_policy" ->
+      """SELECT 'doc-' || doc_id AS key_str, (g::BIGINT * 1000000000 + doc_id)::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'F' || g::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([1, 2, 3, 4]) AS g)
+         WHERE doc_id % 13 = 0""",
+
+    // the pushed-kind inventory fold: puts %30 (one file per cell,
+    // threshold 0), bound markers %60; empty kinds emit no group
+    "q258_cells_versions_pushdown" ->
+      """SELECT * FROM (
+           SELECT 'marker_bound' AS kind, count(*)::BIGINT AS files,
+                  min(doc_id*2+1)::BIGINT AS min_v, max(doc_id*2+1)::BIGINT AS max_v
+           FROM documents WHERE doc_id % 60 = 0
+           UNION ALL
+           SELECT 'put', count(*)::BIGINT, min(doc_id*2+2)::BIGINT, max(doc_id*2+2)::BIGINT
+           FROM documents WHERE doc_id % 30 = 0) t
+         WHERE files > 0""",
+
+    // the first 10 rows under (rowkey ASC, version DESC) — the
+    // latest-k-versions serving order ('doc-<id>' ASCII order == the
+    // varchar order)
+    "q259_cells_latest_k_versions" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 8 + g)::BIGINT AS version
+         FROM documents, (SELECT unnest([1, 2, 3, 4]) AS g)
+         WHERE doc_id % 5 = 0
+         ORDER BY key_str ASC, version DESC LIMIT 10""",
+
+    // both provenanced drain windows: two put generations served from
+    // their bulk segments plus the bare-delete markers at gen-2
+    "q260_cells_stream_provenance" ->
+      """SELECT 'doc-' || doc_id AS key_str, (g * 1000000000 + doc_id)::BIGINT AS version,
+              'put' AS op, 'segment' AS _kind
+         FROM documents, (SELECT unnest([1, 2]) AS g)
+         WHERE doc_id % 14 = 0
+         UNION ALL
+         SELECT 'doc-' || doc_id, (2000000000 + doc_id)::BIGINT, 'delete', 'marker_bound'
+         FROM documents WHERE doc_id % 42 = 0""",
 
     // the state view's visible set = the masked view: deleted keys
     // (%75) gone entirely, survivors keep all three versions

@@ -64,10 +64,22 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
     // default-on MERGE/UPDATE source-key pruning: registering the
     // catalog is the user's opt-in to this connector, so the session
     // gets the batched-GET row-level plan without a manual install
-    // (idempotent; the rule no-ops on every non-row-level plan)
+    // (idempotent; the rule no-ops on every non-row-level plan).
+    // getActiveSession can be empty when the catalog is first touched
+    // off-thread — loadTable retries the install as a fallback, and
+    // path-based sessions may call MergeSourcePruning.install directly.
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(MergeSourcePruning.install)
   }
+
+  /** Fallback install for sessions whose catalog initialized on a
+    * thread without an active SparkSession (ADVICE r14): every table
+    * load — the step a row-level statement cannot skip — retries
+    * idempotently, so the batched-GET MERGE plan is present by the
+    * time any WriteDelta is optimized. */
+  private def ensureRuleInstalled(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(MergeSourcePruning.install)
 
   override def name(): String = catalogName
 
@@ -187,6 +199,7 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
     load(ident, asOf = Some(timestampMicros / 1000L))
 
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
+    ensureRuleInstalled()
     // `tbl$changes` is the VIRTUAL edit-log face of `tbl` (the
     // Iceberg-style metadata-table suffix): unmasked puts + op='delete'
     // marker rows — the change feed, queryable in SQL. Composes with
@@ -240,9 +253,14 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
       .getOrElse(Int.MaxValue)
     val ttlMillis = Option(properties.get("ttlMillis")).flatMap(_.toLongOption)
       .getOrElse(Long.MaxValue)
+    // the shard-flush policy (hbase.hstore.compactionThreshold analog)
+    // — '0' is the operator override for layout-inspecting workloads
+    val compactionThreshold = Option(properties.get("compactionThreshold"))
+      .flatMap(_.toIntOption).getOrElse(10)
     val store = FileStore(root)
     store.ensureTable(t,
-      PushTableSink.TableSpec(maxVersions = maxVersions, ttlMillis = ttlMillis))
+      PushTableSink.TableSpec(maxVersions = maxVersions, ttlMillis = ttlMillis,
+        compactionThreshold = compactionThreshold))
     // PRE-SPLIT from SQL — HBase `create 'tbl', SPLITS => [...]`:
     // TBLPROPERTIES('splitPoints'='<hex>,<hex>,…') records N split
     // points → N+1 regions BEFORE any cell lands (write-once, the same
@@ -281,10 +299,14 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
         store.alterTtlMillis(t, sp.value().toLongOption.getOrElse(
           throw new IllegalArgumentException(
             s"ttlMillis takes a long, got '${sp.value()}'")))
+      case sp: TableChange.SetProperty if sp.property() == "compactionThreshold" =>
+        store.alterCompactionThreshold(t, sp.value().toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"compactionThreshold takes an integer, got '${sp.value()}'")))
       case other =>
         throw new UnsupportedOperationException(
           "graft tables support ALTER TABLE SET TBLPROPERTIES" +
-            s"('maxVersions'=N | 'ttlMillis'=T) only; got $other")
+            s"('maxVersions'=N | 'ttlMillis'=T | 'compactionThreshold'=N) only; got $other")
     }
     CellsTable(root, t, changeFeed = false, fromCatalog = true)
   }

@@ -81,7 +81,8 @@ final case class CellsRowLevelOperation(root: String, table: String,
   // narrowed to the source's key set (see the class doc); options
   // thread through so a scan option can never be silently dropped
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    CellsScanBuilder(root, table, options.getBoolean("stableOffsets", false))
+    CellsScanBuilder(root, table, options.getBoolean("stableOffsets", false),
+      retentionNowOpt = Option(options.get("retentionNowMillis")).flatMap(_.toLongOption))
 
   // a ROW of the SQL table is a CELL: (rowkey, version) is its identity
   override def rowId(): Array[NamedReference] =

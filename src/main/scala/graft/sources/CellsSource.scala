@@ -72,15 +72,16 @@ import scala.jdk.CollectionConverters._
 class CellsSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-cells"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (options.getBoolean("changeFeed", false)) CellsSource.ChangeFeedSchema
-    else CellsSource.Schema
+    CellsSource.schemaOf(options.getBoolean("changeFeed", false),
+      options.getBoolean("provenance", false))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     // properties arrive with the caller's original key case — wrap
     // case-insensitively so option("changeFeed", ...) resolves
     val opts = new CaseInsensitiveStringMap(properties)
     CellsTable(opts.get("root"), opts.get("table"), opts.getBoolean("changeFeed", false),
-      latest = opts.getBoolean("latest", false))
+      latest = opts.getBoolean("latest", false),
+      provenance = opts.getBoolean("provenance", false))
   }
 }
 
@@ -107,6 +108,24 @@ object CellsSource {
     StructField("version", LongType, nullable = false),
     StructField("body", BinaryType, nullable = true), // delete rows carry no body
     StructField("op", StringType, nullable = false)))
+
+  /** `option("provenance","true")` — the PROVENANCE columns as REGULAR
+    * schema columns, for the faces Spark's metadata-column machinery
+    * cannot reach: the streaming exec does not thread DSv2 metadata
+    * columns (spec-pinned in CellsMetadataColumnsSpec), so a CDC
+    * consumer that wants `_shard/_file/_kind` per streamed edit opts in
+    * here and reads the widened schema through `readStream` — same
+    * reader, same values as the batch metadata columns. Read-only (the
+    * write faces decline the widened shape). */
+  val ProvenanceFields: Seq[StructField] = Seq(
+    StructField("_shard", StringType, nullable = false),
+    StructField("_file", StringType, nullable = false),
+    StructField("_kind", StringType, nullable = false))
+
+  def schemaOf(changeFeed: Boolean, provenance: Boolean): StructType = {
+    val base = if (changeFeed) ChangeFeedSchema else Schema
+    if (provenance) StructType(base.fields ++ ProvenanceFields) else base
+  }
 
   /** files actually OPENED by readers — the spec's proof that version
     * pushdown and column pruning skip I/O (single-JVM local mode). */
@@ -247,7 +266,8 @@ object CellsKeyPred {
 case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
                       fromCatalog: Boolean = false,
                       asOf: Option[Long] = None,
-                      latest: Boolean = false) extends Table
+                      latest: Boolean = false,
+                      provenance: Boolean = false) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -257,9 +277,9 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
   require(!(latest && changeFeed), "a table face is $latest or $changes, never both")
   override def name(): String =
     s"graft-cells:$table" + asOf.fold("")(v => s"@$v") +
-      (if (changeFeed) "$changes" else if (latest) "$latest" else "")
-  override def schema(): StructType =
-    if (changeFeed) CellsSource.ChangeFeedSchema else CellsSource.Schema
+      (if (changeFeed) "$changes" else if (latest) "$latest" else "") +
+      (if (provenance) "+provenance" else "")
+  override def schema(): StructType = CellsSource.schemaOf(changeFeed, provenance)
   /** the recorded DDL as table properties — `SHOW TBLPROPERTIES`
     * reflects `CREATE … TBLPROPERTIES` and later `ALTER TABLE SET`
     * (read from the descriptor file, so always current). */
@@ -270,6 +290,7 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
       m.put("maxVersions", spec.maxVersions.toString)
       m.put("minVersions", spec.minVersions.toString)
       m.put("ttlMillis", spec.ttlMillis.toString)
+      m.put("compactionThreshold", spec.compactionThreshold.toString)
       m.put("dataFamily", spec.dataFamily)
       m.put("dataQualifier", spec.dataQualifier)
       m.put("compression", spec.compression)
@@ -281,17 +302,23 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
   }
   override def capabilities(): java.util.Set[TableCapability] =
     // the $latest face is the SERVING read — batch-only (the stream
-    // face is an edit feed; "latest" has no incremental meaning there)
+    // face is an edit feed; "latest" has no incremental meaning there);
+    // the provenance-widened face is read-only (its schema is not a
+    // writable cell shape)
     if (latest) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else if (provenance) java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
     else java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     CellsScanBuilder(root, table, options.getBoolean("stableOffsets", false), changeFeed,
-      fromCatalog, asOf, latest)
+      fromCatalog, asOf, latest, provenance,
+      retentionNowOpt = Option(options.get("retentionNowMillis")).flatMap(_.toLongOption))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to time-travel snapshot ${name()}")
     require(!latest, s"the $$latest face is read-only — write to the base table")
+    require(!provenance, s"${name()} is a read-only widened face — write the base 3-column table")
     CellsWriteBuilder(root, table, info.schema(),
       info.options().getBoolean("tombstone", false),
       info.options().getBoolean("tombstoneExact", false),
@@ -309,9 +336,14 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
     * against `tbl$versions` on (_shard, _file). BATCH faces only:
     * Spark's streaming exec does not thread DSv2 metadata columns
     * (spec-pinned in CellsMetadataColumnsSpec) — stream provenance
-    * comes from `$versions`. */
+    * comes from `$versions` — or from `option("provenance","true")`,
+    * which bakes the same three columns into the read schema itself
+    * (and therefore suppresses the metadata columns here: one name,
+    * one resolution). */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    if (provenance)
+      return Array.empty[org.apache.spark.sql.connector.catalog.MetadataColumn]
     import org.apache.spark.sql.connector.catalog.MetadataColumn
     def m(n: String, c: String): MetadataColumn = new MetadataColumn {
       override def name(): String = n
@@ -334,7 +366,7 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
     * place. */
   override def truncateTable(): Boolean = {
     require(asOf.isEmpty, s"cannot truncate time-travel snapshot ${name()}")
-    require(!changeFeed && !latest,
+    require(!changeFeed && !latest && !provenance,
       s"${name()} is a read-only metadata face — TRUNCATE targets the base table")
     graft.ingest.FileStore(root).truncateTable(table)
     true
@@ -381,13 +413,13 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(asOf.isEmpty, s"cannot mutate time-travel snapshot ${name()}")
-    require(!changeFeed && !latest,
+    require(!changeFeed && !latest && !provenance,
       s"${name()} is a read-only metadata face — MERGE/UPDATE/DELETE target the base table")
     () => CellsRowLevelOperation(root, table, info.command())
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    asOf.isEmpty && !changeFeed && !latest && deletePlan(filters).isDefined
+    asOf.isEmpty && !changeFeed && !latest && !provenance && deletePlan(filters).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val (keys, bound, exact) = deletePlan(filters).getOrElse(
@@ -629,11 +661,22 @@ case class CellsWriterFactory(root: String, table: String,
 
 case object CellsCommit extends WriterCommitMessage
 
+/** OFFSET pushdown ([[SupportsPushDownOffset]]) is DECLINED by design:
+  * this scan is a multi-shard merge with no single global row order —
+  * an OFFSET can only be skipped deterministically against the total
+  * (rowkey, version) order, which holds per shard (compacted) but
+  * never across the shard set Spark folds afterwards, so a per-shard
+  * "skip N" would drop rows Spark still needs for the global skip.
+  * Spark's own GlobalLimit+Offset over the (already capped, where
+  * TopN/limit pushed) stream is the correct evaluation; nothing is
+  * lost — the expensive part, per-shard truncation, IS pushed. */
 case class CellsScanBuilder(root: String, table: String, stable: Boolean = false,
                             changeFeed: Boolean = false,
                             fromCatalog: Boolean = false,
                             asOf: Option[Long] = None,
-                            latest: Boolean = false) extends ScanBuilder
+                            latest: Boolean = false,
+                            provenance: Boolean = false,
+                            retentionNowOpt: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -642,6 +685,26 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
   // a time-travel snapshot is a pre-seeded version upper bound — the
   // same filename prune every pushed `version <= v` predicate takes
   private var hi = asOf.getOrElse(Long.MaxValue)
+
+  /** READ-TIME RETENTION policy of this table ([[graft.ingest.
+    * Retention]]) — resolved ONCE at planning time, clock snapshotted
+    * here (scan-open time, the HBase scanner contract): scan option
+    * `retentionNowMillis` wins, then session conf
+    * `spark.graft.retention.nowMillis`, then the wall clock. The
+    * change-feed face never applies retention (it is an edit log, same
+    * rule as delete masks); the streaming face likewise (replayed
+    * offset windows must regenerate identical rows) — both get None
+    * downstream of this builder. */
+  private lazy val retentionPolicy: Option[graft.ingest.Retention.Policy] =
+    if (changeFeed) None
+    else {
+      val now = retentionNowOpt
+        .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+          .flatMap(s => Option(s.conf.get("spark.graft.retention.nowMillis", null)))
+          .flatMap(_.toLongOption))
+        .getOrElse(System.currentTimeMillis())
+      graft.ingest.Retention.of(root, table, now)
+    }
   // rowkey point predicates, resolved to cell-file digests AND range
   // shards: None = no point predicate, Some(set) = only these can
   // match (an empty set is a provably-empty scan)
@@ -654,8 +717,7 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
   private var keyHi: Option[Array[Byte]] = None
   private var keyHiInc = true
   private var pushed = Array.empty[Filter]
-  private var required: StructType =
-    if (changeFeed) CellsSource.ChangeFeedSchema else CellsSource.Schema
+  private var required: StructType = CellsSource.schemaOf(changeFeed, provenance)
 
   private def longOf(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -781,9 +843,13 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
     // edit-log rows are typed edits, not cells; grouped aggregates and
     // any rowkey predicate (range OR point: upstream blocks pushdown
     // on residual filters anyway — this is the defensive mirror) need
-    // the row scan
+    // the row scan. A retention-active table (maxVersions/TTL DDL)
+    // also declines: the metadata-only counters don't run the
+    // per-key retention fold, and a COUNT that sees hidden versions
+    // would contradict the row scan — correctness over cleverness.
     if (changeFeed || agg.groupByExpressions.nonEmpty ||
-      keyDigests.isDefined || keyLo.isDefined || keyHi.isDefined) return false
+      keyDigests.isDefined || keyLo.isDefined || keyHi.isDefined ||
+      retentionPolicy.isDefined) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
       case nr: org.apache.spark.sql.connector.expressions.NamedReference
         if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0).toLowerCase)
@@ -820,6 +886,7 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
   // reads ~100 rows per region instead of the table.
   private var pushedLimit: Option[Int] = None
   private var pushedTopK: Option[Int] = None
+  private var pushedTopKDesc = false
 
   override def pushLimit(limit: Int): Boolean = {
     if (aggSpecs.isDefined) false
@@ -839,11 +906,28 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
           Some(nr.fieldNames()(0).toLowerCase)
         case _ => None
       }
-    val shapeOk = orders.nonEmpty && orders.length <= 2 &&
-      orders.forall(_.direction() == SortDirection.ASCENDING) &&
+    // two accepted shapes, both leading with rowkey ASC (the store's
+    // native sort): (rowkey [, version]) fully ASCENDING — the stream
+    // order of a compacted shard, truncated after N rows — and
+    // (rowkey ASC, version DESC) — the HBase Get.readVersions(k)
+    // serving shape (latest-k-versions in key order). The DESC variant
+    // truncates on KEY-GROUP boundaries: all versions of one key are
+    // contiguous in the stream and every row of a LATER key ranks
+    // after every row of an earlier one, so once ≥N rows are out the
+    // reader may stop at the next key change — a bounded superset
+    // (≤ N + the last key's versions) of the true top-N, which the
+    // retained TakeOrdered finalizes.
+    val leadOk = orders.nonEmpty && orders.length <= 2 &&
       colOf(orders(0)).contains("rowkey") &&
+      orders(0).direction() == SortDirection.ASCENDING &&
       (orders.length == 1 || colOf(orders(1)).contains("version"))
-    if (shapeOk) { pushedTopK = Some(limit); true } else false
+    if (!leadOk) return false
+    val desc = orders.length == 2 && orders(1).direction() == SortDirection.DESCENDING
+    val asc = orders.length == 1 || orders(1).direction() == SortDirection.ASCENDING
+    if (!desc && !asc) return false
+    pushedTopK = Some(limit)
+    pushedTopKDesc = desc
+    true
   }
 
   override def isPartiallyPushed(): Boolean = true
@@ -856,7 +940,8 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
       CellsScan(root, table, lo, hi,
         CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), required,
         stable, changeFeed, fromCatalog, latest,
-        limitN = pushedLimit.getOrElse(-1), topK = pushedTopK.getOrElse(-1))
+        limitN = pushedLimit.getOrElse(-1), topK = pushedTopK.getOrElse(-1),
+        topKDesc = pushedTopKDesc, retention = retentionPolicy)
   }
 }
 
@@ -864,7 +949,8 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
                      keys: CellsKeyPred, required: StructType,
                      stable: Boolean = false, changeFeed: Boolean = false,
                      fromCatalog: Boolean = false, latest: Boolean = false,
-                     limitN: Int = -1, topK: Int = -1)
+                     limitN: Int = -1, topK: Int = -1, topKDesc: Boolean = false,
+                     retention: Option[graft.ingest.Retention.Policy] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -977,7 +1063,8 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
       (if (keys.hasRange) " keyrange" else "") +
       (if (latest) " latest" else "") +
       (if (limitN >= 0) s" limit=$limitN" else "") +
-      (if (topK >= 0) s" topK=$topK" else "") +
+      (if (topK >= 0) s" topK=$topK${if (topKDesc) " vdesc" else ""}" else "") +
+      retention.fold("")(p => s" retention(max=${p.maxVersions},cutoff=${p.cutoff})") +
       s" cols=[${required.fieldNames.mkString(",")}]"
 
   /** Exact post-pruning LIVE statistics from the directory listing +
@@ -993,7 +1080,10 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
     * inside the file), and segment bytes are attributed as the whole
     * data region when any entry contributes — statistics may
     * overestimate, never underestimate, so a too-big side never
-    * broadcasts. */
+    * broadcasts. Read-time RETENTION ([[graft.ingest.Retention]]) is
+    * deliberately NOT folded here: hidden-but-unreclaimed versions
+    * still count, which is again only an overestimate (the safe
+    * direction), and keeps planning free of the per-key fold. */
   /** Planning-cost tiers (cheapest first), chosen PER SHARD:
     *
     *  1. **Trailer-only** — no put backlog, no masking markers (or the
@@ -1206,7 +1296,8 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CellsReaderFactory(lo, hi, required.fieldNames, changeFeed, latest, limitN, topK)
+    CellsReaderFactory(lo, hi, required.fieldNames, changeFeed, latest, limitN, topK,
+      topKDesc, retention)
 
   /** SQL-UI metrics per scan node — pruning quality visible without
     * the global test counters. */
@@ -1406,31 +1497,10 @@ case class CellsShard(dir: String, keys: CellsKeyPred, shardIdx: Int = -1)
 case class CellsReaderFactory(lo: Long, hi: Long,
                               cols: Array[String], changeFeed: Boolean = false,
                               latest: Boolean = false,
-                              limitN: Int = -1, topK: Int = -1)
+                              limitN: Int = -1, topK: Int = -1,
+                              topKDesc: Boolean = false,
+                              retention: Option[graft.ingest.Retention.Policy] = None)
     extends PartitionReaderFactory {
-
-  /** pushed-TopN truncation is sound only when THIS shard streams in
-    * (rowkey, version) order — ≤1 segment, no put backlog (markers
-    * only drop rows, which preserves order; the $latest fold is an
-    * order-preserving subset). One listing per task, same test as
-    * [[CellsScan.outputOrdering]] but at the shard the task owns. */
-  private def shardSorted(dir: String): Boolean = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) return true
-    var puts = 0
-    var segs = 0
-    val s = Files.list(d)
-    try s.iterator().asScala.foreach { p =>
-      val n = p.getFileName.toString
-      if (graft.ingest.CellSegment.isSegment(n)) segs += 1
-      else {
-        val dot = n.lastIndexOf('.')
-        if (dot > 0 && !n.endsWith(".tmp") && n.drop(dot + 1).toLongOption.isDefined)
-          puts += 1
-      }
-    } finally s.close()
-    puts == 0 && segs <= 1
-  }
 
   // the change-feed BATCH face is the same edit log at rest: unmasked
   // puts + delete rows (scan-the-WAL), vs the default masked view;
@@ -1440,20 +1510,52 @@ case class CellsReaderFactory(lo: Long, hi: Long,
     val m = new CellsReaderMetrics
     val base = CellsReaders.reader(p.dir, lo, hi, p.keys, cols,
       maskDeletes = !changeFeed, emitOps = changeFeed, latestOnly = latest,
-      taskMetrics = m)
+      taskMetrics = m, retention = retention)
     // per-shard row cap: LIMIT truncates unconditionally (any N rows
     // are a correct answer under the retained GlobalLimit); TopN only
-    // when this shard provably streams sorted — otherwise every row
-    // flows and Spark's TakeOrdered decides
+    // when this shard provably streams sorted — decided by the READER
+    // off the SAME listing it iterates ([[CellsShardReader.
+    // layoutSorted]]), so a put racing the planning pass can never
+    // leave a cap active on a stream that is no longer sorted.
+    // Otherwise every row flows and Spark's TakeOrdered decides.
+    //
+    // Two TopN modes: ASC (stream order — stop after exactly N rows)
+    // and version-DESC (latest-k-versions serving shape — stop at the
+    // first KEY CHANGE once ≥N rows are out: later keys rank strictly
+    // after all emitted rows, and the current key's remaining ASC
+    // versions may still rank inside the top N). The DESC cap needs
+    // the rowkey in the projection to see group boundaries; a
+    // projection without it (possible in exotic plans) just declines
+    // the cap — correctness never rests on the truncation.
+    val rowkeyIdx = cols.indexOf("rowkey")
+    val topOk = topK >= 0 && base.layoutSorted && (!topKDesc || rowkeyIdx >= 0)
     val cap = math.min(
       if (limitN >= 0) limitN else Int.MaxValue,
-      if (topK >= 0 && shardSorted(p.dir)) topK else Int.MaxValue)
+      if (topOk) topK else Int.MaxValue)
     val capped = cap != Int.MaxValue
+    val descMode = capped && topOk && topKDesc && limitN < 0
     new PartitionReader[InternalRow] {
       private var emitted = 0L
-      override def next(): Boolean =
-        (!capped || emitted < cap) && base.next() && { emitted += 1; true }
-      override def get(): InternalRow = base.get()
+      private var row: InternalRow = _
+      private var lastKey: Array[Byte] = _
+      private var done = false
+      override def next(): Boolean = {
+        if (done) return false
+        if (!descMode) {
+          if (capped && emitted >= cap) { done = true; return false }
+          if (!base.next()) { done = true; return false }
+          row = base.get(); emitted += 1; true
+        } else {
+          if (!base.next()) { done = true; return false }
+          val r = base.get()
+          val k = r.getBinary(rowkeyIdx)
+          if (emitted >= cap && (lastKey ne null) && !java.util.Arrays.equals(k, lastKey)) {
+            done = true; return false
+          }
+          lastKey = k; row = r; emitted += 1; true
+        }
+      }
+      override def get(): InternalRow = row
       override def close(): Unit = {
         if (capped) CellsSource.cappedRowsEmitted.addAndGet(emitted)
         base.close()
@@ -1493,6 +1595,17 @@ case class CellsReaderFactory(lo: Long, hi: Long,
   * shard cardinality, the same order of memory HBase spends on
   * store-file block indexes per region, and kept flat by compaction.
   */
+/** Batch-face shard-reader handle: [[layoutSorted]] reports whether
+  * this reader's OWN listed file set provably streams in (rowkey,
+  * version) order — ≤1 segment, zero put backlog — derived from the
+  * single listing the rows themselves come from, so the pushed-TopN
+  * cap and the stream it truncates can never disagree about layout
+  * (a put landing between two separate listings used to open exactly
+  * that race). */
+trait CellsShardReader extends PartitionReader[InternalRow] {
+  def layoutSorted: Boolean
+}
+
 object CellsReaders {
   private val OpPut = org.apache.spark.unsafe.types.UTF8String.fromString("put")
   private val OpDelete = org.apache.spark.unsafe.types.UTF8String.fromString("delete")
@@ -1505,9 +1618,12 @@ object CellsReaders {
              cols: Array[String], maskDeletes: Boolean = true,
              emitOps: Boolean = false,
              latestOnly: Boolean = false,
-             taskMetrics: CellsReaderMetrics = null): PartitionReader[InternalRow] =
-    new PartitionReader[InternalRow] {
+             taskMetrics: CellsReaderMetrics = null,
+             retention: Option[graft.ingest.Retention.Policy] = None): CellsShardReader =
+    new CellsShardReader {
       require(!(latestOnly && emitOps), "the edit log has no latest fold")
+      require(retention.isEmpty || maskDeletes,
+        "retention masks exactly where delete masks do — never on the edit-log faces")
       // one content open: the spec-facing global AND this task's
       // SQL-UI metric cell (when the scan wired one in)
       private def openedOne(): Unit = {
@@ -1534,6 +1650,22 @@ object CellsReaders {
       private def masked(digestHex: String, v: Long): Boolean =
         maskDeletes &&
           (masks.get(digestHex).exists(_ >= v) || exactMasks.contains((digestHex, v)))
+      // ONE directory listing per reader — every decision this reader
+      // makes (delete masks, the put/marker row set, the segment set,
+      // the sortedness gate, the retention fold) derives from THIS
+      // snapshot, so no two decisions can ever see different file sets
+      // (a put racing two separate listings used to be able to split
+      // the TopN cap from the stream it truncates).
+      private val allNames: Vector[(Path, String)] = {
+        val shard = Paths.get(shardDir)
+        if (!Files.isDirectory(shard)) Vector.empty
+        else {
+          val s = Files.list(shard)
+          try s.iterator().asScala.map(p => (p, p.getFileName.toString))
+            .filterNot(_._2.endsWith(".tmp")).toVector
+          finally s.close()
+        }
+      }
       // (path, version, kind: 0=cell, 1=bound marker, 2=exact marker) —
       // markers enter the listing only on the change-feed face
       // (emitOps), as op='delete' / op='delete_version' rows. Kept as a
@@ -1541,10 +1673,7 @@ object CellsReaders {
       // re-walk it without a second directory listing; materialized
       // before `masks` is read — the tombstone sweep completes first.
       private val listed: Vector[(Path, Long, Int)] = {
-        val shard = Paths.get(shardDir)
-        val s = Files.list(shard)
-        try s.iterator().asScala.flatMap { p =>
-          val n = p.getFileName.toString
+        allNames.flatMap { case (p, n) =>
           val bound = graft.ingest.FileStore.tombstoneOf(n)
           val exact = graft.ingest.FileStore.exactTombstoneOf(n)
           if (maskDeletes) {
@@ -1559,34 +1688,90 @@ object CellsReaders {
             if (keys.fileOk(d) && v >= lo && v <= hi) Some((p, v, kind)) else None
           } else {
             val dot = n.lastIndexOf('.')
-            if (dot <= 0 || n.endsWith(".tmp") || graft.ingest.CellSegment.isSegment(n)) None
+            if (dot <= 0 || graft.ingest.CellSegment.isSegment(n)) None
             else if (!keys.fileOk(n.take(dot))) None // point lookup: only the probed key's cells
             else n.drop(dot + 1).toLongOption.collect {
               case v if v >= lo && v <= hi => (p, v, 0) // filename prune — not opened
             }
           }
-        }.toVector
-        finally s.close()
+        }
       }
       private val files: Iterator[(Path, Long, Int)] = listed.iterator
       // the shard's segments, shared by the segment read phase and the
-      // $latest winner sweep (one listing), NEWEST-FIRST (trailer
-      // seqNo desc, then name): the dedup set keeps the first-seen
-      // body per identity, so listing order IS body precedence — a
-      // newer generation's body wins a colliding (rowkey, version)
-      // (legal once an in-place UPDATE was minor-compacted while a
-      // stale copy stayed in an unmerged segment)
+      // $latest winner sweep (same single listing), NEWEST-FIRST
+      // (trailer seqNo desc, then name): the dedup set keeps the
+      // first-seen body per identity, so listing order IS body
+      // precedence — a newer generation's body wins a colliding
+      // (rowkey, version) (legal once an in-place UPDATE was
+      // minor-compacted while a stale copy stayed in an unmerged
+      // segment)
       private lazy val segPaths: Vector[Path] = {
-        val shard = Paths.get(shardDir)
-        val s = Files.list(shard)
-        try s.iterator().asScala
-          .filter(p => graft.ingest.CellSegment.isSegment(p.getFileName.toString))
-          .map(p => (graft.ingest.CellSegment.readTrailer(p).seqNo, p))
-          .toVector
+        allNames
+          .filter(e => graft.ingest.CellSegment.isSegment(e._2))
+          .map { case (p, _) => (graft.ingest.CellSegment.readTrailer(p).seqNo, p) }
           .sortBy { case (sq, p) => (-sq, p.getFileName.toString) }
           .map(_._2)
-        finally s.close()
       }
+
+      /** ≤1 segment and zero put backlog in THIS reader's snapshot —
+        * the (rowkey, version) stream-order guarantee the pushed-TopN
+        * cap rides (see [[CellsShardReader]]). Full-range put count —
+        * the version window doesn't matter: any put file breaks the
+        * single-sorted-run shape. */
+      override val layoutSorted: Boolean = {
+        var puts = 0
+        var segs = 0
+        allNames.foreach { case (_, n) =>
+          if (graft.ingest.CellSegment.isSegment(n)) segs += 1
+          else {
+            val dot = n.lastIndexOf('.')
+            if (dot > 0 && n.drop(dot + 1).toLongOption.isDefined) puts += 1
+          }
+        }
+        puts == 0 && segs <= 1
+      }
+
+      // READ-TIME RETENTION fold ([[graft.ingest.Retention]]): per key
+      // digest, the admitted version subset — newest-maxVersions live
+      // versions with the TTL/minVersions rule — computed from the
+      // same snapshot: put FILENAMES plus segment INDEXES (no body
+      // I/O), over the FULL version range (a newer version outside the
+      // scan's pushed window still occupies a rank, exactly as after
+      // the major that physically removes the losers). Built only when
+      // the DDL sets retention (None ⇒ zero cost); delete-masked
+      // versions never occupy a rank (HBase ranks what a scan could
+      // see). Memory is O(live cells of this shard) version longs —
+      // the same order as the dedup set — and only on retention-active
+      // tables.
+      private lazy val retained: scala.collection.Map[String, Set[Long]] = {
+        val pol = retention.get
+        val byDigest = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+        def add(d: String, v: Long): Unit =
+          if (keys.fileOk(d) && !masked(d, v))
+            byDigest.getOrElseUpdate(d, scala.collection.mutable.ArrayBuffer.empty[Long]) += v
+        allNames.foreach { case (_, n) =>
+          val dot = n.lastIndexOf('.')
+          if (dot > 0 && !graft.ingest.CellSegment.isSegment(n) &&
+            graft.ingest.FileStore.tombstoneOf(n).isEmpty &&
+            graft.ingest.FileStore.exactTombstoneOf(n).isEmpty)
+            n.drop(dot + 1).toLongOption.foreach(add(n.take(dot), _))
+        }
+        segPaths.foreach { seg =>
+          val skip = keys.digests.exists(ds =>
+            !ds.exists(graft.ingest.CellSegment.mightContain(seg, _)))
+          if (!skip)
+            graft.ingest.CellSegment.indexOf(seg).foreach(e => add(e.digestHex, e.version))
+        }
+        byDigest.map { case (d, vs) => d -> pol.admitted(vs.toSeq) }
+      }
+      private def retentionOk(digestHex: String, v: Long): Boolean =
+        retention.isEmpty || retained.get(digestHex).exists(_.contains(v))
+      /** a cell the masked view hides: delete-masked OR retention-
+        * hidden — the one predicate every batch-face decision point
+        * consults. */
+      private def suppressed(digestHex: String, v: Long): Boolean =
+        masked(digestHex, v) || !retentionOk(digestHex, v)
       // $LATEST winner per key digest — each key's max LIVE in-window
       // version, from FILENAMES and SEGMENT INDEXES alone (no data
       // I/O): the serving fold costs metadata, and only winning cells
@@ -1595,7 +1780,7 @@ object CellsReaders {
       private lazy val winners: scala.collection.Map[String, Long] = {
         val best = scala.collection.mutable.HashMap.empty[String, Long]
         def bump(d: String, v: Long): Unit =
-          if (!masked(d, v) && best.getOrElse(d, Long.MinValue) < v) best(d) = v
+          if (!suppressed(d, v) && best.getOrElse(d, Long.MinValue) < v) best(d) = v
         listed.foreach { case (p, v, kind) =>
           if (kind == 0) {
             val n = p.getFileName.toString
@@ -1633,7 +1818,7 @@ object CellsReaders {
                 // point lookup: seek straight to the probed entries
                 graft.ingest.CellSegment.indexOf(seg).iterator
                   .filter(e => ds.contains(e.digestHex) && e.version >= lo && e.version <= hi &&
-                    !masked(e.digestHex, e.version) &&
+                    !suppressed(e.digestHex, e.version) &&
                     isWinner(e.digestHex, e.version) &&
                     !seen.contains((e.digestHex, e.version)))
                   .flatMap { e =>
@@ -1651,7 +1836,7 @@ object CellsReaders {
                 // the data region is never read
                 graft.ingest.CellSegment.indexOf(seg).iterator
                   .filter(e => e.version >= lo && e.version <= hi &&
-                    !masked(e.digestHex, e.version) &&
+                    !suppressed(e.digestHex, e.version) &&
                     isWinner(e.digestHex, e.version) && seen.add((e.digestHex, e.version)))
                   .map(e => mkRow(null, e.version, null, src = seg))
               case None =>
@@ -1686,7 +1871,7 @@ object CellsReaders {
                   graft.ingest.CellSegment.entries(seg, needBody)
                     .zip(graft.ingest.CellSegment.indexOf(seg).iterator).flatMap {
                     case ((k, v, b), e) =>
-                      if (v < lo || v > hi || !keys.keyOk(k) || masked(e.digestHex, v) ||
+                      if (v < lo || v > hi || !keys.keyOk(k) || suppressed(e.digestHex, v) ||
                         !isWinner(e.digestHex, v)) None
                       else if (!seen.add((e.digestHex, v))) None
                       else Some(mkRow(k, v, b, src = seg))
@@ -1720,8 +1905,9 @@ object CellsReaders {
               if (keys.keyOk(k)) { row = mkRow(k, version, null, markerKind = kind, src = p); return true }
             }
           }
-          else if (masked(digestHex, version)) {
-            // delete-masked: dropped at filename level, never opened
+          else if (suppressed(digestHex, version)) {
+            // delete-masked or retention-hidden: dropped at filename
+            // level, never opened
           }
           else if (!isWinner(digestHex, version)) {
             // $latest: a superseded version — dropped at filename

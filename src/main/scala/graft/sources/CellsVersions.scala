@@ -4,10 +4,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** `tbl$versions` — the STORE-FILE INVENTORY metadata face (the
@@ -31,9 +31,25 @@ import scala.jdk.CollectionConverters._
   *    before CALL compact_minor/major;
   *  - physical bytes per shard/kind (skew, region sizing).
   *
+  * PUSHDOWN (round 15): the inventory prunes like every other face —
+  *  - `shard` `=`/`IN` prunes at the DIRECTORY level: unmatched shards
+  *    are never listed (one partition per surviving shard);
+  *  - `kind` `=`/`IN` prunes at the FILENAME level: a filtered-out
+  *    kind's rows are never built, and its TRAILERS are never read
+  *    (the expensive part of a segment row);
+  *  - `min_version`/`max_version` bounds prune put/marker rows at the
+  *    filename level (their window is a single version); segment rows
+  *    pass through — the bound lives in the trailer being read anyway
+  *    and Spark re-applies every accepted filter on the survivors
+  *    (all pushed filters stay RESIDUAL, so pruning is pure I/O
+  *    savings, never a correctness dependency);
+  *  - column pruning skips what the projection doesn't name: without
+  *    `bytes` no `Files.size` calls; with only name-derived columns
+  *    (`shard`/`kind`/`file`) segment trailers are never opened.
+  *
   * Read-only, batch-only; rows are bounded by the FILE count (kept
-  * flat by compaction), never the cell count. One partition per shard
-  * — the same region parallelism as every other face. */
+  * flat by compaction), never the cell count. One partition per
+  * surviving shard — the same region parallelism as every other face. */
 object CellsVersions {
   val Schema: StructType = StructType(Seq(
     StructField("shard", StringType, nullable = false),
@@ -45,6 +61,39 @@ object CellsVersions {
     StructField("max_version", LongType, nullable = false),
     StructField("bytes", LongType, nullable = false),
     StructField("seq_no", LongType, nullable = true)))
+
+  /** THE inventory classifier — one definition shared by the reader,
+    * the statistics, and the version-window prune, so "what counts as
+    * an inventory row" can never drift between them (ADVICE r14: the
+    * stats used a separate re-implementation). None = not a store
+    * file (temp debris, table-level meta). */
+  def kindOf(name: String): Option[String] =
+    if (name.endsWith(".tmp")) None
+    else if (graft.ingest.CellSegment.isSegment(name)) Some("segment")
+    else if (graft.ingest.FileStore.tombstoneOf(name).isDefined) Some("marker_bound")
+    else if (graft.ingest.FileStore.exactTombstoneOf(name).isDefined) Some("marker_exact")
+    else {
+      val dot = name.lastIndexOf('.')
+      if (dot > 0 && name.drop(dot + 1).toLongOption.isDefined) Some("put") else None
+    }
+
+  /** the single version a put/marker filename pins (its whole
+    * [min_version, max_version] window); None for segments (window in
+    * the trailer) and non-inventory names. */
+  def versionOf(name: String): Option[Long] =
+    kindOf(name) match {
+      case Some("put") =>
+        val dot = name.lastIndexOf('.')
+        name.drop(dot + 1).toLongOption
+      case Some("marker_bound") => graft.ingest.FileStore.tombstoneOf(name).map(_._2)
+      case Some("marker_exact") => graft.ingest.FileStore.exactTombstoneOf(name).map(_._2)
+      case _ => None
+    }
+
+  /** shard DIRECTORIES actually listed by $versions readers — the
+    * spec/gate proof that a shard predicate pruned the listing work
+    * (single-JVM local mode). */
+  val shardsListed = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 case class CellsVersionsTable(root: String, table: String) extends Table with SupportsRead {
@@ -53,74 +102,171 @@ case class CellsVersionsTable(root: String, table: String) extends Table with Su
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder { override def build(): Scan = CellsVersionsScan(root, table) }
+    CellsVersionsScanBuilder(root, table)
 }
 
-case class CellsVersionsScan(root: String, table: String) extends Scan with Batch
-    with SupportsReportStatistics {
-  override def readSchema(): StructType = CellsVersions.Schema
+/** Pruning state resolved at planning time — every accepted filter
+  * stays residual (Spark re-checks survivors), so the three tiers
+  * (shard dirs, filenames, trailer reads) are advisory I/O savings. */
+case class CellsVersionsScanBuilder(root: String, table: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var shards: Option[Set[String]] = None
+  private var kinds: Option[Set[String]] = None
+  private var vLo = Long.MinValue // admits a put/marker row iff its version ∈ [vLo, vHi]
+  private var vHi = Long.MaxValue
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = CellsVersions.Schema
+
+  private def strSet(v: Any): Option[Set[String]] = v match {
+    case s: String => Some(Set(s))
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = Array.newBuilder[Filter]
+    def intersect(cur: Option[Set[String]], add: Set[String]): Option[Set[String]] =
+      Some(cur.fold(add)(_ intersect add))
+    filters.foreach {
+      case f @ EqualTo("shard", v: String) =>
+        shards = intersect(shards, Set(v)); accepted += f
+      case f @ In("shard", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        shards = intersect(shards, vs.map(_.asInstanceOf[String]).toSet); accepted += f
+      case f @ EqualTo("kind", v: String) =>
+        kinds = intersect(kinds, Set(v)); accepted += f
+      case f @ In("kind", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        kinds = intersect(kinds, vs.map(_.asInstanceOf[String]).toSet); accepted += f
+      // a put/marker row has min_version == max_version == its
+      // filename version V; the row survives `min_version >= x` iff
+      // V >= x and `max_version <= y` iff V <= y — so bounds on EITHER
+      // column tighten the same filename window (segments are exempt:
+      // their window lives in the trailer, read anyway)
+      case f @ GreaterThanOrEqual("min_version" | "max_version", v: java.lang.Long) =>
+        vLo = math.max(vLo, v); accepted += f
+      case f @ GreaterThan("min_version" | "max_version", v: java.lang.Long) =>
+        if (v != Long.MaxValue) vLo = math.max(vLo, v + 1); accepted += f
+      case f @ LessThanOrEqual("min_version" | "max_version", v: java.lang.Long) =>
+        vHi = math.min(vHi, v); accepted += f
+      case f @ LessThan("min_version" | "max_version", v: java.lang.Long) =>
+        if (v != Long.MinValue) vHi = math.min(vHi, v - 1); accepted += f
+      case f @ EqualTo("min_version" | "max_version", v: java.lang.Long) =>
+        vLo = math.max(vLo, v); vHi = math.min(vHi, v); accepted += f
+      case _ => () // unsupported shapes are purely residual
+    }
+    pushed = accepted.result()
+    filters // everything stays residual — pruning is advisory
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan =
+    CellsVersionsScan(root, table, shards, kinds, vLo, vHi, required)
+}
+
+case class CellsVersionsScan(root: String, table: String,
+                             shards: Option[Set[String]] = None,
+                             kinds: Option[Set[String]] = None,
+                             vLo: Long = Long.MinValue, vHi: Long = Long.MaxValue,
+                             required: StructType = CellsVersions.Schema)
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"graft-cells-versions table=$table"
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def description(): String =
+    s"graft-cells-versions table=$table" +
+      shards.fold("")(s => s" shards=${s.size}") +
+      kinds.fold("")(k => s" kinds=[${k.toSeq.sorted.mkString(",")}]") +
+      (if (vLo != Long.MinValue || vHi != Long.MaxValue) s" window=[$vLo,$vHi]" else "") +
+      s" cols=[${required.fieldNames.mkString(",")}]"
+
+  private def shardDirs: Seq[Path] = {
     val dir = Paths.get(root, table.replace(':', '~'))
     CellsShards.prune(dir, CellsKeyPred.All)
-      .map(p => CellsVersionsShard(p.toString): InputPartition).toArray
+      .filter(p => shards.forall(_.contains(p.getFileName.toString)))
   }
-  override def createReaderFactory(): PartitionReaderFactory = CellsVersionsReaderFactory()
 
-  /** EXACT row stats from the same listings the scan pays: inventory
-    * rows = store files, so `cells JOIN inventory` sizes the inventory
-    * side as the (compaction-bounded) file count and earns a broadcast
-    * — without this the unknown-size side blocks the plan a q252-style
-    * provenance audit wants. ~120 B/row: 9 mostly-fixed columns + a
-    * file name. */
+  override def planInputPartitions(): Array[InputPartition] =
+    shardDirs.map(p =>
+      CellsVersionsShard(p.toString, kinds, vLo, vHi): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CellsVersionsReaderFactory(required.fieldNames)
+
+  /** EXACT row stats from the same listings + classifier the scan
+    * pays ([[CellsVersions.kindOf]] — one definition, no drift):
+    * inventory rows = store files, so `cells JOIN inventory` sizes the
+    * inventory side as the (compaction-bounded) file count and earns a
+    * broadcast. Stats honor the pushed shard/kind/window prunes
+    * (segment rows pass the window unexamined — overestimate, never
+    * under, so a too-big side never broadcasts); memoized per scan
+    * instance, so repeated estimateStatistics() calls re-list nothing.
+    * ~120 B/row: 9 mostly-fixed columns + a file name. */
+  @transient private lazy val fileCount: Long =
+    shardDirs.map { shard =>
+      val s = Files.list(shard)
+      try s.iterator().asScala.count { p =>
+        CellsVersions.kindOf(p.getFileName.toString).exists { k =>
+          kinds.forall(_.contains(k)) &&
+            CellsVersions.versionOf(p.getFileName.toString)
+              .forall(v => v >= vLo && v <= vHi)
+        }
+      } finally s.close()
+    }.sum.toLong
+
   override def estimateStatistics(): Statistics = new Statistics {
-    private lazy val fileCount: Long = {
-      val dir = Paths.get(root, table.replace(':', '~'))
-      CellsShards.prune(dir, CellsKeyPred.All).map { shard =>
-        val s = Files.list(Paths.get(shard.toString))
-        try s.iterator().asScala.count { p =>
-          val n = p.getFileName.toString
-          !n.endsWith(".tmp") && !n.startsWith("_") && Files.isRegularFile(p)
-        } finally s.close()
-      }.sum.toLong
-    }
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(fileCount)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(fileCount * 120L)
   }
 }
 
-case class CellsVersionsShard(dir: String) extends InputPartition
+case class CellsVersionsShard(dir: String, kinds: Option[Set[String]],
+                              vLo: Long, vHi: Long) extends InputPartition
 
-case class CellsVersionsReaderFactory() extends PartitionReaderFactory {
+case class CellsVersionsReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val shard = Paths.get(partition.asInstanceOf[CellsVersionsShard].dir)
+      import org.apache.spark.unsafe.types.UTF8String
+      private val part = partition.asInstanceOf[CellsVersionsShard]
+      private val shard = Paths.get(part.dir)
       private val shardName = shard.getFileName.toString
+      private val shardU8 = UTF8String.fromString(shardName)
+      // trailers open only when a trailer-derived column survives the
+      // projection; Files.size only when `bytes` does
+      private val needTrailer = cols.exists(c =>
+        c == "cells" || c == "distinct_keys" || c == "min_version" ||
+          c == "max_version" || c == "seq_no")
+      private val needBytes = cols.contains("bytes")
       private val rows: Iterator[InternalRow] = {
+        CellsVersions.shardsListed.incrementAndGet()
         val s = Files.list(shard)
         try s.iterator().asScala.flatMap { p =>
           val n = p.getFileName.toString
-          def row(kind: String, cells: Long, dk: Any, minV: Long, maxV: Long, seq: Any) =
-            new GenericInternalRow(Array[Any](
-              UTF8String.fromString(shardName), UTF8String.fromString(kind),
-              UTF8String.fromString(n), cells, dk, minV, maxV, Files.size(p), seq))
-          if (n.endsWith(".tmp")) None
-          else if (graft.ingest.CellSegment.isSegment(n)) {
-            val t = graft.ingest.CellSegment.readTrailer(p)
-            Some(row("segment", t.entryCount.toLong, t.distinctKeys.toLong,
-              t.minVersion, t.maxVersion, t.seqNo))
-          } else graft.ingest.FileStore.tombstoneOf(n) match {
-            case Some((_, v)) => Some(row("marker_bound", 0L, null, v, v, null))
-            case None => graft.ingest.FileStore.exactTombstoneOf(n) match {
-              case Some((_, v)) => Some(row("marker_exact", 0L, null, v, v, null))
-              case None =>
-                val dot = n.lastIndexOf('.')
-                if (dot <= 0) None
-                else n.drop(dot + 1).toLongOption.map(v => row("put", 1L, null, v, v, null))
+          CellsVersions.kindOf(n)
+            .filter(k => part.kinds.forall(_.contains(k)))
+            .filter(_ => CellsVersions.versionOf(n)
+              .forall(v => v >= part.vLo && v <= part.vHi))
+            .map { kind =>
+              lazy val trailer = graft.ingest.CellSegment.readTrailer(p)
+              lazy val fileV = CellsVersions.versionOf(n).getOrElse(0L)
+              val values: Array[Any] = cols.map {
+                case "shard" => shardU8
+                case "kind" => UTF8String.fromString(kind)
+                case "file" => UTF8String.fromString(n)
+                case "cells" =>
+                  if (kind == "segment") trailer.entryCount.toLong
+                  else if (kind == "put") 1L else 0L
+                case "distinct_keys" =>
+                  if (kind == "segment") (trailer.distinctKeys.toLong: Any) else null
+                case "min_version" =>
+                  if (kind == "segment") trailer.minVersion else fileV
+                case "max_version" =>
+                  if (kind == "segment") trailer.maxVersion else fileV
+                case "bytes" => if (needBytes) Files.size(p) else 0L
+                case "seq_no" =>
+                  if (kind == "segment") (trailer.seqNo: Any) else null
+              }
+              new GenericInternalRow(values): InternalRow
             }
-          }
         }.toVector.iterator
         finally s.close()
       }

@@ -86,13 +86,20 @@ object ColocatedCells {
       spark.sparkContext.emptyRDD[Row], OutSchema)
 
     val cols = Array("rowkey", "version", "body")
+    // read-time retention rides the same reader ([[graft.ingest.
+    // Retention]]): a capped/TTL'd side serves the same masked view
+    // here as through the connector (clock snapshotted once, driver-
+    // side, so every shard task evaluates one instant)
+    val now = System.currentTimeMillis()
+    val retA = graft.ingest.Retention.of(root, tableA, now)
+    val retB = graft.ingest.Retention.of(root, tableB, now)
     val rdd = spark.sparkContext.parallelize(shards, shards.size).flatMap { shard =>
       def latest(t: String): collection.mutable.HashMap[Seq[Byte], (Array[Byte], Long, Array[Byte])] = {
         val m = collection.mutable.HashMap.empty[Seq[Byte], (Array[Byte], Long, Array[Byte])]
         val dir = Paths.get(root, t.replace(':', '~'), shard)
         if (Files.isDirectory(dir)) {
           val r = CellsReaders.reader(dir.toString, Long.MinValue, Long.MaxValue,
-            CellsKeyPred.All, cols)
+            CellsKeyPred.All, cols, retention = if (t == tableA) retA else retB)
           while (r.next()) {
             val row = r.get()
             val k = row.getBinary(0)

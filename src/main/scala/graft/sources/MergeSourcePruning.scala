@@ -64,7 +64,13 @@ object MergeSourcePruning extends Rule[LogicalPlan] with PredicateHelper {
   /** Install into an EXISTING session (idempotent) — no session-build
     * extension needed; MERGE/UPDATE statements in this session gain
     * the pre-pass from the next statement on. */
-  def install(spark: SparkSession): Unit = {
+  def install(spark: SparkSession): Unit = synchronized {
+    // synchronized: extraOptimizations assignment is a read-modify-
+    // write — two concurrent installers (catalog init racing a table
+    // load) must not drop each other's appended rules. A USER
+    // assignment racing this can still clobber (Spark offers no CAS
+    // here); the per-table-load reinstall in CellsCatalog restores the
+    // rule on the next statement.
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(this))
       spark.experimental.extraOptimizations = cur :+ this

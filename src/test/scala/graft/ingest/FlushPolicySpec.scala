@@ -1,0 +1,127 @@
+package graft.ingest
+
+import graft.ingest.PushTableSink.{CellPut, TableSpec}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** AUTOMATIC SHARD FLUSH (r15 — the memstore-flush /
+  * hbase.hstore.compactionThreshold analog): [[FileStore.putBatch]]'s
+  * post-commit hook folds a shard's put backlog into one sorted
+  * segment once it exceeds the DDL threshold. Pins: the no-op-cheap
+  * posture (one listing per touched shard, no flush under threshold),
+  * the bounded-backlog invariant, view preservation, precedence over
+  * stale segment copies, and the '0'-disables override. */
+class FlushPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("flush-policy-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // ALL keys share a leading byte → one shard, the backlog hot spot
+  private def cells(table: String, n: Int, v: Long): Seq[CellPut] =
+    (0 until n).map(i => CellPut(table, f"Z-$i%03d".getBytes("UTF-8"), v,
+      s"b-$i-$v".getBytes("UTF-8")))
+
+  private def shardFiles(root: String, table: String): Seq[String] = {
+    val dir = Paths.get(root, table)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val shards = Files.list(dir)
+    try shards.iterator().asScala.filter(Files.isDirectory(_)).flatMap { s =>
+      val l = Files.list(s)
+      try l.iterator().asScala.map(_.getFileName.toString).toVector finally l.close()
+    }.toVector
+    finally shards.close()
+  }
+  private def putFiles(root: String, table: String): Seq[String] =
+    shardFiles(root, table).filter { n =>
+      val dot = n.lastIndexOf('.')
+      dot > 0 && !CellSegment.isSegment(n) && n.drop(dot + 1).toLongOption.isDefined
+    }
+
+  test("under the threshold: the policy check is one listing, no flush, puts remain") {
+    val root = Files.createTempDirectory("flush-under").toString
+    try {
+      val store = FileStore(root)
+      store.ensureTable("t", TableSpec(compactionThreshold = 10))
+      val checks0 = FileStore.flushChecks.get()
+      val flushes0 = FileStore.autoFlushes.get()
+      store.putBatch("t", cells("t", 8, 1L))
+      assert(FileStore.flushChecks.get() == checks0 + 1,
+        "one touched shard ⇒ exactly one policy listing")
+      assert(FileStore.autoFlushes.get() == flushes0, "under threshold ⇒ no flush")
+      assert(putFiles(root, "t").size == 8, "the backlog stays as put files")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("over the threshold: the backlog folds into ONE segment; the view is unchanged") {
+    val root = Files.createTempDirectory("flush-over").toString
+    try {
+      val store = FileStore(root)
+      store.ensureTable("t", TableSpec(compactionThreshold = 10))
+      val flushes0 = FileStore.autoFlushes.get()
+      store.putBatch("t", cells("t", 25, 1L))
+      assert(FileStore.autoFlushes.get() == flushes0 + 1)
+      assert(putFiles(root, "t").isEmpty, "the whole backlog flushed")
+      assert(shardFiles(root, "t").count(CellSegment.isSegment) == 1)
+      // the logical view is untouched — 25 cells, correct bodies
+      val got = spark.read.format("graft-cells")
+        .option("root", root).option("table", "t").load()
+        .select(col("rowkey").cast("string"), col("version"), col("body").cast("string"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == (0 until 25).map(i => (f"Z-$i%03d", 1L, s"b-$i-1")).toSet)
+      // a follow-up small batch does NOT re-merge the segment
+      store.putBatch("t", cells("t", 3, 2L))
+      assert(FileStore.autoFlushes.get() == flushes0 + 1, "segments are never re-merged here")
+      assert(putFiles(root, "t").size == 3)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("threshold 0 disables the hook entirely") {
+    val root = Files.createTempDirectory("flush-off").toString
+    try {
+      val store = FileStore(root)
+      store.ensureTable("t", TableSpec(compactionThreshold = 0))
+      val checks0 = FileStore.flushChecks.get()
+      store.putBatch("t", cells("t", 40, 1L))
+      assert(FileStore.flushChecks.get() == checks0, "disabled ⇒ not even the listing")
+      assert(putFiles(root, "t").size == 40)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("a flushed put outranks a stale segment copy at its coordinate") {
+    val root = Files.createTempDirectory("flush-prec").toString
+    try {
+      val sp = spark; import sp.implicits._
+      val store = FileStore(root)
+      store.ensureTable("t", TableSpec(compactionThreshold = 10))
+      // generation 1: a bulk segment holds (Z-000, 5, OLD)
+      BulkLoad.writeCells(Seq(("t", "Z-000", 5L, "OLD"))
+        .map(t => (t._1, t._2.getBytes("UTF-8"), t._3, t._4.getBytes("UTF-8")))
+        .toDF("tableName", "rowkey", "version", "body"), root)
+      // an in-place re-put at the SAME coordinate plus enough filler
+      // to trip the flush — the fresh segment must take seqNo above
+      // the resident one so the new body keeps winning
+      store.putBatch("t",
+        CellPut("t", "Z-000".getBytes("UTF-8"), 5L, "NEW".getBytes("UTF-8")) +:
+          cells("t", 12, 9L))
+      assert(putFiles(root, "t").isEmpty, "backlog flushed")
+      val body = spark.read.format("graft-cells")
+        .option("root", root).option("table", "t").load()
+        .filter(col("version") === 5L)
+        .select(col("body").cast("string")).collect().map(_.getString(0)).toSeq
+      assert(body == Seq("NEW"), s"the flushed re-put must keep read precedence: $body")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+}

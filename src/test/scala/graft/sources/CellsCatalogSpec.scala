@@ -273,8 +273,10 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("$latest metadata table: max live version per key, masked, winners-only I/O") {
     // the PUT path (INSERT) lands per-cell files, so opened-file counts
-    // discriminate winners from history
-    spark.sql("CREATE TABLE gtest.lt (rowkey BINARY, version BIGINT, body BINARY)")
+    // discriminate winners from history (flush policy off — the default
+    // threshold would fold this backlog into a segment)
+    spark.sql("CREATE TABLE gtest.lt (rowkey BINARY, version BIGINT, body BINARY) " +
+      "TBLPROPERTIES('compactionThreshold'='0')")
     spark.sql("INSERT INTO gtest.lt " +
       "SELECT cast(concat('L-', id) as binary), 100 + id, cast(concat('v1-', id) as binary) " +
       "FROM range(0, 12)")
@@ -381,7 +383,7 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(i => (f"E-$i%02d", 2L, s"a2-$i", 7L, s"b-$i")).toSet)
   }
 
-  test("ALTER TABLE retention: new puts prune to the new cap; the next major GCs the rest") {
+  test("ALTER TABLE retention: reads apply the new cap immediately; the next major GCs the rest") {
     spark.sql("CREATE TABLE gtest.alt (rowkey BINARY, version BIGINT, body BINARY) " +
       "TBLPROPERTIES('maxVersions'='5')")
     spark.sql("INSERT INTO gtest.alt " +
@@ -389,9 +391,12 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "FROM range(0, 30)") // 3 versions per key, under the cap of 5
     assert(spark.table("gtest.alt").count() == 30)
     spark.sql("ALTER TABLE gtest.alt SET TBLPROPERTIES('maxVersions' = '1')")
-    // eventually-applied: existing history is untouched until a major
-    assert(spark.table("gtest.alt").count() == 30,
-      "ALTER changes the descriptor, not the data")
+    // READ-TIME retention (r15, the HBase StoreScanner contract): the
+    // ALTER binds on the very next read — each key serves only its
+    // newest version; the over-cap history is merely unreclaimed bytes
+    // until the major
+    assert(spark.table("gtest.alt").count() == 10,
+      "the altered cap masks over-cap versions at read time")
     // a NEW put applies the new cap eagerly to ITS key (the put-path
     // retention), leaving other keys for the major
     spark.sql("INSERT INTO gtest.alt " +
@@ -507,7 +512,9 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the BASE face is too big to broadcast while the $latest face —
     // sized by the new live-winner statistics — broadcasts.
     val store = FileStore(root)
-    store.ensureTable("bd", graft.ingest.PushTableSink.TableSpec())
+    // flush policy OFF: the test pins the PUT-file winner sizing (a
+    // flushed segment attributes its whole data region to the winners)
+    store.ensureTable("bd", graft.ingest.PushTableSink.TableSpec(compactionThreshold = 0))
     val body = Array.fill(2048)('x'.toByte)
     store.putBatch("bd", for (i <- 0 until 100; v <- 1 to 40) yield
       graft.ingest.PushTableSink.CellPut("bd", k(f"B-$i%03d"), v.toLong, body))

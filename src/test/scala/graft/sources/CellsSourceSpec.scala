@@ -25,7 +25,10 @@ class CellsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.setLogLevel("WARN")
     root = java.nio.file.Files.createTempDirectory("graft-cells-spec").toString
     val store = FileStore(root)
-    store.ensureTable(table, TableSpec())
+    // flush policy OFF: this suite pins the PER-CELL PUT-FILE read
+    // path (filename pruning, per-file open counts) — the default
+    // threshold would fold the fixture into a segment
+    store.ensureTable(table, TableSpec(compactionThreshold = 0))
     // 40 keys × 3 versions, deterministic bodies
     val puts = for (k <- 0 until 40; v <- 1 to 3) yield CellPut(
       table,
@@ -100,7 +103,8 @@ class CellsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = java.nio.file.Files.createTempDirectory("graft-cells-stats").toString
     try {
       val store = FileStore(r2)
-      store.ensureTable("t", TableSpec())
+      // flush policy off — the test pins PUT-file statistics tiers
+      store.ensureTable("t", TableSpec(compactionThreshold = 0))
       store.putBatch("t", for (k <- 0 until 10; v <- 1 to 3) yield CellPut(
         "t", s"sk-$k".getBytes("UTF-8"), 10L * k + v, s"b-$k-$v".getBytes("UTF-8")))
       // sk-0 fully masked (bound above all); sk-1 loses exactly v2
