@@ -1,6 +1,6 @@
 package graft.ingest
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -155,30 +155,42 @@ object Compaction {
     if (shards.isEmpty) return Report(0L, 0L, Seq.empty)
     val results = spark.sparkContext
       .parallelize(shards, shards.size)
-      .map { shardPath =>
-        val shard = Paths.get(shardPath)
-        val shardName = shard.getFileName.toString
-        // snapshot the merge inputs NOW: puts + small segments (every
-        // segment's trailer is read anyway for the size filter, so the
-        // shard's max seqNo — the precedence ceiling — is free)
-        val (puts, segInfo, shardMaxSeq) = {
-          val l = Files.list(shard)
-          try {
-            val names = l.iterator().asScala.map(_.getFileName.toString)
-              .filterNot(_.endsWith(".tmp")).toVector
-            val p = names.filter { n =>
-              val dot = n.lastIndexOf('.')
-              dot > 0 && !CellSegment.isSegment(n) && n.drop(dot + 1).toLongOption.isDefined
-            }
-            val all = names.filter(CellSegment.isSegment)
-              .map(n => (n, CellSegment.readTrailer(shard.resolve(n))))
-            val g = all.filter(_._2.indexOffset <= maxInputBytes)
-            (p, g, all.map(_._2.seqNo).foldLeft(0L)(math.max))
-          } finally l.close()
+      .map(shardPath => minorShard(Paths.get(shardPath), maxInputBytes))
+      .collect()
+    Report(results.map(_._1).sum, results.map(_._2).sum, results.flatMap(_._3).toSeq)
+  }
+
+  /** ONE shard's region-local minor merge — the body of [[minor]],
+    * runnable without Spark so [[FileStore]]'s segment-count policy
+    * hook (the write-path tier of the HBase compaction model) can
+    * invoke it executor-locally. Same contract as [[minor]]: no
+    * retention, snapshot-bounded deletes, put precedence preserved by
+    * seqNo, idempotent on a merged shard. */
+  private[ingest] def minorShard(shard: Path,
+                                 maxInputBytes: Long): (Long, Long, Seq[BulkLoad.SegDesc]) = {
+    val table = shard.getParent.getFileName.toString.replace('~', ':')
+    val shardName = shard.getFileName.toString
+    // snapshot the merge inputs NOW: puts + small segments (every
+    // segment's trailer is read anyway for the size filter, so the
+    // shard's max seqNo — the precedence ceiling — is free)
+    val (puts, segInfo, shardMaxSeq) = {
+      val l = Files.list(shard)
+      try {
+        val names = l.iterator().asScala.map(_.getFileName.toString)
+          .filterNot(_.endsWith(".tmp")).toVector
+        val p = names.filter { n =>
+          val dot = n.lastIndexOf('.')
+          dot > 0 && !CellSegment.isSegment(n) && n.drop(dot + 1).toLongOption.isDefined
         }
-        val segs = segInfo.map(_._1)
-        if (puts.isEmpty && segs.size <= 1) (0L, 0L, Seq.empty[BulkLoad.SegDesc])
-        else {
+        val all = names.filter(CellSegment.isSegment)
+          .map(n => (n, CellSegment.readTrailer(shard.resolve(n))))
+        val g = all.filter(_._2.indexOffset <= maxInputBytes)
+        (p, g, all.map(_._2.seqNo).foldLeft(0L)(math.max))
+      } finally l.close()
+    }
+    val segs = segInfo.map(_._1)
+    if (puts.isEmpty && segs.size <= 1) (0L, 0L, Seq.empty[BulkLoad.SegDesc])
+    else {
           // ONLY the put backlog is buffered and sorted in-core (put
           // files are small by construction — the memstore analog);
           // each input segment contributes its own already-sorted
@@ -226,9 +238,6 @@ object Compaction {
             Seq(BulkLoad.SegDesc(table, shardName, meta.fileName,
               meta.entryCount.toLong, meta.minVersion, meta.maxVersion)))
         }
-      }
-      .collect()
-    Report(results.map(_._1).sum, results.map(_._2).sum, results.flatMap(_._3).toSeq)
   }
 
   def major(spark: SparkSession, root: String, table: String,

@@ -40,6 +40,7 @@ object FileStore {
     * a shard crosses it). */
   private[graft] val flushChecks = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val autoFlushes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val autoMinors = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** The cell-file naming digest. Public because the read face
     * ([[graft.sources.CellsSource]]) must route rowkey point lookups
@@ -665,16 +666,40 @@ final case class FileStore(rootDir: String) extends Store {
         .foreach(flushShardIfBacklogged(_, threshold))
   }
 
-  /** One policy check + (maybe) one flush for a single shard — see the
-    * [[putBatch]] hook. Concurrent flushes of one shard are safe: each
-    * snapshots its own put list, segment writes are content-named
-    * atomic renames, input deletes are `deleteIfExists`, and identical
-    * (key, version) copies across two racing outputs carry identical
-    * bodies (put files are the newest edit at their coordinate). */
+  /** Small-segment ceiling for the write-path SEGMENT TIER — the same
+    * size class [[Compaction.minor]] merges by default: a segment past
+    * this graduated out of the tier and waits for an operator minor /
+    * major. */
+  private val SmallSegmentBytes = 32L << 20
+
+  /** One policy check + (maybe) one flush + (maybe) one segment-tier
+    * merge for a single shard — see the [[putBatch]] hook. Two tiers,
+    * the full LSM write discipline:
+    *
+    *  1. **PUT FLUSH** (memstore flush): > threshold put files fold
+    *     into ONE fresh segment — reads only the backlog, never
+    *     resident segments, so flushes alone can't amplify writes.
+    *  2. **SEGMENT TIER** (the hbase.hstore.compactionThreshold minor
+    *     trigger): each flush leaves one more small segment; when the
+    *     SMALL-segment population itself exceeds the threshold, the
+    *     existing region-local minor merge ([[Compaction.minorShard]])
+    *     folds them — size-tiered (only segments ≤ 32 MB join; a
+    *     merged segment past that graduates out), so each byte is
+    *     rewritten O(log(32 MB / flush size)) times, the classic LSM
+    *     amortization, and the shard's file count stays
+    *     O(threshold + log tiers) without any operator CALL. Runs
+    *     inline on the write path — the backpressure HBase applies as
+    *     write stalls, traded here for not needing a scheduler.
+    *
+    * Concurrent invocations on one shard are safe: each snapshots its
+    * own input list, segment writes are content-named atomic renames,
+    * input deletes are `deleteIfExists`, and colliding (key, version)
+    * copies across racing outputs carry identical bodies at identical
+    * precedence (the read faces' resolve rule). */
   private def flushShardIfBacklogged(shardDir: Path, threshold: Int): Unit = {
     if (!Files.isDirectory(shardDir)) return
     FileStore.flushChecks.incrementAndGet()
-    val (puts, shardMaxSeq) = {
+    val (puts, shardMaxSeq, smallSegs) = {
       val s = Files.list(shardDir)
       try {
         val names = s.iterator().asScala.map(_.getFileName.toString)
@@ -683,13 +708,31 @@ final case class FileStore(rootDir: String) extends Store {
           val dot = n.lastIndexOf('.')
           dot > 0 && !CellSegment.isSegment(n) && n.drop(dot + 1).toLongOption.isDefined
         }
-        val mx = names.filter(CellSegment.isSegment)
-          .map(n => CellSegment.readTrailer(shardDir.resolve(n)).seqNo)
-          .foldLeft(0L)(math.max)
-        (p, mx)
+        // a sibling task's merge may delete a listed segment mid-scan —
+        // skip vanished ones (their content moved into a merge output
+        // whose seqNo is ≥ theirs, so the maxSeq floor stays sound)
+        val trailers = names.filter(CellSegment.isSegment)
+          .flatMap(n => try Some(CellSegment.readTrailer(shardDir.resolve(n)))
+                        catch { case _: java.io.IOException => None })
+        (p, trailers.map(_.seqNo).foldLeft(0L)(math.max),
+          trailers.count(_.indexOffset <= SmallSegmentBytes))
       } finally s.close()
     }
-    if (puts.size <= threshold) return
+    // BEST-EFFORT tier merge: a concurrent sibling task may delete an
+    // input mid-read (its own merge won the race) — the policy then
+    // simply waits for the next batch; the put batch itself is already
+    // durable and must never fail on maintenance
+    def tryTierMerge(): Unit =
+      try {
+        Compaction.minorShard(shardDir, SmallSegmentBytes)
+        FileStore.autoMinors.incrementAndGet()
+      } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+    // tier 2 first when tier 1 won't fire: the small-segment check
+    // also runs after a flush below (the flush adds one)
+    if (puts.size <= threshold) {
+      if (smallSegs > threshold) tryTierMerge()
+      return
+    }
     // the backlog is small by construction (threshold-bounded batches
     // of memstore-sized cells) — sort in-core, stream to the writer
     val cells = puts.flatMap { n =>
@@ -713,6 +756,9 @@ final case class FileStore(rootDir: String) extends Store {
     val meta = CellSegment.write(shardDir, cells.iterator, shardMaxSeq + 1)
     puts.foreach { n => if (n != meta.fileName) Files.deleteIfExists(shardDir.resolve(n)) }
     FileStore.autoFlushes.incrementAndGet()
+    // tier 2: the flush just added one more small segment — merge the
+    // tier once it outgrows the threshold (see the scaladoc above)
+    if (smallSegs + 1 > threshold) tryTierMerge()
   }
 
   // memoized per store instance (one per executor task): the DDL is

@@ -2203,8 +2203,15 @@ object StoreLifecycle {
         s.conf.set("spark.graft.retention.nowMillis", (5 * T).toString)
         s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
         s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // flush OFF: the gate pins EXACT physical counts through the
+        // edit log, and a mid-wave flush moves a put into a segment
+        // where the put path's eager pruner can no longer see it — the
+        // over-cap version then survives physically (masked by
+        // read-time retention either way, reclaimed by the major), so
+        // the physical count would depend on task interleaving
         s.sql(s"CREATE TABLE $cat.q256 (rowkey BINARY, version BIGINT, body BINARY) " +
-          s"TBLPROPERTIES('maxVersions'='2', 'ttlMillis'='${5 * T / 2}')")
+          s"TBLPROPERTIES('maxVersions'='2', 'ttlMillis'='${5 * T / 2}', " +
+          "'compactionThreshold'='0')")
         val docs = Tables.documents(s, d)
         val predA = col("doc_id") % 9 === 0
         val predB = col("doc_id") % 10 === 5 && col("doc_id") % 9 =!= 0
@@ -2264,9 +2271,11 @@ object StoreLifecycle {
     // leaves a shard with MORE than `compactionThreshold` per-cell put
     // files (DDL property, default 10, '0' disables), the store's
     // post-commit hook flushes that shard's put backlog into ONE
-    // sorted segment (puts only — resident segments are never
-    // re-merged, so repeated flushes can't go quadratic; segment-count
-    // hygiene belongs to minors/majors). The q221 probe measured the
+    // sorted segment (puts only — a flush never re-merges resident
+    // segments; the small-SEGMENT population has its own tier: once
+    // it outgrows the threshold the hook runs the region-local minor,
+    // size-tiered at 32 MB — FlushPolicySpec pins the bounded file
+    // count across 15 waves). The q221 probe measured the
     // failure mode this closes: an unflushed backlog read 14.7×
     // super-linear. In-query invariants: across three INSERT waves AND
     // a native streaming-sink drain (the q255-style trigger path),

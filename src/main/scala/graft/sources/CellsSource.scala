@@ -1101,7 +1101,18 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
     *     winner fold holds O(keys) state, never O(cells).
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private lazy val (rows, bytes) = {
+    // automatic maintenance can delete a listed file mid-fold: retry
+    // once off a fresh listing; if the store is churning that hard,
+    // report "huge" — statistics may only ever overestimate, and an
+    // overestimate merely declines a broadcast (the safe direction)
+    private lazy val (rows, bytes) =
+      try compute()
+      catch {
+        case _: java.io.IOException =>
+          try compute()
+          catch { case _: java.io.IOException => (Long.MaxValue >> 20, Long.MaxValue >> 20) }
+      }
+    private def compute(): (Long, Long) = {
       val dir = Paths.get(root, table.replace(':', '~'))
       var n = 0L
       var b = 0L
@@ -1395,22 +1406,31 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
             if (graft.ingest.CellSegment.isSegment(n)) {
               // bulk segments advance the watermark too: trailer-only
               // read in the common case, index read under a point
-              // predicate (both content-I/O-free)
-              val t = graft.ingest.CellSegment.readTrailer(p)
+              // predicate (both content-I/O-free). A segment the
+              // automatic maintenance deleted mid-sweep is skipped:
+              // its merge output carries the same versions (in this
+              // listing, or the next planning pass's — a momentarily
+              // lower report just means "no new data yet", never a
+              // committed-offset regression)
+              val t = try graft.ingest.CellSegment.readTrailer(p)
+                      catch { case _: java.io.IOException =>
+                        graft.ingest.CellSegment.Trailer(0, 0, 0, 0, 0, 0, 0) }
               if (t.entryCount > 0 && t.minVersion <= hi && t.maxVersion >= lo) {
-                val segMax = keys.digests match {
-                  case None if t.maxVersion <= hi => t.maxVersion
-                  case None => graft.ingest.CellSegment.indexOf(p).iterator
-                    .filter(e => e.version >= lo && e.version <= hi)
-                    .foldLeft(Long.MinValue)((m, e) => math.max(m, e.version))
-                  // ROW bloom: a segment none of the probed keys can
-                  // be in never advances the watermark — skip its index
-                  case Some(ds) if !ds.exists(graft.ingest.CellSegment.mightContain(p, _)) =>
-                    Long.MinValue
-                  case Some(ds) => graft.ingest.CellSegment.indexOf(p).iterator
-                    .filter(e => ds.contains(e.digestHex) && e.version >= lo && e.version <= hi)
-                    .foldLeft(Long.MinValue)((m, e) => math.max(m, e.version))
-                }
+                val segMax = try {
+                  keys.digests match {
+                    case None if t.maxVersion <= hi => t.maxVersion
+                    case None => graft.ingest.CellSegment.indexOf(p).iterator
+                      .filter(e => e.version >= lo && e.version <= hi)
+                      .foldLeft(Long.MinValue)((m, e) => math.max(m, e.version))
+                    // ROW bloom: a segment none of the probed keys can
+                    // be in never advances the watermark — skip its index
+                    case Some(ds) if !ds.exists(graft.ingest.CellSegment.mightContain(p, _)) =>
+                      Long.MinValue
+                    case Some(ds) => graft.ingest.CellSegment.indexOf(p).iterator
+                      .filter(e => ds.contains(e.digestHex) && e.version >= lo && e.version <= hi)
+                      .foldLeft(Long.MinValue)((m, e) => math.max(m, e.version))
+                  }
+                } catch { case _: java.io.IOException => Long.MinValue } // vanished mid-sweep
                 if (segMax > mx) mx = segMax
               }
             } else if (dot > 0 && !n.endsWith(".tmp") && keys.fileOk(n.take(dot)))
@@ -1614,12 +1634,55 @@ object CellsReaders {
   // version, where op='delete' drops everything ≤ the bound
   private val OpDeleteVersion = org.apache.spark.unsafe.types.UTF8String.fromString("delete_version")
 
+  /** VANISH-RESILIENT shard reader. The store's automatic maintenance
+    * (put flush + segment tier, r15) deletes absorbed inputs AFTER
+    * their merge output renamed in — so a reader whose listing
+    * predates the output can hit a vanished file mid-scan. Recovery is
+    * LOCAL and exact for content: rebuild the reader from a FRESH
+    * listing while PRESERVING the emitted-identity set, so every cell
+    * is emitted exactly once (already-emitted identities dedup away on
+    * the re-walk; the vanished file's cells are in the merge output
+    * the fresh listing contains). This is also what a cluster-mode
+    * task RETRY would do, made in-place so local mode (task retries
+    * off) and half-emitted streams converge identically. Caveat,
+    * documented: the store has no snapshot isolation — a rebuild
+    * observes writes that landed since the first listing (a
+    * concurrent winner-advancing put can add a newer `$latest` row
+    * next to an already-emitted one), the same exposure any two
+    * consecutive scans always had. */
   def reader(shardDir: String, lo: Long, hi: Long, keys: CellsKeyPred,
              cols: Array[String], maskDeletes: Boolean = true,
              emitOps: Boolean = false,
              latestOnly: Boolean = false,
              taskMetrics: CellsReaderMetrics = null,
-             retention: Option[graft.ingest.Retention.Policy] = None): CellsShardReader =
+             retention: Option[graft.ingest.Retention.Policy] = None): CellsShardReader = {
+    val seen = scala.collection.mutable.HashSet.empty[(String, Long)]
+    def make(): CellsShardReader = rawReader(shardDir, lo, hi, keys, cols, maskDeletes,
+      emitOps, latestOnly, taskMetrics, retention, seen)
+    new CellsShardReader {
+      private var inner = make()
+      private var rebuilds = 0
+      override val layoutSorted: Boolean = inner.layoutSorted
+      override def next(): Boolean =
+        try inner.next()
+        catch {
+          case _: java.io.IOException if rebuilds < 5 =>
+            rebuilds += 1
+            inner = make()
+            next()
+        }
+      override def get(): InternalRow = inner.get()
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  private def rawReader(shardDir: String, lo: Long, hi: Long, keys: CellsKeyPred,
+                        cols: Array[String], maskDeletes: Boolean,
+                        emitOps: Boolean,
+                        latestOnly: Boolean,
+                        taskMetrics: CellsReaderMetrics,
+                        retention: Option[graft.ingest.Retention.Policy],
+                        seen: scala.collection.mutable.HashSet[(String, Long)]): CellsShardReader =
     new CellsShardReader {
       require(!(latestOnly && emitOps), "the edit log has no latest fold")
       require(retention.isEmpty || maskDeletes,
@@ -1633,7 +1696,9 @@ object CellsReaders {
       private val needKey = cols.contains("rowkey")
       private val needBody = cols.contains("body")
       private val readsContent = needKey || needBody || keys.hasRange
-      private val seen = scala.collection.mutable.HashSet.empty[(String, Long)]
+      // `seen` is OWNED BY THE RESILIENT WRAPPER (shared across
+      // rebuilds) — the exactly-once guarantee under a mid-scan
+      // maintenance race rests on it surviving the re-listing
       // delete-tombstone mask, built from the SAME directory listing
       // the file prune pays — a masked cell is dropped at FILENAME
       // level, before any content I/O. Two marker kinds (the HBase
@@ -1894,16 +1959,29 @@ object CellsReaders {
           if (kind != 0) {
             // op='delete' / op='delete_version' feed row; markers are
             // never (digest, version)-deduped against puts — a put and
-            // a delete at one cell identity are two distinct edits
-            if (!readsContent) { row = mkRow(null, version, null, markerKind = kind, src = p); return true }
+            // a delete at one cell identity are two distinct edits —
+            // but each marker IS deduped against its own re-walk after
+            // a resilience rebuild (kind-suffixed identity)
+            val markerId = (digestHex + (if (kind == 1) "#d" else "#dv"), version)
+            if (seen.contains(markerId)) { /* emitted before a rebuild */ }
+            else if (!readsContent) {
+              seen.add(markerId)
+              row = mkRow(null, version, null, markerKind = kind, src = p); return true
+            }
             else {
               openedOne()
               // marker files carry the length-prefixed true key
               val buf = java.nio.ByteBuffer.wrap(Files.readAllBytes(p))
               val keyLen = buf.getInt()
               val k = new Array[Byte](keyLen); buf.get(k)
-              if (keys.keyOk(k)) { row = mkRow(k, version, null, markerKind = kind, src = p); return true }
+              if (keys.keyOk(k)) {
+                seen.add(markerId)
+                row = mkRow(k, version, null, markerKind = kind, src = p); return true
+              }
             }
+          }
+          else if (seen.contains((digestHex, version))) {
+            // emitted before a resilience rebuild — exactly-once
           }
           else if (suppressed(digestHex, version)) {
             // delete-masked or retention-hidden: dropped at filename

@@ -239,37 +239,44 @@ case class CellsVersionsReaderFactory(cols: Array[String]) extends PartitionRead
       private val rows: Iterator[InternalRow] = {
         CellsVersions.shardsListed.incrementAndGet()
         val s = Files.list(shard)
+        // flatMap + try: a file the automatic maintenance merged away
+        // mid-listing drops out (its merge output is in this or the
+        // next listing) instead of aborting the inventory scan
         try s.iterator().asScala.flatMap { p =>
           val n = p.getFileName.toString
           CellsVersions.kindOf(n)
             .filter(k => part.kinds.forall(_.contains(k)))
             .filter(_ => CellsVersions.versionOf(n)
               .forall(v => v >= part.vLo && v <= part.vHi))
-            .map { kind =>
-              lazy val trailer = graft.ingest.CellSegment.readTrailer(p)
-              lazy val fileV = CellsVersions.versionOf(n).getOrElse(0L)
-              val values: Array[Any] = cols.map {
-                case "shard" => shardU8
-                case "kind" => UTF8String.fromString(kind)
-                case "file" => UTF8String.fromString(n)
-                case "cells" =>
-                  if (kind == "segment") trailer.entryCount.toLong
-                  else if (kind == "put") 1L else 0L
-                case "distinct_keys" =>
-                  if (kind == "segment") (trailer.distinctKeys.toLong: Any) else null
-                case "min_version" =>
-                  if (kind == "segment") trailer.minVersion else fileV
-                case "max_version" =>
-                  if (kind == "segment") trailer.maxVersion else fileV
-                case "bytes" => if (needBytes) Files.size(p) else 0L
-                case "seq_no" =>
-                  if (kind == "segment") (trailer.seqNo: Any) else null
-              }
-              new GenericInternalRow(values): InternalRow
-            }
+            .flatMap { kind => try Some(buildRow(p, n, kind))
+                               catch { case _: java.io.IOException => None } }
         }.toVector.iterator
         finally s.close()
       }
+
+      private def buildRow(p: java.nio.file.Path, n: String, kind: String): InternalRow = {
+        lazy val trailer = graft.ingest.CellSegment.readTrailer(p)
+        lazy val fileV = CellsVersions.versionOf(n).getOrElse(0L)
+        val values: Array[Any] = cols.map {
+          case "shard" => shardU8
+          case "kind" => UTF8String.fromString(kind)
+          case "file" => UTF8String.fromString(n)
+          case "cells" =>
+            if (kind == "segment") trailer.entryCount.toLong
+            else if (kind == "put") 1L else 0L
+          case "distinct_keys" =>
+            if (kind == "segment") (trailer.distinctKeys.toLong: Any) else null
+          case "min_version" =>
+            if (kind == "segment") trailer.minVersion else fileV
+          case "max_version" =>
+            if (kind == "segment") trailer.maxVersion else fileV
+          case "bytes" => if (needBytes) Files.size(p) else 0L
+          case "seq_no" =>
+            if (kind == "segment") (trailer.seqNo: Any) else null
+        }
+        new GenericInternalRow(values): InternalRow
+      }
+
       private var cur: InternalRow = _
       override def next(): Boolean = { if (rows.hasNext) { cur = rows.next(); true } else false }
       override def get(): InternalRow = cur

@@ -100,6 +100,31 @@ class FlushPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("segment tier: repeated flush waves keep the shard's file count bounded") {
+    val root = Files.createTempDirectory("flush-tier").toString
+    try {
+      val store = FileStore(root)
+      store.ensureTable("t", TableSpec(compactionThreshold = 10))
+      val minors0 = FileStore.autoMinors.get()
+      // 15 waves × 12 puts: every wave trips the put flush (one more
+      // small segment); once the small-segment population outgrows the
+      // threshold the write-path minor folds the tier
+      (1 to 15).foreach { wave =>
+        store.putBatch("t", cells("t", 12, wave.toLong))
+        val files = shardFiles(root, "t")
+        assert(files.count(!CellSegment.isSegment(_)) <= 10,
+          s"wave $wave: put backlog bounded")
+        assert(files.count(CellSegment.isSegment) <= 11,
+          s"wave $wave: segment tier bounded, got ${files.count(CellSegment.isSegment)}")
+      }
+      assert(FileStore.autoMinors.get() > minors0, "the tier merge actually fired")
+      // the view is every seeded cell, exactly once
+      val n = spark.read.format("graft-cells")
+        .option("root", root).option("table", "t").load().count()
+      assert(n == 15L * 12, s"no cell lost or duplicated across flush+tier merges: $n")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("a flushed put outranks a stale segment copy at its coordinate") {
     val root = Files.createTempDirectory("flush-prec").toString
     try {
