@@ -2255,6 +2255,14 @@ object StoreLifecycle {
         require(store.existsAt("q256", Seq(cell(3 * T), cell(2 * T), cell(T)), 5 * T)
           == Seq(true, false, false),
           "existence runs the same masked read path (hidden versions read absent)")
+        // the pushed aggregate composes: COUNT over the capped table
+        // runs the same retention fold on metadata — zero body bytes
+        graft.sources.CellsSource.filesOpened.set(0)
+        val aggN = s.sql(s"SELECT count(*) FROM $cat.q256").collect()(0).getLong(0)
+        require(aggN == before.size.toLong,
+          s"pushed COUNT must equal the masked view: $aggN vs ${before.size}")
+        require(graft.sources.CellsSource.filesOpened.get() == 0,
+          "the retention-aware pushed COUNT reads zero file contents")
         Compaction.major(s, root, "q256", nowMillis = () => 5 * T)
         val out = view().localCheckpoint()
         require(out.collect().map(_.toString).sorted.toSeq == before,

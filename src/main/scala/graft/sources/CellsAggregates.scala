@@ -52,7 +52,9 @@ private[sources] object CellsAggSpec {
 
 case class CellsAggScan(root: String, table: String, lo: Long, hi: Long,
                         keys: CellsKeyPred, specs: Seq[CellsAggSpec],
-                        latest: Boolean = false) extends Scan with Batch {
+                        latest: Boolean = false,
+                        retention: Option[graft.ingest.Retention.Policy] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = CellsAggSpec.schemaOf(specs)
   override def toBatch: Batch = this
   override def description(): String =
@@ -66,13 +68,14 @@ case class CellsAggScan(root: String, table: String, lo: Long, hi: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CellsAggReaderFactory(lo, hi, keys, specs, latest)
+    CellsAggReaderFactory(lo, hi, keys, specs, latest, retention)
 }
 
 case class CellsAggShard(dir: String) extends InputPartition
 
 case class CellsAggReaderFactory(lo: Long, hi: Long, keys: CellsKeyPred,
-                                 specs: Seq[CellsAggSpec], latest: Boolean)
+                                 specs: Seq[CellsAggSpec], latest: Boolean,
+                                 retention: Option[graft.ingest.Retention.Policy] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
@@ -82,10 +85,14 @@ case class CellsAggReaderFactory(lo: Long, hi: Long, keys: CellsKeyPred,
       override def get(): InternalRow = {
         emitted = true
         // the metadata-only read path: version-only projection never
-        // touches file contents; masks, identity dedup, and the
-        // $latest winner fold all apply exactly as on the row scan
+        // touches file contents; masks, identity dedup, the $latest
+        // winner fold, AND read-time retention (r15 — the per-key rank
+        // fold is itself filenames + segment indexes, so a COUNT over
+        // a capped/TTL'd table still costs zero body bytes) all apply
+        // exactly as on the row scan
         val rows = CellsReaders.reader(shard, lo, hi, keys, Array("version"),
-          maskDeletes = true, emitOps = false, latestOnly = latest)
+          maskDeletes = true, emitOps = false, latestOnly = latest,
+          retention = retention)
         var n = 0L
         var mn = Long.MaxValue
         var mx = Long.MinValue

@@ -843,13 +843,12 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
     // edit-log rows are typed edits, not cells; grouped aggregates and
     // any rowkey predicate (range OR point: upstream blocks pushdown
     // on residual filters anyway — this is the defensive mirror) need
-    // the row scan. A retention-active table (maxVersions/TTL DDL)
-    // also declines: the metadata-only counters don't run the
-    // per-key retention fold, and a COUNT that sees hidden versions
-    // would contradict the row scan — correctness over cleverness.
+    // the row scan. Retention-active tables stay PUSHABLE: the r15
+    // read-time fold is itself metadata-only (filenames + segment
+    // indexes), so the pushed COUNT counts exactly the masked view
+    // with zero body bytes — RetentionSpec pins agreement.
     if (changeFeed || agg.groupByExpressions.nonEmpty ||
-      keyDigests.isDefined || keyLo.isDefined || keyHi.isDefined ||
-      retentionPolicy.isDefined) return false
+      keyDigests.isDefined || keyLo.isDefined || keyHi.isDefined) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
       case nr: org.apache.spark.sql.connector.expressions.NamedReference
         if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0).toLowerCase)
@@ -935,7 +934,8 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
   override def build(): Scan = aggSpecs match {
     case Some(specs) =>
       CellsAggScan(root, table, lo, hi,
-        CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), specs, latest)
+        CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), specs, latest,
+        retention = retentionPolicy)
     case None =>
       CellsScan(root, table, lo, hi,
         CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), required,

@@ -77,9 +77,12 @@ object FlushProbe {
           .option("root", root).option("table", table).save()
 
       def timedRead(table: String): Double = {
+        // force BODY materialization — a bare count() prunes to the
+        // filename-only path on both tables and hides the backlog's
+        // open-per-cell cost, which is exactly what the probe measures
         val t0 = System.nanoTime()
         spark.read.format("graft-cells").option("root", root).option("table", table)
-          .load().count()
+          .load().select(sum(length(col("body")))).collect()
         (System.nanoTime() - t0) / 1e9
       }
 

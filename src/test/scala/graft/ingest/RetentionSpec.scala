@@ -143,22 +143,34 @@ class RetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
-  test("aggregate pushdown declines on a retention-active table (counts must see the masked view)") {
+  test("aggregate pushdown stays metadata-only on a retention-active table and counts the masked view") {
     val (root, store) = seedStore()
     try {
+      // X: v10 (rank 3 — cap), v20 (rank 2 — expired at cutoff 4500),
+      // v5000 (rank 1 — serves); the pushed COUNT must see exactly 1
+      // — the retention fold runs on filenames + indexes, zero bodies
+      val sp = spark; import sp.implicits._
+      BulkLoad.writeCells(Seq(("t", "X", 10L, "x1"))
+        .map(x => (x._1, x._2.getBytes("UTF-8"), x._3, x._4.getBytes("UTF-8")))
+        .toDF("tableName", "rowkey", "version", "body"), root)
       store.putBatch("t", Seq(
-        CellPut("t", "X".getBytes, 10L, "x1".getBytes),
-        CellPut("t", "X".getBytes, 5000L, "x2".getBytes)))
+        CellPut("t", "X".getBytes, 20L, "x2".getBytes),
+        CellPut("t", "X".getBytes, 5000L, "x3".getBytes)))
       val df = spark.read.format("graft-cells")
         .option("root", root).option("table", "t")
         .option("retentionNowMillis", "5500").load()
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"), max(col("version")).as("mx"))
       val hasAggScan = df.queryExecution.optimizedPlan.collectFirst {
         case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
           if r.scan.isInstanceOf[graft.sources.CellsAggScan] => r
       }.isDefined
-      assert(!hasAggScan, "metadata-only counters cannot run the retention fold — decline")
-      assert(df.collect()(0).getLong(0) == 1L, "the row scan serves the masked count")
+      assert(hasAggScan, "the retention fold is metadata-only — pushdown stays on")
+      graft.sources.CellsSource.filesOpened.set(0)
+      val row = df.collect()(0)
+      assert(row.getLong(0) == 1L && row.getLong(1) == 5000L,
+        s"the pushed aggregate counts the masked view: $row")
+      assert(graft.sources.CellsSource.filesOpened.get() == 0,
+        "retention-aware COUNT still reads zero body bytes")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 }
