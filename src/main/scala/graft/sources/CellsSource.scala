@@ -1644,12 +1644,14 @@ object CellsReaders {
     * the re-walk; the vanished file's cells are in the merge output
     * the fresh listing contains). This is also what a cluster-mode
     * task RETRY would do, made in-place so local mode (task retries
-    * off) and half-emitted streams converge identically. Caveat,
-    * documented: the store has no snapshot isolation — a rebuild
-    * observes writes that landed since the first listing (a
-    * concurrent winner-advancing put can add a newer `$latest` row
-    * next to an already-emitted one), the same exposure any two
-    * consecutive scans always had. */
+    * off) and half-emitted streams converge identically. The store
+    * has no snapshot isolation, so a rebuild observes writes that
+    * landed since the first listing — for the ROW faces that only
+    * ever means fresher rows join the stream (the exposure any two
+    * consecutive scans always had); the `$latest` fold additionally
+    * KEY-locks emitted winners so a rebuild's fresh winner map can
+    * never put a second, newer row beside an already-emitted stale
+    * one (per-key at-most-once, first observation wins). */
   def reader(shardDir: String, lo: Long, hi: Long, keys: CellsKeyPred,
              cols: Array[String], maskDeletes: Boolean = true,
              emitOps: Boolean = false,
@@ -1657,8 +1659,13 @@ object CellsReaders {
              taskMetrics: CellsReaderMetrics = null,
              retention: Option[graft.ingest.Retention.Policy] = None): CellsShardReader = {
     val seen = scala.collection.mutable.HashSet.empty[(String, Long)]
+    // $latest only: digests that already emitted their winner — a
+    // rebuild recomputes winners from fresh state, and a key whose
+    // (stale) winner is already out must NOT emit a second, newer row:
+    // first observation wins, per-key at-most-once across rebuilds
+    val seenKeys = scala.collection.mutable.HashSet.empty[String]
     def make(): CellsShardReader = rawReader(shardDir, lo, hi, keys, cols, maskDeletes,
-      emitOps, latestOnly, taskMetrics, retention, seen)
+      emitOps, latestOnly, taskMetrics, retention, seen, seenKeys)
     new CellsShardReader {
       private var inner = make()
       private var rebuilds = 0
@@ -1682,7 +1689,8 @@ object CellsReaders {
                         latestOnly: Boolean,
                         taskMetrics: CellsReaderMetrics,
                         retention: Option[graft.ingest.Retention.Policy],
-                        seen: scala.collection.mutable.HashSet[(String, Long)]): CellsShardReader =
+                        seen: scala.collection.mutable.HashSet[(String, Long)],
+                        seenKeys: scala.collection.mutable.HashSet[String]): CellsShardReader =
     new CellsShardReader {
       require(!(latestOnly && emitOps), "the edit log has no latest fold")
       require(retention.isEmpty || maskDeletes,
@@ -1866,7 +1874,16 @@ object CellsReaders {
         best
       }
       private def isWinner(digestHex: String, v: Long): Boolean =
-        !latestOnly || winners.get(digestHex).contains(v)
+        !latestOnly || (winners.get(digestHex).contains(v) && !seenKeys.contains(digestHex))
+      /** record an emission; in the $latest fold also lock the KEY, so
+        * a resilience rebuild (fresh winners) never emits a second,
+        * newer row beside an already-emitted stale winner — per-key
+        * at-most-once, first observation wins. */
+      private def markEmitted(digestHex: String, v: Long): Boolean = {
+        val fresh = seen.add((digestHex, v))
+        if (fresh && latestOnly) seenKeys += digestHex
+        fresh
+      }
       // segment phase, built lazily AFTER the per-cell phase drains so
       // the dedup set is complete; one iterator of ready rows per cell
       private lazy val segmentRows: Iterator[InternalRow] = {
@@ -1888,12 +1905,12 @@ object CellsReaders {
                     !seen.contains((e.digestHex, e.version)))
                   .flatMap { e =>
                     if (!readsContent) {
-                      seen.add((e.digestHex, e.version)); Some(mkRow(null, e.version, null, src = seg))
+                      markEmitted(e.digestHex, e.version); Some(mkRow(null, e.version, null, src = seg))
                     } else {
                       openedOne()
                       val (k, v, b) = graft.ingest.CellSegment.entryAt(seg, e.offset, needBody)
                       if (!keys.keyOk(k)) None
-                      else { seen.add((e.digestHex, e.version)); Some(mkRow(k, v, b, src = seg)) }
+                      else { markEmitted(e.digestHex, e.version); Some(mkRow(k, v, b, src = seg)) }
                     }
                   }
               case None if !readsContent =>
@@ -1902,7 +1919,7 @@ object CellsReaders {
                 graft.ingest.CellSegment.indexOf(seg).iterator
                   .filter(e => e.version >= lo && e.version <= hi &&
                     !suppressed(e.digestHex, e.version) &&
-                    isWinner(e.digestHex, e.version) && seen.add((e.digestHex, e.version)))
+                    isWinner(e.digestHex, e.version) && markEmitted(e.digestHex, e.version))
                   .map(e => mkRow(null, e.version, null, src = seg))
               case None =>
                 // scan: stream the data region zipped with the cached
@@ -1927,7 +1944,7 @@ object CellsReaders {
                     winnersHere.iterator.flatMap { e =>
                       val (k, v, b) = graft.ingest.CellSegment.entryAt(seg, e.offset, needBody)
                       if (!keys.keyOk(k)) None
-                      else if (!seen.add((e.digestHex, v))) None
+                      else if (!markEmitted(e.digestHex, v)) None
                       else Some(mkRow(k, v, b, src = seg))
                     }
                   }
@@ -1938,7 +1955,7 @@ object CellsReaders {
                     case ((k, v, b), e) =>
                       if (v < lo || v > hi || !keys.keyOk(k) || suppressed(e.digestHex, v) ||
                         !isWinner(e.digestHex, v)) None
-                      else if (!seen.add((e.digestHex, v))) None
+                      else if (!markEmitted(e.digestHex, v)) None
                       else Some(mkRow(k, v, b, src = seg))
                   }
                 }
@@ -1994,7 +2011,7 @@ object CellsReaders {
           // version-only projection with no range bound: the version is
           // in the filename — emit without any content I/O
           else if (!readsContent) {
-            seen.add((digestHex, version))
+            markEmitted(digestHex, version)
             row = mkRow(null, version, null, src = p)
             return true
           } else {
@@ -2015,7 +2032,7 @@ object CellsReaders {
               } finally in.close()
             cell match {
               case Some((k, b)) =>
-                seen.add((digestHex, version))
+                markEmitted(digestHex, version)
                 row = mkRow(k, version, b, src = p); return true
               case None => // out of key range — skip to the next cell file
             }

@@ -63,4 +63,43 @@ class CellsReaderResilienceSpec extends AnyFunSuite {
       r.close()
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("$latest across a rebuild stays per-key at-most-once even when winners advance") {
+    val root = Files.createTempDirectory("reader-latest-resilience").toString
+    try {
+      val store = FileStore(root)
+      store.ensureTable("t", TableSpec(compactionThreshold = 0))
+      val shard = Paths.get(root, "t", "4b") // every key starts 'K'
+      def cells(ids: Range, v: Long) = ids.map(i =>
+        (s"K-$i".getBytes("UTF-8"), v, s"b$v-$i".getBytes("UTF-8")))
+      // S1 (seq 2) processed first by the newest-first order; S2 (seq 1)
+      // is the one maintenance will merge away mid-scan
+      CellSegment.write(shard, cells(0 until 5, 1L).iterator, seqNo = 2L)
+      val s2 = CellSegment.write(shard, cells(5 until 10, 1L).iterator, seqNo = 1L)
+
+      val r = CellsReaders.reader(shard.toString, Long.MinValue, Long.MaxValue,
+        CellsKeyPred.All, Array("rowkey", "version", "body"), latestOnly = true)
+      val first = (0 until 3).map { _ =>
+        assert(r.next()); new String(r.get().getBinary(0), "UTF-8")
+      }.toSet
+      // maintenance: a merge output carries S2's cells PLUS every key
+      // at a NEWER version (winners advance under the reader), then
+      // the input vanishes
+      val mergedCells = (cells(5 until 10, 1L) ++ cells(0 until 10, 2L))
+        .sortWith { (a, b) =>
+          val c = java.util.Arrays.compareUnsigned(a._1, b._1)
+          if (c != 0) c < 0 else a._2 < b._2
+        }
+      CellSegment.write(shard, mergedCells.iterator, seqNo = 3L)
+      Files.delete(shard.resolve(s2.fileName))
+
+      val rest = Iterator.continually(if (r.next()) Some(r.get()) else None)
+        .takeWhile(_.isDefined).flatten
+        .map(row => new String(row.getBinary(0), "UTF-8")).toVector
+      r.close()
+      val all = first.toSeq ++ rest
+      assert(all.size == 10 && all.distinct.size == 10,
+        s"one row per key, never a stale+fresh pair: ${all.sorted}")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
