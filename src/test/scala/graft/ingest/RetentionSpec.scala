@@ -143,6 +143,32 @@ class RetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("time travel composes: the as-of slice of a capped table is identical before and after the major") {
+    val root = java.nio.file.Files.createTempDirectory("retention-asof").toString
+    try {
+      val sp = spark; import sp.implicits._
+      val store = FileStore(root)
+      store.ensureTable("t", TableSpec(maxVersions = 2, compactionThreshold = 0))
+      // key A at versions 10/20/30 via bulk (no write-time pruning):
+      // retention ranks over the FULL live set — {30, 20} retained,
+      // 10 dead by rank — and the scan window applies AFTER, so
+      // `version <= 25` sees exactly {20} both before the major
+      // (10 hidden though in-window) and after it (10 gone)
+      BulkLoad.writeCells(Seq(10L, 20L, 30L)
+        .map(v => ("t", "A".getBytes("UTF-8"), v, s"a$v".getBytes("UTF-8")))
+        .toDF("tableName", "rowkey", "version", "body"), root)
+      def asOf25() = spark.read.format("graft-cells")
+        .option("root", root).option("table", "t")
+        .option("retentionNowMillis", "5500").load()
+        .filter(col("version") <= 25L)
+        .select("version").collect().map(_.getLong(0)).toSeq
+      assert(asOf25() == Seq(20L),
+        "rank-killed versions never resurface through a version window")
+      Compaction.major(spark, root, "t", nowMillis = () => 5500L)
+      assert(asOf25() == Seq(20L), "the as-of slice is unchanged by the major")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("aggregate pushdown stays metadata-only on a retention-active table and counts the masked view") {
     val (root, store) = seedStore()
     try {
