@@ -256,13 +256,19 @@ object Compaction {
       .map(PushTableSink.TableSpec.fromJson)
       .getOrElse(PushTableSink.TableSpec())
     val maxVersions = spec.maxVersions
+    // the compaction's ONE clock instant: the scan's read-time
+    // retention and the keep-filter's TTL cutoff both derive from this
+    // snapshot, so the two formulas literally see the same millisecond
+    // (two nowMillis() calls could differ and quietly contradict the
+    // byte-identical-view contract q256 pins)
+    val now = nowMillis()
     // TTL precedence: an explicit cutoff wins (the operational
     // override); otherwise the DDL's ttlMillis derives one from the
     // compaction clock — HBase's model, where TTL lives in the
     // column-family descriptor and majors enforce it
     val effCutoff = ttlCutoff.orElse(
       if (spec.ttlMillis == Long.MaxValue) None
-      else Some(nowMillis() - spec.ttlMillis))
+      else Some(now - spec.ttlMillis))
 
     // the sweep's upper bound: only files that exist NOW — before the
     // rewrite scan plans — may be deleted, so anything a concurrent
@@ -290,7 +296,7 @@ object Compaction {
     // masked view the reads already serve, then reclaims the bytes
     val cells = spark.read.format("graft-cells")
       .option("root", root).option("table", table)
-      .option("retentionNowMillis", nowMillis().toString)
+      .option("retentionNowMillis", now.toString)
       .load()
 
     // retention: newest-first rank per key; keep rank <= maxVersions,

@@ -548,24 +548,50 @@ final case class FileStore(rootDir: String) extends Store {
     cells.map { c =>
       val shardDir = tableDir(c.tableName).resolve(splitsOf(c.tableName).shardNameOf(c.rowkey))
       val d = keyDigest(c.rowkey)
-      val raw = Files.exists(cellPath(c)) ||
-        segLists.getOrElseUpdate(shardDir, segmentFiles(shardDir)).exists { seg =>
-          // ROW bloom first: an absent key — the common ingest probe —
-          // answers off ~1.25 B/key with no index load at all
-          CellSegment.mightContain(seg, d) &&
-            CellSegment.indexOf(seg).exists(e => e.version == c.version && e.digestHex == d)
+      def probe(): Boolean = {
+        val raw = Files.exists(cellPath(c)) ||
+          segLists.getOrElseUpdate(shardDir, segmentFiles(shardDir)).exists { seg =>
+            // ROW bloom first: an absent key — the common ingest probe —
+            // answers off ~1.25 B/key with no index load at all
+            CellSegment.mightContain(seg, d) &&
+              CellSegment.indexOf(seg).exists(e => e.version == c.version && e.digestHex == d)
+          }
+        // masks consulted only for raw hits (an absent cell can't be
+        // masked INTO existence), so a fresh-cell probe — the common
+        // ingest case — pays no extra listing; one listing per touched
+        // shard per batch otherwise
+        raw && {
+          val mask = masks.getOrElseUpdate(shardDir, FileStore.maskOf(shardDir))
+          !mask.masked(d, c.version) &&
+            policies.getOrElseUpdate(c.tableName,
+              Retention.of(specOf(c.tableName), nowMillis))
+              .forall(_.admits(c.version, liveVersionsOf(shardDir, d, mask)))
         }
-      // masks consulted only for raw hits (an absent cell can't be
-      // masked INTO existence), so a fresh-cell probe — the common
-      // ingest case — pays no extra listing; one listing per touched
-      // shard per batch otherwise
-      raw && {
-        val mask = masks.getOrElseUpdate(shardDir, FileStore.maskOf(shardDir))
-        !mask.masked(d, c.version) &&
-          policies.getOrElseUpdate(c.tableName,
-            Retention.of(specOf(c.tableName), nowMillis))
-            .forall(_.admits(c.version, liveVersionsOf(shardDir, d, mask)))
       }
+      // VANISH RESILIENCE (the connector readers' posture): automatic
+      // maintenance (flush / tier merge / region split) deletes
+      // absorbed segments AFTER their merge output renamed in, so a
+      // probe racing concurrent ingest can hit a vanished file or keep
+      // consulting a memoized segment list that no longer holds the
+      // cell's current home. Drop the shard's memos, re-list, retry —
+      // the vanished input's cells are in the merge output the fresh
+      // listing contains. Bounded retries; a store churning harder
+      // than that is a real fault and should fail the batch.
+      var attempts = 0
+      var out = false
+      var done = false
+      while (!done) {
+        try { out = probe(); done = true }
+        catch {
+          case e: java.io.IOException =>
+            attempts += 1
+            if (attempts > 3) throw e
+            segLists.remove(shardDir)
+            masks.remove(shardDir)
+            verMemo.filterInPlace { case ((sd, _), _) => sd != shardDir }
+        }
+      }
+      out
     }
   }
 

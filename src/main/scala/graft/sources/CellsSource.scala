@@ -1548,28 +1548,35 @@ case class CellsReaderFactory(lo: Long, hi: Long,
     // projection without it (possible in exotic plans) just declines
     // the cap — correctness never rests on the truncation.
     val rowkeyIdx = cols.indexOf("rowkey")
-    val topOk = topK >= 0 && base.layoutSorted && (!topKDesc || rowkeyIdx >= 0)
-    val cap = math.min(
-      if (limitN >= 0) limitN else Int.MaxValue,
-      if (topOk) topK else Int.MaxValue)
-    val capped = cap != Int.MaxValue
-    val descMode = capped && topOk && topKDesc && limitN < 0
+    // TopN eligibility is DYNAMIC (ADVICE r15): a mid-scan resilience
+    // rebuild voids the sorted-stream guarantee (base.layoutSorted
+    // flips false), so the TopN truncation re-checks it at every STOP
+    // decision and falls back to emitting all rows for the retained
+    // TakeOrdered — while a plain LIMIT cap stays active regardless
+    // (any N rows are a correct LIMIT answer, sorted or not).
+    def topOk = topK >= 0 && base.layoutSorted && (!topKDesc || rowkeyIdx >= 0)
+    val wasCapped = limitN >= 0 || (topK >= 0 && topOk)
+    val descMode = topKDesc && limitN < 0 && topK >= 0 && rowkeyIdx >= 0
     new PartitionReader[InternalRow] {
       private var emitted = 0L
       private var row: InternalRow = _
       private var lastKey: Array[Byte] = _
       private var done = false
+      private def cap: Long = math.min(
+        if (limitN >= 0) limitN.toLong else Long.MaxValue,
+        if (topK >= 0 && topOk && !descMode) topK.toLong else Long.MaxValue)
       override def next(): Boolean = {
         if (done) return false
         if (!descMode) {
-          if (capped && emitted >= cap) { done = true; return false }
+          if (emitted >= cap) { done = true; return false }
           if (!base.next()) { done = true; return false }
           row = base.get(); emitted += 1; true
         } else {
           if (!base.next()) { done = true; return false }
           val r = base.get()
           val k = r.getBinary(rowkeyIdx)
-          if (emitted >= cap && (lastKey ne null) && !java.util.Arrays.equals(k, lastKey)) {
+          if (topOk && emitted >= topK && (lastKey ne null) &&
+            !java.util.Arrays.equals(k, lastKey)) {
             done = true; return false
           }
           lastKey = k; row = r; emitted += 1; true
@@ -1577,7 +1584,7 @@ case class CellsReaderFactory(lo: Long, hi: Long,
       }
       override def get(): InternalRow = row
       override def close(): Unit = {
-        if (capped) CellsSource.cappedRowsEmitted.addAndGet(emitted)
+        if (wasCapped) CellsSource.cappedRowsEmitted.addAndGet(emitted)
         base.close()
       }
       override def currentMetricsValues()
@@ -1669,7 +1676,13 @@ object CellsReaders {
     new CellsShardReader {
       private var inner = make()
       private var rebuilds = 0
-      override val layoutSorted: Boolean = inner.layoutSorted
+      private val initialSorted: Boolean = inner.layoutSorted
+      /** DYNAMIC: a rebuild re-lists, so the COMBINED stream (rows
+        * emitted before the rebuild + the fresh walk) is no longer
+        * guaranteed (rowkey, version)-sorted even if each snapshot was
+        * — the pushed-TopN cap consults this per decision and stands
+        * down the moment a rebuild voids the guarantee (ADVICE r15). */
+      override def layoutSorted: Boolean = initialSorted && rebuilds == 0
       override def next(): Boolean =
         try inner.next()
         catch {

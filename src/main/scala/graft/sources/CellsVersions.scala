@@ -117,11 +117,6 @@ case class CellsVersionsScanBuilder(root: String, table: String) extends ScanBui
   private var pushed = Array.empty[Filter]
   private var required: StructType = CellsVersions.Schema
 
-  private def strSet(v: Any): Option[Set[String]] = v match {
-    case s: String => Some(Set(s))
-    case _ => None
-  }
-
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val accepted = Array.newBuilder[Filter]
     def intersect(cur: Option[Set[String]], add: Set[String]): Option[Set[String]] =
