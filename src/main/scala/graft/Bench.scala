@@ -127,8 +127,18 @@ object Bench {
           try { fn(spark, sfDir).count(); true }
           catch {
             case e: Throwable =>
-              if (err == null)
-                err = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+              // FULL error with its cause chain (r15 verdict: the
+              // 120-char truncation left q255's one [STREAM_FAILED]
+              // undiagnosable — the root cause lives in getCause)
+              if (err == null) {
+                def chain(t: Throwable, depth: Int): String =
+                  if (t == null || depth > 5) ""
+                  else Option(t.getMessage).getOrElse(t.getClass.getName) +
+                    (if (t.getCause != null && (t.getCause ne t))
+                      " <- " + chain(t.getCause, depth + 1)
+                    else "")
+                err = chain(e, 0).take(4000)
+              }
               false
           }
         ((System.nanoTime() - t0) / 1e9, ok)

@@ -282,7 +282,10 @@ object Compaction {
           val l = Files.list(shard)
           val names =
             try l.iterator().asScala.map(_.getFileName.toString)
-              .filterNot(_.endsWith(".tmp")).toSet
+              // `_split*` entries are a concurrent region split's
+              // satellite/staging DIRECTORIES — never sweep targets
+              // (the split owns their lifecycle)
+              .filterNot(n => n.endsWith(".tmp") || n.startsWith("_split")).toSet
             finally l.close()
           shard.getFileName.toString -> names
         }.toMap
@@ -346,6 +349,23 @@ object Compaction {
           }
           n
         }.sum().toLong
+
+    // REGION SPLIT policy (HBase evaluates its split policy after every
+    // compaction): a major can leave a freshly-compacted region still
+    // past the DDL's maxRegionBytes — split it now rather than waiting
+    // for the next write to that region. Driver-side, per shard; the
+    // default DDL (bound off) pays nothing.
+    if (spec.maxRegionBytes > 0 && Files.isDirectory(tableDir0)) {
+      val shardNames = {
+        val s = Files.list(tableDir0)
+        try s.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            FileStore.Splits.startOf(p.getFileName.toString).isDefined)
+          .map(_.getFileName.toString).toVector.sorted
+        finally s.close()
+      }
+      shardNames.foreach(RegionSplit.maybeSplit(root, table, _, spec.maxRegionBytes))
+    }
 
     Report(report.cells, removed, report.segments)
   }

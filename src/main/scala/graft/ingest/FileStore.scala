@@ -116,6 +116,69 @@ object FileStore {
       } finally s.close()
     }
 
+  /** REGION-SPLIT SATELLITE directory name: while a split of shard S at
+    * key m is mid-protocol, the upper daughter's store files live in
+    * `S/_split-<hex(m)>/` — INSIDE the parent's directory, so the
+    * parent's single listing discovers them with zero extra I/O and the
+    * split needs no cross-directory atomicity ([[RegionSplit]]). The
+    * name never parses as a cell/segment/marker (no dot-long suffix),
+    * so every legacy filename scan skips it by construction. */
+  def satelliteNameOf(targetStart: String): String = s"_split-$targetStart"
+
+  /** decode a satellite directory name → the daughter region's start
+    * name; None for anything else. */
+  def satelliteTargetOf(name: String): Option[String] =
+    if (!name.startsWith("_split-")) None
+    else Splits.startOf(name.stripPrefix("_split-")).map(_ => name.stripPrefix("_split-"))
+
+  /** Per-TABLE read/write locks (JVM-wide): writers (`putBatch`,
+    * markers, existence probes, the flush hook) hold the READ side;
+    * [[RegionSplit]] holds the WRITE side, so a split never races a
+    * write's placement decision. This is the region-server-side
+    * coordination HBase's master/ZooKeeper provide on a cluster —
+    * single-JVM here (`local[n]`), a seam a clustered store implements
+    * with its own coordination service. READERS never lock: scans are
+    * made safe by the split protocol's publication order plus the
+    * vanish-resilient rebuild, exactly like compaction. */
+  object Locks {
+    private val locks = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.locks.ReentrantReadWriteLock]()
+    private def of(tableDir: Path) =
+      locks.computeIfAbsent(tableDir.toAbsolutePath.toString,
+        _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
+    def read[T](tableDir: Path)(f: => T): T = {
+      val l = of(tableDir).readLock(); l.lock(); try f finally l.unlock()
+    }
+    def write[T](tableDir: Path)(f: => T): T = {
+      val l = of(tableDir).writeLock(); l.lock(); try f finally l.unlock()
+    }
+  }
+
+  /** JVM-global split-layout cache, validated by the `_splits.json`
+    * file's (mtime, size) stamp — a REGION SPLIT appends a boundary
+    * (the file only ever grows, so the size component alone defeats
+    * same-millisecond replace races) and every [[FileStore]] instance
+    * in the JVM sees the new layout at its next placement decision for
+    * the price of one `stat`. Absent file = the default 256 first-byte
+    * layout (not cached — a first split must become visible). */
+  private val layoutCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.nio.file.attribute.FileTime, Long, Splits)]()
+
+  def splitsAt(tableDir: Path): Splits = {
+    val p = tableDir.resolve("_splits.json")
+    val attrs =
+      try Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      catch { case _: java.io.IOException => return Splits.Default }
+    val key = p.toAbsolutePath.toString
+    val hit = layoutCache.get(key)
+    if (hit != null && hit._1 == attrs.lastModifiedTime() && hit._2 == attrs.size()) hit._3
+    else {
+      val s = Splits.fromJson(new String(Files.readAllBytes(p), "UTF-8"))
+      layoutCache.put(key, (attrs.lastModifiedTime(), attrs.size(), s))
+      s
+    }
+  }
+
   /** Shard directory of a rowkey under the DEFAULT split layout: hex
     * of its first byte — a RANGE shard (region analog), shared by
     * writer placement and the read face's point/prefix/range pruning.
@@ -227,17 +290,13 @@ final case class FileStore(rootDir: String) extends Store {
   }
 
   /** The table's split layout: `_splits.json` if recorded, else the
-    * default 256 first-byte ranges. Memoized per instance — the layout
-    * is write-once, like the DDL. */
+    * default 256 first-byte ranges. Served from the JVM-global
+    * stamp-validated cache ([[FileStore.splitsAt]]) — layouts are
+    * near-immutable (pre-split write-once; a REGION SPLIT appends one
+    * boundary), and the stamp check makes a split visible to every
+    * placement decision in the JVM at the cost of one `stat`. */
   def splitsOf(tableName: String): FileStore.Splits =
-    splitsCache.computeIfAbsent(tableName, _ => {
-      val p = tableDir(tableName).resolve("_splits.json")
-      if (Files.exists(p)) FileStore.Splits.fromJson(new String(Files.readAllBytes(p), "UTF-8"))
-      else FileStore.Splits.Default
-    })
-
-  @transient private lazy val splitsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, FileStore.Splits]()
+    FileStore.splitsAt(tableDir(tableName))
 
   /** Record a custom split layout for a table — write-once, atomic,
     * BEFORE any cell lands (the HBase pre-split: regions exist before
@@ -277,8 +336,29 @@ final case class FileStore(rootDir: String) extends Store {
           require(FileStore.Splits.fromJson(winner).names == splits.names,
             s"table $tableName already has a different split layout")
       }
-      splitsCache.remove(tableName)
     }
+  }
+
+  /** Append ONE region boundary to the table's split layout — the
+    * REGION SPLIT's metadata step, the single sanctioned mutation of an
+    * otherwise write-once layout (HBase: the master updates `hbase:meta`
+    * when a region splits). Idempotent (a recovery replay of an
+    * already-recorded boundary is a no-op); atomic REPLACE; caller must
+    * hold the table's WRITE lock ([[FileStore.Locks]]) so two splits
+    * can never interleave their read-modify-write. Only [[RegionSplit]]
+    * calls this — user resharding remains a migration ([[Resplit]]). */
+  def recordSplitStart(tableName: String, start: Array[Byte]): Unit = {
+    require(start.nonEmpty, "a split boundary is never the empty key")
+    val dir = tableDir(tableName)
+    val cur = splitsOf(tableName)
+    if (cur.names.contains(FileStore.Splits.nameOf(start))) return
+    val next = FileStore.Splits(
+      (cur.starts :+ start).sortWith(java.util.Arrays.compareUnsigned(_, _) < 0))
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, "_splits", ".tmp")
+    Files.write(tmp, next.toJson.getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve("_splits.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** TRUNCATE the table's DATA — every cell file, segment, and delete
@@ -321,6 +401,7 @@ final case class FileStore(rootDir: String) extends Store {
       s""""maxVersions":${spec.maxVersions},"minVersions":${spec.minVersions},""" +
       s""""ttlMillis":${spec.ttlMillis},""" +
       s""""compactionThreshold":${spec.compactionThreshold},""" +
+      s""""maxRegionBytes":${spec.maxRegionBytes},""" +
       s""""compression":"${spec.compression}","compactionCompression":"${spec.compactionCompression}",""" +
       s""""regionReplication":${spec.regionReplication}}"""
 
@@ -365,6 +446,13 @@ final case class FileStore(rootDir: String) extends Store {
     alterSpec(tableName)(_.copy(compactionThreshold = threshold))
   }
 
+  /** ALTER the region size bound (the `hbase.hregion.max.filesize`
+    * analog) — 0 disables automatic region splitting. */
+  def alterMaxRegionBytes(tableName: String, bytes: Long): Unit = {
+    require(bytes >= 0, s"maxRegionBytes must be >= 0, got $bytes")
+    alterSpec(tableName)(_.copy(maxRegionBytes = bytes))
+  }
+
   private def alterSpec(tableName: String)(f: TableSpec => TableSpec): Unit = {
     val dir = tableDir(tableName)
     val specPath = dir.resolve("_spec.json")
@@ -402,15 +490,19 @@ final case class FileStore(rootDir: String) extends Store {
 
   private def writeMarkers(tableName: String, cells: Seq[(Array[Byte], Long)],
                            suffix: String): Unit =
-    cells.foreach { case (rowkey, version) =>
-      val shardDir = tableDir(tableName).resolve(splitsOf(tableName).shardNameOf(rowkey))
-      Files.createDirectories(shardDir)
-      val target = shardDir.resolve(s"${keyDigest(rowkey)}.$version.$suffix")
-      val tmp = Files.createTempFile(shardDir, "del", ".tmp")
-      val buf = java.nio.ByteBuffer.allocate(4 + rowkey.length)
-      buf.putInt(rowkey.length).put(rowkey)
-      Files.write(tmp, buf.array())
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // marker placement is a WRITE — the table read lock keeps it off a
+    // mid-flight region split's placement window (see Locks)
+    FileStore.Locks.read(tableDir(tableName)) {
+      cells.foreach { case (rowkey, version) =>
+        val shardDir = tableDir(tableName).resolve(splitsOf(tableName).shardNameOf(rowkey))
+        Files.createDirectories(shardDir)
+        val target = shardDir.resolve(s"${keyDigest(rowkey)}.$version.$suffix")
+        val tmp = Files.createTempFile(shardDir, "del", ".tmp")
+        val buf = java.nio.ByteBuffer.allocate(4 + rowkey.length)
+        buf.putInt(rowkey.length).put(rowkey)
+        Files.write(tmp, buf.array())
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
     }
 
   /** All live DELETE MARKERS of a table as (rowkey, version) pairs —
@@ -459,7 +551,8 @@ final case class FileStore(rootDir: String) extends Store {
     * touched segment's index answers every probed key — a per-key
     * index scan would be O(keys × entries), measured 22× super-linear
     * on a 4.8k-key bare DELETE against a 38k-cell shard at sf10. */
-  def latestVersionsOf(tableName: String, rowkeys: Seq[Array[Byte]]): Seq[Option[Long]] = {
+  def latestVersionsOf(tableName: String, rowkeys: Seq[Array[Byte]]): Seq[Option[Long]] =
+    FileStore.Locks.read(tableDir(tableName)) {
     val splits = splitsOf(tableName)
     val byShard = rowkeys.zipWithIndex.groupBy { case (k, _) => splits.shardNameOf(k) }
     val out = new Array[Option[Long]](rowkeys.size)
@@ -489,7 +582,7 @@ final case class FileStore(rootDir: String) extends Store {
       }
     }
     out.toSeq
-  }
+    }
 
   def latestVersionOf(tableName: String, rowkey: Array[Byte]): Option[Long] =
     latestVersionsOf(tableName, Seq(rowkey)).head
@@ -510,7 +603,8 @@ final case class FileStore(rootDir: String) extends Store {
   /** [[exists]] at an explicit clock instant — the TTL evaluation time
     * for read-time retention (specs/gates pin it; the trait face
     * snapshots the wall clock once per probe batch). */
-  def existsAt(tableName: String, cells: Seq[CellPut], nowMillis: Long): Seq[Boolean] = {
+  def existsAt(tableName: String, cells: Seq[CellPut], nowMillis: Long): Seq[Boolean] =
+    FileStore.Locks.read(tableDir(tableName)) {
     val masks = scala.collection.mutable.HashMap.empty[Path, FileStore.ShardMask]
     // segment listings memoize per BATCH (segments are immutable, and
     // a put landing mid-batch is invisible to a snapshot check anyway)
@@ -593,7 +687,7 @@ final case class FileStore(rootDir: String) extends Store {
       }
       out
     }
-  }
+    }
 
   private def segmentFiles(shardDir: Path): Seq[Path] =
     if (!Files.isDirectory(shardDir)) Seq.empty
@@ -631,6 +725,11 @@ final case class FileStore(rootDir: String) extends Store {
   }
 
   override def putBatch(tableName: String, cells: Seq[CellPut]): Unit = {
+    // the whole batch — placement, retention prune, flush hook — runs
+    // under the table READ lock: a region split (the WRITE side) can
+    // never move the shard boundaries between this batch's placement
+    // decision and its landing ([[FileStore.Locks]])
+    FileStore.Locks.read(tableDir(tableName)) {
     val spec = specOf(tableName).maxVersions
     cells.foreach { c =>
       val target = cellPath(c)
@@ -690,6 +789,17 @@ final case class FileStore(rootDir: String) extends Store {
     if (threshold > 0)
       cells.iterator.map(c => cellPath(c).getParent).distinct
         .foreach(flushShardIfBacklogged(_, threshold))
+    }
+    // REGION SPLIT policy — checked AFTER the read lock releases (the
+    // split takes the write side; an upgrade would self-deadlock):
+    // HBase evaluates its split policy after each flush/compaction;
+    // here the post-batch instant is exactly that point. One listing
+    // per touched shard, only on split-eligible tables (the DDL
+    // default leaves this off and costs nothing).
+    val bound = specOf(tableName).maxRegionBytes
+    if (bound > 0)
+      cells.iterator.map(c => cellPath(c).getParent.getFileName.toString).distinct
+        .foreach(shard => RegionSplit.maybeSplit(rootDir, tableName, shard, bound))
   }
 
   /** Small-segment ceiling for the write-path SEGMENT TIER — the same

@@ -43,7 +43,17 @@ object PushTableSink {
                              // ([[FileStore.putBatch]]'s post-commit
                              // hook). 0 disables — the operator override
                              // a layout-inspecting fixture sets.
-                             compactionThreshold: Int = 10)
+                             compactionThreshold: Int = 10,
+                             // the hbase.hregion.max.filesize analog:
+                             // when maintenance (flush/minor/major)
+                             // leaves a REGION holding more store-file
+                             // bytes than this, the store SPLITS it —
+                             // equi-depth split key from the region's
+                             // own segment indexes, the full
+                             // [[RegionSplit]] protocol. 0 disables
+                             // (the default: the ingest layout is
+                             // CRC32-uniform and pre-split).
+                             maxRegionBytes: Long = 0L)
 
   object TableSpec {
     /** Parse the `_spec.json` [[graft.ingest.FileStore.ensureTable]]
@@ -75,7 +85,8 @@ object PushTableSink {
         compression = str("compression", "GZ"),
         compactionCompression = str("compactionCompression", "GZ"),
         regionReplication = int("regionReplication", 3),
-        compactionThreshold = int("compactionThreshold", 10))
+        compactionThreshold = int("compactionThreshold", 10),
+        maxRegionBytes = long("maxRegionBytes", 0L))
     }
   }
 

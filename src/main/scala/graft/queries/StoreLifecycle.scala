@@ -2352,6 +2352,104 @@ object StoreLifecycle {
       }
     },
 
+    // AUTOMATIC REGION SPLIT (VERDICT r15 ask 1 — the
+    // hbase.hregion.max.filesize lifecycle, closing autonomous
+    // maintenance after r15's auto-flush/auto-minor): every 'doc-*'
+    // key shares leading byte 0x64, so the whole load hammers ONE
+    // region; once maintenance leaves it past the DDL's
+    // maxRegionBytes, [[graft.ingest.RegionSplit]] splits it — split
+    // key = the largest segment's midkey shortened to a minimal
+    // separator, daughters land via the in-parent satellite protocol,
+    // layout boundary appended, daughter promoted. In-query
+    // invariants: (a) a DIRECT mid-split probe — the pushed COUNT
+    // (metadata-only, satellite-aware) re-evaluated at EVERY protocol
+    // stage via the stage hook equals the pre-split count (reads
+    // mid-split are exactly-once); (b) the put waves split the region
+    // AUTOMATICALLY (splitsDone counter moved, layout grew past the
+    // default 256); (c) every region ends ≤ the bound and no
+    // satellite/staging debris survives; (d) delete markers written
+    // BEFORE the splits still mask on both sides of every boundary;
+    // (e) a point GET routes through the NEW layout (F5 existence
+    // agrees). 100 TB: one split rewrites one region once — the minor
+    // compaction it was already owed — and the policy check is one
+    // listing per touched shard on opted-in tables only.
+    "q261_cells_auto_region_split" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q261-cells").toString
+      val cat = "g261_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // split OFF at create — wave 1 calibrates the bound to the data
+        // scale so the gate splits O(log) times at every sf
+        s.sql(s"CREATE TABLE $cat.q261 (rowkey BINARY, version BIGINT, body BINARY) " +
+          "TBLPROPERTIES('compactionThreshold'='2')")
+        def wave(g: Int): Unit =
+          s.sql(s"""INSERT INTO $cat.q261
+              SELECT cast(concat('doc-', doc_id) as binary),
+                     cast($g as bigint) * 1000000000 + cast(doc_id as bigint),
+                     cast(md5(concat(cast(doc_id as string), 'G', '$g')) as binary)
+              FROM parquet.`$d/documents.parquet` WHERE doc_id % 7 = 0""")
+        wave(1)
+        // markers BEFORE any split: %21 keys mask their gen-1 — the
+        // split must carry them to whichever daughter owns the key
+        Tables.documents(s, d).filter(col("doc_id") % 21 === 0)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("1500000000 + doc_id").as("version"),
+            lit(Array.emptyByteArray).as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q261")
+          .option("tombstone", "true").save()
+        val store = FileStore(root)
+        val hot = Paths.get(root, "q261", "64")
+        val b1 = graft.ingest.RegionSplit.shardBytes(hot)
+        require(b1 > 0, "wave 1 must land in region 64 (keys lead with 'd')")
+        val table1 = s.table(s"$cat.q261")
+        val count1 = table1.count()
+        // (a) the MID-SPLIT pin: force one split NOW with a stage hook
+        // that re-counts through the connector at every protocol stage
+        // — the pushed COUNT walks filenames + segment indexes + the
+        // satellite, so this pins satellite-aware metadata reads too
+        graft.ingest.RegionSplit.probeHook = { stage =>
+          val n = s.table(s"$cat.q261").count()
+          require(n == count1, s"mid-split count diverged at $stage: $n != $count1")
+        }
+        val forced =
+          try graft.ingest.RegionSplit.maybeSplit(root, "q261", "64",
+            maxRegionBytes = math.max(2048L, b1 / 2), maxSplits = 1)
+          finally graft.ingest.RegionSplit.probeHook = _ => ()
+        require(forced == 1, s"the calibration split must fire once, got $forced")
+        require(s.table(s"$cat.q261").count() == count1, "post-split count diverged")
+        // (b) arm the automatic policy and drive the remaining waves
+        val bound = math.max(4096L, b1)
+        s.sql(s"ALTER TABLE $cat.q261 SET TBLPROPERTIES('maxRegionBytes' = '$bound')")
+        val splitsBefore = graft.ingest.RegionSplit.splitsDone.get()
+        wave(2); wave(3)
+        require(graft.ingest.RegionSplit.splitsDone.get() > splitsBefore,
+          "the put waves must split the hot region automatically")
+        val layout = store.splitsOf("q261")
+        require(layout.size > 257, s"layout must outgrow the forced split: ${layout.size}")
+        // (c) the policy's fixed point: every region ≤ bound, no debris
+        segShardDirs(root, "q261").foreach { sh =>
+          val b = graft.ingest.RegionSplit.shardBytes(Paths.get(root, "q261", sh))
+          require(b <= bound, s"region $sh holds $b > $bound after the waves")
+        }
+        require(!segFiles(root, "q261").exists(_.startsWith("_split")),
+          "no satellite/staging debris may survive completed splits")
+        // (e) point GET + F5 through the NEW layout
+        val probed = s.sql(s"SELECT count(*) AS n FROM $cat.q261 " +
+          "WHERE rowkey = cast('doc-7' as binary)").collect()(0).getLong(0)
+        require(probed == 3, s"doc-7 must serve its 3 generations post-split, got $probed")
+        require(store.exists("q261", Seq(graft.ingest.PushTableSink.CellPut(
+          "q261", "doc-7".getBytes("UTF-8"), 3000000007L, Array.emptyByteArray))) == Seq(true),
+          "F5 existence must route through the split layout")
+        // (d) rides the oracle: %21 keys' gen-1 stays masked everywhere
+        s.table(s"$cat.q261")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // $VERSIONS PUSHDOWN (VERDICT r14 ask 4): the inventory face
     // prunes like every other face — a `shard =` predicate prunes at
     // the DIRECTORY level (unmatched shards never listed, proven by
@@ -3268,6 +3366,17 @@ object StoreLifecycle {
          SELECT 'doc-' || doc_id, (3000000000000 + doc_id)::BIGINT,
               md5(doc_id::VARCHAR || 'C3')
          FROM documents WHERE doc_id % 11 = 3 AND doc_id % 9 <> 0 AND doc_id % 10 <> 5""",
+
+    // three generations per %7 key, split across however many regions
+    // the policy carved — splitting moves bytes between DIRECTORIES,
+    // never changes the view; %21 keys' gen-1 stays masked by the
+    // pre-split marker on whichever side of the boundaries it landed
+    "q261_cells_auto_region_split" ->
+      """SELECT 'doc-' || doc_id AS key_str,
+              (g::BIGINT * 1000000000 + doc_id)::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'G' || g::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([1, 2, 3]) AS g)
+         WHERE doc_id % 7 = 0 AND NOT (doc_id % 21 = 0 AND g = 1)""",
 
     // four generations per %13 key — three INSERT waves plus the
     // streaming-sink drain; the flush policy moves bytes between

@@ -63,15 +63,20 @@ case class CellsAggScan(root: String, table: String, lo: Long, hi: Long,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = Paths.get(root, table.replace(':', '~'))
-    CellsShards.prune(dir, keys)
-      .map(p => CellsAggShard(p.toString): InputPartition).toArray
+    // layout fingerprint BEFORE the listing (the region-split daughter-
+    // discovery ordering contract — see [[CellsScan.planInputPartitions]]):
+    // a pushed COUNT must stay exact across a concurrent split
+    val fp = CellsCatalog.fingerprintOf(graft.ingest.FileStore.splitsAt(dir))
+    CellsShards.pruneListed(dir, keys)
+      .map(ls => CellsAggShard(ls.path.toString, ls.endName, fp): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     CellsAggReaderFactory(lo, hi, keys, specs, latest, retention)
 }
 
-case class CellsAggShard(dir: String) extends InputPartition
+case class CellsAggShard(dir: String, endName: Option[String] = None,
+                         plannedFp: String = "") extends InputPartition
 
 case class CellsAggReaderFactory(lo: Long, hi: Long, keys: CellsKeyPred,
                                  specs: Seq[CellsAggSpec], latest: Boolean,
@@ -79,7 +84,8 @@ case class CellsAggReaderFactory(lo: Long, hi: Long, keys: CellsKeyPred,
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val shard = partition.asInstanceOf[CellsAggShard].dir
+      private val part = partition.asInstanceOf[CellsAggShard]
+      private val shard = part.dir
       private var emitted = false
       override def next(): Boolean = !emitted
       override def get(): InternalRow = {
@@ -89,10 +95,11 @@ case class CellsAggReaderFactory(lo: Long, hi: Long, keys: CellsKeyPred,
         // winner fold, AND read-time retention (r15 — the per-key rank
         // fold is itself filenames + segment indexes, so a COUNT over
         // a capped/TTL'd table still costs zero body bytes) all apply
-        // exactly as on the row scan
+        // exactly as on the row scan — including region-split satellite
+        // and daughter discovery (a COUNT must stay exact mid-split)
         val rows = CellsReaders.reader(shard, lo, hi, keys, Array("version"),
           maskDeletes = true, emitOps = false, latestOnly = latest,
-          retention = retention)
+          retention = retention, endName = part.endName, plannedFp = part.plannedFp)
         var n = 0L
         var mn = Long.MaxValue
         var mx = Long.MinValue

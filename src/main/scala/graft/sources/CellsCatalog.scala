@@ -257,10 +257,15 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
     // — '0' is the operator override for layout-inspecting workloads
     val compactionThreshold = Option(properties.get("compactionThreshold"))
       .flatMap(_.toIntOption).getOrElse(10)
+    // the region size bound (hbase.hregion.max.filesize analog) — when
+    // set, maintenance SPLITS any region past it ([[graft.ingest.
+    // RegionSplit]]); default off
+    val maxRegionBytes = Option(properties.get("maxRegionBytes"))
+      .flatMap(_.toLongOption).getOrElse(0L)
     val store = FileStore(root)
     store.ensureTable(t,
       PushTableSink.TableSpec(maxVersions = maxVersions, ttlMillis = ttlMillis,
-        compactionThreshold = compactionThreshold))
+        compactionThreshold = compactionThreshold, maxRegionBytes = maxRegionBytes))
     // PRE-SPLIT from SQL — HBase `create 'tbl', SPLITS => [...]`:
     // TBLPROPERTIES('splitPoints'='<hex>,<hex>,…') records N split
     // points → N+1 regions BEFORE any cell lands (write-once, the same
@@ -303,10 +308,15 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
         store.alterCompactionThreshold(t, sp.value().toIntOption.getOrElse(
           throw new IllegalArgumentException(
             s"compactionThreshold takes an integer, got '${sp.value()}'")))
+      case sp: TableChange.SetProperty if sp.property() == "maxRegionBytes" =>
+        store.alterMaxRegionBytes(t, sp.value().toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"maxRegionBytes takes a long, got '${sp.value()}'")))
       case other =>
         throw new UnsupportedOperationException(
           "graft tables support ALTER TABLE SET TBLPROPERTIES" +
-            s"('maxVersions'=N | 'ttlMillis'=T | 'compactionThreshold'=N) only; got $other")
+            s"('maxVersions'=N | 'ttlMillis'=T | 'compactionThreshold'=N | " +
+            s"'maxRegionBytes'=B) only; got $other")
     }
     CellsTable(root, t, changeFeed = false, fromCatalog = true)
   }

@@ -187,7 +187,7 @@ private[sources] final class CellsReaderMetrics { var filesOpened: Long = 0L }
   * agrees with the residual filter Spark re-applies on survivors. */
 final case class CellsKeyPred(
     digests: Option[Set[String]],
-    pointShards: Option[Set[String]],
+    points: Option[Seq[Array[Byte]]],
     lo: Option[Array[Byte]], loInc: Boolean,
     hi: Option[Array[Byte]], hiInc: Boolean) {
 
@@ -196,19 +196,27 @@ final case class CellsKeyPred(
     * HBase first-region rule), so its lower edge is treated as -inf;
     * a missing `end` (last listed shard) is +inf. Ends derived from
     * SIBLING listings only ever WIDEN a shard's range (absent siblings
-    * widen, never shrink), so pruning is always sound. */
+    * widen, never shrink), so pruning is always sound. POINT probes
+    * prune by RANGE COVERAGE of the probed keys — not by layout shard
+    * NAME — so a probe planned while a region split is mid-protocol
+    * (layout already names a daughter whose directory is not yet
+    * promoted) still routes to the LISTED directory covering the key,
+    * which the split protocol guarantees physically serves it. */
   def shardRangeOk(name: String, start: Array[Byte], end: Option[Array[Byte]],
-                   isFirst: Boolean): Boolean =
-    pointShards.forall(_.contains(name)) &&
+                   isFirst: Boolean): Boolean = {
+    val s0 = if (isFirst) Array.emptyByteArray else start
+    points.forall(_.exists { k =>
+      CellsKeyPred.cmp(k, s0) >= 0 && end.forall(e => CellsKeyPred.cmp(k, e) < 0)
+    }) &&
       // all shard keys < end: a match needs some key >= lo, so end <= lo prunes
       lo.forall(k => end.forall(e => CellsKeyPred.cmp(e, k) > 0)) &&
       // all shard keys >= start (except the first shard: >= -inf):
       // a match needs some key <=/< hi
       hi.forall { k =>
-        val s = if (isFirst) Array.emptyByteArray else start
-        val c = CellsKeyPred.cmp(s, k)
+        val c = CellsKeyPred.cmp(s0, k)
         if (hiInc) c <= 0 else c < 0
       }
+  }
 
   /** can this cell file (digest filename) hold a match? (point tier) */
   def fileOk(digestHex: String): Boolean = digests.forall(_.contains(digestHex))
@@ -228,7 +236,14 @@ final case class CellsKeyPred(
   * start). Names that don't decode (temp files, foreign dirs) are
   * never treated as shards. */
 object CellsShards {
-  def prune(tableDir: Path, keys: CellsKeyPred): Seq[Path] = {
+  /** one surviving shard directory with its LISTING-derived range: the
+    * next listed sibling's name bounds this shard's coverage — the
+    * planned partition carries it so its reader can later discover
+    * daughters a region split promoted into that range. */
+  final case class ListedShard(path: Path, name: String, start: Array[Byte],
+                               endName: Option[String], isFirst: Boolean)
+
+  def pruneListed(tableDir: Path, keys: CellsKeyPred): Seq[ListedShard] = {
     if (!Files.isDirectory(tableDir)) return Seq.empty
     val s = Files.list(tableDir)
     val named =
@@ -242,9 +257,13 @@ object CellsShards {
       finally s.close()
     named.zipWithIndex.collect {
       case ((n, st, p), i) if keys.shardRangeOk(n, st,
-        if (i + 1 < named.size) Some(named(i + 1)._2) else None, i == 0) => p
+        if (i + 1 < named.size) Some(named(i + 1)._2) else None, i == 0) =>
+        ListedShard(p, n, st, if (i + 1 < named.size) Some(named(i + 1)._1) else None, i == 0)
     }
   }
+
+  def prune(tableDir: Path, keys: CellsKeyPred): Seq[Path] =
+    pruneListed(tableDir, keys).map(_.path)
 }
 
 object CellsKeyPred {
@@ -291,6 +310,7 @@ case class CellsTable(root: String, table: String, changeFeed: Boolean = false,
       m.put("minVersions", spec.minVersions.toString)
       m.put("ttlMillis", spec.ttlMillis.toString)
       m.put("compactionThreshold", spec.compactionThreshold.toString)
+      m.put("maxRegionBytes", spec.maxRegionBytes.toString)
       m.put("dataFamily", spec.dataFamily)
       m.put("dataQualifier", spec.dataQualifier)
       m.put("compression", spec.compression)
@@ -705,11 +725,11 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
         .getOrElse(System.currentTimeMillis())
       graft.ingest.Retention.of(root, table, now)
     }
-  // rowkey point predicates, resolved to cell-file digests AND range
-  // shards: None = no point predicate, Some(set) = only these can
-  // match (an empty set is a provably-empty scan)
+  // rowkey point predicates, resolved to cell-file digests AND the
+  // probed key bytes themselves (range-coverage shard pruning): None =
+  // no point predicate, Some(empty) = a provably-empty scan
   private var keyDigests: Option[Set[String]] = None
-  private var pointShards: Option[Set[String]] = None
+  private var points: Option[Seq[Array[Byte]]] = None
   // rowkey range bounds (binary, unsigned order), tightened across
   // conjunctive filters; inclusivity tracked per bound
   private var keyLo: Option[Array[Byte]] = None
@@ -739,9 +759,10 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
 
   private def intersectPoints(keys: Seq[Array[Byte]]): Unit = {
     val ds = keys.map(graft.ingest.FileStore.keyDigest).toSet
-    val ss = keys.map(tableSplits.shardNameOf).toSet
     keyDigests = Some(keyDigests.fold(ds)(_ intersect ds))
-    pointShards = Some(pointShards.fold(ss)(_ intersect ss))
+    // conjunctive point sets intersect BY KEY (digest identity)
+    points = Some(points.fold(keys)(_.filter(k =>
+      ds.contains(graft.ingest.FileStore.keyDigest(k)))))
   }
 
   private def tightenLo(k: Array[Byte], inc: Boolean): Unit = {
@@ -934,11 +955,11 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
   override def build(): Scan = aggSpecs match {
     case Some(specs) =>
       CellsAggScan(root, table, lo, hi,
-        CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), specs, latest,
+        CellsKeyPred(keyDigests, points, keyLo, keyLoInc, keyHi, keyHiInc), specs, latest,
         retention = retentionPolicy)
     case None =>
       CellsScan(root, table, lo, hi,
-        CellsKeyPred(keyDigests, pointShards, keyLo, keyLoInc, keyHi, keyHiInc), required,
+        CellsKeyPred(keyDigests, points, keyLo, keyLoInc, keyHi, keyHiInc), required,
         stable, changeFeed, fromCatalog, latest,
         limitN = pushedLimit.getOrElse(-1), topK = pushedTopK.getOrElse(-1),
         topKDesc = pushedTopKDesc, retention = retentionPolicy)
@@ -980,13 +1001,24 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
     val sortedLayout = {
       if (orderedState == 0) {
         val dir = Paths.get(root, table.replace(':', '~'))
-        val ok = Files.isDirectory(dir) && CellsShards.prune(dir, effKeys).forall { shard =>
+        // a SPLIT-ELIGIBLE table (maxRegionBytes DDL) can never promise
+        // a static per-partition ordering: an automatic split between
+        // this report and execution would splice a second sorted run
+        // into a partition AFTER Catalyst dropped its Sort — so the
+        // report declines outright (readers keep their own dynamic
+        // sortedness gate for the pushed-TopN cap either way)
+        val splitEligible = graft.ingest.FileStore(root).readSpecJson(table)
+          .map(graft.ingest.PushTableSink.TableSpec.fromJson)
+          .exists(_.maxRegionBytes > 0)
+        val ok = !splitEligible && Files.isDirectory(dir) &&
+          CellsShards.prune(dir, effKeys).forall { shard =>
           var puts = 0
           var segs = 0
           val s = Files.list(shard)
           try s.iterator().asScala.foreach { p =>
             val n = p.getFileName.toString
-            if (graft.ingest.CellSegment.isSegment(n)) segs += 1
+            if (n.startsWith("_split")) puts += 1 // mid-protocol satellite: never sorted
+            else if (graft.ingest.CellSegment.isSegment(n)) segs += 1
             else {
               val dot = n.lastIndexOf('.')
               if (dot > 0 && !n.endsWith(".tmp") && n.drop(dot + 1).toLongOption.isDefined)
@@ -1035,13 +1067,12 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
     * an EMPTY key set is a provably-empty scan (zero partitions). */
   private[graft] def narrowToRowkeys(ks: Seq[Array[Byte]]): Unit = {
     CellsSource.runtimeFilteredKeys.addAndGet(ks.size)
-    val splits = graft.ingest.FileStore(root).splitsOf(table)
     val ds = ks.map(graft.ingest.FileStore.keyDigest).toSet
-    val ss = ks.map(splits.shardNameOf).toSet
     val cur = effKeys
     runtimeKeys = cur.copy(
       digests = Some(cur.digests.fold(ds)(_ intersect ds)),
-      pointShards = Some(cur.pointShards.fold(ss)(_ intersect ss)))
+      points = Some(cur.points.fold(ks)(_.filter(k =>
+        ds.contains(graft.ingest.FileStore.keyDigest(k))))))
   }
 
   /** true once a point-key predicate bounds this scan (compile-time
@@ -1123,12 +1154,13 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
             def live(d: String, v: Long): Boolean =
               changeFeed || !mask.masked(d, v) // the edit log counts everything
             val noMasks = changeFeed || (mask.bound.isEmpty && mask.exact.isEmpty)
-            // one listing: per-cell puts, segments, and (feed) markers
+            // one covered listing (satellite subdirs of a mid-protocol
+            // region split expanded in place — their cells may be the
+            // only resident copy, and statistics must not UNDERestimate):
+            // per-cell puts, segments, and (feed) markers
             val puts = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
             val segs = scala.collection.mutable.ArrayBuffer.empty[Path]
-            val s = Files.list(shard)
-            try s.iterator().asScala.foreach { p =>
-              val name = p.getFileName.toString
+            CellsReaders.listCovered(shard, None, "").foreach { case (p, name) =>
               val dot = name.lastIndexOf('.')
               lazy val marker = graft.ingest.FileStore.tombstoneOf(name)
                 .orElse(graft.ingest.FileStore.exactTombstoneOf(name))
@@ -1144,7 +1176,7 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
                   val d = name.take(dot)
                   if (v >= lo && v <= hi && live(d, v)) puts += ((d, v, Files.size(p)))
                 }
-            } finally s.close()
+            }
 
             // stream a segment's live in-window index entries; None if
             // the trailer excludes the segment outright, else
@@ -1265,10 +1297,16 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
     val k = effKeys
     val cached = plannedPartitions
     if (cached != null && (cached._1 eq k)) return cached._2
-    val planned: Array[InputPartition] = CellsShards.prune(dir, k)
-      .map { p =>
-        val idx = splits.names.indexOf(p.getFileName.toString)
-        CellsShard(p.toString, k, idx): InputPartition
+    // layout fingerprint captured BEFORE the directory listing (splits
+    // was forced above): the reader treats a fingerprint CHANGE as
+    // "daughters may have been promoted since planning" — so the fp
+    // must never postdate the listing, or a split landing between the
+    // two reads would hide its daughter from a stale partition set
+    val fp = CellsCatalog.fingerprintOf(splits)
+    val planned: Array[InputPartition] = CellsShards.pruneListed(dir, k)
+      .map { ls =>
+        val idx = splits.names.indexOf(ls.name)
+        CellsShard(ls.path.toString, k, idx, ls.endName, fp): InputPartition
       }
       .toArray
     plannedPartitions = (k, planned)
@@ -1399,9 +1437,11 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
     if (Files.isDirectory(dir)) {
       CellsShards.prune(dir, keys)
         .foreach { shard =>
-          val s = Files.list(shard)
-          try s.iterator().asScala.foreach { p =>
-            val n = p.getFileName.toString
+          // covered listing: a mid-split satellite may momentarily hold
+          // the shard's only copy of its max version — skipping it would
+          // dip the reported watermark (harmless for delivery, but the
+          // expansion is one subdir listing and keeps the report exact)
+          CellsReaders.listCovered(shard, None, "").foreach { case (p, n) =>
             val dot = n.lastIndexOf('.')
             if (graft.ingest.CellSegment.isSegment(n)) {
               // bulk segments advance the watermark too: trailer-only
@@ -1447,7 +1487,7 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
                   if (keys.fileOk(d) && v >= lo && v <= hi && v > mx) mx = v
                 }
             }
-          } finally s.close()
+          }
         }
     }
     mx
@@ -1467,8 +1507,13 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
     // saturating guard — s = Long.MinValue means "from the beginning"
     val bLo = math.max(lo, if (s == Long.MinValue) Long.MinValue else s + 1)
     val bHi = math.min(hi, e)
-    CellsShards.prune(dir, keys)
-      .map(p => CellsStreamShard(p.toString, bLo, bHi): InputPartition)
+    // layout fingerprint BEFORE the listing — same ordering contract as
+    // the batch planner: a split completing between this planning pass
+    // and the task run must trigger daughter discovery, or the window's
+    // moved cells would silently drop out of the feed
+    val fp = CellsCatalog.fingerprintOf(graft.ingest.FileStore.splitsAt(dir))
+    CellsShards.pruneListed(dir, keys)
+      .map(ls => CellsStreamShard(ls.path.toString, bLo, bHi, ls.endName, fp): InputPartition)
       .toArray
   }
 
@@ -1478,7 +1523,9 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
   override def stop(): Unit = ()
 }
 
-case class CellsStreamShard(dir: String, lo: Long, hi: Long) extends InputPartition
+case class CellsStreamShard(dir: String, lo: Long, hi: Long,
+                            endName: Option[String] = None,
+                            plannedFp: String = "") extends InputPartition
 
 case class CellsStreamReaderFactory(keys: CellsKeyPred, cols: Array[String],
                                     changeFeed: Boolean = false)
@@ -1491,7 +1538,8 @@ case class CellsStreamReaderFactory(keys: CellsKeyPred, cols: Array[String],
     // (op='delete'), so a downstream view can apply the delete.
     val m = new CellsReaderMetrics
     val base = CellsReaders.reader(p.dir, p.lo, p.hi, keys, cols,
-      maskDeletes = false, emitOps = changeFeed, taskMetrics = m)
+      maskDeletes = false, emitOps = changeFeed, taskMetrics = m,
+      endName = p.endName, plannedFp = p.plannedFp)
     new PartitionReader[InternalRow] {
       private var emitted = 0L
       override def next(): Boolean = base.next() && { emitted += 1; true }
@@ -1505,7 +1553,8 @@ case class CellsStreamReaderFactory(keys: CellsKeyPred, cols: Array[String],
   }
 }
 
-case class CellsShard(dir: String, keys: CellsKeyPred, shardIdx: Int = -1)
+case class CellsShard(dir: String, keys: CellsKeyPred, shardIdx: Int = -1,
+                      endName: Option[String] = None, plannedFp: String = "")
     extends InputPartition with HasPartitionKey {
   // the region index IS the partition value of the scan's reported
   // KeyGroupedPartitioning; -1 (a dir outside the recorded layout)
@@ -1530,7 +1579,8 @@ case class CellsReaderFactory(lo: Long, hi: Long,
     val m = new CellsReaderMetrics
     val base = CellsReaders.reader(p.dir, lo, hi, p.keys, cols,
       maskDeletes = !changeFeed, emitOps = changeFeed, latestOnly = latest,
-      taskMetrics = m, retention = retention)
+      taskMetrics = m, retention = retention,
+      endName = p.endName, plannedFp = p.plannedFp)
     // per-shard row cap: LIMIT truncates unconditionally (any N rows
     // are a correct answer under the retained GlobalLimit); TopN only
     // when this shard provably streams sorted — decided by the READER
@@ -1634,6 +1684,66 @@ trait CellsShardReader extends PartitionReader[InternalRow] {
 }
 
 object CellsReaders {
+
+  /** The store-file set COVERING one planned partition range — the
+    * region-split visibility contract ([[graft.ingest.RegionSplit]]):
+    *
+    *  1. the shard's OWN directory, with any SATELLITE subdirectory
+    *    (`_split-<hex>/`, a mid-protocol daughter) expanded in place —
+    *    recursively, for a daughter already mid-second-split;
+    *  2. only when the table's split layout CHANGED since this
+    *    partition was planned (fingerprint mismatch — one stamp-
+    *    validated stat): daughter region directories promoted into
+    *    (myStart, plannedEnd), so a partition planned before a split
+    *    still covers its whole planned range afterwards.
+    *
+    * Ordering closes the last race: the OWN directory is listed FIRST
+    * and the split's sweep strictly follows its publish — a reader
+    * that finds no satellite/daughter is guaranteed to have listed the
+    * parent while the absorbed files were still present. Whatever
+    * overlap the windows create is resolved by the identity dedup
+    * every caller already performs. */
+  private[sources] def listCovered(shardDir: Path, endName: Option[String],
+                                   plannedFp: String): Vector[(Path, String)] = {
+    def expand(d: Path): Vector[(Path, String)] = {
+      if (!Files.isDirectory(d)) return Vector.empty
+      val s = Files.list(d)
+      val entries =
+        try s.iterator().asScala.map(p => (p, p.getFileName.toString)).toVector
+        finally s.close()
+      entries.flatMap { case (p, n) =>
+        if (n.endsWith(".tmp") || n == "_split.json" || n.startsWith("_splitstage"))
+          Vector.empty
+        else if (n.startsWith("_split-")) expand(p)
+        else Vector((p, n))
+      }
+    }
+    val own = expand(shardDir) // own dir FIRST — see the ordering argument
+    val daughters =
+      if (plannedFp.isEmpty) Vector.empty[(Path, String)]
+      else {
+        val tableDir = shardDir.getParent
+        val curFp = CellsCatalog.fingerprintOf(graft.ingest.FileStore.splitsAt(tableDir))
+        if (curFp == plannedFp) Vector.empty[(Path, String)]
+        else graft.ingest.FileStore.Splits.startOf(shardDir.getFileName.toString) match {
+          case None => Vector.empty[(Path, String)]
+          case Some(myStart) =>
+            val end = endName.flatMap(graft.ingest.FileStore.Splits.startOf)
+            val s = Files.list(tableDir)
+            val dirs =
+              try s.iterator().asScala.flatMap { p =>
+                graft.ingest.FileStore.Splits.startOf(p.getFileName.toString)
+                  .filter(st => CellsKeyPred.cmp(st, myStart) > 0 &&
+                    end.forall(e => CellsKeyPred.cmp(st, e) < 0))
+                  .map(_ => p)
+              }.toVector.sortBy(_.getFileName.toString)
+              finally s.close()
+            dirs.flatMap(expand)
+        }
+      }
+    own ++ daughters
+  }
+
   private val OpPut = org.apache.spark.unsafe.types.UTF8String.fromString("put")
   private val OpDelete = org.apache.spark.unsafe.types.UTF8String.fromString("delete")
   // exact-version markers (`.dv`, Delete.addColumn(ts)) are their own
@@ -1664,7 +1774,9 @@ object CellsReaders {
              emitOps: Boolean = false,
              latestOnly: Boolean = false,
              taskMetrics: CellsReaderMetrics = null,
-             retention: Option[graft.ingest.Retention.Policy] = None): CellsShardReader = {
+             retention: Option[graft.ingest.Retention.Policy] = None,
+             endName: Option[String] = None,
+             plannedFp: String = ""): CellsShardReader = {
     val seen = scala.collection.mutable.HashSet.empty[(String, Long)]
     // $latest only: digests that already emitted their winner — a
     // rebuild recomputes winners from fresh state, and a key whose
@@ -1672,7 +1784,7 @@ object CellsReaders {
     // first observation wins, per-key at-most-once across rebuilds
     val seenKeys = scala.collection.mutable.HashSet.empty[String]
     def make(): CellsShardReader = rawReader(shardDir, lo, hi, keys, cols, maskDeletes,
-      emitOps, latestOnly, taskMetrics, retention, seen, seenKeys)
+      emitOps, latestOnly, taskMetrics, retention, seen, seenKeys, endName, plannedFp)
     new CellsShardReader {
       private var inner = make()
       private var rebuilds = 0
@@ -1703,7 +1815,9 @@ object CellsReaders {
                         taskMetrics: CellsReaderMetrics,
                         retention: Option[graft.ingest.Retention.Policy],
                         seen: scala.collection.mutable.HashSet[(String, Long)],
-                        seenKeys: scala.collection.mutable.HashSet[String]): CellsShardReader =
+                        seenKeys: scala.collection.mutable.HashSet[String],
+                        endName: Option[String] = None,
+                        plannedFp: String = ""): CellsShardReader =
     new CellsShardReader {
       require(!(latestOnly && emitOps), "the edit log has no latest fold")
       require(retention.isEmpty || maskDeletes,
@@ -1736,22 +1850,17 @@ object CellsReaders {
       private def masked(digestHex: String, v: Long): Boolean =
         maskDeletes &&
           (masks.get(digestHex).exists(_ >= v) || exactMasks.contains((digestHex, v)))
-      // ONE directory listing per reader — every decision this reader
+      // ONE covered listing per reader — every decision this reader
       // makes (delete masks, the put/marker row set, the segment set,
       // the sortedness gate, the retention fold) derives from THIS
       // snapshot, so no two decisions can ever see different file sets
       // (a put racing two separate listings used to be able to split
-      // the TopN cap from the stream it truncates).
-      private val allNames: Vector[(Path, String)] = {
-        val shard = Paths.get(shardDir)
-        if (!Files.isDirectory(shard)) Vector.empty
-        else {
-          val s = Files.list(shard)
-          try s.iterator().asScala.map(p => (p, p.getFileName.toString))
-            .filterNot(_._2.endsWith(".tmp")).toVector
-          finally s.close()
-        }
-      }
+      // the TopN cap from the stream it truncates). The snapshot spans
+      // the partition's whole PLANNED range: satellites and daughters a
+      // region split created ride along ([[CellsReaders.listCovered]]),
+      // and any parent/daughter copy overlap dedups on the identity.
+      private val allNames: Vector[(Path, String)] =
+        CellsReaders.listCovered(Paths.get(shardDir), endName, plannedFp)
       // (path, version, kind: 0=cell, 1=bound marker, 2=exact marker) —
       // markers enter the listing only on the change-feed face
       // (emitOps), as op='delete' / op='delete_version' rows. Kept as a
@@ -2070,7 +2179,15 @@ object CellsReaders {
             if (markerKind == 1) OpDelete
             else if (markerKind == 2) OpDeleteVersion
             else OpPut
-          case "_shard" => shardNameU8
+          case "_shard" =>
+            // the directory PHYSICALLY holding the winning copy — under
+            // a mid-split window that may be a satellite (`_split-…`)
+            // or a daughter of the planned shard, truthfully reported
+            if (src == null || src.getParent == null ||
+              src.getParent.getFileName.toString ==
+                Paths.get(shardDir).getFileName.toString) shardNameU8
+            else org.apache.spark.unsafe.types.UTF8String.fromString(
+              src.getParent.getFileName.toString)
           case "_file" => org.apache.spark.unsafe.types.UTF8String.fromString(
             if (src == null) "" else src.getFileName.toString)
           case "_kind" => org.apache.spark.unsafe.types.UTF8String.fromString(

@@ -197,14 +197,12 @@ case class CellsVersionsScan(root: String, table: String,
     * ~120 B/row: 9 mostly-fixed columns + a file name. */
   @transient private lazy val fileCount: Long =
     shardDirs.map { shard =>
-      val s = Files.list(shard)
-      try s.iterator().asScala.count { p =>
-        CellsVersions.kindOf(p.getFileName.toString).exists { k =>
+      CellsReaders.listCovered(shard, None, "").count { case (_, n) =>
+        CellsVersions.kindOf(n).exists { k =>
           kinds.forall(_.contains(k)) &&
-            CellsVersions.versionOf(p.getFileName.toString)
-              .forall(v => v >= vLo && v <= vHi)
+            CellsVersions.versionOf(n).forall(v => v >= vLo && v <= vHi)
         }
-      } finally s.close()
+      }
     }.sum.toLong
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -233,20 +231,25 @@ case class CellsVersionsReaderFactory(cols: Array[String]) extends PartitionRead
       private val needBytes = cols.contains("bytes")
       private val rows: Iterator[InternalRow] = {
         CellsVersions.shardsListed.incrementAndGet()
-        val s = Files.list(shard)
-        // flatMap + try: a file the automatic maintenance merged away
-        // mid-listing drops out (its merge output is in this or the
-        // next listing) instead of aborting the inventory scan
-        try s.iterator().asScala.flatMap { p =>
-          val n = p.getFileName.toString
+        // covered listing (satellite subdirs of a mid-protocol region
+        // split expanded in place — they are real store files and may be
+        // the only resident copy); flatMap + try: a file the automatic
+        // maintenance merged away mid-listing drops out (its merge
+        // output is in this or the next listing) instead of aborting
+        // the inventory scan. Satellite rows carry their subdir-
+        // qualified file name, truthfully.
+        CellsReaders.listCovered(shard, None, "").iterator.flatMap { case (p, n) =>
           CellsVersions.kindOf(n)
             .filter(k => part.kinds.forall(_.contains(k)))
             .filter(_ => CellsVersions.versionOf(n)
               .forall(v => v >= part.vLo && v <= part.vHi))
-            .flatMap { kind => try Some(buildRow(p, n, kind))
-                               catch { case _: java.io.IOException => None } }
+            .flatMap { kind =>
+              val rel =
+                if (p.getParent == shard) n else shard.relativize(p).toString
+              try Some(buildRow(p, rel, kind))
+              catch { case _: java.io.IOException => None }
+            }
         }.toVector.iterator
-        finally s.close()
       }
 
       private def buildRow(p: java.nio.file.Path, n: String, kind: String): InternalRow = {

@@ -13,6 +13,18 @@ def main():
     out, runs = sys.argv[1], [json.load(open(p)) for p in sys.argv[2:]]
     labels = {r["cache"]["label"] for r in runs}
     assert len(labels) == 1, f"runs must be like-labeled, got {labels}"
+    # FAIL LOUDLY on errors (r15 verdict: a silently-carried
+    # [STREAM_FAILED] let BENCH_SCALING claim "zero failures" over a
+    # merge that contained one). A run with errors must be triaged —
+    # re-run it clean, or pass --allow-errors to merge anyway (the
+    # merged file then still carries every error, annotated per run).
+    allow = "--allow-errors" in sys.argv
+    per_run_errors = {f"run{i+1}": r.get("errors", {})
+                      for i, r in enumerate(runs) if r.get("errors")}
+    if per_run_errors and not allow:
+        sys.exit(f"REFUSING to merge: errors present in {sorted(per_run_errors)}:\n"
+                 + json.dumps(per_run_errors, indent=1)
+                 + "\nRe-run those sweeps clean, or pass --allow-errors.")
     names = set()
     for r in runs:
         names |= set(r["queries"])
@@ -24,6 +36,7 @@ def main():
     merged = {
         "cache": min((r["cache"] for r in runs), key=lambda c: -c["second_sweep_mb_s"]),
         "errors": {k: v for r in runs for k, v in r.get("errors", {}).items()},
+        "errors_by_run": per_run_errors,  # provenance: WHICH sweep failed
         "failed": max(r.get("failed", 0) for r in runs),
         "metric": "total",
         "passes": passes,
