@@ -90,10 +90,17 @@ object Vacuum {
     }
 
     staging = sweepGenerations(rootDir.resolve("_overwrite_staging"))
+    // a CTAS/RTAS whose job died before commit leaves its staged
+    // generation here — same lifecycle, same age gate
+    staging += sweepGenerations(rootDir.resolve("_ctas_staging"))
     trash = sweepGenerations(rootDir.resolve("_overwrite_trash"))
 
     // torn-task .tmp files: every table dir, every shard dir — one
-    // bounded walk; visible store files are never candidates
+    // bounded walk; visible store files are never candidates.
+    // `_splitstage*` DIRECTORIES are a region split's pre-publish
+    // staging — a crash there leaves the parents intact and the orphan
+    // duplicative, so an aged orphan sweeps like a .tmp (the split's
+    // own recovery also removes them, this is the no-more-splits case)
     if (Files.isDirectory(rootDir)) {
       val tables = Files.list(rootDir)
       val tableDirs = try tables.iterator().asScala
@@ -109,6 +116,17 @@ object Vacuum {
           bytes += fileSizeOf(p)
           try { if (Files.deleteIfExists(p)) tmps += 1 }
           catch { case _: java.io.IOException => () } // renamed away first — fine
+        }
+        val stageOrphans = walkSafe(t)(_.filter { p =>
+          p.getFileName.toString.startsWith("_splitstage") &&
+            (try Files.isDirectory(p) catch { case _: java.io.UncheckedIOException => false })
+        }.toVector, Vector.empty)
+        stageOrphans.foreach { p =>
+          if (newestMtime(p) <= cutoff) {
+            bytes += sizeOf(p)
+            org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+            tmps += 1
+          }
         }
       }
     }

@@ -2144,18 +2144,37 @@ object StoreLifecycle {
               lit(g.toLong * 1000000000L).as("version"),
               expr(s"cast(md5(concat(cast(doc_id as string), '#$g')) as binary)").as("body")),
           root)
+        // RESTART-FROM-CHECKPOINT on failure (r15 verdict: one bench
+        // sweep under an ambient-slow window recorded a [STREAM_FAILED]
+        // here — a single transient state-store/checkpoint IO error
+        // kills a local[n] stream outright, since local mode has no
+        // task retries). The production posture for ANY checkpointed
+        // stream is restart: the state checkpoint + the sink's
+        // idempotent put-by-coordinate make the replay converge
+        // exactly-once BY DESIGN — this is the recovery the checkpoint
+        // exists for, not error suppression (bounded retries; the
+        // require()s below still pin exact results).
         def drain(): Unit = {
-          val q = s.readStream.table(s"$cat.`q255s$$changes`")
-            .groupBy(col("rowkey"))
-            .agg(count(lit(1)).as("edits"))
-            .select(col("rowkey"), lit(0L).as("version"),
-              col("edits").cast("string").cast("binary").as("body"))
-            .writeStream.format("graft-cells")
-            .outputMode("update")
-            .option("root", root).option("table", "q255mv")
-            .option("checkpointLocation", ck)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-          q.awaitTermination()
+          var attempts = 0
+          var done = false
+          while (!done) {
+            val q = s.readStream.table(s"$cat.`q255s$$changes`")
+              .groupBy(col("rowkey"))
+              .agg(count(lit(1)).as("edits"))
+              .select(col("rowkey"), lit(0L).as("version"),
+                col("edits").cast("string").cast("binary").as("body"))
+              .writeStream.format("graft-cells")
+              .outputMode("update")
+              .option("root", root).option("table", "q255mv")
+              .option("checkpointLocation", ck)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+            try { q.awaitTermination(); done = true }
+            catch {
+              case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+                attempts += 1
+                if (attempts > 2) throw e
+            }
+          }
         }
         seed(27, 1)
         drain()
@@ -2444,6 +2463,157 @@ object StoreLifecycle {
           "F5 existence must route through the split layout")
         // (d) rides the oracle: %21 keys' gen-1 stays masked everywhere
         s.table(s"$cat.q261")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
+    // REVERSE SCAN (VERDICT r15 ask 4 — HBase Scan.setReversed):
+    // `ORDER BY rowkey DESC [, version DESC] LIMIT k` pushes as a
+    // reverse-capped top-N: each compacted region walks its seekable
+    // segment INDEX backward and reads ~k entries instead of the
+    // shard. In-query invariants: the plan advertises `topK=… rev`;
+    // the capped-emission counter stays ≤ shards × (k + one key's
+    // versions) — the q259 pattern, counter-pinned at two scales via
+    // BENCH_SCALING; a delete marker on the would-be top key moves
+    // the answer to the next live cells (masks apply in reverse too);
+    // and the exact two-column shape matches DuckDB's ORDER BY … DESC
+    // LIMIT hash. The single-column shape truncates at key-group
+    // boundaries (bounded superset; Spark's retained TakeOrdered
+    // finalizes — pushes are partial, truncation is I/O savings only).
+    "q263_cells_reverse_scan" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q263-cells").toString
+      val cat = "g263_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // three versions per %6 key, ONE bulk segment per region (the
+        // compacted steady state the reverse walk rides)
+        graft.ingest.FileStore(root).ensureTable("q263",
+          PushTableSink.TableSpec(compactionThreshold = 0))
+        BulkLoad.writeCells(
+          Tables.documents(s, d).filter(col("doc_id") % 6 === 0)
+            .select(col("doc_id"), explode(array(lit(1), lit(2), lit(3))).as("g"))
+            .select(lit("q263").as("tableName"),
+              expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+              expr("doc_id * 4 + g").as("version"),
+              expr("cast(md5(concat(cast(doc_id as string), 'Z', cast(g as string))) as binary)").as("body")),
+          root)
+        // the LAST key in DESC order gets a bound marker at its g=3
+        // version: the reverse walk must mask it and serve g<3 plus
+        // the next keys instead — pinned through the oracle hash
+        val lastId = Tables.documents(s, d).filter(col("doc_id") % 6 === 0)
+          .agg(max(expr("concat('doc-', doc_id)"))).collect()(0).getString(0)
+        val lastMaxV = s.sql(s"SELECT max(version) AS v FROM $cat.q263 " +
+          s"WHERE rowkey = cast('$lastId' as binary)").collect()(0).getLong(0)
+        s.sql(s"DELETE FROM $cat.q263 WHERE rowkey = cast('$lastId' as binary) " +
+          s"AND version = $lastMaxV")
+        graft.sources.CellsSource.cappedRowsEmitted.set(0)
+        val q = s.sql(
+          s"""SELECT cast(rowkey as string) AS key_str, version
+              FROM $cat.q263 ORDER BY rowkey DESC, version DESC LIMIT 10""")
+        val desc = q.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.getOrElse("")
+        require(desc.contains("topK=10 rev"), s"the reverse top-N must push: $desc")
+        val out = q.localCheckpoint()
+        val total = s.table(s"$cat.q263").count()
+        val emitted = graft.sources.CellsSource.cappedRowsEmitted.get()
+        // every 'doc-*' key shares region 64, so ONE shard serves the
+        // reverse walk: the exact two-column shape stops at exactly k
+        require(emitted > 0 && emitted <= 10 && emitted < total,
+          s"reverse truncation must bound emission: $emitted of $total rows")
+        out
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
+    // CTAS / RTAS (VERDICT r15 ask 3 — StagingTableCatalog): `CREATE
+    // TABLE … AS SELECT` and `REPLACE TABLE … AS SELECT` land through
+    // a STAGED GENERATION under `_ctas_staging/` (the q239 overwrite
+    // protocol promoted to table creation): DDL + splits + every cell
+    // build INVISIBLY, CREATE commits by ONE atomic rename, REPLACE by
+    // the two-rename swap. In-query invariants: (a) a POISONED CTAS
+    // (raise_error mid-query) leaves NO table, nothing listed, and no
+    // staging debris (abort swept it); (b) the real CTAS carries its
+    // TBLPROPERTIES and PRE-SPLIT layout into the committed table,
+    // with placement honoring the layout (both regions hold cells);
+    // (c) a SELF-REFERENTIAL RTAS (`REPLACE t AS SELECT … FROM t`)
+    // reads the OLD generation for the whole job — the staged dir is
+    // unreachable by its own source scan; (d) a poisoned RTAS leaves
+    // the old table byte-intact. 100 TB: the staged write is the same
+    // distributed cell-put path as any load; commit is O(1) renames.
+    "q262_cells_ctas_rtas" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q262-cells").toString
+      val cat = "g262_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // (a) the poisoned CTAS: one in ~50 rows raises — the job dies
+        // mid-write, the staged generation aborts, NO table appears
+        val poisoned =
+          try {
+            s.sql(s"""CREATE TABLE $cat.q262 TBLPROPERTIES('compactionThreshold'='0')
+                AS SELECT cast(concat('doc-', doc_id) as binary) AS rowkey,
+                          cast(1000000000 + doc_id as bigint) AS version,
+                          cast(IF(doc_id % 50 = 49, raise_error('q262 poison'),
+                                  md5(concat(cast(doc_id as string), 'C1'))) as binary) AS body
+                FROM parquet.`$d/documents.parquet`""")
+            false
+          } catch { case _: Exception => true }
+        require(poisoned, "the poisoned CTAS must fail")
+        require(!Files.isDirectory(Paths.get(root, "q262")),
+          "a crashed CTAS must leave NO table")
+        require(s.sql(s"SHOW TABLES IN $cat").collect().isEmpty,
+          "nothing may be listed after the failed CTAS")
+        val stagingDir = Paths.get(root, "_ctas_staging")
+        val orphans =
+          if (!Files.isDirectory(stagingDir)) 0
+          else { val l = Files.list(stagingDir)
+                 try l.iterator().asScala.size finally l.close() }
+        require(orphans == 0, s"abort must sweep its staged generation, found $orphans")
+        // (b) the real CTAS: DDL properties + a pre-split layout ride
+        // into the committed table ('doc-5…' keys go to the second
+        // region — hex 646f632d35 = "doc-5")
+        s.sql(s"""CREATE TABLE $cat.q262
+            TBLPROPERTIES('compactionThreshold'='0', 'maxVersions'='5',
+                          'splitPoints'='646f632d35')
+            AS SELECT cast(concat('doc-', doc_id) as binary) AS rowkey,
+                      cast(1000000000 + doc_id as bigint) AS version,
+                      cast(md5(concat(cast(doc_id as string), 'C1')) as binary) AS body
+            FROM parquet.`$d/documents.parquet` WHERE doc_id % 8 = 0""")
+        val store = FileStore(root)
+        val layout = store.splitsOf("q262")
+        require(layout.size == 2 && layout.names == Vector("-", "646f632d35"),
+          s"the pre-split layout must commit with the table: ${layout.names}")
+        val spec = PushTableSink.TableSpec.fromJson(store.readSpecJson("q262").get)
+        require(spec.maxVersions == 5 && spec.compactionThreshold == 0,
+          "TBLPROPERTIES must commit with the table")
+        Seq("-", "646f632d35").foreach { sh =>
+          val l = Files.list(Paths.get(root, "q262", sh))
+          val n = try l.iterator().asScala.size finally l.close()
+          require(n > 0, s"region $sh must hold cells (placement honors the CTAS layout)")
+        }
+        val n8 = Tables.documents(s, d).filter(col("doc_id") % 8 === 0).count()
+        require(s.table(s"$cat.q262").count() == n8, "CTAS content = the query")
+        // (c) self-referential RTAS: the source scan reads the OLD
+        // generation for the whole job (the staged dir is invisible)
+        s.sql(s"""REPLACE TABLE $cat.q262 TBLPROPERTIES('compactionThreshold'='0')
+            AS SELECT rowkey, version + 1000000000 AS version, body FROM $cat.q262""")
+        require(s.table(s"$cat.q262").count() == n8,
+          "RTAS over itself must see the old generation exactly once")
+        // (d) a poisoned RTAS leaves the old table intact
+        val poisoned2 =
+          try {
+            s.sql(s"""REPLACE TABLE $cat.q262 TBLPROPERTIES('compactionThreshold'='0')
+                AS SELECT rowkey, version,
+                          cast(raise_error('q262 rtas poison') as binary) AS body
+                FROM $cat.q262""")
+            false
+          } catch { case _: Exception => true }
+        require(poisoned2, "the poisoned RTAS must fail")
+        s.table(s"$cat.q262")
           .select(col("rowkey").cast("string").as("key_str"), col("version"),
             col("body").cast("string").as("body_md5"))
           .localCheckpoint()
@@ -3366,6 +3536,26 @@ object StoreLifecycle {
          SELECT 'doc-' || doc_id, (3000000000000 + doc_id)::BIGINT,
               md5(doc_id::VARCHAR || 'C3')
          FROM documents WHERE doc_id % 11 = 3 AND doc_id % 9 <> 0 AND doc_id % 10 <> 5""",
+
+    // the last 10 rows under (rowkey DESC, version DESC) — the
+    // reverse-scan serving shape; the top key's newest version is
+    // masked by the exact marker, so the walk serves its older
+    // versions and the next keys ('doc-…' ASCII order == VARCHAR)
+    "q263_cells_reverse_scan" ->
+      """SELECT 'doc-' || doc_id AS key_str, (doc_id * 4 + g)::BIGINT AS version
+         FROM documents, (SELECT unnest([1, 2, 3]) AS g)
+         WHERE doc_id % 6 = 0
+           AND NOT (g = 3 AND 'doc-' || doc_id =
+             (SELECT max('doc-' || d2.doc_id) FROM documents d2 WHERE d2.doc_id % 6 = 0))
+         ORDER BY key_str DESC, version DESC LIMIT 10""",
+
+    // the CTAS content carried through the self-referential RTAS:
+    // versions lifted one generation, bodies unchanged; the two
+    // poisoned statements contributed nothing
+    "q262_cells_ctas_rtas" ->
+      """SELECT 'doc-' || doc_id AS key_str, (2000000000 + doc_id)::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'C1') AS body_md5
+         FROM documents WHERE doc_id % 8 = 0""",
 
     // three generations per %7 key, split across however many regions
     // the policy carved — splitting moves bytes between DIRECTORIES,

@@ -52,6 +52,7 @@ import scala.jdk.CollectionConverters._
   */
 class CellsCatalog extends TableCatalog with FunctionCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with SupportsNamespaces {
 
   private var catalogName: String = _
@@ -238,9 +239,14 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
         latest = latest)
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table = {
+  /** shared DDL validation + materialization for CREATE TABLE and the
+    * staged CTAS/RTAS paths: shape checks, TBLPROPERTIES → TableSpec,
+    * and the optional pre-split — applied under `atRoot` (the live
+    * root for CREATE, an invisible staging root for CTAS/RTAS). */
+  private def materializeDdl(ident: Identifier, schema: StructType,
+                             partitions: Array[Transform],
+                             properties: java.util.Map[String, String],
+                             atRoot: String): String = {
     require(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       CellsSource.Schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"graft tables have the fixed schema ${CellsSource.Schema.simpleString}; got ${schema.simpleString}")
@@ -262,7 +268,7 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
     // RegionSplit]]); default off
     val maxRegionBytes = Option(properties.get("maxRegionBytes"))
       .flatMap(_.toLongOption).getOrElse(0L)
-    val store = FileStore(root)
+    val store = FileStore(atRoot)
     store.ensureTable(t,
       PushTableSink.TableSpec(maxVersions = maxVersions, ttlMillis = ttlMillis,
         compactionThreshold = compactionThreshold, maxRegionBytes = maxRegionBytes))
@@ -280,7 +286,62 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
       }
       store.ensureSplits(t, FileStore.Splits.ofSplitPoints(points))
     }
+    t
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val t = materializeDdl(ident, schema, partitions, properties, root)
     CellsTable(root, t, changeFeed = false, fromCatalog = true)
+  }
+
+  // ------------------------------------------------- CTAS / RTAS
+  // `CREATE TABLE … AS SELECT` / `REPLACE TABLE … AS SELECT` through a
+  // STAGED GENERATION (StagingTableCatalog — the protocol INSERT
+  // OVERWRITE already uses, promoted to table creation): the DDL and
+  // every written cell land under `<root>/_ctas_staging/<id>/` —
+  // invisible to listTables and unreachable by any read face — and the
+  // commit is ONE atomic directory rename (CREATE) or the two-rename
+  // swap (REPLACE, exactly the q239 overwrite visibility: readers see
+  // the old generation until the swap instant). A crashed or aborted
+  // CTAS leaves the live root untouched; the orphaned staging
+  // generation is dead weight for Vacuum, never damage. RTAS takes the
+  // STATEMENT'S properties as the new table's DDL (standard REPLACE
+  // semantics — the statement redefines the table).
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (Files.isDirectory(dirOf(tableNameOf(ident))))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    stageCommon(ident, schema, partitions, properties, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!Files.isDirectory(dirOf(tableNameOf(ident)))) throw new NoSuchTableException(ident)
+    stageCommon(ident, schema, partitions, properties, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageCommon(ident, schema, partitions, properties, replace = true)
+
+  private def stageCommon(ident: Identifier, schema: StructType,
+                          partitions: Array[Transform],
+                          properties: java.util.Map[String, String],
+                          replace: Boolean): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val stagingId = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val stagingRoot = Paths.get(root, "_ctas_staging", stagingId)
+    Files.createDirectories(stagingRoot)
+    val t = materializeDdl(ident, schema, partitions, properties, stagingRoot.toString)
+    CellsStagedTable(root, stagingRoot.toString, t, replace)
   }
 
   /** `ALTER TABLE cat.tbl SET TBLPROPERTIES('maxVersions' = N |
@@ -377,6 +438,74 @@ class CellsCatalog extends TableCatalog with FunctionCatalog
       case None => throw new NoSuchFunctionException(ident)
     }
   }
+}
+
+/** The CTAS/RTAS staged generation ([[CellsCatalog.stageCreate]]): a
+  * fully-functional cells table living under an invisible staging
+  * root. Every write physics (atomic per-cell renames, W1 batching,
+  * the flush hook against the staged DDL) applies unchanged — the only
+  * difference is WHERE, and the commit that makes it a table:
+  *
+  *  - CREATE commit: ONE atomic rename staging→live — a crash at any
+  *    earlier instant leaves NO table (underscore roots are invisible
+  *    to listTables and every read face); a concurrent CREATE of the
+  *    same name loses the rename race and fails loudly.
+  *  - REPLACE commit: the q239 two-rename swap (live→trash,
+  *    staged→live) — readers of the old generation serve it until the
+  *    swap instant; the only non-atomic window is between the two
+  *    renames, exactly the INSERT OVERWRITE contract.
+  *
+  * Abort (query failure, driver crash) deletes/orphans only staging;
+  * [[graft.ingest.Vacuum]] sweeps aged `_ctas_staging` generations
+  * like overwrite debris. */
+case class CellsStagedTable(liveRoot: String, stagingRoot: String, table: String,
+                            replace: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable with SupportsWrite {
+  private val inner = CellsTable(stagingRoot, table, fromCatalog = true)
+  override def name(): String = s"graft-cells:$table (staged)"
+  override def schema(): StructType = CellsSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ,
+      TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = inner.newWriteBuilder(info)
+
+  /** test seam: runs between REPLACE's two commit renames — the one
+    * non-atomic instant, so specs can pin exactly what a crash there
+    * leaves (no live dir; trash + staged recoverable by an operator,
+    * sweepable by Vacuum). */
+  private[graft] var betweenRenames: () => Unit = () => ()
+
+  override def commitStagedChanges(): Unit = {
+    val mangled = table.replace(':', '~')
+    val staged = Paths.get(stagingRoot, mangled)
+    val live = Paths.get(liveRoot, mangled)
+    if (replace) {
+      val trash = Paths.get(liveRoot, "_overwrite_trash",
+        "ctas-" + Paths.get(stagingRoot).getFileName.toString, mangled)
+      Files.createDirectories(trash.getParent)
+      if (Files.isDirectory(live))
+        Files.move(live, trash, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      betweenRenames()
+      Files.move(staged, live, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      org.apache.commons.io.FileUtils.deleteQuietly(trash.getParent.toFile)
+    } else {
+      try Files.move(staged, live, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // lost a concurrent-CREATE race: the rename refuses an existing
+        // (non-empty) target — FileAlreadyExistsException or ENOTEMPTY
+        // depending on the filesystem. The staged generation stays
+        // orphaned (Vacuum's), the statement fails loudly.
+        case e: java.nio.file.FileSystemException if Files.isDirectory(live) =>
+          throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+            org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, table))
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(stagingRoot).toFile)
+  }
+
+  override def abortStagedChanges(): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(stagingRoot).toFile)
 }
 
 object CellsCatalog {
