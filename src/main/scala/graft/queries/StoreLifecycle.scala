@@ -2469,6 +2469,91 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // ZERO-COPY SNAPSHOT / CLONE (VERDICT r15 ask 5 — HBase
+    // snapshot/clone_snapshot): `CALL cat.snapshot` hard-links the
+    // table's store-file set (no cell bytes move); store files are
+    // rename-only immutable, so every later major/TTL-sweep/DELETE/
+    // vacuum only unlinks the TABLE's names and the snapshot stays
+    // byte-identical with zero pin bookkeeping — the filesystem link
+    // count is the refcount (the HBase archive-dir role). In-query
+    // invariants: (a) after ALTER maxVersions=1 + a major GCs the live
+    // table to one version per key, the snapshot re-reads COUNT- and
+    // CHECKSUM-identical; (b) CALL vacuum(0) collects nothing pinned;
+    // (c) the clone materializes the full pre-GC content with the
+    // snapshot-time DDL; (d) writes and deletes INSIDE the clone touch
+    // neither the live table nor the snapshot; (e) after drop_snapshot
+    // the clone still serves everything (inode independence). 100 TB:
+    // a snapshot is one metadata link per store file — ~one per region
+    // post-compaction — and zero data bytes.
+    "q264_cells_snapshot_clone" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q264-cells").toString
+      val cat = "g264_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.q264 (rowkey BINARY, version BIGINT, body BINARY) " +
+          "TBLPROPERTIES('compactionThreshold'='2')")
+        def wave(g: Int): Unit =
+          s.sql(s"""INSERT INTO $cat.q264
+              SELECT cast(concat('doc-', doc_id) as binary),
+                     cast($g as bigint) * 1000000000 + cast(doc_id as bigint),
+                     cast(md5(concat(cast(doc_id as string), 'S', '$g')) as binary)
+              FROM parquet.`$d/documents.parquet` WHERE doc_id % 9 = 0""")
+        (1 to 3).foreach(wave)
+        val n9 = Tables.documents(s, d).filter(col("doc_id") % 9 === 0).count()
+        val pinned = s.sql(s"CALL $cat.snapshot(table => 'q264', name => 'snap1')")
+          .collect()(0).getLong(0)
+        require(pinned > 0, "the snapshot must pin store files")
+        def snapDf = s.read.format("graft-cells")
+          .option("root", graft.ingest.Snapshots.rootOf(root, "snap1"))
+          .option("table", "q264").load()
+        def checksum(df: org.apache.spark.sql.DataFrame): Long =
+          df.select(sum(crc32(concat_ws("|", col("rowkey").cast("string"),
+            col("version").cast("string"), col("body").cast("string")))).as("c"))
+            .collect()(0).getLong(0)
+        val snapSum0 = checksum(snapDf)
+        require(snapDf.count() == 3 * n9, "the snapshot pins the full 3-generation view")
+        // (a) GC the LIVE table hard: cap 1 + major — live keeps one
+        // version per key, the snapshot must not move a byte
+        s.sql(s"ALTER TABLE $cat.q264 SET TBLPROPERTIES('maxVersions' = '1')")
+        s.sql(s"CALL $cat.compact_major(table => 'q264')")
+        require(s.table(s"$cat.q264").count() == n9, "the major GC'd the live table")
+        require(snapDf.count() == 3 * n9 && checksum(snapDf) == snapSum0,
+          "the snapshot survives the major + retention sweep byte-identically")
+        // (b) vacuum never collects pinned files
+        s.sql(s"CALL $cat.vacuum(older_than_ms => 0)")
+        require(checksum(snapDf) == snapSum0, "vacuum must not touch pinned files")
+        // (c) the clone: full pre-GC content under the snapshot-time DDL
+        s.sql(s"CALL $cat.clone_snapshot(name => 'snap1', new_table => 'q264c')")
+        require(s.table(s"$cat.q264c").count() == 3 * n9, "the clone is the pinned view")
+        val cloneSpec = PushTableSink.TableSpec.fromJson(
+          FileStore(root).readSpecJson("q264c").get)
+        require(cloneSpec.maxVersions == Int.MaxValue && cloneSpec.compactionThreshold == 2,
+          "the clone carries the SNAPSHOT-time DDL, not the later ALTER")
+        // (d) independence: mutate the CLONE only
+        s.sql(s"DELETE FROM $cat.q264c WHERE rowkey = cast('doc-9' as binary) " +
+          "AND version <= 2000000009")
+        s.sql(s"""INSERT INTO $cat.q264c
+            SELECT cast(concat('doc-', doc_id) as binary),
+                   cast(9000000000 + doc_id as bigint),
+                   cast(md5(concat(cast(doc_id as string), 'S9')) as binary)
+            FROM parquet.`$d/documents.parquet` WHERE doc_id % 36 = 0""")
+        require(s.table(s"$cat.q264").count() == n9,
+          "clone mutations must not touch the live table")
+        require(checksum(snapDf) == snapSum0,
+          "clone mutations must not touch the snapshot")
+        // (e) dropping the snapshot releases pins, never clone content
+        s.sql(s"CALL $cat.drop_snapshot(name => 'snap1')")
+        val n36 = Tables.documents(s, d).filter(col("doc_id") % 36 === 0).count()
+        require(s.table(s"$cat.q264c").count() == 3 * n9 - 2 + n36,
+          "the clone serves everything after the snapshot is dropped")
+        s.table(s"$cat.q264c")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // REVERSE SCAN (VERDICT r15 ask 4 — HBase Scan.setReversed):
     // `ORDER BY rowkey DESC [, version DESC] LIMIT k` pushes as a
     // reverse-capped top-N: each compacted region walks its seekable
@@ -3536,6 +3621,21 @@ object StoreLifecycle {
          SELECT 'doc-' || doc_id, (3000000000000 + doc_id)::BIGINT,
               md5(doc_id::VARCHAR || 'C3')
          FROM documents WHERE doc_id % 11 = 3 AND doc_id % 9 <> 0 AND doc_id % 10 <> 5""",
+
+    // the clone's masked view: the pinned three generations, minus the
+    // clone-local delete of doc-9's two oldest, plus the clone-local
+    // gen-9 — the live table's GC and the snapshot drop contribute
+    // nothing (independence is the point)
+    "q264_cells_snapshot_clone" ->
+      """SELECT 'doc-' || doc_id AS key_str,
+              (g::BIGINT * 1000000000 + doc_id)::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'S' || g::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([1, 2, 3]) AS g)
+         WHERE doc_id % 9 = 0 AND NOT (doc_id = 9 AND g IN (1, 2))
+         UNION ALL
+         SELECT 'doc-' || doc_id, (9000000000 + doc_id)::BIGINT,
+              md5(doc_id::VARCHAR || 'S9')
+         FROM documents WHERE doc_id % 36 = 0""",
 
     // the last 10 rows under (rowkey DESC, version DESC) — the
     // reverse-scan serving shape; the top key's newest version is

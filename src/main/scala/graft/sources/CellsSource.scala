@@ -907,6 +907,7 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
   private var pushedLimit: Option[Int] = None
   private var pushedTopK: Option[Int] = None
   private var pushedTopKDesc = false
+  private var pushedTopKRev = false // rowkey DESC — the HBase reverse scan
 
   override def pushLimit(limit: Int): Boolean = {
     if (aggSpecs.isDefined) false
@@ -926,28 +927,44 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
           Some(nr.fieldNames()(0).toLowerCase)
         case _ => None
       }
-    // two accepted shapes, both leading with rowkey ASC (the store's
-    // native sort): (rowkey [, version]) fully ASCENDING — the stream
-    // order of a compacted shard, truncated after N rows — and
-    // (rowkey ASC, version DESC) — the HBase Get.readVersions(k)
-    // serving shape (latest-k-versions in key order). The DESC variant
-    // truncates on KEY-GROUP boundaries: all versions of one key are
-    // contiguous in the stream and every row of a LATER key ranks
-    // after every row of an earlier one, so once ≥N rows are out the
-    // reader may stop at the next key change — a bounded superset
-    // (≤ N + the last key's versions) of the true top-N, which the
-    // retained TakeOrdered finalizes.
-    val leadOk = orders.nonEmpty && orders.length <= 2 &&
-      colOf(orders(0)).contains("rowkey") &&
-      orders(0).direction() == SortDirection.ASCENDING &&
-      (orders.length == 1 || colOf(orders(1)).contains("version"))
-    if (!leadOk) return false
-    val desc = orders.length == 2 && orders(1).direction() == SortDirection.DESCENDING
-    val asc = orders.length == 1 || orders(1).direction() == SortDirection.ASCENDING
-    if (!desc && !asc) return false
-    pushedTopK = Some(limit)
-    pushedTopKDesc = desc
-    true
+    // accepted shapes. Leading rowkey ASC (the store's native sort):
+    // (rowkey [, version]) fully ASCENDING — the stream order of a
+    // compacted shard, truncated after N rows — and (rowkey ASC,
+    // version DESC) — the HBase Get.readVersions(k) serving shape
+    // (latest-k-versions in key order), truncating on KEY-GROUP
+    // boundaries once ≥N rows are out (all of a key's versions are
+    // contiguous and later keys rank strictly after, so the emission
+    // is a bounded superset the retained TakeOrdered finalizes).
+    // Leading rowkey DESC — the HBase REVERSE SCAN (Scan.setReversed):
+    // (rowkey DESC [, version DESC]) walks a compacted shard's
+    // seekable INDEX backward, reading only ~N entries per region
+    // instead of the table; (rowkey DESC) alone truncates on key
+    // groups like the vdesc shape, (rowkey DESC, version DESC) is the
+    // exact reversed stream order. (rowkey DESC, version ASC) is
+    // declined — it matches no physical order and would save nothing.
+    // All pushes stay PARTIAL: Spark keeps its final sort+limit, so
+    // per-shard truncation is pure I/O savings, never a correctness
+    // dependency. The $latest/feed faces take only the ASC shapes
+    // (their folds stream forward).
+    val twoColsOk = orders.length == 1 || colOf(orders(1)).contains("version")
+    if (orders.isEmpty || orders.length > 2 ||
+      !colOf(orders(0)).contains("rowkey") || !twoColsOk) return false
+    if (orders(0).direction() == SortDirection.ASCENDING) {
+      val desc = orders.length == 2 && orders(1).direction() == SortDirection.DESCENDING
+      val asc = orders.length == 1 || orders(1).direction() == SortDirection.ASCENDING
+      if (!desc && !asc) return false
+      pushedTopK = Some(limit)
+      pushedTopKDesc = desc
+      true
+    } else {
+      if (latest) return false // the serving fold streams forward only
+      if (orders.length == 2 && orders(1).direction() != SortDirection.DESCENDING)
+        return false
+      pushedTopK = Some(limit)
+      pushedTopKRev = true
+      pushedTopKDesc = orders.length == 2 // exact reversed order vs key-group cap
+      true
+    }
   }
 
   override def isPartiallyPushed(): Boolean = true
@@ -962,7 +979,7 @@ case class CellsScanBuilder(root: String, table: String, stable: Boolean = false
         CellsKeyPred(keyDigests, points, keyLo, keyLoInc, keyHi, keyHiInc), required,
         stable, changeFeed, fromCatalog, latest,
         limitN = pushedLimit.getOrElse(-1), topK = pushedTopK.getOrElse(-1),
-        topKDesc = pushedTopKDesc, retention = retentionPolicy)
+        topKDesc = pushedTopKDesc, topKRev = pushedTopKRev, retention = retentionPolicy)
   }
 }
 
@@ -971,6 +988,7 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
                      stable: Boolean = false, changeFeed: Boolean = false,
                      fromCatalog: Boolean = false, latest: Boolean = false,
                      limitN: Int = -1, topK: Int = -1, topKDesc: Boolean = false,
+                     topKRev: Boolean = false,
                      retention: Option[graft.ingest.Retention.Policy] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning
@@ -1094,7 +1112,7 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
       (if (keys.hasRange) " keyrange" else "") +
       (if (latest) " latest" else "") +
       (if (limitN >= 0) s" limit=$limitN" else "") +
-      (if (topK >= 0) s" topK=$topK${if (topKDesc) " vdesc" else ""}" else "") +
+      (if (topK >= 0) s" topK=$topK${if (topKRev) " rev" else ""}${if (topKDesc) " vdesc" else ""}" else "") +
       retention.fold("")(p => s" retention(max=${p.maxVersions},cutoff=${p.cutoff})") +
       s" cols=[${required.fieldNames.mkString(",")}]"
 
@@ -1346,7 +1364,7 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     CellsReaderFactory(lo, hi, required.fieldNames, changeFeed, latest, limitN, topK,
-      topKDesc, retention)
+      topKDesc, topKRev, retention)
 
   /** SQL-UI metrics per scan node — pruning quality visible without
     * the global test counters. */
@@ -1568,6 +1586,7 @@ case class CellsReaderFactory(lo: Long, hi: Long,
                               latest: Boolean = false,
                               limitN: Int = -1, topK: Int = -1,
                               topKDesc: Boolean = false,
+                              topKRev: Boolean = false,
                               retention: Option[graft.ingest.Retention.Policy] = None)
     extends PartitionReaderFactory {
 
@@ -1577,6 +1596,25 @@ case class CellsReaderFactory(lo: Long, hi: Long,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CellsShard]
     val m = new CellsReaderMetrics
+    // pushed `rowkey DESC` top-N: the REVERSE capped read path (its
+    // own layout gate, truncation, and forward fallback — see
+    // [[CellsReaders.reverseCapped]]); the ASC machinery below never
+    // composes with it (an ASC-stream cap would truncate the wrong end)
+    if (topKRev && topK >= 0) {
+      val rev = CellsReaders.reverseCapped(p.dir, lo, hi, p.keys, cols, topK,
+        exactOrder = topKDesc, taskMetrics = m, retention = retention,
+        endName = p.endName, plannedFp = p.plannedFp)
+      return new PartitionReader[InternalRow] {
+        private var emitted = 0L
+        override def next(): Boolean = rev.next() && { emitted += 1; true }
+        override def get(): InternalRow = rev.get()
+        override def close(): Unit = rev.close()
+        override def currentMetricsValues()
+            : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+          Array(GraftTaskMetric("filesOpened", m.filesOpened),
+            GraftTaskMetric("cellsEmitted", emitted))
+      }
+    }
     val base = CellsReaders.reader(p.dir, lo, hi, p.keys, cols,
       maskDeletes = !changeFeed, emitOps = changeFeed, latestOnly = latest,
       taskMetrics = m, retention = retention,
@@ -1742,6 +1780,162 @@ object CellsReaders {
         }
       }
     own ++ daughters
+  }
+
+  /** REVERSE CAPPED shard reader — the HBase `Scan.setReversed` read
+    * path under a pushed `ORDER BY rowkey DESC [, version DESC]
+    * LIMIT k`: a COMPACTED shard (exactly one segment, zero puts —
+    * the same layout gate as the forward TopN) walks its CACHED index
+    * backward and SEEKS only the surviving entries, so the scan reads
+    * ~k entries per region instead of the shard. Any other layout
+    * falls back to the forward reader UNCAPPED (the retained
+    * TakeOrdered finalizes — the push is partial, truncation is pure
+    * I/O savings). Masks, retention, the version window, point
+    * digests, and the exact key-range re-check all apply exactly as
+    * forward. Vanish-resilient: a maintenance race rebuilds from a
+    * fresh listing preserving the emitted-identity set; if the fresh
+    * layout no longer supports reverse streaming, the rebuild IS the
+    * forward fallback (already-emitted identities dedup away).
+    *
+    * `exactOrder` (the two-column DESC shape): the reversed index IS
+    * (rowkey DESC, version DESC), stop after exactly k. Key-only
+    * shape: stop at the first key change once ≥ k rows are out (equal
+    * keys are tie-equivalent under the requested order). */
+  def reverseCapped(shardDir: String, lo: Long, hi: Long, keys: CellsKeyPred,
+                    cols: Array[String], k: Int, exactOrder: Boolean,
+                    taskMetrics: CellsReaderMetrics,
+                    retention: Option[graft.ingest.Retention.Policy],
+                    endName: Option[String], plannedFp: String): PartitionReader[InternalRow] = {
+    val seen = scala.collection.mutable.HashSet.empty[(String, Long)]
+    val seenKeys = scala.collection.mutable.HashSet.empty[String]
+    val needKey = cols.contains("rowkey")
+    val needBody = cols.contains("body")
+    val readsContent = needKey || needBody || keys.hasRange
+
+    def makeReverse(): Option[PartitionReader[InternalRow]] = {
+      val covered = listCovered(Paths.get(shardDir), endName, plannedFp)
+      val segs = covered.filter(e => graft.ingest.CellSegment.isSegment(e._2))
+      val puts = covered.exists { case (_, n) =>
+        val dot = n.lastIndexOf('.')
+        dot > 0 && !graft.ingest.CellSegment.isSegment(n) &&
+          graft.ingest.FileStore.tombstoneOf(n).isEmpty &&
+          graft.ingest.FileStore.exactTombstoneOf(n).isEmpty &&
+          n.drop(dot + 1).toLongOption.isDefined
+      }
+      if (puts || segs.size != 1) return None
+      val seg = segs.head._1
+      // masks from the same covered listing
+      var bound = Map.empty[String, Long]
+      val exact = scala.collection.mutable.HashSet.empty[(String, Long)]
+      covered.foreach { case (_, n) =>
+        graft.ingest.FileStore.tombstoneOf(n).foreach { case (d, v) =>
+          if (bound.getOrElse(d, Long.MinValue) < v) bound = bound.updated(d, v)
+        }
+        graft.ingest.FileStore.exactTombstoneOf(n).foreach(exact += _)
+      }
+      def masked(d: String, v: Long): Boolean =
+        bound.get(d).exists(_ >= v) || exact((d, v))
+      val idx = graft.ingest.CellSegment.indexOf(seg)
+      // read-time retention over the key's FULL live version list —
+      // one O(index) metadata fold, only on retention-active tables
+      lazy val retained: Map[String, Set[Long]] = {
+        val pol = retention.get
+        val byDigest = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+        idx.foreach { e =>
+          if (keys.fileOk(e.digestHex) && !masked(e.digestHex, e.version))
+            byDigest.getOrElseUpdate(e.digestHex,
+              scala.collection.mutable.ArrayBuffer.empty[Long]) += e.version
+        }
+        byDigest.map { case (d, vs) => d -> pol.admitted(vs.toSeq) }.toMap
+      }
+      def admitted(d: String, v: Long): Boolean =
+        retention.isEmpty || retained.get(d).exists(_.contains(v))
+      var opened = false
+      val shardNameU8 = org.apache.spark.unsafe.types.UTF8String
+        .fromString(Paths.get(shardDir).getFileName.toString)
+      val fileU8 = org.apache.spark.unsafe.types.UTF8String
+        .fromString(seg.getFileName.toString)
+      Some(new PartitionReader[InternalRow] {
+        private var i = idx.length - 1
+        private var emitted = 0L
+        private var lastDigest: String = _
+        private var row: InternalRow = _
+        private var done = false
+        override def next(): Boolean = {
+          if (done) return false
+          while (i >= 0) {
+            val e = idx(i); i -= 1
+            if (e.version >= lo && e.version <= hi && keys.fileOk(e.digestHex) &&
+              !masked(e.digestHex, e.version) && admitted(e.digestHex, e.version) &&
+              !seen((e.digestHex, e.version))) {
+              // the cap: exact shape stops at k; key-only shape stops
+              // at the first key change once ≥ k rows are out
+              if (exactOrder && emitted >= k) { done = true; return false }
+              if (!exactOrder && emitted >= k && (lastDigest ne null) &&
+                lastDigest != e.digestHex) { done = true; return false }
+              val built: Option[InternalRow] =
+                if (!readsContent) Some(mk(null, e.version, null))
+                else {
+                  if (!opened) { opened = true
+                    CellsSource.filesOpened.incrementAndGet()
+                    if (taskMetrics ne null) taskMetrics.filesOpened += 1
+                  }
+                  val (key, v, b) = graft.ingest.CellSegment.entryAt(seg, e.offset, needBody)
+                  if (!keys.keyOk(key)) None else Some(mk(key, v, b))
+                }
+              built match {
+                case Some(r) =>
+                  seen += ((e.digestHex, e.version))
+                  lastDigest = e.digestHex
+                  emitted += 1
+                  row = r
+                  return true
+                case None => () // out of key range — keep walking
+              }
+            }
+          }
+          done = true
+          false
+        }
+        private def mk(key: Array[Byte], version: Long, body: Array[Byte]): InternalRow =
+          new GenericInternalRow(cols.map {
+            case "rowkey" => key
+            case "version" => version
+            case "body" => body
+            case "_shard" => shardNameU8
+            case "_file" => fileU8
+            case "_kind" => org.apache.spark.unsafe.types.UTF8String.fromString("segment")
+          }.asInstanceOf[Array[Any]])
+        override def get(): InternalRow = row
+        override def close(): Unit = CellsSource.cappedRowsEmitted.addAndGet(emitted)
+      })
+    }
+
+    def makeForwardFallback(): PartitionReader[InternalRow] =
+      rawReader(shardDir, lo, hi, keys, cols, maskDeletes = true, emitOps = false,
+        latestOnly = false, taskMetrics, retention, seen, seenKeys, endName, plannedFp)
+
+    new PartitionReader[InternalRow] {
+      private var inner: PartitionReader[InternalRow] =
+        try makeReverse().getOrElse(makeForwardFallback())
+        catch { case _: java.io.IOException => makeForwardFallback() }
+      private var rebuilds = 0
+      override def next(): Boolean =
+        try inner.next()
+        catch {
+          case _: java.io.IOException if rebuilds < 5 =>
+            rebuilds += 1
+            // a maintenance race voided the snapshot: rebuild — fresh
+            // reverse if the layout still allows, else the forward
+            // fallback; `seen` keeps both paths exactly-once
+            inner = try makeReverse().getOrElse(makeForwardFallback())
+                    catch { case _: java.io.IOException => makeForwardFallback() }
+            next()
+        }
+      override def get(): InternalRow = inner.get()
+      override def close(): Unit = inner.close()
+    }
   }
 
   private val OpPut = org.apache.spark.unsafe.types.UTF8String.fromString("put")

@@ -72,12 +72,15 @@ class CellsLimitPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sorted shards must stop at N: emitted $emitted across $shards shards (400 rows total)")
   }
 
-  test("DESC and non-key orders decline; answers stay correct") {
+  test("rowkey DESC pushes as a REVERSE top-N (r16); non-key orders decline") {
     CellsSource.cappedRowsEmitted.set(0)
     val desc = tbl.orderBy(col("rowkey").desc).select(col("rowkey").cast("string").as("k")).limit(3)
-    assert(!scanDesc(desc).contains("topK"), scanDesc(desc))
+    assert(scanDesc(desc).contains("topK=3 rev"), scanDesc(desc))
     assert(desc.collect().map(_.getString(0)).toSeq ==
       (399 until 396 by -1).map(i => f"K-$i%04d"))
+    assert(CellsSource.cappedRowsEmitted.get() > 0,
+      "the reverse walk truncates (CellsReverseScanSpec pins the bounds)")
+    CellsSource.cappedRowsEmitted.set(0)
     val byBody = tbl.orderBy("body").limit(3)
     assert(!scanDesc(byBody).contains("topK"), scanDesc(byBody))
     assert(byBody.count() == 3)
