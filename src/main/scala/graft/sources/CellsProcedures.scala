@@ -124,6 +124,35 @@ object CellsProcedures {
         Array(r.stagingSwept, r.trashSwept, r.tmpFiles, r.bytesReclaimed)
       }
     },
+    // CALL cat.snapshot(table => 't', name => 's1'): ZERO-COPY pin of
+    // the table's store-file set (hard links + descriptor/layout
+    // copies — the HBase `snapshot` verb): majors, TTL sweeps,
+    // deletes, truncates, and vacuum thereafter only unlink the
+    // table's NAMES; the snapshot keeps the bytes until dropped.
+    "snapshot" -> new Proc("snapshot",
+      Array(param("table", StringType), param("name", StringType)),
+      StructType(Seq(StructField("files_pinned", LongType, nullable = false)))) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] =
+        Array(graft.ingest.Snapshots.create(root, in.getUTF8String(0).toString,
+          in.getUTF8String(1).toString).files)
+    },
+    // CALL cat.clone_snapshot(name => 's1', new_table => 't2'): the
+    // HBase clone — materialize an independent table from the pinned
+    // set (links into a staged generation, one atomic commit rename)
+    "clone_snapshot" -> new Proc("clone_snapshot",
+      Array(param("name", StringType), param("new_table", StringType)),
+      StructType(Seq(StructField("files_linked", LongType, nullable = false)))) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] =
+        Array(graft.ingest.Snapshots.clone(root, in.getUTF8String(0).toString,
+          in.getUTF8String(1).toString))
+    },
+    // CALL cat.drop_snapshot(name => 's1'): release the pins
+    "drop_snapshot" -> new Proc("drop_snapshot",
+      Array(param("name", StringType)),
+      StructType(Seq(StructField("dropped", BooleanType, nullable = false)))) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] =
+        Array(graft.ingest.Snapshots.drop(root, in.getUTF8String(0).toString))
+    },
     // CALL cat.resplit(table => 't', dst_root => '/path',
     //                  split_points => '<hex>,…'): the layout MIGRATION
     // (resharding live data is a rewrite into a new root, never a
