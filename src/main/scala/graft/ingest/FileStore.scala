@@ -154,6 +154,16 @@ object FileStore {
     }
   }
 
+  /** Striped per-KEY monitors for the ATOMIC row verbs (checkAndPut /
+    * increment — HBase's row-lock role, scoped to the atomic ops):
+    * two atomic mutations of one rowkey serialize; raw puts never
+    * touch these (mixing raw writes with CAS on one key is the
+    * caller's race, as on any store). In-JVM like [[Locks]] — a
+    * clustered store serializes on its region server instead. */
+  private val keyLocks = Array.fill(1024)(new Object)
+  private[graft] def keyLockFor(root: String, digestHex: String): Object =
+    keyLocks(((root.hashCode * 31 + digestHex.hashCode) & Int.MaxValue) % 1024)
+
   /** JVM-global split-layout cache, validated by the `_splits.json`
     * file's (mtime, size) stamp — a REGION SPLIT appends a boundary
     * (the file only ever grows, so the size component alone defeats
@@ -687,6 +697,126 @@ final case class FileStore(rootDir: String) extends Store {
       }
       out
     }
+    }
+
+  /** MASKED point GET of one key's LATEST cell — (version, body), or
+    * None when absent / fully masked / retention-hidden: the exact
+    * serving read the atomic verbs compare against. Both store-file
+    * kinds, delete masks, read-time retention, and the read-precedence
+    * rule (put file over segment, newer seqNo over older) all apply as
+    * on the connector faces. One listing + bloom-gated index probes.
+    * Runs under the table WRITE lock: the atomic verbs' comparison
+    * must not race the flush/tier-merge churn concurrent put batches
+    * generate (those hooks run under the READ side) — under heavy
+    * contention a vanished-segment retry loop never converges, and a
+    * segment skipped as vanished could silently hide the current
+    * value (a lost update). Point-op-rare, so the exclusivity is
+    * cheap; driver-side majors are unlocked and covered by the
+    * bounded retry. */
+  def getLatest(tableName: String, rowkey: Array[Byte]): Option[(Long, Array[Byte])] = {
+    val d = keyDigest(rowkey)
+    var attempts = 0
+    while (true) {
+      try {
+        return FileStore.Locks.write(tableDir(tableName)) {
+          val shardDir = tableDir(tableName).resolve(splitsOf(tableName).shardNameOf(rowkey))
+          if (!Files.isDirectory(shardDir)) return None
+          val mask = FileStore.maskOf(shardDir)
+          // candidates: version → best source (put beats segment, then
+          // higher seqNo); values: Left(putPath) | Right((seg, offset, seqNo))
+          val cand = scala.collection.mutable.HashMap
+            .empty[Long, Either[Path, (Path, Long, Long)]]
+          val s = Files.list(shardDir)
+          try s.iterator().asScala.foreach { p =>
+            val n = p.getFileName.toString
+            val dot = n.lastIndexOf('.')
+            if (dot > 0 && !n.endsWith(".tmp") && !n.startsWith("_split") &&
+              !CellSegment.isSegment(n) && n.take(dot) == d)
+              n.drop(dot + 1).toLongOption.foreach(v => cand(v) = Left(p))
+          } finally s.close()
+          segmentFiles(shardDir).foreach { seg =>
+            if (CellSegment.mightContain(seg, d)) {
+              lazy val seq = CellSegment.readTrailer(seg).seqNo
+              CellSegment.indexOf(seg).foreach { e =>
+                if (e.digestHex == d)
+                  cand.get(e.version) match {
+                    case Some(Left(_)) => () // a put file always wins its coordinate
+                    case Some(Right((_, _, s0))) if s0 >= seq => ()
+                    case _ => cand(e.version) = Right((seg, e.offset, seq))
+                  }
+              }
+            }
+          }
+          val live = cand.keysIterator.filterNot(mask.masked(d, _)).toSeq
+          if (live.isEmpty) return None
+          val admitted = Retention.of(specOf(tableName), System.currentTimeMillis())
+            .fold(live.toSet)(_.admitted(live))
+          if (admitted.isEmpty) return None
+          val v = admitted.max
+          val (key, body) = cand(v) match {
+            case Left(p) =>
+              val buf = java.nio.ByteBuffer.wrap(Files.readAllBytes(p))
+              val keyLen = buf.getInt()
+              val k = new Array[Byte](keyLen); buf.get(k)
+              val b = new Array[Byte](buf.remaining()); buf.get(b)
+              (k, b)
+            case Right((seg, off, _)) =>
+              val (k, _, b) = CellSegment.entryAt(seg, off, needBody = true)
+              (k, b)
+          }
+          // digest-collision honesty: the filename/index digest routed
+          // us here — the true key lives in the cell
+          if (!java.util.Arrays.equals(key, rowkey)) None else Some((v, body))
+        }
+      } catch {
+        case e: java.io.IOException =>
+          attempts += 1
+          if (attempts > 3) throw e // maintenance churn — retry off a fresh listing
+      }
+    }
+    None // unreachable
+  }
+
+  /** HBase `checkAndPut`: atomically — against other atomic verbs on
+    * this key — compare the key's CURRENT masked latest body with
+    * `expected` (None = expect ABSENT) and apply the put iff it
+    * matches. Returns whether the put was applied. */
+  def checkAndPut(tableName: String, rowkey: Array[Byte],
+                  expected: Option[Array[Byte]], version: Long,
+                  body: Array[Byte]): Boolean =
+    FileStore.keyLockFor(rootDir, keyDigest(rowkey)).synchronized {
+      val cur = getLatest(tableName, rowkey)
+      val ok = (expected, cur) match {
+        case (None, None) => true
+        case (Some(e), Some((_, b))) => java.util.Arrays.equals(e, b)
+        case _ => false
+      }
+      if (ok) putBatch(tableName, Seq(CellPut(tableName, rowkey, version, body)))
+      ok
+    }
+
+  /** HBase `increment`: atomically add `delta` to the key's current
+    * value — the latest live body read as a big-endian 8-byte long
+    * (absent or empty = 0, HBase's initialization) — landing the new
+    * value as a NEW VERSION (max(wall clock, current+1), so the
+    * increment always becomes the serving winner). Returns the new
+    * value. */
+  def increment(tableName: String, rowkey: Array[Byte], delta: Long): Long =
+    FileStore.keyLockFor(rootDir, keyDigest(rowkey)).synchronized {
+      val cur = getLatest(tableName, rowkey)
+      val cv = cur.map(_._2) match {
+        case Some(b) if b.length == 8 => java.nio.ByteBuffer.wrap(b).getLong
+        case Some(b) if b.isEmpty => 0L
+        case Some(b) =>
+          throw new IllegalArgumentException(
+            s"increment target holds a ${b.length}-byte body — not an 8-byte counter")
+        case None => 0L
+      }
+      val next = cv + delta
+      val version = math.max(System.currentTimeMillis(), cur.map(_._1 + 1).getOrElse(0L))
+      putBatch(tableName, Seq(CellPut(tableName, rowkey, version,
+        java.nio.ByteBuffer.allocate(8).putLong(next).array())))
+      next
     }
 
   private def segmentFiles(shardDir: Path): Seq[Path] =

@@ -2469,6 +2469,75 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // ATOMIC ROW MUTATIONS (the last missing HBase verb class noted by
+    // the r15 verdict — checkAndPut / increment): per-key compare-and-
+    // set and counter bumps against the key's MASKED LATEST body (the
+    // same serving read every face uses — delete masks, retention, and
+    // read precedence all apply to the comparison), serialized by
+    // striped per-key monitors (the HBase row-lock role, scoped to the
+    // atomic verbs; in-JVM like every coordination seam here).
+    // In-query invariants: (a) 96 CONCURRENT increments per counter
+    // key across 32 executor threads converge to the exact sum — the
+    // lost-update test, the whole reason the verb exists; (b) 32
+    // concurrent CAS attempts from one expected value admit EXACTLY
+    // ONE winner; (c) expect-absent succeeds once then fails;
+    // (d) the increments are ordinary versioned cells — the $latest
+    // face serves the final value and history remains queryable.
+    // 100 TB: atomic verbs are point reads + one put — region-server
+    // work, never a scan.
+    "q265_cells_atomic_mutations" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q265-cells").toString
+      val cat = "g265_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.q265 (rowkey BINARY, version BIGINT, body BINARY)")
+        // (a) the lost-update pin: per %11 doc under id 2000, 3
+        // increments of (doc_id % 5 + 1) land from a 32-way parallel
+        // job — the final counter must be exactly 3×(doc_id%5+1),
+        // every update kept. The id BOUND is the point: atomic verbs
+        // are per-row point ops whose cost must not scale with corpus
+        // size, so the gate drives a FIXED contention workload at
+        // every sf (the scaling row should be flat — that IS the
+        // 100 TB property)
+        val ids = Tables.documents(s, d)
+          .filter(col("doc_id") % 11 === 0 && col("doc_id") < 2000)
+          .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+        val work = (for (id <- ids.toSeq; _ <- 1 to 3) yield (id, id % 5 + 1))
+        val rootB = root
+        s.sparkContext.parallelize(new scala.util.Random(42).shuffle(work), 32)
+          .foreach { case (id, delta) =>
+            graft.ingest.FileStore(rootB).increment("q265",
+              s"ctr-$id".getBytes("UTF-8"), delta)
+          }
+        // (b) CAS contention: exactly one of 32 concurrent winners
+        require(graft.ingest.FileStore(root).checkAndPut("q265",
+          "cas".getBytes("UTF-8"), None, 1L, "init".getBytes("UTF-8")),
+          "expect-absent must succeed on a fresh key")
+        val winners = s.sparkContext.parallelize(1 to 32, 32).map { i =>
+          if (graft.ingest.FileStore(rootB).checkAndPut("q265",
+            "cas".getBytes("UTF-8"), Some("init".getBytes("UTF-8")),
+            1000L + i, s"winner-$i".getBytes("UTF-8"))) 1 else 0
+        }.sum().toLong
+        require(winners == 1L, s"exactly one CAS must win, got $winners")
+        // (c) expect-absent now fails (the key exists)
+        require(!graft.ingest.FileStore(root).checkAndPut("q265",
+          "cas".getBytes("UTF-8"), None, 9999L, "x".getBytes("UTF-8")),
+          "expect-absent must fail on an existing key")
+        // (d) the SQL shell's face agrees: one more bump via CALL
+        val viaSql = s.sql(s"CALL $cat.increment(table => 'q265', " +
+          s"rowkey => 'ctr-${ids.min}', delta => 0)").collect()(0).getLong(0)
+        require(viaSql == 3 * (ids.min % 5 + 1), s"CALL increment read $viaSql")
+        // the counters as the serving view — big-endian 8-byte bodies
+        s.sql(
+          s"""SELECT cast(rowkey as string) AS key_str,
+                     cast(conv(hex(body), 16, 10) as bigint) AS value
+              FROM $cat.`q265$$latest`
+              WHERE cast(rowkey as string) LIKE 'ctr-%'""")
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // ZERO-COPY SNAPSHOT / CLONE (VERDICT r15 ask 5 — HBase
     // snapshot/clone_snapshot): `CALL cat.snapshot` hard-links the
     // table's store-file set (no cell bytes move); store files are
@@ -3621,6 +3690,12 @@ object StoreLifecycle {
          SELECT 'doc-' || doc_id, (3000000000000 + doc_id)::BIGINT,
               md5(doc_id::VARCHAR || 'C3')
          FROM documents WHERE doc_id % 11 = 3 AND doc_id % 9 <> 0 AND doc_id % 10 <> 5""",
+
+    // each counter = its three increments, none lost — the concurrency
+    // pin rides the require()s; the value is all the oracle needs
+    "q265_cells_atomic_mutations" ->
+      """SELECT 'ctr-' || doc_id AS key_str, (3 * (doc_id % 5 + 1))::BIGINT AS value
+         FROM documents WHERE doc_id % 11 = 0 AND doc_id < 2000""",
 
     // the clone's masked view: the pinned three generations, minus the
     // clone-local delete of doc-9's two oldest, plus the clone-local

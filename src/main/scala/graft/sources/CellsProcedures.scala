@@ -124,6 +124,44 @@ object CellsProcedures {
         Array(r.stagingSwept, r.trashSwept, r.tmpFiles, r.bytesReclaimed)
       }
     },
+    // CALL cat.check_and_put(table => 't', rowkey => 'k', body => 'v'
+    //   [, expected => 'old'] [, version => ts]): HBase checkAndPut —
+    // compare-and-set against the key's masked latest body (omitted
+    // expected = expect ABSENT); atomic against other atomic verbs on
+    // the key. UTF-8 string key/body face — the SQL shell's CAS.
+    "check_and_put" -> new Proc("check_and_put",
+      Array(param("table", StringType), param("rowkey", StringType),
+        param("body", StringType), paramD("expected", StringType, "NULL"),
+        paramD("version", LongType, "NULL")),
+      StructType(Seq(StructField("applied", BooleanType, nullable = false)))) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] = {
+        val expected =
+          if (in.numFields > 3 && !in.isNullAt(3))
+            Some(in.getUTF8String(3).toString.getBytes("UTF-8"))
+          else None
+        val version =
+          if (in.numFields > 4 && !in.isNullAt(4)) in.getLong(4)
+          else System.currentTimeMillis()
+        Array(graft.ingest.FileStore(root).checkAndPut(
+          in.getUTF8String(0).toString,
+          in.getUTF8String(1).toString.getBytes("UTF-8"),
+          expected, version, in.getUTF8String(2).toString.getBytes("UTF-8")))
+      }
+    },
+    // CALL cat.increment(table => 't', rowkey => 'k' [, delta => n]):
+    // HBase increment — the latest live body as a big-endian 8-byte
+    // counter (absent = 0), bumped atomically as a new version
+    "increment" -> new Proc("increment",
+      Array(param("table", StringType), param("rowkey", StringType),
+        paramD("delta", LongType, "1")),
+      StructType(Seq(StructField("value", LongType, nullable = false)))) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] = {
+        val delta = if (in.numFields > 2 && !in.isNullAt(2)) in.getLong(2) else 1L
+        Array(graft.ingest.FileStore(root).increment(
+          in.getUTF8String(0).toString,
+          in.getUTF8String(1).toString.getBytes("UTF-8"), delta))
+      }
+    },
     // CALL cat.snapshot(table => 't', name => 's1'): ZERO-COPY pin of
     // the table's store-file set (hard links + descriptor/layout
     // copies — the HBase `snapshot` verb): majors, TTL sweeps,

@@ -705,7 +705,8 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val listed = cat.listProcedures(Array.empty).map(_.name()).toSet
     assert(listed == Set("compact_major", "compact_minor", "backup_full",
       "backup_incremental", "restore_backup", "resplit", "vacuum",
-      "snapshot", "clone_snapshot", "drop_snapshot"), s"$listed")
+      "snapshot", "clone_snapshot", "drop_snapshot",
+      "check_and_put", "increment"), s"$listed")
     listed.foreach { n =>
       assert(cat.loadProcedure(
         org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, n)) != null)
