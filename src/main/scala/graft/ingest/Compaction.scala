@@ -282,10 +282,11 @@ object Compaction {
           val l = Files.list(shard)
           val names =
             try l.iterator().asScala.map(_.getFileName.toString)
-              // `_split*` entries are a concurrent region split's
-              // satellite/staging DIRECTORIES — never sweep targets
-              // (the split owns their lifecycle)
-              .filterNot(n => n.endsWith(".tmp") || n.startsWith("_split")).toSet
+              // `_split*`/`_merge*` entries are a concurrent region
+              // split/merge's satellite/staging DIRECTORIES — never
+              // sweep targets (the lifecycle ops own them)
+              .filterNot(n => n.endsWith(".tmp") || n.startsWith("_split") ||
+                n.startsWith("_merge")).toSet
             finally l.close()
           shard.getFileName.toString -> names
         }.toMap

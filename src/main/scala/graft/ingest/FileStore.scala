@@ -131,6 +131,16 @@ object FileStore {
     if (!name.startsWith("_split-")) None
     else Splits.startOf(name.stripPrefix("_split-")).map(_ => name.stripPrefix("_split-"))
 
+  /** REGION-MERGE satellite `_merge-<hex>`: a merged-away RIGHT
+    * region's store files parked inside its LEFT neighbor's directory
+    * ([[RegionSplit.mergeLeft]]) until the fold moves them in place.
+    * Decodes to the absorbed region's start name. */
+  def mergeSatelliteNameOf(rightStart: String): String = s"_merge-$rightStart"
+
+  def mergeTargetOf(name: String): Option[String] =
+    if (!name.startsWith("_merge-")) None
+    else Splits.startOf(name.stripPrefix("_merge-")).map(_ => name.stripPrefix("_merge-"))
+
   /** Per-TABLE read/write locks (JVM-wide): writers (`putBatch`,
     * markers, existence probes, the flush hook) hold the READ side;
     * [[RegionSplit]] holds the WRITE side, so a split never races a
@@ -359,11 +369,27 @@ final case class FileStore(rootDir: String) extends Store {
     * calls this — user resharding remains a migration ([[Resplit]]). */
   def recordSplitStart(tableName: String, start: Array[Byte]): Unit = {
     require(start.nonEmpty, "a split boundary is never the empty key")
-    val dir = tableDir(tableName)
     val cur = splitsOf(tableName)
     if (cur.names.contains(FileStore.Splits.nameOf(start))) return
-    val next = FileStore.Splits(
-      (cur.starts :+ start).sortWith(java.util.Arrays.compareUnsigned(_, _) < 0))
+    writeLayout(tableName, FileStore.Splits(
+      (cur.starts :+ start).sortWith(java.util.Arrays.compareUnsigned(_, _) < 0)))
+  }
+
+  /** Remove one region boundary — the REGION MERGE's metadata step
+    * (HBase: the master rewrites `hbase:meta` when regions merge):
+    * the right region's range folds into its left neighbor. Idempotent
+    * (an already-removed boundary is a recovery replay); caller holds
+    * the table WRITE lock. The first region's start can never go. */
+  def recordBoundaryRemoval(tableName: String, startName: String): Unit = {
+    val cur = splitsOf(tableName)
+    if (!cur.names.contains(startName)) return
+    require(cur.names.head != startName, "the first region's start is not a removable boundary")
+    writeLayout(tableName, FileStore.Splits(
+      cur.starts.zip(cur.names).filterNot(_._2 == startName).map(_._1)))
+  }
+
+  private def writeLayout(tableName: String, next: FileStore.Splits): Unit = {
+    val dir = tableDir(tableName)
     Files.createDirectories(dir)
     val tmp = Files.createTempFile(dir, "_splits", ".tmp")
     Files.write(tmp, next.toJson.getBytes("UTF-8"))
@@ -386,7 +412,13 @@ final case class FileStore(rootDir: String) extends Store {
         FileStore.Splits.startOf(shard.getFileName.toString).isDefined) {
         val l = Files.list(shard)
         try l.iterator().asScala.foreach { p =>
-          if (Files.deleteIfExists(p)) removed += 1
+          val n = p.getFileName.toString
+          if (n.startsWith("_split") || n.startsWith("_merge")) {
+            // a mid-protocol split/merge satellite DIRECTORY: its
+            // content is table data too — truncate takes it whole
+            if (org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)) removed += 1
+          }
+          else if (Files.deleteIfExists(p)) removed += 1
         } finally l.close()
       }
     } finally shards.close()

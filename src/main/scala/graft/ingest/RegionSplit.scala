@@ -112,7 +112,7 @@ object RegionSplit {
     val s = Files.list(shardDir)
     try s.iterator().asScala.map { p =>
       val n = p.getFileName.toString
-      if (n.endsWith(".tmp") || n.startsWith("_split")) 0L
+      if (n.endsWith(".tmp") || n.startsWith("_split") || n.startsWith("_merge")) 0L
       else try Files.size(p) catch { case _: java.io.IOException => 0L }
     }.sum
     finally s.close()
@@ -130,7 +130,8 @@ object RegionSplit {
       val s = Files.list(shardDir)
       try {
         val names = s.iterator().asScala.map(_.getFileName.toString)
-          .filterNot(n => n.endsWith(".tmp") || n.startsWith("_split")).toVector
+          .filterNot(n => n.endsWith(".tmp") || n.startsWith("_split") ||
+            n.startsWith("_merge")).toVector
         (names.filter { n =>
           val dot = n.lastIndexOf('.')
           dot > 0 && !CellSegment.isSegment(n) && n.drop(dot + 1).toLongOption.isDefined
@@ -213,6 +214,85 @@ object RegionSplit {
     }
   }
 
+  private[graft] val mergesDone = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** REGION MERGE — HBase `merge_region`, the split's inverse: fold
+    * the region starting at `rightStart` into its LEFT neighbor.
+    * Protocol (write lock held — writers and other maintenance
+    * excluded; readers never lock):
+    *
+    *  1. '''unbind''' — remove the boundary from `_splits.json` FIRST:
+    *     new writes route the right range to the left region, and any
+    *     reader planned under the old layout sees the fingerprint
+    *     change and discovers the parked content below. (Both regions'
+    *     directories still exist at this instant, each serving its own
+    *     files — exactly-once by disjointness.)
+    *  2. '''park''' — ONE atomic rename moves the right region's whole
+    *     directory to the left's MERGE SATELLITE
+    *     `left/_merge-<rightStart>/`: ownership flips to the left
+    *     partition in one step. Range-classified satellite expansion
+    *     keeps pre-merge partitions exactly-once: a pre-merge LEFT
+    *     partition (planned end = rightStart) EXCLUDES the satellite
+    *     (target ≥ its end), while the pre-merge RIGHT partition's
+    *     reader — its directory gone, fingerprint changed — finds the
+    *     satellite in a PRECEDING directory targeting its range.
+    *  3. '''fold''' — move each parked file into the left directory
+    *     proper (atomic renames; keys are range-disjoint so nothing
+    *     collides except content-identical segment names) and drop the
+    *     empty satellite.
+    *
+    * Crash recovery ([[completePending]]): an unfolded `_merge-*`
+    * satellite folds idempotently; a boundary removed with the right
+    * directory still standing (crash between 1 and 2) parks + folds it.
+    * At 100 TB a merge is O(store files of one region) renames — no
+    * data bytes move. */
+  def mergeLeft(root: String, table: String, rightStart: String): Boolean = {
+    val tableDir = Paths.get(root, table.replace(':', '~'))
+    FileStore.Locks.write(tableDir) {
+      completePendingIn(root, table, tableDir)
+      val layout = FileStore.splitsAt(tableDir)
+      val i = layout.names.indexOf(rightStart)
+      require(i > 0, s"region '$rightStart' is not a mergeable boundary of $table " +
+        s"(first region, or no such boundary)")
+      val leftDir = tableDir.resolve(layout.names(i - 1))
+      val rightDir = tableDir.resolve(rightStart)
+      Files.createDirectories(leftDir)
+      probeHook(s"unbinding:$rightStart")
+      FileStore(root).recordBoundaryRemoval(table, rightStart)
+      probeHook(s"unbound:$rightStart")
+      if (Files.isDirectory(rightDir))
+        Files.move(rightDir, leftDir.resolve(FileStore.mergeSatelliteNameOf(rightStart)),
+          StandardCopyOption.ATOMIC_MOVE)
+      probeHook(s"parked:$rightStart")
+      foldMergeSatellite(leftDir, rightStart)
+      probeHook(s"folded:$rightStart")
+      mergesDone.incrementAndGet()
+      true
+    }
+  }
+
+  /** move every parked file into the left directory proper; idempotent
+    * (recovery replays converge) — nested satellites can't exist here
+    * (completePendingIn runs first), but a nested dir moves wholesale
+    * and keeps its range classification if one ever did. */
+  private def foldMergeSatellite(leftDir: Path, target: String): Unit = {
+    val sat = leftDir.resolve(FileStore.mergeSatelliteNameOf(target))
+    if (!Files.isDirectory(sat)) return
+    val l = Files.list(sat)
+    val names = try l.iterator().asScala.map(_.getFileName.toString).toVector finally l.close()
+    names.foreach { n =>
+      if (n.endsWith(".tmp")) Files.deleteIfExists(sat.resolve(n))
+      else
+        try Files.move(sat.resolve(n), leftDir.resolve(n), StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            // content-hash twin (identical segment) — one copy suffices
+            Files.deleteIfExists(sat.resolve(n))
+        }
+    }
+    Files.deleteIfExists(sat)
+  }
+
   /** Finish interrupted splits across the table (crash recovery):
     * published satellites complete their sweep/record/promote phases
     * from their manifests; pre-publish staging orphans are removed
@@ -231,15 +311,43 @@ object RegionSplit {
       try shards.iterator().asScala.filter(p => Files.isDirectory(p) &&
         FileStore.Splits.startOf(p.getFileName.toString).isDefined).toVector
       finally shards.close()
-    shardDirs.foreach { shard =>
+    // a crashed MERGE between unbind and park leaves the right
+    // region's dir standing with its boundary gone — park + fold it
+    // into the left LISTED neighbor now (sorted order makes "left" the
+    // previous element)
+    val layoutNames = FileStore.splitsAt(tableDir).names.toSet
+    val sortedDirs = shardDirs.sortBy(_.getFileName.toString)
+    sortedDirs.zipWithIndex.foreach { case (shard, idx) =>
+      val n = shard.getFileName.toString
+      if (!layoutNames.contains(n) && idx > 0) {
+        val left = sortedDirs(idx - 1)
+        val sat = left.resolve(FileStore.mergeSatelliteNameOf(n))
+        if (!Files.exists(sat) && Files.isDirectory(shard)) {
+          try Files.move(shard, sat, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.io.IOException => () }
+        }
+        foldMergeSatellite(left, n)
+        completed += 1
+      }
+    }
+    // a dir the orphan pass just parked is gone from its old path
+    shardDirs.filter(Files.isDirectory(_)).foreach { shard =>
       val l = Files.list(shard)
       val pend =
         try l.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("_split")).toVector
+          .filter(n => n.startsWith("_split") || n.startsWith("_merge")).toVector
         finally l.close()
       pend.foreach { n =>
         if (n.startsWith("_splitstage"))
           org.apache.commons.io.FileUtils.deleteQuietly(shard.resolve(n).toFile)
+        else if (n.startsWith("_merge-"))
+          FileStore.mergeTargetOf(n).foreach { target =>
+            // an unfolded merge satellite: ensure its boundary is gone,
+            // then fold (both idempotent)
+            FileStore(root).recordBoundaryRemoval(table, target)
+            foldMergeSatellite(shard, target)
+            completed += 1
+          }
         else FileStore.satelliteTargetOf(n).foreach { target =>
           finishFromSatellite(root, table, tableDir, shard, shard.resolve(n), target)
           completed += 1
@@ -301,7 +409,8 @@ object RegionSplit {
       val l = Files.list(shardDir)
       try {
         val names = l.iterator().asScala.map(_.getFileName.toString)
-          .filterNot(n => n.endsWith(".tmp") || n.startsWith("_split")).toVector
+          .filterNot(n => n.endsWith(".tmp") || n.startsWith("_split") ||
+            n.startsWith("_merge")).toVector
         val p = names.filter { n =>
           val dot = n.lastIndexOf('.')
           dot > 0 && !CellSegment.isSegment(n) && n.drop(dot + 1).toLongOption.isDefined

@@ -2469,6 +2469,92 @@ object StoreLifecycle {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     },
 
+    // REGION MERGE (HBase merge_region — the split's inverse, closing
+    // the full region lifecycle): CALL cat.merge_regions folds a
+    // region into its LEFT neighbor — boundary unbound first (new
+    // writes re-route; stale readers see the fingerprint change), then
+    // ONE atomic rename parks the right directory as the left's merge
+    // satellite, then the fold moves files in place. Readers stay
+    // exactly-once throughout via the layout-stale coverage rule
+    // (planned-range re-filter over every intersecting directory).
+    // In-query invariants: (a) a stage-hook COUNT at every merge stage
+    // equals the seeded total (reads mid-merge exactly-once); (b) the
+    // layout shrinks and the right directory is gone; (c) markers in
+    // the absorbed region keep masking; (d) the merged region then
+    // SPLITS back automatically under a small maxRegionBytes — the
+    // full lifecycle round-trip — with the view hash-identical through
+    // both ops; (e) point reads and F5 route through every layout.
+    // 100 TB: a merge moves O(store files of one region) names — no
+    // data bytes.
+    "q266_cells_region_merge" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q266-cells").toString
+      val cat = "g266_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // three regions pre-split at 'doc-3' and 'doc-6'
+        s.sql(s"CREATE TABLE $cat.q266 (rowkey BINARY, version BIGINT, body BINARY) " +
+          "TBLPROPERTIES('compactionThreshold'='2', " +
+          "'splitPoints'='646f632d33,646f632d36')")
+        (1 to 2).foreach { g =>
+          s.sql(s"""INSERT INTO $cat.q266
+              SELECT cast(concat('doc-', doc_id) as binary),
+                     cast($g as bigint) * 1000000000 + cast(doc_id as bigint),
+                     cast(md5(concat(cast(doc_id as string), 'M', '$g')) as binary)
+              FROM parquet.`$d/documents.parquet` WHERE doc_id % 4 = 0""")
+        }
+        // a marker inside the region about to be absorbed ('doc-4…'
+        // sorts into ['doc-3','doc-6')): gen-1 of %44 keys masked
+        Tables.documents(s, d).filter(col("doc_id") % 44 === 0 && col("doc_id") % 10 === 4)
+          .select(expr("cast(concat('doc-', doc_id) as binary)").as("rowkey"),
+            expr("1500000000 + doc_id").as("version"),
+            lit(Array.emptyByteArray).as("body"))
+          .write.format("graft-cells").mode("append")
+          .option("root", root).option("table", "q266")
+          .option("tombstone", "true").save()
+        val count0 = s.table(s"$cat.q266").count()
+        graft.ingest.RegionSplit.probeHook = { stage =>
+          val n = s.table(s"$cat.q266").count()
+          require(n == count0, s"mid-merge count diverged at $stage: $n != $count0")
+        }
+        try {
+          val merged = s.sql(s"CALL $cat.merge_regions(table => 'q266', " +
+            "region => '646f632d33')").collect()(0).getBoolean(0)
+          require(merged, "the merge must apply")
+        } finally graft.ingest.RegionSplit.probeHook = _ => ()
+        val store = FileStore(root)
+        require(store.splitsOf("q266").size == 2,
+          s"boundary gone: ${store.splitsOf("q266").names}")
+        require(!Files.isDirectory(Paths.get(root, "q266", "646f632d33")),
+          "the absorbed directory is gone")
+        require(s.table(s"$cat.q266").count() == count0, "merging never changes the view")
+        // (d) the lifecycle round-trip: the fat merged region splits
+        // back automatically once the policy arms
+        val fatBytes = graft.ingest.RegionSplit.shardBytes(Paths.get(root, "q266", "-"))
+        require(fatBytes > 0)
+        s.sql(s"ALTER TABLE $cat.q266 SET TBLPROPERTIES('maxRegionBytes' = " +
+          s"'${math.max(2048L, fatBytes / 2)}')")
+        val splitsBefore = graft.ingest.RegionSplit.splitsDone.get()
+        // one more wave re-triggers the policy on the touched region
+        s.sql(s"""INSERT INTO $cat.q266
+            SELECT cast(concat('doc-', doc_id) as binary),
+                   cast(3000000000 + doc_id as bigint),
+                   cast(md5(concat(cast(doc_id as string), 'M3')) as binary)
+            FROM parquet.`$d/documents.parquet` WHERE doc_id % 4 = 0""")
+        require(graft.ingest.RegionSplit.splitsDone.get() > splitsBefore,
+          "the merged region must split back under the armed bound")
+        require(store.splitsOf("q266").size > 2, "the lifecycle round-trip grew the layout")
+        // (e) point read + F5 through the final layout
+        val probed = s.sql(s"SELECT count(*) AS n FROM $cat.q266 " +
+          "WHERE rowkey = cast('doc-4' as binary)").collect()(0).getLong(0)
+        require(probed == 3, s"doc-4 must serve its three generations, got $probed")
+        s.table(s"$cat.q266")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
     // ATOMIC ROW MUTATIONS (the last missing HBase verb class noted by
     // the r15 verdict — checkAndPut / increment): per-key compare-and-
     // set and counter bumps against the key's MASKED LATEST body (the
@@ -3690,6 +3776,17 @@ object StoreLifecycle {
          SELECT 'doc-' || doc_id, (3000000000000 + doc_id)::BIGINT,
               md5(doc_id::VARCHAR || 'C3')
          FROM documents WHERE doc_id % 11 = 3 AND doc_id % 9 <> 0 AND doc_id % 10 <> 5""",
+
+    // three generations per %4 key across a merge and a re-split —
+    // region lifecycle ops move directory names, never cells; the
+    // absorbed region's marker keeps masking its keys' gen-1
+    "q266_cells_region_merge" ->
+      """SELECT 'doc-' || doc_id AS key_str,
+              (g::BIGINT * 1000000000 + doc_id)::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'M' || g::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([1, 2, 3]) AS g)
+         WHERE doc_id % 4 = 0
+           AND NOT (g = 1 AND doc_id % 44 = 0 AND doc_id % 10 = 4)""",
 
     // each counter = its three increments, none lost — the concurrency
     // pin rides the require()s; the value is all the oracle needs

@@ -68,7 +68,8 @@ case class CellsAggScan(root: String, table: String, lo: Long, hi: Long,
     // a pushed COUNT must stay exact across a concurrent split
     val fp = CellsCatalog.fingerprintOf(graft.ingest.FileStore.splitsAt(dir))
     CellsShards.pruneListed(dir, keys)
-      .map(ls => CellsAggShard(ls.path.toString, ls.endName, fp): InputPartition).toArray
+      .map(ls => CellsAggShard(ls.path.toString, ls.endName, fp,
+        ls.isFirst): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -76,7 +77,8 @@ case class CellsAggScan(root: String, table: String, lo: Long, hi: Long,
 }
 
 case class CellsAggShard(dir: String, endName: Option[String] = None,
-                         plannedFp: String = "") extends InputPartition
+                         plannedFp: String = "",
+                         firstShard: Boolean = false) extends InputPartition
 
 case class CellsAggReaderFactory(lo: Long, hi: Long, keys: CellsKeyPred,
                                  specs: Seq[CellsAggSpec], latest: Boolean,
@@ -99,7 +101,8 @@ case class CellsAggReaderFactory(lo: Long, hi: Long, keys: CellsKeyPred,
         // and daughter discovery (a COUNT must stay exact mid-split)
         val rows = CellsReaders.reader(shard, lo, hi, keys, Array("version"),
           maskDeletes = true, emitOps = false, latestOnly = latest,
-          retention = retention, endName = part.endName, plannedFp = part.plannedFp)
+          retention = retention, endName = part.endName, plannedFp = part.plannedFp,
+          firstShard = part.firstShard)
         var n = 0L
         var mn = Long.MaxValue
         var mx = Long.MinValue

@@ -124,6 +124,18 @@ object CellsProcedures {
         Array(r.stagingSwept, r.trashSwept, r.tmpFiles, r.bytesReclaimed)
       }
     },
+    // CALL cat.merge_regions(table => 't', region => '<startHex>'):
+    // HBase merge_region — fold the named region into its LEFT
+    // neighbor (boundary removed, files parked + folded; readers stay
+    // exactly-once via the layout-stale coverage rule). The inverse of
+    // the automatic split; operator-invoked, like HBase's.
+    "merge_regions" -> new Proc("merge_regions",
+      Array(param("table", StringType), param("region", StringType)),
+      StructType(Seq(StructField("merged", BooleanType, nullable = false)))) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] =
+        Array(graft.ingest.RegionSplit.mergeLeft(root,
+          in.getUTF8String(0).toString, in.getUTF8String(1).toString))
+    },
     // CALL cat.check_and_put(table => 't', rowkey => 'k', body => 'v'
     //   [, expected => 'old'] [, version => ts]): HBase checkAndPut —
     // compare-and-set against the key's masked latest body (omitted

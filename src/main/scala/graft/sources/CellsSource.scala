@@ -223,6 +223,29 @@ final case class CellsKeyPred(
 
   def hasRange: Boolean = lo.isDefined || hi.isDefined
 
+  /** intersect with a planned-range bound [lo2, hi2) — the
+    * layout-stale reader's exact re-filter ([[CellsReaders.listCovered]]):
+    * emission then needs the parsed key, and rows outside the planned
+    * range belong to another stale partition. */
+  def boundedBy(lo2: Array[Byte], hi2: Option[Array[Byte]]): CellsKeyPred = {
+    var nLo = lo
+    var nLoInc = loInc
+    if (lo2.nonEmpty) {
+      val stronger = nLo.forall(cur => CellsKeyPred.cmp(lo2, cur) > 0)
+      if (stronger) { nLo = Some(lo2); nLoInc = true }
+    }
+    var nHi = hi
+    var nHiInc = hiInc
+    hi2.foreach { h =>
+      val stronger = nHi.forall { cur =>
+        val c = CellsKeyPred.cmp(h, cur)
+        c < 0 || (c == 0 && nHiInc)
+      }
+      if (stronger) { nHi = Some(h); nHiInc = false }
+    }
+    copy(lo = nLo, loInc = nLoInc, hi = nHi, hiInc = nHiInc)
+  }
+
   /** exact range check on the parsed key bytes. */
   def keyOk(key: Array[Byte]): Boolean =
     lo.forall { k => val c = CellsKeyPred.cmp(key, k); if (loInc) c >= 0 else c > 0 } &&
@@ -1035,7 +1058,8 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
           val s = Files.list(shard)
           try s.iterator().asScala.foreach { p =>
             val n = p.getFileName.toString
-            if (n.startsWith("_split")) puts += 1 // mid-protocol satellite: never sorted
+            if (n.startsWith("_split") || n.startsWith("_merge"))
+              puts += 1 // mid-protocol satellite: never sorted
             else if (graft.ingest.CellSegment.isSegment(n)) segs += 1
             else {
               val dot = n.lastIndexOf('.')
@@ -1178,7 +1202,7 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
             // per-cell puts, segments, and (feed) markers
             val puts = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
             val segs = scala.collection.mutable.ArrayBuffer.empty[Path]
-            CellsReaders.listCovered(shard, None, "").foreach { case (p, name) =>
+            CellsReaders.listCovered(shard, None, "").files.foreach { case (p, name) =>
               val dot = name.lastIndexOf('.')
               lazy val marker = graft.ingest.FileStore.tombstoneOf(name)
                 .orElse(graft.ingest.FileStore.exactTombstoneOf(name))
@@ -1324,7 +1348,7 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
     val planned: Array[InputPartition] = CellsShards.pruneListed(dir, k)
       .map { ls =>
         val idx = splits.names.indexOf(ls.name)
-        CellsShard(ls.path.toString, k, idx, ls.endName, fp): InputPartition
+        CellsShard(ls.path.toString, k, idx, ls.endName, fp, ls.isFirst): InputPartition
       }
       .toArray
     plannedPartitions = (k, planned)
@@ -1459,7 +1483,7 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
           // the shard's only copy of its max version — skipping it would
           // dip the reported watermark (harmless for delivery, but the
           // expansion is one subdir listing and keeps the report exact)
-          CellsReaders.listCovered(shard, None, "").foreach { case (p, n) =>
+          CellsReaders.listCovered(shard, None, "").files.foreach { case (p, n) =>
             val dot = n.lastIndexOf('.')
             if (graft.ingest.CellSegment.isSegment(n)) {
               // bulk segments advance the watermark too: trailer-only
@@ -1531,7 +1555,8 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
     // moved cells would silently drop out of the feed
     val fp = CellsCatalog.fingerprintOf(graft.ingest.FileStore.splitsAt(dir))
     CellsShards.pruneListed(dir, keys)
-      .map(ls => CellsStreamShard(ls.path.toString, bLo, bHi, ls.endName, fp): InputPartition)
+      .map(ls => CellsStreamShard(ls.path.toString, bLo, bHi, ls.endName, fp,
+        ls.isFirst): InputPartition)
       .toArray
   }
 
@@ -1543,7 +1568,8 @@ case class CellsMicroBatch(root: String, table: String, lo: Long, hi: Long,
 
 case class CellsStreamShard(dir: String, lo: Long, hi: Long,
                             endName: Option[String] = None,
-                            plannedFp: String = "") extends InputPartition
+                            plannedFp: String = "",
+                            firstShard: Boolean = false) extends InputPartition
 
 case class CellsStreamReaderFactory(keys: CellsKeyPred, cols: Array[String],
                                     changeFeed: Boolean = false)
@@ -1557,7 +1583,7 @@ case class CellsStreamReaderFactory(keys: CellsKeyPred, cols: Array[String],
     val m = new CellsReaderMetrics
     val base = CellsReaders.reader(p.dir, p.lo, p.hi, keys, cols,
       maskDeletes = false, emitOps = changeFeed, taskMetrics = m,
-      endName = p.endName, plannedFp = p.plannedFp)
+      endName = p.endName, plannedFp = p.plannedFp, firstShard = p.firstShard)
     new PartitionReader[InternalRow] {
       private var emitted = 0L
       override def next(): Boolean = base.next() && { emitted += 1; true }
@@ -1572,7 +1598,8 @@ case class CellsStreamReaderFactory(keys: CellsKeyPred, cols: Array[String],
 }
 
 case class CellsShard(dir: String, keys: CellsKeyPred, shardIdx: Int = -1,
-                      endName: Option[String] = None, plannedFp: String = "")
+                      endName: Option[String] = None, plannedFp: String = "",
+                      firstShard: Boolean = false)
     extends InputPartition with HasPartitionKey {
   // the region index IS the partition value of the scan's reported
   // KeyGroupedPartitioning; -1 (a dir outside the recorded layout)
@@ -1603,7 +1630,7 @@ case class CellsReaderFactory(lo: Long, hi: Long,
     if (topKRev && topK >= 0) {
       val rev = CellsReaders.reverseCapped(p.dir, lo, hi, p.keys, cols, topK,
         exactOrder = topKDesc, taskMetrics = m, retention = retention,
-        endName = p.endName, plannedFp = p.plannedFp)
+        endName = p.endName, plannedFp = p.plannedFp, firstShard = p.firstShard)
       return new PartitionReader[InternalRow] {
         private var emitted = 0L
         override def next(): Boolean = rev.next() && { emitted += 1; true }
@@ -1618,7 +1645,7 @@ case class CellsReaderFactory(lo: Long, hi: Long,
     val base = CellsReaders.reader(p.dir, lo, hi, p.keys, cols,
       maskDeletes = !changeFeed, emitOps = changeFeed, latestOnly = latest,
       taskMetrics = m, retention = retention,
-      endName = p.endName, plannedFp = p.plannedFp)
+      endName = p.endName, plannedFp = p.plannedFp, firstShard = p.firstShard)
     // per-shard row cap: LIMIT truncates unconditionally (any N rows
     // are a correct answer under the retained GlobalLimit); TopN only
     // when this shard provably streams sorted — decided by the READER
@@ -1741,8 +1768,19 @@ object CellsReaders {
     * parent while the absorbed files were still present. Whatever
     * overlap the windows create is resolved by the identity dedup
     * every caller already performs. */
+  /** A partition's covered file set plus — when LAYOUT-STALE — the
+    * planned key-range bound the reader must re-apply exactly.
+    * `bound = Some((loInclusive, hiExclusiveOpt))` forces content
+    * reads; rows outside the planned range are someone else's. */
+  private[sources] final case class Covered(
+      files: Vector[(Path, String)],
+      bound: Option[(Array[Byte], Option[Array[Byte]])])
+
   private[sources] def listCovered(shardDir: Path, endName: Option[String],
-                                   plannedFp: String): Vector[(Path, String)] = {
+                                   plannedFp: String,
+                                   firstShard: Boolean = false): Covered = {
+    val myStart = graft.ingest.FileStore.Splits.startOf(shardDir.getFileName.toString)
+    val end = endName.flatMap(graft.ingest.FileStore.Splits.startOf)
     def expand(d: Path): Vector[(Path, String)] = {
       if (!Files.isDirectory(d)) return Vector.empty
       val s = Files.list(d)
@@ -1752,34 +1790,54 @@ object CellsReaders {
       entries.flatMap { case (p, n) =>
         if (n.endsWith(".tmp") || n == "_split.json" || n.startsWith("_splitstage"))
           Vector.empty
-        else if (n.startsWith("_split-")) expand(p)
+        else if (n.startsWith("_split-") || n.startsWith("_merge-")) expand(p)
         else Vector((p, n))
       }
     }
     val own = expand(shardDir) // own dir FIRST — see the ordering argument
-    val daughters =
-      if (plannedFp.isEmpty) Vector.empty[(Path, String)]
-      else {
-        val tableDir = shardDir.getParent
-        val curFp = CellsCatalog.fingerprintOf(graft.ingest.FileStore.splitsAt(tableDir))
-        if (curFp == plannedFp) Vector.empty[(Path, String)]
-        else graft.ingest.FileStore.Splits.startOf(shardDir.getFileName.toString) match {
-          case None => Vector.empty[(Path, String)]
-          case Some(myStart) =>
-            val end = endName.flatMap(graft.ingest.FileStore.Splits.startOf)
-            val s = Files.list(tableDir)
-            val dirs =
-              try s.iterator().asScala.flatMap { p =>
-                graft.ingest.FileStore.Splits.startOf(p.getFileName.toString)
-                  .filter(st => CellsKeyPred.cmp(st, myStart) > 0 &&
-                    end.forall(e => CellsKeyPred.cmp(st, e) < 0))
-                  .map(_ => p)
-              }.toVector.sortBy(_.getFileName.toString)
-              finally s.close()
-            dirs.flatMap(expand)
+    // LAYOUT-STALE discovery: when the split layout changed since this
+    // partition was planned (one stamp-validated stat), region splits
+    // and merges may have moved parts of the planned range into OTHER
+    // directories — promoted daughters, merge satellites parked
+    // leftward, even plain files of a dir that merged-and-resplit. The
+    // airtight coverage rule: read EVERY directory whose
+    // current-listing range intersects the PLANNED range, and hand the
+    // caller the planned range as an exact key bound to re-apply —
+    // each surviving row then belongs to exactly one stale partition,
+    // however many maintenance ops intervened. The bound costs key
+    // reads (no metadata-only emission) on this rare mid-maintenance
+    // path only.
+    val stale = plannedFp.nonEmpty && myStart.isDefined && {
+      val curFp = CellsCatalog.fingerprintOf(
+        graft.ingest.FileStore.splitsAt(shardDir.getParent))
+      curFp != plannedFp
+    }
+    if (!stale) Covered(own, None)
+    else {
+      val ms = myStart.get
+      val myLo = if (firstShard) Array.emptyByteArray else ms
+      val tableDir = shardDir.getParent
+      val s = Files.list(tableDir)
+      val named =
+        try s.iterator().asScala.flatMap { p =>
+          graft.ingest.FileStore.Splits.startOf(p.getFileName.toString)
+            .map(st => (p, st))
+        }.toVector.sortBy(_._1.getFileName.toString)
+        finally s.close()
+      val others = named.zipWithIndex.flatMap { case ((p, st), i) =>
+        if (p.getFileName.toString == shardDir.getFileName.toString) Vector.empty
+        else {
+          val nextSt = if (i + 1 < named.size) Some(named(i + 1)._2) else None
+          val lo2 = if (i == 0) Array.emptyByteArray else st
+          // current range [lo2, nextSt) intersects planned [myLo, end)?
+          val intersects =
+            end.forall(e => CellsKeyPred.cmp(lo2, e) < 0) &&
+              nextSt.forall(n2 => CellsKeyPred.cmp(n2, myLo) > 0)
+          if (intersects) expand(p) else Vector.empty
         }
       }
-    own ++ daughters
+      Covered(own ++ others, Some((myLo, end)))
+    }
   }
 
   /** REVERSE CAPPED shard reader — the HBase `Scan.setReversed` read
@@ -1805,7 +1863,8 @@ object CellsReaders {
                     cols: Array[String], k: Int, exactOrder: Boolean,
                     taskMetrics: CellsReaderMetrics,
                     retention: Option[graft.ingest.Retention.Policy],
-                    endName: Option[String], plannedFp: String): PartitionReader[InternalRow] = {
+                    endName: Option[String], plannedFp: String,
+                    firstShard: Boolean = false): PartitionReader[InternalRow] = {
     val seen = scala.collection.mutable.HashSet.empty[(String, Long)]
     val seenKeys = scala.collection.mutable.HashSet.empty[String]
     val needKey = cols.contains("rowkey")
@@ -1813,7 +1872,11 @@ object CellsReaders {
     val readsContent = needKey || needBody || keys.hasRange
 
     def makeReverse(): Option[PartitionReader[InternalRow]] = {
-      val covered = listCovered(Paths.get(shardDir), endName, plannedFp)
+      val cv = listCovered(Paths.get(shardDir), endName, plannedFp, firstShard)
+      // layout-stale (mid-maintenance): decline the reverse walk — the
+      // forward fallback applies the planned-range bound exactly
+      if (cv.bound.isDefined) return None
+      val covered = cv.files
       val segs = covered.filter(e => graft.ingest.CellSegment.isSegment(e._2))
       val puts = covered.exists { case (_, n) =>
         val dot = n.lastIndexOf('.')
@@ -1914,7 +1977,8 @@ object CellsReaders {
 
     def makeForwardFallback(): PartitionReader[InternalRow] =
       rawReader(shardDir, lo, hi, keys, cols, maskDeletes = true, emitOps = false,
-        latestOnly = false, taskMetrics, retention, seen, seenKeys, endName, plannedFp)
+        latestOnly = false, taskMetrics, retention, seen, seenKeys, endName, plannedFp,
+        firstShard)
 
     new PartitionReader[InternalRow] {
       private var inner: PartitionReader[InternalRow] =
@@ -1970,7 +2034,8 @@ object CellsReaders {
              taskMetrics: CellsReaderMetrics = null,
              retention: Option[graft.ingest.Retention.Policy] = None,
              endName: Option[String] = None,
-             plannedFp: String = ""): CellsShardReader = {
+             plannedFp: String = "",
+             firstShard: Boolean = false): CellsShardReader = {
     val seen = scala.collection.mutable.HashSet.empty[(String, Long)]
     // $latest only: digests that already emitted their winner — a
     // rebuild recomputes winners from fresh state, and a key whose
@@ -1978,7 +2043,8 @@ object CellsReaders {
     // first observation wins, per-key at-most-once across rebuilds
     val seenKeys = scala.collection.mutable.HashSet.empty[String]
     def make(): CellsShardReader = rawReader(shardDir, lo, hi, keys, cols, maskDeletes,
-      emitOps, latestOnly, taskMetrics, retention, seen, seenKeys, endName, plannedFp)
+      emitOps, latestOnly, taskMetrics, retention, seen, seenKeys, endName, plannedFp,
+      firstShard)
     new CellsShardReader {
       private var inner = make()
       private var rebuilds = 0
@@ -2002,7 +2068,7 @@ object CellsReaders {
     }
   }
 
-  private def rawReader(shardDir: String, lo: Long, hi: Long, keys: CellsKeyPred,
+  private def rawReader(shardDir: String, lo: Long, hi: Long, keys0: CellsKeyPred,
                         cols: Array[String], maskDeletes: Boolean,
                         emitOps: Boolean,
                         latestOnly: Boolean,
@@ -2011,7 +2077,8 @@ object CellsReaders {
                         seen: scala.collection.mutable.HashSet[(String, Long)],
                         seenKeys: scala.collection.mutable.HashSet[String],
                         endName: Option[String] = None,
-                        plannedFp: String = ""): CellsShardReader =
+                        plannedFp: String = "",
+                        firstShard: Boolean = false): CellsShardReader =
     new CellsShardReader {
       require(!(latestOnly && emitOps), "the edit log has no latest fold")
       require(retention.isEmpty || maskDeletes,
@@ -2022,6 +2089,13 @@ object CellsReaders {
         CellsSource.filesOpened.incrementAndGet()
         if (taskMetrics ne null) taskMetrics.filesOpened += 1
       }
+      private val covered: CellsReaders.Covered =
+        CellsReaders.listCovered(Paths.get(shardDir), endName, plannedFp, firstShard)
+      // layout-stale mode: the planned key range re-applies EXACTLY —
+      // rows outside it belong to another stale partition (forces
+      // content reads; see listCovered)
+      private val keys: CellsKeyPred =
+        covered.bound.fold(keys0) { case (lo2, hi2) => keys0.boundedBy(lo2, hi2) }
       private val needKey = cols.contains("rowkey")
       private val needBody = cols.contains("body")
       private val readsContent = needKey || needBody || keys.hasRange
@@ -2053,8 +2127,7 @@ object CellsReaders {
       // the partition's whole PLANNED range: satellites and daughters a
       // region split created ride along ([[CellsReaders.listCovered]]),
       // and any parent/daughter copy overlap dedups on the identity.
-      private val allNames: Vector[(Path, String)] =
-        CellsReaders.listCovered(Paths.get(shardDir), endName, plannedFp)
+      private val allNames: Vector[(Path, String)] = covered.files
       // (path, version, kind: 0=cell, 1=bound marker, 2=exact marker) —
       // markers enter the listing only on the change-feed face
       // (emitOps), as op='delete' / op='delete_version' rows. Kept as a

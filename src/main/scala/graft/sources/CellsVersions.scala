@@ -197,7 +197,7 @@ case class CellsVersionsScan(root: String, table: String,
     * ~120 B/row: 9 mostly-fixed columns + a file name. */
   @transient private lazy val fileCount: Long =
     shardDirs.map { shard =>
-      CellsReaders.listCovered(shard, None, "").count { case (_, n) =>
+      CellsReaders.listCovered(shard, None, "").files.count { case (_, n) =>
         CellsVersions.kindOf(n).exists { k =>
           kinds.forall(_.contains(k)) &&
             CellsVersions.versionOf(n).forall(v => v >= vLo && v <= vHi)
@@ -238,7 +238,7 @@ case class CellsVersionsReaderFactory(cols: Array[String]) extends PartitionRead
         // output is in this or the next listing) instead of aborting
         // the inventory scan. Satellite rows carry their subdir-
         // qualified file name, truthfully.
-        CellsReaders.listCovered(shard, None, "").iterator.flatMap { case (p, n) =>
+        CellsReaders.listCovered(shard, None, "").files.iterator.flatMap { case (p, n) =>
           CellsVersions.kindOf(n)
             .filter(k => part.kinds.forall(_.contains(k)))
             .filter(_ => CellsVersions.versionOf(n)

@@ -706,7 +706,7 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(listed == Set("compact_major", "compact_minor", "backup_full",
       "backup_incremental", "restore_backup", "resplit", "vacuum",
       "snapshot", "clone_snapshot", "drop_snapshot",
-      "check_and_put", "increment"), s"$listed")
+      "check_and_put", "increment", "merge_regions"), s"$listed")
     listed.foreach { n =>
       assert(cat.loadProcedure(
         org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, n)) != null)
