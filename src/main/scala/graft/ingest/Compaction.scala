@@ -167,7 +167,24 @@ object Compaction {
     * retention, snapshot-bounded deletes, put precedence preserved by
     * seqNo, idempotent on a merged shard. */
   private[ingest] def minorShard(shard: Path,
-                                 maxInputBytes: Long): (Long, Long, Seq[BulkLoad.SegDesc]) = {
+                                 maxInputBytes: Long): (Long, Long, Seq[BulkLoad.SegDesc]) =
+    // the shard's maintenance monitor spans the whole absorb→delete
+    // window (r17): a replace-by-coordinate put (streaming upsert MV,
+    // in-place UPDATE) re-renames onto an existing put path, and an
+    // unguarded merge that read the old bytes would delete the NEW
+    // ones with the path. putBatch's replacing renames take the same
+    // monitor, so the replace lands strictly before the absorb or
+    // strictly after the delete. Reentrant under the flush hook (which
+    // already holds it); driver-side minors take it fresh — blocking
+    // only THIS region's point reads and flushes for the merge's
+    // duration, the region-server-local pause HBase's store lock
+    // models.
+    FileStore.shardLockFor(shard).synchronized {
+    minorShardInner(shard, maxInputBytes)
+  }
+
+  private def minorShardInner(shard: Path,
+                              maxInputBytes: Long): (Long, Long, Seq[BulkLoad.SegDesc]) = {
     val table = shard.getParent.getFileName.toString.replace('~', ':')
     val shardName = shard.getFileName.toString
     // snapshot the merge inputs NOW: puts + small segments (every
@@ -274,7 +291,15 @@ object Compaction {
     // rewrite scan plans — may be deleted, so anything a concurrent
     // writer lands from here on survives
     val tableDir0 = Paths.get(root, table.replace(':', '~'))
-    val snapshot: Map[String, Set[String]] =
+    // per name: None = segment (immutable — plain-deletable); Some(
+    // (size, mtimeNanos)) = put/marker file, whose PATH can be
+    // re-renamed onto by a replace-by-coordinate write (streaming
+    // upsert MV, in-place UPDATE) AFTER this snapshot — the sweep must
+    // not delete a path whose content is no longer what the rewrite
+    // absorbed (r17: a real lost update, caught by q255's forensic
+    // gate on the flush path; the major's scan→sweep window is the
+    // same hazard stretched over a whole job)
+    val snapshot: Map[String, Map[String, Option[(Long, Long)]]] =
       if (!Files.isDirectory(tableDir0)) Map.empty
       else {
         val s = Files.list(tableDir0)
@@ -286,7 +311,18 @@ object Compaction {
               // split/merge's satellite/staging DIRECTORIES — never
               // sweep targets (the lifecycle ops own them)
               .filterNot(n => n.endsWith(".tmp") || n.startsWith("_split") ||
-                n.startsWith("_merge")).toSet
+                n.startsWith("_merge"))
+              .map { n =>
+                val stamp =
+                  if (CellSegment.isSegment(n)) None
+                  else try {
+                    val a = Files.readAttributes(shard.resolve(n),
+                      classOf[java.nio.file.attribute.BasicFileAttributes])
+                    Some((a.size(), a.lastModifiedTime().to(
+                      java.util.concurrent.TimeUnit.NANOSECONDS)))
+                  } catch { case _: java.io.IOException => Some((-1L, -1L)) }
+                n -> stamp
+              }.toMap
             finally l.close()
           shard.getFileName.toString -> names
         }.toMap
@@ -341,11 +377,33 @@ object Compaction {
           val shard = Paths.get(shardPath)
           val shardName = shard.getFileName.toString
           val keep = keepB.value.getOrElse(shardName, Set.empty)
-          val snap = snapB.value.getOrElse(shardName, Set.empty)
+          val snap = snapB.value.getOrElse(shardName,
+            Map.empty[String, Option[(Long, Long)]])
           var n = 0L
-          snap.foreach { name =>
-            if (!keep.contains(name)) {
-              if (Files.deleteIfExists(shard.resolve(name))) n += 1
+          snap.foreach { case (name, stamp) =>
+            if (!keep.contains(name)) stamp match {
+              case None => // immutable segment — plain delete
+                if (Files.deleteIfExists(shard.resolve(name))) n += 1
+              case Some(st) =>
+                // put/marker: delete ONLY if byte-identical with what
+                // the rewrite absorbed, verified as (size, mtimeNanos)
+                // under the shard's maintenance monitor — the replacing
+                // rename takes the same monitor, so no replace can land
+                // between this check and the delete. A mismatch (a
+                // replace since the snapshot) skips the delete: the
+                // newer put outranks the rewritten segment and the next
+                // maintenance pass absorbs it — fail-safe, bytes linger
+                // at worst.
+                FileStore.shardLockFor(shard).synchronized {
+                  val p = shard.resolve(name)
+                  val cur = try {
+                    val a = Files.readAttributes(p,
+                      classOf[java.nio.file.attribute.BasicFileAttributes])
+                    Some((a.size(), a.lastModifiedTime().to(
+                      java.util.concurrent.TimeUnit.NANOSECONDS)))
+                  } catch { case _: java.io.IOException => None }
+                  if (cur.contains(st) && Files.deleteIfExists(p)) n += 1
+                }
             }
           }
           n

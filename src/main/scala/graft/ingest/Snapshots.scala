@@ -138,17 +138,18 @@ object Snapshots {
     }
   }
 
-  /** Materialize snapshot `name` as the new table `newTable` —
-    * hard-links into a staged generation, one atomic commit rename
-    * (the CTAS protocol); the clone is independent by immutability. */
-  def clone(root: String, name: String, newTable: String): Long = {
+  /** Hard-link a snapshot's pinned table into a fresh `_ctas_staging`
+    * generation (descriptor/layout as real copies — fresh mtimes, so
+    * the layout cache's stamp check observes the change) — the shared
+    * staging step of [[clone]] and [[restore]]. Returns
+    * (stagingRoot, stagedTableDir, filesLinked). */
+  private def stageLinks(root: String, name: String, targetTable: String,
+                         kind: String): (Path, Path, Long) = {
     val srcTable = tableOf(root, name)
     val srcDir = snapsDir(root).resolve(name).resolve(mangled(srcTable))
-    val live = Paths.get(root, mangled(newTable))
-    require(!Files.exists(live), s"table $newTable already exists")
     val stagingRoot = Paths.get(root, "_ctas_staging",
-      "clone-" + java.util.UUID.randomUUID().toString.replace("-", "").take(12))
-    val staged = Files.createDirectories(stagingRoot.resolve(mangled(newTable)))
+      kind + "-" + java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+    val staged = Files.createDirectories(stagingRoot.resolve(mangled(targetTable)))
     var files = 0L
     Seq("_spec.json", "_splits.json").foreach { f =>
       val src = srcDir.resolve(f)
@@ -165,11 +166,54 @@ object Snapshots {
         } finally l.close()
       }
     } finally shards.close()
+    (stagingRoot, staged, files)
+  }
+
+  /** Materialize snapshot `name` as the new table `newTable` —
+    * hard-links into a staged generation, one atomic commit rename
+    * (the CTAS protocol); the clone is independent by immutability. */
+  def clone(root: String, name: String, newTable: String): Long = {
+    val live = Paths.get(root, mangled(newTable))
+    require(!Files.exists(live), s"table $newTable already exists")
+    val (stagingRoot, staged, files) = stageLinks(root, name, newTable, "clone")
     try Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
     catch {
       case e: java.nio.file.FileSystemException if Files.isDirectory(live) =>
         org.apache.commons.io.FileUtils.deleteQuietly(stagingRoot.toFile)
         throw new IllegalArgumentException(s"table $newTable already exists", e)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(stagingRoot.toFile)
+    files
+  }
+
+  /** In-place RESTORE of snapshot `name` onto its source table — the
+    * HBase `restore_snapshot` verb: the live table's current
+    * generation swaps out for the snapshot's pinned set via the RTAS
+    * two-rename protocol (trash-park → promote — the q239/q262
+    * visibility contract: readers see the old generation until the
+    * swap instant, and a POISONED restore — any staging failure —
+    * leaves the live table untouched, the orphaned staging being
+    * Vacuum's, never damage). The staged generation is hard links
+    * (zero data bytes, like [[clone]]); the parked old generation is
+    * swept after the swap — bytes shared with any snapshot stay alive
+    * through those links. The swap runs under the table WRITE lock
+    * (writers, flushes, splits excluded). A DROPPED table restores
+    * too (HBase demands clone there; recreating in place is the
+    * strictly more useful contract and stays atomic — the trash-park
+    * step just has nothing to park). Returns files linked. */
+  def restore(root: String, name: String): Long = {
+    val srcTable = tableOf(root, name)
+    val live = Paths.get(root, mangled(srcTable))
+    // stage BEFORE the lock — a poisoned staging never touches live
+    val (stagingRoot, staged, files) = stageLinks(root, name, srcTable, "restore")
+    FileStore.Locks.write(live) {
+      val trash = Paths.get(root, "_overwrite_trash",
+        "restore-" + stagingRoot.getFileName.toString, mangled(srcTable))
+      Files.createDirectories(trash.getParent)
+      if (Files.isDirectory(live))
+        Files.move(live, trash, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
+      org.apache.commons.io.FileUtils.deleteQuietly(trash.getParent.toFile)
     }
     org.apache.commons.io.FileUtils.deleteQuietly(stagingRoot.toFile)
     files

@@ -2133,6 +2133,18 @@ object StoreLifecycle {
       val root = Files.createTempDirectory("graft-q255-cells").toString
       val ck = Files.createTempDirectory("graft-q255-ck").toString
       val cat = "g255_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      // HISTORY (r17): this gate's rare undercount (one re-edited
+      // key's count stuck at 1 — observed twice in sweep-level runs,
+      // never isolated) was NOT streaming state at all. The forensic
+      // invariant below localized it: the MV's drain-2 upsert was a
+      // REPLACE-BY-COORDINATE put at (key, 0), and the MV table's own
+      // flush hook — absorbing drain-1's put backlog into a segment —
+      // deleted the path AFTER the replace had re-renamed onto it,
+      // discarding the new body with the old path. Fixed at the store:
+      // replacing renames and every absorb→delete window now share the
+      // shard's maintenance monitor ([[FileStore.putBatch]],
+      // flush/minor/major sweeps; FlushReplaceRaceSpec drives the
+      // interleaving deterministically through the absorb seam).
       try {
         s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
         s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -2185,6 +2197,23 @@ object StoreLifecycle {
         drain()
         require(s.table(s"$cat.q255mv").count() == n27,
           "in-place upsert: re-edited keys REPLACED their row, no version litter")
+        // FORENSIC INVARIANT (r17): the MV must agree per-key with the
+        // change log's BATCH face. A mismatch here separates the two
+        // failure classes a bare hash-diff can't: if the batch face
+        // holds the missing edit, the incremental state lost it (the
+        // snapshot hazard above); if not, the feed itself under-
+        // delivered — and the message says which, per offending key.
+        val mvRows = s.table(s"$cat.q255mv")
+          .select(col("rowkey").cast("string"), col("body").cast("string"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        val logRows = s.table(s"$cat.`q255s$$changes`")
+          .groupBy(col("rowkey").cast("string").as("k")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1).toString).toMap
+        val off = (mvRows.keySet ++ logRows.keySet)
+          .filter(k => mvRows.get(k) != logRows.get(k))
+        require(off.isEmpty, "MV diverged from the change log's batch face: " +
+          off.toSeq.sorted.map(k =>
+            s"$k mv=${mvRows.get(k)} log=${logRows.get(k)}").mkString("; "))
         s.table(s"$cat.q255mv")
           .select(col("rowkey").cast("string").as("key_str"),
             col("body").cast("string").as("edit_count"))
@@ -2467,6 +2496,292 @@ object StoreLifecycle {
             col("body").cast("string").as("body_md5"))
           .localCheckpoint()
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
+    // ATOMIC ROW VERBS, COMPLETED (VERDICT r16 ask 3 — HBase
+    // checkAndDelete + append, closing the Table-API family beside
+    // q265's checkAndPut/increment): both verbs run under the same
+    // striped per-key monitor against the region-scoped MASKED serving
+    // read. checkAndDelete compares the key's current latest live body
+    // (None = expect ABSENT) and, iff it matches, lands ONE bound
+    // tombstone masking every live version — the HBase Delete-row
+    // shape. append concatenates onto the current latest live body
+    // (absent = empty) and lands the result as a NEW serving version —
+    // max(wall clock, latest+1), so the result ALWAYS serves, even on
+    // future-dated tables (the ADVICE-r16 checkAndPut loophole, closed
+    // for the whole verb family). In-query invariants: (a) per-key
+    // APPEND CHAINS driven from a 32-way parallel job build the exact
+    // concatenation — order-deterministic because each key's chain
+    // runs in one task; (b) 24 RACING appends of distinct tokens on
+    // one key lose nothing (the lost-update pin — read-concat-write
+    // without the row lock drops tokens); (c) 32 racing checkAndDelete
+    // from one expected body admit EXACTLY ONE winner; (d) a
+    // mismatched expected leaves the row serving; (e) the CALL faces
+    // agree with the library faces. 100 TB: point reads + one put per
+    // verb — region-server work, never a scan; the gate's workload is
+    // FIXED-size (bounded ids) so the scaling row must be flat, the
+    // same contract q265 pins.
+    "q267_cells_check_delete_append" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q267-cells").toString
+      val cat = "g267_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.q267 (rowkey BINARY, version BIGINT, body BINARY)")
+        val ids = Tables.documents(s, d)
+          .filter(col("doc_id") % 13 === 0 && col("doc_id") < 2000)
+          .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+        require(ids.nonEmpty, "fixture ids must exist")
+        val rootB = root
+        // (a) per-key chains: seed by expect-absent CAS, then three
+        // appends IN ORDER — the whole chain inside one task, so the
+        // final body is exactly 'S<id>-x-y-z' for every key
+        s.sparkContext.parallelize(ids.toSeq, 32).foreach { id =>
+          val st = graft.ingest.FileStore(rootB)
+          val k = s"app-$id".getBytes("UTF-8")
+          require(st.checkAndPut("q267", k, None, s"S$id".getBytes("UTF-8")))
+          Seq("-x", "-y", "-z").foreach(t => st.append("q267", k, t.getBytes("UTF-8")))
+        }
+        // (b) the lost-update pin: 24 racing appends of distinct
+        // 4-byte tokens — every token present exactly once
+        val raceK = "race-app".getBytes("UTF-8")
+        s.sparkContext.parallelize(0 until 24, 24).foreach { i =>
+          graft.ingest.FileStore(rootB).append("q267", raceK,
+            f"<$i%02d>".getBytes("UTF-8")); ()
+        }
+        val raceBody = new String(
+          graft.ingest.FileStore(root).getLatest("q267", raceK).get._2, "UTF-8")
+        require(raceBody.length == 24 * 4, s"append lost updates: '$raceBody'")
+        (0 until 24).foreach(i => require(raceBody.contains(f"<$i%02d>"),
+          s"append dropped token $i: '$raceBody'"))
+        // (c) CAS-delete contention: exactly one of 32 wins
+        val cadK = "race-cad".getBytes("UTF-8")
+        require(graft.ingest.FileStore(root).checkAndPut("q267", cadK, None,
+          "init".getBytes("UTF-8")))
+        val wins = s.sparkContext.parallelize(1 to 32, 32).map { _ =>
+          if (graft.ingest.FileStore(rootB).checkAndDelete("q267", cadK,
+            Some("init".getBytes("UTF-8")))) 1 else 0
+        }.sum().toLong
+        require(wins == 1L, s"exactly one checkAndDelete must win, got $wins")
+        // (d) + the real delete workload: %26 rows go by value-checked
+        // delete; a WRONG expected on a survivor is refused
+        ids.filter(_ % 26 == 0).foreach { id =>
+          require(graft.ingest.FileStore(root).checkAndDelete("q267",
+            s"app-$id".getBytes("UTF-8"), Some(s"S$id-x-y-z".getBytes("UTF-8"))),
+            s"value-checked delete must apply for app-$id")
+        }
+        val survivor = ids.find(_ % 26 != 0).get
+        require(!graft.ingest.FileStore(root).checkAndDelete("q267",
+          s"app-$survivor".getBytes("UTF-8"), Some("wrong".getBytes("UTF-8"))),
+          "a mismatched expected must refuse the delete")
+        // (e) the SQL shell agrees: append('') echoes the body; a
+        // mismatched CALL check_and_delete reports applied=false
+        val echoed = s.sql(s"CALL $cat.append(table => 'q267', " +
+          s"rowkey => 'app-$survivor', value => '')").collect()(0).getString(0)
+        require(echoed == s"S$survivor-x-y-z", s"CALL append echoed '$echoed'")
+        require(!s.sql(s"CALL $cat.check_and_delete(table => 'q267', " +
+          s"rowkey => 'app-$survivor', expected => 'nope')")
+          .collect()(0).getBoolean(0), "CALL check_and_delete must refuse mismatch")
+        // the serving view: deleted rows masked, chains complete
+        s.sql(
+          s"""SELECT cast(rowkey as string) AS key_str,
+                     cast(body as string) AS body
+              FROM $cat.`q267$$latest`
+              WHERE cast(rowkey as string) LIKE 'app-%'""")
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
+    // IN-PLACE SNAPSHOT RESTORE + SNAPSHOT LISTING (VERDICT r16 ask 4
+    // — HBase restore_snapshot / list_snapshots): restore swaps the
+    // live table's current generation for the snapshot's pinned set by
+    // the RTAS two-rename protocol (trash-park → promote), the staged
+    // generation built from HARD LINKS before the table write lock is
+    // taken — zero data bytes move, a poisoned staging never touches
+    // the live table, and readers see the old generation until the
+    // swap instant. list_snapshots is the metadata face: one row per
+    // snapshot (name, pinned table, files, created). In-query
+    // invariants: (a) post-snapshot mutations — a second generation,
+    // an exact-version delete, a GC major — all UNDO on restore: the
+    // view returns COUNT- and CHECKSUM-identical to snapshot time;
+    // (b) restore is REPEATABLE (the snapshot survives its own
+    // restore — links, not moves) and each restore re-wipes later
+    // writes; (c) the restored table is LIVE: a third generation lands
+    // and serves; (d) list_snapshots reports the pin before AND after
+    // restore with a stable file count; (e) dropping the snapshot
+    // after restore leaves the live view intact (inode independence).
+    // 100 TB: restore is one link per store file + two renames —
+    // metadata work, never data movement.
+    "q268_cells_restore_snapshot" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q268-cells").toString
+      val cat = "g268_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.q268 (rowkey BINARY, version BIGINT, body BINARY) " +
+          "TBLPROPERTIES('compactionThreshold'='2')")
+        def wave(g: Int, mod: Int): Unit =
+          s.sql(s"""INSERT INTO $cat.q268
+              SELECT cast(concat('doc-', doc_id) as binary),
+                     cast($g as bigint) * 1000000000 + cast(doc_id as bigint),
+                     cast(md5(concat(cast(doc_id as string), 'R', '$g')) as binary)
+              FROM parquet.`$d/documents.parquet` WHERE doc_id % $mod = 0""")
+        wave(1, 7)
+        val n7 = Tables.documents(s, d).filter(col("doc_id") % 7 === 0).count()
+        def checksum(): Long =
+          s.table(s"$cat.q268").select(sum(crc32(concat_ws("|",
+            col("rowkey").cast("string"), col("version").cast("string"),
+            col("body").cast("string")))).as("c")).collect()(0).getLong(0)
+        val sum1 = checksum()
+        val pinned = s.sql(s"CALL $cat.snapshot(table => 'q268', name => 'r1')")
+          .collect()(0).getLong(0)
+        require(pinned > 0, "the snapshot must pin store files")
+        // (a) diverge the live table every way, then restore
+        wave(2, 7)
+        s.sql(s"DELETE FROM $cat.q268 WHERE rowkey = cast('doc-7' as binary) " +
+          "AND version = 1000000007")
+        s.sql(s"CALL $cat.compact_major(table => 'q268')")
+        require(s.table(s"$cat.q268").count() == 2 * n7 - 1 && checksum() != sum1,
+          "the live table must have diverged before restore")
+        // (d) the metadata face, pre-restore
+        val listed = s.sql(s"CALL $cat.list_snapshots()").collect()
+        require(listed.length == 1 && listed(0).getString(0) == "r1" &&
+          listed(0).getString(1) == "q268" && listed(0).getLong(2) == pinned,
+          s"list_snapshots must report the pin: ${listed.mkString(",")}")
+        val restored = s.sql(s"CALL $cat.restore_snapshot(name => 'r1')")
+          .collect()(0).getLong(0)
+        require(restored > 0, "restore must link files")
+        require(s.table(s"$cat.q268").count() == n7 && checksum() == sum1,
+          "restore must return the snapshot-time view checksum-identically")
+        // (b) repeatable: diverge again, restore again
+        wave(4, 35)
+        require(checksum() != sum1, "the second divergence must land")
+        s.sql(s"CALL $cat.restore_snapshot(name => 'r1')")
+        require(checksum() == sum1, "restore must be repeatable — links, not moves")
+        val listedAfter = s.sql(s"CALL $cat.list_snapshots()").collect()
+        require(listedAfter.length == 1 && listedAfter(0).getLong(2) == pinned,
+          "the snapshot survives its own restore with a stable file count")
+        // (c) the restored table is live; (e) the drop releases pins
+        wave(3, 21)
+        s.sql(s"CALL $cat.drop_snapshot(name => 'r1')")
+        val n21 = Tables.documents(s, d).filter(col("doc_id") % 21 === 0).count()
+        require(s.table(s"$cat.q268").count() == n7 + n21,
+          "the restored table must accept and serve new writes after the drop")
+        s.table(s"$cat.q268")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+          .localCheckpoint()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    },
+
+    // STREAMING × REGION LIFECYCLE (VERDICT r16 ask 6 — the feed and
+    // the sink racing live maintenance): a replication drain
+    // (`readStream` over the source's `$changes` → `writeStream` into
+    // the replica) stays EXACTLY-ONCE while regions merge under the
+    // feed and split under the sink. Both directions of the race are
+    // driven deterministically: (a) the SOURCE side — a full drain
+    // runs INSIDE the merge protocol's stage hook at the 'unbound'
+    // (boundary gone, right directory still live) and 'parked'
+    // (right directory now a `_merge` satellite) states, the two
+    // layouts a racing reader can actually observe mid-merge; after
+    // each the replica must hold EXACTLY the delivered window — the
+    // satellite-aware feed neither drops the parked region's edits
+    // nor double-delivers across the layout change; (b) the REPLICA
+    // side — the last drain runs with `maxRegionBytes` armed on the
+    // replica, so the sink's own put waves AUTO-SPLIT the replica
+    // region mid-drain (splitsDone counter-pinned) while the
+    // idempotent put-by-coordinate sink keeps landing; the final
+    // views must match both ways. 100 TB: the drain moves one feed
+    // window per trigger and the lifecycle ops move names — the race
+    // windows exist at any scale, which is why the coverage rules
+    // (satellite expansion + read-time escalation) carry the
+    // exactly-once contract instead of locks.
+    "q269_cells_stream_lifecycle_race" -> { (s, d) =>
+      val root = Files.createTempDirectory("graft-q269-cells").toString
+      val ck = Files.createTempDirectory("graft-q269-ck").toString
+      val cat = "g269_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // source pre-split at 'doc-3'/'doc-6'; replica starts single-region
+        s.sql(s"CREATE TABLE $cat.q269s (rowkey BINARY, version BIGINT, body BINARY) " +
+          "TBLPROPERTIES('compactionThreshold'='2', " +
+          "'splitPoints'='646f632d33,646f632d36')")
+        s.sql(s"CREATE TABLE $cat.q269r (rowkey BINARY, version BIGINT, body BINARY) " +
+          "TBLPROPERTIES('compactionThreshold'='2')")
+        def wave(g: Int): Unit =
+          s.sql(s"""INSERT INTO $cat.q269s
+              SELECT cast(concat('doc-', doc_id) as binary),
+                     cast($g as bigint) * 1000000000 + cast(doc_id as bigint),
+                     cast(md5(concat(cast(doc_id as string), 'L', '$g')) as binary)
+              FROM parquet.`$d/documents.parquet` WHERE doc_id % 8 = 0""")
+        def drain(): Unit = {
+          val q = s.readStream.table(s"$cat.`q269s$$changes`")
+            .filter(col("op") === "put").select("rowkey", "version", "body")
+            .writeStream.format("graft-cells")
+            .option("root", root).option("table", "q269r")
+            .option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val n8 = Tables.documents(s, d).filter(col("doc_id") % 8 === 0).count()
+        wave(1); drain()
+        require(s.table(s"$cat.q269r").count() == n8,
+          "drain 1 must deliver exactly the seed window")
+        wave(2)
+        // (a) the feed side: full drains INSIDE the merge, at the two
+        // observable mid-merge layouts; the replica must hold exactly
+        // the 2-generation window after each (no loss at 'unbound', no
+        // duplication at 'parked' — puts are idempotent renames, so a
+        // duplicate would be invisible in counts; the EXACTNESS pin is
+        // the source/replica view equality below, this pins delivery)
+        val midDrains = new java.util.concurrent.atomic.AtomicInteger(0)
+        val inHook = new java.util.concurrent.atomic.AtomicBoolean(false)
+        graft.ingest.RegionSplit.probeHook = { stage =>
+          if ((stage.startsWith("unbound:") || stage.startsWith("parked:")) &&
+            inHook.compareAndSet(false, true)) {
+            try {
+              drain()
+              val n = s.table(s"$cat.q269r").count()
+              require(n == 2 * n8, s"mid-merge drain at $stage delivered $n != ${2 * n8}")
+              midDrains.incrementAndGet()
+            } finally inHook.set(false)
+          }
+        }
+        try {
+          val merged = s.sql(s"CALL $cat.merge_regions(table => 'q269s', " +
+            "region => '646f632d33')").collect()(0).getBoolean(0)
+          require(merged, "the merge must apply")
+        } finally graft.ingest.RegionSplit.probeHook = _ => ()
+        require(midDrains.get() == 2, s"both mid-merge drains must run: ${midDrains.get()}")
+        require(FileStore(root).splitsOf("q269s").size == 2, "the source layout shrank")
+        // (b) the sink side: arm the replica's split policy so drain 3's
+        // own puts split it mid-drain
+        val repShard = FileStore.shardOf("doc-0".getBytes("UTF-8"))
+        val repBytes = graft.ingest.RegionSplit.shardBytes(Paths.get(root, "q269r", repShard))
+        require(repBytes > 0, s"the replica region $repShard must hold bytes")
+        s.sql(s"ALTER TABLE $cat.q269r SET TBLPROPERTIES('maxRegionBytes' = " +
+          s"'${math.max(2048L, repBytes / 2)}')")
+        val splitsBefore = graft.ingest.RegionSplit.splitsDone.get()
+        val layoutBefore = FileStore(root).splitsOf("q269r").size
+        wave(3); drain()
+        require(graft.ingest.RegionSplit.splitsDone.get() > splitsBefore,
+          "the drain's sink puts must auto-split the replica mid-drain")
+        require(FileStore(root).splitsOf("q269r").size > layoutBefore,
+          "the replica layout grew")
+        // the contract: views equal both ways across every race
+        def view(t: String) = s.table(s"$cat.$t")
+          .select(col("rowkey").cast("string").as("key_str"), col("version"),
+            col("body").cast("string").as("body_md5"))
+        val src = view("q269s")
+        val rep = view("q269r").localCheckpoint()
+        require(rep.exceptAll(src).count() == 0 && src.exceptAll(rep).count() == 0,
+          "replica and source must agree after the lifecycle races")
+        rep
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      }
     },
 
     // REGION MERGE (HBase merge_region — the split's inverse, closing
@@ -3787,6 +4102,39 @@ object StoreLifecycle {
          FROM documents, (SELECT unnest([1, 2, 3]) AS g)
          WHERE doc_id % 4 = 0
            AND NOT (g = 1 AND doc_id % 44 = 0 AND doc_id % 10 = 4)""",
+
+    // three put generations replicated exactly-once across a
+    // mid-merge feed and a mid-split sink — the lifecycle races ride
+    // the require()s, the final view is pure puts
+    "q269_cells_stream_lifecycle_race" ->
+      """SELECT 'doc-' || doc_id AS key_str,
+              (g::BIGINT * 1000000000 + doc_id)::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'L' || g::VARCHAR) AS body_md5
+         FROM documents, (SELECT unnest([1, 2, 3]) AS g)
+         WHERE doc_id % 8 = 0""",
+
+    // each surviving key = its seed plus the three-append chain (the
+    // chain is order-deterministic: one task per key); %26 keys went
+    // by value-checked delete — the concurrency pins ride the
+    // require()s, the race keys are filtered out by the LIKE
+    "q267_cells_check_delete_append" ->
+      """SELECT 'app-' || doc_id AS key_str,
+              'S' || doc_id || '-x-y-z' AS body
+         FROM documents
+         WHERE doc_id % 13 = 0 AND doc_id < 2000 AND doc_id % 26 != 0""",
+
+    // the restored view: exactly generation 1 (both divergences — the
+    // gen-2 wave, the exact delete, the GC major, the gen-4 wave —
+    // undone by restore) plus the post-restore gen-3 wave
+    "q268_cells_restore_snapshot" ->
+      """SELECT 'doc-' || doc_id AS key_str,
+              (1000000000 + doc_id)::BIGINT AS version,
+              md5(doc_id::VARCHAR || 'R1') AS body_md5
+         FROM documents WHERE doc_id % 7 = 0
+         UNION ALL
+         SELECT 'doc-' || doc_id, (3000000000 + doc_id)::BIGINT,
+              md5(doc_id::VARCHAR || 'R3')
+         FROM documents WHERE doc_id % 21 = 0""",
 
     // each counter = its three increments, none lost — the concurrency
     // pin rides the require()s; the value is all the oracle needs

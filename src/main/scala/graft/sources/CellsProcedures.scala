@@ -151,13 +151,52 @@ object CellsProcedures {
           if (in.numFields > 3 && !in.isNullAt(3))
             Some(in.getUTF8String(3).toString.getBytes("UTF-8"))
           else None
-        val version =
-          if (in.numFields > 4 && !in.isNullAt(4)) in.getLong(4)
-          else System.currentTimeMillis()
-        Array(graft.ingest.FileStore(root).checkAndPut(
+        val store = graft.ingest.FileStore(root)
+        val table = in.getUTF8String(0).toString
+        val rowkey = in.getUTF8String(1).toString.getBytes("UTF-8")
+        val body = in.getUTF8String(2).toString.getBytes("UTF-8")
+        // omitted version → the store's serving-winner default
+        // (max(wall clock, latest+1), computed under the key lock —
+        // ADVICE r16: a bare wall-clock default on a future-dated
+        // table would apply without ever serving)
+        Array(
+          if (in.numFields > 4 && !in.isNullAt(4))
+            store.checkAndPut(table, rowkey, expected, in.getLong(4), body)
+          else store.checkAndPut(table, rowkey, expected, body))
+      }
+    },
+    // CALL cat.check_and_delete(table => 't', rowkey => 'k'
+    //   [, expected => 'old']): HBase checkAndDelete — compare the
+    // key's masked latest body (omitted expected = expect ABSENT) and
+    // delete the ROW iff it matches; atomic against the other verbs
+    // on the key
+    "check_and_delete" -> new Proc("check_and_delete",
+      Array(param("table", StringType), param("rowkey", StringType),
+        paramD("expected", StringType, "NULL")),
+      StructType(Seq(StructField("applied", BooleanType, nullable = false)))) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] = {
+        val expected =
+          if (in.numFields > 2 && !in.isNullAt(2))
+            Some(in.getUTF8String(2).toString.getBytes("UTF-8"))
+          else None
+        Array(graft.ingest.FileStore(root).checkAndDelete(
+          in.getUTF8String(0).toString,
+          in.getUTF8String(1).toString.getBytes("UTF-8"), expected))
+      }
+    },
+    // CALL cat.append(table => 't', rowkey => 'k', value => 'suffix'):
+    // HBase append — concatenate onto the latest live body (absent =
+    // empty) as a new serving version; returns the new body
+    "append" -> new Proc("append",
+      Array(param("table", StringType), param("rowkey", StringType),
+        param("value", StringType)),
+      StructType(Seq(StructField("value", StringType, nullable = false)))) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] = {
+        val out = graft.ingest.FileStore(root).append(
           in.getUTF8String(0).toString,
           in.getUTF8String(1).toString.getBytes("UTF-8"),
-          expected, version, in.getUTF8String(2).toString.getBytes("UTF-8")))
+          in.getUTF8String(2).toString.getBytes("UTF-8"))
+        Array(org.apache.spark.unsafe.types.UTF8String.fromBytes(out))
       }
     },
     // CALL cat.increment(table => 't', rowkey => 'k' [, delta => n]):
@@ -195,6 +234,46 @@ object CellsProcedures {
       override def run(spark: SparkSession, in: InternalRow): Array[Any] =
         Array(graft.ingest.Snapshots.clone(root, in.getUTF8String(0).toString,
           in.getUTF8String(1).toString))
+    },
+    // CALL cat.restore_snapshot(name => 's1'): IN-PLACE restore of the
+    // snapshot's source table (HBase restore_snapshot) — the RTAS
+    // two-rename swap fed by the snapshot's hard links: atomic from
+    // the readers' side, and a poisoned restore leaves the live table
+    // untouched
+    "restore_snapshot" -> new Proc("restore_snapshot",
+      Array(param("name", StringType)),
+      StructType(Seq(StructField("files_restored", LongType, nullable = false)))) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] =
+        Array(graft.ingest.Snapshots.restore(root, in.getUTF8String(0).toString))
+    },
+    // CALL cat.list_snapshots(): one row per snapshot (HBase
+    // list_snapshots) — name, pinned table, files, creation time
+    "list_snapshots" -> new Proc("list_snapshots",
+      Array.empty[ProcedureParameter],
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("table", StringType, nullable = false),
+        StructField("files", LongType, nullable = false),
+        StructField("created_millis", LongType, nullable = false)))) {
+      override def run(spark: SparkSession, in: InternalRow): Array[Any] =
+        throw new UnsupportedOperationException("multi-row: see call()")
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val schema = StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("table", StringType, nullable = false),
+          StructField("files", LongType, nullable = false),
+          StructField("created_millis", LongType, nullable = false)))
+        val rowsOut: Array[InternalRow] = graft.ingest.Snapshots.list(root).map { m =>
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(m.name),
+            org.apache.spark.unsafe.types.UTF8String.fromString(m.table),
+            m.files, m.createdMillis)): InternalRow
+        }.toArray
+        java.util.List.of[Scan](new LocalScan {
+          override def readSchema(): StructType = schema
+          override def rows(): Array[InternalRow] = rowsOut
+        }).iterator()
+      }
     },
     // CALL cat.drop_snapshot(name => 's1'): release the pins
     "drop_snapshot" -> new Proc("drop_snapshot",

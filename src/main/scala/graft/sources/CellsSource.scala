@@ -1047,7 +1047,13 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
         // this report and execution would splice a second sorted run
         // into a partition AFTER Catalyst dropped its Sort — so the
         // report declines outright (readers keep their own dynamic
-        // sortedness gate for the pushed-TopN cap either way)
+        // sortedness gate for the pushed-TopN cap either way).
+        // Tables WITHOUT the DDL can still be mutated under the report
+        // (CALL merge_regions runs on any table; puts land anytime) —
+        // that residue is closed at READ time, not here: a reported
+        // ordering arms the readers' mustSort verification, which
+        // locally sorts a partition whose read-time layout no longer
+        // streams sorted ([[createReaderFactory]])
         val splitEligible = graft.ingest.FileStore(root).readSpecJson(table)
           .map(graft.ingest.PushTableSink.TableSpec.fromJson)
           .exists(_.maxRegionBytes > 0)
@@ -1387,8 +1393,18 @@ case class CellsScan(root: String, table: String, lo: Long, hi: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // mustSort: when this scan REPORTED a static per-partition ordering
+    // (orderedState == 1 — only ever set by [[outputOrdering]], which
+    // runs during physical planning, strictly before this factory is
+    // built), Catalyst may have dropped a Sort on the report's
+    // strength. The sorted-layout gate is a plan-time listing, and a
+    // maintenance op between that listing and execution (a CALL
+    // merge_regions folding a second sorted run into a shard, a put
+    // wave + flush) can silently void it — so the readers re-verify
+    // the premise against their OWN read-time listing and locally sort
+    // the partition when it no longer holds ([[CellsReaderFactory]]).
     CellsReaderFactory(lo, hi, required.fieldNames, changeFeed, latest, limitN, topK,
-      topKDesc, topKRev, retention)
+      topKDesc, topKRev, retention, mustSort = orderedState == 1)
 
   /** SQL-UI metrics per scan node — pruning quality visible without
     * the global test counters. */
@@ -1614,7 +1630,8 @@ case class CellsReaderFactory(lo: Long, hi: Long,
                               limitN: Int = -1, topK: Int = -1,
                               topKDesc: Boolean = false,
                               topKRev: Boolean = false,
-                              retention: Option[graft.ingest.Retention.Policy] = None)
+                              retention: Option[graft.ingest.Retention.Policy] = None,
+                              mustSort: Boolean = false)
     extends PartitionReaderFactory {
 
   // the change-feed BATCH face is the same edit log at rest: unmasked
@@ -1627,6 +1644,11 @@ case class CellsReaderFactory(lo: Long, hi: Long,
     // own layout gate, truncation, and forward fallback — see
     // [[CellsReaders.reverseCapped]]); the ASC machinery below never
     // composes with it (an ASC-stream cap would truncate the wrong end)
+    // (mustSort composes safely here: a pushed DESC top-N implies a
+    // DESC Sort+Limit directly above the scan, which an ASC ordering
+    // report can never satisfy — Catalyst retains that Sort, so the
+    // reverse emission order is always re-sorted and the report is
+    // inert on this path)
     if (topKRev && topK >= 0) {
       val rev = CellsReaders.reverseCapped(p.dir, lo, hi, p.keys, cols, topK,
         exactOrder = topKDesc, taskMetrics = m, retention = retention,
@@ -1663,6 +1685,48 @@ case class CellsReaderFactory(lo: Long, hi: Long,
     // projection without it (possible in exotic plans) just declines
     // the cap — correctness never rests on the truncation.
     val rowkeyIdx = cols.indexOf("rowkey")
+    // ORDER RESTORATION (ADVICE r16): when this scan REPORTED a static
+    // (rowkey[, version]) per-partition ordering (mustSort — Catalyst
+    // may have dropped a Sort on the report's strength), the plan-time
+    // sorted-layout gate is only a listing, and maintenance between
+    // planning and execution can void it on ANY table — a CALL
+    // merge_regions folds a second sorted run into the left shard, a
+    // put wave lands, a daughter gets promoted into the planned range.
+    // The reader re-verifies the single-sorted-run premise against its
+    // OWN read-time listing ([[CellsShardReader.layoutSorted]], which
+    // already counts satellite-expanded and escalated-coverage files):
+    // if it no longer holds, caps are skipped (they are partial pushes
+    // — the retained GlobalLimit / TakeOrdered finalize) and the
+    // partition is DRAINED AND SORTED locally. Bounded by the region's
+    // rows — the same order of bytes the maintenance op that caused it
+    // just moved — and only ever paid on that race, never in steady
+    // state. The reverse-TopN push above also declines under mustSort:
+    // DESC emission can never serve an ASC report.
+    if (mustSort && !base.layoutSorted) {
+      require(rowkeyIdx >= 0, "an ordering report always projects rowkey")
+      val versionIdx = cols.indexOf("version")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      while (base.next()) buf += base.get().copy()
+      val sorted = buf.sortWith { (a, b) =>
+        val c = java.util.Arrays.compareUnsigned(
+          a.getBinary(rowkeyIdx), b.getBinary(rowkeyIdx))
+        if (c != 0) c < 0
+        else versionIdx >= 0 && a.getLong(versionIdx) < b.getLong(versionIdx)
+      }
+      return new PartitionReader[InternalRow] {
+        private val it = sorted.iterator
+        private var row: InternalRow = _
+        private var emitted = 0L
+        override def next(): Boolean =
+          it.hasNext && { row = it.next(); emitted += 1; true }
+        override def get(): InternalRow = row
+        override def close(): Unit = base.close()
+        override def currentMetricsValues()
+            : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+          Array(GraftTaskMetric("filesOpened", m.filesOpened),
+            GraftTaskMetric("cellsEmitted", emitted))
+      }
+    }
     // TopN eligibility is DYNAMIC (ADVICE r15): a mid-scan resilience
     // rebuild voids the sorted-stream guarantee (base.layoutSorted
     // flips false), so the TopN truncation re-checks it at every STOP
@@ -1671,12 +1735,38 @@ case class CellsReaderFactory(lo: Long, hi: Long,
     // (any N rows are a correct LIMIT answer, sorted or not).
     def topOk = topK >= 0 && base.layoutSorted && (!topKDesc || rowkeyIdx >= 0)
     val wasCapped = limitN >= 0 || (topK >= 0 && topOk)
+    // (descMode composes with mustSort: its truncation stops at key
+    // boundaries but emission stays in stream order, so the ASC report
+    // is never violated by it)
     val descMode = topKDesc && limitN < 0 && topK >= 0 && rowkeyIdx >= 0
+    val mustVerifyOrder = mustSort && rowkeyIdx >= 0 // premise held at construction — guard the stream
+    val versionIdxV = if (mustVerifyOrder) cols.indexOf("version") else -1
     new PartitionReader[InternalRow] {
       private var emitted = 0L
       private var row: InternalRow = _
       private var lastKey: Array[Byte] = _
       private var done = false
+      // mustSort stream guard: the premise can still void MID-stream
+      // (a vanish-resilience rebuild replays off a fresh listing whose
+      // tail may interleave). Already-emitted rows can't be recalled,
+      // so an actual inversion fails LOUDLY instead of serving a
+      // silently mis-ordered result; in-order rebuilds (a major
+      // rewriting the same row set) pass the check and keep streaming.
+      private var lastOrdKey: Array[Byte] = _
+      private var lastOrdVer: Long = 0L
+      private def verifyOrder(r: InternalRow): Unit = {
+        val k = r.getBinary(rowkeyIdx)
+        if (lastOrdKey ne null) {
+          val c = java.util.Arrays.compareUnsigned(lastOrdKey, k)
+          if (c > 0 || (c == 0 && versionIdxV >= 0 &&
+            r.getLong(versionIdxV) < lastOrdVer))
+            throw new java.io.IOException(
+              "reported scan ordering was invalidated by concurrent store " +
+                "maintenance mid-read — rerun the query")
+        }
+        lastOrdKey = k
+        if (versionIdxV >= 0) lastOrdVer = r.getLong(versionIdxV)
+      }
       private def cap: Long = math.min(
         if (limitN >= 0) limitN.toLong else Long.MaxValue,
         if (topK >= 0 && topOk && !descMode) topK.toLong else Long.MaxValue)
@@ -1685,7 +1775,9 @@ case class CellsReaderFactory(lo: Long, hi: Long,
         if (!descMode) {
           if (emitted >= cap) { done = true; return false }
           if (!base.next()) { done = true; return false }
-          row = base.get(); emitted += 1; true
+          row = base.get()
+          if (mustVerifyOrder) verifyOrder(row)
+          emitted += 1; true
         } else {
           if (!base.next()) { done = true; return false }
           val r = base.get()
@@ -1807,10 +1899,46 @@ object CellsReaders {
     // however many maintenance ops intervened. The bound costs key
     // reads (no metadata-only emission) on this rare mid-maintenance
     // path only.
-    val stale = plannedFp.nonEmpty && myStart.isDefined && {
-      val curFp = CellsCatalog.fingerprintOf(
-        graft.ingest.FileStore.splitsAt(shardDir.getParent))
-      curFp != plannedFp
+    val guarded = plannedFp.nonEmpty && myStart.isDefined
+    val stale = guarded && {
+      val layout = graft.ingest.FileStore.splitsAt(shardDir.getParent)
+      // A FINGERPRINT MATCH does not prove coverage: both maintenance
+      // protocols change the LAYOUT FILE before their directory renames
+      // land (split: record boundary → promote satellite; merge: unbind
+      // boundary → park right region), and planners never lock — so a
+      // scan planned inside that window carries the POST-change
+      // fingerprint with a PRE-rename directory listing. Its reader
+      // would then pass the fp check while its planned coverage is
+      // already wrong. Escalate to the bounded path whenever the
+      // read-time state DISAGREES with planned coverage, fp match or
+      // not:
+      //  (a) own directory gone — my range was merged away (parked
+      //      into the left neighbor) after planning listed it;
+      //  (b) a layout boundary strictly inside my planned range whose
+      //      directory now EXISTS — a daughter promoted after planning
+      //      listed only the parent (pre-promote, the satellite rides
+      //      along in `own`; post-promote, only this check covers it);
+      //  (c) my planned END is no longer a layout boundary — the right
+      //      neighbor merged leftward (parked, or already folded into
+      //      my own directory as plain files); the bound keeps this
+      //      reader inside its planned range so the escalated right
+      //      partition is the one that emits those rows.
+      // Steady-state cost: (a)/(c) are in-memory against the layout
+      // already read for the fp check; (b) stats only boundaries with
+      // no adjacent listed directory (zero on a fully-materialized
+      // table — plannedEnd IS the next boundary).
+      val ms = myStart.get
+      val tableDir = shardDir.getParent
+      def promotedInside: Boolean = layout.starts.indices.exists { i =>
+        val st = layout.starts(i)
+        CellsKeyPred.cmp(st, ms) > 0 &&
+          end.forall(e => CellsKeyPred.cmp(st, e) < 0) &&
+          Files.isDirectory(tableDir.resolve(layout.names(i)))
+      }
+      CellsCatalog.fingerprintOf(layout) != plannedFp ||
+        !Files.isDirectory(shardDir) ||
+        endName.exists(n => !layout.names.contains(n)) ||
+        promotedInside
     }
     if (!stale) Covered(own, None)
     else {

@@ -118,4 +118,52 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT count(*) FROM $cat.tc VERSION AS OF 1").collect()(0).getLong(0) == 6)
     assert(spark.sql(s"CALL $cat.drop_snapshot(name => 'sq')").collect()(0).getBoolean(0))
   }
+
+  test("restore_snapshot: in-place two-rename restore — mutations undone, atomic vs readers, poisoned restore harmless") {
+    val root = Files.createTempDirectory("snap-restore").toString
+    seed(root, "t")
+    val store = FileStore(root)
+    val before = view(root, "t")
+    Snapshots.create(root, "t", "sr")
+    // mutate the live table every way: new puts, a delete, a GC major
+    store.putBatch("t", Seq(CellPut("t", "k9".getBytes, 9L, "late".getBytes)))
+    store.deleteCells("t", Seq(("k0".getBytes, 2L)))
+    Compaction.major(spark, root, "t")
+    assert(view(root, "t") != before)
+    // restore: the view is snapshot-time byte-identical
+    val files = Snapshots.restore(root, "sr")
+    assert(files > 0)
+    assert(view(root, "t") == before, "restore must return the snapshot-time view")
+    // restored table is LIVE: writes land, the snapshot keeps pinning
+    store.putBatch("t", Seq(CellPut("t", "k0".getBytes, 5L, "post".getBytes)))
+    assert(view(root, "t").exists(_._3 == "post"))
+    Snapshots.restore(root, "sr")
+    assert(view(root, "t") == before, "a second restore converges again")
+    // restore after DROP recreates the table in place
+    org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(root, "t").toFile)
+    Snapshots.restore(root, "sr")
+    assert(view(root, "t") == before)
+    // poisoned restore: an unknown snapshot never touches the live table
+    intercept[IllegalArgumentException](Snapshots.restore(root, "nope"))
+    assert(view(root, "t") == before)
+  }
+
+  test("restore_snapshot + list_snapshots ride the catalog procedures") {
+    val root = Files.createTempDirectory("snap-proc2").toString
+    val cat = "snapd_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.CellsCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    seed(root, "t")
+    spark.sql(s"CALL $cat.snapshot(table => 't', name => 's1')")
+    spark.sql(s"CALL $cat.snapshot(table => 't', name => 's2')")
+    val listed = spark.sql(s"CALL $cat.list_snapshots()").collect()
+    assert(listed.map(_.getString(0)).toSeq == Seq("s1", "s2"))
+    assert(listed.forall(r => r.getString(1) == "t" && r.getLong(2) == 12))
+    spark.sql(s"DELETE FROM $cat.t WHERE version = 1")
+    assert(spark.table(s"$cat.t").count() == 6)
+    val restored = spark.sql(s"CALL $cat.restore_snapshot(name => 's1')")
+      .collect()(0).getLong(0)
+    assert(restored == 12)
+    assert(spark.table(s"$cat.t").count() == 12)
+  }
 }

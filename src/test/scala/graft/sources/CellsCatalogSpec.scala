@@ -705,8 +705,9 @@ class CellsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val listed = cat.listProcedures(Array.empty).map(_.name()).toSet
     assert(listed == Set("compact_major", "compact_minor", "backup_full",
       "backup_incremental", "restore_backup", "resplit", "vacuum",
-      "snapshot", "clone_snapshot", "drop_snapshot",
-      "check_and_put", "increment", "merge_regions"), s"$listed")
+      "snapshot", "clone_snapshot", "drop_snapshot", "restore_snapshot",
+      "list_snapshots", "check_and_put", "check_and_delete", "append",
+      "increment", "merge_regions"), s"$listed")
     listed.foreach { n =>
       assert(cat.loadProcedure(
         org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, n)) != null)
