@@ -45,10 +45,26 @@ object FileStore {
   /** The cell-file naming digest. Public because the read face
     * ([[graft.sources.CellsSource]]) must route rowkey point lookups
     * to the SAME cell files the writer placed — a single definition
-    * keeps write placement and read pruning in lockstep. */
-  def keyDigest(rowkey: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("SHA-256").digest(rowkey)
-      .map(b => f"$b%02x").mkString
+    * keeps write placement and read pruning in lockstep.
+    * Thread-local digest + table-driven hex (r17): this runs once per
+    * cell on every write/probe path — `getInstance` per call plus
+    * per-byte format boxing was measurable across every store row. */
+  private val sha256TL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("SHA-256"))
+  private val HexChars = "0123456789abcdef".toCharArray
+  def keyDigest(rowkey: Array[Byte]): String = {
+    val md = sha256TL.get()
+    md.reset()
+    val d = md.digest(rowkey)
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** Parse a DELETE-TOMBSTONE file name `<digest>.<version>.d` →
     * (key digest, masked-through version). Tombstones are the HBase
@@ -1001,14 +1017,50 @@ final case class FileStore(rootDir: String) extends Store {
   }
 
   override def putBatch(tableName: String, cells: Seq[CellPut]): Unit = {
+    // shard names of the batch's touched shards, for the split-policy
+    // check that must run AFTER the read lock releases
+    var touchedShardNames: Seq[String] = Seq.empty
     // the whole batch — placement, retention prune, flush hook — runs
     // under the table READ lock: a region split (the WRITE side) can
     // never move the shard boundaries between this batch's placement
     // decision and its landing ([[FileStore.Locks]])
     FileStore.Locks.read(tableDir(tableName)) {
-    val spec = specOf(tableName).maxVersions
-    cells.foreach { c =>
-      val target = cellPath(c)
+    val fullSpec = specOf(tableName)
+    val spec = fullSpec.maxVersions
+    val threshold = fullSpec.compactionThreshold
+    // ONE layout read per batch (splitsOf stats `_splits.json` each
+    // call — per-cell it was one stat per cell, twice)
+    val splits = splitsOf(tableName)
+    val tdir = tableDir(tableName)
+    // group the batch by owning shard once: placement, the direct
+    // memstore flush below, the retention prune, and the flush hook all
+    // consume the same grouping (groupBy preserves in-shard batch order,
+    // so replace-by-coordinate last-wins semantics are unchanged)
+    val byShard: Seq[(Path, Seq[CellPut])] =
+      cells.groupBy(c => splits.shardNameOf(c.rowkey)).toSeq
+        .map { case (name, g) => (tdir.resolve(name), g) }
+    touchedShardNames = byShard.map(_._1.getFileName.toString)
+    // DIRECT MEMSTORE FLUSH (r17, optimization guide §6 small-files):
+    // on a flush-enabled table (threshold > 0 — the '0 disables'
+    // layout-inspecting override keeps per-cell files) with no version
+    // cap (the cap's file-level prune needs per-cell files), a shard
+    // group LARGER than the threshold would be folded into one sorted
+    // segment by the post-commit hook immediately anyway — so land it
+    // as that segment DIRECTLY, skipping the write-15000-tiny-files /
+    // re-read / merge / delete-15000 churn (measured 10-20× super-
+    // linear in per-shard batch size: 0.4 s at 1.5 k cells → 8.5 s at
+    // 15 k, dominated by big-directory file creation). This is HBase's
+    // own write path — a batched put wave is the memstore, and the
+    // memstore flushes to ONE HFile. End state, read precedence,
+    // crash-safety, and the flush counters are identical to
+    // per-cell-then-hook; only the transient tiny files disappear.
+    val directShards = scala.collection.mutable.HashSet.empty[Path]
+    byShard.foreach { case (shardDir, group) =>
+      if (threshold > 0 && spec == Int.MaxValue && group.size > threshold) {
+        directFlush(shardDir, group, threshold)
+        directShards += shardDir
+      } else group.foreach { c =>
+      val target = shardDir.resolve(s"${keyDigest(c.rowkey)}.${c.version}")
       Files.createDirectories(target.getParent)
       val tmp = Files.createTempFile(target.getParent, "put", ".tmp")
       // cell file = [4-byte BE rowkey length][rowkey][body]: the filename
@@ -1040,15 +1092,17 @@ final case class FileStore(rootDir: String) extends Store {
       else
         Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
-    }
+    } }
     // retention AFTER the batch lands, ONE directory listing per
     // touched shard: pruning per put re-listed the whole shard per
     // cell — O(cells × files-in-shard), measured as the dominant cost
     // of a version-capped heavy put load at sf1/sf10. The final state
     // is identical (keep the newest maxVersions of each touched key
     // among all files present), which is all W2/F5 promise.
+    // (The direct-flush branch above requires spec == Int.MaxValue, so
+    // every shard reaching this prune landed as per-cell files.)
     if (spec != Int.MaxValue) {
-      cells.groupBy(c => cellPath(c).getParent).foreach { case (shardDir, shardCells) =>
+      byShard.foreach { case (shardDir, shardCells) =>
         val touched = shardCells.map(c => keyDigest(c.rowkey)).toSet
         val byKey = {
           val s = Files.list(shardDir)
@@ -1084,9 +1138,8 @@ final case class FileStore(rootDir: String) extends Store {
     // every read face sees each cell exactly once at any instant
     // (dedup on the cell identity), and a killed flush merely leaves
     // the puts for the next batch to flush again.
-    val threshold = specOf(tableName).compactionThreshold
     if (threshold > 0)
-      cells.iterator.map(c => cellPath(c).getParent).distinct
+      byShard.iterator.map(_._1).filterNot(directShards)
         .foreach(flushShardIfBacklogged(_, threshold))
     }
     // REGION SPLIT policy — checked AFTER the read lock releases (the
@@ -1097,9 +1150,74 @@ final case class FileStore(rootDir: String) extends Store {
     // default leaves this off and costs nothing).
     val bound = specOf(tableName).maxRegionBytes
     if (bound > 0)
-      cells.iterator.map(c => cellPath(c).getParent.getFileName.toString).distinct
+      touchedShardNames
         .foreach(shard => RegionSplit.maybeSplit(rootDir, tableName, shard, bound))
   }
+
+  /** DIRECT MEMSTORE FLUSH — the [[putBatch]] fast path for a shard
+    * group the post-commit hook would immediately fold anyway: land the
+    * group as ONE sorted segment (seqNo above every resident, exactly
+    * the hook's precedence), route coordinates whose put FILE already
+    * exists through the per-cell replace rename (a put file must keep
+    * winning its coordinate — a segment copy would lose to it), and run
+    * the same segment-tier merge the hook runs. Counters move exactly
+    * as if the hook had flushed: one policy check, one flush.
+    * Batch-internal duplicate coordinates keep the LAST occurrence (the
+    * per-cell path's replace order). Holds the shard's maintenance
+    * monitor for the whole decide→write window so no concurrent flush /
+    * point read sees a half-made decision. */
+  private def directFlush(shardDir: Path, group: Seq[CellPut], threshold: Int): Unit =
+    FileStore.shardLockFor(shardDir).synchronized {
+      Files.createDirectories(shardDir)
+      FileStore.flushChecks.incrementAndGet()
+      // ONE listing: existing names (replace routing) + segment
+      // trailers (precedence ceiling + tier population)
+      val names = {
+        val s = Files.list(shardDir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filterNot(_.endsWith(".tmp")).toVector
+        finally s.close()
+      }
+      val trailers = names.filter(CellSegment.isSegment)
+        .flatMap(n => try Some(CellSegment.readTrailer(shardDir.resolve(n)))
+                      catch { case _: java.io.IOException => None })
+      val maxSeq = trailers.map(_.seqNo).foldLeft(0L)(math.max)
+      val smallSegs = trailers.count(_.indexOffset <= SmallSegmentBytes)
+      val existing = names.toSet
+      val byCoord = scala.collection.mutable.LinkedHashMap
+        .empty[(String, Long), (Array[Byte], Long, Array[Byte], String)]
+      group.foreach { c =>
+        val d = keyDigest(c.rowkey)
+        byCoord((d, c.version)) = (c.rowkey, c.version, c.body, d)
+      }
+      val (replaces, fresh) = byCoord.valuesIterator.toVector
+        .partition { case (_, v, _, d) => existing.contains(s"$d.$v") }
+      if (fresh.nonEmpty) {
+        val sorted = fresh.sortWith { (a, b) =>
+          val c = java.util.Arrays.compareUnsigned(a._1, b._1)
+          if (c != 0) c < 0 else a._2 < b._2
+        }
+        CellSegment.write(shardDir,
+          sorted.iterator.map(t => (t._1, t._2, t._3)), maxSeq + 1)
+        FileStore.autoFlushes.incrementAndGet()
+      }
+      replaces.foreach { case (rowkey, version, body, d) =>
+        val target = shardDir.resolve(s"$d.$version")
+        val tmp = Files.createTempFile(shardDir, "put", ".tmp")
+        val buf = java.nio.ByteBuffer.allocate(4 + rowkey.length + body.length)
+        buf.putInt(rowkey.length).put(rowkey).put(body)
+        Files.write(tmp, buf.array())
+        Files.move(tmp, target,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+      // segment-tier parity with the hook: this flush added one small
+      // segment; fold the tier once it outgrows the threshold
+      if (fresh.nonEmpty && smallSegs + 1 > threshold)
+        try {
+          Compaction.minorShard(shardDir, SmallSegmentBytes)
+          FileStore.autoMinors.incrementAndGet()
+        } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+    }
 
   /** Small-segment ceiling for the write-path SEGMENT TIER — the same
     * size class [[Compaction.minor]] merges by default: a segment past

@@ -125,6 +125,41 @@ class FlushPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("direct memstore flush (r17): an over-threshold batch lands as ONE segment, " +
+    "replaces route through the put file, duplicates keep the last body") {
+    val root = Files.createTempDirectory("flush-direct").toString
+    try {
+      val store = FileStore(root)
+      store.ensureTable("t", TableSpec(compactionThreshold = 10))
+      // an existing PUT FILE at (Z-000, 7): the direct path must route
+      // the batch's same-coordinate cell through the per-cell replace
+      // (a put file always wins its coordinate — a segment copy of the
+      // new body would LOSE to the stale put)
+      store.putBatch("t", Seq(CellPut("t", "Z-000".getBytes("UTF-8"), 7L, "stale".getBytes)))
+      val flushes0 = FileStore.autoFlushes.get()
+      store.putBatch("t",
+        CellPut("t", "Z-000".getBytes("UTF-8"), 7L, "replaced".getBytes) +:
+          CellPut("t", "Z-dup".getBytes("UTF-8"), 1L, "first".getBytes) +:
+          CellPut("t", "Z-dup".getBytes("UTF-8"), 1L, "last".getBytes) +:
+          cells("t", 12, 3L))
+      assert(FileStore.autoFlushes.get() == flushes0 + 1,
+        "the direct path IS the flush — the counter moves once")
+      // exactly one put file remains: the replaced coordinate
+      assert(putFiles(root, "t") == Seq("" +
+        FileStore.keyDigest("Z-000".getBytes("UTF-8")) + ".7"),
+        s"only the replace stays a put file: ${putFiles(root, "t")}")
+      assert(shardFiles(root, "t").count(CellSegment.isSegment) == 1,
+        "the fresh cells land as ONE segment")
+      val got = spark.read.format("graft-cells")
+        .option("root", root).option("table", "t").load()
+        .select(col("rowkey").cast("string"), col("version"), col("body").cast("string"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      val want = (0 until 12).map(i => (f"Z-$i%03d", 3L, s"b-$i-3")).toSet +
+        (("Z-000", 7L, "replaced")) + (("Z-dup", 1L, "last"))
+      assert(got == want, s"view = last-wins batch semantics: ${got.diff(want)} / ${want.diff(got)}")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("a flushed put outranks a stale segment copy at its coordinate") {
     val root = Files.createTempDirectory("flush-prec").toString
     try {

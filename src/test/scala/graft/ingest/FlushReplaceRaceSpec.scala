@@ -47,12 +47,14 @@ class FlushReplaceRaceSpec extends AnyFunSuite {
       }
     }
     try {
-      // the flush: filler crosses the threshold; the absorb set
-      // includes mv-key's put at (k, 0) holding 'old'
+      // the flush: the ACCUMULATED backlog (seed + these two, staged
+      // ≤ threshold per batch so the direct memstore-flush fast path
+      // stays out of the way — r17) crosses the threshold in the
+      // post-commit hook; the absorb set includes mv-key's put at
+      // (k, 0) holding 'old'
       store.putBatch("t", Seq(
         CellPut("t", "mv-fill-1".getBytes, 1L, "f1".getBytes),
-        CellPut("t", "mv-fill-2".getBytes, 2L, "f2".getBytes),
-        CellPut("t", "mv-fill-3".getBytes, 3L, "f3".getBytes)))
+        CellPut("t", "mv-fill-2".getBytes, 2L, "f2".getBytes)))
     } finally FileStore.absorbProbe = _ => ()
     assert(probeHit.get(), "the flush must have fired through the seam")
     assert(replaceDone.await(10, java.util.concurrent.TimeUnit.SECONDS),
