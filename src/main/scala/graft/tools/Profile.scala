@@ -35,7 +35,10 @@ object Profile {
 
     final case class Job(id: Int, desc: String, start: Long,
                          var end: Long = -1, var tasks: Int = 0,
-                         var taskTimeMs: Long = 0)
+                         var taskTimeMs: Long = 0,
+                         var deserMs: Long = 0, var runMs: Long = 0,
+                         var gcMs: Long = 0, var resSerMs: Long = 0,
+                         var cpuMs: Long = 0)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
     val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     val listener = new SparkListener {
@@ -54,6 +57,14 @@ object Profile {
         if (j != null && e.taskInfo != null) {
           j.tasks += 1
           j.taskTimeMs += e.taskInfo.duration
+          val m = e.taskMetrics
+          if (m != null) {
+            j.deserMs += m.executorDeserializeTime
+            j.runMs += m.executorRunTime
+            j.gcMs += m.jvmGCTime
+            j.resSerMs += m.resultSerializationTime
+            j.cpuMs += m.executorCpuTime / 1000000
+          }
         }
       }
     }
@@ -75,7 +86,8 @@ object Profile {
       f"jobs=${js.size} job-wall=${jobMs} ms driver-residue=${wallMs - jobMs}%.0f ms ===")
     js.foreach { j =>
       val dur = if (j.end > 0) j.end - j.start else -1
-      println(f"job ${j.id}%4d ${dur}%6d ms tasks=${j.tasks}%4d taskTime=${j.taskTimeMs}%6d ms  ${j.desc.take(90)}")
+      println(f"job ${j.id}%4d ${dur}%6d ms tasks=${j.tasks}%4d taskTime=${j.taskTimeMs}%6d ms " +
+        f"deser=${j.deserMs}%5d run=${j.runMs}%6d cpu=${j.cpuMs}%6d gc=${j.gcMs}%4d resSer=${j.resSerMs}%4d  ${j.desc.take(60)}")
     }
     spark.stop()
   }
