@@ -1210,9 +1210,23 @@ final case class FileStore(rootDir: String) extends Store {
         Files.move(tmp, target,
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       }
-      // segment-tier parity with the hook: this flush added one small
-      // segment; fold the tier once it outgrows the threshold
-      if (fresh.nonEmpty && smallSegs + 1 > threshold)
+      // HOOK PARITY (ADVICE r17): a PRE-EXISTING put backlog (left by
+      // ≤-threshold batches) must not outlive a direct-path batch just
+      // because the fresh cells bypassed it — when the leftover put
+      // files (including this batch's replaces) still exceed the
+      // threshold, absorb them exactly as the hook would (the monitor
+      // is reentrant, so the absorb stays inside this batch's
+      // decide→write window and runs its own tier check). Otherwise
+      // run the segment-tier check here — even when the batch was all
+      // replaces (fresh empty), matching the hook's `smallSegs >
+      // threshold` trigger.
+      val putBacklog = names.count { n =>
+        val dot = n.lastIndexOf('.')
+        dot > 0 && !CellSegment.isSegment(n) && n.drop(dot + 1).toLongOption.isDefined
+      }
+      if (putBacklog + replaces.size > threshold)
+        flushShardIfBacklogged(shardDir, threshold)
+      else if (smallSegs + (if (fresh.nonEmpty) 1 else 0) > threshold)
         try {
           Compaction.minorShard(shardDir, SmallSegmentBytes)
           FileStore.autoMinors.incrementAndGet()

@@ -2,6 +2,7 @@ package graft.ingest
 
 import graft.ingest.PushTableSink.{CellPut, TableSpec}
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** Micro-probe for the store WRITE path (no Spark): times putBatch of N
   * same-shard cells (the q221 seed shape — every 'u-…' rowkey shares
@@ -30,12 +31,21 @@ object StorePutProbe {
     val store2 = FileStore(root2)
     store2.ensureTable("t", TableSpec())
     time(s"putBatch x$n (2nd jvm-warm)") { store2.putBatch("t", cells) }
+    // derive the wave's single shard from the layout instead of
+    // hardcoding its name (ADVICE r17) — every 'u-…' key shares a first
+    // byte, so each table root holds exactly one shard dir
+    def soleShard(root: String): java.nio.file.Path = {
+      val s = Files.list(java.nio.file.Paths.get(root, "t"))
+      try s.iterator().asScala.filter(Files.isDirectory(_)).toSeq match {
+        case Seq(one) => one
+        case other => sys.error(s"expected one shard, saw $other")
+      } finally s.close()
+    }
     time("minorShard (1500 puts)") {
-      Compaction.minorShard(
-        java.nio.file.Paths.get(root2, "t", "75"), Long.MaxValue)
+      Compaction.minorShard(soleShard(root2), Long.MaxValue)
     }
     // per-piece timing of one cell write, broken into syscalls
-    val dir = java.nio.file.Paths.get(root, "t", "75")
+    val dir = soleShard(root)
     time("1000x keyDigest") { (1 to 1000).foreach(i => FileStore.keyDigest(cells(i % n).rowkey)) }
     time("1000x createTempFile+write+move") {
       (1 to 1000).foreach { i =>

@@ -25,6 +25,13 @@ object Advanced {
     s"${path}_$fp"
   }
 
+  /** q161's staged-feed directory — ONE derivation shared with
+    * [[graft.tools.StreamProbe]] so the probe can never drift from the
+    * query's naming scheme (ADVICE r17). */
+  def q161StagedDir(d: String): java.io.File =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_q161_" + layoutTag(d, "events.parquet"))
+
   /** Gaps-and-islands batch sessions in DuckDB — the oracle for BOTH
     * q25 (batch) and q53 (streaming): same SQL, two execution models. */
   private def sessionOracleSql: String =
@@ -296,8 +303,7 @@ object Advanced {
     // state is one (window, type) count per open window behind the
     // watermark — the watermark IS the state bound.
     "q161_stream_late_drop" -> { (s, d) =>
-      val src = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_q161_" + layoutTag(d, "events.parquet"))
+      val src = q161StagedDir(d)
       val evB = Tables.events(s, d)
       val bounds = evB.agg(min(unix_millis(col("ts"))).as("mn"),
         max(unix_millis(col("ts"))).as("mx")).collect()(0)
@@ -343,7 +349,19 @@ object Advanced {
         val schema = s.read.parquet(src.getPath).schema
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(src.getPath)
-        val q = stream
+        // state partitions sized to the stream's key cardinality (the
+        // q52/q53 discipline, r18): state here is one (hour-window,
+        // type) count per open window — dozens of keys, not thousands —
+        // and every state partition is a per-batch checkpoint-file
+        // commit REGARDLESS of how empty it is, times THREE batches on
+        // this staged feed (StreamProbe r18: addBatch/stateCommit is
+        // the dominant per-batch term at 32 partitions). Restored once
+        // the bounded run finishes; batch plans are unaffected.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+        try {
+          stream
           .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
           .filter(col("event_type") =!= "__nudge") // the sentinel only carries the watermark
           .withWatermark("ts", "1 hour")
@@ -354,7 +372,15 @@ object Advanced {
           .option("checkpointLocation", ck.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        } catch {
+          case e: Throwable =>
+            s.conf.set("spark.sql.shuffle.partitions", prevParts); throw e
+        }
+        // hold the state-sizing override until the bounded run FINISHES
+        // (see q53: restoring right after start() would race a deferred
+        // session clone)
+        try q.awaitTermination()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         val trace = q.recentProgress.map(p =>
           s"batch=${p.batchId} in=${p.numInputRows} wm=${p.eventTime.get("watermark")} " +
             s"maxT=${p.eventTime.get("max")}").mkString("; ")

@@ -309,7 +309,16 @@ object Sketches {
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src.getPath)
       try {
-        val q = stream
+        // state partitions sized to the stream's key cardinality (the
+        // q52/q53 discipline, r18): state is the FIXED d×w = 2048-key
+        // counter table, and every state partition is a per-batch
+        // checkpoint-file commit regardless of fill (StreamProbe r18:
+        // state commit fan-out dominated the 32-partition run).
+        // Restored when the bounded run finishes.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = try {
+          stream
           .select(explode(split(col("text"), " ")).as("t"))
           .filter(length(col("t")) > 0)
           .select(col("t"), explode(sequence(lit(0), lit(CmD - 1))).as("r"))
@@ -322,7 +331,13 @@ object Sketches {
           .option("checkpointLocation", ck.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        } catch {
+          case e: Throwable =>
+            s.conf.set("spark.sql.shuffle.partitions", prevParts); throw e
+        }
+        // hold the override until the bounded run finishes (see q53)
+        try q.awaitTermination()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         require(q.recentProgress.count(_.numInputRows > 0) >= 2,
           "streaming count-min must see the feed as multiple micro-batches")
         val out = s.table(sinkName)
@@ -359,7 +374,15 @@ object Sketches {
       try {
         val x = col("n_chars")
         def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-        val q = stream
+        // state partitions sized to the stream's key cardinality (the
+        // q52/q53 discipline, r18): state is 7 values per SOURCE —
+        // ~20 keys — while each of the 32 default partitions costs a
+        // per-batch checkpoint-file commit even when empty. Restored
+        // when the bounded run finishes.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = try {
+          stream
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n"), min(x).as("mn"), max(x).as("mx"),
             sum(dec(x)).as("s1"), sum(dec(x) * dec(x)).as("s2"),
@@ -370,7 +393,13 @@ object Sketches {
           .option("checkpointLocation", ck.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        } catch {
+          case e: Throwable =>
+            s.conf.set("spark.sql.shuffle.partitions", prevParts); throw e
+        }
+        // hold the override until the bounded run finishes (see q53)
+        try q.awaitTermination()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         require(q.recentProgress.count(_.numInputRows > 0) >= 2,
           "streaming moments must see the feed as multiple micro-batches")
         val out = s.table(sinkName)

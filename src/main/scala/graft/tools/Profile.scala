@@ -52,8 +52,12 @@ object Profile {
         val j = jobs.get(e.jobId); if (j != null) j.end = e.time
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        val jid = stageToJob.get(e.stageId)
-        val j = jobs.get(jid)
+        // boxed lookup: an unmapped stage (job started before listener
+        // registration) must DROP the task, not unbox null to job 0
+        // (ADVICE r17)
+        val jidBoxed = stageToJob.asInstanceOf[java.util.Map[Integer, Integer]]
+          .get(Integer.valueOf(e.stageId))
+        val j = if (jidBoxed == null) null else jobs.get(jidBoxed.intValue())
         if (j != null && e.taskInfo != null) {
           j.tasks += 1
           j.taskTimeMs += e.taskInfo.duration

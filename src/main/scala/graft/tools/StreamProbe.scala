@@ -24,13 +24,9 @@ object StreamProbe {
     // run the real q161 once so its staged source exists
     try graft.SparkEntry.queries("q161_stream_late_drop")(spark, sfDir).count()
     catch { case e: Throwable => throw e }
-    val tag = {
-      val jf = new java.io.File(s"$sfDir/events.parquet")
-      val path = sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "")
-      s"graft_q161_${path}_" + java.lang.Long.toHexString(jf.length) + "t" +
-        java.lang.Long.toHexString(jf.lastModified)
-    }
-    val src = new java.io.File(System.getProperty("java.io.tmpdir"), tag)
+    // ONE shared derivation with the query (ADVICE r17 — the probe
+    // used to duplicate the naming scheme and would break silently)
+    val src = graft.queries.Advanced.q161StagedDir(sfDir)
     require(src.exists(), s"staged dir missing: $src")
     (1 to 2).foreach { pass =>
       val ck = java.nio.file.Files.createTempDirectory("graft-sprobe-ck")
