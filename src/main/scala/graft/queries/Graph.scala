@@ -13,6 +13,25 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Half-edge list (u < v) of the part co-purchase graph — parts
+    * sharing an order — shared by q153/q179/q202: distinct (order,
+    * part) rows self-joined on the order key. An r18 rewrite replaced
+    * this with groupBy(order) + sort_array(collect_set(part)) + a
+    * position-pair explosion — two exchanges instead of four and no
+    * join — and measured 0.55–0.62× on the subset bench: collect_set
+    * is a TypedImperativeAggregate (ObjectHashAggregate, no codegen,
+    * per-group heap sets over 150 k orders), and it loses to the fully
+    * codegen'd self-join by more than the two saved exchanges buy.
+    * Kept the join form (guide §1.1: the "ideal" plan lost to the
+    * gotcha; measurements win). */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // PageRank over the bipartite part↔supplier sourcing graph
@@ -44,8 +63,17 @@ object Graph {
     "q217_bfs_hops" -> { (s, d) =>
       val e0 = Tables.lineitem(s, d)
         .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v")).distinct()
-      val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"))).localCheckpoint()
-      val srcId = Tables.lineitem(s, d).agg(min(col("l_partkey") * 2)).collect()(0).getLong(0)
+      // r18 (guide §2.4): hash-partition the edge list by its join key
+      // ONCE before the checkpoint — LogicalRDD keeps the partitioning,
+      // so every round's frontier⋈edges join exchanges only the
+      // frontier, never the (graph-sized) edge side again
+      val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u")).localCheckpoint()
+      // source = 2·min(l_partkey), read off the CHECKPOINTED edges
+      // (part nodes are the even ids; every lineitem part reaches e0) —
+      // was a second full lineitem scan for one scalar (guide §1.2)
+      val srcId = e.filter(col("u") % 2 === 0)
+        .agg(min(col("u"))).collect()(0).getLong(0)
       val sp = s; import sp.implicits._
       var dist = Seq((srcId, 0L)).toDF("id", "dist").localCheckpoint()
       var frontier = dist
@@ -77,9 +105,14 @@ object Graph {
       val li = Tables.lineitem(s, d)
         .groupBy((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
         .agg(min(col("l_quantity")).cast("long").as("w"))
+      // r18: same two moves as q217 — edge list hash-partitioned by the
+      // join key before the checkpoint (each relaxation round then
+      // exchanges only the distance table), and the source scalar read
+      // off the checkpointed edges instead of a second lineitem scan
       val e = li.unionAll(li.select(col("v").as("u"), col("u").as("v"), col("w")))
-        .localCheckpoint()
-      val srcId = Tables.lineitem(s, d).agg(min(col("l_partkey") * 2)).collect()(0).getLong(0)
+        .repartition(col("u")).localCheckpoint()
+      val srcId = e.filter(col("u") % 2 === 0)
+        .agg(min(col("u"))).collect()(0).getLong(0)
       val sp = s; import sp.implicits._
       var dist = Seq((srcId, 0L)).toDF("id", "dist").localCheckpoint()
       for (_ <- 1 to 4) {
@@ -184,11 +217,7 @@ object Graph {
     // q144 digest class — a constant-key join would plan the
     // nested-loop the sweep forbids).
     "q153_triangles" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val e = coPurchaseEdges(s, d)
         .localCheckpoint() // reused by degrees, orientation, closing join
       val deg = e.select(col("u").as("node"))
         .unionAll(e.select(col("v").as("node")))
@@ -250,11 +279,7 @@ object Graph {
     // the operator and is spec-pinned on a deliberately deep-peel
     // graph (GraphSpec).
     "q179_kcore" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val e = coPurchaseEdges(s, d)
       val r = graft.operators.KCore.peel(e, k = 64, maxRounds = 6)
       s.range(1).select(lit(r.k).as("k"), lit(r.nNodes).as("n_nodes"),
         lit(r.nCore).as("n_core"), lit(r.nRemoved).as("n_removed"),
@@ -272,11 +297,7 @@ object Graph {
     // partial-aggregable degree count, one bounded (≤ 64-bucket)
     // rollup.
     "q202_degree_distribution" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val e = coPurchaseEdges(s, d)
       e.select(col("u").as("node"))
         .unionAll(e.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("c"))
