@@ -168,7 +168,15 @@ object Sketches {
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src.getPath)
       try {
-        val q = hllRanks(stream)
+        // state partitions sized to the stream's key cardinality (the
+        // q52/q53 discipline): state is event_type × M=32 registers —
+        // ~100 keys — and every state partition is a per-batch
+        // checkpoint-file commit regardless of fill (the q156/q167
+        // probe finding). Restored when the bounded run finishes.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = try {
+          hllRanks(stream)
           .groupBy(col("event_type"), col("idx"))
           .agg(max(col("rank")).as("m"))
           .writeStream.outputMode("complete")
@@ -176,7 +184,13 @@ object Sketches {
           .option("checkpointLocation", ck.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        } catch {
+          case e: Throwable =>
+            s.conf.set("spark.sql.shuffle.partitions", prevParts); throw e
+        }
+        // hold the override until the bounded run finishes (see q53)
+        try q.awaitTermination()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         require(q.recentProgress.count(_.numInputRows > 0) >= 2,
           "streaming HLL must see the feed as multiple micro-batches")
         val out = registersToEstimate(s.table(sinkName)).localCheckpoint()

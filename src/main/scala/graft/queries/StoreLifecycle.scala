@@ -2166,7 +2166,21 @@ object StoreLifecycle {
         // exactly-once BY DESIGN — this is the recovery the checkpoint
         // exists for, not error suppression (bounded retries; the
         // require()s below still pin exact results).
+        // state partitions sized to the stream's key cardinality (the
+        // q52/q53/q161 discipline): state is one count per seeded key
+        // (~docs/27), and every state partition costs a per-batch
+        // checkpoint commit PLUS a sink task that serializes on the
+        // MV shard's maintenance monitor — Profile r18 attributed
+        // 2x774ms of addBatch wall to 32+ sink tasks logging ~19s of
+        // blocked task-time (0.8s CPU) in a lock convoy on the single
+        // shard. Restored once the bounded drain finishes.
         def drain(): Unit = {
+          val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          try drainWith()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+        def drainWith(): Unit = {
           var attempts = 0
           var done = false
           while (!done) {
