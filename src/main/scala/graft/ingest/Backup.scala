@@ -124,11 +124,19 @@ object Backup {
   private def readTable(spark: SparkSession, root: String, table: String): DataFrame =
     spark.read.format("graft-cells").option("root", root).option("table", table).load()
 
-  /** max version of an export directory — one parquet pass over the
-    * (bounded) backup slice; Long.MinValue for an empty export. */
-  private def maxVersionOf(spark: SparkSession, dir: String): Long = {
-    val r = spark.read.parquet(dir).agg(max(col("version"))).collect()(0)
-    if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+  /** Export `df` to `dir` and return the max version EXPORTED, folded
+    * into the write itself via `observe` (CollectMetrics) — the
+    * watermark used to cost a second full scan of the just-written
+    * export; at backup scale that extra pass is data-sized.
+    * Long.MinValue for an empty export (null aggregate). */
+  private def exportWithWatermark(df: DataFrame, dir: String): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, max(col("version")).as("wm"))
+      .write.mode("overwrite").parquet(dir)
+    obs.get.get("wm") match {
+      case Some(v: Long) => v
+      case _ => Long.MinValue
+    }
   }
 
   private def tombstoneDir(backupDir: String, slice: String) =
@@ -172,11 +180,11 @@ object Backup {
     * any previous chain at `backupDir`. */
   def full(spark: SparkSession, root: String, table: String, backupDir: String): Meta = {
     val dir = backupDir + "/full"
-    readTable(spark, root, table).write.mode("overwrite").parquet(dir)
+    val wm = exportWithWatermark(readTable(spark, root, table), dir)
     val store = FileStore(root)
     writeTombstones(spark, backupDir, "full", store.listMarkers(table))
     val splits = store.splitsOf(table)
-    val meta = Meta(table, maxVersionOf(spark, dir), Vector.empty,
+    val meta = Meta(table, wm, Vector.empty,
       store.readSpecJson(table),
       if (splits.isDefault) None else Some(splits.toJson))
     writeMeta(backupDir, meta)
@@ -194,14 +202,14 @@ object Backup {
     require(prev.table == table, s"backup chain at $backupDir is for table ${prev.table}, not $table")
     val name = s"incr-${prev.increments.size}"
     val dir = s"$backupDir/$name"
-    readTable(spark, root, table).filter(col("version") > prev.watermark)
-      .write.mode("overwrite").parquet(dir)
+    val wm = exportWithWatermark(
+      readTable(spark, root, table).filter(col("version") > prev.watermark), dir)
     val already = exportedMarkers(spark, backupDir, "full" +: prev.increments)
     val delta = FileStore(root).listMarkers(table)
       .filterNot { case (k, v, e) => already.contains((k.toSeq, v, e)) }
     writeTombstones(spark, backupDir, name, delta)
     val meta = prev.copy(
-      watermark = math.max(prev.watermark, maxVersionOf(spark, dir)),
+      watermark = math.max(prev.watermark, wm),
       increments = prev.increments :+ name)
     writeMeta(backupDir, meta)
     meta

@@ -76,6 +76,20 @@ class BackupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state(dst, "t") == state(root, "t"))
   }
 
+  test("empty increment keeps the watermark (null export-max folds to no-op)") {
+    // pins the observe()-folded watermark path: an increment with no
+    // post-watermark cells writes an empty export, whose max(version)
+    // aggregate is NULL — the chain's watermark must not move
+    val root = Files.createTempDirectory("bak-empty-src").toString
+    val bak = Files.createTempDirectory("bak-empty-dir").toString
+    seed(root, "t", Seq(("a", 7L)))
+    val m1 = Backup.full(spark, root, "t", bak)
+    assert(m1.watermark == 7L)
+    val m2 = Backup.incremental(spark, root, "t", bak)
+    assert(m2.watermark == 7L && m2.increments == Vector("incr-0"))
+    assert(spark.read.parquet(s"$bak/incr-0").count() == 0L)
+  }
+
   test("restore carries DDL + split layout and rebuilds via segments, not puts") {
     val sp = spark; import sp.implicits._
     val root = Files.createTempDirectory("bak-ddl-src").toString
