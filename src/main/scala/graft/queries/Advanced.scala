@@ -563,11 +563,15 @@ object Advanced {
     // the watermark window on BOTH sides (the outer side holds rows
     // only until expiry proves them unmatched).
     "q190_stream_outer_join" -> { (s, d) =>
+      // "q190b": the r18 two-file staging below changes the staged
+      // content, so the cache key must not collide with older dirs
       val src = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_q190_" + layoutTag(d, "events.parquet"))
+        "graft_q190b_" + layoutTag(d, "events.parquet"))
       val evB = Tables.events(s, d)
-      val mx = evB.agg(max(unix_millis(col("ts")))).collect()(0).getLong(0)
       if (!src.exists()) {
+        // the max-ts aggregate is only needed to BUILD the staged feed
+        // — computing it on every run was a full events scan per pass
+        val mx = evB.agg(max(unix_millis(col("ts")))).collect()(0).getLong(0)
         src.mkdirs()
         val staged = evB
           .filter(col("event_type").isin("click", "purchase"))
@@ -586,9 +590,17 @@ object Advanced {
           timestamp_millis(lit(tsMs)).as("ts"),
           explode(array(lit("click"), lit("purchase"))).as("event_type"),
           lit(-1L).as("user_id"))
+        // TWO staged files, not three (r18): the old third "flush"
+        // file existed to push the watermark past every held click so
+        // the outer join emits its null rows — but AvailableNow
+        // already runs a final no-data micro-batch (noDataMicroBatches,
+        // on by default) that commits the advanced watermark and
+        // flushes event-time state. One sentinel at +20d does the
+        // advancing; the no-data batch does the flushing. Saves a full
+        // micro-batch cycle (2 sources x planning + state commit +
+        // WAL) per run; oracle-identical output at both SFs.
         stage(staged, "00_data.parquet", t0)
-        stage(sentinel(mx + 10L * 86400000L), "01_advance.parquet", t0 + 300000L)
-        stage(sentinel(mx + 20L * 86400000L), "02_flush.parquet", t0 + 600000L)
+        stage(sentinel(mx + 20L * 86400000L), "01_advance.parquet", t0 + 300000L)
       }
       val ck = java.nio.file.Files.createTempDirectory("graft-q190-ck")
       val sinkName = "q190_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
