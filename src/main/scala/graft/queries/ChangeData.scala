@@ -82,9 +82,16 @@ object ChangeData {
       val full = viewOf(orders, line)
         .select(col("o_orderpriority"), col("l_returnflag"), col("n"),
           col("revenue").cast("double").as("revenue"))
-      require(merged.exceptAll(full).count() == 0 && full.exceptAll(merged).count() == 0,
+      // materialize both VIEWS (bounded: |priorities| x |returnflags|
+      // rows) before the invariant — each exceptAll side used to
+      // re-evaluate its whole join tree, and the returned frame a third
+      // time, so the 4 delta joins + full recompute ran ~3x per gate
+      // (r18, guide §1.2: don't compute things you throw away)
+      val mergedM = merged.localCheckpoint()
+      val fullM = full.localCheckpoint()
+      require(mergedM.exceptAll(fullM).count() == 0 && fullM.exceptAll(mergedM).count() == 0,
         "delta maintenance must reproduce the full recompute exactly")
-      merged
+      mergedM
     },
 
     // Incremental aggregate-view maintenance: the daily (event_type,

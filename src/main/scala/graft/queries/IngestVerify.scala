@@ -124,11 +124,14 @@ object IngestVerify {
             .select(lit(t).as("table_name"), hex(col("rowkey")).as("rowkey_hex"),
               col("version"), md5(col("body")).as("envelope_md5"))
         }.reduce(_ unionByName _)
-        val push = readState(pushRoot)
-        val bulk = readState(bulkRoot)
+        // materialize both sides once: each exceptAll side re-evaluates
+        // its whole multi-table union, so the two-way check cost 4
+        // store-state scans (plus the returned frame a 5th) instead of 2
+        val push = readState(pushRoot).localCheckpoint()
+        val bulk = readState(bulkRoot).localCheckpoint()
         require(push.exceptAll(bulk).count() == 0 && bulk.exceptAll(push).count() == 0,
           "bulk-written state must be cell-for-cell identical to push-written state")
-        bulk.localCheckpoint()
+        bulk
       } finally {
         rows.unpersist()
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pushRoot))

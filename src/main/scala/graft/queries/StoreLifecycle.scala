@@ -118,8 +118,11 @@ object StoreLifecycle {
         BulkLoad.writeCells(
           s.read.parquet(bakDir + "/q195").select(lit("q195").as("tableName"),
             col("rowkey"), col("version"), col("body")), dstRoot)
-        val src = readTable(srcRoot)
-        val dst = readTable(dstRoot)
+        // materialize both sides once (r18): each exceptAll side
+        // re-evaluates its whole subtree, so the two-way check cost 4
+        // store scans (plus the returned frame a 5th) instead of 2
+        val src = readTable(srcRoot).localCheckpoint()
+        val dst = readTable(dstRoot).localCheckpoint()
         require(src.exceptAll(dst).count() == 0 && dst.exceptAll(src).count() == 0,
           "restored store must match the source cell-for-cell")
         dst.select(col("rowkey").cast("string").as("key_str"), col("version"),
@@ -216,8 +219,10 @@ object StoreLifecycle {
         require(markers.count() == expectedDeletes && expectedDeletes > 0,
           s"the increment must carry the delete-marker delta: ${markers.count()} vs $expectedDeletes")
         graft.ingest.Backup.restore(s, bakDir, dstRoot)
-        val src = readTable(srcRoot) // the masked view — batch-1 cells of deleted keys hidden
-        val dst = readTable(dstRoot)
+        // masked view — batch-1 cells of deleted keys hidden; both
+        // sides materialized once for the two-way check (the q195 note)
+        val src = readTable(srcRoot).localCheckpoint()
+        val dst = readTable(dstRoot).localCheckpoint()
         require(src.exceptAll(dst).count() == 0 && dst.exceptAll(src).count() == 0,
           "restore must reproduce the source's masked view — deletes must not resurrect")
         dst.select(col("rowkey").cast("string").as("key_str"), col("version"),
@@ -502,6 +507,7 @@ object StoreLifecycle {
           .localCheckpoint()
         val masked = readTable.select(col("rowkey").cast("string").as("key_str"),
           col("version"), col("body").cast("string").as("body_md5"))
+          .localCheckpoint() // evaluated once, compared twice (the q195 note)
         require(mv.exceptAll(masked).count() == 0 && masked.exceptAll(mv).count() == 0,
           "the MV folded from the change feed must equal the masked batch view")
         mv
@@ -768,6 +774,7 @@ object StoreLifecycle {
           .agg(max_by(struct(col("version"), col("body")), col("version")).as("m"))
           .select(col("rowkey").cast("string").as("key_str"),
             col("m.version").as("version"), col("m.body").cast("string").as("body_md5"))
+          .localCheckpoint() // evaluated once, compared twice (the q195 note)
         require(latest.exceptAll(folded).count() == 0 && folded.exceptAll(latest).count() == 0,
           "tbl$latest must equal the base-face max_by fold")
         latest
@@ -1193,7 +1200,7 @@ object StoreLifecycle {
         def view(t: String) = s.table(s"$cat.$t")
           .select(col("rowkey").cast("string").as("key_str"), col("version"),
             col("body").cast("string").as("body_md5"))
-        val src = view("q238s")
+        val src = view("q238s").localCheckpoint() // the q195 note
         val rep = view("q238r").localCheckpoint()
         require(rep.exceptAll(src).count() == 0 && src.exceptAll(rep).count() == 0,
           "the replica's masked view must equal the source's — the replication contract")
@@ -1813,7 +1820,7 @@ object StoreLifecycle {
         def view(t: String) = s.table(s"$cat.$t")
           .select(col("rowkey").cast("string").as("key_str"), col("version"),
             col("body").cast("string").as("body_md5"))
-        val src = view("q248s")
+        val src = view("q248s").localCheckpoint() // the q195 note
         val rep = view("q248r").localCheckpoint()
         require(rep.exceptAll(src).count() == 0 && src.exceptAll(rep).count() == 0,
           "the replica's masked view must equal the source's — with zero foreachBatch")
@@ -2787,7 +2794,7 @@ object StoreLifecycle {
         def view(t: String) = s.table(s"$cat.$t")
           .select(col("rowkey").cast("string").as("key_str"), col("version"),
             col("body").cast("string").as("body_md5"))
-        val src = view("q269s")
+        val src = view("q269s").localCheckpoint() // the q195 note
         val rep = view("q269r").localCheckpoint()
         require(rep.exceptAll(src).count() == 0 && src.exceptAll(rep).count() == 0,
           "replica and source must agree after the lifecycle races")
@@ -3445,6 +3452,7 @@ object StoreLifecycle {
           .option("root", root).option("table", "q227").load()
           .select(col("rowkey").cast("string").as("key_str"), col("version"),
             col("body").cast("string").as("body_md5"))
+          .localCheckpoint() // evaluated once, compared twice (the q195 note)
         require(visible.exceptAll(masked).count() == 0 && masked.exceptAll(visible).count() == 0,
           "the state view must equal the masked batch view")
         visible
@@ -3607,6 +3615,7 @@ object StoreLifecycle {
         Compaction.major(s, root, "q222")
         val after = readTable.select(col("rowkey").cast("string").as("key_str"),
           col("version"), col("body").cast("string").as("body_md5"))
+          .localCheckpoint() // evaluated once, compared twice (the q195 note)
         require(after.exceptAll(res).count() == 0 && res.exceptAll(after).count() == 0,
           "major compaction must not change the logical view")
         require(!segFiles(root, "q222").exists(n => FileStore.tombstoneOf(n).isDefined),
@@ -3700,7 +3709,9 @@ object StoreLifecycle {
           s"equi-depth boundaries must populate all 8 regions: ${segShardDirs(dstRoot, "q212")}")
         def readTable(root: String) = s.read.format("graft-cells")
           .option("root", root).option("table", "q212").load()
-        val src = readTable(srcRoot)
+        val src = readTable(srcRoot).localCheckpoint() // the q195 note
+        // dst stays a live SCAN: the point-GET probe below asserts the
+        // new layout prunes to one region, which a checkpoint would hide
         val dst = readTable(dstRoot)
         require(src.exceptAll(dst).count() == 0 && dst.exceptAll(src).count() == 0,
           "resplit must preserve the table cell-for-cell")
