@@ -42,6 +42,16 @@ object FileStore {
   private[graft] val autoFlushes = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val autoMinors = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Minimum per-shard group size for the direct memstore flush on
+    * VERSION-CAPPED tables (uncapped tables direct-flush from the DDL
+    * threshold up, unchanged from r17). Below this, the per-cell path
+    * interleaves better across concurrent same-shard sink tasks than a
+    * monitor-held direct window; above it, tiny-file churn dominates
+    * (StorePutProbe: capped 15 k-cell wave 5.5 s per-cell vs 0.14 s
+    * direct). Overridable for tests via system property. */
+  private[ingest] def CappedDirectFloor: Int =
+    Integer.getInteger("graft.store.cappedDirectFloor", 1024)
+
   /** The cell-file naming digest. Public because the read face
     * ([[graft.sources.CellsSource]]) must route rowkey point lookups
     * to the SAME cell files the writer placed — a single definition
@@ -1042,8 +1052,7 @@ final case class FileStore(rootDir: String) extends Store {
     touchedShardNames = byShard.map(_._1.getFileName.toString)
     // DIRECT MEMSTORE FLUSH (r17, optimization guide §6 small-files):
     // on a flush-enabled table (threshold > 0 — the '0 disables'
-    // layout-inspecting override keeps per-cell files) with no version
-    // cap (the cap's file-level prune needs per-cell files), a shard
+    // layout-inspecting override keeps per-cell files), a shard
     // group LARGER than the threshold would be folded into one sorted
     // segment by the post-commit hook immediately anyway — so land it
     // as that segment DIRECTLY, skipping the write-15000-tiny-files /
@@ -1056,8 +1065,20 @@ final case class FileStore(rootDir: String) extends Store {
     // per-cell-then-hook; only the transient tiny files disappear.
     val directShards = scala.collection.mutable.HashSet.empty[Path]
     byShard.foreach { case (shardDir, group) =>
-      if (threshold > 0 && spec == Int.MaxValue && group.size > threshold) {
-        directFlush(shardDir, group, threshold)
+      if (threshold > 0 && group.size > threshold &&
+          (spec == Int.MaxValue || group.size >= FileStore.CappedDirectFloor)) {
+        // version-capped tables (r18): the cap's file-level prune is
+        // applied INSIDE the direct flush (same end state as
+        // land-then-prune-then-hook; see directFlush) — so a BULK wave
+        // no longer pays the per-cell small-files path. Small capped
+        // groups keep the per-cell path: the direct window holds the
+        // shard monitor across its listing+prune, and an interleaved
+        // A/B (q236/q241/q255, 2×3 passes each side) measured that
+        // serialization costing MORE than a few hundred tiny files
+        // when many sink tasks share one shard — the floor keeps the
+        // win where the probe shows it (≥ ~1k cells: 5.5 s → 0.14 s at
+        // 15 k) without convoying hot MV shards.
+        directFlush(shardDir, group, threshold, spec)
         directShards += shardDir
       } else group.foreach { c =>
       val target = shardDir.resolve(s"${keyDigest(c.rowkey)}.${c.version}")
@@ -1099,10 +1120,11 @@ final case class FileStore(rootDir: String) extends Store {
     // of a version-capped heavy put load at sf1/sf10. The final state
     // is identical (keep the newest maxVersions of each touched key
     // among all files present), which is all W2/F5 promise.
-    // (The direct-flush branch above requires spec == Int.MaxValue, so
-    // every shard reaching this prune landed as per-cell files.)
+    // Direct-flushed shards (r18) already applied this prune inside
+    // the flush — only per-cell-landed shards need it here.
     if (spec != Int.MaxValue) {
-      byShard.foreach { case (shardDir, shardCells) =>
+      byShard.filterNot { case (sd, _) => directShards(sd) }
+        .foreach { case (shardDir, shardCells) =>
         val touched = shardCells.map(c => keyDigest(c.rowkey)).toSet
         val byKey = {
           val s = Files.list(shardDir)
@@ -1166,7 +1188,8 @@ final case class FileStore(rootDir: String) extends Store {
     * per-cell path's replace order). Holds the shard's maintenance
     * monitor for the whole decide→write window so no concurrent flush /
     * point read sees a half-made decision. */
-  private def directFlush(shardDir: Path, group: Seq[CellPut], threshold: Int): Unit =
+  private def directFlush(shardDir: Path, group: Seq[CellPut], threshold: Int,
+                          maxVersions: Int): Unit =
     FileStore.shardLockFor(shardDir).synchronized {
       Files.createDirectories(shardDir)
       FileStore.flushChecks.incrementAndGet()
@@ -1178,11 +1201,16 @@ final case class FileStore(rootDir: String) extends Store {
           .filterNot(_.endsWith(".tmp")).toVector
         finally s.close()
       }
-      val trailers = names.filter(CellSegment.isSegment)
+      // trailer reads are LAZY (r18): an all-replace batch (the
+      // streaming-upsert MV shape) needs neither the seqNo ceiling nor
+      // the tier population — reading every segment trailer per batch
+      // under the shard monitor was measurable contention on hot
+      // single-shard MV drains
+      lazy val trailers = names.filter(CellSegment.isSegment)
         .flatMap(n => try Some(CellSegment.readTrailer(shardDir.resolve(n)))
                       catch { case _: java.io.IOException => None })
-      val maxSeq = trailers.map(_.seqNo).foldLeft(0L)(math.max)
-      val smallSegs = trailers.count(_.indexOffset <= SmallSegmentBytes)
+      def maxSeq = trailers.map(_.seqNo).foldLeft(0L)(math.max)
+      def smallSegs = trailers.count(_.indexOffset <= SmallSegmentBytes)
       val existing = names.toSet
       val byCoord = scala.collection.mutable.LinkedHashMap
         .empty[(String, Long), (Array[Byte], Long, Array[Byte], String)]
@@ -1190,8 +1218,51 @@ final case class FileStore(rootDir: String) extends Store {
         val d = keyDigest(c.rowkey)
         byCoord((d, c.version)) = (c.rowkey, c.version, c.body, d)
       }
-      val (replaces, fresh) = byCoord.valuesIterator.toVector
+      val (replacesAll, freshAll) = byCoord.valuesIterator.toVector
         .partition { case (_, v, _, d) => existing.contains(s"$d.$v") }
+      // VERSION-CAP PRUNE (r18, guide §6 — closes the last small-files
+      // path): the per-cell path lands the batch as files and then the
+      // retention prune deletes, per TOUCHED key, every put file below
+      // the newest maxVersions. Replicate that end state BEFORE
+      // anything is written: per touched key, candidates = resident
+      // put-file versions ∪ the batch's versions; keep the newest
+      // maxVersions. Beyond-cap fresh cells are never written;
+      // beyond-cap replace targets and beyond-cap resident files are
+      // deleted (exactly what the prune would have done). Segment-
+      // resident cells stay, as on the per-cell path (the file-level
+      // prune never touches segments; read-time retention masks them).
+      val (fresh, replaces, prunedResidents) =
+        if (maxVersions == Int.MaxValue) (freshAll, replacesAll, Vector.empty[String])
+        else {
+          val touched = group.iterator.map(c => keyDigest(c.rowkey)).toSet
+          val residentVs: Map[String, Vector[Long]] = names.iterator
+            .filter(n => !CellSegment.isSegment(n))
+            .flatMap { n =>
+              val dot = n.lastIndexOf('.')
+              if (dot <= 0) None
+              else {
+                val key = n.take(dot)
+                if (!touched.contains(key)) None
+                else n.drop(dot + 1).toLongOption.map(v => (key, v))
+              }
+            }.toVector.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2)) }
+          val batchVs = byCoord.valuesIterator
+            .map { case (_, v, _, d) => (d, v) }.toVector.groupBy(_._1)
+            .map { case (k, vs) => (k, vs.map(_._2)) }
+          val keep: Map[String, Set[Long]] = (residentVs.keySet ++ batchVs.keySet)
+            .iterator.map { k =>
+              val all = (residentVs.getOrElse(k, Vector.empty) ++
+                batchVs.getOrElse(k, Vector.empty)).distinct.sorted
+              (k, all.takeRight(maxVersions).toSet)
+            }.toMap
+          val dead = residentVs.iterator.flatMap { case (k, vs) =>
+            vs.filterNot(keep(k)).map(v => s"$k.$v")
+          }.toVector
+          dead.foreach(n => Files.deleteIfExists(shardDir.resolve(n)))
+          (freshAll.filter { case (_, v, _, d) => keep(d)(v) },
+            replacesAll.filter { case (_, v, _, d) => keep(d)(v) },
+            dead)
+        }
       if (fresh.nonEmpty) {
         val sorted = fresh.sortWith { (a, b) =>
           val c = java.util.Arrays.compareUnsigned(a._1, b._1)
@@ -1224,7 +1295,7 @@ final case class FileStore(rootDir: String) extends Store {
         val dot = n.lastIndexOf('.')
         dot > 0 && !CellSegment.isSegment(n) && n.drop(dot + 1).toLongOption.isDefined
       }
-      if (putBacklog + replaces.size > threshold)
+      if (putBacklog - prunedResidents.size + replaces.size > threshold)
         flushShardIfBacklogged(shardDir, threshold)
       else if (smallSegs + (if (fresh.nonEmpty) 1 else 0) > threshold)
         try {

@@ -12,13 +12,20 @@ import scala.jdk.CollectionConverters._
 object StorePutProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 1500
+    // optional capped-table shape: maxVersions cap + versions per key
+    // (the q256 read-time-retention workload class) — 0/absent keeps
+    // the original uncapped single-version wave
+    val maxVersions = if (args.length > 1) args(1).toInt else 0
+    val versionsPerKey = if (args.length > 2) args(2).toInt else 1
+    val spec =
+      if (maxVersions > 0) TableSpec(maxVersions = maxVersions) else TableSpec()
     val root = Files.createTempDirectory("graft-putprobe").toString
     val store = FileStore(root)
-    store.ensureTable("t", TableSpec())
+    store.ensureTable("t", spec)
     val cells = (1 to n).map { i =>
       val body = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$i-S".getBytes("UTF-8"))
-      CellPut("t", s"u-$i".getBytes("UTF-8"), i.toLong, body)
+      CellPut("t", s"u-${i / versionsPerKey}".getBytes("UTF-8"), i.toLong, body)
     }
     def time[T](what: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -29,7 +36,7 @@ object StorePutProbe {
     time(s"putBatch x$n (cold)") { store.putBatch("t", cells) }
     val root2 = Files.createTempDirectory("graft-putprobe2").toString
     val store2 = FileStore(root2)
-    store2.ensureTable("t", TableSpec())
+    store2.ensureTable("t", spec)
     time(s"putBatch x$n (2nd jvm-warm)") { store2.putBatch("t", cells) }
     // derive the wave's single shard from the layout instead of
     // hardcoding its name (ADVICE r17) — every 'u-…' key shares a first

@@ -160,6 +160,73 @@ class FlushPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("direct flush on a version-capped table (r18): the cap prunes inside the " +
+    "flush — beyond-cap residents, replaces and fresh cells never survive") {
+    val root = Files.createTempDirectory("flush-direct-capped").toString
+    val refRoot = Files.createTempDirectory("flush-capped-ref").toString
+    // the capped direct path floors at ~1k cells in production (small
+    // concurrent groups interleave better per-cell); drop the floor so
+    // this gate-sized wave exercises the direct branch
+    System.setProperty("graft.store.cappedDirectFloor", "1")
+    try {
+      val spec = TableSpec(maxVersions = 2, compactionThreshold = 10)
+      val store = FileStore(root)
+      store.ensureTable("t", spec)
+      // reference: identical workload through the PER-CELL path (a
+      // threshold the batch never exceeds) — the end state the direct
+      // path must replicate
+      val ref = FileStore(refRoot)
+      ref.ensureTable("t", TableSpec(maxVersions = 2, compactionThreshold = 1000))
+      def put(s: FileStore, cs: Seq[CellPut]): Unit = s.putBatch("t", cs)
+      val z0 = "Z-000".getBytes("UTF-8")
+      val zi = "Z-intra".getBytes("UTF-8")
+      // batch 0 (under threshold, per-cell on both): Z-000 @ 1, 2
+      val seed = Seq(CellPut("t", z0, 1L, "v1".getBytes),
+        CellPut("t", z0, 2L, "v2".getBytes))
+      put(store, seed); put(ref, seed)
+      // batch 1 (over threshold → direct on `store`): a beyond-cap
+      // REPLACE of (Z-000, 2), fresh Z-000 @ 3 and 4 (cap keeps 3, 4 —
+      // residents 1, 2 and the replace must all die), an intra-batch
+      // multi-version key (keep newest 2 of 3), plus filler
+      val wave = Seq(
+        CellPut("t", z0, 2L, "v2-replaced".getBytes),
+        CellPut("t", z0, 3L, "v3".getBytes),
+        CellPut("t", z0, 4L, "v4".getBytes),
+        CellPut("t", zi, 1L, "i1".getBytes),
+        CellPut("t", zi, 2L, "i2".getBytes),
+        CellPut("t", zi, 3L, "i3".getBytes)) ++
+        (100 until 112).map(i =>
+          CellPut("t", f"Z-$i%03d".getBytes("UTF-8"), 9L, s"b-$i-9".getBytes))
+      val flushes0 = FileStore.autoFlushes.get()
+      put(store, wave); put(ref, wave)
+      assert(FileStore.autoFlushes.get() == flushes0 + 1,
+        "the capped over-threshold wave takes the direct path")
+      // layout: no beyond-cap put file survives; fresh cells are ONE segment
+      val d0 = FileStore.keyDigest(z0); val di = FileStore.keyDigest(zi)
+      val puts = putFiles(root, "t")
+      assert(!puts.exists(n => n.startsWith(d0) || n.startsWith(di)),
+        s"beyond-cap puts (and the pruned replace) must be gone: $puts")
+      assert(shardFiles(root, "t").count(CellSegment.isSegment) == 1,
+        "the capped wave lands as ONE segment")
+      // end state equals the per-cell reference, read through the same face
+      def view(r: String) = spark.read.format("graft-cells")
+        .option("root", r).option("table", "t").load()
+        .select(col("rowkey").cast("string"), col("version"), col("body").cast("string"))
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2))).toSet
+      val got = view(root); val want = view(refRoot)
+      assert(got == want,
+        s"capped direct path must equal per-cell+prune: ${got.diff(want)} / ${want.diff(got)}")
+      assert(got.filter(_._1 == "Z-000").map(_._2) == Set(3L, 4L),
+        s"newest maxVersions kept: $got")
+      assert(got.filter(_._1 == "Z-intra").map(_._2) == Set(2L, 3L),
+        s"intra-batch cap applies: $got")
+    } finally {
+      System.clearProperty("graft.store.cappedDirectFloor")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(refRoot))
+    }
+  }
+
   test("a flushed put outranks a stale segment copy at its coordinate") {
     val root = Files.createTempDirectory("flush-prec").toString
     try {
