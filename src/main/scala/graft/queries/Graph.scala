@@ -64,11 +64,16 @@ object Graph {
       val e0 = Tables.lineitem(s, d)
         .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v")).distinct()
       // r18 (guide §2.4): hash-partition the edge list by its join key
-      // ONCE before the checkpoint — LogicalRDD keeps the partitioning,
-      // so every round's frontier⋈edges join exchanges only the
-      // frontier, never the (graph-sized) edge side again
+      // ONCE and CACHE it — InMemoryTableScan advertises the cached
+      // plan's hashpartitioning(u), so every round's frontier⋈edges
+      // join exchanges only the frontier, never the (graph-sized) edge
+      // side again. (localCheckpoint does NOT work here: under AQE the
+      // captured outputPartitioning is UnknownPartitioning(0) —
+      // measured, plans/r18/partcheck — and every round re-exchanged
+      // the edges anyway.) The cache is operator-internal iteration
+      // state (the GraphX pattern), released before returning.
       val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-        .repartition(col("u")).localCheckpoint()
+        .repartition(col("u")).persist()
       // source = 2·min(l_partkey), read off the CHECKPOINTED edges
       // (part nodes are the even ids; every lineitem part reaches e0) —
       // was a second full lineitem scan for one scalar (guide §1.2)
@@ -87,6 +92,9 @@ object Graph {
           .localCheckpoint()
         dist = dist.unionAll(frontier).localCheckpoint()
       }
+      // every round's dist is materialized (eager localCheckpoint), so
+      // the returned frame no longer references the cached edges
+      e.unpersist(false)
       dist.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("id_sum"))
     },
 
@@ -106,11 +114,13 @@ object Graph {
         .groupBy((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
         .agg(min(col("l_quantity")).cast("long").as("w"))
       // r18: same two moves as q217 — edge list hash-partitioned by the
-      // join key before the checkpoint (each relaxation round then
-      // exchanges only the distance table), and the source scalar read
-      // off the checkpointed edges instead of a second lineitem scan
+      // join key and CACHED (see q217: a localCheckpoint drops the
+      // partitioning under AQE; the cached scan keeps it, so each
+      // relaxation round exchanges only the distance table), and the
+      // source scalar read off the cached edges instead of a second
+      // lineitem scan
       val e = li.unionAll(li.select(col("v").as("u"), col("u").as("v"), col("w")))
-        .repartition(col("u")).localCheckpoint()
+        .repartition(col("u")).persist()
       val srcId = e.filter(col("u") % 2 === 0)
         .agg(min(col("u"))).collect()(0).getLong(0)
       val sp = s; import sp.implicits._
@@ -122,6 +132,7 @@ object Graph {
           .groupBy(col("id")).agg(min(col("dist")).as("dist"))
           .localCheckpoint()
       }
+      e.unpersist(false) // rounds are materialized; edges no longer referenced
       dist.select(col("id").as("node_id"), col("dist"))
     },
 

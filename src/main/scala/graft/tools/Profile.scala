@@ -29,6 +29,14 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_NO_BROADCAST=1: forces shuffle joins — simulates
+      // the at-scale regime where a frontier/dist side outgrows the
+      // broadcast threshold, so per-iteration exchange claims can be
+      // measured at bench SF (shuffle bytes are the evidence)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        if (sys.env.contains("SPARK_GRAFT_NO_BROADCAST")) "-1" else "10485760")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        if (sys.env.contains("SPARK_GRAFT_NO_BROADCAST")) "-1" else "10485760")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,7 +46,8 @@ object Profile {
                          var taskTimeMs: Long = 0,
                          var deserMs: Long = 0, var runMs: Long = 0,
                          var gcMs: Long = 0, var resSerMs: Long = 0,
-                         var cpuMs: Long = 0)
+                         var cpuMs: Long = 0,
+                         var shufReadB: Long = 0, var shufWriteB: Long = 0)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
     val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     val listener = new SparkListener {
@@ -68,6 +77,10 @@ object Profile {
             j.gcMs += m.jvmGCTime
             j.resSerMs += m.resultSerializationTime
             j.cpuMs += m.executorCpuTime / 1000000
+            // shuffle BYTES per job: timing-window-immune evidence for
+            // per-iteration exchange claims (graph ops)
+            j.shufReadB += m.shuffleReadMetrics.totalBytesRead
+            j.shufWriteB += m.shuffleWriteMetrics.bytesWritten
           }
         }
       }
@@ -91,7 +104,8 @@ object Profile {
     js.foreach { j =>
       val dur = if (j.end > 0) j.end - j.start else -1
       println(f"job ${j.id}%4d ${dur}%6d ms tasks=${j.tasks}%4d taskTime=${j.taskTimeMs}%6d ms " +
-        f"deser=${j.deserMs}%5d run=${j.runMs}%6d cpu=${j.cpuMs}%6d gc=${j.gcMs}%4d resSer=${j.resSerMs}%4d  ${j.desc.take(60)}")
+        f"deser=${j.deserMs}%5d run=${j.runMs}%6d cpu=${j.cpuMs}%6d gc=${j.gcMs}%4d resSer=${j.resSerMs}%4d " +
+        f"shufR=${j.shufReadB}%9d shufW=${j.shufWriteB}%9d  ${j.desc.take(60)}")
     }
     spark.stop()
   }
